@@ -1,0 +1,143 @@
+"""Spark Column-expression cast layer.
+
+Converts raw-transport columns (see ``schema.raw_transport_schema``) to
+their target types with the reference's value semantics
+(/root/reference/main.py:147-240, catalogued in SURVEY §1.4). Everything
+that CAN be a built-in JVM expression IS one (whole-stage codegen); only the
+bytes-encoded decimal decode and exact banker's-rounding decimal quantize
+drop to Arrow-vectorized pandas UDFs.
+
+Also exposes the engine's registered SQL function surface
+(``register_functions``): lenient bool parse, sorted-key JSON encode,
+bytes-decimal decode — the scalar library the reference keeps as loose
+Python helpers, here available to any SQL query.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from muninn_avro_to_parquet_spark import schema as S
+from muninn_avro_to_parquet_spark.functions import scalars
+
+# ---------------------------------------------------------------------------
+# pandas UDFs (Arrow-batched — the only Python in the hot path, and only on
+# columns that actually carry bytes-encoded decimals)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(S.DECIMAL_38_9)
+def bytes_decimal_udf(col: pd.Series) -> pd.Series:
+    """Big-endian two's-complement bytes, assumed scale 30 → DECIMAL(38,9)
+    with banker's rounding; malformed input → 0.000000000 (main.py:172-191)."""
+    return col.map(scalars.bytes_to_decimal)
+
+
+@pandas_udf(S.DECIMAL_38_9)
+def numeric_decimal_udf(col: pd.Series) -> pd.Series:
+    """Stringified numeric → DECIMAL(38,9) via Decimal.quantize (HALF_EVEN —
+    Spark's CAST rounds HALF_UP, so a UDF is needed for exact parity with
+    main.py:192-199)."""
+    return col.map(scalars.numeric_to_decimal)
+
+
+@pandas_udf(T.DoubleType())
+def bytes_float_udf(col: pd.Series) -> pd.Series:
+    """bytes → big-endian int / 1e30 → double; errors → null (main.py:216-224)."""
+    return col.map(scalars.bytes_to_float)
+
+
+# ---------------------------------------------------------------------------
+# built-in expression builders
+# ---------------------------------------------------------------------------
+
+
+def lenient_bool(col: Column) -> Column:
+    """The `_to_bool` truth table (main.py:26-37) as a codegen'd CASE chain:
+    true/t/1/yes/y, false/f/0/no/n (case-insensitive), else bool(int(s))
+    — i.e. any other parsable integer maps to (n != 0) — else null."""
+    s = F.lower(F.trim(col.cast("string")))
+    as_int = F.try_cast(s, "bigint")
+    return (
+        F.when(s.isNull(), F.lit(None).cast("boolean"))
+        .when(s.isin("true", "t", "1", "yes", "y"), F.lit(True))
+        .when(s.isin("false", "f", "0", "no", "n"), F.lit(False))
+        .when(as_int.isNotNull(), as_int != 0)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def lenient_int(col: Column) -> Column:
+    """`_to_int` (main.py:39-46): strip one leading '+', truncate floats,
+    null on failure — try_cast keeps this JVM-side."""
+    s = F.regexp_replace(F.trim(col.cast("string")), r"^\+", "")
+    direct = F.try_cast(s, "bigint")
+    via_double = F.try_cast(F.try_cast(s, "double"), "bigint")
+    return F.coalesce(direct, via_double)
+
+
+def sort_map_entries(col: Column) -> Column:
+    """Order a MapType column's entries by key so to_json output is
+    deterministic and matches sorted-key JSON."""
+    return F.map_from_entries(F.sort_array(F.map_entries(col)))
+
+
+def timestamp_from(col: Column, source: str) -> Column:
+    if source == S.TS_MILLIS:
+        return F.timestamp_millis(col.cast("long"))
+    if source == S.TS_MICROS:
+        return F.timestamp_micros(col.cast("long"))
+    raise ValueError(source)
+
+
+def cast_column(name: str, source: str, dtype: T.DataType) -> Column:
+    """Raw-transport column → target-typed column, per the field's plan."""
+    col = F.col(name)
+    if source == S.RAW:
+        return col.alias(name)
+    if source in (S.TS_MILLIS, S.TS_MICROS):
+        return timestamp_from(col, source).alias(name)
+    if source == S.EPOCH_DAYS:
+        return F.date_from_unix_date(col.cast("int")).alias(name)
+    if source == S.BYTES_DECIMAL:
+        return bytes_decimal_udf(col).alias(name)
+    if source == S.NUMERIC_DECIMAL:
+        return numeric_decimal_udf(col).alias(name)
+    if source == S.STRINGIFY:
+        # stringification happened while building the transport batch
+        # (sorted-key compact JSON needs Python's json module semantics)
+        return col.cast("string").alias(name)
+    raise ValueError(f"unknown source kind {source!r} for column {name!r}")
+
+
+def select_typed(df, plans: list[S.FieldPlan]):
+    """Apply the full cast layer: envelope struct + typed payload columns.
+
+    One narrow ``select`` — no shuffle, fully pipelined with the scan.
+    """
+    cols = [F.col("source_metadata")]
+    cols.extend(cast_column(p.name, p.source, p.dtype) for p in plans)
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# SQL function registration
+# ---------------------------------------------------------------------------
+
+
+def register_functions(spark: SparkSession) -> None:
+    """Expose the scalar library to SQL (SURVEY §2.2 'UDF surface')."""
+    spark.udf.register("bytes_decimal", scalars.bytes_to_decimal, S.DECIMAL_38_9)
+    spark.udf.register("bytes_double", scalars.bytes_to_float, T.DoubleType())
+    spark.udf.register("lenient_bool", scalars.to_bool, T.BooleanType())
+    spark.udf.register("lenient_int", scalars.to_int, T.LongType())
+    spark.udf.register(
+        "sorted_json", scalars.stringify_any, T.StringType()
+    )
+    spark.udf.register(
+        "duration_seconds", scalars.parse_duration_to_seconds, T.IntegerType()
+    )

@@ -1,0 +1,172 @@
+"""Distributed CDC-Avro source: file paths → raw-transport DataFrame.
+
+The unit of parallelism is one Avro file per task (the reference's model,
+/root/reference/main.py:485-578) but decoding is streamed block-by-block
+into bounded Arrow batches instead of materializing the whole file as a
+Python list (main.py:519 — the reference's OOM hazard). At cluster scale the
+path list is a DataFrame, so 100k files fan out across all executors; very
+large files can additionally be split on Avro sync-marker boundaries (see
+``plan_splits`` TODO note).
+
+Value semantics: per-value lenient coercion per SURVEY §1.4 happens here
+(transport build) and in ``casts.select_typed`` (typed cast layer). The
+reference's coarser file-granularity all-string fallback (main.py:524-567)
+is available as ``read_avro_allstring`` — the engine's per-value coercion
+strictly dominates it (one bad value nulls one cell, not 10^6 rows × all
+columns to string), so it is the default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark import schema as S
+from muninn_avro_to_parquet_spark.functions import scalars
+from muninn_avro_to_parquet_spark.sources import avro_io
+
+BATCH_ROWS = 4096
+SOURCE_FILE_COL = "_source_file"
+
+
+def _transport_value(value: Any, source: str) -> Any:
+    """Coerce one decoded Avro value to its transport representation."""
+    if value is None:
+        return None
+    if source == S.RAW:
+        return value
+    if source in (S.TS_MILLIS, S.TS_MICROS, S.EPOCH_DAYS):
+        return scalars.to_int(value)
+    if source == S.BYTES_DECIMAL:
+        if isinstance(value, (bytes, bytearray)):
+            return bytes(value)
+        # numeric value in a decimal-typed column: encode at the assumed
+        # scale so the Spark-side decoder yields the same Decimal
+        d = scalars.numeric_to_decimal(value)
+        if d is None:
+            return None
+        unscaled = int(d.scaleb(scalars.ASSUMED_BYTES_SCALE))
+        nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(nbytes, byteorder="big", signed=True)
+    if source == S.NUMERIC_DECIMAL:
+        return str(value)
+    if source == S.STRINGIFY:
+        return scalars.stringify_any(value)
+    raise ValueError(source)
+
+
+def _batches_for_paths(
+    paths: list[str], plans: list[S.FieldPlan], all_string: bool
+) -> Iterator[pd.DataFrame]:
+    names = [p.name for p in plans]
+    for path in paths:
+        meta_buf: list[dict] = []
+        cols: dict[str, list] = {n: [] for n in names}
+        files: list[str] = []
+
+        def flush():
+            data = {"source_metadata": pd.Series(meta_buf, dtype=object)}
+            for n in names:
+                data[n] = pd.Series(cols[n], dtype=object)
+            data[SOURCE_FILE_COL] = pd.Series(files, dtype=object)
+            return pd.DataFrame(data)
+
+        for rec in avro_io.iter_records(path):
+            meta_buf.append(scalars.coerce_source_metadata(rec.get("source_metadata")))
+            payload = rec.get("payload") or {}
+            if not isinstance(payload, dict):
+                payload = {}
+            for plan in plans:
+                v = payload.get(plan.name)
+                if all_string:
+                    cols[plan.name].append(scalars.stringify_any(v))
+                else:
+                    cols[plan.name].append(_transport_value(v, plan.source))
+            files.append(path)
+            if len(meta_buf) >= BATCH_ROWS:
+                yield flush()
+                meta_buf, files = [], []
+                cols = {n: [] for n in names}
+        if meta_buf:
+            yield flush()
+
+
+def _with_source_file(schema):
+    from pyspark.sql import types as T
+
+    return T.StructType(list(schema.fields) + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)])
+
+
+def read_avro_raw(
+    spark: SparkSession, paths: list[str], avro_schema: dict | None = None
+) -> tuple[DataFrame, list[S.FieldPlan]]:
+    """Paths → raw-transport DataFrame (+ field plans). Schema is derived
+    once on the driver from the first file's header — a header-only read,
+    not the reference's full first pass (main.py:492-494)."""
+    if avro_schema is None:
+        avro_schema = avro_io.read_schema(paths[0])
+    plans = S.derive_field_plans(avro_schema)
+    transport = _with_source_file(S.raw_transport_schema(avro_schema))
+
+    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            yield from _batches_for_paths(list(pdf["path"]), plans, all_string=False)
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_part = min(len(paths), spark.sparkContext.defaultParallelism * 2) or 1
+    return paths_df.repartition(n_part).mapInPandas(gen, schema=transport), plans
+
+
+def read_avro(
+    spark: SparkSession, paths: list[str], avro_schema: dict | None = None
+) -> DataFrame:
+    """Paths → fully typed flat DataFrame (envelope struct + typed payload
+    columns + ``_source_file``). The cast layer is one narrow select —
+    no shuffle anywhere on the conversion path."""
+    from muninn_avro_to_parquet_spark import casts
+
+    raw, plans = read_avro_raw(spark, paths, avro_schema)
+    cols = [F.col("source_metadata")]
+    cols.extend(casts.cast_column(p.name, p.source, p.dtype) for p in plans)
+    cols.append(F.col(SOURCE_FILE_COL))
+    return raw.select(*cols)
+
+
+def read_avro_allstring(
+    spark: SparkSession, paths: list[str], avro_schema: dict | None = None
+) -> DataFrame:
+    """Permissive mode: envelope kept as struct, every payload column
+    stringified (sorted-key compact JSON for containers) — the reference's
+    fallback write shape (main.py:543-564) and its dead all-string path
+    (main.py:398-452), exposed as an explicit option."""
+    from pyspark.sql import types as T
+
+    if avro_schema is None:
+        avro_schema = avro_io.read_schema(paths[0])
+    plans = S.derive_field_plans(avro_schema)
+    out_schema = T.StructType(
+        [T.StructField("source_metadata", S.SOURCE_METADATA_TYPE, True)]
+        + [T.StructField(p.name, T.StringType(), True) for p in plans]
+        + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)]
+    )
+
+    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            yield from _batches_for_paths(list(pdf["path"]), plans, all_string=True)
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_part = min(len(paths), spark.sparkContext.defaultParallelism * 2) or 1
+    return paths_df.repartition(n_part).mapInPandas(gen, schema=out_schema)
+
+
+def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
+    """Use the spark-avro connector when its jar is on the classpath (not in
+    this image); callers fall back to the pure-Python distributed reader.
+    Kept so a real cluster deployment gets the JVM-native scan for free."""
+    try:
+        return spark.read.format("avro").load(pattern)
+    except Exception:
+        return None
