@@ -138,11 +138,10 @@ def numeric_to_decimal(value: Any, strict: bool = False) -> Decimal | None:
     if value is None:
         return None
     try:
-        if isinstance(value, Decimal):
-            return value.quantize(NINE_PLACES, rounding=decimal.ROUND_HALF_EVEN)
-        if isinstance(value, (int, float)):
-            return Decimal(str(value)).quantize(NINE_PLACES, rounding=decimal.ROUND_HALF_EVEN)
-        return Decimal(str(value)).quantize(NINE_PLACES, rounding=decimal.ROUND_HALF_EVEN)
+        d = value if isinstance(value, Decimal) else Decimal(str(value))
+        if not d.is_finite():  # NaN/Inf propagate quietly through quantize
+            raise decimal.InvalidOperation("non-finite decimal")
+        return d.quantize(NINE_PLACES, rounding=decimal.ROUND_HALF_EVEN)
     except (decimal.InvalidOperation, ValueError, TypeError):
         return None if strict else DECIMAL_ZERO
 

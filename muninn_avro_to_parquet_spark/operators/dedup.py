@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — these run over ~10^9 documents):
+
+- **exact**: one hash-partitioned groupBy on a digest of the dedup key —
+  a single shuffle with map-side partial aggregation; the digest (md5)
+  keeps shuffle rows narrow even for megabyte documents.
+- **MinHash + LSH**: signatures are k min-aggregations over the exploded
+  (doc, token) relation — one shuffle, partials combine map-side. Banding
+  turns near-dup search into an equi-join on (band_index, band_hash): only
+  documents sharing a band collide, so the candidate join is sparse and
+  AQE's skew handling covers pathological buckets (e.g. boilerplate docs).
+- **SimHash**: 64-bit signature via per-bit majority vote of token hashes —
+  computed with explode + groupBy (one shuffle), emitted as a bit-string;
+  near-dup candidates pair on band substrings of the signature.
+- **n-gram Jaccard**: exact pairwise verification for candidate pairs —
+  the expensive step, so it's meant to run AFTER LSH banding has pruned the
+  pair space (verify_jaccard takes a candidate-pair DataFrame).
+
+Hash choice: md5 (hex string) everywhere rather than xxhash64, trading a
+few cycles for cross-engine determinism — the DuckDB oracles reproduce
+every signature bit-for-bit. Swap HASH_FN to F.xxhash64 on a real cluster
+for ~2× hash throughput (documented, not default, because oracle parity is
+a first-class requirement here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key; returns the surviving rows.
+
+    Equivalent to ``dropDuplicates`` but deterministic about WHICH row
+    survives (min id), which matters for reproducible corpus builds."""
+    digest = F.md5(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in key_cols]))
+    keyed = df.withColumn("_k", digest)
+    survivors = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(survivors, [id_col, "_k"], "inner").drop("_k")
+
+
+def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, token) pairs — the relation every sketch builds on."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature: for seed i, min over tokens of md5(i ':' token).
+
+    One explode + one groupBy (map-side combinable); signature columns are
+    named mh00..mh{k-1}."""
+    dt = doc_tokens(df, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i:02d}")
+        for i in range(num_hashes)
+    ]
+    return dt.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Fold the signature into LSH bands: (id, band_idx, band_hash)."""
+    rows_per_band = num_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
+        out.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate candidate pairs: documents agreeing on ≥1 LSH band.
+
+    The join is an equi-join on (band_idx, band_hash) — no cross product;
+    ``id_a < id_b`` halves the output and distinct collapses multi-band
+    agreement."""
+    b = minhash_bands(
+        minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
+    )
+    left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    At corpus scale this runs on LSH-pruned candidates; standalone it is
+    still shuffle-efficient: the self-join is an equi-join on the shingle
+    value, so disjoint documents never pair."""
+    sh = ngram_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash emitted as a 64-char '0'/'1' string (bit 63 → bit 0).
+
+    Per token: md5 hex → 16 nibbles → 64 bits. Per bit: sum of (2·bit − 1)
+    over tokens; the signature bit is 1 iff the sum is positive. A
+    bit-string (not BIGINT) avoids 64-bit sign pitfalls and compares/slices
+    identically everywhere; band prefixes for candidate pairing are plain
+    substrings."""
+    dt = doc_tokens(df, id_col, text_col)
+    h = dt.select(F.col(id_col), F.md5(F.col("token")).alias("h"))
+    # explode to (id, bit_index, ±1): nibble value from a hex-digit lookup,
+    # bit extracted with integer shifts — all codegen'd integer arithmetic
+    bits = h.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).select(
+        F.col(id_col),
+        F.col("bit"),
+        (
+            (
+                F.floor(
+                    (F.instr(F.lit(_HEX_DIGITS), F.substring(F.col("h"), (F.col("bit") / 4 + 1).cast("int"), 1)) - 1)
+                    / F.pow(F.lit(2), (3 - F.col("bit") % 4)).cast("int")
+                ).cast("int")
+                % 2
+            )
+            * 2
+            - 1
+        ).alias("delta"),
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("delta").alias("v"))
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("bit").alias("b"), (F.col("v") > 0).cast("int").alias("x")))
+                    ),
+                    lambda s: s["x"].cast("string"),
+                ),
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_candidate_pairs(
+    sig: DataFrame, id_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs agreeing on any of the 4 16-bit signature bands."""
+    out = []
+    for band in range(4):
+        piece = F.substring("simhash", band * prefix_bits + 1, prefix_bits)
+        out.append(sig.select(F.col(id_col), F.lit(band).alias("band_idx"), piece.alias("band_bits")))
+    b = out[0]
+    for o in out[1:]:
+        b = b.unionAll(o)
+    left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
+    right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")
+    return (
+        left.join(right, ["band_idx", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def hamming_distance(sig_a, sig_b):
+    """Hamming distance between two equal-length bit-strings (Columns)."""
+    pairs = F.arrays_zip(F.split(sig_a, ""), F.split(sig_b, ""))
+    return F.size(F.filter(pairs, lambda p: p["0"] != p["1"]))

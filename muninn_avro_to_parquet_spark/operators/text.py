@@ -1,0 +1,134 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All operators are pure Column-expression compositions (whole-stage codegen,
+no Python in the hot path) so they scale linearly over a 100 TB `documents`
+table: tokenization, language ID (stopword-ratio heuristic), quality
+scoring, token counting, and winnowing-style document fingerprinting.
+
+Determinism note: every score bottoms out in integer counts and md5 hex
+strings, so results are bit-stable across engines — the DuckDB oracles in
+``oracles.py`` reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language function-word lists for the n-gram/stopword heuristic.
+# Deliberately tiny and frozen: the point is a deterministic, cheap signal,
+# not linguistic completeness.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "des"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+WORD_RE = "[^a-z0-9一-鿿 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercase, strip punctuation, split on whitespace, drop empties."""
+    cleaned = F.regexp_replace(F.lower(text), WORD_RE, " ")
+    return F.filter(F.split(cleaned, " +"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap proxy for tokenizer cost)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """A BPE-flavored piece count: alnum runs + each punctuation mark counts
+    as one piece (regex approximation of subword splitting)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+|[^a-z0-9\\s]"), 0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1]."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    avg_word_len = F.when(n_tok > 0, (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
+    sw_ratio = stopword_ratio(F.col(text_col))
+    p_ratio = punct_ratio(F.col(text_col))
+    length_ok = (n_tok >= 20) & (n_tok <= 1000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when((sw_ratio > 0.01) & (sw_ratio < 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(p_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        avg_word_len.alias("avg_word_len"),
+        sw_ratio.alias("stopword_ratio"),
+        p_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic signal)."""
+    toks = tokens(text)
+    return [
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hits, ties
+    broken by language code ascending; no hits at all → 'und'."""
+    scored = df.select("*", *lang_scores(F.col(text_col)))
+    langs = sorted(LANG_STOPWORDS.keys())
+    # build structs (score, neg-ordered lang) and take greatest by score,
+    # preferring the lexicographically smallest lang on ties
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{code}").alias("s"), F.lit(code).alias("lang")) for code in langs]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                p["s"].alias("s"),
+                # invert the lang for tie-break: max(struct) picks highest s,
+                # then highest inverted lang == lowest lang
+                F.translate(p["lang"], "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba").alias("inv"),
+                p["lang"].alias("lang"),
+            ),
+        )
+    )
+    return scored.withColumn(
+        "detected_lang", F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", ngram: int = 2) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over the
+    document's word n-grams — robust to word order at the edges, cheap,
+    and identical across engines (md5 hex compares lexicographically)."""
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(ngram)])),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+    )

@@ -1,0 +1,639 @@
+"""Query registry: every SURVEY §2 operator category as a named query with
+a Spark DataFrame builder AND a DuckDB oracle SQL string.
+
+Determinism rules (so value-hashes match across engines bit-for-bit):
+- money/qty aggregates accumulate in DECIMAL (exact, order-independent) and
+  convert to DOUBLE only at the end;
+- averages divide two exact doubles (never decimal division — precision
+  rules differ between engines);
+- dates/timestamps in output are formatted to strings;
+- every top-k has a total order (explicit tie-break columns);
+- hashes are md5/sha256 hex strings (identical everywhere).
+
+Each entry: ``QUERIES[name] = Q(spark_fn, oracle: str | None)``. Builders
+take (spark, sf_dir) and use temp views registered by ``tables.register_views``.
+Entries with ``oracle=None`` are non-SQL-expressible (streaming/stateful) and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark import tables
+from muninn_avro_to_parquet_spark.operators import dedup, multimodal, similarity, text
+
+MONEY = "decimal(12,2)"
+RATE = "decimal(8,6)"
+QTY = "decimal(12,2)"
+
+
+@dataclass(frozen=True)
+class Q:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+QUERIES: dict[str, Q] = {}
+
+
+def q(name: str, oracle: Optional[str]):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tables.register_views(spark, sf_dir)
+            return fn(spark)
+
+        QUERIES[name] = Q(wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def _dec(col: str, t: str) -> F.Column:
+    return F.col(col).cast(t)
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST((1 - CAST(l_discount AS DECIMAL(8,6))) * (1 + CAST(l_tax AS DECIMAL(8,6))) AS DECIMAL(19,12))), 2) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark):
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    price, disc, tax, qty = (
+        _dec("l_extendedprice", MONEY),
+        _dec("l_discount", RATE),
+        _dec("l_tax", RATE),
+        _dec("l_quantity", QTY),
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+        F.round(
+            F.sum(price * ((F.lit(1) - disc) * (F.lit(1) + tax)).cast("decimal(19,12)")), 2
+        )
+        .cast("double")
+        .alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark):
+    li = spark.table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice", MONEY) * _dec("l_discount", RATE)), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_rollup_sales",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales,
+           COUNT(*) AS n_orders,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_sales(spark):
+    return (
+        spark.table("orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(_dec("o_totalprice", MONEY)).cast("double").alias("total_sales"),
+            F.count("*").alias("n_orders"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+        )
+    )
+
+
+@q(
+    "q_cube_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_sales(spark):
+    return (
+        spark.table("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity", QTY)).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+        )
+    )
+
+
+@q(
+    "q_distinct_counts",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_distinct_counts(spark):
+    return (
+        spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            F.min(_dec("o_totalprice", MONEY)).cast("double").alias("min_price"),
+            F.max(_dec("o_totalprice", MONEY)).cast("double").alias("max_price"),
+        )
+    )
+
+
+@q(
+    "q_pivot_status",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS open_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS filled_total,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS partial_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status(spark):
+    o = spark.table("orders")
+    price = _dec("o_totalprice", MONEY)
+
+    def bucket(status, alias):
+        return (
+            F.sum(F.when(F.col("o_orderstatus") == status, price).otherwise(F.lit(0)))
+            .cast("double")
+            .alias(alias)
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        bucket("O", "open_total"), bucket("F", "filled_total"), bucket("P", "partial_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark):
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark):
+    c = spark.table("customer")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = spark.table("lineitem")
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "q_semi_anti_join",
+    """
+    SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS bucket, COUNT(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_anti_join(spark):
+    c = spark.table("customer")
+    o = spark.table("orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("with_orders").alias("bucket"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("without_orders").alias("bucket"), "n")
+    )
+    return semi.unionAll(anti)
+
+
+@q(
+    "q_outer_join_nulls",
+    """
+    SELECT n_name, COALESCE(cnt, 0) AS n_customers
+    FROM nation LEFT JOIN (
+      SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey
+    ) c ON n_nationkey = c_nationkey
+    """,
+)
+def q_outer_join_nulls(spark):
+    n = spark.table("nation")
+    c = spark.table("customer").groupBy("c_nationkey").agg(F.count("*").alias("cnt"))
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .select("n_name", F.coalesce("cnt", F.lit(0)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT c_mktsegment, c_custkey, c_name,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC, c_custkey ASC) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_group(spark):
+    from pyspark.sql import Window
+
+    bal = _dec("c_acctbal", MONEY)
+    w = Window.partitionBy("c_mktsegment").orderBy(bal.desc(), F.col("c_custkey").asc())
+    return (
+        spark.table("customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            bal.cast("double").alias("acctbal"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "q_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
+    FROM orders
+    WHERE o_custkey <= 50
+    """,
+)
+def q_running_total(spark):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        spark.table("orders")
+        .filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice", MONEY))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+    )
+
+
+@q(
+    "q_lag_lead_delta",
+    """
+    SELECT user_id, event_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS TIMESTAMP)) AS gap_us,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+    FROM events WHERE user_id <= 20
+    """,
+)
+def q_lag_lead_delta(spark):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") <= 20)
+        .select(
+            "user_id",
+            "event_id",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+@q(
+    "q_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(LAG(ts) OVER w AS TIMESTAMP)) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gaps = spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.when(
+            (us - F.lag(us).over(w) > 1_800_000_000) | F.lag(us).over(w).isNull(), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_global_topn",
+    """
+    SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+    FROM orders ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey ASC LIMIT 25
+    """,
+)
+def q_global_topn(spark):
+    price = _dec("o_totalprice", MONEY)
+    return (
+        spark.table("orders")
+        .select("o_orderkey", price.cast("double").alias("totalprice"))
+        .orderBy(price.desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@q(
+    "q_set_ops",
+    """
+    WITH big_cust AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+         urgent_cust AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT DISTINCT k FROM (SELECT k FROM big_cust UNION SELECT k FROM urgent_cust))
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT DISTINCT k FROM big_cust INTERSECT SELECT DISTINCT k FROM urgent_cust)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT DISTINCT k FROM big_cust EXCEPT SELECT DISTINCT k FROM urgent_cust)
+    """,
+)
+def q_set_ops(spark):
+    o = spark.table("orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("k"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+
+    def count_as(df, op):
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_as(big.union(urgent).distinct(), "union")
+        .unionAll(count_as(big.distinct().intersect(urgent.distinct()), "intersect"))
+        .unionAll(count_as(big.distinct().exceptAll(urgent.distinct()), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions: JSON, strings, dates
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_events_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json(spark):
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k"), F.max(k).alias("max_k"))
+    )
+
+
+@q(
+    "q_string_funcs",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n,
+           MIN(UPPER(p_name)) AS first_name_upper,
+           MAX(LENGTH(p_name)) AS max_name_len,
+           SUM(CASE WHEN CONTAINS(p_type, 'PROMO') THEN 1 ELSE 0 END) AS n_promo,
+           MIN(SUBSTR(p_name, 1, 5) || '#' || CAST(p_size AS VARCHAR)) AS min_tag
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_string_funcs(spark):
+    return (
+        spark.table("part")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.upper("p_name")).alias("first_name_upper"),
+            F.max(F.length("p_name")).alias("max_name_len"),
+            F.sum(F.when(F.col("p_type").contains("PROMO"), 1).otherwise(0)).alias("n_promo"),
+            F.min(
+                F.concat(F.substring("p_name", 1, 5), F.lit("#"), F.col("p_size").cast("string"))
+            ).alias("min_tag"),
+        )
+    )
+
+
+@q(
+    "q_monthly_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_monthly_orders(spark):
+    return (
+        spark.table("orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice", MONEY)).cast("double").alias("total"),
+        )
+    )

@@ -26,6 +26,10 @@ def get_spark(app_name: str = "muninn_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # test tables carry TIMESTAMP(NANOS) parquet columns, which Spark
+        # rejects by default; read them as raw nano longs and normalize to
+        # microsecond timestamps in the table catalog (tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

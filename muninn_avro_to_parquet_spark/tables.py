@@ -1,0 +1,53 @@
+"""Test-table catalog: load the driver-materialized parquet tables and
+register them as temp views (the engine's SQL surface).
+
+At 100 TB these would be external-catalog tables; the loader keeps the same
+names so every query in ``queries.py`` runs unchanged against either.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts arrives as raw nanos (nanosAsLong); truncate to micro precision
+        # — the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+_REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; cached per (session, dir)."""
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return _REGISTERED[key]
+    out = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    _REGISTERED[key] = out
+    return out

@@ -1,0 +1,146 @@
+"""End-to-end golden conversion tests (Avro fixtures → typed Parquet)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+import pytest
+
+from muninn_avro_to_parquet_spark import convert
+from muninn_avro_to_parquet_spark.sources import avro_io, avro_source
+from tests.conftest import CDC_SCHEMA
+
+
+def _write_fixture(tmp_path, n_files=2, rows_per_file=3):
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    paths = []
+    for fi in range(n_files):
+        recs = []
+        for ri in range(rows_per_file):
+            rid = fi * rows_per_file + ri
+            recs.append(
+                {
+                    "uuid": f"u{rid}",
+                    "read_timestamp": rid,
+                    "sort_keys": [],
+                    "source_metadata": {
+                        "schema": "public",
+                        "table": "customers",
+                        "is_deleted": rid % 2 == 0,
+                        "change_type": "INSERT",
+                        "tx_id": 100 + rid,
+                        "lsn": f"0/{rid}",
+                        "primary_keys": ["id"],
+                    },
+                    "payload": {
+                        "id": rid,
+                        "name": f"name{rid}",
+                        "age": 20 + rid,
+                        "balance": ((rid + 1) * 10**29).to_bytes(16, "big", signed=True),
+                        "score": rid * 1.5,
+                        "active": rid % 2 == 0,
+                        "created_at": 1_700_000_000_000_000 + rid,
+                        "updated_at": 1_700_000_000_000 + rid,
+                        "birth_date": 8000 + rid,
+                        "tags": [f"t{rid}", "x"],
+                        "attrs": {"z": str(rid), "a": "v"},
+                    },
+                }
+            )
+        p = str(base / f"f{fi}.avro")
+        avro_io.write_file(p, CDC_SCHEMA, recs, codec="deflate" if fi % 2 else "null")
+        paths.append(p)
+    return paths
+
+
+def test_convert_end_to_end(spark, tmp_path):
+    _write_fixture(tmp_path)
+    out = str(tmp_path / "out")
+    res = convert.convert(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), out, ingestion_date="2026-01-02"
+    )
+    assert res.tables == {"customers": 6}
+
+    df = spark.read.parquet(os.path.join(out, "customers"))
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 6
+    r1 = rows[1]
+    assert r1["source_metadata"]["table"] == "customers"
+    assert r1["source_metadata"]["tx_id"] == 101
+    assert r1["balance"] == Decimal("0.200000000")  # 2e29 / 1e30
+    assert r1["created_at"] == dt.datetime(2023, 11, 14, 22, 13, 20, 1)
+    assert r1["birth_date"] == dt.date(1970, 1, 1) + dt.timedelta(days=8001)
+    assert r1["tags"] == '["t1","x"]'
+    assert r1["attrs"] == '{"a":"v","z":"1"}'  # sorted keys
+    assert r1["ingestion_date"] == dt.date(2026, 1, 2)
+    # hive partition layout on disk
+    assert os.path.isdir(os.path.join(out, "customers", "ingestion_date=2026-01-02"))
+
+
+def test_convert_null_payload(spark, tmp_path):
+    base = tmp_path / "avro" / "t1"
+    base.mkdir(parents=True)
+    recs = [
+        {
+            "uuid": "u",
+            "read_timestamp": 0,
+            "sort_keys": [],
+            "source_metadata": {"schema": None, "table": "t1", "is_deleted": None,
+                                "change_type": "DELETE", "tx_id": None, "lsn": None,
+                                "primary_keys": None},
+            "payload": None,
+        }
+    ]
+    avro_io.write_file(str(base / "f.avro"), CDC_SCHEMA, recs)
+    df = convert.convert_df(spark, str(base / "*.avro"))
+    row = df.collect()[0]
+    assert row["id"] is None and row["name"] is None
+    assert row["source_metadata"]["change_type"] == "DELETE"
+
+
+def test_permissive_all_string(spark, tmp_path):
+    _write_fixture(tmp_path, n_files=1, rows_per_file=2)
+    df = convert.convert_df(spark, str(tmp_path / "avro" / "**" / "*.avro"), permissive=True)
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["id"] == "string" and schema["balance"] == "string"
+    assert schema["source_metadata"].startswith("struct<")
+    row = {r["id"]: r for r in df.collect()}["0"]
+    assert row["age"] == "20"
+    assert row["attrs"] == '{"a":"v","z":"0"}'
+
+
+def test_source_file_column_and_table_grouping(spark, tmp_path):
+    paths = _write_fixture(tmp_path, n_files=2, rows_per_file=1)
+    df = avro_source.read_avro(spark, paths)
+    got = {r[avro_source.SOURCE_FILE_COL] for r in df.collect()}
+    assert got == set(paths)
+    assert convert.table_folder_of(paths[0]) == "customers"
+    assert convert.table_folder_of("/data/avro/orders/x.avro") == "orders"
+    assert convert.table_folder_of("/elsewhere/orders/x.avro") == "orders"
+
+
+def test_deviant_values_lenient_coercion(spark, tmp_path):
+    """Values that deviate from their declared type are coerced per-value
+    (reference §1.4) rather than poisoning the whole file."""
+    schema = {
+        "type": "record", "name": "cdc", "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][3]["type"]},
+            {"name": "payload", "type": ["null", {"type": "record", "name": "p", "fields": [
+                {"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+                {"name": "d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+            ]}]},
+        ],
+    }
+    base = tmp_path / "avro" / "dev"
+    base.mkdir(parents=True)
+    recs = [{"source_metadata": {"schema": "s", "table": "dev", "is_deleted": False,
+                                 "change_type": "I", "tx_id": 1, "lsn": "l", "primary_keys": []},
+             "payload": {"ts": 1_700_000_000_000, "d": 10}}]
+    avro_io.write_file(str(base / "f.avro"), schema, recs)
+    df = convert.convert_df(spark, str(base / "*.avro"))
+    row = df.collect()[0]
+    assert row["ts"] == dt.datetime(2023, 11, 14, 22, 13, 20)
+    assert row["d"] == dt.date(1970, 1, 11)
