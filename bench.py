@@ -1,0 +1,52 @@
+"""Benchmark: run every registry query at $SPARK_GRAFT_SF_DIR (default
+sf0.1) and print ONE JSON line with total + per-query wall seconds.
+
+Each query is forced end-to-end with a JVM-side noop sink (no Python
+collect overhead in the measurement). The session uses the same config
+block we would ship to a real cluster (AQE, broadcast threshold, UTC).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from muninn_avro_to_parquet_spark.queries import QUERIES
+    from muninn_avro_to_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="muninn_bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, entry in QUERIES.items():
+        t0 = time.perf_counter()
+        df = entry.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

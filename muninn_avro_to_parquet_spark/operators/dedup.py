@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from muninn_avro_to_parquet_spark.operators.text import tokens
+from muninn_avro_to_parquet_spark.operators.text import tokens, word_ngrams
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -69,22 +69,28 @@ def minhash_signature(
 def minhash_bands(
     sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Fold the signature into LSH bands: (id, band_idx, band_hash)."""
+    """Fold the signature into LSH bands: (id, band_idx, band_hash).
+
+    All bands come from ONE pass over the signature (array + explode) —
+    a per-band unionAll would make Spark recompute the whole signature
+    aggregation once per band."""
     rows_per_band = num_hashes // bands
-    out = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
-        out.append(
-            sig.select(
-                F.col(id_col),
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"mh{b * rows_per_band + r:02d}" for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
             )
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionAll(o)
-    return res
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, "e.band_idx", "e.band_hash"
+    )
 
 
 def minhash_candidate_pairs(
@@ -94,10 +100,13 @@ def minhash_candidate_pairs(
 
     The join is an equi-join on (band_idx, band_hash) — no cross product;
     ``id_a < id_b`` halves the output and distinct collapses multi-band
-    agreement."""
+    agreement. The bands relation (4 narrow rows per doc — tiny next to
+    the corpus) is cached so the self-join doesn't tokenize + sketch the
+    corpus twice; AQE skew-join splits pathological buckets (boilerplate
+    docs that share a band with everything)."""
     b = minhash_bands(
         minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
-    )
+    ).cache()
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -109,15 +118,14 @@ def minhash_candidate_pairs(
 
 
 def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokens are materialized into a column before the n-gram transform —
+    see ``word_ngrams``'s warning about Catalyst inlining the tokenizer
+    into every element access otherwise."""
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    grams = word_ngrams(F.col("toks"), n)
+    return toksed.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
 def jaccard_pairs(
@@ -214,13 +222,20 @@ def simhash_candidate_pairs(
     sig: DataFrame, id_col: str, prefix_bits: int = 16
 ) -> DataFrame:
     """Candidate pairs agreeing on any of the 4 16-bit signature bands."""
-    out = []
-    for band in range(4):
-        piece = F.substring("simhash", band * prefix_bits + 1, prefix_bits)
-        out.append(sig.select(F.col(id_col), F.lit(band).alias("band_idx"), piece.alias("band_bits")))
-    b = out[0]
-    for o in out[1:]:
-        b = b.unionAll(o)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_idx"),
+                F.substring("simhash", band * prefix_bits + 1, prefix_bits).alias("band_bits"),
+            )
+            for band in range(4)
+        ]
+    )
+    b = (
+        sig.select(F.col(id_col), F.explode(entries).alias("e"))
+        .select(id_col, "e.band_idx", "e.band_bits")
+        .cache()
+    )
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")
     return (

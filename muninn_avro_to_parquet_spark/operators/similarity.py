@@ -11,9 +11,12 @@ Scale design:
   bucket key, and exact cosine re-ranks inside buckets. Recall/cost is
   tuned by H and the number of probe permutations.
 
-Determinism: exact scores accumulate element products in DECIMAL (exact,
-order-independent) and only then convert to double, so results hash-match
-the DuckDB oracle bit-for-bit. The hyperplanes derive from md5, so bucket
+Determinism: element values are quantized to integers
+(``round(x * 10^7)`` as BIGINT — float→decimal rounding differs between
+engines, ``round`` on double does not), so dot products and squared norms
+are exact integer sums, order-independent, and hash-match the DuckDB
+oracle bit-for-bit; only the final sqrt/divide runs in IEEE double, which
+is deterministic everywhere. The hyperplanes derive from md5, so bucket
 assignments are reproducible across engines and runs.
 """
 
@@ -23,29 +26,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# element cast used for exact, order-independent accumulation
-_EL_DEC = "decimal(18,7)"
-_ACC_DEC = "decimal(38,14)"
+# quantization scale: 7 decimal digits covers float32 mantissa precision
+_Q = 10_000_000
 
 
-def _dot_dec(a, b):
-    """Exact dot product: per-element DECIMAL products, decimal-summed."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast(_EL_DEC) * y.cast(_EL_DEC))
-    return F.aggregate(
-        prods,
-        F.lit(0).cast(_ACC_DEC),
-        lambda acc, x: acc + x.cast(_ACC_DEC),
-    ).cast("double")
+def _qvec(a):
+    """float vector → exact BIGINT vector: round(x * 1e7)."""
+    return F.transform(a, lambda x: F.round(x.cast("double") * _Q).cast("long"))
 
 
-def _norm_dec(a):
-    sq = F.transform(a, lambda x: x.cast(_EL_DEC) * x.cast(_EL_DEC))
-    ssum = F.aggregate(sq, F.lit(0).cast(_ACC_DEC), lambda acc, x: acc + x.cast(_ACC_DEC))
-    return F.sqrt(ssum.cast("double"))
+def _dot_q(a, b):
+    """Exact dot product over quantized vectors (BIGINT sum; for 64-dim
+    unit-scale embeddings the sum stays far below 2^63)."""
+    prods = F.zip_with(_qvec(a), _qvec(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _norm_q(a):
+    return F.sqrt(_dot_q(a, a).cast("double"))
 
 
 def cosine(a, b):
-    return _dot_dec(a, b) / (_norm_dec(a) * _norm_dec(b))
+    return _dot_q(a, b).cast("double") / (_norm_q(a) * _norm_q(b))
 
 
 def cosine_topk(
@@ -176,7 +178,7 @@ def ann_topk_lsh(
 
 def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize an embedding column (doubles)."""
-    norm = _norm_dec(F.col(vec_col))
+    norm = _norm_q(F.col(vec_col))
     return df.withColumn(
         vec_col,
         F.transform(F.col(vec_col), lambda x: (x.cast("double") / norm).cast("float")),

@@ -119,16 +119,30 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) from an ALREADY-MATERIALIZED token array
+    column. The argument must be a plain column reference, not the
+    ``tokens(...)`` expression tree: Catalyst inlines expression arguments
+    into every ``element_at`` call inside the lambda, which would re-run
+    tokenization O(tokens × n) times per row."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", ngram: int = 2) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum md5 over the
     document's word n-grams — robust to word order at the edges, cheap,
     and identical across engines (md5 hex compares lexicographically)."""
-    toks = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(ngram)])),
-    )
-    return df.select(
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    grams = F.transform(word_ngrams(F.col("toks"), ngram), F.md5)
+    return toksed.select(
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
     )

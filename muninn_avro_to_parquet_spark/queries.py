@@ -637,3 +637,317 @@ def q_monthly_orders(spark):
             F.sum(_dec("o_totalprice", MONEY)).cast("double").alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+# DuckDB-side tokenizer identical to operators.text.tokens
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "'[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '')"
+)
+_SQL_TOK_CTE = f"""
+    tok AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+"""
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT MIN(doc_id) AS keep FROM documents GROUP BY md5(text)) s
+      ON d.doc_id = s.keep
+    """,
+)
+def dedup_exact(spark):
+    d = spark.table("documents")
+    return dedup.exact_dedup(d, ["text"], "doc_id").select("doc_id", "lang", "source")
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || token)) AS mh{i:02d}" for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_SQL_TOK_CTE}
+    SELECT doc_id, {mins}
+    FROM tok GROUP BY doc_id
+    """
+
+
+@q("dedup_minhash_signature", _minhash_oracle(8))
+def dedup_minhash_signature(spark):
+    return dedup.minhash_signature(spark.table("documents"), "doc_id", "text", num_hashes=8)
+
+
+def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r:02d}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_SQL_TOK_CTE},
+    sig AS (
+      SELECT doc_id,
+             {",".join(f"MIN(md5('{i}:' || token)) AS mh{i:02d}" for i in range(num_hashes))}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@q("dedup_minhash_lsh_pairs", _minhash_pairs_oracle(8, 4))
+def dedup_minhash_lsh_pairs(spark):
+    return dedup.minhash_candidate_pairs(
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark):
+    return dedup.jaccard_pairs(spark.table("documents"), "doc_id", "text", n=3, threshold=0.1)
+
+
+@q(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text),
+        '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '')) AS token
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5(token) AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b.bit,
+             2 * (CAST(floor((strpos('0123456789abcdef',
+                    substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                  / power(2, 3 - bit % 4)) AS INT) % 2) - 1 AS delta
+      FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, SUM(delta) AS v FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark):
+    return dedup.simhash(spark.table("documents"), "doc_id", "text")
+
+
+@q(
+    "embedding_cosine_pairs",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    el AS (SELECT vec_id,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+                  generate_subscripts(embedding, 1) AS i FROM sub),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+      FROM el GROUP BY 1
+    )
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine_sim
+    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.25
+    """,
+)
+def embedding_cosine_pairs(spark):
+    sub = spark.table("embeddings").filter(F.col("vec_id") % 25 == 0)
+    return similarity.cosine_pairs(sub, threshold=0.25)
+
+
+@q(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    qel AS (SELECT query_id,
+                   CAST(round(CAST(unnest(qe) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+                   generate_subscripts(qe, 1) AS i FROM q),
+    cel AS (SELECT vec_id,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+    dots AS (
+      SELECT q.query_id, c.vec_id, CAST(SUM(q.x * c.x) AS DOUBLE) AS dot
+      FROM qel q JOIN cel c ON q.i = c.i
+      WHERE q.query_id <> c.vec_id
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+      FROM cel GROUP BY 1
+    ),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM dots d JOIN norms nq ON d.query_id = nq.vec_id JOIN norms nc ON d.vec_id = nc.vec_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_bruteforce(spark):
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, queries_df, k=10)
+
+
+@q("ann_topk_lsh", None)  # approximate by design → rows-only check
+def ann_topk_lsh(spark):
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_lsh(emb, queries_df, dim=64, k=10)
+
+
+@q(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def text_token_count(spark):
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_piece_count(F.col("text")).alias("n_pieces"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS toks, length(text) AS nc FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0
+             THEN CAST(nc - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS avg_word_len,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM base
+    )
+    SELECT doc_id, n_tokens, avg_word_len, stopword_ratio, punct_ratio,
+           (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+    FROM feat
+    """,
+)
+def text_quality(spark):
+    d = spark.table("documents")
+    return text.quality_features(d).select(
+        "doc_id", "n_tokens", "avg_word_len", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+def _langid_oracle() -> str:
+    from muninn_avro_to_parquet_spark.operators.text import LANG_STOPWORDS
+
+    score_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_cols.append(f"len([t for t in toks if t IN ({words})]) AS score_{lang}")
+    langs = sorted(LANG_STOPWORDS)
+    mx = f"greatest({', '.join('score_' + c for c in langs)})"
+    pick = " ".join(f"WHEN score_{c} = mx THEN '{c}'" for c in langs)
+    return f"""
+    WITH base AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    scored AS (SELECT doc_id, lang, {", ".join(score_cols)} FROM base),
+    m AS (SELECT *, {mx} AS mx FROM scored)
+    SELECT doc_id, lang, {", ".join('score_' + c for c in langs)},
+           CASE WHEN mx = 0 THEN 'und' ELSE CASE {pick} END END AS detected_lang
+    FROM m
+    """
+
+
+@q("text_langid", _langid_oracle())
+def text_langid(spark):
+    d = spark.table("documents").select("doc_id", "lang", "text")
+    return text.detect_language(d).drop("text")
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2 THEN
+             list_min([md5(t[i] || ' ' || t[i+1]) for i in range(1, len(t))])
+           ELSE NULL END AS fingerprint
+    FROM toks
+    """,
+)
+def doc_fingerprint(spark):
+    return text.fingerprint(spark.table("documents"), "doc_id", "text", ngram=2)
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'blob' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark):
+    d = spark.table("documents")
+    return multimodal.attach_binary(d).select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha256"),
+    )

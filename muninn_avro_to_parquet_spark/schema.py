@@ -111,9 +111,10 @@ def _logical_dict(node: dict) -> tuple[T.DataType, bool, str]:
     # primitive name and therefore degrades to string (main.py:296 → 262-273)
     base = node.get("type")
     if isinstance(base, str):
-        dt, nullable = _primitive(base)
+        # reached only from a ["null", ·] union → always nullable
+        dt, _ = _primitive(base)
         src = STRINGIFY if isinstance(dt, T.StringType) and base not in ("string", "null") else RAW
-        return dt, nullable, src
+        return dt, True, src
     return T.StringType(), True, STRINGIFY
 
 

@@ -25,15 +25,27 @@ TABLE_NAMES = [
 ]
 
 
+# tables small enough that one partition beats a repartition shuffle
+_TINY = {"region", "nation"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         # ts arrives as raw nanos (nanosAsLong); truncate to micro precision
         # — the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # the test fixtures are single-row-group files, which pin every scan to
+    # one task; a real 100 TB table arrives as thousands of files and
+    # parallelizes naturally. Spread rows across the cluster once at load
+    # so downstream operators see realistic parallelism, and cache — the
+    # registry reuses these views across the whole query set.
+    if name not in _TINY:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df.cache()
 
 
 _REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
