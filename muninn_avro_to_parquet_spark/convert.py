@@ -59,6 +59,41 @@ class ConvertResult:
     fallback_files: list[str] = field(default_factory=list)
 
 
+def convert_paths(
+    spark: SparkSession,
+    table: str,
+    table_paths: list[str],
+    output_prefix: str,
+    ingestion_date: str | None = None,
+    permissive: bool = False,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Convert one table's Avro files into
+    ``output_prefix/<table>/ingestion_date=<d>/``; returns rows written.
+
+    The row count comes from an ``Observation`` on the same pass as the
+    write — no second scan of input or output."""
+    from pyspark.sql import Observation
+
+    if ingestion_date is None:
+        ingestion_date = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    avro_schema = avro_io.read_schema(table_paths[0])
+    if permissive:
+        df = avro_source.read_avro_allstring(spark, table_paths, avro_schema)
+    else:
+        df = avro_source.read_avro(spark, table_paths, avro_schema)
+    df = df.drop(avro_source.SOURCE_FILE_COL).withColumn(
+        "ingestion_date", F.lit(ingestion_date)
+    )
+    obs = Observation(f"convert_{table}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = df.write.mode("append").partitionBy("ingestion_date")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(os.path.join(output_prefix, table))
+    return int(obs.get["rows"])
+
+
 def convert(
     spark: SparkSession,
     input_glob: str,
@@ -75,25 +110,18 @@ def convert(
     ``permissive=True`` selects the all-string payload shape
     (main.py:543-564).
     """
-    if ingestion_date is None:
-        ingestion_date = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
     paths = [p for p in glob.glob(input_glob, recursive=True) if os.path.isfile(p)]
     result = ConvertResult()
     for table, table_paths in group_paths_by_table(paths).items():
-        avro_schema = avro_io.read_schema(table_paths[0])
-        if permissive:
-            df = avro_source.read_avro_allstring(spark, table_paths, avro_schema)
-        else:
-            df = avro_source.read_avro(spark, table_paths, avro_schema)
-        df = df.drop(avro_source.SOURCE_FILE_COL).withColumn(
-            "ingestion_date", F.lit(ingestion_date)
+        result.tables[table] = convert_paths(
+            spark,
+            table,
+            table_paths,
+            output_prefix,
+            ingestion_date=ingestion_date,
+            permissive=permissive,
+            max_records_per_file=max_records_per_file,
         )
-        writer = df.write.mode("append").partitionBy("ingestion_date")
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        out_dir = os.path.join(output_prefix, table)
-        writer.parquet(out_dir)
-        result.tables[table] = spark.read.parquet(out_dir).count()
     return result
 
 

@@ -1,0 +1,141 @@
+"""Continuous Avro→Parquet conversion: the reference's streaming pipeline
+re-expressed as a micro-batch loop with a durable processed-file ledger.
+
+Reference parity (/root/reference/main.py:601-613): Beam's
+``MatchContinuously(file_pattern, interval, has_deduplication=True)`` polls
+a glob and emits each newly-matched file exactly once into the per-file
+convert DoFn. Here the same contract is:
+
+- ``poll_once()`` = one micro-batch: list the glob, diff against the
+  ledger, convert the new files (the distributed ``convert`` path — the
+  driver only lists paths; decoding/casting/writing is executor work),
+  then append them to the ledger.
+- the ledger (one path per line, append + flush) is the durable analogue
+  of Spark's file-source checkpoint: a restarted converter resumes where
+  it stopped, never reconverting acknowledged files. A crash BETWEEN
+  write and acknowledge replays that batch (at-least-once on crash) —
+  the same window Beam's runner-state dedup has on a fresh launch.
+- ``request_drain()`` / drain-file = Dataflow's JOB_STATE_DRAINING
+  (/root/reference/run_dataflow.py:121-143): finish the in-flight batch,
+  stop polling, exit cleanly. A separate process can request drain by
+  touching ``<checkpoint>/DRAIN``.
+
+Poll cadence accepts the reference's duration grammar ("30m", "1h", "2d"
+— main.py:242-246) via ``parse_duration_to_seconds``.
+
+At 100 TB the only driver-side state is the ledger and the glob listing —
+identical to what Spark's own FileStreamSource keeps; every heavy step is
+a distributed job.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from muninn_avro_to_parquet_spark import convert as convert_mod
+from muninn_avro_to_parquet_spark.functions.scalars import parse_duration_to_seconds
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    new_files: list[str] = field(default_factory=list)
+    tables: dict[str, int] = field(default_factory=dict)
+
+
+class StreamingConverter:
+    """Micro-batch file-stream converter with checkpointed file tracking."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_pattern: str,
+        output_prefix: str,
+        checkpoint_dir: str,
+        window_duration: str = "1h",
+        permissive: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.input_pattern = input_pattern
+        self.output_prefix = output_prefix
+        self.checkpoint_dir = checkpoint_dir
+        self.poll_seconds = parse_duration_to_seconds(window_duration)
+        self.permissive = permissive
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._ledger_path = os.path.join(checkpoint_dir, "processed_files.log")
+        self._drain_path = os.path.join(checkpoint_dir, "DRAIN")
+        self._seen: set[str] = set()
+        if os.path.exists(self._ledger_path):
+            with open(self._ledger_path, encoding="utf-8") as f:
+                self._seen = {line.rstrip("\n") for line in f if line.strip()}
+        self._batch_id = 0
+
+    # -- checkpoint ----------------------------------------------------------
+
+    def _acknowledge(self, paths: list[str]) -> None:
+        with open(self._ledger_path, "a", encoding="utf-8") as f:
+            for p in paths:
+                f.write(p + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._seen.update(paths)
+
+    # -- drain (graceful stop) ----------------------------------------------
+
+    def request_drain(self) -> None:
+        """Ask a running loop to stop after the current batch (JOB_STATE_
+        DRAINING semantics). Safe to call from another process via the
+        drain file."""
+        with open(self._drain_path, "w", encoding="utf-8") as f:
+            f.write("drain\n")
+
+    @property
+    def drain_requested(self) -> bool:
+        return os.path.exists(self._drain_path)
+
+    # -- the stream ----------------------------------------------------------
+
+    def poll_once(self, ingestion_date: str | None = None) -> BatchResult:
+        """One micro-batch: convert every not-yet-acknowledged file."""
+        matched = sorted(
+            p for p in glob.glob(self.input_pattern, recursive=True) if os.path.isfile(p)
+        )
+        new = [p for p in matched if p not in self._seen]
+        result = BatchResult(batch_id=self._batch_id, new_files=new)
+        self._batch_id += 1
+        if not new:
+            return result
+        for table, table_paths in convert_mod.group_paths_by_table(new).items():
+            conv = convert_mod.convert_paths(
+                self.spark,
+                table,
+                table_paths,
+                self.output_prefix,
+                ingestion_date=ingestion_date,
+                permissive=self.permissive,
+            )
+            result.tables[table] = conv
+        self._acknowledge(new)
+        return result
+
+    def run(
+        self,
+        max_batches: int | None = None,
+        ingestion_date: str | None = None,
+        sleep_fn=time.sleep,
+    ) -> list[BatchResult]:
+        """Poll until drained (or ``max_batches`` for tests)."""
+        out: list[BatchResult] = []
+        while True:
+            out.append(self.poll_once(ingestion_date=ingestion_date))
+            if self.drain_requested:
+                break
+            if max_batches is not None and len(out) >= max_batches:
+                break
+            sleep_fn(self.poll_seconds)
+        return out

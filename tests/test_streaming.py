@@ -1,0 +1,206 @@
+"""Streaming tests: continuous file conversion (checkpoint/exactly-once/
+drain — SURVEY §5.5) and event-time window operators in true
+``readStream`` mode vs their batch oracles."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.sources import avro_io
+from muninn_avro_to_parquet_spark.streaming import file_stream, windows
+from tests.conftest import CDC_SCHEMA
+from tests.test_convert import _write_fixture
+
+
+def _one_file(base, name, ids):
+    path = str(base / name)
+    recs = [
+        {
+            "uuid": f"u{i}",
+            "read_timestamp": i,
+            "sort_keys": [],
+            "source_metadata": {
+                "schema": "public",
+                "table": "customers",
+                "is_deleted": False,
+                "change_type": "INSERT",
+                "tx_id": i,
+                "lsn": f"0/{i}",
+                "primary_keys": ["id"],
+            },
+            "payload": {
+                "id": i,
+                "name": f"n{i}",
+                "age": 30,
+                "balance": (10**29).to_bytes(16, "big", signed=True),
+                "score": 1.0,
+                "active": True,
+                "created_at": 1_700_000_000_000_000,
+                "updated_at": 1_700_000_000_000,
+                "birth_date": 8000,
+                "tags": [],
+                "attrs": {},
+            },
+        }
+        for i in ids
+    ]
+    avro_io.write_file(path, CDC_SCHEMA, recs)
+    return path
+
+
+def test_stream_exactly_once_and_restart(spark, tmp_path):
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pattern = str(tmp_path / "avro" / "**" / "*.avro")
+
+    conv = file_stream.StreamingConverter(
+        spark, pattern, out, ckpt, window_duration="1h"
+    )
+    _one_file(base, "a.avro", [0, 1, 2])
+    b0 = conv.poll_once(ingestion_date="2026-01-01")
+    assert len(b0.new_files) == 1 and b0.tables == {"customers": 3}
+
+    # nothing new → empty batch, nothing reconverted
+    b1 = conv.poll_once(ingestion_date="2026-01-01")
+    assert b1.new_files == [] and b1.tables == {}
+
+    # a second file arrives mid-stream → only IT is converted
+    _one_file(base, "b.avro", [3, 4])
+    b2 = conv.poll_once(ingestion_date="2026-01-01")
+    assert len(b2.new_files) == 1 and b2.tables == {"customers": 2}
+
+    # restart: a NEW converter on the same checkpoint resumes, not replays
+    conv2 = file_stream.StreamingConverter(
+        spark, pattern, out, ckpt, window_duration="1h"
+    )
+    b3 = conv2.poll_once(ingestion_date="2026-01-01")
+    assert b3.new_files == [] and b3.tables == {}
+
+    df = spark.read.parquet(os.path.join(out, "customers"))
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_stream_drain(spark, tmp_path):
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    _one_file(base, "a.avro", [0])
+    conv = file_stream.StreamingConverter(
+        spark,
+        str(tmp_path / "avro" / "**" / "*.avro"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        window_duration="1s",
+    )
+    conv.request_drain()  # drain already requested → exactly one batch runs
+    results = conv.run(max_batches=10, ingestion_date="2026-01-01")
+    assert len(results) == 1
+    assert results[0].tables == {"customers": 1}
+
+
+def test_duration_grammar():
+    p = file_stream.parse_duration_to_seconds
+    assert p("30m") == 1800
+    assert p("1h") == 3600
+    assert p("2d") == 172800
+    assert p("45s") == 45
+
+
+def _events(spark):
+    rows = [
+        (1, "click", "2026-01-01 00:05:00"),
+        (1, "click", "2026-01-01 00:20:00"),
+        (1, "view", "2026-01-01 01:10:00"),
+        (2, "click", "2026-01-01 00:40:00"),
+        (2, "click", "2026-01-01 02:30:00"),
+    ]
+    return spark.createDataFrame(rows, "user_id int, event_type string, ts_s string").select(
+        "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+
+def test_tumbling_counts_batch(spark):
+    out = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in windows.tumbling_counts(_events(spark)).collect()
+    }
+    assert out[("2026-01-01 00:00:00", "click")] == 3
+    assert out[("2026-01-01 01:00:00", "view")] == 1
+    assert out[("2026-01-01 02:00:00", "click")] == 1
+
+
+def test_session_counts_batch(spark):
+    out = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in windows.session_counts(_events(spark), gap="30 minutes").collect()
+    }
+    # user 1: events at 00:05 + 00:20 merge (gap 15m), 01:10 is separate
+    assert out[(1, "2026-01-01 00:05:00")] == 2
+    assert out[(1, "2026-01-01 01:10:00")] == 1
+    assert out[(2, "2026-01-01 00:40:00")] == 1
+    assert out[(2, "2026-01-01 02:30:00")] == 1
+
+
+def test_tumbling_counts_streaming_matches_batch(spark, tmp_path):
+    """True readStream run: same operator, parquet file source, results
+    must equal the batch computation."""
+    src = str(tmp_path / "events_src")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id int, event_type string, ts timestamp"
+    ).parquet(src)
+    agg = windows.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in windows.tumbling_counts(_events(spark)).collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark_batch(spark):
+    df = _events(spark)
+    deduped = windows.dedup_within_watermark(df, ["user_id", "event_type"])
+    assert deduped.count() == 3  # (1,click),(1,view),(2,click)
+
+
+def test_running_counts_stateful_streaming(spark, tmp_path):
+    src = str(tmp_path / "events_src2")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id int, event_type string, ts timestamp"
+    ).parquet(src)
+    counted = windows.running_counts_stateful(stream)
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_type"]: r["n_events"]
+            for r in spark.sql("SELECT * FROM stateful_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {"click": 4, "view": 1}
