@@ -1,0 +1,105 @@
+"""Command-line entry points: batch convert, streaming run, drain.
+
+The reference splits these across two files: the pipeline CLI
+(/root/reference/main.py:581-599 — ``--input_pattern``,
+``--output_prefix``, ``--window_duration``, plus ``--batch_min`` /
+``--batch_max`` accepted-but-unused "compat" flags, main.py:586-587) and
+an out-of-band launcher/drainer that talks to the Dataflow REST API
+(/root/reference/run_dataflow.py:81-143). On Spark there is no service to
+POST to — ``spark-submit`` runs this module directly — so ``launch`` is
+simply the ``stream`` subcommand and ``drain`` writes the converter's
+drain file (JOB_STATE_DRAINING semantics: finish the in-flight batch,
+stop polling, exit).
+
+    python -m muninn_avro_to_parquet_spark.cli convert \
+        --input_pattern '/data/avro/**/*.avro' --output_prefix /data/parquet
+    python -m muninn_avro_to_parquet_spark.cli stream \
+        --input_pattern ... --output_prefix ... --checkpoint /ckpt \
+        --window_duration 30m
+    python -m muninn_avro_to_parquet_spark.cli drain --checkpoint /ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_io_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input_pattern", required=True)
+    p.add_argument("--output_prefix", required=True)
+    p.add_argument("--permissive", action="store_true", help="all-string payload mode")
+    # accepted for CLI parity with the reference; unused there too
+    # (main.py:586-587 "compat")
+    p.add_argument("--batch_min", type=int, default=500, help=argparse.SUPPRESS)
+    p.add_argument("--batch_max", type=int, default=50000, help=argparse.SUPPRESS)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="muninn-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_convert = sub.add_parser("convert", help="one-shot batch conversion")
+    _add_io_args(p_convert)
+    p_convert.add_argument("--ingestion_date", default=None)
+
+    p_stream = sub.add_parser("stream", help="continuous conversion loop")
+    _add_io_args(p_stream)
+    p_stream.add_argument("--checkpoint", required=True)
+    p_stream.add_argument("--window_duration", default="1h")
+    p_stream.add_argument("--max_batches", type=int, default=None)
+
+    p_drain = sub.add_parser("drain", help="graceful stop of a running stream")
+    p_drain.add_argument("--checkpoint", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "drain":
+        # no Spark session needed: just write the drain file the running
+        # loop polls between batches
+        import os
+
+        os.makedirs(args.checkpoint, exist_ok=True)
+        with open(os.path.join(args.checkpoint, "DRAIN"), "w", encoding="utf-8") as f:
+            f.write("drain\n")
+        print(f"drain requested: {args.checkpoint}/DRAIN")
+        return 0
+
+    from muninn_avro_to_parquet_spark.session import get_spark
+
+    spark = get_spark("muninn_cli")
+    try:
+        if args.cmd == "convert":
+            from muninn_avro_to_parquet_spark import convert
+
+            res = convert.convert(
+                spark,
+                args.input_pattern,
+                args.output_prefix,
+                ingestion_date=args.ingestion_date,
+                permissive=args.permissive,
+            )
+            for table, rows in sorted(res.tables.items()):
+                print(f"{table}: {rows} rows")
+            return 0
+
+        from muninn_avro_to_parquet_spark.streaming.file_stream import StreamingConverter
+
+        conv = StreamingConverter(
+            spark,
+            args.input_pattern,
+            args.output_prefix,
+            args.checkpoint,
+            window_duration=args.window_duration,
+            permissive=args.permissive,
+        )
+        batches = conv.run(max_batches=args.max_batches)
+        total = sum(sum(b.tables.values()) for b in batches)
+        print(f"{len(batches)} batches, {total} rows converted")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -94,6 +94,55 @@ def decode_images(
     return df.select(id_col, media_col).mapInPandas(run, schema=IMAGE_FEATURES_TYPE)
 
 
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100)
+
+
+def _fake_audio_features(doc_id: int, payload: bytes) -> tuple[int, int, float, float]:
+    """Deterministic fake audio 'decode': rate/duration/level from sha256."""
+    h = hashlib.sha256(payload or b"").digest()
+    sample_rate = _SAMPLE_RATES[h[0] % len(_SAMPLE_RATES)]
+    # exact power-of-two division — no rounding, so every engine agrees
+    duration_s = len(payload or b"") / 1024.0
+    rms = h[3] / 255.0
+    return doc_id, sample_rate, duration_s, rms
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Audio decode + feature extraction over Arrow batches (same plumbing
+    contract as ``decode_images``; codec stubbed — no audio libs here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio decode requires a media library not present in this "
+                    "runtime; pass deterministic_fake=True for the seeded stub"
+                )
+            rows = [
+                _fake_audio_features(i, m)
+                for i, m in zip(pdf[id_col], pdf[media_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "duration_s", "rms"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_FEATURES_TYPE)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: rows (doc_id, frame_index) for frames a
     decoder would extract — the Spark-side fan-out is real, the decode is

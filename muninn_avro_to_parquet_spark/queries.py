@@ -951,3 +951,148 @@ def multimodal_meta(spark):
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.sha256").alias("sha256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (same functions serve readStream — tests/test_streaming)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_tumbling_events",
+    """
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_events(spark):
+    from muninn_avro_to_parquet_spark.streaming import windows
+
+    return windows.tumbling_counts(spark.table("events"), "ts", "1 hour").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@q(
+    "q_sliding_events",
+    """
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS bkt
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, unnest([bkt, bkt - INTERVAL 30 MINUTE]) AS w_start FROM b
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_sliding_events(spark):
+    from muninn_avro_to_parquet_spark.streaming import windows
+
+    return windows.sliding_counts(
+        spark.table("events"), "ts", "1 hour", "30 minutes"
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+@q(
+    "q_session_events",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE user_id <= 40),
+    g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_events(spark):
+    from muninn_avro_to_parquet_spark.streaming import windows
+
+    ev = spark.table("events").filter(F.col("user_id") <= 40)
+    return windows.session_counts(ev, "ts", "30 minutes", keys=("user_id",)).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal feature extraction (deterministic-fake decode over mapInPandas)
+# ---------------------------------------------------------------------------
+
+# DuckDB: i-th byte (0-based) of a sha256 hex digest as an integer
+def _sql_hexbyte(i: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1))"
+    )
+
+
+@q(
+    "multimodal_image_features",
+    f"""
+    WITH m AS (SELECT doc_id, sha256(text) AS h FROM documents)
+    SELECT doc_id,
+           CAST(64 + {_sql_hexbyte(0)} % 192 AS INT) AS width,
+           CAST(64 + {_sql_hexbyte(1)} % 192 AS INT) AS height,
+           CAST({_sql_hexbyte(2)} AS DOUBLE) / 255.0 AS mean_luma
+    FROM m
+    """,
+)
+def multimodal_image_features(spark):
+    d = multimodal.attach_binary(spark.table("documents"))
+    return multimodal.decode_images(d, deterministic_fake=True)
+
+
+@q(
+    "multimodal_audio_features",
+    f"""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+                      sha256(text) AS h FROM documents)
+    SELECT doc_id,
+           CAST(([8000, 16000, 22050, 44100])[{_sql_hexbyte(0)} % 4 + 1] AS INT) AS sample_rate,
+           CAST(nb AS DOUBLE) / 1024.0 AS duration_s,
+           CAST({_sql_hexbyte(3)} AS DOUBLE) / 255.0 AS rms
+    FROM m
+    """,
+)
+def multimodal_audio_features(spark):
+    d = multimodal.attach_binary(spark.table("documents"))
+    return multimodal.decode_audio(d, deterministic_fake=True)
+
+
+@q(
+    "multimodal_frame_plan",
+    """
+    WITH m AS (SELECT doc_id,
+                      greatest(CAST(octet_length(encode(text)) // 1024 AS INT), 1) AS nf
+               FROM documents)
+    SELECT doc_id, unnest(range(0, nf, 30)) AS frame_index FROM m
+    """,
+)
+def multimodal_frame_plan(spark):
+    d = multimodal.attach_binary(spark.table("documents"))
+    return multimodal.frame_sample_plan(d, every_n=30)

@@ -1,0 +1,37 @@
+"""CLI surface tests: convert / stream / drain subcommands."""
+
+from __future__ import annotations
+
+import os
+
+from muninn_avro_to_parquet_spark import cli
+from tests.test_convert import _write_fixture
+
+
+def test_cli_drain_writes_flag(tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpt")
+    assert cli.main(["drain", "--checkpoint", ckpt]) == 0
+    assert os.path.exists(os.path.join(ckpt, "DRAIN"))
+    assert "drain requested" in capsys.readouterr().out
+
+
+def test_cli_convert(tmp_path, capsys, spark, monkeypatch):
+    # reuse the test session instead of letting the CLI build (and stop) one
+    import muninn_avro_to_parquet_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    _write_fixture(tmp_path)
+    rc = cli.main(
+        [
+            "convert",
+            "--input_pattern",
+            str(tmp_path / "avro" / "**" / "*.avro"),
+            "--output_prefix",
+            str(tmp_path / "out"),
+            "--ingestion_date",
+            "2026-01-03",
+        ]
+    )
+    assert rc == 0
+    assert "customers: 6 rows" in capsys.readouterr().out
