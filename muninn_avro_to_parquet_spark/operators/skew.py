@@ -1,0 +1,52 @@
+"""Skew-mitigation utilities: salted joins and explicit co-partitioning.
+
+AQE's skew-join splitting (on in ``session.py``) handles most runtime
+skew; ``salted_join`` is the explicit form for the pathological case AQE
+can't fix — a single join key holding a double-digit percentage of all
+rows (the "null key" / "boilerplate doc" problem), where one task would
+otherwise process a whole key alone.
+
+Mechanics: the big (skewed) side gets a deterministic salt in [0, n);
+the small side is replicated n times (explode over the salt range); the
+join key becomes (key, salt), spreading each hot key over n tasks. Cost:
+the small side shuffles n× its size — choose n ≈ the skew factor, not
+larger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salt_side(df: DataFrame, num_salts: int) -> DataFrame:
+    """Add a deterministic per-row salt (hash of the whole row, not a RNG
+    — reruns and retried tasks must agree)."""
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    )
+
+
+def replicate_side(df: DataFrame, num_salts: int) -> DataFrame:
+    """Replicate every row once per salt value (the small side)."""
+    return df.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(num_salts)]))
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key pressure spread over ``num_salts`` tasks.
+
+    Row-for-row equivalent to ``big.join(small, on, how)`` for inner/left
+    joins; the salt column never escapes."""
+    b = salt_side(big, num_salts)
+    s = replicate_side(small, num_salts)
+    return b.join(s, on + [SALT_COL], how).drop(SALT_COL)

@@ -1096,3 +1096,92 @@ def multimodal_audio_features(spark):
 def multimodal_frame_plan(spark):
     d = multimodal.attach_binary(spark.table("documents"))
     return multimodal.frame_sample_plan(d, every_n=30)
+
+
+# ---------------------------------------------------------------------------
+# temporal joins: as-of + range (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click' AND user_id <= 60
+    ),
+    purchases AS (  -- unique ts per user so ties are unambiguous
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' AND user_id <= 60
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join(spark):
+    from muninn_avro_to_parquet_spark.operators import asof
+
+    ev = spark.table("events").filter(F.col("user_id") <= 60)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    joined = asof.asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["purchase_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("purchase_id_right").alias("purchase_id"),
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+@q(
+    "q_range_join",
+    """
+    WITH logins AS (
+      SELECT event_id AS login_id, user_id,
+             CAST(ts AS TIMESTAMP) AS start_ts,
+             CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS end_ts
+      FROM events WHERE event_type = 'signup' AND user_id <= 30
+    )
+    SELECT l.login_id, l.user_id, COUNT(e.event_id) AS n_following
+    FROM logins l LEFT JOIN events e
+      ON e.user_id = l.user_id
+     AND CAST(e.ts AS TIMESTAMP) >= l.start_ts
+     AND CAST(e.ts AS TIMESTAMP) < l.end_ts
+    GROUP BY l.login_id, l.user_id
+    """,
+)
+def q_range_join(spark):
+    from muninn_avro_to_parquet_spark.operators import asof
+
+    ev = spark.table("events")
+    logins = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("user_id") <= 30))
+        .select(
+            F.col("event_id").alias("login_id"),
+            F.col("user_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        )
+    )
+    joined = asof.range_join(
+        ev.select("event_id", "user_id", "ts"),
+        logins,
+        left_ts="ts",
+        right_start="start_ts",
+        right_end="end_ts",
+        by=["user_id"],
+        how="right",
+    )
+    return joined.groupBy("login_id", "user_id").agg(
+        F.count("event_id").alias("n_following")
+    )

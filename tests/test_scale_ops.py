@@ -1,0 +1,123 @@
+"""Scale-path operators: salted joins, bucketed tables, as-of/range joins
+— correctness vs the plain formulation plus plan-shape evidence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import asof, skew
+from muninn_avro_to_parquet_spark.plans import bucketing
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )  # key 0/1/2, heavily "skewed" by construction
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "unmatched")], "k long, tag string"
+    )
+    plain = big.join(small, ["k"])
+    salted = skew.salted_join(big, small, ["k"], num_salts=4)
+    assert _rows(salted, ["k", "v", "tag"]) == _rows(plain, ["k", "v", "tag"])
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (99, "y")], "k long, v string")
+    small = spark.createDataFrame([(1, "m")], "k long, tag string")
+    out = skew.salted_join(big, small, ["k"], num_salts=3, how="left")
+    assert _rows(out, ["k", "v", "tag"]) == [(1, "x", "m"), (99, "y", None)]
+
+
+def test_salt_spreads_keys(spark):
+    """A single hot key must land in every salt bucket (that's the point)."""
+    big = spark.range(0, 4000).select(F.lit(7).alias("k"), F.col("id").alias("v"))
+    n = (
+        skew.salt_side(big, 8)
+        .select(skew.SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert n == 8
+
+
+@pytest.fixture(scope="module")
+def bucket_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{loc}'")
+    yield "bkt"
+    spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_bucketed_join_no_shuffle(spark, bucket_db):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    bucketing.write_bucketed(orders, "bkt.orders_b", ["o_orderkey"], 4)
+    bucketing.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt.lineitem_b",
+        ["o_orderkey"],
+        4,
+    )
+    # at fixture scale the planner prefers broadcast (also exchange-free on
+    # the big side, but it hides the bucketing path this test demonstrates);
+    # force the sort-merge decision a 100 TB fact-fact join would face
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ok, plan = bucketing.bucketed_join_plan_is_shuffle_free(
+            spark, "bkt.orders_b", "bkt.lineitem_b", ["o_orderkey"]
+        )
+        assert ok, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # and the join still returns the right number of rows
+    n = spark.table("bkt.orders_b").join(spark.table("bkt.lineitem_b"), ["o_orderkey"]).count()
+    assert n == lineitem.count()
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3")], "k long, ts long, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "q1"), (1, 20, "q2"), (1, 25, "q3"), (2, 99, "q4")],
+        "k long, ts long, quote string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["quote_right"], r["ts_right"])
+        for r in asof.asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert out[(1, 10)] == ("q1", 5)
+    assert out[(1, 20)] == ("q2", 20)  # ties match (>= semantics)
+    assert out[(2, 15)] == (None, None)  # no earlier right row → nulls
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-and-carry as-of plans one hash exchange on the key —
+    never a per-key row explosion."""
+    left = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("ts"))
+    right = spark.range(50).select((F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("ts"))
+    plan = asof.asof_join(left, right, on="ts", by=["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_counts(spark):
+    events = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 150), (3, 1, 300), (4, 2, 120)],
+        "event_id long, user_id long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 1, 100, 200), (11, 2, 0, 50)], "iid long, user_id long, s long, e long"
+    )
+    out = asof.range_join(
+        events, intervals, left_ts="ts", right_start="s", right_end="e", by=["user_id"], how="right"
+    )
+    got = {r["iid"]: r["n"] for r in out.groupBy("iid").agg(F.count("event_id").alias("n")).collect()}
+    assert got == {10: 2, 11: 0}
