@@ -1185,3 +1185,45 @@ def q_range_join(spark):
     return joined.groupBy("login_id", "user_id").agg(
         F.count("event_id").alias("n_following")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: grouping sets + approximate aggregates
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark):
+    # exercised through the engine's SQL surface (temp views + spark.sql)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@q("q_approx_distinct", None)  # sketch values are engine-specific → rows-only
+def q_approx_distinct(spark):
+    """HLL++ distinct-count + approximate quantiles: the sketches a 100 TB
+    profile pass uses instead of exact DISTINCT/percentile sorts."""
+    o = spark.table("orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 10000).alias(
+            "median_price_approx"
+        ),
+        F.count("*").alias("n"),
+    )

@@ -1,0 +1,98 @@
+"""Source/sink surface beyond Avro+Parquet: CSV, JSON, ORC, text, JDBC.
+
+The reference reads exactly one format (Avro on GCS, main.py:604-608) and
+writes one (Parquet, main.py:576). Spark's `DataFrameReader`/`Writer`
+already cover the rest; these wrappers pin the engine's defaults — explicit
+schema (never runtime inference on a 100 TB path), UTC timestamps, snappy
+— and keep every option in one audited place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CSV_DEFAULTS = {
+    "header": "true",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+    "escape": '"',
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": "_corrupt_record",
+}
+
+JSON_DEFAULTS = {
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": "_corrupt_record",
+}
+
+
+def _with_corrupt_col(schema: T.StructType) -> T.StructType:
+    """PERMISSIVE mode needs the corrupt-record column present in the
+    schema to actually capture bad rows."""
+    if any(f.name == "_corrupt_record" for f in schema.fields):
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)])
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    opts = {**CSV_DEFAULTS, **options}
+    return spark.read.options(**opts).schema(_with_corrupt_col(schema)).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    opts = {**JSON_DEFAULTS, **options}
+    return spark.read.options(**opts).schema(_with_corrupt_col(schema)).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    return spark.read.option("wholetext", str(whole_file).lower()).text(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options,
+) -> DataFrame:
+    """JDBC scan; ALWAYS pass a partition column for tables of any size —
+    without one the whole table streams through a single connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option("upperBound", upper_bound if upper_bound is not None else 1 << 31)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    **options,
+) -> None:
+    """One sink entry point for parquet/orc/csv/json sinks."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

@@ -1,0 +1,109 @@
+"""Multi-format source/sink round-trips and the registered SQL-function
+surface."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from muninn_avro_to_parquet_spark.functions import register
+from muninn_avro_to_parquet_spark.sources import formats
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+ROWS = [(1, "ann", 1.5), (2, "bob", 2.5), (3, "cal", None)]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    formats.write(_df(spark), p, fmt="csv", mode="overwrite", header="true")
+    back = formats.read_csv(spark, p, SCHEMA)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(ROWS)
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "x.csv").write_text("id,name,score\n1,ok,2.0\nnot_a_long,b,c\n")
+    back = formats.read_csv(spark, str(p), SCHEMA)
+    rows = back.collect()
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "not_a_long" in corrupt[0]["_corrupt_record"]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "json")
+    formats.write(_df(spark), p, fmt="json", mode="overwrite")
+    back = formats.read_json(spark, p, SCHEMA).drop("_corrupt_record")
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(ROWS)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "orc")
+    formats.write(_df(spark), p, fmt="orc", mode="overwrite")
+    back = formats.read_orc(spark, p)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(ROWS)
+
+
+def test_text_read(spark, tmp_path):
+    p = tmp_path / "txt"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    assert formats.read_text(spark, str(p)).count() == 2
+
+
+def test_partitioned_sink(spark, tmp_path):
+    p = str(tmp_path / "parts")
+    df = _df(spark).withColumn("bucket", F.col("id") % 2)
+    formats.write(df, p, fmt="parquet", mode="overwrite", partition_by=["bucket"])
+    import os
+
+    assert sorted(d for d in os.listdir(p) if d.startswith("bucket=")) == [
+        "bucket=0",
+        "bucket=1",
+    ]
+
+
+def test_registered_sql_functions(spark):
+    names = register.register_all(spark)
+    assert "cdc_bytes_decimal" in names and "cdc_to_bool" in names
+
+    raw = (123 * 10**29).to_bytes(16, "big", signed=True)  # 12.3 at scale 30
+    df = spark.createDataFrame(
+        [(raw, "yes", "+5", None)],
+        "b binary, flag string, n string, nothing string",
+    )
+    df.createOrReplaceTempView("udf_probe")
+    row = spark.sql(
+        """
+        SELECT cdc_bytes_decimal(b) AS dec,
+               cdc_to_bool(flag) AS flag,
+               cdc_to_int(n) AS n,
+               cdc_to_bool(nothing) AS nothing
+        FROM udf_probe
+        """
+    ).collect()[0]
+    assert row["dec"] == Decimal("12.300000000")
+    assert row["flag"] is True
+    assert row["n"] == 5
+    assert row["nothing"] is None
+
+
+def test_registered_stringify_sorts_keys(spark):
+    register.register_all(spark)
+    df = spark.createDataFrame([({"z": "1", "a": "2"},)], "m map<string,string>")
+    df.createOrReplaceTempView("udf_probe2")
+    got = spark.sql("SELECT cdc_stringify(m) AS s FROM udf_probe2").collect()[0]["s"]
+    assert got == '{"a":"2","z":"1"}'
