@@ -22,9 +22,14 @@ def main() -> None:
     from muninn_avro_to_parquet_spark.session import get_spark
 
     spark = get_spark(app_name="muninn_bench")
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
+    # warm the JVM and the Python UDF worker pool once so per-query numbers
+    # measure the queries, not process startup
     spark.range(1).collect()
+    import pandas as pd  # noqa: F401
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, entry in QUERIES.items():

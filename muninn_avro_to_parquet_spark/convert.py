@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as dt
 import glob
+import logging
 import os
 import re
 from dataclasses import dataclass, field
@@ -113,15 +114,38 @@ def convert(
     paths = [p for p in glob.glob(input_glob, recursive=True) if os.path.isfile(p)]
     result = ConvertResult()
     for table, table_paths in group_paths_by_table(paths).items():
-        result.tables[table] = convert_paths(
-            spark,
-            table,
-            table_paths,
-            output_prefix,
-            ingestion_date=ingestion_date,
-            permissive=permissive,
-            max_records_per_file=max_records_per_file,
-        )
+        try:
+            result.tables[table] = convert_paths(
+                spark,
+                table,
+                table_paths,
+                output_prefix,
+                ingestion_date=ingestion_date,
+                permissive=permissive,
+                max_records_per_file=max_records_per_file,
+            )
+        except Exception:
+            if permissive:
+                raise
+            # error-tolerant fallback (reference main.py:524-567): a table
+            # whose typed conversion fails is retried with every payload
+            # column stringified rather than failing the whole run; the
+            # caller sees which tables degraded via fallback_files
+            logging.getLogger(__name__).warning(
+                "typed conversion failed for table %s; retrying all-string",
+                table,
+                exc_info=True,
+            )
+            result.tables[table] = convert_paths(
+                spark,
+                table,
+                table_paths,
+                output_prefix,
+                ingestion_date=ingestion_date,
+                permissive=True,
+                max_records_per_file=max_records_per_file,
+            )
+            result.fallback_files.extend(table_paths)
     return result
 
 

@@ -144,3 +144,50 @@ def test_deviant_values_lenient_coercion(spark, tmp_path):
     row = df.collect()[0]
     assert row["ts"] == dt.datetime(2023, 11, 14, 22, 13, 20)
     assert row["d"] == dt.date(1970, 1, 11)
+
+
+def test_fallback_on_schema_drift(spark, tmp_path):
+    """A table whose typed conversion fails (payload type drift between
+    files) must land via the all-string fallback, not fail the run —
+    reference main.py:524-567 semantics."""
+    from muninn_avro_to_parquet_spark.sources import avro_io as aio
+
+    base = tmp_path / "avro" / "drifty"
+    base.mkdir(parents=True)
+
+    def meta(i):
+        return {
+            "schema": "public", "table": "drifty", "is_deleted": False,
+            "change_type": "INSERT", "tx_id": i, "lsn": f"0/{i}",
+            "primary_keys": ["id"],
+        }
+
+    schema_long = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][3]["type"]},
+            {"name": "payload", "type": {"type": "record", "name": "p1", "fields": [
+                {"name": "id", "type": "long"}]}},
+        ]}
+    schema_list = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][3]["type"]},
+            {"name": "payload", "type": {"type": "record", "name": "p2", "fields": [
+                {"name": "id", "type": {"type": "array", "items": "string"}}]}},
+        ]}
+    aio.write_file(str(base / "a.avro"), schema_long,
+                   [{"source_metadata": meta(1), "payload": {"id": 1}}])
+    aio.write_file(str(base / "b.avro"), schema_list,
+                   [{"source_metadata": meta(2), "payload": {"id": ["x", "y"]}}])
+
+    out = str(tmp_path / "out")
+    res = convert.convert(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), out, ingestion_date="2026-01-05"
+    )
+    assert res.tables == {"drifty": 2}
+    assert len(res.fallback_files) == 2  # whole table degraded
+
+    df = spark.read.parquet(os.path.join(out, "drifty"))
+    rows = {r["source_metadata"]["tx_id"]: r["id"] for r in df.collect()}
+    # all-string shape: scalars via str(), containers via str() of elements
+    assert rows[1] == "1"
+    assert rows[2] == '["x","y"]' or rows[2] == "['x', 'y']"
