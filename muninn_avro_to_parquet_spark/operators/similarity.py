@@ -176,6 +176,101 @@ def ann_topk_lsh(
     )
 
 
+# --- IVF (inverted-file index — the other ANN scale path) --------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine.
+
+    ``centroids`` is (centroid_id, embedding) — small, broadcast. Output:
+    (id, vec, centroid_id) with one row per probed list. nprobe=1 builds
+    the index; nprobe>1 is the query-side multi-probe that trades extra
+    candidate reads for recall."""
+    from pyspark.sql import Window
+
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= nprobe)
+        .drop("_r", "c_sim")
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, num_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic pseudo-random centroid pick: the k smallest vectors
+    in md5(id) order — plans as TakeOrderedAndProject (per-partition heap,
+    k rows to the driver), never a global sort or count.
+
+    A k-means refinement would improve list balance; seeded selection is
+    reproducible across engines/runs and good enough for recall testing —
+    swap in ``pyspark.ml.clustering.KMeans`` when index quality matters
+    more than determinism."""
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into centroid
+    lists (one equi-join key), queries probe their ``nprobe`` nearest
+    lists, exact cosine re-ranks candidates.
+
+    At 100 TB the index build is one broadcast-scored pass + a write
+    partitioned by ``centroid_id``; queries then read only
+    nprobe/num_centroids of the corpus — the same list-pruning contract as
+    FAISS IVF, expressed as partition pruning."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    scored = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
+
+
 def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize an embedding column (doubles)."""
     norm = _norm_q(F.col(vec_col))

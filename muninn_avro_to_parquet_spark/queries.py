@@ -1227,3 +1227,10 @@ def q_approx_distinct(spark):
         ),
         F.count("*").alias("n"),
     )
+
+
+@q("ann_topk_ivf", None)  # approximate by design → rows-only check
+def ann_topk_ivf(spark):
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_ivf(emb, queries_df, num_centroids=16, nprobe=4, k=10)

@@ -1,0 +1,49 @@
+"""Local replica of the driver's correctness gate: run registry queries on
+Spark AND their DuckDB oracles, compare canonicalized values.
+
+The full 40+ query sweep at sf0.01 runs in the per-round driver; CI keeps
+a representative per-category subset at sf0.001 so a parity regression
+fails fast. ``PARITY_FULL=1 python -m pytest tests/test_oracle_parity.py``
+runs everything at sf0.01.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from muninn_avro_to_parquet_spark.plans import parity
+from muninn_avro_to_parquet_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",       # filter + decimal aggregation
+    "q3_shipping_priority",     # 3-way join + agg + top-k
+    "q_topk_per_group",         # window functions
+    "q_set_ops",                # union/intersect/except
+    "q_events_json",            # JSON extraction
+    "dedup_exact",              # dedup family
+    "dedup_minhash_signature",  # sketching
+    "embedding_cosine_pairs",   # quantized vector math
+    "text_quality",             # text scoring
+    "q_asof_join",              # temporal join
+    "q_tumbling_events",        # event-time window
+    "multimodal_image_features",  # mapInPandas feature extraction
+]
+
+FULL = os.environ.get("PARITY_FULL") == "1"
+NAMES = sorted(QUERIES) if FULL else REPRESENTATIVE
+SF_DIR = SF_CORRECT if FULL else SF_SMOKE
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, name):
+    entry = QUERIES[name]
+    sdf = entry.spark(spark, SF_DIR)
+    if entry.oracle is None:
+        assert sdf.count() >= 0  # rows-only contract for approximate ops
+        return
+    con = parity.duckdb_connection(SF_DIR)
+    report = parity.compare(sdf, con.sql(entry.oracle).df())
+    assert report["ok"], {k: v for k, v in report.items() if k != "ok"}

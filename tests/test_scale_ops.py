@@ -121,3 +121,32 @@ def test_range_join_counts(spark):
     )
     got = {r["iid"]: r["n"] for r in out.groupBy("iid").agg(F.count("event_id").alias("n")).collect()}
     assert got == {10: 2, 11: 0}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 lists must recover most of the exact top-10
+    (sanity floor, not a tuned benchmark) and every returned pair must
+    carry the exact cosine score."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx_rows = similarity.ann_topk_ivf(
+        emb, queries, num_centroids=16, nprobe=4, k=10
+    ).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # scores on overlapping pairs must match the exact computation
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-12
