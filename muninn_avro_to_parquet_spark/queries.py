@@ -1234,3 +1234,41 @@ def ann_topk_ivf(spark):
     emb = spark.table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_ivf(emb, queries_df, num_centroids=16, nprobe=4, k=10)
+
+
+@q(
+    "q_full_outer_join",
+    """
+    WITH big_parts AS (
+      SELECT p_partkey, p_brand FROM part WHERE p_size >= 49
+    ),
+    heavy_lines AS (
+      SELECT l_partkey, COUNT(*) AS n_lines
+      FROM lineitem WHERE l_quantity >= 49 GROUP BY l_partkey
+    )
+    SELECT COALESCE(p_partkey, l_partkey) AS partkey,
+           p_brand, n_lines,
+           (p_partkey IS NULL) AS only_lines,
+           (l_partkey IS NULL) AS only_part
+    FROM big_parts FULL OUTER JOIN heavy_lines ON p_partkey = l_partkey
+    """,
+)
+def q_full_outer_join(spark):
+    p = (
+        spark.table("part")
+        .filter(F.col("p_size") >= 49)
+        .select("p_partkey", "p_brand")
+    )
+    l = (
+        spark.table("lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_lines"))
+    )
+    return p.join(l, p.p_partkey == l.l_partkey, "full_outer").select(
+        F.coalesce("p_partkey", "l_partkey").alias("partkey"),
+        "p_brand",
+        "n_lines",
+        F.col("p_partkey").isNull().alias("only_lines"),
+        F.col("l_partkey").isNull().alias("only_part"),
+    )
