@@ -95,6 +95,50 @@ def convert_paths(
     return int(obs.get["rows"])
 
 
+def _convert_one_table(
+    spark: SparkSession,
+    table: str,
+    table_paths: list[str],
+    output_prefix: str,
+    ingestion_date: str | None,
+    permissive: bool,
+    max_records_per_file: int | None,
+) -> tuple[str, int, list[str]]:
+    """One table's conversion with the error-tolerant fallback (reference
+    main.py:524-567): if the typed path fails, retry with every payload
+    column stringified instead of failing the run. Returns
+    (table, rows, degraded_paths)."""
+    try:
+        rows = convert_paths(
+            spark,
+            table,
+            table_paths,
+            output_prefix,
+            ingestion_date=ingestion_date,
+            permissive=permissive,
+            max_records_per_file=max_records_per_file,
+        )
+        return table, rows, []
+    except Exception:
+        if permissive:
+            raise
+        logging.getLogger(__name__).warning(
+            "typed conversion failed for table %s; retrying all-string",
+            table,
+            exc_info=True,
+        )
+        rows = convert_paths(
+            spark,
+            table,
+            table_paths,
+            output_prefix,
+            ingestion_date=ingestion_date,
+            permissive=True,
+            max_records_per_file=max_records_per_file,
+        )
+        return table, rows, list(table_paths)
+
+
 def convert(
     spark: SparkSession,
     input_glob: str,
@@ -102,6 +146,7 @@ def convert(
     ingestion_date: str | None = None,
     permissive: bool = False,
     max_records_per_file: int | None = None,
+    table_parallelism: int = 4,
 ) -> ConvertResult:
     """Convert every Avro file matching ``input_glob`` into partitioned
     Parquet under ``output_prefix/<table>/ingestion_date=<d>/``.
@@ -110,42 +155,37 @@ def convert(
     the processing-time UTC date, as in the reference (main.py:496).
     ``permissive=True`` selects the all-string payload shape
     (main.py:543-564).
+
+    Tables are independent jobs, so up to ``table_parallelism`` convert
+    concurrently (Spark's scheduler interleaves jobs submitted from
+    threads) — a CDC stream of many small tables would otherwise leave
+    the cluster idle between per-table jobs.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     paths = [p for p in glob.glob(input_glob, recursive=True) if os.path.isfile(p)]
+    groups = group_paths_by_table(paths)
     result = ConvertResult()
-    for table, table_paths in group_paths_by_table(paths).items():
-        try:
-            result.tables[table] = convert_paths(
+    if not groups:
+        return result
+    with ThreadPoolExecutor(max_workers=max(1, min(table_parallelism, len(groups)))) as ex:
+        futures = [
+            ex.submit(
+                _convert_one_table,
                 spark,
                 table,
                 table_paths,
                 output_prefix,
-                ingestion_date=ingestion_date,
-                permissive=permissive,
-                max_records_per_file=max_records_per_file,
+                ingestion_date,
+                permissive,
+                max_records_per_file,
             )
-        except Exception:
-            if permissive:
-                raise
-            # error-tolerant fallback (reference main.py:524-567): a table
-            # whose typed conversion fails is retried with every payload
-            # column stringified rather than failing the whole run; the
-            # caller sees which tables degraded via fallback_files
-            logging.getLogger(__name__).warning(
-                "typed conversion failed for table %s; retrying all-string",
-                table,
-                exc_info=True,
-            )
-            result.tables[table] = convert_paths(
-                spark,
-                table,
-                table_paths,
-                output_prefix,
-                ingestion_date=ingestion_date,
-                permissive=True,
-                max_records_per_file=max_records_per_file,
-            )
-            result.fallback_files.extend(table_paths)
+            for table, table_paths in groups.items()
+        ]
+        for fut in futures:
+            table, rows, degraded = fut.result()
+            result.tables[table] = rows
+            result.fallback_files.extend(degraded)
     return result
 
 

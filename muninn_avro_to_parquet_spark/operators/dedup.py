@@ -94,7 +94,12 @@ def minhash_bands(
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", num_hashes: int = 16, bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents agreeing on ≥1 LSH band.
 
@@ -102,11 +107,23 @@ def minhash_candidate_pairs(
     ``id_a < id_b`` halves the output and distinct collapses multi-band
     agreement. The bands relation (4 narrow rows per doc — tiny next to
     the corpus) is cached so the self-join doesn't tokenize + sketch the
-    corpus twice; AQE skew-join splits pathological buckets (boilerplate
-    docs that share a band with everything)."""
+    corpus twice; AQE skew-join splits pathological buckets.
+
+    ``max_bucket`` (off by default — it changes results) drops band
+    buckets holding more than that many documents before pairing: a
+    bucket of k docs emits k²/2 pairs, so one boilerplate bucket with
+    10^6 members would emit 5·10^11 pairs. Production corpus dedup at
+    10^9 docs needs this cap (the dropped buckets are near-universal
+    boilerplate — worth logging, not pairing)."""
     b = minhash_bands(
         minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
     ).cache()
+    if max_bucket is not None:
+        counts = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bucket_n"))
+        b = (
+            b.join(F.broadcast(counts.filter(F.col("_bucket_n") > max_bucket)),
+                   ["band_idx", "band_hash"], "left_anti")
+        )
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (

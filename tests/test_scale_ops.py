@@ -150,3 +150,60 @@ def test_ivf_recall_vs_bruteforce(spark):
         key = (r["query_id"], r["vec_id"])
         if key in exact_scores:
             assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-12
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket drops oversize (boilerplate) band buckets: with the test
+    corpus's near-identical docs, capping shrinks the pair set but keeps
+    the capped output a subset of the uncapped one."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(docs, "doc_id", "text", 8, 4).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(
+            docs, "doc_id", "text", 8, 4, max_bucket=10
+        ).collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)
+
+
+def test_concurrent_table_convert(spark, tmp_path):
+    """Two tables convert concurrently and both land correctly."""
+    from muninn_avro_to_parquet_spark import convert
+    from muninn_avro_to_parquet_spark.sources import avro_io
+    from tests.conftest import CDC_SCHEMA
+
+    for tname, ids in [("alpha", [1, 2, 3]), ("beta", [7, 8])]:
+        base = tmp_path / "avro" / tname
+        base.mkdir(parents=True)
+        recs = [
+            {
+                "uuid": f"u{i}", "read_timestamp": i, "sort_keys": [],
+                "source_metadata": {
+                    "schema": "public", "table": tname, "is_deleted": False,
+                    "change_type": "INSERT", "tx_id": i, "lsn": f"0/{i}",
+                    "primary_keys": ["id"],
+                },
+                "payload": {
+                    "id": i, "name": f"n{i}", "age": 1,
+                    "balance": (10**29).to_bytes(16, "big", signed=True),
+                    "score": 0.5, "active": True,
+                    "created_at": 1, "updated_at": 1, "birth_date": 1,
+                    "tags": [], "attrs": {},
+                },
+            }
+            for i in ids
+        ]
+        avro_io.write_file(str(base / "f.avro"), CDC_SCHEMA, recs)
+
+    res = convert.convert(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "out"),
+        ingestion_date="2026-01-06", table_parallelism=2,
+    )
+    assert res.tables == {"alpha": 3, "beta": 2}
