@@ -129,15 +129,14 @@ def select_typed(df, plans: list[S.FieldPlan]):
 # ---------------------------------------------------------------------------
 
 
-def register_functions(spark: SparkSession) -> None:
-    """Expose the scalar library to SQL (SURVEY §2.2 'UDF surface')."""
-    spark.udf.register("bytes_decimal", scalars.bytes_to_decimal, S.DECIMAL_38_9)
-    spark.udf.register("bytes_double", scalars.bytes_to_float, T.DoubleType())
-    spark.udf.register("lenient_bool", scalars.to_bool, T.BooleanType())
-    spark.udf.register("lenient_int", scalars.to_int, T.LongType())
-    spark.udf.register(
-        "sorted_json", scalars.stringify_any, T.StringType()
-    )
+def register_functions(spark: SparkSession) -> list[str]:
+    """Expose the scalar library to SQL (SURVEY §2.2 'UDF surface') —
+    delegates to the Arrow-batched registrations in ``functions.register``
+    (never row-at-a-time UDFs) plus the driver-side duration grammar."""
+    from muninn_avro_to_parquet_spark.functions import register
+
+    names = register.register_all(spark)
     spark.udf.register(
         "duration_seconds", scalars.parse_duration_to_seconds, T.IntegerType()
     )
+    return names + ["duration_seconds"]
