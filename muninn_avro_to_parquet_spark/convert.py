@@ -58,6 +58,23 @@ def group_paths_by_table(paths: list[str]) -> dict[str, list[str]]:
 class ConvertResult:
     tables: dict[str, int] = field(default_factory=dict)  # table → row count
     fallback_files: list[str] = field(default_factory=list)
+    # table → number of DISTINCT writer schemas seen across its files
+    # (>1 = schema drift; the typed schema derives from the first file,
+    # so drifted rows either coerce cleanly or push the table into the
+    # all-string fallback — either way the operator should know)
+    schema_versions: dict[str, int] = field(default_factory=dict)
+
+
+def detect_schema_drift(table_paths: list[str]) -> int:
+    """Count distinct writer schemas across a table's files (header reads
+    only — no data scan)."""
+    import json
+
+    seen: set[str] = set()
+    for p in table_paths:
+        schema = avro_io.read_schema(p)
+        seen.add(json.dumps(schema, sort_keys=True))
+    return len(seen)
 
 
 def convert_paths(
@@ -103,11 +120,20 @@ def _convert_one_table(
     ingestion_date: str | None,
     permissive: bool,
     max_records_per_file: int | None,
-) -> tuple[str, int, list[str]]:
+) -> tuple[str, int, list[str], int]:
     """One table's conversion with the error-tolerant fallback (reference
     main.py:524-567): if the typed path fails, retry with every payload
     column stringified instead of failing the run. Returns
-    (table, rows, degraded_paths)."""
+    (table, rows, degraded_paths, n_schema_versions)."""
+    n_versions = detect_schema_drift(table_paths)
+    if n_versions > 1:
+        logging.getLogger(__name__).warning(
+            "schema drift: table %s carries %d distinct writer schemas "
+            "across %d files (typed schema derives from the first file)",
+            table,
+            n_versions,
+            len(table_paths),
+        )
     try:
         rows = convert_paths(
             spark,
@@ -118,7 +144,7 @@ def _convert_one_table(
             permissive=permissive,
             max_records_per_file=max_records_per_file,
         )
-        return table, rows, []
+        return table, rows, [], n_versions
     except Exception:
         if permissive:
             raise
@@ -136,7 +162,7 @@ def _convert_one_table(
             permissive=True,
             max_records_per_file=max_records_per_file,
         )
-        return table, rows, list(table_paths)
+        return table, rows, list(table_paths), n_versions
 
 
 def convert(
@@ -183,9 +209,10 @@ def convert(
             for table, table_paths in groups.items()
         ]
         for fut in futures:
-            table, rows, degraded = fut.result()
+            table, rows, degraded, n_versions = fut.result()
             result.tables[table] = rows
             result.fallback_files.extend(degraded)
+            result.schema_versions[table] = n_versions
     return result
 
 

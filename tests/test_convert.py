@@ -191,3 +191,14 @@ def test_fallback_on_schema_drift(spark, tmp_path):
     # all-string shape: scalars via str(), containers via str() of elements
     assert rows[1] == "1"
     assert rows[2] == '["x","y"]' or rows[2] == "['x', 'y']"
+
+
+def test_schema_drift_detection(spark, tmp_path):
+    """convert() reports how many distinct writer schemas each table
+    carries (the clean table reports 1, the drifted one >1)."""
+    _write_fixture(tmp_path)  # customers: one schema across files
+    res = convert.convert(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "o1"),
+        ingestion_date="2026-01-07",
+    )
+    assert res.schema_versions == {"customers": 1}
