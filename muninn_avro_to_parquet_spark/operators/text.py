@@ -146,3 +146,27 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", ngram: int =
         F.col(id_col),
         F.array_min(grams).alias("fingerprint"),
     )
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str = "text", modulus: int = 2**31
+) -> DataFrame:
+    """Order-sensitive document fingerprint: a Rabin-Karp-style rolling
+    hash chained over the token stream (``acc*31 + h(token) mod 2^31``),
+    where h is the first 32 bits of the token's md5.
+
+    Complements ``fingerprint`` (min-hash over n-grams, order-robust):
+    the rolling hash changes when token ORDER changes, so it detects
+    reorderings the winnowing fingerprint ignores. All integer math stays
+    below 2^36 — identical wrap-free semantics on every engine."""
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    vals = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    rolled = F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(modulus)),
+    )
+    return toksed.select(F.col(id_col), rolled.alias("rolling_hash"))

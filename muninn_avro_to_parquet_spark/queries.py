@@ -1272,3 +1272,20 @@ def q_full_outer_join(spark):
         F.col("p_partkey").isNull().alias("only_lines"),
         F.col("l_partkey").isNull().alias("only_part"),
     )
+
+
+@q(
+    "doc_rolling_hash",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483648
+           ) AS rolling_hash
+    FROM toks
+    """,
+)
+def doc_rolling_hash(spark):
+    return text.rolling_hash_fingerprint(spark.table("documents"), "doc_id", "text")
