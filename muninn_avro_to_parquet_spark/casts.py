@@ -61,7 +61,7 @@ def lenient_bool(col: Column) -> Column:
     true/t/1/yes/y, false/f/0/no/n (case-insensitive), else bool(int(s))
     — i.e. any other parsable integer maps to (n != 0) — else null."""
     s = F.lower(F.trim(col.cast("string")))
-    as_int = F.try_cast(s, "bigint")
+    as_int = s.try_cast("bigint")
     return (
         F.when(s.isNull(), F.lit(None).cast("boolean"))
         .when(s.isin("true", "t", "1", "yes", "y"), F.lit(True))
@@ -75,8 +75,8 @@ def lenient_int(col: Column) -> Column:
     """`_to_int` (main.py:39-46): strip one leading '+', truncate floats,
     null on failure — try_cast keeps this JVM-side."""
     s = F.regexp_replace(F.trim(col.cast("string")), r"^\+", "")
-    direct = F.try_cast(s, "bigint")
-    via_double = F.try_cast(F.try_cast(s, "double"), "bigint")
+    direct = s.try_cast("bigint")
+    via_double = s.try_cast("double").try_cast("bigint")
     return F.coalesce(direct, via_double)
 
 

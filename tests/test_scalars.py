@@ -109,3 +109,23 @@ def test_coerce_source_metadata():
         "tx_id": 7, "lsn": "9", "primary_keys": ["pk"],
     }
     assert scalars.coerce_source_metadata(None)["table"] is None
+
+
+def test_lenient_exprs_match_python_scalars(spark):
+    """The JVM Column expressions (casts.lenient_bool / lenient_int) must
+    agree with the Python reference coercers on the tricky cases."""
+    from muninn_avro_to_parquet_spark import casts
+    from muninn_avro_to_parquet_spark.functions import scalars
+    from pyspark.sql import functions as F
+
+    values = ["true", "T", "YES", "y", "1", "false", "F", "no", "N", "0",
+              "2", "-3", "+5", " 7 ", "3.9", "abc", "", None]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    out = df.select(
+        "v",
+        casts.lenient_bool(F.col("v")).alias("b"),
+        casts.lenient_int(F.col("v")).alias("i"),
+    ).collect()
+    for r in out:
+        assert r["b"] == scalars.to_bool(r["v"]), ("bool", r["v"], r["b"])
+        assert r["i"] == scalars.to_int(r["v"]), ("int", r["v"], r["i"])

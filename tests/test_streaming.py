@@ -204,3 +204,81 @@ def test_running_counts_stateful_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert got == {"click": 4, "view": 1}
+
+
+def test_stateful_counts_survive_restart(spark, tmp_path):
+    """applyInPandasWithState state must persist across query restarts via
+    the checkpoint: totals keep accumulating, not reset."""
+    src = str(tmp_path / "events_src3")
+    ckpt = str(tmp_path / "ckpt3")
+    _events(spark).write.parquet(src)
+
+    def run_once(qname):
+        # foreachBatch (not the memory sink — it can't recover from a
+        # checkpoint); keep the latest count per key across batches
+        latest: dict[str, int] = {}
+
+        def sink(batch_df, batch_id):
+            for r in batch_df.collect():
+                latest[r["event_type"]] = r["n_events"]
+
+        stream = spark.readStream.schema(
+            "user_id int, event_type string, ts timestamp"
+        ).parquet(src)
+        q = (
+            windows.running_counts_stateful(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return latest
+
+    first = run_once("stateful_restart_a")
+    assert first == {"click": 4, "view": 1}
+
+    # new data lands while the query is down; the restart must ADD to the
+    # checkpointed counts
+    more = [(3, "click", "2026-01-02 00:00:00"), (3, "error", "2026-01-02 00:01:00")]
+    spark.createDataFrame(more, "user_id int, event_type string, ts_s string").select(
+        "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.mode("append").parquet(src)
+
+    second = run_once("stateful_restart_b")
+    assert second.get("click") == 5
+    assert second.get("error") == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark in a real stream: duplicate keys
+    across micro-batches inside the horizon are emitted once."""
+    src = str(tmp_path / "events_src4")
+    rows = [
+        (1, "click", "2026-01-01 00:00:00"),
+        (1, "click", "2026-01-01 00:00:00"),  # exact duplicate
+        (2, "view", "2026-01-01 00:01:00"),
+    ]
+    spark.createDataFrame(rows, "user_id int, event_type string, ts_s string").select(
+        "user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id int, event_type string, ts timestamp"
+    ).parquet(src)
+    deduped = windows.dedup_within_watermark(stream, ["user_id", "event_type"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT user_id, event_type FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    assert sorted((r["user_id"], r["event_type"]) for r in got) == [(1, "click"), (2, "view")]
