@@ -176,6 +176,33 @@ def ann_topk_lsh(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs at corpus scale: candidates must
+    share a hyperplane-LSH bucket (equi-join — the all-pairs cross join
+    never materializes), exact cosine filters to ``threshold``.
+
+    Recall: two vectors with cosine ≥ t land in the same bucket with
+    probability (1 - acos(t)/π)^H; raise recall by lowering num_planes or
+    unioning several plane sets. Precision is exact — every emitted pair
+    passed the true cosine test."""
+    b = hyperplane_buckets(df, dim, num_planes, id_col, vec_col)
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 # --- IVF (inverted-file index — the other ANN scale path) --------------------
 
 

@@ -7,7 +7,7 @@ scoring, token counting, and winnowing-style document fingerprinting.
 
 Determinism note: every score bottoms out in integer counts and md5 hex
 strings, so results are bit-stable across engines — the DuckDB oracles in
-``oracles.py`` reproduce them exactly.
+``queries.py`` reproduce them exactly.
 """
 
 from __future__ import annotations

@@ -1289,3 +1289,10 @@ def q_full_outer_join(spark):
 )
 def doc_rolling_hash(spark):
     return text.rolling_hash_fingerprint(spark.table("documents"), "doc_id", "text")
+
+
+@q("embedding_near_dup_lsh", None)  # bucket recall is probabilistic → rows-only
+def embedding_near_dup_lsh(spark):
+    return similarity.embedding_near_dup_lsh(
+        spark.table("embeddings"), dim=64, threshold=0.25, num_planes=4
+    )
