@@ -1296,3 +1296,33 @@ def embedding_near_dup_lsh(spark):
     return similarity.embedding_near_dup_lsh(
         spark.table("embeddings"), dim=64, threshold=0.25, num_planes=4
     )
+
+
+@q(
+    "q_scalar_subquery",
+    """
+    SELECT c_custkey, c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+      SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(12,2))
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    AND c_custkey <= 300
+    """,
+)
+def q_scalar_subquery(spark):
+    # correlated scalar subquery through the SQL surface — Catalyst
+    # decorrelates it into an aggregate + join, no per-row re-execution
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+          SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(12,2))
+          FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+        )
+        AND c_custkey <= 300
+        """
+    )

@@ -182,3 +182,80 @@ def test_avro_codec_roundtrip(tmp_path_factory, sr):
                 assert math.isclose(wv, gv, rel_tol=1e-6, abs_tol=1e-30)
             else:
                 assert _approx_eq(wv, gv), (k, wv, gv)
+
+
+# --- end-to-end conversion robustness ---------------------------------------
+
+
+@st.composite
+def cdc_payload_schema_and_rows(draw):
+    """A CDC-shaped Avro schema (envelope + random payload record) and
+    matching rows."""
+    n_fields = draw(st.integers(1, 3))
+    field_types = [draw(avro_type) for _ in range(n_fields)]
+    payload = {
+        "type": "record",
+        "name": "p",
+        "fields": [{"name": f"c{i}", "type": t} for i, t in enumerate(field_types)],
+    }
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {
+                "name": "source_metadata",
+                "type": {
+                    "type": "record",
+                    "name": "sm",
+                    "fields": [
+                        {"name": "schema", "type": "string"},
+                        {"name": "table", "type": "string"},
+                        {"name": "is_deleted", "type": "boolean"},
+                        {"name": "change_type", "type": "string"},
+                        {"name": "tx_id", "type": ["null", "long"]},
+                        {"name": "lsn", "type": "string"},
+                        {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
+                    ],
+                },
+            },
+            {"name": "payload", "type": payload},
+        ],
+    }
+    n_rows = draw(st.integers(1, 4))
+    rows = [
+        {
+            "source_metadata": {
+                "schema": "s",
+                "table": "prop",
+                "is_deleted": False,
+                "change_type": "INSERT",
+                "tx_id": i,
+                "lsn": f"0/{i}",
+                "primary_keys": ["c0"],
+            },
+            "payload": {f"c{j}": _value_for(t, draw) for j, t in enumerate(field_types)},
+        }
+        for i in range(n_rows)
+    ]
+    return schema, rows
+
+
+@given(cdc_payload_schema_and_rows())
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.data_too_large])
+def test_convert_never_crashes(spark, tmp_path_factory, sr):
+    """Invariant (SURVEY §5.6): ANY valid CDC Avro input converts — typed
+    or via the all-string fallback — with every row accounted for."""
+    from muninn_avro_to_parquet_spark import convert
+
+    schema, rows = sr
+    base = tmp_path_factory.mktemp("prop")
+    avro_dir = base / "avro" / "prop"
+    avro_dir.mkdir(parents=True)
+    avro_io.write_file(str(avro_dir / "f.avro"), schema, rows)
+    res = convert.convert(
+        spark, str(base / "avro" / "**" / "*.avro"), str(base / "out"),
+        ingestion_date="2026-01-08",
+    )
+    assert res.tables == {"prop": len(rows)}
+    back = spark.read.parquet(str(base / "out" / "prop"))
+    assert back.count() == len(rows)
