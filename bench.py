@@ -31,12 +31,19 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # best-of-N per query (default 2): the machine is shared, and a single
+    # run can absorb a co-tenant CPU spike or a first-touch cache build;
+    # the min is the steady-state cost of the plan itself
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     for name, entry in QUERIES.items():
-        t0 = time.perf_counter()
-        df = entry.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = entry.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
