@@ -14,6 +14,113 @@ import sys
 import time
 
 
+_CDC_BENCH_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "uuid", "type": "string"},
+        {
+            "name": "source_metadata",
+            "type": {
+                "type": "record",
+                "name": "sm",
+                "fields": [
+                    {"name": "schema", "type": "string"},
+                    {"name": "table", "type": "string"},
+                    {"name": "is_deleted", "type": "boolean"},
+                    {"name": "change_type", "type": "string"},
+                    {"name": "tx_id", "type": ["null", "long"]},
+                    {"name": "lsn", "type": "string"},
+                    {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
+                ],
+            },
+        },
+        {
+            "name": "payload",
+            "type": {
+                "type": "record",
+                "name": "p",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": ["null", "string"]},
+                    {"name": "qty", "type": ["null", "int"]},
+                    {"name": "price", "type": ["null", "double"]},
+                    {"name": "active", "type": "boolean"},
+                    {
+                        "name": "created",
+                        "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+                    },
+                    {
+                        "name": "balance",
+                        "type": [
+                            "null",
+                            {
+                                "type": "bytes",
+                                "logicalType": "decimal",
+                                "precision": 38,
+                                "scale": 30,
+                            },
+                        ],
+                    },
+                    {"name": "tags", "type": {"type": "array", "items": "string"}},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _make_convert_fixture(n_rows: int, n_files: int = 16) -> str:
+    """Deterministic CDC Avro input under /tmp, reused across runs."""
+    import tempfile
+
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    base = os.path.join(tempfile.gettempdir(), f"muninn_bench_cdc_{n_rows}")
+    marker = os.path.join(base, ".complete")
+    if os.path.exists(marker):
+        return base
+    avro_dir = os.path.join(base, "avro", "bench_cdc")
+    os.makedirs(avro_dir, exist_ok=True)
+    per_file = n_rows // n_files
+    row_id = 0
+    for fi in range(n_files):
+        count = per_file if fi < n_files - 1 else n_rows - per_file * (n_files - 1)
+        recs = []
+        for _ in range(count):
+            recs.append(
+                {
+                    "uuid": f"u{row_id}",
+                    "source_metadata": {
+                        "schema": "public",
+                        "table": "bench_cdc",
+                        "is_deleted": row_id % 7 == 0,
+                        "change_type": "INSERT" if row_id % 3 else "UPDATE",
+                        "tx_id": 1000 + row_id,
+                        "lsn": f"0/{row_id:x}",
+                        "primary_keys": ["id"],
+                    },
+                    "payload": {
+                        "id": row_id,
+                        "name": f"name_{row_id % 1000}",
+                        "qty": row_id % 100,
+                        "price": (row_id % 10000) / 100.0,
+                        "active": row_id % 2 == 0,
+                        "created": 1_700_000_000_000_000 + row_id,
+                        "balance": ((row_id % 100000) * 10**28).to_bytes(
+                            16, "big", signed=True
+                        ),
+                        "tags": [f"t{row_id % 5}", "x"],
+                    },
+                }
+            )
+            row_id += 1
+        avro_io.write_file(os.path.join(avro_dir, f"f{fi:02d}.avro"), _CDC_BENCH_SCHEMA, recs)
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write("ok\n")
+    return base
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -36,6 +143,31 @@ def main() -> None:
     # the min is the steady-state cost of the plan itself
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
+
+    # CDC conversion throughput — the reference's entire workload. Input
+    # generation (pure-Python Avro encode) happens once outside the timed
+    # region; the timed region is the engine's distributed decode → cast →
+    # partitioned parquet write.
+    n_rows = int(os.environ.get("SPARK_GRAFT_CONVERT_ROWS", "200000"))
+    conv_dir = _make_convert_fixture(n_rows)
+    best = float("inf")
+    for i in range(repeat):
+        import shutil
+
+        from muninn_avro_to_parquet_spark import convert as convert_mod
+
+        out_dir = os.path.join(conv_dir, f"out{i}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = convert_mod.convert(
+            spark,
+            os.path.join(conv_dir, "avro", "**", "*.avro"),
+            out_dir,
+            ingestion_date="2026-01-01",
+        )
+        assert res.tables.get("bench_cdc") == n_rows, res.tables
+        best = min(best, time.perf_counter() - t0)
+    timings[f"convert_{n_rows}_rows"] = round(best, 4)
     for name, entry in QUERIES.items():
         best = float("inf")
         for _ in range(repeat):

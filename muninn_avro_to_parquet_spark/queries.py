@@ -1326,3 +1326,31 @@ def q_scalar_subquery(spark):
         AND c_custkey <= 300
         """
     )
+
+
+@q(
+    "q_event_value_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_event_value_stats(spark):
+    v_dec = F.col("value").cast("decimal(18,6)")
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v_dec).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            (F.sum(v_dec).cast("double") / F.count("*")).alias("avg_value"),
+        )
+    )
