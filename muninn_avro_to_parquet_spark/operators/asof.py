@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -51,11 +52,18 @@ def asof_join(
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != on and c not in by]
 
+    # the right row travels as ONE struct: carrying each column separately
+    # with last(ignorenulls) would back-fill a legitimately-NULL right
+    # value from an OLDER right row, stitching together fields of rows
+    # that never coexisted
+    rstruct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
+        + [T.StructField(on, right.schema[on].dataType, True)]
+    )
     lhs = left.select(
         *left.columns,
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias(on + suffix),
+        F.lit(None).cast(rstruct_type).alias("_rrow"),
     )
     rhs = right.select(
         *[
@@ -66,8 +74,9 @@ def asof_join(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(c + suffix) for c in right_cols],
-        F.col(on).alias(on + suffix),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(on).alias(on)
+        ).alias("_rrow"),
     ).select(*lhs.columns)  # align column order for the union
 
     w = (
@@ -78,12 +87,16 @@ def asof_join(
     carried = lhs.unionByName(rhs).select(
         *[c for c in left.columns],
         F.col("_is_left"),
-        *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
-            for c in right_cols + [on]
-        ],
+        F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_rrow"),
     )
-    return carried.filter(F.col("_is_left") == 1).drop("_is_left")
+    return (
+        carried.filter(F.col("_is_left") == 1)
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"_rrow.{c}").alias(c + suffix) for c in right_cols],
+            F.col(f"_rrow.{on}").alias(on + suffix),
+        )
+    )
 
 
 def range_join(
@@ -98,11 +111,26 @@ def range_join(
     """left rows matched to right intervals: by-keys equal AND
     ``right_start <= left_ts < right_end``."""
     by = by or []
-    cond = (F.col(left_ts) >= F.col(right_start)) & (F.col(left_ts) < F.col(right_end))
+    # explicit aliases: both sides may share lineage (self-joins), where
+    # bare left[k]/right[k] references turn ambiguous after the join
+    lhs = left.alias("_rj_l")
+    rhs = right.alias("_rj_r")
+    cond = (F.col(f"_rj_l.{left_ts}") >= F.col(f"_rj_r.{right_start}")) & (
+        F.col(f"_rj_l.{left_ts}") < F.col(f"_rj_r.{right_end}")
+    )
     for k in by:
-        cond = cond & (left[k] == right[k])
-    joined = left.join(right, cond, how)
-    # drop right's duplicate key columns
+        cond = cond & (F.col(f"_rj_l.{k}") == F.col(f"_rj_r.{k}"))
+    joined = lhs.join(rhs, cond, how)
+    # collapse the duplicate key columns into one — coalesce, because on
+    # an outer side the unmatched row carries its key only in ITS copy
+    # (dropping the right copy under how='right' would null the key)
     for k in by:
-        joined = joined.drop(right[k])
+        joined = (
+            joined.withColumn(
+                f"_{k}_merged", F.coalesce(F.col(f"_rj_l.{k}"), F.col(f"_rj_r.{k}"))
+            )
+            .drop(F.col(f"_rj_l.{k}"))
+            .drop(F.col(f"_rj_r.{k}"))
+            .withColumnRenamed(f"_{k}_merged", k)
+        )
     return joined

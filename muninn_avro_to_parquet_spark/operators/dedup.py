@@ -36,8 +36,16 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact key; returns the surviving rows.
 
     Equivalent to ``dropDuplicates`` but deterministic about WHICH row
-    survives (min id), which matters for reproducible corpus builds."""
-    digest = F.md5(F.concat_ws("\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in key_cols]))
+    survives (min id), which matters for reproducible corpus builds.
+
+    The digest hashes the JSON encoding of the key struct: JSON escaping
+    keeps NULL distinct from every string value (a coalesce-to-sentinel
+    scheme would merge a real sentinel-valued key with NULL)."""
+    digest = F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in key_cols]), {"ignoreNullFields": "false"}
+        )
+    )
     keyed = df.withColumn("_k", digest)
     survivors = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
     return keyed.join(survivors, [id_col, "_k"], "inner").drop("_k")
@@ -217,14 +225,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 def simhash_candidate_pairs(
     sig: DataFrame, id_col: str, prefix_bits: int = 16
 ) -> DataFrame:
-    """Candidate pairs agreeing on any of the 4 16-bit signature bands."""
+    """Candidate pairs agreeing on any band of ``prefix_bits`` bits (the
+    64-bit signature splits into 64 // prefix_bits bands, covering every
+    bit)."""
+    num_bands = 64 // prefix_bits
     entries = F.array(
         *[
             F.struct(
                 F.lit(band).alias("band_idx"),
                 F.substring("simhash", band * prefix_bits + 1, prefix_bits).alias("band_bits"),
             )
-            for band in range(4)
+            for band in range(num_bands)
         ]
     )
     b = (

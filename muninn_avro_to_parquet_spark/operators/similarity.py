@@ -299,8 +299,9 @@ def ann_topk_ivf(
 
 
 def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """L2-normalize an embedding column (doubles)."""
-    norm = _norm_q(F.col(vec_col))
+    """L2-normalize an embedding column (unit L2 norm, float output)."""
+    # _norm_q is the norm of the QUANTIZED vector — 1e7 × the true norm
+    norm = _norm_q(F.col(vec_col)) / F.lit(float(_Q))
     return df.withColumn(
         vec_col,
         F.transform(F.col(vec_col), lambda x: (x.cast("double") / norm).cast("float")),

@@ -45,7 +45,11 @@ def token_count(text: Column) -> Column:
 def bpe_ish_piece_count(text: Column) -> Column:
     """A BPE-flavored piece count: alnum runs + each punctuation mark counts
     as one piece (regex approximation of subword splitting)."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+|[^a-z0-9\\s]"), 0))
+    # explicit whitespace class: Java \s includes \x0B, RE2 \s does not —
+    # spelling it out keeps Spark and the DuckDB oracle identical
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), 0)
+    )
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
@@ -55,7 +59,7 @@ def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS)
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 \\t\\n\\x0B\\f\\r]", ""))
     return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
 
 

@@ -847,7 +847,7 @@ def ann_topk_lsh(spark):
     f"""
     SELECT doc_id,
            len({_SQL_TOKENS}) AS n_tokens,
-           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS n_pieces,
            length(text) AS n_chars_actual
     FROM documents
     """,
@@ -875,7 +875,7 @@ def text_token_count(spark):
              ELSE 0.0 END AS avg_word_len,
         CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
-        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
           / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
       FROM base
     )
@@ -1304,8 +1304,8 @@ def embedding_near_dup_lsh(spark):
     SELECT c_custkey, c_name,
            CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
     FROM customer c
-    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
-      SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(12,2))
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
     )
     AND c_custkey <= 300
@@ -1319,8 +1319,8 @@ def q_scalar_subquery(spark):
         SELECT c_custkey, c_name,
                CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
         FROM customer c
-        WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
-          SELECT CAST(AVG(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DECIMAL(12,2))
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
         )
         AND c_custkey <= 300

@@ -20,7 +20,6 @@ one Arrow batch).
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib
@@ -56,7 +55,13 @@ class _Reader:
         shift = 0
         accum = 0
         while True:
-            b = self.buf[self.pos]
+            try:
+                b = self.buf[self.pos]
+            except IndexError:
+                # surface buffer exhaustion as the same error as read(),
+                # so callers that buffer more on EOFError (header parse)
+                # handle a varint landing on the boundary too
+                raise EOFError("truncated Avro data") from None
             self.pos += 1
             accum |= (b & 0x7F) << shift
             if not (b & 0x80):
@@ -295,29 +300,54 @@ def _parse_header(header: bytes, f: BinaryIO) -> tuple[dict[str, bytes], bytes, 
             header += more
 
 
+def _file_varint(f: BinaryIO) -> int | None:
+    """Zig-zag varint read directly from a file handle; None at EOF."""
+    shift = 0
+    accum = 0
+    first = True
+    while True:
+        byte = f.read(1)
+        if not byte:
+            if first:
+                return None
+            raise EOFError("truncated Avro data")
+        first = False
+        b = byte[0]
+        accum |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (accum >> 1) ^ -(accum & 1)
+
+
 def iter_records(path: str) -> Iterator[dict]:
-    """Stream records from an OCF file block by block (bounded memory)."""
+    """Stream records from an OCF file block by block — memory is bounded
+    by one (compressed + decoded) block, never the whole file, so a
+    multi-GB input doesn't inflate the executor task that decodes it."""
     with open(path, "rb") as f:
-        data = f.read()
-    r = _Reader(data)
-    meta, sync, pos = _parse_header(data, io.BytesIO(b""))
-    r.pos = pos
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("utf-8")
-    names: dict[str, Any] = {}
-    while not r.at_end():
-        count = r.read_long()
-        size = r.read_long()
-        block = r.read(size)
-        if codec == "deflate":
-            block = zlib.decompress(block, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported Avro codec {codec!r}")
-        br = _Reader(block)
-        for _ in range(count):
-            yield _decode(br, schema, names)
-        if r.read(16) != sync:
-            raise ValueError("sync marker mismatch — corrupt Avro block")
+        header = f.read(1 << 16)
+        meta, sync, pos = _parse_header(header, f)
+        f.seek(pos)
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        names: dict[str, Any] = {}
+        while True:
+            count = _file_varint(f)
+            if count is None:
+                return
+            size = _file_varint(f)
+            block = f.read(size)
+            if len(block) != size:
+                raise EOFError("truncated Avro data")
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported Avro codec {codec!r}")
+            br = _Reader(block)
+            for _ in range(count):
+                yield _decode(br, schema, names)
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch — corrupt Avro block")
 
 
 def read_file(path: str) -> tuple[dict, list[dict]]:

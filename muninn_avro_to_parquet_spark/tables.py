@@ -48,18 +48,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.cache()
 
 
-_REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view; cached per (session, dir)."""
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED:
-        return _REGISTERED[key]
+    """Register every test table as a temp view; cached per (session, dir).
+
+    The cache hangs off the session object itself (an ``id(spark)``-keyed
+    module dict would collide when CPython reuses a stopped session's
+    address, handing out DataFrames bound to a dead JVM)."""
+    cache: dict[str, dict[str, DataFrame]] = spark.__dict__.setdefault(
+        "_muninn_registered_views", {}
+    )
+    if sf_dir in cache:
+        return cache[sf_dir]
     out = {}
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
-    _REGISTERED[key] = out
+    cache[sf_dir] = out
     return out

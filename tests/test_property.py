@@ -259,3 +259,22 @@ def test_convert_never_crashes(spark, tmp_path_factory, sr):
     assert res.tables == {"prop": len(rows)}
     back = spark.read.parquet(str(base / "out" / "prop"))
     assert back.count() == len(rows)
+
+
+def test_large_header_schema(tmp_path_factory):
+    """A writer schema bigger than the 64 KiB initial header read must
+    parse (varints landing on the buffer boundary included)."""
+    fields = [
+        {"name": f"col_{i}", "type": "string", "doc": "d" * 64}
+        for i in range(1200)
+    ]
+    schema = {"type": "record", "name": "wide", "fields": fields}
+    import json
+
+    assert len(json.dumps(schema)) > (1 << 16)
+    path = str(tmp_path_factory.mktemp("hdr") / "wide.avro")
+    rows = [{f["name"]: "" for f in fields}]
+    avro_io.write_file(path, schema, rows)
+    got = avro_io.read_schema(path)
+    assert got == schema
+    assert len(list(avro_io.iter_records(path))) == 1

@@ -207,3 +207,64 @@ def test_concurrent_table_convert(spark, tmp_path):
         ingestion_date="2026-01-06", table_parallelism=2,
     )
     assert res.tables == {"alpha": 3, "beta": 2}
+
+
+def test_asof_join_does_not_stitch_rows(spark):
+    """A legitimately-NULL right value must NOT be back-filled from an
+    older right row: the matched right row travels as one unit."""
+    left = spark.createDataFrame([(1, 30)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, 5), (1, 20, None)], "k long, ts long, qty int"
+    )
+    r = asof.asof_join(left, right, on="ts", by=["k"]).collect()[0]
+    assert r["ts_right"] == 20
+    assert r["qty_right"] is None  # NOT 5 from the ts=10 row
+
+
+def test_range_join_right_outer_keeps_right_key(spark):
+    """how='right': unmatched right rows keep their join key (coalesced),
+    not NULL."""
+    events = spark.createDataFrame([(1, 1, 100)], "event_id long, user_id long, ts long")
+    intervals = spark.createDataFrame(
+        [(10, 1, 100, 200), (11, 2, 0, 50)], "iid long, user_id long, s long, e long"
+    )
+    rows = {
+        r["iid"]: r["user_id"]
+        for r in asof.range_join(
+            events, intervals, "ts", "s", "e", by=["user_id"], how="right"
+        ).collect()
+    }
+    assert rows == {10: 1, 11: 2}  # iid=11 unmatched, key preserved
+
+
+def test_normalize_unit_norm(spark):
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "vec_id long, embedding array<float>")
+    vec = similarity.normalize(df).collect()[0]["embedding"]
+    assert abs(vec[0] - 0.6) < 1e-6 and abs(vec[1] - 0.8) < 1e-6
+
+
+def test_exact_dedup_null_vs_sentinel(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "\x01"), (3, None)], "doc_id long, text string"
+    )
+    out = sorted(r["doc_id"] for r in dedup.exact_dedup(df, ["text"], "doc_id").collect())
+    # NULL and the literal "\x01" string are DIFFERENT keys
+    assert out == [1, 2]
+
+
+def test_simhash_bands_cover_signature(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    sig = spark.createDataFrame(
+        [(1, "0" * 56 + "10101010"), (2, "1" * 56 + "10101010")],
+        "doc_id long, simhash string",
+    )
+    # docs agree ONLY on the last 8 bits; with prefix_bits=8 all 8 bands
+    # must be generated, so the final band pairs them
+    pairs = dedup.simhash_candidate_pairs(sig, "doc_id", prefix_bits=8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
