@@ -132,11 +132,7 @@ def select_typed(df, plans: list[S.FieldPlan]):
 def register_functions(spark: SparkSession) -> list[str]:
     """Expose the scalar library to SQL (SURVEY §2.2 'UDF surface') —
     delegates to the Arrow-batched registrations in ``functions.register``
-    (never row-at-a-time UDFs) plus the driver-side duration grammar."""
+    (never row-at-a-time UDFs; all null-on-failure)."""
     from muninn_avro_to_parquet_spark.functions import register
 
-    names = register.register_all(spark)
-    spark.udf.register(
-        "duration_seconds", scalars.parse_duration_to_seconds, T.IntegerType()
-    )
-    return names + ["duration_seconds"]
+    return register.register_all(spark)

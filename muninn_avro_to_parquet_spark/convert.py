@@ -65,16 +65,30 @@ class ConvertResult:
     schema_versions: dict[str, int] = field(default_factory=dict)
 
 
-def detect_schema_drift(table_paths: list[str]) -> int:
-    """Count distinct writer schemas across a table's files (header reads
-    only — no data scan)."""
-    import json
+# cap on per-table header reads for drift detection: beyond this many
+# files, sample — a 100k-file table must not serialize 100k opens on the
+# driver before the first Spark job
+DRIFT_SAMPLE_CAP = 256
 
-    seen: set[str] = set()
-    for p in table_paths:
-        schema = avro_io.read_schema(p)
-        seen.add(json.dumps(schema, sort_keys=True))
-    return len(seen)
+
+def detect_schema_drift(table_paths: list[str], sample_cap: int = DRIFT_SAMPLE_CAP) -> int:
+    """Count distinct writer schemas across a table's files (header reads
+    only — no data scan). Headers read concurrently; above ``sample_cap``
+    files an evenly-spaced sample is checked (drift in a CDC stream is a
+    contiguous regime change, which sampling catches)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = table_paths
+    if len(paths) > sample_cap:
+        step = len(paths) / sample_cap
+        paths = [table_paths[int(i * step)] for i in range(sample_cap)]
+        logging.getLogger(__name__).info(
+            "drift detection sampling %d of %d files", len(paths), len(table_paths)
+        )
+    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+        schemas = list(ex.map(avro_io.read_schema, paths))
+    return len({json.dumps(s, sort_keys=True) for s in schemas})
 
 
 def convert_paths(
@@ -85,17 +99,20 @@ def convert_paths(
     ingestion_date: str | None = None,
     permissive: bool = False,
     max_records_per_file: int | None = None,
+    avro_schema: dict | None = None,
 ) -> int:
     """Convert one table's Avro files into
     ``output_prefix/<table>/ingestion_date=<d>/``; returns rows written.
 
     The row count comes from an ``Observation`` on the same pass as the
-    write — no second scan of input or output."""
+    write — no second scan of input or output. ``avro_schema`` lets a
+    caller that already read the first file's header pass it in."""
     from pyspark.sql import Observation
 
     if ingestion_date is None:
         ingestion_date = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
-    avro_schema = avro_io.read_schema(table_paths[0])
+    if avro_schema is None:
+        avro_schema = avro_io.read_schema(table_paths[0])
     if permissive:
         df = avro_source.read_avro_allstring(spark, table_paths, avro_schema)
     else:
@@ -125,6 +142,7 @@ def _convert_one_table(
     main.py:524-567): if the typed path fails, retry with every payload
     column stringified instead of failing the run. Returns
     (table, rows, degraded_paths, n_schema_versions)."""
+    avro_schema = avro_io.read_schema(table_paths[0])
     n_versions = detect_schema_drift(table_paths)
     if n_versions > 1:
         logging.getLogger(__name__).warning(
@@ -143,6 +161,7 @@ def _convert_one_table(
             ingestion_date=ingestion_date,
             permissive=permissive,
             max_records_per_file=max_records_per_file,
+            avro_schema=avro_schema,
         )
         return table, rows, [], n_versions
     except Exception:
@@ -161,6 +180,7 @@ def _convert_one_table(
             ingestion_date=ingestion_date,
             permissive=True,
             max_records_per_file=max_records_per_file,
+            avro_schema=avro_schema,
         )
         return table, rows, list(table_paths), n_versions
 

@@ -53,12 +53,29 @@ def cdc_bytes_float(s: pd.Series) -> pd.Series:
     return s.map(scalars.bytes_to_float)
 
 
+def _duration_or_none(v) -> int | None:
+    if v is None:
+        return None
+    try:
+        return scalars.parse_duration_to_seconds(v)
+    except (ValueError, TypeError):
+        return None
+
+
+@pandas_udf(T.IntegerType())
+def duration_seconds(s: pd.Series) -> pd.Series:
+    """'30m'/'1h'/'2d' → seconds; null on malformed input (matching the
+    null-on-failure contract of every other registered function)."""
+    return s.map(_duration_or_none).astype(object)
+
+
 _UDFS = {
     "cdc_bytes_decimal": cdc_bytes_decimal,
     "cdc_to_bool": cdc_to_bool,
     "cdc_to_int": cdc_to_int,
     "cdc_stringify": cdc_stringify,
     "cdc_bytes_float": cdc_bytes_float,
+    "duration_seconds": duration_seconds,
 }
 
 

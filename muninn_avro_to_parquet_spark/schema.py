@@ -95,11 +95,15 @@ def _logical_dict(node: dict) -> tuple[T.DataType, bool, str]:
     ``["null", <dict>]`` union (main.py:275-296). Returns (type, nullable,
     source-kind)."""
     logical = node.get("logicalType")
-    if logical == "timestamp-millis":
+    base_t = node.get("type")
+    # base-type restrictions mirror the reference exactly (main.py:280-288):
+    # timestamps need long/int bases, date needs int; a string-base
+    # "timestamp-millis" falls through to plain string, values preserved
+    if logical == "timestamp-millis" and base_t in ("long", "int"):
         return T.TimestampType(), True, TS_MILLIS
-    if logical == "timestamp-micros":
+    if logical == "timestamp-micros" and base_t in ("long", "int"):
         return T.TimestampType(), True, TS_MICROS
-    if logical == "date":
+    if logical == "date" and base_t == "int":
         return T.DateType(), True, EPOCH_DAYS
     if logical == "decimal":
         # any declared precision/scale is overridden (main.py:290-293)
@@ -162,24 +166,36 @@ def map_avro_node(node: Any) -> tuple[T.DataType, bool, str]:
             return dt, nullable, RAW
         if t == "array":
             idt, _, isrc = map_avro_node(node.get("items", "string"))
-            # nested members that need coercion would poison the array type;
-            # only RAW element types keep the array, matching the reference
-            # (its array path maps items recursively, main.py:371-374 — raw
-            # types only since coercion happens per leaf value)
-            return T.ArrayType(idt, True), True, RAW if isrc == RAW else STRINGIFY
+            # containers keep their typed shape only when every nested
+            # member is RAW (value == target encoding). A nested member
+            # needing coercion (logical timestamp, decimal, ...) degrades
+            # the WHOLE column to sorted-key JSON — the declared dtype
+            # must then be StringType, matching what actually lands in
+            # the output (documented difference from the reference, which
+            # types nested logicals; a mistyped nested value is silent
+            # corruption, a JSON string is not)
+            if isrc == RAW:
+                return T.ArrayType(idt, True), True, RAW
+            return T.StringType(), True, STRINGIFY
         if t == "map":
             vdt, _, vsrc = map_avro_node(node.get("values", "string"))
-            return (
-                T.MapType(T.StringType(), vdt, True),
-                True,
-                RAW if vsrc == RAW else STRINGIFY,
-            )
+            if vsrc == RAW:
+                return T.MapType(T.StringType(), vdt, True), True, RAW
+            return T.StringType(), True, STRINGIFY
         if t in ("record", "error"):
-            fields = [
-                T.StructField(f["name"], *map_avro_node(f["type"])[:2])
-                for f in node.get("fields", [])
+            members = [
+                (f["name"], *map_avro_node(f["type"])) for f in node.get("fields", [])
             ]
-            return T.StructType(fields), False, RAW
+            if all(src == RAW for _, _, _, src in members):
+                fields = [
+                    T.StructField(name, dt, nullable)
+                    for name, dt, nullable, _ in members
+                ]
+                return T.StructType(fields), False, RAW
+            # same degradation rule as array/map: any nested non-RAW
+            # member (e.g. a nested timestamp-millis long that Arrow
+            # would misread as micros) turns the struct into JSON
+            return T.StringType(), False, STRINGIFY
         if t == "enum":
             return T.StringType(), False, RAW
         if t == "fixed":

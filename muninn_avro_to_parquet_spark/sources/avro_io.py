@@ -35,6 +35,40 @@ _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "st
 # ---------------------------------------------------------------------------
 
 
+def collect_names(
+    node: Any, names: dict[str, Any] | None = None, enclosing_ns: str | None = None
+) -> dict[str, Any]:
+    """Pre-register every named type (record/error/enum/fixed) in a schema,
+    under both its bare name and its namespace-qualified fullname — the
+    spec allows later fields to reference earlier definitions by name, and
+    lazy registration during decode misses definitions sitting in union
+    branches that happen not to be taken first. Nested named types inherit
+    the enclosing namespace (spec: 'names' resolution)."""
+    if names is None:
+        names = {}
+    if isinstance(node, list):
+        for m in node:
+            collect_names(m, names, enclosing_ns)
+        return names
+    if not isinstance(node, dict):
+        return names
+    t = node.get("type")
+    ns = node.get("namespace", enclosing_ns)
+    if t in ("record", "error", "enum", "fixed") and node.get("name"):
+        name = node["name"]
+        names[name] = node
+        if ns and "." not in name:
+            names[f"{ns}.{name}"] = node
+    for f in node.get("fields", []) or []:
+        collect_names(f.get("type"), names, ns)
+    for key in ("items", "values"):
+        if key in node:
+            collect_names(node[key], names, ns)
+    if isinstance(t, (dict, list)):
+        collect_names(t, names, ns)
+    return names
+
+
 class _Reader:
     __slots__ = ("buf", "pos")
 
@@ -161,10 +195,14 @@ def _zigzag(n: int) -> bytes:
             return bytes(out)
 
 
-def _union_branch(value: Any, members: list[Any]) -> int:
-    """Pick the union branch whose type matches ``value``."""
+def _union_branch(value: Any, members: list[Any], names: dict[str, Any] | None = None) -> int:
+    """Pick the union branch whose type matches ``value`` (named-type
+    references resolve through ``names``)."""
+    names = names or {}
 
     def matches(v: Any, m: Any) -> bool:
+        if isinstance(m, str) and m in names:
+            m = names[m]
         t = m if isinstance(m, str) else (m.get("type") if isinstance(m, dict) else None)
         if v is None:
             return t == "null"
@@ -200,7 +238,7 @@ def _encode(out: bytearray, value: Any, node: Any, names: dict[str, Any]) -> Non
         else:
             raise ValueError(f"unknown Avro type name {node!r}")
     elif isinstance(node, list):
-        idx = _union_branch(value, node)
+        idx = _union_branch(value, node, names)
         out += _zigzag(idx)
         _encode(out, value, node[idx], names)
         return
@@ -330,7 +368,7 @@ def iter_records(path: str) -> Iterator[dict]:
         f.seek(pos)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
-        names: dict[str, Any] = {}
+        names = collect_names(schema)
         while True:
             count = _file_varint(f)
             if count is None:
@@ -364,7 +402,7 @@ def write_file(
     block_size: int = 1000,
 ) -> None:
     """Write an OCF file (used by tests/fixtures and the demo generator)."""
-    names: dict[str, Any] = {}
+    names = collect_names(schema)
     with open(path, "wb") as f:
         f.write(MAGIC)
         meta = {

@@ -64,14 +64,23 @@ def read_jdbc(
     **options,
 ) -> DataFrame:
     """JDBC scan; ALWAYS pass a partition column for tables of any size —
-    without one the whole table streams through a single connection."""
+    without one the whole table streams through a single connection.
+    Bounds are REQUIRED with a partition column: a guessed range (e.g.
+    [0, 2^31)) silently collapses a table whose keys live elsewhere into
+    one unbounded stride — query min/max first and pass them in."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires explicit lower_bound/upper_bound "
+                "(SELECT min(col), max(col) first); guessed bounds skew every "
+                "partition onto one connection"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
-            .option("lowerBound", lower_bound if lower_bound is not None else 0)
-            .option("upperBound", upper_bound if upper_bound is not None else 1 << 31)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
         )
     for k, v in options.items():
         reader = reader.option(k, v)

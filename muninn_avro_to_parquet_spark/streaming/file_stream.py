@@ -46,6 +46,8 @@ class BatchResult:
     batch_id: int
     new_files: list[str] = field(default_factory=list)
     tables: dict[str, int] = field(default_factory=dict)
+    fallback_files: list[str] = field(default_factory=list)
+    failed_files: list[str] = field(default_factory=list)
 
 
 class StreamingConverter:
@@ -68,22 +70,35 @@ class StreamingConverter:
         self.permissive = permissive
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._ledger_path = os.path.join(checkpoint_dir, "processed_files.log")
+        self._failed_path = os.path.join(checkpoint_dir, "failed_files.log")
         self._drain_path = os.path.join(checkpoint_dir, "DRAIN")
+        # a drain request applies to the RUN it stopped; a relaunched
+        # converter resumes streaming (leaving the flag would silently
+        # degrade every future run to one batch)
+        if os.path.exists(self._drain_path):
+            os.remove(self._drain_path)
         self._seen: set[str] = set()
-        if os.path.exists(self._ledger_path):
-            with open(self._ledger_path, encoding="utf-8") as f:
-                self._seen = {line.rstrip("\n") for line in f if line.strip()}
+        for ledger in (self._ledger_path, self._failed_path):
+            if os.path.exists(ledger):
+                with open(ledger, encoding="utf-8") as f:
+                    self._seen.update(line.rstrip("\n") for line in f if line.strip())
         self._batch_id = 0
 
     # -- checkpoint ----------------------------------------------------------
 
-    def _acknowledge(self, paths: list[str]) -> None:
-        with open(self._ledger_path, "a", encoding="utf-8") as f:
+    def _append_ledger(self, ledger_path: str, paths: list[str]) -> None:
+        with open(ledger_path, "a", encoding="utf-8") as f:
             for p in paths:
                 f.write(p + "\n")
             f.flush()
             os.fsync(f.fileno())
         self._seen.update(paths)
+
+    def _acknowledge(self, paths: list[str]) -> None:
+        self._append_ledger(self._ledger_path, paths)
+
+    def _quarantine(self, paths: list[str]) -> None:
+        self._append_ledger(self._failed_path, paths)
 
     # -- drain (graceful stop) ----------------------------------------------
 
@@ -101,7 +116,16 @@ class StreamingConverter:
     # -- the stream ----------------------------------------------------------
 
     def poll_once(self, ingestion_date: str | None = None) -> BatchResult:
-        """One micro-batch: convert every not-yet-acknowledged file."""
+        """One micro-batch: convert every not-yet-acknowledged file.
+
+        Failure isolation mirrors the batch path: a table whose typed
+        conversion fails retries all-string (reference main.py:524-567);
+        one that fails even then is quarantined to ``failed_files.log``
+        and never retried — without per-table isolation, a single poison
+        file would wedge the stream in a crash loop that re-appends the
+        healthy tables' rows on every restart."""
+        import logging
+
         matched = sorted(
             p for p in glob.glob(self.input_pattern, recursive=True) if os.path.isfile(p)
         )
@@ -111,16 +135,30 @@ class StreamingConverter:
         if not new:
             return result
         for table, table_paths in convert_mod.group_paths_by_table(new).items():
-            conv = convert_mod.convert_paths(
-                self.spark,
-                table,
-                table_paths,
-                self.output_prefix,
-                ingestion_date=ingestion_date,
-                permissive=self.permissive,
-            )
-            result.tables[table] = conv
-        self._acknowledge(new)
+            try:
+                _, rows, degraded, _ = convert_mod._convert_one_table(
+                    self.spark,
+                    table,
+                    table_paths,
+                    self.output_prefix,
+                    ingestion_date,
+                    self.permissive,
+                    None,
+                )
+                result.tables[table] = rows
+                result.fallback_files.extend(degraded)
+                self._acknowledge(table_paths)
+            except Exception:
+                logging.getLogger(__name__).error(
+                    "table %s failed even the all-string fallback; quarantining "
+                    "%d files to %s",
+                    table,
+                    len(table_paths),
+                    self._failed_path,
+                    exc_info=True,
+                )
+                self._quarantine(table_paths)
+                result.failed_files.extend(table_paths)
         return result
 
     def run(

@@ -107,3 +107,18 @@ def test_registered_stringify_sorts_keys(spark):
     df.createOrReplaceTempView("udf_probe2")
     got = spark.sql("SELECT cdc_stringify(m) AS s FROM udf_probe2").collect()[0]["s"]
     assert got == '{"a":"2","z":"1"}'
+
+
+def test_duration_seconds_lenient(spark):
+    register.register_all(spark)
+    df = spark.createDataFrame([("45m",), ("2d",), ("90x",), (None,)], "d string")
+    df.createOrReplaceTempView("dur_probe")
+    got = [r["s"] for r in spark.sql("SELECT duration_seconds(d) AS s FROM dur_probe").collect()]
+    assert got == [2700, 172800, None, None]
+
+
+def test_jdbc_requires_bounds(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        formats.read_jdbc(spark, "jdbc:h2:mem:x", "t", partition_column="id")

@@ -278,3 +278,23 @@ def test_large_header_schema(tmp_path_factory):
     got = avro_io.read_schema(path)
     assert got == schema
     assert len(list(avro_io.iter_records(path))) == 1
+
+
+def test_named_type_reuse_roundtrip(tmp_path_factory):
+    """Valid Avro named-type reuse (bare and fullname refs) decodes even
+    when the defining branch was never taken first."""
+    schema = {
+        "type": "record", "name": "rec", "namespace": "com.x", "fields": [
+            {"name": "a", "type": ["null", {"type": "record", "name": "Addr",
+                "fields": [{"name": "city", "type": "string"}]}]},
+            {"name": "b", "type": ["null", "Addr"]},
+            {"name": "c", "type": ["null", "com.x.Addr"]},
+        ]}
+    rows = [
+        {"a": None, "b": {"city": "rio"}, "c": None},
+        {"a": {"city": "sp"}, "b": None, "c": {"city": "bh"}},
+    ]
+    path = str(tmp_path_factory.mktemp("named") / "n.avro")
+    avro_io.write_file(path, schema, rows)
+    _, got = avro_io.read_file(path)
+    assert got == rows

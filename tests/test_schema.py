@@ -131,3 +131,53 @@ def test_payload_missing_or_scalar():
         )
         == []
     )
+
+
+NESTED = [
+    # nested logical types degrade the container to JSON string — a typed
+    # nested timestamp would carry raw millis that Arrow misreads as micros
+    (
+        {"type": "record", "name": "r", "fields": [
+            {"name": "created", "type": {"type": "long", "logicalType": "timestamp-millis"}}]},
+        T.StringType(),
+    ),
+    (
+        {"type": "array", "items": {"type": "long", "logicalType": "timestamp-millis"}},
+        T.StringType(),
+    ),
+    (
+        {"type": "map", "values": ["null", {"type": "bytes", "logicalType": "decimal"}]},
+        T.StringType(),
+    ),
+    # all-RAW nested members keep the typed container
+    (
+        {"type": "record", "name": "r2", "fields": [
+            {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]},
+        T.StructType([T.StructField("a", T.LongType(), False),
+                      T.StructField("b", T.StringType(), False)]),
+    ),
+    ({"type": "array", "items": "long"}, T.ArrayType(T.LongType(), True)),
+]
+
+
+@pytest.mark.parametrize("node,expected", NESTED)
+def test_nested_logical_degradation(node, expected):
+    dt, _, src = S.map_avro_node(node)
+    assert dt == expected
+    if isinstance(expected, T.StringType):
+        assert src == S.STRINGIFY
+
+
+BASE_RESTRICTED = [
+    # logical types only apply to their spec base types (main.py:280-288);
+    # a string-base "timestamp-millis" stays a string, values preserved
+    (["null", {"type": "string", "logicalType": "timestamp-millis"}], T.StringType()),
+    (["null", {"type": "long", "logicalType": "date"}], T.LongType()),
+    (["null", {"type": "int", "logicalType": "timestamp-micros"}], T.TimestampType()),
+]
+
+
+@pytest.mark.parametrize("node,expected", BASE_RESTRICTED)
+def test_logical_base_restrictions(node, expected):
+    dt, _, _ = S.map_avro_node(node)
+    assert dt == expected

@@ -282,3 +282,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert sorted((r["user_id"], r["event_type"]) for r in got) == [(1, "click"), (2, "view")]
+
+
+def test_stream_quarantines_poison_file(spark, tmp_path):
+    """A file that fails even the all-string fallback must not wedge the
+    stream: it is quarantined and other tables keep converting."""
+    base_ok = tmp_path / "avro" / "good"
+    base_bad = tmp_path / "avro" / "bad"
+    base_ok.mkdir(parents=True)
+    base_bad.mkdir(parents=True)
+    _one_file(base_ok, "a.avro", [0, 1])
+    (base_bad / "poison.avro").write_bytes(b"Obj\x01garbage-not-avro")
+
+    conv = file_stream.StreamingConverter(
+        spark,
+        str(tmp_path / "avro" / "**" / "*.avro"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    b0 = conv.poll_once(ingestion_date="2026-01-01")
+    assert b0.tables == {"good": 2}
+    assert len(b0.failed_files) == 1
+
+    # next poll: neither replayed — good acked, poison quarantined
+    b1 = conv.poll_once(ingestion_date="2026-01-01")
+    assert b1.new_files == [] and b1.failed_files == []
+    # restart keeps the quarantine
+    conv2 = file_stream.StreamingConverter(
+        spark,
+        str(tmp_path / "avro" / "**" / "*.avro"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    assert conv2.poll_once(ingestion_date="2026-01-01").new_files == []
+
+
+def test_drain_cleared_on_relaunch(spark, tmp_path):
+    """A DRAIN flag stops the run that saw it; a relaunched converter
+    resumes streaming instead of inheriting the stale flag."""
+    args = (
+        spark,
+        str(tmp_path / "avro" / "**" / "*.avro"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    conv = file_stream.StreamingConverter(*args)
+    conv.request_drain()
+    assert conv.drain_requested
+    conv2 = file_stream.StreamingConverter(*args)
+    assert not conv2.drain_requested
