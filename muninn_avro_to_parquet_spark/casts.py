@@ -114,14 +114,20 @@ def cast_column(name: str, source: str, dtype: T.DataType) -> Column:
     raise ValueError(f"unknown source kind {source!r} for column {name!r}")
 
 
+def select_typed_columns(plans: list[S.FieldPlan]) -> list[Column]:
+    """The full cast layer as a column list: envelope struct + typed
+    payload columns (callers append any extra passthrough columns)."""
+    cols = [F.col("source_metadata")]
+    cols.extend(cast_column(p.name, p.source, p.dtype) for p in plans)
+    return cols
+
+
 def select_typed(df, plans: list[S.FieldPlan]):
     """Apply the full cast layer: envelope struct + typed payload columns.
 
     One narrow ``select`` — no shuffle, fully pipelined with the scan.
     """
-    cols = [F.col("source_metadata")]
-    cols.extend(cast_column(p.name, p.source, p.dtype) for p in plans)
-    return df.select(*cols)
+    return df.select(*select_typed_columns(plans))
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,26 @@ def _with_source_file(schema):
     return T.StructType(list(schema.fields) + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)])
 
 
+def _distributed_decode(
+    spark: SparkSession,
+    paths: list[str],
+    plans: list[S.FieldPlan],
+    out_schema,
+    all_string: bool,
+) -> DataFrame:
+    """Shared scaffolding for both decode modes: path list → round-robin
+    distribution (~2 path rows per core so stragglers rebalance) →
+    per-file block-streamed decode in mapInPandas."""
+
+    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in iterator:
+            yield from _batches_for_paths(list(pdf["path"]), plans, all_string=all_string)
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
+    n_part = min(len(paths), spark.sparkContext.defaultParallelism * 2) or 1
+    return paths_df.repartition(n_part).mapInPandas(gen, schema=out_schema)
+
+
 def read_avro_raw(
     spark: SparkSession, paths: list[str], avro_schema: dict | None = None
 ) -> tuple[DataFrame, list[S.FieldPlan]]:
@@ -110,14 +130,7 @@ def read_avro_raw(
         avro_schema = avro_io.read_schema(paths[0])
     plans = S.derive_field_plans(avro_schema)
     transport = _with_source_file(S.raw_transport_schema(avro_schema))
-
-    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            yield from _batches_for_paths(list(pdf["path"]), plans, all_string=False)
-
-    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
-    n_part = min(len(paths), spark.sparkContext.defaultParallelism * 2) or 1
-    return paths_df.repartition(n_part).mapInPandas(gen, schema=transport), plans
+    return _distributed_decode(spark, paths, plans, transport, all_string=False), plans
 
 
 def read_avro(
@@ -129,10 +142,9 @@ def read_avro(
     from muninn_avro_to_parquet_spark import casts
 
     raw, plans = read_avro_raw(spark, paths, avro_schema)
-    cols = [F.col("source_metadata")]
-    cols.extend(casts.cast_column(p.name, p.source, p.dtype) for p in plans)
-    cols.append(F.col(SOURCE_FILE_COL))
-    return raw.select(*cols)
+    return raw.select(
+        *casts.select_typed_columns(plans), F.col(SOURCE_FILE_COL)
+    )
 
 
 def read_avro_allstring(
@@ -152,14 +164,7 @@ def read_avro_allstring(
         + [T.StructField(p.name, T.StringType(), True) for p in plans]
         + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)]
     )
-
-    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            yield from _batches_for_paths(list(pdf["path"]), plans, all_string=True)
-
-    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
-    n_part = min(len(paths), spark.sparkContext.defaultParallelism * 2) or 1
-    return paths_df.repartition(n_part).mapInPandas(gen, schema=out_schema)
+    return _distributed_decode(spark, paths, plans, out_schema, all_string=True)
 
 
 def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
