@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
                 ingestion_date=args.ingestion_date,
                 permissive=args.permissive,
             )
+            if not res.tables:
+                print(
+                    f"WARNING: no files matched {args.input_pattern!r} — "
+                    "nothing converted",
+                    file=sys.stderr,
+                )
+                return 1
             for table, rows in sorted(res.tables.items()):
                 print(f"{table}: {rows} rows")
             return 0

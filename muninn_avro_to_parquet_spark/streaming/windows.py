@@ -119,7 +119,8 @@ def running_counts_stateful(
 
     Output: (key, n_events) with the latest cumulative count per key.
     """
-    out_schema = f"{key_col} string, n_events bigint"
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n_events bigint"
     if not df.isStreaming:
         # batch: the state collapses to a plain count
         return df.groupBy(key_col).agg(F.count("*").alias("n_events"))

@@ -49,15 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every test table as a temp view; cached per (session, dir).
+    """Register every test table as a temp view; DataFrames cached per
+    (session, dir).
 
     The cache hangs off the session object itself (an ``id(spark)``-keyed
     module dict would collide when CPython reuses a stopped session's
-    address, handing out DataFrames bound to a dead JVM)."""
+    address, handing out DataFrames bound to a dead JVM). Temp views are
+    RE-pointed on every call — a different sf_dir may have claimed the
+    view names since the cached registration, and serving stale views
+    would silently run queries against the wrong dataset. Switching dirs
+    unpersists the previous dir's tables so alternating smoke/correctness
+    /bench dirs in one session doesn't pin every dataset in memory."""
     cache: dict[str, dict[str, DataFrame]] = spark.__dict__.setdefault(
         "_muninn_registered_views", {}
     )
+    for other_dir in [d for d in cache if d != sf_dir]:
+        for df in cache[other_dir].values():
+            df.unpersist()
+        del cache[other_dir]
     if sf_dir in cache:
+        for name, df in cache[sf_dir].items():
+            df.createOrReplaceTempView(name)
         return cache[sf_dir]
     out = {}
     for name in TABLE_NAMES:

@@ -268,3 +268,44 @@ def test_simhash_bands_cover_signature(spark):
     # must be generated, so the final band pairs them
     pairs = dedup.simhash_candidate_pairs(sig, "doc_id", prefix_bits=8).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_register_views_repoints_after_dir_switch(spark):
+    """Alternating sf dirs in one session must re-point the temp views —
+    a cache hit that skips registration serves the WRONG dataset."""
+    from muninn_avro_to_parquet_spark import tables
+
+    tables.register_views(spark, "/root/testdata/sf0.001")
+    small = spark.table("customer").count()
+    tables.register_views(spark, "/root/testdata/sf0.01")
+    big = spark.table("customer").count()
+    tables.register_views(spark, "/root/testdata/sf0.001")
+    again = spark.table("customer").count()
+    assert small == again and big > small
+
+
+def test_stateful_counts_bigint_key(spark, tmp_path):
+    """running_counts_stateful must carry the key's actual type through
+    the state schema (was hardcoded to string)."""
+    from muninn_avro_to_parquet_spark.streaming import windows
+
+    src = str(tmp_path / "ev_bigkey")
+    spark.createDataFrame(
+        [(10_000_000_000, "2026-01-01 00:00:00"), (10_000_000_000, "2026-01-01 00:01:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts")).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        windows.running_counts_stateful(stream, key_col="user_id")
+        .writeStream.format("memory")
+        .queryName("bigkey_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_bigkey"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM bigkey_test").collect()
+    finally:
+        q.stop()
+    assert got[0]["user_id"] == 10_000_000_000 and got[0]["n_events"] == 2
