@@ -94,31 +94,48 @@ def timestamp_from(col: Column, source: str) -> Column:
     raise ValueError(source)
 
 
-def cast_column(name: str, source: str, dtype: T.DataType) -> Column:
-    """Raw-transport column → target-typed column, per the field's plan."""
-    col = F.col(name)
+def cast_expr(col: Column, plan: S.FieldPlan) -> Column:
+    """Raw-transport expression → target-typed expression, recursively for
+    struct members."""
+    source = plan.source
     if source == S.RAW:
-        return col.alias(name)
+        return col
     if source in (S.TS_MILLIS, S.TS_MICROS):
-        return timestamp_from(col, source).alias(name)
+        return timestamp_from(col, source)
     if source == S.EPOCH_DAYS:
-        return F.date_from_unix_date(col.cast("int")).alias(name)
+        return F.date_from_unix_date(col.cast("int"))
     if source == S.BYTES_DECIMAL:
-        return bytes_decimal_udf(col).alias(name)
+        return bytes_decimal_udf(col)
     if source == S.NUMERIC_DECIMAL:
-        return numeric_decimal_udf(col).alias(name)
+        return numeric_decimal_udf(col)
     if source == S.STRINGIFY:
         # stringification happened while building the transport batch
         # (sorted-key compact JSON needs Python's json module semantics)
-        return col.cast("string").alias(name)
-    raise ValueError(f"unknown source kind {source!r} for column {name!r}")
+        return col.cast("string")
+    if source == S.STRUCT_CAST:
+        # rebuild the struct with each member cast per ITS plan — this is
+        # how a nested timestamp-millis long becomes a typed timestamp
+        # instead of being misread by Arrow as micros (a null struct must
+        # stay null, not become a struct of nulls)
+        inner = F.struct(
+            *[cast_expr(col[c.name], c).alias(c.name) for c in plan.children]
+        )
+        return F.when(col.isNotNull(), inner)
+    raise ValueError(f"unknown source kind {source!r} for column {plan.name!r}")
+
+
+def cast_column(name: str, source: str, dtype: T.DataType, plan: S.FieldPlan | None = None) -> Column:
+    """Raw-transport column → target-typed column, per the field's plan."""
+    if plan is None:
+        plan = S.FieldPlan(name, dtype, True, source)
+    return cast_expr(F.col(name), plan).alias(name)
 
 
 def select_typed_columns(plans: list[S.FieldPlan]) -> list[Column]:
     """The full cast layer as a column list: envelope struct + typed
     payload columns (callers append any extra passthrough columns)."""
     cols = [F.col("source_metadata")]
-    cols.extend(cast_column(p.name, p.source, p.dtype) for p in plans)
+    cols.extend(cast_column(p.name, p.source, p.dtype, plan=p) for p in plans)
     return cols
 
 

@@ -38,16 +38,21 @@ EPOCH_DAYS = "epoch_days"  # int days since epoch → DateType
 BYTES_DECIMAL = "bytes_decimal"  # big-endian unscaled int, assumed scale 30 → DECIMAL(38,9)
 NUMERIC_DECIMAL = "num_decimal"  # int/float/decimal → DECIMAL(38,9)
 STRINGIFY = "stringify"  # any value → compact sorted-key JSON / str()
+STRUCT_CAST = "struct_cast"  # record with members needing per-leaf coercion
 
 
 @dataclass(frozen=True)
 class FieldPlan:
-    """One payload column: its Spark type plus how to coerce raw Avro values."""
+    """One payload column: its Spark type plus how to coerce raw Avro values.
+
+    ``children`` is populated only for ``STRUCT_CAST`` sources — the
+    per-member plans the recursive cast layer applies inside the struct."""
 
     name: str
     dtype: T.DataType
     nullable: bool
     source: str  # one of the markers above
+    children: tuple["FieldPlan", ...] = ()
 
 
 _PRIMITIVE_SPARK: dict[str, T.DataType] = {
@@ -183,19 +188,18 @@ def map_avro_node(node: Any) -> tuple[T.DataType, bool, str]:
                 return T.MapType(T.StringType(), vdt, True), True, RAW
             return T.StringType(), True, STRINGIFY
         if t in ("record", "error"):
-            members = [
-                (f["name"], *map_avro_node(f["type"])) for f in node.get("fields", [])
-            ]
-            if all(src == RAW for _, _, _, src in members):
-                fields = [
-                    T.StructField(name, dt, nullable)
-                    for name, dt, nullable, _ in members
-                ]
+            children = tuple(
+                plan_node(f["name"], f["type"]) for f in node.get("fields", [])
+            )
+            fields = [T.StructField(c.name, c.dtype, c.nullable) for c in children]
+            if all(c.source == RAW for c in children):
                 return T.StructType(fields), False, RAW
-            # same degradation rule as array/map: any nested non-RAW
-            # member (e.g. a nested timestamp-millis long that Arrow
-            # would misread as micros) turns the struct into JSON
-            return T.StringType(), False, STRINGIFY
+            # members needing coercion (nested logical timestamps,
+            # decimals, collapsed unions) keep the TYPED struct — the
+            # cast layer rebuilds it per leaf (STRUCT_CAST); the raw
+            # encodings travel in a transport struct so e.g. a nested
+            # timestamp-millis long is never misread as micros
+            return T.StructType(fields), False, STRUCT_CAST
         if t == "enum":
             return T.StringType(), False, RAW
         if t == "fixed":
@@ -205,6 +209,19 @@ def map_avro_node(node: Any) -> tuple[T.DataType, bool, str]:
         return T.StringType(), True, STRINGIFY
 
     return T.StringType(), True, STRINGIFY
+
+
+def plan_node(name: str, node: Any) -> FieldPlan:
+    """Field plan for one Avro type node, carrying per-member child plans
+    when the node is a record needing per-leaf coercion."""
+    dtype, nullable, source = map_avro_node(node)
+    children: tuple[FieldPlan, ...] = ()
+    if source == STRUCT_CAST and isinstance(node, dict):
+        inner = node.get("type") if isinstance(node.get("type"), dict) else node
+        children = tuple(
+            plan_node(f["name"], f["type"]) for f in inner.get("fields", [])
+        )
+    return FieldPlan(name, dtype, nullable, source, children)
 
 
 def payload_record(avro_schema: dict) -> dict | None:
@@ -233,11 +250,7 @@ def derive_field_plans(avro_schema: dict) -> list[FieldPlan]:
     record = payload_record(avro_schema)
     if record is None:
         return []
-    plans = []
-    for f in record.get("fields", []):
-        dtype, nullable, source = map_avro_node(f["type"])
-        plans.append(FieldPlan(f["name"], dtype, nullable, source))
-    return plans
+    return [plan_node(f["name"], f["type"]) for f in record.get("fields", [])]
 
 
 def derive_flat_schema(avro_schema: dict) -> T.StructType:
@@ -270,6 +283,13 @@ def raw_transport_type(plan: FieldPlan) -> T.DataType:
         return T.StringType()  # str(value) preserves int/float/Decimal digits
     if plan.source == STRINGIFY:
         return T.StringType()
+    if plan.source == STRUCT_CAST:
+        return T.StructType(
+            [
+                T.StructField(c.name, raw_transport_type(c), True)
+                for c in plan.children
+            ]
+        )
     return plan.dtype
 
 

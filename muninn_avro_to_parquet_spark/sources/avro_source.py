@@ -32,8 +32,9 @@ BATCH_ROWS = 4096
 SOURCE_FILE_COL = "_source_file"
 
 
-def _transport_value(value: Any, source: str) -> Any:
+def _transport_value(value: Any, plan: S.FieldPlan) -> Any:
     """Coerce one decoded Avro value to its transport representation."""
+    source = plan.source
     if value is None:
         return None
     if source == S.RAW:
@@ -55,6 +56,10 @@ def _transport_value(value: Any, source: str) -> Any:
         return str(value)
     if source == S.STRINGIFY:
         return scalars.stringify_any(value)
+    if source == S.STRUCT_CAST:
+        if not isinstance(value, dict):
+            return None
+        return {c.name: _transport_value(value.get(c.name), c) for c in plan.children}
     raise ValueError(source)
 
 
@@ -84,7 +89,7 @@ def _batches_for_paths(
                 if all_string:
                     cols[plan.name].append(scalars.stringify_any(v))
                 else:
-                    cols[plan.name].append(_transport_value(v, plan.source))
+                    cols[plan.name].append(_transport_value(v, plan))
             files.append(path)
             if len(meta_buf) >= BATCH_ROWS:
                 yield flush()

@@ -202,3 +202,56 @@ def test_schema_drift_detection(spark, tmp_path):
         ingestion_date="2026-01-07",
     )
     assert res.schema_versions == {"customers": 1}
+
+
+def test_nested_struct_logicals_typed(spark, tmp_path):
+    """A payload record whose nested record carries timestamp-millis /
+    date / bytes-decimal members converts to a fully TYPED struct with
+    correct values (the raw millis long must never be misread as micros)."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    from muninn_avro_to_parquet_spark.sources import avro_io as aio
+
+    schema = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][3]["type"]},
+            {"name": "payload", "type": {"type": "record", "name": "p", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "meta", "type": {"type": "record", "name": "m", "fields": [
+                    {"name": "created", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+                    {"name": "born", "type": ["null", {"type": "int", "logicalType": "date"}]},
+                    {"name": "bal", "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                                                      "precision": 38, "scale": 30}]},
+                    {"name": "tag", "type": "string"}]}}]}},
+        ]}
+    meta = {"schema": "s", "table": "nested_t", "is_deleted": False,
+            "change_type": "I", "tx_id": 1, "lsn": "0/1", "primary_keys": ["id"]}
+    base = tmp_path / "avro" / "nested_t"
+    base.mkdir(parents=True)
+    aio.write_file(str(base / "a.avro"), schema, [
+        {"source_metadata": meta, "payload": {"id": 1, "meta": {
+            "created": 1_700_000_000_000,  # 2023-11-14 22:13:20 UTC in millis
+            "born": 8000,                  # 1991-11-27
+            "bal": (5 * 10**29).to_bytes(16, "big", signed=True),  # 0.5
+            "tag": "x"}}},
+        {"source_metadata": meta, "payload": {"id": 2, "meta": {
+            "created": 0, "born": None, "bal": None, "tag": "y"}}},
+    ])
+    res = convert.convert(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "out"),
+        ingestion_date="2026-01-09",
+    )
+    assert res.tables == {"nested_t": 2} and not res.fallback_files
+
+    df = spark.read.parquet(os.path.join(str(tmp_path / "out"), "nested_t"))
+    assert df.schema["meta"].dataType.simpleString() == (
+        "struct<created:timestamp,born:date,bal:decimal(38,9),tag:string>"
+    )
+    rows = {r["id"]: r["meta"] for r in df.collect()}
+    assert rows[1]["created"] == datetime(2023, 11, 14, 22, 13, 20)
+    assert rows[1]["born"] == date(1991, 11, 27)
+    assert rows[1]["bal"] == Decimal("0.500000000")
+    assert rows[1]["tag"] == "x"
+    assert rows[2]["created"] == datetime(1970, 1, 1, 0, 0, 0)
+    assert rows[2]["born"] is None and rows[2]["bal"] is None

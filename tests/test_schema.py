@@ -134,38 +134,43 @@ def test_payload_missing_or_scalar():
 
 
 NESTED = [
-    # nested logical types degrade the container to JSON string — a typed
-    # nested timestamp would carry raw millis that Arrow misreads as micros
+    # records with logical members stay TYPED: the cast layer rebuilds the
+    # struct per leaf (STRUCT_CAST), so nested millis never reach Arrow raw
     (
         {"type": "record", "name": "r", "fields": [
             {"name": "created", "type": {"type": "long", "logicalType": "timestamp-millis"}}]},
-        T.StringType(),
+        T.StructType([T.StructField("created", T.TimestampType(), True)]),
+        S.STRUCT_CAST,
     ),
+    # arrays/maps with non-RAW elements still degrade to JSON string
+    # (element-level casts inside containers are not expressible per leaf)
     (
         {"type": "array", "items": {"type": "long", "logicalType": "timestamp-millis"}},
         T.StringType(),
+        S.STRINGIFY,
     ),
     (
         {"type": "map", "values": ["null", {"type": "bytes", "logicalType": "decimal"}]},
         T.StringType(),
+        S.STRINGIFY,
     ),
-    # all-RAW nested members keep the typed container
+    # all-RAW nested members keep the typed container with passthrough
     (
         {"type": "record", "name": "r2", "fields": [
             {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]},
         T.StructType([T.StructField("a", T.LongType(), False),
                       T.StructField("b", T.StringType(), False)]),
+        S.RAW,
     ),
-    ({"type": "array", "items": "long"}, T.ArrayType(T.LongType(), True)),
+    ({"type": "array", "items": "long"}, T.ArrayType(T.LongType(), True), S.RAW),
 ]
 
 
-@pytest.mark.parametrize("node,expected", NESTED)
-def test_nested_logical_degradation(node, expected):
+@pytest.mark.parametrize("node,expected,expected_src", NESTED)
+def test_nested_logical_handling(node, expected, expected_src):
     dt, _, src = S.map_avro_node(node)
     assert dt == expected
-    if isinstance(expected, T.StringType):
-        assert src == S.STRINGIFY
+    assert src == expected_src
 
 
 BASE_RESTRICTED = [
