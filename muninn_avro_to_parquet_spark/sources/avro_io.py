@@ -362,14 +362,57 @@ def iter_records(path: str) -> Iterator[dict]:
     """Stream records from an OCF file block by block — memory is bounded
     by one (compressed + decoded) block, never the whole file, so a
     multi-GB input doesn't inflate the executor task that decodes it."""
+    yield from iter_records_range(path, 0, None)
+
+
+def _seek_past_sync(f: BinaryIO, sync: bytes, start: int) -> int | None:
+    """Position ``f`` just after the first sync marker at or beyond byte
+    ``start``; returns the new offset or None if no marker follows. This
+    is the Hadoop input-split convention: a split starts at the first
+    block boundary at-or-after its range start."""
+    f.seek(start)
+    overlap = b""
+    pos = start
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return None
+        buf = overlap + chunk
+        idx = buf.find(sync)
+        if idx != -1:
+            offset = pos - len(overlap) + idx + len(sync)
+            f.seek(offset)
+            return offset
+        overlap = buf[-(len(sync) - 1):]
+        pos += len(chunk)
+
+
+def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]:
+    """Stream records from the byte split [start, end), Avro
+    ``DataFileReader`` semantics: the split owns every block whose
+    preceding sync marker begins at a byte in [start, end) (plus the
+    header-adjacent first block for the split containing the header).
+    Disjoint ranges covering the file therefore decode every record
+    exactly once — the contract that lets one huge Avro file fan out
+    across many tasks."""
     with open(path, "rb") as f:
         header = f.read(1 << 16)
-        meta, sync, pos = _parse_header(header, f)
-        f.seek(pos)
+        meta, sync, data_start = _parse_header(header, f)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         names = collect_names(schema)
+        if start <= data_start:
+            f.seek(data_start)
+        else:
+            if _seek_past_sync(f, sync, start) is None:
+                return
         while True:
+            block_start = f.tell()
+            # pastSync: a block at offset B follows a marker at B-16, so
+            # stop once B >= end+16 (the marker lies at or past `end` and
+            # belongs to the next split)
+            if end is not None and block_start >= end + len(sync):
+                return
             count = _file_varint(f)
             if count is None:
                 return

@@ -1,12 +1,13 @@
 """Distributed CDC-Avro source: file paths → raw-transport DataFrame.
 
-The unit of parallelism is one Avro file per task (the reference's model,
-/root/reference/main.py:485-578) but decoding is streamed block-by-block
-into bounded Arrow batches instead of materializing the whole file as a
-Python list (main.py:519 — the reference's OOM hazard). At cluster scale the
-path list is a DataFrame, so 100k files fan out across all executors; very
-large files can additionally be split on Avro sync-marker boundaries (see
-``plan_splits`` TODO note).
+The unit of parallelism is one byte split per task: files below
+SPLIT_BYTES map to one split (the reference's one-file-per-worker model,
+/root/reference/main.py:485-578), larger files fan out over Hadoop-style
+sync-marker ranges (``plan_splits``) so a single 10 GB CDC dump does not
+serialize on one core. Decoding streams block-by-block into bounded Arrow
+batches instead of materializing the whole file as a Python list
+(main.py:519 — the reference's OOM hazard). At cluster scale the split
+list is a DataFrame, so 100k files fan out across all executors.
 
 Value semantics: per-value lenient coercion per SURVEY §1.4 happens here
 (transport build) and in ``casts.select_typed`` (typed cast layer). The
@@ -63,11 +64,35 @@ def _transport_value(value: Any, plan: S.FieldPlan) -> Any:
     raise ValueError(source)
 
 
-def _batches_for_paths(
-    paths: list[str], plans: list[S.FieldPlan], all_string: bool
+# a file larger than this is split on Avro sync-marker boundaries so its
+# decode fans out across tasks instead of serializing on one core
+SPLIT_BYTES = 64 * 1024 * 1024
+
+
+def plan_splits(paths: list[str], split_bytes: int = SPLIT_BYTES) -> list[tuple[str, int, int]]:
+    """(path, start, end) byte splits — one per file below the threshold,
+    several Hadoop-style ranges above it. Pure driver-side arithmetic on
+    file sizes; executors seek to the first sync inside their range."""
+    import os
+
+    out = []
+    for p in paths:
+        size = os.path.getsize(p)
+        if size <= split_bytes:
+            out.append((p, 0, size))
+            continue
+        n = -(-size // split_bytes)
+        step = -(-size // n)
+        for i in range(n):
+            out.append((p, i * step, min((i + 1) * step, size)))
+    return out
+
+
+def _batches_for_splits(
+    splits: list[tuple[str, int, int]], plans: list[S.FieldPlan], all_string: bool
 ) -> Iterator[pd.DataFrame]:
     names = [p.name for p in plans]
-    for path in paths:
+    for path, start, end in splits:
         meta_buf: list[dict] = []
         cols: dict[str, list] = {n: [] for n in names}
         files: list[str] = []
@@ -79,7 +104,7 @@ def _batches_for_paths(
             data[SOURCE_FILE_COL] = pd.Series(files, dtype=object)
             return pd.DataFrame(data)
 
-        for rec in avro_io.iter_records(path):
+        for rec in avro_io.iter_records_range(path, start, end):
             meta_buf.append(scalars.coerce_source_metadata(rec.get("source_metadata")))
             payload = rec.get("payload") or {}
             if not isinstance(payload, dict):
@@ -112,17 +137,20 @@ def _distributed_decode(
     out_schema,
     all_string: bool,
 ) -> DataFrame:
-    """Shared scaffolding for both decode modes: path list → round-robin
-    distribution (~2 path rows per core so stragglers rebalance) →
-    per-file block-streamed decode in mapInPandas."""
+    """Shared scaffolding for both decode modes: path list → sync-marker
+    splits (big files fan out across tasks) → round-robin distribution
+    (~2 split rows per core so stragglers rebalance) → block-streamed
+    decode in mapInPandas."""
 
     def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in iterator:
-            yield from _batches_for_paths(list(pdf["path"]), plans, all_string=all_string)
+            splits = list(zip(pdf["path"], pdf["start"], pdf["end"]))
+            yield from _batches_for_splits(splits, plans, all_string=all_string)
 
-    paths_df = spark.createDataFrame([(p,) for p in paths], "path string")
-    n_part = min(len(paths), spark.sparkContext.defaultParallelism * 2) or 1
-    return paths_df.repartition(n_part).mapInPandas(gen, schema=out_schema)
+    splits = plan_splits(paths)
+    splits_df = spark.createDataFrame(splits, "path string, start long, end long")
+    n_part = min(len(splits), spark.sparkContext.defaultParallelism * 2) or 1
+    return splits_df.repartition(n_part).mapInPandas(gen, schema=out_schema)
 
 
 def read_avro_raw(

@@ -298,3 +298,58 @@ def test_named_type_reuse_roundtrip(tmp_path_factory):
     avro_io.write_file(path, schema, rows)
     _, got = avro_io.read_file(path)
     assert got == rows
+
+
+def test_split_ranges_partition_records(tmp_path_factory):
+    """Disjoint byte splits must decode every record exactly once, for
+    any split size — the contract behind huge-file fan-out."""
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    rows = [{"x": i} for i in range(10_000)]
+    path = str(tmp_path_factory.mktemp("split") / "big.avro")
+    avro_io.write_file(path, schema, rows, block_size=100)  # many sync points
+    import os
+
+    size = os.path.getsize(path)
+    for n_splits in (1, 2, 3, 7, 16):
+        step = -(-size // n_splits)
+        got = []
+        for i in range(n_splits):
+            got.extend(
+                r["x"]
+                for r in avro_io.iter_records_range(
+                    path, i * step, min((i + 1) * step, size)
+                )
+            )
+        assert sorted(got) == list(range(10_000)), f"n_splits={n_splits}: {len(got)}"
+
+
+def test_distributed_read_with_small_split_threshold(spark, tmp_path_factory, monkeypatch):
+    """End-to-end conversion with a tiny split threshold: one file fans
+    out over many splits and still yields every row once."""
+    from muninn_avro_to_parquet_spark.sources import avro_source
+
+    monkeypatch.setattr(avro_source, "SPLIT_BYTES", 2048)
+    schema = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "source_metadata", "type": {"type": "record", "name": "sm", "fields": [
+                {"name": "schema", "type": "string"}, {"name": "table", "type": "string"},
+                {"name": "is_deleted", "type": "boolean"}, {"name": "change_type", "type": "string"},
+                {"name": "tx_id", "type": ["null", "long"]}, {"name": "lsn", "type": "string"},
+                {"name": "primary_keys", "type": {"type": "array", "items": "string"}}]}},
+            {"name": "payload", "type": {"type": "record", "name": "p", "fields": [
+                {"name": "id", "type": "long"}]}},
+        ]}
+    rows = [
+        {"source_metadata": {"schema": "s", "table": "t", "is_deleted": False,
+                             "change_type": "I", "tx_id": i, "lsn": "0/1",
+                             "primary_keys": ["id"]},
+         "payload": {"id": i}}
+        for i in range(5000)
+    ]
+    path = str(tmp_path_factory.mktemp("bigavro") / "one.avro")
+    avro_io.write_file(path, schema, rows, block_size=50)
+    splits = avro_source.plan_splits([path], split_bytes=2048)
+    assert len(splits) > 4  # the single file genuinely fans out
+    df = avro_source.read_avro(spark, [path])
+    ids = [r["id"] for r in df.select("id").collect()]
+    assert sorted(ids) == list(range(5000))
