@@ -65,23 +65,33 @@ def asof_join(
         F.lit(1).alias("_is_left"),
         F.lit(None).cast(rstruct_type).alias("_rrow"),
     )
-    rhs = right.select(
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left.columns
-            if c not in by and c != on
-        ],
-        *[F.col(c) for c in by],
-        F.col(on),
-        F.lit(0).alias("_is_left"),
-        F.struct(
-            *[F.col(c) for c in right_cols], F.col(on).alias(on)
-        ).alias("_rrow"),
-    ).select(*lhs.columns)  # align column order for the union
+    rhs = (
+        # a NULL right timestamp would sort before everything (NULLS
+        # FIRST) and fabricate matches for early left rows — it can never
+        # be "the most recent row", so drop it up front
+        right.filter(F.col(on).isNotNull())
+        .select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in by and c != on
+            ],
+            *[F.col(c) for c in by],
+            F.col(on),
+            F.lit(0).alias("_is_left"),
+            F.struct(
+                *[F.col(c) for c in right_cols], F.col(on).alias(on)
+            ).alias("_rrow"),
+        )
+        .select(*lhs.columns)
+    )  # align column order for the union
 
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+        # final _rrow tiebreak: several right rows at the same instant
+        # must carry ONE deterministic winner (the greatest struct), not
+        # whichever the shuffle placed last
+        .orderBy(F.col(on).asc(), F.col("_is_left").asc(), F.col("_rrow").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = lhs.unionByName(rhs).select(

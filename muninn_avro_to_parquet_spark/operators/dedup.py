@@ -41,14 +41,23 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     The digest hashes the JSON encoding of the key struct: JSON escaping
     keeps NULL distinct from every string value (a coalesce-to-sentinel
     scheme would merge a real sentinel-valued key with NULL)."""
+    from pyspark.sql import Window
+
     digest = F.md5(
         F.to_json(
             F.struct(*[F.col(c) for c in key_cols]), {"ignoreNullFields": "false"}
         )
     )
-    keyed = df.withColumn("_k", digest)
-    survivors = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(survivors, [id_col, "_k"], "inner").drop("_k")
+    # one window pass instead of groupBy+join-back: half the shuffles, and
+    # NULL-id groups keep a representative (a min+equi-join would never
+    # match a NULL minimum and silently delete the whole group)
+    w = Window.partitionBy("_k").orderBy(F.col(id_col).asc_nulls_last())
+    return (
+        df.withColumn("_k", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
 
 
 def doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -82,6 +91,11 @@ def minhash_bands(
     All bands come from ONE pass over the signature (array + explode) —
     a per-band unionAll would make Spark recompute the whole signature
     aggregation once per band."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} — trailing "
+            "signature columns would silently drop out of every band"
+        )
     rows_per_band = num_hashes // bands
     entries = F.array(
         *[
@@ -228,6 +242,11 @@ def simhash_candidate_pairs(
     """Candidate pairs agreeing on any band of ``prefix_bits`` bits (the
     64-bit signature splits into 64 // prefix_bits bands, covering every
     bit)."""
+    if 64 % prefix_bits:
+        raise ValueError(
+            f"prefix_bits={prefix_bits} must divide 64 — the trailing "
+            "bits would be left out of every band"
+        )
     num_bands = 64 // prefix_bits
     entries = F.array(
         *[

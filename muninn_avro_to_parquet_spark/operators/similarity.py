@@ -47,7 +47,25 @@ def _norm_q(a):
 
 
 def cosine(a, b):
-    return _dot_q(a, b).cast("double") / (_norm_q(a) * _norm_q(b))
+    # try_divide: a zero (or fully-null) vector has norm 0 — its cosine is
+    # NULL (ranked last / filtered out), not a DIVIDE_BY_ZERO that kills
+    # the whole job under ANSI mode
+    return F.try_divide(_dot_q(a, b).cast("double"), _norm_q(a) * _norm_q(b))
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared top-k ranking: per query, best cosine first, ties and NULL
+    scores (zero vectors) ranked deterministically by corpus id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
 
 
 def cosine_topk(
@@ -56,34 +74,28 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector (brute force, broadcast).
 
     Output: (query_id, vec_id, cosine_sim, rank), rank 1..k, ties broken by
-    corpus id ascending for full determinism."""
-    from pyspark.sql import Window
-
+    corpus id ascending for full determinism. ``exclude_self`` drops the
+    corpus row whose id equals the query id — correct when queries come
+    FROM the corpus (self-search); pass False when the two sides are
+    distinct datasets whose id spaces merely overlap."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(F.col(id_col), F.col(vec_col))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
-        )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        id_col,
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def cosine_pairs(
@@ -153,8 +165,6 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket, exact cosine
     re-ranks. One equi-join on the bucket key — no cross product."""
-    from pyspark.sql import Window
-
     cb = hyperplane_buckets(corpus, dim, num_planes, id_col, vec_col)
     qb = hyperplane_buckets(queries, dim, num_planes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
@@ -168,12 +178,7 @@ def ann_topk_lsh(
             cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def embedding_near_dup_lsh(
@@ -274,8 +279,6 @@ def ann_topk_ivf(
     partitioned by ``centroid_id``; queries then read only
     nprobe/num_centroids of the corpus — the same list-pruning contract as
     FAISS IVF, expressed as partition pruning."""
-    from pyspark.sql import Window
-
     cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
     lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
     probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
@@ -290,12 +293,7 @@ def ann_topk_ivf(
             cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:

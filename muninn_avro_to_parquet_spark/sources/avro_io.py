@@ -401,7 +401,11 @@ def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         names = collect_names(schema)
-        if start <= data_start:
+        # the first block's "marker position" is data_start - 16 (there is
+        # no real marker before it, but ownership must follow the same
+        # rule): a split starting INSIDE that 16-byte window does NOT own
+        # the first block — the earlier split does
+        if start <= data_start - len(sync):
             f.seek(data_start)
         else:
             if _seek_past_sync(f, sync, start) is None:

@@ -134,6 +134,7 @@ class StreamingConverter:
         self._batch_id += 1
         if not new:
             return result
+        log = logging.getLogger(__name__)
         for table, table_paths in convert_mod.group_paths_by_table(new).items():
             try:
                 _, rows, degraded, _ = convert_mod._convert_one_table(
@@ -149,16 +150,43 @@ class StreamingConverter:
                 result.fallback_files.extend(degraded)
                 self._acknowledge(table_paths)
             except Exception:
-                logging.getLogger(__name__).error(
-                    "table %s failed even the all-string fallback; quarantining "
-                    "%d files to %s",
+                # the batch failed as a group — isolate per FILE so one
+                # poison file doesn't quarantine (and permanently skip)
+                # its healthy neighbors
+                log.warning(
+                    "table %s failed as a batch of %d files; retrying "
+                    "file-by-file",
                     table,
                     len(table_paths),
-                    self._failed_path,
                     exc_info=True,
                 )
-                self._quarantine(table_paths)
-                result.failed_files.extend(table_paths)
+                rows_total = 0
+                for path in table_paths:
+                    try:
+                        _, rows, degraded, _ = convert_mod._convert_one_table(
+                            self.spark,
+                            table,
+                            [path],
+                            self.output_prefix,
+                            ingestion_date,
+                            self.permissive,
+                            None,
+                        )
+                        rows_total += rows
+                        result.fallback_files.extend(degraded)
+                        self._acknowledge([path])
+                    except Exception:
+                        log.error(
+                            "file %s failed even the all-string fallback; "
+                            "quarantining to %s",
+                            path,
+                            self._failed_path,
+                            exc_info=True,
+                        )
+                        self._quarantine([path])
+                        result.failed_files.append(path)
+                if rows_total:
+                    result.tables[table] = rows_total
         return result
 
     def run(

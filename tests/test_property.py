@@ -353,3 +353,23 @@ def test_distributed_read_with_small_split_threshold(spark, tmp_path_factory, mo
     df = avro_source.read_avro(spark, [path])
     ids = [r["id"] for r in df.select("id").collect()]
     assert sorted(ids) == list(range(5000))
+
+
+def test_split_boundary_inside_header_sync_window(tmp_path_factory):
+    """A split starting inside the 16 bytes before data_start must NOT
+    double-decode the first block."""
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    rows = [{"x": i} for i in range(50)]
+    path = str(tmp_path_factory.mktemp("hdrsplit") / "t.avro")
+    avro_io.write_file(path, schema, rows, block_size=10)
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        header = f.read(1 << 16)
+    _, _, data_start = avro_io._parse_header(header, open(path, "rb"))
+    # boundary chosen INSIDE the synthetic header-sync window
+    for boundary in range(max(1, data_start - 15), data_start + 1):
+        got = [r["x"] for r in avro_io.iter_records_range(path, 0, boundary)]
+        got += [r["x"] for r in avro_io.iter_records_range(path, boundary, size)]
+        assert sorted(got) == list(range(50)), boundary

@@ -309,3 +309,61 @@ def test_stateful_counts_bigint_key(spark, tmp_path):
     finally:
         q.stop()
     assert got[0]["user_id"] == 10_000_000_000 and got[0]["n_events"] == 2
+
+
+def test_cosine_survives_zero_vector(spark):
+    """A zero embedding must yield NULL cosine (ranked last), not a
+    DIVIDE_BY_ZERO under ANSI mode."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(corpus, corpus.filter(F.col("vec_id") == 1), k=3)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[3]["cosine_sim"] is None
+    assert rows[3]["rank"] == 2  # NULL score ranks after the real match
+
+
+def test_cosine_topk_keeps_overlapping_ids_when_asked(spark):
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    corpus = spark.createDataFrame([(7, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame([(7, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert similarity.cosine_topk(corpus, queries, k=1).count() == 0  # self-search default
+    got = similarity.cosine_topk(corpus, queries, k=1, exclude_self=False).collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cosine_sim"] - 1.0) < 1e-12
+
+
+def test_exact_dedup_null_id_group_survives(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(None, "k1"), (None, "k1"), (5, "k2")], "id long, k string"
+    )
+    out = dedup.exact_dedup(df, ["k"], "id").collect()
+    keys = sorted(r["k"] for r in out)
+    assert keys == ["k1", "k2"]  # the all-NULL-id group keeps one row
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, "nullts"), (1, 5, "real")], "k long, ts long, val string"
+    )
+    r = asof.asof_join(left, right, on="ts", by=["k"]).collect()[0]
+    assert r["val_right"] is None and r["ts_right"] is None
+
+
+def test_band_divisibility_asserts(spark):
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    sig = spark.createDataFrame([(1, "x")], "doc_id long, mh00 string")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_bands(sig, "doc_id", num_hashes=16, bands=5)
+    sig2 = spark.createDataFrame([(1, "0" * 64)], "doc_id long, simhash string")
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.simhash_candidate_pairs(sig2, "doc_id", prefix_bits=12)
