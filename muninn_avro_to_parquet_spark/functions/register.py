@@ -62,10 +62,11 @@ def _duration_or_none(v) -> int | None:
         return None
 
 
-@pandas_udf(T.IntegerType())
+@pandas_udf(T.LongType())
 def duration_seconds(s: pd.Series) -> pd.Series:
     """'30m'/'1h'/'2d' → seconds; null on malformed input (matching the
-    null-on-failure contract of every other registered function)."""
+    null-on-failure contract of every other registered function). LONG,
+    not INT: '30000d' is well-formed and exceeds 2^31 seconds."""
     return s.map(_duration_or_none).astype(object)
 
 

@@ -67,6 +67,10 @@ def to_bool(value: Any) -> bool | None:
         return None
     if isinstance(value, bool):
         return value
+    if isinstance(value, float) and value != value:
+        # NaN is how Arrow/pandas spells NULL in a float column — it must
+        # come back NULL, not bool(nan) == True
+        return None
     if isinstance(value, (int, float)):
         return bool(value)
     s = str(value).strip().lower()
@@ -90,7 +94,10 @@ def to_int(value: Any) -> int | None:
     if isinstance(value, int):
         return value
     if isinstance(value, float):
-        return int(value)
+        try:
+            return int(value)  # NaN/Inf (pandas NULL spelling) → None
+        except (ValueError, OverflowError):
+            return None
     s = str(value).strip()
     if s.startswith("+"):
         s = s[1:]

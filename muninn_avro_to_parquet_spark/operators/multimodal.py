@@ -33,14 +33,18 @@ MEDIA_META_TYPE = T.StructType(
     ]
 )
 
-IMAGE_FEATURES_TYPE = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("mean_luma", T.DoubleType(), True),
-    ]
-)
+def image_features_type(id_col: str = "doc_id", id_type: T.DataType | None = None) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, id_type or T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("mean_luma", T.DoubleType(), True),
+        ]
+    )
+
+
+IMAGE_FEATURES_TYPE = image_features_type()
 
 
 def attach_binary(df: DataFrame, text_col: str = "text", media_type: str = "blob") -> DataFrame:
@@ -89,19 +93,24 @@ def decode_images(
                 _fake_image_features(i, m)
                 for i, m in zip(pdf[id_col], pdf[media_col])
             ]
-            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "mean_luma"])
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_luma"])
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=IMAGE_FEATURES_TYPE)
+    schema = image_features_type(id_col, df.schema[id_col].dataType)
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
-AUDIO_FEATURES_TYPE = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), True),
-        T.StructField("sample_rate", T.IntegerType(), True),
-        T.StructField("duration_s", T.DoubleType(), True),
-        T.StructField("rms", T.DoubleType(), True),
-    ]
-)
+def audio_features_type(id_col: str = "doc_id", id_type: T.DataType | None = None) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, id_type or T.LongType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("duration_s", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+        ]
+    )
+
+
+AUDIO_FEATURES_TYPE = audio_features_type()
 
 _SAMPLE_RATES = (8000, 16000, 22050, 44100)
 
@@ -137,18 +146,19 @@ def decode_audio(
                 for i, m in zip(pdf[id_col], pdf[media_col])
             ]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "sample_rate", "duration_s", "rms"]
+                rows, columns=[id_col, "sample_rate", "duration_s", "rms"]
             )
 
-    return df.select(id_col, media_col).mapInPandas(run, schema=AUDIO_FEATURES_TYPE)
+    schema = audio_features_type(id_col, df.schema[id_col].dataType)
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling *plan*: rows (doc_id, frame_index) for frames a
     decoder would extract — the Spark-side fan-out is real, the decode is
     not. Frame count is faked from payload size (1 frame / 1 KiB)."""
     n_frames = F.greatest((F.col("media_meta.n_bytes") / 1024).cast("int"), F.lit(1))
     return df.select(
-        "doc_id",
+        id_col,
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_index"),
     )

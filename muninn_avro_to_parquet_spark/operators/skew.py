@@ -36,6 +36,13 @@ def replicate_side(df: DataFrame, num_salts: int) -> DataFrame:
     )
 
 
+# join modes where replicating the small side cannot duplicate output
+# rows: unmatched replicas vanish (inner/semi/anti) or only the big side
+# is preserved (left). right/full would emit one row PER REPLICA for
+# every unmatched small row — silently wrong, so they are rejected.
+_SAFE_HOWS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -45,8 +52,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the hot-key pressure spread over ``num_salts`` tasks.
 
-    Row-for-row equivalent to ``big.join(small, on, how)`` for inner/left
-    joins; the salt column never escapes."""
+    Row-for-row equivalent to ``big.join(small, on, how)`` for the
+    supported join modes; the salt column never escapes.
+
+    Limitation: the salt derives from the big side's full row content, so
+    BYTE-IDENTICAL duplicate rows all land in one salt bucket — salting
+    spreads a hot KEY with varied payloads, not a corpus of exact clones
+    (deduplicate those first)."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOWS}:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "replicating the small side duplicates its unmatched rows under "
+            "right/full joins"
+        )
+    for df, side in ((big, "big"), (small, "small")):
+        if SALT_COL in df.columns:
+            raise ValueError(f"{side} side already has a {SALT_COL!r} column")
     b = salt_side(big, num_salts)
     s = replicate_side(small, num_salts)
     return b.join(s, on + [SALT_COL], how).drop(SALT_COL)

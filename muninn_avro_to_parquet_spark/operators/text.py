@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 # Small per-language function-word lists for the n-gram/stopword heuristic.
 # Deliberately tiny and frozen: the point is a deterministic, cheap signal,
-# not linguistic completeness.
+# not linguistic completeness. Known limits: tokens() splits on whitespace,
+# so UNSEGMENTED CJK text forms one long token that matches no single-char
+# zh stopword (real Chinese labels as 'und'), and punct_ratio counts
+# non-ASCII letters as punctuation — swap in a real segmenter/langid model
+# where quality matters more than oracle-reproducible determinism.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
     "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
@@ -37,9 +41,16 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(cleaned, " +"), lambda t: t != F.lit(""))
 
 
+def _nsize(arr: Column) -> Column:
+    """Null-safe F.size: NULL array → NULL (Spark returns -1 with ANSI
+    off, which would diverge from the SQL oracles' len(NULL) → NULL)."""
+    return F.when(arr.isNotNull(), F.size(arr))
+
+
 def token_count(text: Column) -> Column:
-    """Whitespace token count (the cheap proxy for tokenizer cost)."""
-    return F.size(tokens(text))
+    """Whitespace token count (the cheap proxy for tokenizer cost);
+    NULL text → NULL."""
+    return _nsize(tokens(text))
 
 
 def bpe_ish_piece_count(text: Column) -> Column:
@@ -54,8 +65,8 @@ def bpe_ish_piece_count(text: Column) -> Column:
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
     toks = tokens(text)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_stop = _nsize(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return n_stop.cast("double") / F.greatest(_nsize(toks), F.lit(1)).cast("double")
 
 
 def punct_ratio(text: Column) -> Column:
@@ -66,7 +77,7 @@ def punct_ratio(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features + a composite score in [0, 1]."""
     toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    n_tok = _nsize(toks)
     n_chars = F.length(F.col(text_col))
     avg_word_len = F.when(n_tok > 0, (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
     sw_ratio = stopword_ratio(F.col(text_col))
@@ -91,7 +102,7 @@ def lang_scores(text: Column) -> list[Column]:
     """Per-language stopword-hit counts (the n-gram-heuristic signal)."""
     toks = tokens(text)
     return [
-        F.size(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
+        _nsize(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
         for lang, words in sorted(LANG_STOPWORDS.items())
     ]
 

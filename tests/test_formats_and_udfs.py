@@ -122,3 +122,26 @@ def test_jdbc_requires_bounds(spark):
 
     with pytest.raises(ValueError, match="lower_bound"):
         formats.read_jdbc(spark, "jdbc:h2:mem:x", "t", partition_column="id")
+
+
+def test_cdc_udfs_handle_nan_nulls(spark):
+    """NaN (pandas' NULL spelling in float columns) must come back NULL
+    from cdc_to_int / cdc_to_bool, never crash or coerce to True."""
+    register.register_all(spark)
+    df = spark.createDataFrame([(1.5,), (None,), (float("inf"),)], "x double")
+    df.createOrReplaceTempView("nan_probe")
+    rows = spark.sql(
+        "SELECT cdc_to_int(x) AS i, cdc_to_bool(x) AS b FROM nan_probe"
+    ).collect()
+    got = [(r["i"], r["b"]) for r in rows]
+    assert (1, True) in got
+    assert (None, None) in got  # the NULL row
+    assert (None, True) in got  # inf: unparsable int, truthy bool
+
+
+def test_duration_seconds_long_range(spark):
+    register.register_all(spark)
+    df = spark.createDataFrame([("30000d",)], "d string")
+    df.createOrReplaceTempView("dur_long")
+    got = spark.sql("SELECT duration_seconds(d) AS s FROM dur_long").collect()[0]["s"]
+    assert got == 30000 * 86400  # > 2^31, needs LONG

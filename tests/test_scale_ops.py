@@ -367,3 +367,41 @@ def test_band_divisibility_asserts(spark):
     sig2 = spark.createDataFrame([(1, "0" * 64)], "doc_id long, simhash string")
     with pytest.raises(ValueError, match="must divide"):
         dedup.simhash_candidate_pairs(sig2, "doc_id", prefix_bits=12)
+
+
+def test_salted_join_rejects_right_join(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(2, "m")], "k long, tag string")
+    with pytest.raises(ValueError, match="right/full"):
+        skew.salted_join(big, small, ["k"], how="right")
+    with pytest.raises(ValueError, match="_salt"):
+        skew.salted_join(big.withColumn("_salt", F.lit(1)), small, ["k"])
+
+
+def test_null_text_yields_null_counts(spark):
+    """NULL documents produce NULL token counts/scores (matching the SQL
+    oracles' len(NULL) → NULL), not Spark's size(NULL) == -1."""
+    from muninn_avro_to_parquet_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, None), (2, "two words")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()
+    }
+    assert got == {1: None, 2: 2}
+    q = TX.quality_features(df).select("doc_id", "n_tokens", "quality_score").collect()
+    byid = {r["doc_id"]: r for r in q}
+    assert byid[1]["n_tokens"] is None
+
+
+def test_multimodal_custom_id_col(spark):
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    df = spark.createDataFrame([(10, "hello")], "image_id long, text string")
+    d = multimodal.attach_binary(df)
+    out = multimodal.decode_images(d, id_col="image_id", deterministic_fake=True)
+    assert out.columns[0] == "image_id"
+    plan = multimodal.frame_sample_plan(d, id_col="image_id")
+    assert plan.columns == ["image_id", "frame_index"]
