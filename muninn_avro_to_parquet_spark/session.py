@@ -13,6 +13,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Configs a query's CORRECTNESS depends on, all runtime-settable via
+# spark.conf.set. The driver's harness (and any downstream user) builds its
+# own vanilla SparkSession, so these must NOT live only in the get_spark()
+# factory below — ensure_runtime_confs() is called from tables.register_views
+# before any read, making the engine session-independent (round-1 verdict:
+# every query erred on PARQUET_TYPE_ILLEGAL / non-UTC hash drift otherwise).
+RUNTIME_CONFS = {
+    # test tables carry TIMESTAMP(NANOS) parquet columns, which Spark
+    # rejects by default; read them as raw nano longs and normalize to
+    # microsecond timestamps in the table catalog (tables.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # reference converts with explicit UTC (main.py:496); all timestamp
+    # formatting / literals assume it
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-plan, partition coalesce, skew-join — also rescues a
+    # vanilla session's default 200 shuffle partitions at small SF
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batch transfer for the pandas-UDF operators
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Pin every correctness-relevant SQL conf on an arbitrary session.
+
+    Idempotent and cheap (conf.set on an already-set value is a no-op
+    py4j call); safe to call per register_views."""
+    for key, value in RUNTIME_CONFS.items():
+        spark.conf.set(key, value)
+
+
 def get_spark(app_name: str = "muninn_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or min(32, os.cpu_count() or 4)
@@ -20,20 +53,12 @@ def get_spark(app_name: str = "muninn_spark", cpus: int | None = None) -> SparkS
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # test tables carry TIMESTAMP(NANOS) parquet columns, which Spark
-        # rejects by default; read them as raw nano longs and normalize to
-        # microsecond timestamps in the table catalog (tables.py)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_runtime_confs(spark)
     return spark

@@ -11,6 +11,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from muninn_avro_to_parquet_spark import session
+
 TABLE_NAMES = [
     "region",
     "nation",
@@ -30,6 +32,11 @@ _TINY = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the caller's session may be a vanilla one (the driver harness builds
+    # its own); pin the correctness-relevant confs before any read —
+    # events.parquet carries TIMESTAMP(NANOS) columns Spark rejects without
+    # nanosAsLong, and timestamp formatting assumes UTC
+    session.ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
@@ -60,6 +67,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     would silently run queries against the wrong dataset. Switching dirs
     unpersists the previous dir's tables so alternating smoke/correctness
     /bench dirs in one session doesn't pin every dataset in memory."""
+    # re-pin confs even on the cached path: the caller may have reset the
+    # session timezone (or any other runtime conf) since the first load
+    session.ensure_runtime_confs(spark)
     cache: dict[str, dict[str, DataFrame]] = spark.__dict__.setdefault(
         "_muninn_registered_views", {}
     )

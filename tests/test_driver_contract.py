@@ -40,3 +40,51 @@ def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+_BARE_SESSION_SCRIPT = r"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+# exactly what the driver harness does: NO engine configs, default TZ from
+# the environment (set to America/Sao_Paulo by the test — 3h off UTC)
+spark = SparkSession.builder.master("local[4]").appName("bare").getOrCreate()
+
+from muninn_avro_to_parquet_spark.plans import parity
+
+# representative sample: nanos-timestamp table read + timestamp formatting
+# (q_sessionize), plain agg (q1), dedup operator path (dedup_exact)
+results = parity.run_all(spark, "/root/testdata/sf0.001",
+                         names=["q1_pricing_summary", "q_sessionize", "dedup_exact"])
+bad = {k: v for k, v in results.items() if v.get("ok") is False}
+if bad:
+    print("PARITY_FAIL", bad)
+    sys.exit(1)
+print("PARITY_OK", sorted(results))
+"""
+
+
+def test_bare_driver_session_non_utc_tz():
+    """Round-1 regression: the driver builds its own vanilla SparkSession
+    (no nanosAsLong, no UTC pin) — all 48 CORRECTNESS rows erred on
+    PARQUET_TYPE_ILLEGAL because the configs lived only in get_spark().
+    register_views must now pin them at runtime on ANY session. Run in a
+    subprocess so the test gets a genuinely fresh JVM + a hostile TZ."""
+    import subprocess
+    import os
+
+    env = dict(os.environ, TZ="America/Sao_Paulo")
+    # a pytest-session Spark JVM may already be up; the subprocess builds
+    # its own driver so the two don't share confs
+    proc = subprocess.run(
+        [os.sys.executable, "-c", _BARE_SESSION_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout[-3000:]}\nstderr={proc.stderr[-3000:]}"
+    assert "PARITY_OK" in proc.stdout
