@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from muninn_avro_to_parquet_spark.operators.text import tokens, word_ngrams
 
 
+def _cache_scoped(df: DataFrame, scope_key: str) -> DataFrame:
+    """Cache ``df``, unpersisting whatever was previously cached under the
+    same (session, scope_key). Bounds storage-memory growth to one cached
+    relation per operator in long-lived sessions — repeated
+    ``*_candidate_pairs`` calls used to accumulate band tables forever.
+    The unpersist is safe for in-flight results from the previous call:
+    Spark recomputes evicted partitions from lineage."""
+    session_caches = df.sparkSession.__dict__.setdefault("_muninn_op_caches", {})
+    prev = session_caches.get(scope_key)
+    if prev is not None:
+        prev.unpersist()
+    cached = df.cache()
+    session_caches[scope_key] = cached
+    return cached
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact key; returns the surviving rows.
 
@@ -137,9 +153,12 @@ def minhash_candidate_pairs(
     10^6 members would emit 5·10^11 pairs. Production corpus dedup at
     10^9 docs needs this cap (the dropped buckets are near-universal
     boilerplate — worth logging, not pairing)."""
-    b = minhash_bands(
-        minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
-    ).cache()
+    b = _cache_scoped(
+        minhash_bands(
+            minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
+        ),
+        "minhash_bands",
+    )
     if max_bucket is not None:
         counts = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bucket_n"))
         b = (
@@ -257,10 +276,11 @@ def simhash_candidate_pairs(
             for band in range(num_bands)
         ]
     )
-    b = (
-        sig.select(F.col(id_col), F.explode(entries).alias("e"))
-        .select(id_col, "e.band_idx", "e.band_bits")
-        .cache()
+    b = _cache_scoped(
+        sig.select(F.col(id_col), F.explode(entries).alias("e")).select(
+            id_col, "e.band_idx", "e.band_bits"
+        ),
+        "simhash_bands",
     )
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_bits")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_bits")

@@ -300,9 +300,13 @@ def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize an embedding column (unit L2 norm, float output)."""
     # _norm_q is the norm of the QUANTIZED vector — 1e7 × the true norm
     norm = _norm_q(F.col(vec_col)) / F.lit(float(_Q))
+    # try_divide: a zero (or all-null) embedding has norm 0 — yield NULL
+    # elements instead of aborting the whole job under ANSI DIVIDE_BY_ZERO
     return df.withColumn(
         vec_col,
-        F.transform(F.col(vec_col), lambda x: (x.cast("double") / norm).cast("float")),
+        F.transform(
+            F.col(vec_col), lambda x: F.try_divide(x.cast("double"), norm).cast("float")
+        ),
     )
 
 

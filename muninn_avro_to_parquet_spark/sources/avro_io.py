@@ -26,7 +26,6 @@ import zlib
 from typing import Any, BinaryIO, Iterator
 
 MAGIC = b"Obj\x01"
-DEFAULT_SYNC = b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09\x0a\x0b\x0c\x0d\x0e\x0f"
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 
 
@@ -117,6 +116,11 @@ def _decode(r: _Reader, node: Any, names: dict[str, Any]) -> Any:
             raise ValueError(f"unknown Avro type name {node!r}")
     elif isinstance(node, list):  # union: long index, then value
         idx = r.read_long()
+        # a corrupt varint must not decode the wrong branch via Python
+        # negative indexing, nor leak a bare IndexError past the module's
+        # corruption-error contract
+        if not 0 <= idx < len(node):
+            raise ValueError(f"invalid union branch index {idx} (union has {len(node)} branches)")
         return _decode(r, node[idx], names)
     else:
         t = node["type"]
@@ -450,6 +454,14 @@ def write_file(
 ) -> None:
     """Write an OCF file (used by tests/fixtures and the demo generator)."""
     names = collect_names(schema)
+    # per-file sync marker, like real Avro writers: a fixed marker can
+    # legitimately occur inside a record payload and false-match in
+    # _seek_past_sync on a split read. Derive it from the schema + path
+    # (deterministic — fixtures must be reproducible without Date/random)
+    # rather than a process-wide constant.
+    import hashlib
+
+    sync = hashlib.sha256(json.dumps(schema, sort_keys=True).encode() + path.encode()).digest()[:16]
     with open(path, "wb") as f:
         f.write(MAGIC)
         meta = {
@@ -466,7 +478,7 @@ def write_file(
             hdr += v
         hdr += _zigzag(0)
         f.write(hdr)
-        f.write(DEFAULT_SYNC)
+        f.write(sync)
         for i in range(0, max(len(records), 1), block_size):
             chunk = records[i : i + block_size]
             if not chunk:
@@ -481,4 +493,4 @@ def write_file(
             f.write(_zigzag(len(chunk)))
             f.write(_zigzag(len(payload)))
             f.write(payload)
-            f.write(DEFAULT_SYNC)
+            f.write(sync)

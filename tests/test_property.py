@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
@@ -353,6 +354,39 @@ def test_distributed_read_with_small_split_threshold(spark, tmp_path_factory, mo
     df = avro_source.read_avro(spark, [path])
     ids = [r["id"] for r in df.select("id").collect()]
     assert sorted(ids) == list(range(5000))
+
+
+def test_union_branch_index_out_of_range_raises():
+    """A corrupt varint must not decode the wrong branch via Python
+    negative indexing, nor leak a bare IndexError."""
+    union = ["null", "long"]
+    # zigzag(5)=10 → branch index 5 of a 2-branch union
+    r = avro_io._Reader(bytes([10]))
+    with pytest.raises(ValueError, match="union branch"):
+        avro_io._decode(r, union, {})
+    # zigzag(-1)=1 → would have silently decoded node[-1] before the fix
+    r = avro_io._Reader(bytes([1, 0x02]))
+    with pytest.raises(ValueError, match="union branch"):
+        avro_io._decode(r, union, {})
+
+
+def test_per_file_sync_markers_differ(tmp_path_factory):
+    """Sync markers are derived per (schema, path) — two files must not
+    share one predictable constant (payload-collision hazard on splits)."""
+    schema = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    d = tmp_path_factory.mktemp("syncs")
+    pa, pb = str(d / "a.avro"), str(d / "b.avro")
+    avro_io.write_file(pa, schema, [{"x": 1}])
+    avro_io.write_file(pb, schema, [{"x": 1}])
+    syncs = []
+    for p in (pa, pb):
+        with open(p, "rb") as f:
+            header = f.read(1 << 16)
+            _, sync, _ = avro_io._parse_header(header, f)
+        syncs.append(sync)
+    assert syncs[0] != syncs[1]
+    _, rows = avro_io.read_file(pa)
+    assert [r["x"] for r in rows] == [1]
 
 
 def test_split_boundary_inside_header_sync_window(tmp_path_factory):

@@ -245,6 +245,19 @@ def test_normalize_unit_norm(spark):
     assert abs(vec[0] - 0.6) < 1e-6 and abs(vec[1] - 0.8) < 1e-6
 
 
+def test_normalize_survives_zero_vector(spark):
+    """A zero embedding (norm 0) must normalize to NULL elements, not
+    abort the job with DIVIDE_BY_ZERO under ANSI mode."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r["embedding"] for r in similarity.normalize(df).collect()}
+    assert abs(rows[1][0] - 0.6) < 1e-6
+    assert rows[2] == [None, None]
+
+
 def test_exact_dedup_null_vs_sentinel(spark):
     from muninn_avro_to_parquet_spark.operators import dedup
 
