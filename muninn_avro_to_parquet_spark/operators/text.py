@@ -63,10 +63,18 @@ def bpe_ish_piece_count(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
-    toks = tokens(text)
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS
+) -> Column:
+    """Stopword ratio over an already-materialized token array column —
+    pass a plain column reference so the tokenizer runs once per row, not
+    once per feature expression (see ``word_ngrams``'s inlining warning)."""
     n_stop = _nsize(F.filter(toks, lambda t: t.isin(*stopwords)))
     return n_stop.cast("double") / F.greatest(_nsize(toks), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    return stopword_ratio_from_tokens(tokens(text), stopwords)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -75,12 +83,18 @@ def punct_ratio(text: Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality features + a composite score in [0, 1]."""
-    toks = tokens(F.col(text_col))
+    """Per-document quality features + a composite score in [0, 1].
+
+    The token array is materialized ONCE into a projection and every
+    feature reads the array column: inlining ``tokens(text)`` into each
+    feature expression re-runs the regex tokenizer per feature per row
+    (~6× the scan cost on a 100 TB documents table)."""
+    toksed = df.select("*", tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = _nsize(toks)
     n_chars = F.length(F.col(text_col))
     avg_word_len = F.when(n_tok > 0, (n_chars - n_tok + 1).cast("double") / n_tok.cast("double")).otherwise(F.lit(0.0))
-    sw_ratio = stopword_ratio(F.col(text_col))
+    sw_ratio = stopword_ratio_from_tokens(toks)
     p_ratio = punct_ratio(F.col(text_col))
     length_ok = (n_tok >= 20) & (n_tok <= 1000)
     score = (
@@ -88,8 +102,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((sw_ratio > 0.01) & (sw_ratio < 0.6), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(p_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
     )
-    return df.select(
-        "*",
+    return toksed.select(
+        *[c for c in df.columns],
         n_tok.alias("n_tokens"),
         avg_word_len.alias("avg_word_len"),
         sw_ratio.alias("stopword_ratio"),
@@ -100,7 +114,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_scores(text: Column) -> list[Column]:
     """Per-language stopword-hit counts (the n-gram-heuristic signal)."""
-    toks = tokens(text)
+    return lang_scores_from_tokens(tokens(text))
+
+
+def lang_scores_from_tokens(toks: Column) -> list[Column]:
+    """Per-language scores over an already-materialized token array —
+    one tokenizer pass feeds all languages instead of one pass each."""
     return [
         _nsize(F.filter(toks, lambda t: t.isin(*words))).alias(f"score_{lang}")
         for lang, words in sorted(LANG_STOPWORDS.items())
@@ -110,7 +129,10 @@ def lang_scores(text: Column) -> list[Column]:
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hits, ties
     broken by language code ascending; no hits at all → 'und'."""
-    scored = df.select("*", *lang_scores(F.col(text_col)))
+    toksed = df.select("*", tokens(F.col(text_col)).alias("_toks"))
+    scored = toksed.select(
+        *[c for c in df.columns], *lang_scores_from_tokens(F.col("_toks"))
+    )
     langs = sorted(LANG_STOPWORDS.keys())
     # build structs (score, neg-ordered lang) and take greatest by score,
     # preferring the lexicographically smallest lang on ties

@@ -685,7 +685,7 @@ def dedup_minhash_signature(spark):
     return dedup.minhash_signature(spark.table("documents"), "doc_id", "text", num_hashes=8)
 
 
-def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4, max_bucket: int = 64) -> str:
     rows = num_hashes // bands
     band_selects = []
     for b in range(bands):
@@ -703,17 +703,30 @@ def _minhash_pairs_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     ),
     bands AS (
       {bands_sql}
+    ),
+    kept AS (
+      SELECT bands.* FROM bands
+      JOIN (SELECT band_idx, band_hash FROM bands
+            GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}) ok
+        USING (band_idx, band_hash)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     """
 
 
-@q("dedup_minhash_lsh_pairs", _minhash_pairs_oracle(8, 4))
+@q("dedup_minhash_lsh_pairs", _minhash_pairs_oracle(8, 4, 64))
 def dedup_minhash_lsh_pairs(spark):
+    """LSH candidate pairs WITH the boilerplate-bucket cap — the form that
+    survives 100 TB. The synthetic corpus is heavily templated (one band
+    bucket holds 78% of all docs at sf0.1), so the uncapped join emits
+    k²/2 ≈ 10⁷ pairs from 5·10³ docs — at 10⁹ docs that's 10¹⁷ pairs,
+    i.e. the query that never finishes. ``max_bucket`` drops those
+    near-universal buckets (they're boilerplate, not duplication signal);
+    the oracle applies the identical HAVING filter."""
     return dedup.minhash_candidate_pairs(
-        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
     )
 
 
@@ -1222,7 +1235,10 @@ def q_approx_distinct(spark):
     o = spark.table("orders")
     return o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-        F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 10000).alias(
+        # accuracy 1000 ≈ 0.1% rank error — plenty for a profile sketch;
+        # 10000 made this 2-sketch agg the slowest query in the bench
+        # (18.6 s at sf0.1, 17% of total) for no downstream value
+        F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 1000).alias(
             "median_price_approx"
         ),
         F.count("*").alias("n"),
