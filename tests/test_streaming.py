@@ -84,6 +84,68 @@ def test_stream_exactly_once_and_restart(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
 
 
+def test_native_stream_exactly_once_and_restart(spark, tmp_path):
+    """Structured-Streaming converter: Spark's FileStreamSource checkpoint
+    must deliver each file exactly once, including across a simulated
+    process restart (a NEW converter on the same checkpoint dir)."""
+    from muninn_avro_to_parquet_spark.streaming import native_stream
+
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pattern = str(tmp_path / "avro" / "*" / "*.avro")
+
+    conv = native_stream.NativeStreamingConverter(spark, pattern, out, ckpt)
+    _one_file(base, "a.avro", [0, 1, 2])
+    run1 = conv.process_available(ingestion_date="2026-01-01")
+    assert sum(len(b.new_files) for b in run1) == 1
+    assert {t: n for b in run1 for t, n in b.tables.items()} == {"customers": 3}
+
+    # nothing new → drain run delivers no files
+    run2 = conv.process_available(ingestion_date="2026-01-01")
+    assert sum(len(b.new_files) for b in run2) == 0
+
+    # restart: a NEW converter object on the SAME checkpoint, plus a new
+    # file — only the new file converts, acknowledged ones never replay
+    _one_file(base, "b.avro", [3, 4])
+    conv2 = native_stream.NativeStreamingConverter(spark, pattern, out, ckpt)
+    run3 = conv2.process_available(ingestion_date="2026-01-01")
+    new3 = [p for b in run3 for p in b.new_files]
+    assert len(new3) == 1 and new3[0].endswith("b.avro")
+    assert {t: n for b in run3 for t, n in b.tables.items()} == {"customers": 2}
+
+    df = spark.read.parquet(os.path.join(out, "customers"))
+    assert sorted(r["id"] for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_native_stream_poison_file_does_not_wedge(spark, tmp_path):
+    """A file that fails even the all-string fallback is recorded and
+    skipped; the healthy file in the same batch still converts and the
+    stream commits (no crash loop)."""
+    from muninn_avro_to_parquet_spark.streaming import native_stream
+
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    _one_file(base, "good.avro", [0, 1])
+    with open(base / "poison.avro", "wb") as f:
+        f.write(b"Obj\x01garbage-not-avro")
+    conv = native_stream.NativeStreamingConverter(
+        spark,
+        str(tmp_path / "avro" / "*" / "*.avro"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    run = conv.process_available(ingestion_date="2026-01-01")
+    tables = {t: n for b in run for t, n in b.tables.items()}
+    failed = [p for b in run for p in b.failed_files]
+    assert tables == {"customers": 2}
+    assert len(failed) == 1 and failed[0].endswith("poison.avro")
+    # the poisoned batch committed: a re-run delivers nothing
+    run2 = conv.process_available(ingestion_date="2026-01-01")
+    assert sum(len(b.new_files) for b in run2) == 0
+
+
 def test_stream_drain(spark, tmp_path):
     base = tmp_path / "avro" / "customers"
     base.mkdir(parents=True)
