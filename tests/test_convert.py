@@ -147,9 +147,10 @@ def test_deviant_values_lenient_coercion(spark, tmp_path):
 
 
 def test_fallback_on_schema_drift(spark, tmp_path):
-    """A table whose typed conversion fails (payload type drift between
-    files) must land via the all-string fallback, not fail the run —
-    reference main.py:524-567 semantics."""
+    """Type-conflicting drift between files degrades ONLY the conflicted
+    column to strings (merge-cast), not the whole table to all-string —
+    strictly better than the reference's file-level fallback
+    (main.py:524-567) while keeping its never-fail-the-run contract."""
     from muninn_avro_to_parquet_spark.sources import avro_io as aio
 
     base = tmp_path / "avro" / "drifty"
@@ -184,13 +185,67 @@ def test_fallback_on_schema_drift(spark, tmp_path):
         spark, str(tmp_path / "avro" / "**" / "*.avro"), out, ingestion_date="2026-01-05"
     )
     assert res.tables == {"drifty": 2}
-    assert len(res.fallback_files) == 2  # whole table degraded
+    assert res.fallback_files == []  # merge-cast: no table-level fallback
+    assert res.schema_versions == {"drifty": 2}
 
     df = spark.read.parquet(os.path.join(out, "drifty"))
     rows = {r["source_metadata"]["tx_id"]: r["id"] for r in df.collect()}
-    # all-string shape: scalars via str(), containers via str() of elements
+    # the conflicted column is stringified in EVERY version: scalars via
+    # str(), containers via sorted-key compact JSON
     assert rows[1] == "1"
     assert rows[2] == '["x","y"]' or rows[2] == "['x', 'y']"
+
+
+def test_schema_drift_merges_added_column(spark, tmp_path):
+    """A column added mid-stream lands in the unified output schema: old
+    files' rows carry NULL, new files' rows carry typed values — neither
+    first-file-wins (column dropped) nor whole-table stringification."""
+    from muninn_avro_to_parquet_spark.sources import avro_io as aio
+
+    base = tmp_path / "avro" / "evolving"
+    base.mkdir(parents=True)
+
+    def meta(i):
+        return {
+            "schema": "public", "table": "evolving", "is_deleted": False,
+            "change_type": "INSERT", "tx_id": i, "lsn": f"0/{i}",
+            "primary_keys": ["id"],
+        }
+
+    v1 = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][3]["type"]},
+            {"name": "payload", "type": {"type": "record", "name": "p1", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]}]}},
+        ]}
+    v2 = {
+        "type": "record", "name": "rec", "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][3]["type"]},
+            {"name": "payload", "type": {"type": "record", "name": "p2", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"]},
+                {"name": "age", "type": ["null", "int"]}]}},
+        ]}
+    aio.write_file(str(base / "a.avro"), v1,
+                   [{"source_metadata": meta(1), "payload": {"id": 1, "name": "a"}}])
+    aio.write_file(str(base / "b.avro"), v2,
+                   [{"source_metadata": meta(2), "payload": {"id": 2, "name": "b", "age": 30}}])
+
+    out = str(tmp_path / "out")
+    res = convert.convert(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), out, ingestion_date="2026-01-05"
+    )
+    assert res.tables == {"evolving": 2}
+    assert res.fallback_files == []
+    assert res.schema_versions == {"evolving": 2}
+
+    df = spark.read.parquet(os.path.join(out, "evolving"))
+    assert "age" in df.columns
+    assert dict(df.dtypes)["id"] == "bigint"  # unconflicted columns stay typed
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["age"] is None and rows[1]["name"] == "a"
+    assert rows[2]["age"] == 30 and rows[2]["name"] == "b"
 
 
 def test_schema_drift_detection(spark, tmp_path):
