@@ -2,12 +2,18 @@
 
 Media travel as opaque ``binary`` columns plus a typed metadata struct; the
 Spark-side plumbing — schemas, batch shapes, partition-friendly UDF
-signatures — is real and tested. The actual codec work (JPEG decode, audio
-resample, video frame extraction) is STUBBED: the runtime image has no
-media libraries, so ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``deterministic_fake=True``, which produces
-a seeded fake derived from the content hash (stable across runs/engines —
-good enough to test every downstream operator).
+signatures — is real and tested. Codec coverage is tiered:
+
+- ``deterministic_fake=True``: a seeded fake derived from the content hash
+  (stable across runs/engines — the oracle-parity mode, and what the
+  registry queries use).
+- real decode, stdlib-only: BMP (24-bit uncompressed) and PPM (P6) images,
+  WAV (PCM) audio — no third-party dependency, covered by tests in this
+  image.
+- real decode, optional dependency: Pillow (JPEG/PNG/…) when importable;
+  video frame extraction stays a plan-only operator (no stdlib video
+  codec exists). Formats beyond these raise ``ValueError`` per ROW batch
+  — a clear contract, not a silent wrong answer.
 
 At 100 TB: binary payloads stay columnar (Parquet binary + Snappy), decode
 runs in ``mapInPandas`` with Arrow batches so each task holds only one
@@ -18,6 +24,8 @@ size field balances skew from mixed media sizes.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -70,6 +78,78 @@ def _fake_image_features(doc_id: int, payload: bytes) -> tuple[int, int, int, fl
     return doc_id, width, height, mean_luma
 
 
+# BT.601 luma weights — the conventional grayscale conversion
+_LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib decode of an uncompressed 24-bit BMP → (w, h, mean_luma)."""
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    width = struct.unpack_from("<i", data, 18)[0]
+    height = struct.unpack_from("<i", data, 22)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    abs_h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    total = 0.0
+    for r in range(abs_h):
+        base = pixel_offset + r * row_bytes
+        for c in range(width):
+            b, g, rr = data[base + 3 * c : base + 3 * c + 3]
+            total += _LUMA_R * rr + _LUMA_G * g + _LUMA_B * b
+    return width, abs_h, total / (width * abs_h * 255.0)
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib decode of a binary PPM (P6) → (w, h, mean_luma)."""
+    # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    total = 0.0
+    for i in range(width * height):
+        r, g, b = data[pos + 3 * i : pos + 3 * i + 3]
+        total += _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    return width, height, total / (width * height * maxval)
+
+
+def _real_image_features(doc_id, payload: bytes):
+    """Real image decode: Pillow when importable (JPEG/PNG/…), else the
+    stdlib BMP/PPM decoders. Unsupported bytes → ValueError."""
+    payload = bytes(payload or b"")
+    try:
+        from PIL import Image  # optional dependency — absent in this image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        pixels = list(img.getdata())
+        return doc_id, img.width, img.height, sum(pixels) / (len(pixels) * 255.0)
+    except ImportError:
+        pass
+    if payload[:2] == b"BM":
+        w, h, luma = _decode_bmp(payload)
+    elif payload[:2] == b"P6":
+        w, h, luma = _decode_ppm(payload)
+    else:
+        raise ValueError(
+            "unsupported image format without Pillow (stdlib path handles "
+            "BMP/PPM); install Pillow for JPEG/PNG"
+        )
+    return doc_id, w, h, luma
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -78,21 +158,17 @@ def decode_images(
 ) -> DataFrame:
     """Image decode + feature extraction over Arrow batches.
 
-    Real decode is unavailable in this image (no PIL/opencv); the plumbing
-    (mapInPandas signature, output schema, batch iteration) is the part the
-    engine owns and tests."""
+    ``deterministic_fake=True`` is the oracle-parity mode; the real path
+    decodes BMP/PPM with the stdlib and anything Pillow handles when it is
+    installed. The decode is per-element Python inside ``mapInPandas`` —
+    codec work is irreducibly per-image; Arrow batching amortizes the
+    transfer, and the plumbing (signature, schema, batching) is identical
+    for any future vectorized codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_image_features if deterministic_fake else _real_image_features
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image decode requires a media library not present in this "
-                    "runtime; pass deterministic_fake=True for the seeded stub"
-                )
-            rows = [
-                _fake_image_features(i, m)
-                for i, m in zip(pdf[id_col], pdf[media_col])
-            ]
+            rows = [decode(i, m) for i, m in zip(pdf[id_col], pdf[media_col])]
             yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_luma"])
 
     schema = image_features_type(id_col, df.schema[id_col].dataType)
@@ -125,6 +201,32 @@ def _fake_audio_features(doc_id: int, payload: bytes) -> tuple[int, int, float, 
     return doc_id, sample_rate, duration_s, rms
 
 
+def _real_audio_features(doc_id, payload: bytes):
+    """Real audio decode via the stdlib ``wave`` module (PCM WAV):
+    sample rate, duration, and RMS level normalized to [0, 1]."""
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as w:
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    duration_s = n_frames / float(rate) if rate else 0.0
+    if sampwidth == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        full_scale = 32768.0
+    elif sampwidth == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = [b - 128 for b in frames]
+        full_scale = 128.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    if samples:
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / full_scale
+    else:
+        rms = 0.0
+    return doc_id, rate, duration_s, rms
+
+
 def decode_audio(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,19 +234,14 @@ def decode_audio(
     deterministic_fake: bool = False,
 ) -> DataFrame:
     """Audio decode + feature extraction over Arrow batches (same plumbing
-    contract as ``decode_images``; codec stubbed — no audio libs here)."""
+    contract as ``decode_images``). The real path reads PCM WAV with the
+    stdlib ``wave`` module — no third-party dependency; compressed formats
+    (mp3/ogg) would need an optional codec library."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_audio_features if deterministic_fake else _real_audio_features
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "audio decode requires a media library not present in this "
-                    "runtime; pass deterministic_fake=True for the seeded stub"
-                )
-            rows = [
-                _fake_audio_features(i, m)
-                for i, m in zip(pdf[id_col], pdf[media_col])
-            ]
+            rows = [decode(i, m) for i, m in zip(pdf[id_col], pdf[media_col])]
             yield pd.DataFrame(
                 rows, columns=[id_col, "sample_rate", "duration_s", "rms"]
             )
