@@ -1,0 +1,188 @@
+"""Dataset-assembly operators for LLM training-data pipelines: deterministic
+train/val/test splits, per-stratum sampling, token-chunk span dedup, and
+length histograms.
+
+All of these are pure Column-expression compositions (whole-stage codegen,
+zero Python in the hot path) built on one primitive: a uniform hash bucket
+derived from ``md5(salt ':' id)``. The md5 prefix compares lexicographically
+identically everywhere, so the same document lands in the same split on
+Spark, DuckDB, or any other engine — the property that makes a 100 TB split
+reproducible across re-runs, engines, and partial re-processing (no RNG, no
+``rand()`` whose seed semantics differ per engine/partition).
+
+Scale notes: split assignment and sampling are narrow per-row projections
+(no shuffle at all); chunk dedup shuffles once on the chunk hash — the same
+single-shuffle shape as the exact/MinHash dedup family in ``dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators.text import tokens
+
+# 4 hex chars = 65536 buckets: fraction resolution 1/65536 ≈ 0.0015%,
+# plenty for split weights while keeping the cutoffs short printable
+# strings that both engines compare identically.
+_BUCKET_BITS = 16
+_BUCKETS = 1 << _BUCKET_BITS
+_PREFIX_LEN = _BUCKET_BITS // 4
+
+
+def hash_bucket_prefix(id_col: Column, salt: str) -> Column:
+    """First 4 hex chars of md5('<salt>:<id>') — a uniform, engine-portable
+    bucket key. Lexicographic order on the fixed-length hex prefix equals
+    numeric order on the 16-bit bucket."""
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, _PREFIX_LEN
+    )
+
+
+def fraction_cutoff_hex(fraction: float) -> str:
+    """Hex cutoff string c such that P(prefix < c) == fraction (to 1/65536)."""
+    n = int(round(min(max(fraction, 0.0), 1.0) * _BUCKETS))
+    # 'ffff' < '10000' is False lexicographically; the caller must special-
+    # case fraction >= 1 (keep everything) — returning the sentinel makes
+    # that explicit rather than silently wrong.
+    return format(n, f"0{_PREFIX_LEN}x") if n < _BUCKETS else "KEEP_ALL"
+
+
+def split_column(
+    id_col: Column, weights: dict[str, float], salt: str = "split"
+) -> Column:
+    """Deterministic split label from cumulative hash-bucket cutoffs.
+
+    ``weights`` maps label → weight (need not sum to 1; normalized here).
+    Iteration order of the dict defines cutoff order, so pass an ordered
+    mapping ({'train': .8, 'val': .1, 'test': .1}).
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    prefix = hash_bucket_prefix(id_col, salt)
+    labels = list(weights)
+    cum = 0.0
+    expr: Column | None = None
+    for label in labels[:-1]:
+        cum += weights[label] / total
+        cond = prefix < F.lit(fraction_cutoff_hex(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column with a deterministic hash-based assignment.
+
+    Shuffle-free: one projection over the scan; re-running over any subset
+    of the data (backfill, late partition) yields identical assignments.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    return df.withColumn("split", split_column(F.col(id_col), weights, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (dataset mixing by source).
+
+    ``fractions`` maps stratum value → keep fraction. Unlike
+    ``df.sampleBy`` (seeded RNG whose draw depends on partitioning), the
+    hash filter is a pure function of the row id: stable under AQE
+    re-partitioning, retries, and incremental reprocessing. Shuffle-free.
+    """
+    prefix = hash_bucket_prefix(F.col(id_col), salt)
+
+    def keep_cond(fraction: float) -> Column:
+        cutoff = fraction_cutoff_hex(fraction)
+        if cutoff == "KEEP_ALL":
+            return F.lit(True)
+        return prefix < F.lit(cutoff)
+
+    cond: Column = keep_cond(default_fraction)
+    # build a CASE over strata values; unlisted strata use default_fraction
+    expr = None
+    for value, fraction in fractions.items():
+        branch = F.when(F.col(strata_col) == value, keep_cond(fraction))
+        expr = branch if expr is None else expr.when(F.col(strata_col) == value, keep_cond(fraction))
+    cond = cond if expr is None else expr.otherwise(cond)
+    return df.filter(cond)
+
+
+def token_chunks(
+    df: DataFrame, id_col: str, text_col: str = "text", chunk_size: int = 4
+) -> DataFrame:
+    """Explode each document into hashes of consecutive non-overlapping
+    ``chunk_size``-token spans: (id, chunk_idx, chunk_hash).
+
+    This is the cheap approximation of span-level (suffix-array) dedup:
+    exact repeated spans across documents collide on chunk_hash. The
+    explode multiplies rows by ~n_tokens/chunk_size, but each output row
+    is just (long, int, 32-char hex) — narrow enough that 100 TB of text
+    becomes ~tens of TB of chunk keys, shuffled once by the consumer.
+    """
+    toksed = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), (i * chunk_size + 1).cast("int"), chunk_size))
+        ),
+    )
+    return (
+        toksed.filter(F.size("toks") > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_hash"))
+    )
+
+
+def duplicated_chunks(
+    df: DataFrame, id_col: str, text_col: str = "text", chunk_size: int = 4
+) -> DataFrame:
+    """Token spans appearing in more than one document: one groupBy on the
+    chunk hash (single shuffle), map-side partial aggregation for free.
+
+    Output: chunk_hash, n_docs (distinct docs containing the span),
+    n_occurrences (total repeats). At 100 TB the HAVING n_docs > 1 filter
+    runs inside the aggregate — only the duplicated tail survives.
+    """
+    ch = token_chunks(df, id_col, text_col, chunk_size)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def length_histogram(
+    df: DataFrame, length_col: str = "n_chars", bucket_width: int = 200, n_buckets: int = 10
+) -> DataFrame:
+    """Fixed-width length histogram with an overflow top bucket — the
+    standard pre-training length-distribution audit. Single hash agg on a
+    small key domain (n_buckets rows out, whatever rows in)."""
+    bucket = F.least(
+        F.floor(F.col(length_col) / F.lit(bucket_width)), F.lit(n_buckets - 1)
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), F.col(length_col))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(length_col).alias("min_len"),
+            F.max(length_col).alias("max_len"),
+            (F.sum(length_col).cast("double") / F.count("*")).alias("avg_len"),
+        )
+    )

@@ -296,6 +296,29 @@ def ann_topk_ivf(
     return _rank_topk(scored, k, id_col)
 
 
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector, one row per (label, dimension).
+
+    Sums run over quantized BIGINTs (exact, order-independent — a double
+    sum would be partition-order-dependent and never hash-match another
+    engine), divided back to double at the end. Single hash aggregate with
+    map-side partial combine; the posexplode multiplies rows by the
+    dimension count but each row is 3 small fixed-width columns, so at
+    100 TB this shuffles ~dim × n_rows × 20 bytes — the same shape every
+    distributed k-means/IVF training step uses.
+    """
+    el = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_qvec(F.col(vec_col))).alias("pos", "q"),
+    )
+    return el.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / (F.count("*") * F.lit(float(_Q)))).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
 def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """L2-normalize an embedding column (unit L2 norm, float output)."""
     # _norm_q is the norm of the QUANTIZED vector — 1e7 × the true norm

@@ -185,6 +185,39 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str = "text", ngram: int =
     )
 
 
+# PII patterns deliberately restricted to regex features with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB/Go): character classes,
+# bounded quantifiers, \b word boundaries — no lookarounds, no backrefs.
+# Order matters: SSN before PHONE (both are digit-dash shapes).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b(?:\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace common PII shapes (emails, SSNs, phone numbers, IPv4) with
+    typed placeholder tokens. Pure regexp_replace chain — whole-stage
+    codegen, linear over a 100 TB corpus, no Python."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-category PII match counts (audit columns), same patterns as
+    ``scrub_pii``; NULL text → NULL counts."""
+    return [
+        F.when(
+            text.isNotNull(), F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+        ).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+
+
 def rolling_hash_fingerprint(
     df: DataFrame, id_col: str, text_col: str = "text", modulus: int = 2**31
 ) -> DataFrame:

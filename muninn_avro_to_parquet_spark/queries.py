@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from muninn_avro_to_parquet_spark import tables
-from muninn_avro_to_parquet_spark.operators import dedup, multimodal, similarity, text
+from muninn_avro_to_parquet_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)
 
 MONEY = "decimal(12,2)"
 RATE = "decimal(8,6)"
@@ -1368,5 +1374,401 @@ def q_event_value_stats(spark):
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             (F.sum(v_dec).cast("double") / F.count("*")).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset-assembly extensions: splits / sampling / span dedup / PII / audits
+# ---------------------------------------------------------------------------
+
+# cutoffs shared verbatim by the Spark operator and the DuckDB oracle so a
+# document can never land in different splits on different engines
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_CUT_TRAIN = pipeline.fraction_cutoff_hex(0.8)
+_SPLIT_CUT_VAL = pipeline.fraction_cutoff_hex(0.8 + 0.1)
+
+# dataset-mixing fractions: each synthetic source srcN keeps a fraction
+# cycling through [1.0, 0.5, 0.25, 0.1] — exercises the keep-all fast path
+# and three distinct hash cutoffs
+_MIX_FRACTIONS = {f"src{n}": [1.0, 0.5, 0.25, 0.1][n % 4] for n in range(20)}
+
+
+@q(
+    "split_train_val_test",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_CUT_TRAIN}' THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{_SPLIT_CUT_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark):
+    """Deterministic hash split (operators/pipeline.py assign_split):
+    shuffle-free projection, reproducible at 100 TB across engines and
+    partial re-runs — unlike rand()-seeded sampling whose draw depends on
+    partition layout."""
+    d = spark.table("documents")
+    return pipeline.assign_split(d, "doc_id", _SPLIT_WEIGHTS).select(
+        "doc_id", "source", "split"
+    )
+
+
+def _mix_oracle() -> str:
+    branches = []
+    for src, frac in _MIX_FRACTIONS.items():
+        cutoff = pipeline.fraction_cutoff_hex(frac)
+        keep = (
+            "TRUE"
+            if cutoff == "KEEP_ALL"
+            else f"substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{cutoff}'"
+        )
+        branches.append(f"WHEN source = '{src}' THEN {keep}")
+    return f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE CASE {' '.join(branches)} ELSE FALSE END
+    """
+
+
+@q("sample_stratified_sources", _mix_oracle())
+def sample_stratified_sources(spark):
+    """Per-source dataset mixing (operators/pipeline.py stratified_sample):
+    hash-threshold keep filter, stable under AQE repartitioning/retries."""
+    d = spark.table("documents")
+    return pipeline.stratified_sample(
+        d, "doc_id", "source", _MIX_FRACTIONS, default_fraction=0.0
+    ).select("doc_id", "source", "lang")
+
+
+@q(
+    "dedup_token_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, t,
+             unnest(range(CAST(ceil(len(t) / 4.0) AS BIGINT))) AS i
+      FROM toks WHERE len(t) > 0
+    ),
+    hashed AS (
+      SELECT doc_id,
+             md5(array_to_string(t[(i * 4 + 1):(i * 4 + 4)], ' ')) AS chunk_hash
+      FROM chunks
+    )
+    SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+    FROM hashed GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def dedup_token_chunks(spark):
+    """Span-level dedup approximation: non-overlapping 4-token chunk hashes
+    shared across documents (operators/pipeline.py duplicated_chunks) —
+    one shuffle on the chunk hash, HAVING pushed into the aggregate."""
+    return pipeline.duplicated_chunks(spark.table("documents"), "doc_id", "text", chunk_size=4)
+
+
+@q(
+    "doc_length_buckets",
+    """
+    SELECT CAST(least(floor(n_chars / 200), 9) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_len,
+           MAX(n_chars) AS max_len,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_len
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_buckets(spark):
+    """Length-distribution audit (operators/pipeline.py length_histogram):
+    single hash agg onto a 10-value key domain."""
+    return pipeline.length_histogram(spark.table("documents"), "n_chars", 200, 10)
+
+
+def _pii_oracle() -> str:
+    scrubbed = "text"
+    for _, pattern, token in text.PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pattern}', '{token}', 'g')"
+    counts = ",\n           ".join(
+        f"CASE WHEN text IS NOT NULL THEN len(regexp_extract_all(text, '{pattern}')) END AS n_{name}"
+        for name, pattern, _ in text.PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id,
+           md5({scrubbed}) AS scrub_hash,
+           {counts}
+    FROM documents
+    """
+
+
+@q("text_pii_scrub", _pii_oracle())
+def text_pii_scrub(spark):
+    """PII scrub + audit counts (operators/text.py scrub_pii/pii_counts):
+    regexp_replace chain, whole-stage codegen, linear at 100 TB. The
+    synthetic corpus contains no PII (counts are 0 here); hit behavior is
+    unit-tested on strings with real emails/SSNs/phones/IPs in
+    tests/test_pipeline_ops.py."""
+    d = spark.table("documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.md5(text.scrub_pii(t)).alias("scrub_hash"),
+        *text.pii_counts(t),
+    )
+
+
+@q(
+    "embedding_centroids",
+    """
+    WITH el AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS q
+      FROM embeddings
+    )
+    SELECT label, pos,
+           CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 10000000.0) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM el GROUP BY 1, 2
+    """,
+)
+def embedding_centroids(spark):
+    """Per-label mean vectors (operators/similarity.py label_centroids):
+    quantized-BIGINT sums (order-independent, engine-exact), one hash agg —
+    the building block of distributed k-means / IVF training."""
+    return similarity.label_centroids(spark.table("embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: TPC-H-style q4/q10/q14/q18, deciles, range-frame window
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark):
+    """TPC-H Q4 shape (EXISTS → left-semi join; reference has no joins at
+    all, SURVEY §2.2). The semi join shuffles only the orderkey + date
+    columns; the agg key domain is 5 values."""
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = spark.table("lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS revenue,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark):
+    """TPC-H Q10: returned-item revenue by customer. nation broadcasts
+    (25 rows); the lineitem filter prunes before the join; top-20 compiles
+    to TakeOrderedAndProject (no global sort materialization)."""
+    li = spark.table("lineitem").filter(F.col("l_returnflag") == "R")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    c = spark.table("customer")
+    n = F.broadcast(spark.table("nation"))
+    rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            _dec("c_acctbal", MONEY).cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS DOUBLE) AS promo_pct,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark):
+    """TPC-H Q14: promo revenue share. part (2k rows at sf0.01) broadcasts;
+    lineitem's date filter is pushed to the parquet scan, so one month of
+    data ever leaves the scan at any SF."""
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = F.broadcast(spark.table("part"))
+    rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    zero = F.lit(0).cast(MONEY)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+        )
+        .cast("double")
+        .alias("promo_pct"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q(
+    "q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice,
+           CAST(total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark):
+    """TPC-H Q18: large-volume orders. The lineitem pre-aggregate (partial
+    combine on l_orderkey) shrinks the join probe side to the HAVING
+    survivors before any join happens — the shape that survives 100 TB."""
+    big = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", QTY)).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 200)
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _dec("o_totalprice", MONEY).cast("double").alias("totalprice"),
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@q(
+    "q_ntile_deciles",
+    """
+    WITH d AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+    FROM d GROUP BY decile
+    """,
+)
+def q_ntile_deciles(spark):
+    """Decile audit via ntile. The empty-partition global-order window is a
+    single-reducer sort — correct here, and the documented trade-off: at
+    100 TB you'd pre-bucket by range (approx quantiles) instead."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    d = spark.table("customer").select(
+        "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.sum(_dec("c_acctbal", MONEY)).cast("double").alias("sum_bal"),
+    )
+
+
+@q(
+    "q_moving_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS moving_sum_1h,
+           COUNT(*) OVER w AS n_events_1h
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_range_window(spark):
+    """RANGE-frame moving aggregate (trailing 1 h per user). The summed
+    values are quantized to BIGINT so the windowed sum is exact — a double
+    sum's result depends on each engine's accumulation order (DuckDB uses
+    segment trees) and would never hash-match. One shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    qv = F.round(F.col("value") * 1000000).cast("long")
+    return (
+        spark.table("events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            (F.sum(qv).over(w).cast("double") / 1000000.0).alias("moving_sum_1h"),
+            F.count("*").over(w).alias("n_events_1h"),
         )
     )

@@ -1,0 +1,186 @@
+"""Dataset-assembly operators (operators/pipeline.py) + PII scrubbing
+(operators/text.py) + label centroids (operators/similarity.py).
+
+The registry's synthetic corpus contains no PII and few exact spans, so
+these tests build fixtures where the interesting behavior actually fires:
+emails/SSNs/phones that must be redacted, documents sharing exact token
+spans, zero-weight strata, and split determinism across partitionings.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import pipeline, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# splits
+# ---------------------------------------------------------------------------
+
+
+def test_assign_split_ratios_and_labels(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    out = pipeline.assign_split(df, "doc_id").groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in out.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+
+
+def test_assign_split_deterministic_across_partitioning(spark):
+    """The split must be a pure function of the id — repartitioning (what
+    AQE does at will on a real cluster) must not move any row."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in pipeline.assign_split(df, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.assign_split(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+
+
+def test_assign_split_custom_weights_and_salt(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    half = pipeline.assign_split(df, "doc_id", {"a": 1, "b": 1}, salt="s1")
+    counts = {r["split"]: r["count"] for r in half.groupBy("split").count().collect()}
+    assert abs(counts["a"] / 5000 - 0.5) < 0.03
+    # a different salt must reshuffle assignments
+    other = pipeline.assign_split(df, "doc_id", {"a": 1, "b": 1}, salt="s2")
+    joined = (
+        half.select("doc_id", F.col("split").alias("s1"))
+        .join(other.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("s1") != F.col("s2"))
+    )
+    assert joined.count() > 1000  # ~50% expected to differ
+
+
+def test_split_weights_must_be_positive(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        pipeline.assign_split(df, "doc_id", {"a": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_fractions(spark):
+    df = spark.createDataFrame(
+        [(i, ["keep_all", "half", "drop"][i % 3]) for i in range(9000)],
+        ["doc_id", "source"],
+    )
+    out = pipeline.stratified_sample(
+        df, "doc_id", "source", {"keep_all": 1.0, "half": 0.5}, default_fraction=0.0
+    )
+    counts = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts["keep_all"] == 3000  # fraction 1.0 keeps every row
+    assert abs(counts["half"] / 3000 - 0.5) < 0.05
+    assert "drop" not in counts  # default 0.0 drops unlisted strata
+
+
+def test_fraction_cutoff_hex_edges():
+    assert pipeline.fraction_cutoff_hex(0.0) == "0000"
+    assert pipeline.fraction_cutoff_hex(1.0) == "KEEP_ALL"
+    assert pipeline.fraction_cutoff_hex(0.5) == "8000"
+    # out-of-range clamps instead of producing a broken comparison
+    assert pipeline.fraction_cutoff_hex(1.5) == "KEEP_ALL"
+    assert pipeline.fraction_cutoff_hex(-0.5) == "0000"
+
+
+# ---------------------------------------------------------------------------
+# token-chunk span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_chunks_finds_shared_span(spark):
+    shared = "alpha beta gamma delta"  # exactly one 4-token chunk
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one ending here now"),
+            (2, shared + " other words entirely different here"),
+            (3, "no overlap with anything else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    dup = pipeline.duplicated_chunks(df, "doc_id", "text", chunk_size=4).collect()
+    assert len(dup) == 1
+    assert dup[0]["n_docs"] == 2
+    assert dup[0]["n_occurrences"] == 2
+
+
+def test_token_chunks_tail_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    ch = pipeline.token_chunks(df, "doc_id", "text", chunk_size=4).collect()
+    # 6 tokens → chunk [a b c d] + tail chunk [e f]; empty/null docs emit none
+    assert {(r["doc_id"], r["chunk_idx"]) for r in ch} == {(1, 0), (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_redacts_all_categories(spark):
+    raw = (
+        "mail me at alice.smith+x@example.co.uk or call 415-555-1234; "
+        "ssn 123-45-6789, server at 10.0.42.7 ok"
+    )
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "text"])
+    row = df.select(
+        text.scrub_pii(F.col("text")).alias("clean"), *text.pii_counts(F.col("text"))
+    ).first()
+    assert "<EMAIL>" in row["clean"] and "example" not in row["clean"]
+    assert "<SSN>" in row["clean"] and "123-45-6789" not in row["clean"]
+    assert "<PHONE>" in row["clean"] and "415-555-1234" not in row["clean"]
+    assert "<IP>" in row["clean"] and "10.0.42.7" not in row["clean"]
+    assert (row["n_email"], row["n_ssn"], row["n_phone"], row["n_ipv4"]) == (1, 1, 1, 1)
+
+
+def test_scrub_pii_leaves_clean_text_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "perfectly ordinary sentence with numbers 12 34"), (2, None)],
+        ["doc_id", "text"],
+    )
+    rows = df.select(
+        "doc_id", text.scrub_pii(F.col("text")).alias("clean"), *text.pii_counts(F.col("text"))
+    ).orderBy("doc_id").collect()
+    assert rows[0]["clean"] == "perfectly ordinary sentence with numbers 12 34"
+    assert rows[0]["n_email"] == 0
+    assert rows[1]["clean"] is None
+    assert rows[1]["n_email"] is None  # NULL text → NULL counts, not 0
+
+
+# ---------------------------------------------------------------------------
+# centroids + histogram
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [3.0, 2.0], 7),
+            (3, [10.0, 10.0], 8),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = similarity.label_centroids(df).orderBy("label", "pos").collect()
+    got = [(r["label"], r["pos"], r["centroid"], r["n_vectors"]) for r in rows]
+    assert got == [(7, 0, 2.0, 2), (7, 1, 1.0, 2), (8, 0, 10.0, 1), (8, 1, 10.0, 1)]
+
+
+def test_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 250), (3, 250), (4, 5000)], ["doc_id", "n_chars"]
+    )
+    rows = pipeline.length_histogram(df, "n_chars", 200, 10).orderBy("bucket").collect()
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert by_bucket[0]["n_docs"] == 1
+    assert by_bucket[1]["n_docs"] == 2 and by_bucket[1]["avg_len"] == 250.0
+    assert by_bucket[9]["n_docs"] == 1  # overflow clamps to the top bucket
