@@ -296,3 +296,63 @@ def hamming_distance(sig_a, sig_b):
     """Hamming distance between two equal-length bit-strings (Columns)."""
     pairs = F.arrays_zip(F.split(sig_a, ""), F.split(sig_b, ""))
     return F.size(F.filter(pairs, lambda p: p["0"] != p["1"]))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph: the
+    canonical-document-selection step that follows LSH pair generation in a
+    real dedup pipeline. Returns (node, component_id) where component_id is
+    the minimum node id reachable — every member of a duplicate cluster
+    maps to one stable representative.
+
+    Algorithm: iterative min-label propagation. Each round is one
+    equi-join + one min-aggregate (two narrow shuffles over (long, long)
+    rows); ``localCheckpoint`` truncates lineage so plans don't grow with
+    iterations. Near-dup graphs are unions of near-cliques (every LSH
+    bucket emits a clique), so the diameter — and the iteration count —
+    is tiny regardless of corpus size; the ``max_iterations`` guard
+    bounds adversarial chains. For a general 100 TB graph with long paths
+    you'd switch to the large-star/small-star variant (doubles distance
+    per round); for dedup clusters plain propagation converges faster in
+    practice because diameters are 1-3.
+
+    The per-iteration convergence check is a driver-side ``count`` of a
+    LIMIT-1 diff — an O(1)-result job, not a data collect.
+    """
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = _cache_scoped(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "cc_edges",
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component_id"))

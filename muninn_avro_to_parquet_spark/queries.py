@@ -1772,3 +1772,38 @@ def q_moving_range_window(spark):
             F.count("*").over(w).alias("n_events_1h"),
         )
     )
+
+
+def _components_oracle() -> str:
+    # nest the LSH pair query as a CTE, then a recursive min-label walk:
+    # every (node, id-in-same-component) pair is enumerated, so MIN(label)
+    # per node is exactly the component representative the Spark operator
+    # converges to
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node
+    """
+
+
+@q("dedup_components", _components_oracle())
+def dedup_components(spark):
+    """Duplicate-cluster assignment: connected components (iterative
+    min-label propagation, operators/dedup.py connected_components) over
+    the capped MinHash-LSH candidate pairs — every near-dup cluster maps
+    to its minimum doc_id as the canonical representative."""
+    pairs = dedup.minhash_candidate_pairs(
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )

@@ -184,3 +184,34 @@ def test_length_histogram_buckets(spark):
     assert by_bucket[0]["n_docs"] == 1
     assert by_bucket[1]["n_docs"] == 2 and by_bucket[1]["avg_len"] == 250.0
     assert by_bucket[9]["n_docs"] == 1  # overflow clamps to the top bucket
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup cluster assignment)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_clique(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), clique 10-11-12,
+    # isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iterations_guard(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    # a long chain with max_iterations=1 must still return SOME assignment
+    # for every node (partial convergence), never hang or drop nodes
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    rows = dedup.connected_components(pairs, max_iterations=1).collect()
+    assert len(rows) == 9
