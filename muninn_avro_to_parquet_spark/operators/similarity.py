@@ -53,6 +53,40 @@ def cosine(a, b):
     return F.try_divide(_dot_q(a, b).cast("double"), _norm_q(a) * _norm_q(b))
 
 
+def _with_qnorm(df: DataFrame, id_col: str, vec_col: str, *extra_cols: str) -> DataFrame:
+    """Materialize the quantized vector and its norm ONCE per row.
+
+    ``cosine(a, b)`` inlined per candidate pair re-quantizes both vectors
+    and re-computes both norms inside every pair expression — six O(dim)
+    array passes per pair. Join sides prepared here pay one quantize + one
+    norm per ROW, and each pair costs a single zip_with dot product. The
+    arithmetic is bit-identical (same quantized longs, same double sqrt),
+    so oracle parity is unaffected."""
+    q = df.select(id_col, *extra_cols, _qvec(F.col(vec_col)).alias("_q"))
+    return q.select(
+        id_col,
+        *extra_cols,
+        "_q",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ).alias("_norm"),
+    )
+
+
+def _pair_cosine(qa, na, qb, nb):
+    """Exact cosine from pre-quantized vectors and pre-computed norms."""
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.try_divide(dot.cast("double"), na * nb)
+
+
 def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     """Shared top-k ranking: per query, best cosine first, ties and NULL
     scores (zero vectors) ranked deterministically by corpus id."""
@@ -83,17 +117,21 @@ def cosine_topk(
     corpus row whose id equals the query id — correct when queries come
     FROM the corpus (self-search); pass False when the two sides are
     distinct datasets whose id spaces merely overlap."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    q = _with_qnorm(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_norm").alias("_qnorm"),
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    c = _with_qnorm(corpus, id_col, vec_col)
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col("query_id"))
     scored = scored.select(
         "query_id",
         id_col,
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+        _pair_cosine(
+            F.col("_qq"), F.col("_qnorm"), F.col("_q"), F.col("_norm")
+        ).alias("cosine_sim"),
     )
     return _rank_topk(scored, k, id_col)
 
@@ -108,12 +146,23 @@ def cosine_pairs(
 
     Quadratic by nature — at corpus scale run it per LSH bucket
     (``hyperplane_buckets``) instead of globally."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pre = _with_qnorm(df, id_col, vec_col)
+    a = pre.select(
+        F.col(id_col).alias("id_a"), F.col("_q").alias("_qa"), F.col("_norm").alias("_na")
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"), F.col("_q").alias("_qb"), F.col("_norm").alias("_nb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            _pair_cosine(F.col("_qa"), F.col("_na"), F.col("_qb"), F.col("_nb")).alias(
+                "cosine_sim"
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -165,9 +214,22 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket, exact cosine
     re-ranks. One equi-join on the bucket key — no cross product."""
-    cb = hyperplane_buckets(corpus, dim, num_planes, id_col, vec_col)
-    qb = hyperplane_buckets(queries, dim, num_planes, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    cb = _with_qnorm(
+        hyperplane_buckets(corpus, dim, num_planes, id_col, vec_col),
+        id_col,
+        vec_col,
+        "bucket",
+    )
+    qb = _with_qnorm(
+        hyperplane_buckets(queries, dim, num_planes, id_col, vec_col),
+        id_col,
+        vec_col,
+        "bucket",
+    ).select(
+        F.col(id_col).alias("query_id"),
+        "bucket",
+        F.col("_q").alias("_qq"),
+        F.col("_norm").alias("_qnorm"),
     )
     scored = (
         cb.join(qb, "bucket")
@@ -175,7 +237,9 @@ def ann_topk_lsh(
         .select(
             "query_id",
             id_col,
-            cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+            _pair_cosine(
+                F.col("_qq"), F.col("_qnorm"), F.col("_q"), F.col("_norm")
+            ).alias("cosine_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)
@@ -197,13 +261,31 @@ def embedding_near_dup_lsh(
     probability (1 - acos(t)/π)^H; raise recall by lowering num_planes or
     unioning several plane sets. Precision is exact — every emitted pair
     passed the true cosine test."""
-    b = hyperplane_buckets(df, dim, num_planes, id_col, vec_col)
-    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket")
-    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket")
+    b = _with_qnorm(
+        hyperplane_buckets(df, dim, num_planes, id_col, vec_col), id_col, vec_col, "bucket"
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        "bucket",
+        F.col("_q").alias("_qa"),
+        F.col("_norm").alias("_na"),
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        "bucket",
+        F.col("_q").alias("_qb"),
+        F.col("_norm").alias("_nb"),
+    )
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            _pair_cosine(F.col("_qa"), F.col("_na"), F.col("_qb"), F.col("_nb")).alias(
+                "cosine_sim"
+            ),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -226,14 +308,33 @@ def ivf_assign(
     candidate reads for recall."""
     from pyspark.sql import Window
 
-    c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("c_vec")
+    # pre-quantize + pre-norm both sides: with C centroids inlining
+    # cosine() would recompute each row's norm C times
+    c = _with_qnorm(
+        centroids.select("centroid_id", vec_col), "centroid_id", vec_col
+    ).select(
+        "centroid_id", F.col("_q").alias("_cq"), F.col("_norm").alias("_cnorm")
     )
-    scored = df.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(c)).select(
+    pre = df.select(F.col(id_col), F.col(vec_col), _qvec(F.col(vec_col)).alias("_q"))
+    pre = pre.select(
+        id_col,
+        vec_col,
+        "_q",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ).alias("_norm"),
+    )
+    scored = pre.crossJoin(F.broadcast(c)).select(
         id_col,
         vec_col,
         "centroid_id",
-        cosine(F.col(vec_col), F.col("c_vec")).alias("c_sim"),
+        _pair_cosine(F.col("_q"), F.col("_norm"), F.col("_cq"), F.col("_cnorm")).alias(
+            "c_sim"
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
     return (
@@ -280,9 +381,22 @@ def ann_topk_ivf(
     nprobe/num_centroids of the corpus — the same list-pruning contract as
     FAISS IVF, expressed as partition pruning."""
     cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
-    lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    lists = _with_qnorm(
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1),
+        id_col,
+        vec_col,
+        "centroid_id",
+    )
+    probes = _with_qnorm(
+        ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe),
+        id_col,
+        vec_col,
+        "centroid_id",
+    ).select(
+        F.col(id_col).alias("query_id"),
+        "centroid_id",
+        F.col("_q").alias("_qq"),
+        F.col("_norm").alias("_qnorm"),
     )
     scored = (
         lists.join(probes, "centroid_id")
@@ -290,7 +404,9 @@ def ann_topk_ivf(
         .select(
             "query_id",
             id_col,
-            cosine(F.col("q_vec"), F.col(vec_col)).alias("cosine_sim"),
+            _pair_cosine(
+                F.col("_qq"), F.col("_qnorm"), F.col("_q"), F.col("_norm")
+            ).alias("cosine_sim"),
         )
     )
     return _rank_topk(scored, k, id_col)
