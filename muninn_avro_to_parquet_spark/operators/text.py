@@ -240,3 +240,51 @@ def rolling_hash_fingerprint(
         lambda acc, x: F.pmod(acc * 31 + x, F.lit(modulus)),
     )
     return toksed.select(F.col(id_col), rolled.alias("rolling_hash"))
+
+
+def tf_idf_top_terms(
+    df: DataFrame, id_col: str, text_col: str = "text", top_k: int = 3
+) -> DataFrame:
+    """Per-document top-k distinctive terms with smoothed TF-IDF scores.
+
+    tfidf = tf * (ln((N+1)/(df+1)) + 1) — the scikit-learn smoothing. Two
+    shuffles total: one groupBy for per-doc term frequencies, one for
+    document frequencies; the corpus size joins in as a broadcast 1-row
+    aggregate (no driver collect). Ranking uses the exact integer key
+    (tf DESC, df ASC, token ASC) rather than the float score, so the
+    selected rows are reproducible across engines even where two log
+    results differ in the last ulp; the float tfidf is reported rounded
+    as a score column.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, "token", "tf", "df", "tfidf", "rnk")
+    )

@@ -1807,3 +1807,166 @@ def dedup_components(spark):
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component_id"
     )
+
+
+@q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf DESC, df ASC, token ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark):
+    """Per-doc top-3 distinctive terms with smoothed TF-IDF
+    (operators/text.py tf_idf_top_terms): two shuffles + broadcast corpus
+    count; integer ranking keys keep the selection engine-exact."""
+    return text.tf_idf_top_terms(spark.table("documents"), "doc_id", "text", top_k=3)
+
+
+@q(
+    "doc_quality_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, {_SQL_TOKENS} AS toks, length(text) AS nc
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, source, len(toks) AS n_tokens,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM base
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+    FROM feat
+    WHERE (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) >= 0.7
+    """,
+)
+def doc_quality_filter(spark):
+    """C4-style keep filter: quality_features + threshold — the form a
+    pre-training corpus filter actually runs as (keep docs, carry the
+    score for auditing). Pure column expressions over one scan."""
+    d = spark.table("documents")
+    return (
+        text.quality_features(d)
+        .filter(F.col("quality_score") >= 0.7)
+        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(strftime(l_shipdate, '%Y') AS INT) AS ship_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Five-way join — both nation dims broadcast, the disjunctive nation-pair
+    predicate prunes AFTER the broadcast joins (cheap), lineitem's date
+    filter prunes at the scan."""
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = spark.table("orders")
+    c = spark.table("customer")
+    s = spark.table("supplier")
+    n1 = F.broadcast(spark.table("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    n2 = F.broadcast(spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n1, c["c_nationkey"] == F.col("c_nk"))
+        .join(n2, s["s_nationkey"] == F.col("s_nk"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.date_format("l_shipdate", "yyyy").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             CAST(MIN(value) AS DOUBLE) AS min_v,
+             CAST(MAX(value) AS DOUBLE) AS max_v
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'total' AS metric, total AS metric_value FROM wide
+    UNION ALL
+    SELECT event_type, 'min_v', min_v FROM wide
+    UNION ALL
+    SELECT event_type, 'max_v', max_v FROM wide
+    """,
+)
+def q_unpivot_metrics(spark):
+    """Wide→long unpivot (the inverse of q_pivot_status) via the native
+    DataFrame unpivot operator — an Expand node, no join or extra scan."""
+    v_dec = F.col("value").cast("decimal(18,6)")
+    wide = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(v_dec).cast("double").alias("total"),
+            F.min("value").cast("double").alias("min_v"),
+            F.max("value").cast("double").alias("max_v"),
+        )
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["total", "min_v", "max_v"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
