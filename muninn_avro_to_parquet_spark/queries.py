@@ -1970,3 +1970,33 @@ def q_unpivot_metrics(spark):
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@q(
+    "q_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event_per_user(spark):
+    """Latest-state materialization (operators/cdc.py latest_per_key —
+    the same single window pass that compacts a CDC change log into a
+    snapshot), keyed here on user_id with (ts, event_id) as the total
+    order. One shuffle on the key."""
+    from muninn_avro_to_parquet_spark.operators import cdc
+
+    return cdc.latest_per_key(
+        spark.table("events"), ["user_id"], ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )

@@ -1,0 +1,128 @@
+"""CDC snapshot materialization (operators/cdc.py): latest row per key,
+delete tombstones dropped — end-to-end through the real Avro convert path
+and directly over constructed envelope DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import cdc
+from muninn_avro_to_parquet_spark.sources import avro_io, avro_source
+from tests.conftest import CDC_SCHEMA
+
+
+def _change(uuid, tx_id, lsn, change_type, rid, name, deleted=False):
+    return {
+        "uuid": uuid,
+        "read_timestamp": tx_id,
+        "sort_keys": [],
+        "source_metadata": {
+            "schema": "public",
+            "table": "accounts",
+            "is_deleted": deleted,
+            "change_type": change_type,
+            "tx_id": tx_id,
+            "lsn": lsn,
+            "primary_keys": ["id"],
+        },
+        "payload": {
+            "id": rid,
+            "name": name,
+            "age": 30,
+            "balance": (10**29).to_bytes(16, "big", signed=True),
+            "score": 1.0,
+            "active": True,
+            "created_at": 1_700_000_000_000_000,
+            "updated_at": 1_700_000_000_000,
+            "birth_date": 8000,
+            "tags": [],
+            "attrs": {},
+        },
+    }
+
+
+def test_cdc_snapshot_end_to_end(spark, tmp_path):
+    """insert → update → delete / re-insert sequences through the real
+    Avro codec + distributed decode, then snapshot."""
+    base = tmp_path / "avro" / "accounts"
+    base.mkdir(parents=True)
+    recs = [
+        # key 1: insert then update — snapshot keeps the update
+        _change("a", 100, "0/1", "INSERT", 1, "one_v1"),
+        _change("b", 101, "0/2", "UPDATE", 1, "one_v2"),
+        # key 2: insert then delete — vanishes from the snapshot
+        _change("c", 100, "0/3", "INSERT", 2, "two_v1"),
+        _change("d", 102, "0/4", "DELETE", 2, "two_v1", deleted=True),
+        # key 3: insert, delete, re-insert — resurrected row survives
+        _change("e", 100, "0/5", "INSERT", 3, "three_v1"),
+        _change("f", 101, "0/6", "DELETE", 3, "three_v1", deleted=True),
+        _change("g", 103, "0/7", "INSERT", 3, "three_v2"),
+        # same tx, lsn breaks the tie (update wins over the earlier lsn)
+        _change("h", 104, "0/8", "INSERT", 4, "four_v1"),
+        _change("i", 104, "0/9", "UPDATE", 4, "four_v2"),
+    ]
+    path = str(base / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, recs)
+
+    df = avro_source.read_avro(spark, [path])
+    snap = cdc.cdc_latest_snapshot(df, ["id"])
+    state = {r["id"]: r["name"] for r in snap.collect()}
+    assert state == {1: "one_v2", 3: "three_v2", 4: "four_v2"}
+
+    # tombstones kept on request
+    with_dead = cdc.cdc_latest_snapshot(df, ["id"], drop_deletes=False)
+    assert {r["id"] for r in with_dead.collect()} == {1, 2, 3, 4}
+
+
+def test_latest_per_key_null_order_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None, 10, "oldest-null"),
+            (1, 5, 11, "mid"),
+            (1, 9, 12, "latest"),
+            (2, None, 13, "only-null"),
+        ],
+        ["k", "ver", "seq", "tag"],
+    )
+    got = {
+        r["k"]: r["tag"]
+        for r in cdc.latest_per_key(df, ["k"], ["ver", "seq"]).collect()
+    }
+    # NULL order values sort oldest; a key with only NULL versions still
+    # keeps its row (never silently dropped)
+    assert got == {1: "latest", 2: "only-null"}
+
+
+def test_snapshot_incremental_composition(spark, tmp_path):
+    """latest(old_snapshot ∪ new_changes) == latest(all_changes) — the
+    property that makes per-partition incremental compaction correct."""
+    base = tmp_path / "avro"
+    (base / "t").mkdir(parents=True)
+    day1 = [
+        _change("a", 100, "0/1", "INSERT", 1, "v1"),
+        _change("b", 101, "0/2", "UPDATE", 1, "v2"),
+        _change("c", 100, "0/3", "INSERT", 2, "x1"),
+    ]
+    day2 = [
+        _change("d", 200, "0/4", "UPDATE", 1, "v3"),
+        _change("e", 201, "0/5", "DELETE", 2, "x1", deleted=True),
+    ]
+    p1, p2 = str(base / "t" / "d1.avro"), str(base / "t" / "d2.avro")
+    avro_io.write_file(p1, CDC_SCHEMA, day1)
+    avro_io.write_file(p2, CDC_SCHEMA, day2)
+
+    full = cdc.cdc_latest_snapshot(avro_source.read_avro(spark, [p1, p2]), ["id"])
+    snap1 = cdc.cdc_latest_snapshot(
+        avro_source.read_avro(spark, [p1]), ["id"], drop_deletes=False
+    )
+    incr = cdc.cdc_latest_snapshot(
+        snap1.unionByName(
+            avro_source.read_avro(spark, [p2]).select(*snap1.columns)
+        ),
+        ["id"],
+    )
+    assert sorted(r["id"] for r in full.collect()) == [1]
+    assert {(r["id"], r["name"]) for r in incr.collect()} == {
+        (r["id"], r["name"]) for r in full.collect()
+    }
