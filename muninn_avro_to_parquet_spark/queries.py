@@ -2000,3 +2000,35 @@ def q_latest_event_per_user(spark):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
         "value",
     )
+
+
+@q(
+    "q_interval_join_attrib",
+    """
+    SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id,
+           CAST(floor(epoch(b.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delay_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON c.user_id = b.user_id
+     AND b.ts >= c.ts
+     AND b.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_interval_join_attrib(spark):
+    """Click→purchase attribution via the stream-stream interval join's
+    batch mirror (streaming/windows.py interval_join — identical
+    expression tree under readStream, where watermarks bound the state).
+    Equi-join on user_id carries the interval predicate as a post-join
+    filter; one shuffle per side."""
+    from muninn_avro_to_parquet_spark.streaming import windows
+
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    j = windows.interval_join(clicks, buys, "user_id", upper="10 minutes")
+    return j.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("buy_id"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("delay_s"),
+    )

@@ -147,3 +147,45 @@ def running_counts_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left row with
+    right rows on the same key whose timestamp lands in
+    ``[left.ts, left.ts + upper]`` (e.g. click → purchase attribution).
+
+    Both sides are watermarked so Spark can bound join state: buffered
+    rows are evicted once the watermark passes the interval's reach —
+    state is O(rows within horizon), not O(stream). The same expression
+    tree runs on batch DataFrames for oracle checks (`with_watermark` is
+    a batch no-op). Output keeps both timestamps; columns are prefixed
+    l_/r_ to keep the join self-describing.
+
+    ``how``: 'inner' or 'leftOuter' (unmatched left rows emit NULL right
+    columns once the watermark proves no match can arrive).
+    """
+    l = with_watermark(left, ts_left, watermark).alias("l")
+    r = with_watermark(right, ts_right, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_right}") >= F.col(f"l.{ts_left}"))
+        & (F.col(f"r.{ts_right}") <= F.col(f"l.{ts_left}") + F.expr(f"INTERVAL {upper}"))
+    )
+    out = l.join(r, cond, how)
+    keep = [F.col(f"l.{key}").alias(key)]
+    keep += [
+        F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns if c != key
+    ]
+    keep += [
+        F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c != key
+    ]
+    return out.select(*keep)

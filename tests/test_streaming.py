@@ -393,3 +393,58 @@ def test_drain_cleared_on_relaunch(spark, tmp_path):
     assert conv.drain_requested
     conv2 = file_stream.StreamingConverter(*args)
     assert not conv2.drain_requested
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Real stream-stream join: purchases attribute to the click that
+    preceded them within the interval; state is watermark-bounded."""
+    clicks_src = str(tmp_path / "clicks_src")
+    buys_src = str(tmp_path / "buys_src")
+    clicks = [
+        (1, "c1", "2026-01-01 00:00:00"),
+        (2, "c2", "2026-01-01 00:05:00"),
+        (3, "c3", "2026-01-01 01:00:00"),  # no purchase follows
+    ]
+    buys = [
+        (1, "b1", "2026-01-01 00:04:00"),  # within 10 min of c1
+        (2, "b2", "2026-01-01 00:30:00"),  # too late for c2
+    ]
+    spark.createDataFrame(clicks, "user_id int, cid string, ts_s string").select(
+        "user_id", "cid", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.parquet(clicks_src)
+    spark.createDataFrame(buys, "user_id int, bid string, ts_s string").select(
+        "user_id", "bid", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.parquet(buys_src)
+
+    cs = spark.readStream.schema("user_id int, cid string, ts timestamp").parquet(clicks_src)
+    bs = spark.readStream.schema("user_id int, bid string, ts timestamp").parquet(buys_src)
+    joined = windows.interval_join(cs, bs, "user_id", upper="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT user_id, l_cid, r_bid FROM attrib_stream").collect()
+    finally:
+        q.stop()
+    assert sorted((r["user_id"], r["l_cid"], r["r_bid"]) for r in got) == [(1, "c1", "b1")]
+
+
+def test_interval_join_batch_mirror(spark):
+    """The same interval_join expression runs on batch DataFrames — the
+    oracle-checkable path (with_watermark no-ops on batch)."""
+    clicks = spark.createDataFrame(
+        [(1, "c1", "2026-01-01 00:00:00"), (2, "c2", "2026-01-01 00:05:00")],
+        "user_id int, cid string, ts_s string",
+    ).select("user_id", "cid", F.col("ts_s").cast("timestamp").alias("ts"))
+    buys = spark.createDataFrame(
+        [(1, "b1", "2026-01-01 00:04:00"), (2, "b2", "2026-01-01 00:30:00")],
+        "user_id int, bid string, ts_s string",
+    ).select("user_id", "bid", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = windows.interval_join(clicks, buys, "user_id", how="leftOuter").collect()
+    by_user = {r["user_id"]: r["r_bid"] for r in got}
+    assert by_user == {1: "b1", 2: None}
