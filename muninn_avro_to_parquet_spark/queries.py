@@ -2032,3 +2032,296 @@ def q_interval_join_attrib(spark):
         F.col("r_event_id").alias("buy_id"),
         (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("delay_s"),
     )
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(18,8)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark):
+    """TPC-H Q8 shape: one nation's share of regional trade volume by
+    order year. Seven-way join — region/nation/part dims broadcast so the
+    only shuffles are the two fact-fact joins (lineitem-orders on
+    orderkey, then orders-customer on custkey); customer itself is
+    broadcast-eligible at test SF but shuffles safely at 100 TB. The
+    share is a conditional-sum ratio: both sums accumulate in DECIMAL
+    (exact, order-independent) and divide once as doubles so the value
+    hashes identically across engines (reference has no joins at all —
+    this is north-star surface; cf. /root/reference/main.py:601-613)."""
+    li = spark.table("lineitem")
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    p = F.broadcast(spark.table("part").filter(F.col("p_type") == "ECONOMY"))
+    s = spark.table("supplier")
+    c = spark.table("customer")
+    n1 = spark.table("nation").select("n_nationkey", "n_regionkey")
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    r = spark.table("region").filter(F.col("r_name") == "AMERICA")
+    # broadcast the pruned dim chain: region⋈nation resolves to a small
+    # set of nationkeys before touching any fact table
+    amer_nations = F.broadcast(
+        n1.join(r, n1["n_regionkey"] == r["r_regionkey"]).select("n_nationkey")
+    )
+    volume = (
+        _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    ).cast("decimal(18,8)")
+    vol = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(amer_nations, c["c_nationkey"] == amer_nations["n_nationkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
+        .select(
+            F.date_format("o_orderdate", "yyyy").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,8)")
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_type_profit(spark):
+    """TPC-H Q9 shape (adapted: the test catalog has no partsupp, so
+    profit is discounted revenue rather than revenue minus supply cost):
+    per supplier-nation, per order-year revenue on parts matching a name
+    substring. The LIKE filter prunes part BEFORE its broadcast, so the
+    lineitem⋈part join discards ~5/6 of lineitem rows without a shuffle;
+    orders joins on the shuffled orderkey; nation is broadcast."""
+    li = spark.table("lineitem")
+    o = spark.table("orders")
+    p = F.broadcast(
+        spark.table("part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    )
+    s = spark.table("supplier")
+    n = F.broadcast(
+        spark.table("nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+        )
+    )
+    profit = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == F.col("s_nk"))
+        .groupBy(
+            "nation",
+            F.date_format("o_orderdate", "yyyy").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark):
+    """TPC-H Q13: distribution of per-customer order counts, where the
+    LEFT JOIN carries an extra non-key predicate (priority exclusion) so
+    customers whose orders are all filtered still count as 0. Two
+    aggregations: the first shuffles on custkey (same key as the join —
+    AQE reuses the exchange), the second is a tiny distinct-count-sized
+    shuffle on c_count."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "5-LOW"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_rev,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = part.p_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark):
+    """TPC-H Q17: revenue from small-quantity orders relative to each
+    part's average quantity — the classic correlated scalar subquery,
+    decorrelated into a pre-aggregate + self-join on partkey. The
+    threshold divides an EXACT decimal sum by the count (quantities are
+    integral, so the double is bit-identical across engines — an
+    order-dependent double sum would make boundary rows flap). At 100 TB
+    both sides shuffle on l_partkey once; the Brand filter cannot prune
+    the avg side (the average is over ALL lineitems of the part), which
+    is inherent to the query, not the plan."""
+    li = spark.table("lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum(_dec("l_quantity", QTY)).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    p = F.broadcast(
+        spark.table("part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    )
+    filtered = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(part_avg, li["l_partkey"] == F.col("pa_partkey"))
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+    )
+    return filtered.agg(
+        F.sum(_dec("l_extendedprice", MONEY)).cast("double").alias("total_rev"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 15 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 30 AND l_quantity <= 50)
+    """,
+)
+def q19_disjunctive_revenue(spark):
+    """TPC-H Q19 shape: revenue under a 3-way disjunction of conjunctive
+    brand/size/quantity predicates. Catalyst extracts the common
+    l_quantity bounds' union for partial pushdown and evaluates the full
+    disjunction post-join; part is broadcast after its own OR-of-brands
+    prune (a single IN-list scan filter)."""
+    li = spark.table("lineitem")
+    p = F.broadcast(
+        spark.table("part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & qty.between(15, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & qty.between(30, 50))
+    )
+    rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark):
+    """TPC-H Q22 shape (adapted: grouped by market segment — the catalog
+    has no phone column): well-funded customers with no recent orders.
+    Uncorrelated scalar subquery (global avg over positive balances,
+    computed as exact-decimal sum / count) + LEFT ANTI join against
+    orders. The anti join shuffles both sides on custkey; the scalar avg
+    is a one-row broadcast."""
+    c = spark.table("customer")
+    o = spark.table("orders")
+    avg_row = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(
+            (F.sum(_dec("c_acctbal", MONEY)).cast("double") / F.count("*")).alias("avg_bal")
+        )
+    )
+    rich = c.join(avg_row, F.col("c_acctbal") > F.col("avg_bal"), "inner")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    dormant = rich.join(recent, rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.sum(_dec("c_acctbal", MONEY)).cast("double").alias("totacctbal"),
+    )
