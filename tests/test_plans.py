@@ -91,3 +91,32 @@ def test_lsh_join_is_equi_join(spark):
     plan = _plan(QUERIES["dedup_minhash_lsh_pairs"].spark(spark, SF_CORRECT))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_dims_all_broadcast(spark):
+    """The 7-way market-share join must resolve every dim join as a
+    broadcast — exactly one fact-side hash shuffle survives."""
+    plan = _plan(QUERIES["q8_market_share"].spark(spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_reaches_scan(spark):
+    """q19's OR-of-brands prune must push to the parquet scan as an In
+    filter when reading the raw table (the registry's cached views hide
+    the scan, so assert on the uncached read the query is built from)."""
+    p = spark.read.parquet(f"{SF_CORRECT}/part.parquet").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    plan = _formatted(p)
+    pushed = plan.split("PushedFilters", 2)[-1][:500]
+    assert "p_brand" in pushed and ("In(" in pushed or "Or(" in pushed)
+
+
+def test_q22_anti_join_planned(spark):
+    """Dormant-customer exclusion must plan as a real anti join (hash or
+    broadcast), and the one-row scalar-avg comparison may be the only
+    nested-loop join in the tree."""
+    plan = _plan(QUERIES["q22_dormant_customers"].spark(spark, SF_CORRECT))
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
