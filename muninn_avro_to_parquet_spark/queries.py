@@ -2325,3 +2325,172 @@ def q22_dormant_customers(spark):
         F.count("*").alias("numcust"),
         F.sum(_dec("c_acctbal", MONEY)).cast("double").alias("totacctbal"),
     )
+
+
+@q(
+    "q_array_higher_order",
+    """
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(q) AS BIGINT) AS dim,
+           CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT) AS l1_q,
+           CAST(list_aggregate(list_sort(q, 'DESC')[1:3], 'sum') AS BIGINT) AS top3_sum_q,
+           CAST(list_dot_product(q, list_reverse(q)) AS BIGINT) AS rev_dot_q
+    FROM qv
+    """,
+)
+def q_array_higher_order(spark):
+    """Higher-order array functions over the embedding column — transform
+    / filter / aggregate / zip_with / sort_array / slice / reverse, all
+    JVM-side Catalyst expressions (zero Python, zero explode: no row
+    blow-up, the 64-wide arrays stay packed in Tungsten format). Math is
+    exact over 1e7-quantized BIGINTs (same scale as operators/similarity);
+    |x|<0.53 and dim=64 keep every sum below 2^53 so the DuckDB
+    list_dot_product double round-trips exactly."""
+    SCALE = 10_000_000
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * SCALE).cast("long")
+    )
+    e = spark.table("embeddings").select("vec_id", qv.alias("q"))
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id",
+        F.size("q").cast("long").alias("dim"),
+        F.size(F.filter("q", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.aggregate(
+            F.transform("q", lambda x: F.abs(x)), zero, lambda acc, x: acc + x
+        ).alias("l1_q"),
+        F.aggregate(
+            F.slice(F.sort_array("q", asc=False), 1, 3), zero, lambda acc, x: acc + x
+        ).alias("top3_sum_q"),
+        F.aggregate(
+            F.zip_with("q", F.reverse("q"), lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("rev_dot_q"),
+    )
+
+
+@q(
+    "q_date_spine_gapfill",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                    TIMESTAMP '2001-12-01',
+                                    INTERVAL 1 MONTH)) AS month
+    ),
+    prio AS (SELECT DISTINCT o_orderpriority FROM orders),
+    actual AS (
+      SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT strftime(s.month, '%Y-%m-%d') AS month,
+           p.o_orderpriority,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.total, 0.0) AS total
+    FROM spine s
+    CROSS JOIN prio p
+    LEFT JOIN actual a ON a.month = s.month AND a.o_orderpriority = p.o_orderpriority
+    """,
+)
+def q_date_spine_gapfill(spark):
+    """Gap-filled monthly time series: a generated date spine (sequence +
+    explode — rows from a literal, no table scan) cross-joined with the
+    dimension domain, left-joined against the sparse monthly aggregate,
+    empty cells coalesced to zero. The spine side is ~84 rows × 5
+    priorities — broadcast; the aggregate side shuffles once on its
+    grouping keys regardless of data scale."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'1995-01-01', timestamp'2001-12-01', interval 1 month)"
+            )
+        ).alias("month")
+    )
+    o = spark.table("orders")
+    prio = o.select("o_orderpriority").distinct()
+    actual = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice", MONEY)).cast("double").alias("total"),
+    )
+    return (
+        F.broadcast(spine.crossJoin(prio))
+        .join(actual, ["month", "o_orderpriority"], "left")
+        .select(
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
+            "o_orderpriority",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+@q(
+    "q_rank_metrics",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           rnk, drnk, pct_rank, cdist
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank()        OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC) AS rnk,
+             dense_rank()  OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC) AS drnk,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC) AS pct_rank,
+             cume_dist()   OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC) AS cdist
+      FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def q_rank_metrics(spark):
+    """The full ranking-function family (rank / dense_rank / percent_rank
+    / cume_dist) sharing ONE window partition — Catalyst evaluates all
+    four in a single Window operator pass (one shuffle + one sort), and
+    the row_number top-5 filter prunes output before it leaves the
+    window stage. percent_rank and cume_dist are integer-ratio doubles —
+    bit-deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    by_price = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    tiebreak = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(tiebreak).alias("rn"),
+            F.rank().over(by_price).alias("rnk"),
+            F.dense_rank().over(by_price).alias("drnk"),
+            F.percent_rank().over(by_price).alias("pct_rank"),
+            F.cume_dist().over(by_price).alias("cdist"),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rnk",
+            "drnk",
+            "pct_rank",
+            "cdist",
+        )
+    )
