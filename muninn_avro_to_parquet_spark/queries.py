@@ -2494,3 +2494,111 @@ def q_rank_metrics(spark):
             "cdist",
         )
     )
+
+
+@q(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(strftime(o_orderdate, '%Y') AS INT) * 12
+                 + CAST(strftime(o_orderdate, '%m') AS INT)) AS cohort_idx
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_idx,
+           (CAST(strftime(o_orderdate, '%Y') AS INT) * 12
+            + CAST(strftime(o_orderdate, '%m') AS INT)) - cohort_idx AS months_since,
+           COUNT(DISTINCT o.o_custkey) AS active_customers,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark):
+    """Cohort retention: customers bucketed by first-order month, activity
+    counted at each month offset — self-join of orders against its own
+    per-customer min. Both the pre-aggregate and the join shuffle on
+    o_custkey (one exchange, reused); month arithmetic is pure integer
+    (year*12+month) so offsets are engine-exact. The final agg is a
+    COUNT(DISTINCT) over (cohort, offset) — partial-distinct map-side,
+    as `.explain` shows via the two-phase HashAggregate expand."""
+    o = spark.table("orders")
+    midx = (
+        F.date_format("o_orderdate", "yyyy").cast("int") * 12
+        + F.date_format("o_orderdate", "MM").cast("int")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_idx"))
+    joined = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cohort_idx",
+        (midx - F.col("cohort_idx")).alias("months_since"),
+    )
+    return joined.groupBy("cohort_idx", "months_since").agg(
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q(
+    "q_posexplode_tokens",
+    """
+    SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, toks[u.i] AS token
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text),
+                         '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 20
+    ), unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def q_posexplode_tokens(spark):
+    """Ordered token stream via posexplode (lateral view) — the row-level
+    inverse of the text operators' packed-array form, exercised on a
+    doc_id-pruned slice so the row blow-up is bounded and intentional.
+    The tokenizer is operators/text.tokens verbatim, so positions align
+    with every other token-level operator in the engine."""
+    d = spark.table("documents").filter(F.col("doc_id") < 20)
+    from muninn_avro_to_parquet_spark.operators.text import tokens as tok
+
+    return d.select(
+        "doc_id", F.posexplode(tok(F.col("text"))).alias("pos", "token")
+    )
+
+
+@q(
+    "q_first_last_window",
+    """
+    SELECT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           nth_value(event_type, 2) OVER w AS second_type,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def q_first_last_window(spark):
+    """first/last/nth_value over an explicit unbounded ROWS frame (the
+    default frame stops at CURRENT ROW, where last_value degenerates to
+    the row itself — a classic silent-wrong-answer; the explicit frame is
+    the correct form). One row per user via row_number, same window sort
+    reused: a single shuffle + sort evaluates all five functions."""
+    from pyspark.sql.window import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.first("event_type").over(full).alias("first_type"),
+            F.last("event_type").over(full).alias("last_type"),
+            F.nth_value("event_type", 2).over(full).alias("second_type"),
+            F.count("*").over(full).alias("n_events"),
+            F.row_number().over(order).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
