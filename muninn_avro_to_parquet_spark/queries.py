@@ -2602,3 +2602,31 @@ def q_first_last_window(spark):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@q(
+    "q_pandas_grouped_stats",
+    """
+    WITH g AS (
+      SELECT event_type,
+             list_sort(list(CAST(floor(value * 1000000) AS BIGINT))) AS l,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           l[CAST((n + 1) // 2 AS INT)] + l[CAST(n // 2 + 1 AS INT)] AS median_micros_x2,
+           l[1] AS min_micros,
+           l[CAST(n AS INT)] AS max_micros
+    FROM g
+    """,
+)
+def q_pandas_grouped_stats(spark):
+    """Custom vectorized aggregate through the Arrow grouped-map path
+    (operators/udaf.grouped_value_stats): per event type, exact order
+    statistics a built-in hash agg can't produce in one pass. This is
+    the registry's proof of the applyInPandas custom-operator surface —
+    each group crosses to Python ONCE as an Arrow batch; the shuffle is
+    the same single hash exchange a built-in agg would plan."""
+    from muninn_avro_to_parquet_spark.operators import udaf
+
+    return udaf.grouped_value_stats(spark.table("events"), "event_type", "value")

@@ -215,3 +215,25 @@ def test_connected_components_max_iterations_guard(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], ["id_a", "id_b"])
     rows = dedup.connected_components(pairs, max_iterations=1).collect()
     assert len(rows) == 9
+
+
+def test_grouped_value_stats_edges(spark):
+    """applyInPandas order stats: odd group (doubled median = 2x middle),
+    even group (sum of middles), negative values floor toward -inf."""
+    import pandas as pd
+
+    from muninn_avro_to_parquet_spark.operators import udaf
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", -2.25), ("a", 0.5), ("b", 4.0), ("b", 1.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r.asDict()
+        for r in udaf.grouped_value_stats(df, "k", "v").collect()
+    }
+    assert got["a"]["n"] == 3
+    assert got["a"]["median_micros_x2"] == 2 * 500_000
+    assert got["a"]["min_micros"] == -2_250_000
+    assert got["a"]["max_micros"] == 1_500_000
+    assert got["b"]["median_micros_x2"] == 1_000_000 + 4_000_000
