@@ -182,6 +182,187 @@ def _decode(r: _Reader, node: Any, names: dict[str, Any]) -> Any:
 
 
 # ---------------------------------------------------------------------------
+# compiled decode — the hot path
+# ---------------------------------------------------------------------------
+#
+# The interpretive :func:`_decode` re-dispatches on the schema node for
+# EVERY value (isinstance checks, dict lookups, string compares); profiled
+# on the CDC bench file that dispatch is ~half the decode time. At 100 TB
+# the decode loop is the engine's single hottest code, so we pay the
+# schema walk ONCE per file: ``compile_decoder`` turns the writer schema
+# into a closure tree (one small callable per schema node, each closing
+# over exactly what it needs), the same specialization trick fastavro gets
+# from C codegen, in dependency-free Python. `_decode` stays as the
+# executable spec; a regression test asserts both paths agree.
+
+_F32 = struct.Struct("<f")
+_F64 = struct.Struct("<d")
+
+
+def _dec_null(r: _Reader) -> None:
+    return None
+
+
+def _dec_bool(r: _Reader) -> bool:
+    return r.read(1) != b"\x00"
+
+
+def _dec_long(r: _Reader) -> int:
+    return r.read_long()
+
+
+def _dec_float(r: _Reader) -> float:
+    return _F32.unpack(r.read(4))[0]
+
+
+def _dec_double(r: _Reader) -> float:
+    return _F64.unpack(r.read(8))[0]
+
+
+def _dec_bytes(r: _Reader) -> bytes:
+    return r.read(r.read_long())
+
+
+def _dec_string(r: _Reader) -> str:
+    return r.read(r.read_long()).decode("utf-8")
+
+
+_PRIM_DECODERS = {
+    "null": _dec_null,
+    "boolean": _dec_bool,
+    "int": _dec_long,
+    "long": _dec_long,
+    "float": _dec_float,
+    "double": _dec_double,
+    "bytes": _dec_bytes,
+    "string": _dec_string,
+}
+
+
+def compile_decoder(schema: Any, names: dict[str, Any]):
+    """Schema → ``fn(_Reader) -> value`` closure tree. Recursive named
+    types (e.g. a linked-list record) resolve through a one-slot
+    forwarder registered BEFORE the body compiles."""
+    memo: dict[str, Any] = {}
+
+    def comp_named(nm: str):
+        if nm in memo:
+            return memo[nm]
+        slot: list[Any] = [None]
+
+        def forward(r: _Reader, _s=slot):
+            return _s[0](r)
+
+        memo[nm] = forward
+        slot[0] = comp(names[nm])
+        return forward
+
+    def comp(node: Any):
+        if isinstance(node, str):
+            if node in _PRIMITIVES:
+                return _PRIM_DECODERS[node]
+            if node in names:
+                return comp_named(node)
+            raise ValueError(f"unknown Avro type name {node!r}")
+        if isinstance(node, list):  # union: long index, then value
+            subs = [comp(m) for m in node]
+            if len(subs) == 2 and node[0] == "null":
+                # the overwhelmingly common CDC shape ["null", T]
+                other = subs[1]
+
+                def dec_opt(r: _Reader, _o=other):
+                    idx = r.read_long()
+                    if idx == 0:
+                        return None
+                    if idx == 1:
+                        return _o(r)
+                    raise ValueError(
+                        f"invalid union branch index {idx} (union has 2 branches)"
+                    )
+
+                return dec_opt
+            nn = len(subs)
+
+            def dec_union(r: _Reader, _s=subs, _n=nn):
+                idx = r.read_long()
+                if not 0 <= idx < _n:
+                    raise ValueError(
+                        f"invalid union branch index {idx} (union has {_n} branches)"
+                    )
+                return _s[idx](r)
+
+            return dec_union
+        t = node["type"]
+        if isinstance(t, (dict, list)):  # {"type": {...nested...}}
+            return comp(t)
+        if t in _PRIMITIVES:
+            return _PRIM_DECODERS[t]
+        if t in ("record", "error"):
+            # NOTE: inline definitions are always compiled from THIS node
+            # and never memoized by name — the (pathological but
+            # generator-reachable) schema with two different inline
+            # records sharing a name must decode each by its own shape,
+            # as the interpretive path does. Only string REFERENCES go
+            # through the memo (comp_named), where recursion needs it.
+            pairs = [(f["name"], comp(f["type"])) for f in node["fields"]]
+
+            def dec_record(r: _Reader, _p=pairs):
+                return {k: d(r) for k, d in _p}
+
+            return dec_record
+        if t == "enum":
+            symbols = node["symbols"]
+
+            def dec_enum(r: _Reader, _sym=symbols):
+                return _sym[r.read_long()]
+
+            return dec_enum
+        if t == "fixed":
+            size = node["size"]
+
+            def dec_fixed(r: _Reader, _n=size):
+                return r.read(_n)
+
+            return dec_fixed
+        if t == "array":
+            item = comp(node["items"])
+
+            def dec_array(r: _Reader, _i=item):
+                out = []
+                while True:
+                    n = r.read_long()
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        r.read_long()  # block byte size — unused eagerly
+                    for _ in range(n):
+                        out.append(_i(r))
+
+            return dec_array
+        if t == "map":
+            val = comp(node["values"])
+
+            def dec_map(r: _Reader, _v=val):
+                out: dict[str, Any] = {}
+                while True:
+                    n = r.read_long()
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        r.read_long()
+                    for _ in range(n):
+                        k = r.read(r.read_long()).decode("utf-8")
+                        out[k] = _v(r)
+
+            return dec_map
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+    return comp(schema)
+
+
+# ---------------------------------------------------------------------------
 # binary encode
 # ---------------------------------------------------------------------------
 
@@ -405,6 +586,7 @@ def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         names = collect_names(schema)
+        decode = compile_decoder(schema, names)
         # the first block's "marker position" is data_start - 16 (there is
         # no real marker before it, but ownership must follow the same
         # rule): a split starting INSIDE that 16-byte window does NOT own
@@ -434,7 +616,7 @@ def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]
                 raise ValueError(f"unsupported Avro codec {codec!r}")
             br = _Reader(block)
             for _ in range(count):
-                yield _decode(br, schema, names)
+                yield decode(br)
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch — corrupt Avro block")
 

@@ -407,3 +407,60 @@ def test_split_boundary_inside_header_sync_window(tmp_path_factory):
         got = [r["x"] for r in avro_io.iter_records_range(path, 0, boundary)]
         got += [r["x"] for r in avro_io.iter_records_range(path, boundary, size)]
         assert sorted(got) == list(range(50)), boundary
+
+
+def test_compiled_decoder_matches_interpretive():
+    """compile_decoder is the hot path; _decode is the executable spec.
+    Both must produce identical values over a schema exercising every
+    branch: nested record, enum, fixed, map, array, multi-member union,
+    ["null", T] fast path, and a RECURSIVE named type."""
+    schema = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "val", "type": "int"},
+            {"name": "tag", "type": {"type": "enum", "name": "Tag", "symbols": ["A", "B"]}},
+            {"name": "fp", "type": {"type": "fixed", "name": "FP", "size": 4}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "arr", "type": {"type": "array", "items": ["null", "string"]}},
+            {"name": "u3", "type": ["boolean", "long", "string"]},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    rec = {
+        "val": 7,
+        "tag": "B",
+        "fp": b"\x01\x02\x03\x04",
+        "m": {"x": 1, "y": -2},
+        "arr": ["a", None, "b"],
+        "u3": "deep",
+        "next": {
+            "val": -1,
+            "tag": "A",
+            "fp": b"\xff\xff\xff\xff",
+            "m": {},
+            "arr": [],
+            "u3": True,
+            "next": None,
+        },
+    }
+    names = avro_io.collect_names(schema)
+    buf = bytearray()
+    avro_io._encode(buf, rec, schema, names)
+    interp = avro_io._decode(avro_io._Reader(bytes(buf)), schema, dict(names))
+    compiled = avro_io.compile_decoder(schema, names)(avro_io._Reader(bytes(buf)))
+    assert interp == compiled == rec
+
+
+def test_compiled_decoder_rejects_bad_union_index():
+    """The corruption contract must hold on the compiled path too: an
+    out-of-range union index raises ValueError, never a negative-index
+    mis-decode or bare IndexError."""
+    import pytest
+
+    schema = ["null", "long"]
+    names = {}
+    dec = avro_io.compile_decoder(schema, names)
+    # union index 5 (zig-zag encoded 0x0A), then nothing
+    with pytest.raises(ValueError, match="invalid union branch index"):
+        dec(avro_io._Reader(b"\x0a"))
