@@ -186,3 +186,42 @@ def length_histogram(
             (F.sum(length_col).cast("double") / F.count("*")).alias("avg_len"),
         )
     )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    text_col: str = "text",
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing for training-data assembly: documents are
+    laid end-to-end in ``id_col`` order and cut into packs of ``budget``
+    tokens — a doc belongs to the pack where its first token lands.
+
+    Packing is inherently sequential, so it runs PER SHARD
+    (``shard_col``): one window partition per shard keeps every shard's
+    running sum independent and the operator fully parallel at 100 TB
+    (the alternative — one global ordering — would serialize the whole
+    corpus through a single partition). Output: one row per doc with its
+    ``(shard, pack_id)`` assignment and token count.
+    """
+    from pyspark.sql.window import Window
+
+    from muninn_avro_to_parquet_spark.operators import text as text_ops
+
+    n_tok = F.coalesce(text_ops.token_count(F.col(text_col)), F.lit(0)).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        id_col, shard_col, n_tok.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return with_cum.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {budget}").alias("pack_id"),
+    )

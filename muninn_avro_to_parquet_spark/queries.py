@@ -2630,3 +2630,74 @@ def q_pandas_grouped_stats(spark):
     from muninn_avro_to_parquet_spark.operators import udaf
 
     return udaf.grouped_value_stats(spark.table("events"), "event_type", "value")
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, GREATEST(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0
+                THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+                ELSE 0.0 END AS dup_ratio
+    FROM grams
+    """,
+)
+def text_repetition(spark):
+    """Gopher-style repetition signal: the fraction of duplicate word
+    3-grams per document (high ⇒ boilerplate/spam; a standard LLM
+    training-data quality gate alongside doc_quality_filter). Pure
+    Column expressions — tokens materialized once, n-grams built by
+    index transform (no explode), distinct counted in-array. The ratio
+    divides two exact ints, so it is engine-identical."""
+    from muninn_avro_to_parquet_spark.operators import text as text_ops
+
+    d = spark.table("documents").select(
+        "doc_id", text_ops.tokens(F.col("text")).alias("t")
+    )
+    g = d.select("doc_id", text_ops.word_ngrams(F.col("t"), 3).alias("g"))
+    n = F.size("g").cast("long")
+    nd = F.size(F.array_distinct("g")).cast("long")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, (n - nd).cast("double") / n).otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+@q(
+    "q_pack_sequences",
+    f"""
+    WITH tc AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(len({_SQL_TOKENS}), 0) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tc
+    )
+    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+    FROM c
+    """,
+)
+def q_pack_sequences(spark):
+    """Training sequence packing (operators/pipeline.pack_token_budget):
+    docs laid end-to-end per source shard, cut into 2048-token packs.
+    One window partition per shard — parallel across shards, sequential
+    only within, which is the inherent data dependency of packing."""
+    return pipeline.pack_token_budget(
+        spark.table("documents"), budget=2048
+    )
