@@ -337,22 +337,25 @@ def connected_components(
     )
     for _ in range(max_iterations):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("label")
+            F.col("dst").alias("node"), F.col("label"), F.lit(False).alias("is_old")
         )
+        # carry each node's previous label THROUGH the union (is_old flag)
+        # so convergence is read off the aggregated result itself — the
+        # old version's per-iteration labels⋈new_labels comparison join
+        # doubled the shuffle count for a boolean answer
         new_labels = (
-            msgs.union(labels)
+            msgs.union(labels.select("node", "label", F.lit(True).alias("is_old")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
