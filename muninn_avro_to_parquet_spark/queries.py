@@ -490,8 +490,8 @@ def q_lag_lead_delta(spark):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sess AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events
@@ -580,7 +580,7 @@ def q_set_ops(spark):
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -602,7 +602,7 @@ def q_events_json(spark):
            COUNT(*) AS n,
            MIN(UPPER(p_name)) AS first_name_upper,
            MAX(LENGTH(p_name)) AS max_name_len,
-           SUM(CASE WHEN CONTAINS(p_type, 'PROMO') THEN 1 ELSE 0 END) AS n_promo,
+           CAST(SUM(CASE WHEN CONTAINS(p_type, 'PROMO') THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
            MIN(SUBSTR(p_name, 1, 5) || '#' || CAST(p_size AS VARCHAR)) AS min_tag
     FROM part
     GROUP BY p_brand
@@ -2685,11 +2685,11 @@ def text_repetition(spark):
       FROM documents
     ),
     c AS (
-      SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM tc
     )
-    SELECT doc_id, source, n_tokens, (cum - n_tokens) // 2048 AS pack_id
+    SELECT doc_id, source, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
     FROM c
     """,
 )
