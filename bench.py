@@ -195,17 +195,20 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if not k.startswith("convert_")), 4
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
+    # were cut, losing per-query timings); persist the full result as a
+    # standalone artifact so cross-round comparisons always have all queries
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -234,15 +234,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     identically everywhere; band prefixes for candidate pairing are plain
     substrings."""
     dt = doc_tokens(df, id_col, text_col)
-    h = dt.select(F.col(id_col), F.md5(F.col("token")).alias("h"))
+    # extract each hex nibble ONCE per token row (16 conv+substring calls),
+    # then the 64 vote expressions are cheap shift/mask over those ints —
+    # inlining conv(substring(...)) into every vote costs 4× the string work
+    hexd = dt.select(F.col(id_col), F.md5(F.col("token")).alias("h"))
+    h = hexd.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.col("h"), n + 1, 1), 16, 10).cast("int").alias(f"n{n:02d}")
+            for n in range(16)
+        ],
+    )
 
-    # 64 per-bit vote sums as plain aggregate expressions over the hex
-    # digest — one groupBy with map-side partial aggregation. (The obvious
+    # 64 per-bit vote sums as plain aggregate expressions over the nibble
+    # ints — one groupBy with map-side partial aggregation. (The obvious
     # alternative, exploding 64 (id, bit, ±1) rows per token, multiplies
     # the shuffle input 64× — ~100M rows at sf0.1 — for the same result.)
     def delta(b: int):
-        nibble = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nibble, 3 - b % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"n{b // 4:02d}"), 3 - b % 4).bitwiseAND(F.lit(1))
         return bit * 2 - 1
 
     votes = h.groupBy(id_col).agg(

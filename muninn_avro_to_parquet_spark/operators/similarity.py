@@ -170,16 +170,22 @@ def cosine_pairs(
 # --- random-hyperplane LSH (the ANN scale path) ------------------------------
 
 
-def _hyperplane(dim: int, plane_idx: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane from md5 — identical
-    on every executor, engine, and run; no RNG state to ship."""
+def _hyperplane(dim: int, plane_idx: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane from md5 — identical on every
+    executor, engine, and run; no RNG state to ship.
+
+    Coefficients are INTEGERS in [-32768, 32767] so the bucket-deciding dot
+    product (quantized embedding · plane) is an exact BIGINT sum: sign bits
+    never depend on float summation order, which makes bucket assignment
+    bit-reproducible in any engine (the DuckDB oracles rely on this).
+    Magnitude bound: |q|≤~1e8 per element × 2^15 × dim 64 ≈ 2·10^14 ≪ 2^63."""
     import hashlib
 
     out = []
     for d in range(dim):
         h = hashlib.md5(f"plane{plane_idx}:dim{d}".encode()).hexdigest()
-        # map 8 hex chars → [-1, 1)
-        out.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        # top 16 of the first 32 hash bits → [-32768, 32767]
+        out.append((int(h[:8], 16) >> 16) - 32768)
     return out
 
 
@@ -190,17 +196,23 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, bucket) where bucket is the sign pattern over H hyperplanes."""
+    """(id, bucket) where bucket is the sign pattern over H hyperplanes.
+
+    The quantized vector is materialized once; each plane's dot product is
+    an exact integer sum, so the H sign bits are deterministic."""
+    qv = df.select(F.col(id_col), F.col(vec_col), _qvec(F.col(vec_col)).alias("_bq"))
     sign_bits = []
     for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v).cast("long") for v in _hyperplane(dim, p)])
         dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
+            F.zip_with(F.col("_bq"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(F.col(id_col), F.col(vec_col), F.concat(*sign_bits).alias("bucket"))
+    return qv.select(
+        F.col(id_col), F.col(vec_col), F.concat(*sign_bits).alias("bucket")
+    )
 
 
 def ann_topk_lsh(

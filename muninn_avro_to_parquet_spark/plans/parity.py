@@ -51,6 +51,32 @@ def _values_equal(a: Any, b: Any) -> bool:
     return a == b
 
 
+def _dtype_class(dtype) -> str:
+    s = str(dtype).lower()
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    return s
+
+
+def dtype_conflicts(s: pd.DataFrame, o: pd.DataFrame) -> list[tuple[str, str, str]]:
+    """Columns where one side is integer and the other float.
+
+    The driver's hash stringifies values, so an int 101005 vs a float
+    101005.0 hash-differ even though ``==`` holds — DuckDB's HUGEINT (from
+    integer SUM) rendered as float64 by pandas is the classic cause. The
+    local gate must be as strict as the driver or this class of failure
+    stays invisible until the round ends."""
+    out = []
+    for c in s.columns:
+        if c in o.columns:
+            a, b = _dtype_class(s[c].dtype), _dtype_class(o[c].dtype)
+            if {a, b} == {"int", "float"}:
+                out.append((c, str(s[c].dtype), str(o[c].dtype)))
+    return out
+
+
 def compare(spark_df, oracle_df: pd.DataFrame) -> dict:
     s = canonicalize(spark_df.toPandas())
     o = canonicalize(oracle_df)
@@ -59,9 +85,10 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> dict:
         "rows_match": len(s) == len(o),
         "cols": (list(s.columns), list(o.columns)),
         "cols_match": list(s.columns) == list(o.columns),
+        "dtype_conflicts": dtype_conflicts(s, o),
         "value_mismatches": [],
     }
-    if not (report["rows_match"] and report["cols_match"]):
+    if not (report["rows_match"] and report["cols_match"] and not report["dtype_conflicts"]):
         report["ok"] = False
         return report
     for c in s.columns:

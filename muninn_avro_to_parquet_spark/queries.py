@@ -556,17 +556,25 @@ def q_global_topn(spark):
     """,
 )
 def q_set_ops(spark):
+    # single-pass rewrite of UNION/INTERSECT/EXCEPT over the same base
+    # table: one scan + one groupBy(custkey) computing per-key membership
+    # flags, then a single-row conditional-count aggregate fanned back out
+    # to 3 rows with stack(). Replaces 6 scans + 3 set-op shuffles with
+    # 2 shuffles total; the SQL oracle keeps the literal set-op form.
     o = spark.table("orders")
-    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("k"))
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
-
-    def count_as(df, op):
-        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
-
-    return (
-        count_as(big.union(urgent).distinct(), "union")
-        .unionAll(count_as(big.distinct().intersect(urgent.distinct()), "intersect"))
-        .unionAll(count_as(big.distinct().exceptAll(urgent.distinct()), "except"))
+    flags = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.max(F.col("o_totalprice") > 150000).alias("big"),
+        F.max(F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+    )
+    counts = flags.agg(
+        F.sum(F.when(F.col("big") | F.col("urgent"), 1).otherwise(0)).alias("n_union"),
+        F.sum(F.when(F.col("big") & F.col("urgent"), 1).otherwise(0)).alias("n_intersect"),
+        F.sum(F.when(F.col("big") & ~F.col("urgent"), 1).otherwise(0)).alias("n_except"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'union', n_union, 'intersect', n_intersect, 'except', n_except) AS (op, n)"
+        )
     )
 
 
@@ -854,7 +862,69 @@ def ann_topk_bruteforce(spark):
     return similarity.cosine_topk(emb, queries_df, k=10)
 
 
-@q("ann_topk_lsh", None)  # approximate by design → rows-only check
+# Shared oracle fragments for the embedding queries: quantized element
+# table (one row per vector element, exact BIGINT values — the same
+# round(x·1e7) quantization the Spark operators use) and exact norms.
+_EMB_EL = """
+    el AS (SELECT vec_id,
+                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM el GROUP BY 1)
+"""
+
+
+def _lsh_buckets_sql(num_planes: int, dim: int = 64) -> str:
+    """CTE fragment computing each vector's hyperplane-LSH bucket exactly as
+    ``similarity.hyperplane_buckets``: integer plane coefficients are inlined
+    as literals (same md5 derivation), the sign-deciding dot product is an
+    exact BIGINT sum, so bucket strings match Spark bit-for-bit."""
+    rows = []
+    for p in range(num_planes):
+        for d, coef in enumerate(similarity._hyperplane(dim, p)):
+            rows.append(f"({p},{d + 1},{coef})")
+    values = ",".join(rows)
+    return f"""
+    planes(p, i, coef) AS (VALUES {values}),
+    bdots AS (SELECT e.vec_id, pl.p, SUM(e.x * pl.coef) AS dot
+              FROM el e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+    buckets AS (SELECT vec_id,
+                       string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+                FROM bdots GROUP BY 1)
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    # deterministic end to end: integer-exact bucket bits + integer-exact
+    # cosine numerator/denominator, IEEE-double division at the very end
+    return f"""
+    WITH {_EMB_EL}, {_lsh_buckets_sql(num_planes=8)},
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id
+      FROM buckets q JOIN buckets c USING (bucket)
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.vec_id = nc.vec_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@q("ann_topk_lsh", _ann_lsh_oracle())
 def ann_topk_lsh(spark):
     emb = spark.table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1234,24 +1304,102 @@ def q_grouping_sets(spark):
     )
 
 
-@q("q_approx_distinct", None)  # sketch values are engine-specific → rows-only
+@q(
+    "q_approx_distinct",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(*) AS n,
+           TRUE AS approx_customers_ok,
+           TRUE AS median_price_ok
+    FROM orders
+    """,
+)
 def q_approx_distinct(spark):
     """HLL++ distinct-count + approximate quantiles: the sketches a 100 TB
-    profile pass uses instead of exact DISTINCT/percentile sorts."""
+    profile pass uses instead of exact DISTINCT/percentile sorts.
+
+    Sketch VALUES are engine-specific, so the hash-checked contract is:
+    exact values plus booleans asserting each sketch lands within 5% of the
+    exact answer computed in the same pass; the oracle emits the exact
+    values and TRUE. (The exact distinct/percentile here exist to verify
+    the sketches — production profiling uses only the sketch columns.)"""
     o = spark.table("orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+    price = F.col("o_totalprice").cast("double")
+    agg = o.agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx_c"),
         # accuracy 1000 ≈ 0.1% rank error — plenty for a profile sketch;
         # 10000 made this 2-sketch agg the slowest query in the bench
         # (18.6 s at sf0.1, 17% of total) for no downstream value
-        F.percentile_approx(F.col("o_totalprice").cast("double"), 0.5, 1000).alias(
-            "median_price_approx"
-        ),
+        F.percentile_approx(price, 0.5, 1000).alias("_amed"),
+        F.percentile(price, 0.5).alias("_emed"),
         F.count("*").alias("n"),
+    )
+    rel_err = lambda a, b: F.abs(a - b) / b  # noqa: E731
+    return agg.select(
+        "exact_customers",
+        "n",
+        (rel_err(F.col("_approx_c"), F.col("exact_customers")) < 0.05).alias(
+            "approx_customers_ok"
+        ),
+        (rel_err(F.col("_amed"), F.col("_emed")) < 0.05).alias("median_price_ok"),
     )
 
 
-@q("ann_topk_ivf", None)  # approximate by design → rows-only check
+def _ann_ivf_oracle() -> str:
+    # mirrors similarity.ann_topk_ivf exactly: md5-ordered centroid pick,
+    # exact-integer cosine for both centroid assignment and re-ranking
+    return f"""
+    WITH {_EMB_EL},
+    cents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cel AS (SELECT centroid_id, x, i FROM el JOIN cents ON el.vec_id = cents.centroid_id),
+    cnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM cel GROUP BY 1),
+    adots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM el e JOIN cel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    csim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM adots a
+      JOIN norms nv ON a.vec_id = nv.vec_id
+      JOIN cnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    lists AS (SELECT vec_id, centroid_id FROM csim WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, centroid_id FROM csim WHERE vec_id < 5 AND r <= 4),
+    cand AS (
+      SELECT p.query_id, l.vec_id
+      FROM probes p JOIN lists l USING (centroid_id)
+      WHERE l.vec_id <> p.query_id
+    ),
+    pdots AS (
+      SELECT cd.query_id, cd.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM pdots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.vec_id = nc.vec_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@q("ann_topk_ivf", _ann_ivf_oracle())
 def ann_topk_ivf(spark):
     emb = spark.table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1313,7 +1461,32 @@ def doc_rolling_hash(spark):
     return text.rolling_hash_fingerprint(spark.table("documents"), "doc_id", "text")
 
 
-@q("embedding_near_dup_lsh", None)  # bucket recall is probabilistic → rows-only
+def _near_dup_lsh_oracle() -> str:
+    # recall is probabilistic but the OUTPUT is deterministic: bucket bits
+    # are exact-integer signs, pair cosine is exact-integer over double
+    return f"""
+    WITH {_EMB_EL}, {_lsh_buckets_sql(num_planes=4)},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.id_a, p.id_b, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM pairs p
+      JOIN el a ON a.vec_id = p.id_a
+      JOIN el b ON b.vec_id = p.id_b AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine_sim
+    FROM dots d
+    JOIN norms na ON d.id_a = na.vec_id
+    JOIN norms nb ON d.id_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.25
+    """
+
+
+@q("embedding_near_dup_lsh", _near_dup_lsh_oracle())
 def embedding_near_dup_lsh(spark):
     return similarity.embedding_near_dup_lsh(
         spark.table("embeddings"), dim=64, threshold=0.25, num_planes=4

@@ -24,6 +24,10 @@ RUNTIME_CONFS = {
     # rejects by default; read them as raw nano longs and normalize to
     # microsecond timestamps in the table catalog (tables.py)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # fixture timestamps carry no UTC flag; read them as session-UTC
+    # TimestampType (not TIMESTAMP_NTZ) so timestamp arithmetic
+    # (unix_micros, window()) and DuckDB's TIMESTAMP semantics line up
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # reference converts with explicit UTC (main.py:496); all timestamp
     # formatting / literals assume it
     "spark.sql.session.timeZone": "UTC",

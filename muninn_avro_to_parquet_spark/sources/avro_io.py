@@ -543,6 +543,107 @@ def _file_varint(f: BinaryIO) -> int | None:
     return (accum >> 1) ^ -(accum & 1)
 
 
+# --- snappy block codec ------------------------------------------------------
+# Datastream (and many Avro writers) emit snappy-compressed OCF blocks; the
+# reference reads them via fastavro. Pure-Python decoder of the raw snappy
+# format (public spec: google/snappy format_description.txt) — no native
+# library needed. Avro's snappy codec frames each block as
+# ``snappy(payload) + 4-byte big-endian CRC32(payload)``.
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    # preamble: uncompressed length, little-endian base-128 varint
+    ulen = 0
+    shift = 0
+    i = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("truncated snappy preamble")
+        b = data[i]
+        i += 1
+        ulen |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    out = bytearray()
+    while i < len(data):
+        tag = data[i]
+        i += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:
+                nbytes = length - 59
+                length = int.from_bytes(data[i : i + nbytes], "little")
+                i += nbytes
+            length += 1
+            out += data[i : i + length]
+            i += length
+        else:
+            if kind == 1:  # copy, 1-byte offset
+                length = ((tag >> 2) & 0x07) + 4
+                offset = ((tag >> 5) << 8) | data[i]
+                i += 1
+            elif kind == 2:  # copy, 2-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[i : i + 2], "little")
+                i += 2
+            else:  # copy, 4-byte offset
+                length = (tag >> 2) + 1
+                offset = int.from_bytes(data[i : i + 4], "little")
+                i += 4
+            if offset == 0 or offset > len(out):
+                raise ValueError("invalid snappy copy offset")
+            start = len(out) - offset
+            if offset >= length:
+                out += out[start : start + length]
+            else:  # overlapping copy: the run repeats byte-by-byte
+                for _ in range(length):
+                    out.append(out[start])
+                    start += 1
+    if len(out) != ulen:
+        raise ValueError(f"snappy length mismatch: expected {ulen}, got {len(out)}")
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    """Minimal valid snappy encoding: the preamble plus literal-only
+    elements (no back-references — legal per the format, just not compact).
+    Lets fixtures/tests produce snappy OCF files any snappy reader accepts."""
+    out = bytearray()
+    ulen = len(data)
+    while True:
+        b = ulen & 0x7F
+        ulen >>= 7
+        out.append(b | (0x80 if ulen else 0))
+        if not ulen:
+            break
+    for i in range(0, len(data), 65536):
+        chunk = data[i : i + 65536]
+        n = len(chunk) - 1
+        if n < 60:
+            out.append(n << 2)
+        else:
+            out.append(61 << 2)  # length in 2 extra little-endian bytes
+            out += n.to_bytes(2, "little")
+        out += chunk
+    return bytes(out)
+
+
+def _avro_snappy_decode(block: bytes) -> bytes:
+    if len(block) < 4:
+        raise ValueError("snappy Avro block shorter than its CRC trailer")
+    payload = _snappy_decompress(block[:-4])
+    crc = int.from_bytes(block[-4:], "big")
+    if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+        raise ValueError("snappy Avro block CRC mismatch — corrupt data")
+    return payload
+
+
+def _avro_snappy_encode(payload: bytes) -> bytes:
+    return _snappy_compress(payload) + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+
+
 def iter_records(path: str) -> Iterator[dict]:
     """Stream records from an OCF file block by block — memory is bounded
     by one (compressed + decoded) block, never the whole file, so a
@@ -612,6 +713,8 @@ def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]
                 raise EOFError("truncated Avro data")
             if codec == "deflate":
                 block = zlib.decompress(block, -15)
+            elif codec == "snappy":
+                block = _avro_snappy_decode(block)
             elif codec != "null":
                 raise ValueError(f"unsupported Avro codec {codec!r}")
             br = _Reader(block)
@@ -672,6 +775,10 @@ def write_file(
             if codec == "deflate":
                 co = zlib.compressobj(wbits=-15)
                 payload = co.compress(payload) + co.flush()
+            elif codec == "snappy":
+                payload = _avro_snappy_encode(payload)
+            elif codec != "null":
+                raise ValueError(f"unsupported Avro codec {codec!r}")
             f.write(_zigzag(len(chunk)))
             f.write(_zigzag(len(payload)))
             f.write(payload)

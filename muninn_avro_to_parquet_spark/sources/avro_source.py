@@ -177,12 +177,36 @@ def read_avro(
     paths: list[str],
     avro_schema: dict | None = None,
     plans: list[S.FieldPlan] | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Paths → fully typed flat DataFrame (envelope struct + typed payload
     columns + ``_source_file``). The cast layer is one narrow select —
-    no shuffle anywhere on the conversion path."""
+    no shuffle anywhere on the conversion path.
+
+    ``engine`` (or conf ``spark.muninn.avro.engine``): ``auto`` (default)
+    uses the JVM spark-avro scan when the jar is present AND the schema is
+    exactly alignable (see ``read_avro_jvm``), else the pure-Python codec;
+    ``jvm`` forces the JVM path (raises when unavailable); ``python``
+    forces the distributed Python codec."""
     from muninn_avro_to_parquet_spark import casts
 
+    if engine is None:
+        engine = spark.conf.get("spark.muninn.avro.engine", "auto")
+    if avro_schema is None:
+        avro_schema = avro_io.read_schema(paths[0])
+    if plans is None:
+        plans = S.derive_field_plans(avro_schema)
+    if engine in ("auto", "jvm"):
+        jdf = read_avro_jvm(spark, paths, plans)
+        if jdf is not None:
+            return jdf
+        if engine == "jvm":
+            raise RuntimeError(
+                "spark.muninn.avro.engine=jvm but the spark-avro DataSource is "
+                "not on the classpath or the schema is not JVM-alignable; add "
+                "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
+                "or use engine='auto'/'python'"
+            )
     raw, plans = read_avro_raw(spark, paths, avro_schema, plans=plans)
     return raw.select(
         *casts.select_typed_columns(plans), F.col(SOURCE_FILE_COL)
@@ -207,6 +231,134 @@ def read_avro_allstring(
         + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)]
     )
     return _distributed_decode(spark, paths, plans, out_schema, all_string=True)
+
+
+class _Unalignable(Exception):
+    """The JVM decoder's output for this column cannot reproduce the
+    engine's reference semantics exactly — use the Python codec."""
+
+
+def _align_value(col, decoded, plan: S.FieldPlan):
+    """Column expr mapping spark-avro's native decode of one payload field
+    to the engine's target type — or raise ``_Unalignable``.
+
+    Alignable: identical types, epoch-long→timestamp, epoch-int→date, the
+    direct-path logicalType asymmetries (decoded date/timestamp back to
+    the base int/long the reference keeps, SURVEY §1.3), loss-free decimal
+    widening, and record recursion. NOT alignable (reference semantics the
+    JVM decoder can't reproduce): multi-branch union collapse to
+    sorted-key JSON, scale-30 bytes decimals with banker's rounding, and
+    any decimal cast that would round."""
+    from pyspark.sql import types as T
+
+    target = plan.dtype
+    if plan.source == S.STRUCT_CAST:
+        if not isinstance(decoded, T.StructType):
+            raise _Unalignable()
+        by_name = {f.name: f.dataType for f in decoded.fields}
+        members = []
+        for c in plan.children:
+            if c.name in by_name:
+                members.append(_align_value(col[c.name], by_name[c.name], c).alias(c.name))
+            else:
+                members.append(F.lit(None).cast(c.dtype).alias(c.name))
+        return F.when(col.isNull(), F.lit(None).cast(target)).otherwise(F.struct(*members))
+    if decoded == target and plan.source in (S.RAW, S.TS_MILLIS, S.TS_MICROS, S.EPOCH_DAYS):
+        return col
+    if plan.source == S.TS_MILLIS and isinstance(decoded, T.LongType):
+        return F.timestamp_millis(col)
+    if plan.source == S.TS_MICROS and isinstance(decoded, T.LongType):
+        return F.timestamp_micros(col)
+    if plan.source == S.EPOCH_DAYS and isinstance(decoded, T.IntegerType):
+        return F.date_from_unix_date(col)
+    # direct-path logicalType asymmetry (reference keeps the base type):
+    # JVM decoded a date/timestamp the target says stays int/long
+    if isinstance(target, T.IntegerType) and isinstance(decoded, T.DateType):
+        return F.unix_date(col)
+    if isinstance(target, T.LongType) and isinstance(decoded, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(target, T.DecimalType) and isinstance(decoded, T.DecimalType):
+        if decoded.scale <= target.scale and (
+            decoded.precision - decoded.scale <= target.precision - target.scale
+        ):
+            return col.cast(target)  # pure widening, no rounding
+        raise _Unalignable()  # would round: reference quantizes HALF_EVEN
+    if plan.source == S.STRINGIFY and isinstance(decoded, T.StringType):
+        return col  # str() of a string is the identity
+    raise _Unalignable()
+
+
+def _align_envelope(decoded) -> F.Column:
+    """source_metadata struct → the fixed envelope type, reproducing the
+    reference's per-field coercions where they're loss-free (str casts,
+    scalar→list lift); anything needing the tolerant bool/int parsers
+    falls back to the Python codec."""
+    from pyspark.sql import types as T
+
+    if not isinstance(decoded, T.StructType):
+        raise _Unalignable()
+    by_name = {f.name: f.dataType for f in decoded.fields}
+    col = F.col("source_metadata")
+
+    def member(name: str, target: T.DataType):
+        if name not in by_name:
+            return F.lit(None).cast(target).alias(name)
+        got, c = by_name[name], col[name]
+        if got == target:
+            return c.alias(name)
+        if isinstance(target, T.StringType) and isinstance(
+            got, (T.IntegerType, T.LongType, T.BooleanType, T.DoubleType)
+        ):
+            return c.cast("string").alias(name)  # reference str()s these
+        if isinstance(target, T.LongType) and isinstance(got, T.IntegerType):
+            return c.cast("long").alias(name)
+        if isinstance(target, T.ArrayType) and got == target.elementType:
+            return F.array(c).alias(name)  # _to_list_of_str scalar lift
+        raise _Unalignable()
+
+    members = [
+        member(f.name, f.dataType) for f in S.SOURCE_METADATA_TYPE.fields
+    ]
+    return F.when(
+        col.isNull(), F.lit(None).cast(S.SOURCE_METADATA_TYPE)
+    ).otherwise(F.struct(*members)).alias("source_metadata")
+
+
+def read_avro_jvm(
+    spark: SparkSession, paths: list[str], plans: list[S.FieldPlan]
+) -> DataFrame | None:
+    """JVM spark-avro ingest: vectorized scan + one aligned select, same
+    output contract as ``read_avro``. Returns None when the connector jar
+    is absent or the schema needs reference semantics only the Python
+    codec reproduces (union collapse, scale-30 bytes decimals) — the
+    caller falls back transparently.
+
+    At 100 TB this is the production path: the whole decode happens in
+    whole-stage codegen with no Python worker in the loop; the Python
+    codec remains the semantic reference and offline fallback."""
+    from pyspark.sql import types as T
+
+    df = try_native_avro(spark, paths)
+    if df is None:
+        return None
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    if "payload" not in by_name or not isinstance(by_name["payload"], T.StructType):
+        return None
+    payload_types = {f.name: f.dataType for f in by_name["payload"].fields}
+    try:
+        cols = [_align_envelope(by_name.get("source_metadata"))]
+        for p in plans:
+            if p.name in payload_types:
+                cols.append(
+                    _align_value(
+                        F.col("payload")[p.name], payload_types[p.name], p
+                    ).alias(p.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(p.dtype).alias(p.name))
+    except _Unalignable:
+        return None
+    return df.select(*cols, F.input_file_name().alias(SOURCE_FILE_COL))
 
 
 def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:

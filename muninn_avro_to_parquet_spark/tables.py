@@ -40,11 +40,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        # ts arrives as raw nanos (nanosAsLong); truncate to micro precision
-        # — the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # ts as raw nanos (nanosAsLong): truncate to micro precision —
+            # the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            # e.g. TIMESTAMP_NTZ when a caller read the file before confs
+            # were pinned; session tz is UTC so the cast is shift-free
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # the test fixtures are single-row-group files, which pin every scan to
     # one task; a real 100 TB table arrives as thousands of files and
     # parallelizes naturally. Spread rows across the cluster once at load

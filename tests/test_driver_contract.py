@@ -20,12 +20,11 @@ def test_queries_and_oracles_consistent():
     # explicit rows-only exceptions, not typos
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "ann_topk_lsh",
-        "ann_topk_ivf",
-        "embedding_near_dup_lsh",
-        "q_approx_distinct",
-    }, f"unexpected rows-only entries: {sorted(rows_only)}"
+    # every registry query is oracle-checked: the ANN family got real
+    # DuckDB oracles in round 3 (deterministic md5 hyperplanes/centroids +
+    # integer-exact cosine), q_approx_distinct emits exact values plus
+    # within-5% booleans
+    assert rows_only == set(), f"unexpected rows-only entries: {sorted(rows_only)}"
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))

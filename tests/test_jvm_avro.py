@@ -1,0 +1,160 @@
+"""JVM spark-avro ingest seam (SURVEY §7.0 mitigation (1)).
+
+The spark-avro DataSource jar is absent in this image, so:
+- the engine gate (`auto` → fallback, `jvm` → clear error) is tested for real;
+- the alignment select (`read_avro_jvm`) is tested by monkeypatching
+  `try_native_avro` with a DataFrame shaped exactly as spark-avro decodes
+  the same records, then comparing against the Python codec's output on
+  the same data — value-level parity of the two ingest engines.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from muninn_avro_to_parquet_spark import schema as S
+from muninn_avro_to_parquet_spark.sources import avro_io, avro_source
+
+CDC_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {
+            "name": "source_metadata",
+            "type": {
+                "type": "record",
+                "name": "sm",
+                "fields": [
+                    {"name": "schema", "type": "string"},
+                    {"name": "table", "type": "string"},
+                    {"name": "is_deleted", "type": "boolean"},
+                    {"name": "change_type", "type": "string"},
+                    {"name": "tx_id", "type": ["null", "long"]},
+                    {"name": "lsn", "type": "string"},
+                    {"name": "primary_keys", "type": {"type": "array", "items": "string"}},
+                ],
+            },
+        },
+        {
+            "name": "payload",
+            "type": {
+                "type": "record",
+                "name": "p",
+                "fields": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": ["null", "string"]},
+                    {"name": "qty", "type": ["null", "int"]},
+                    {
+                        "name": "created",
+                        "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+                    },
+                    {"name": "tags", "type": {"type": "array", "items": "string"}},
+                ],
+            },
+        },
+    ],
+}
+
+ROWS = [
+    {
+        "source_metadata": {
+            "schema": "public",
+            "table": "t",
+            "is_deleted": i % 2 == 0,
+            "change_type": "INSERT",
+            "tx_id": 100 + i,
+            "lsn": f"0/{i:x}",
+            "primary_keys": ["id"],
+        },
+        "payload": {
+            "id": i,
+            "name": f"n{i}" if i % 3 else None,
+            "qty": i * 7,
+            "created": 1_700_000_000_000_000 + i,
+            "tags": [f"t{i}", "x"],
+        },
+    }
+    for i in range(5)
+]
+
+
+def _python_golden(spark, tmp_path):
+    path = str(tmp_path / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS)
+    df = avro_source.read_avro(spark, [path], engine="python")
+    return df.drop(avro_source.SOURCE_FILE_COL)
+
+
+def _simulated_jvm_decode(spark):
+    """The DataFrame spark-avro would produce for ROWS: logical types
+    materialized (timestamp-micros → TimestampType), nullable unions as
+    plain nullable fields."""
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def decoded(r):
+        p = dict(r["payload"])
+        p["created"] = epoch + datetime.timedelta(microseconds=p["created"])
+        return {"source_metadata": r["source_metadata"], "payload": p}
+
+    ddl = (
+        "source_metadata struct<schema:string,table:string,is_deleted:boolean,"
+        "change_type:string,tx_id:bigint,lsn:string,primary_keys:array<string>>,"
+        "payload struct<id:bigint,name:string,qty:int,created:timestamp,"
+        "tags:array<string>>"
+    )
+    return spark.createDataFrame([decoded(r) for r in ROWS], ddl)
+
+
+def test_jvm_alignment_matches_python_codec(spark, tmp_path, monkeypatch):
+    plans = S.derive_field_plans(CDC_SCHEMA)
+    sim = _simulated_jvm_decode(spark)
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    jdf = avro_source.read_avro_jvm(spark, ["ignored"], plans)
+    assert jdf is not None
+    got = jdf.drop(avro_source.SOURCE_FILE_COL)
+    want = _python_golden(spark, tmp_path)
+    assert got.schema == want.schema
+    key = lambda row: row["id"]  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_jvm_bails_on_union_collapse_schema(spark, monkeypatch):
+    """A multi-branch union needs sorted-key-JSON collapse — the JVM
+    decoder yields a member struct, which must fall back to Python."""
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
+            {
+                "name": "payload",
+                "type": {
+                    "type": "record",
+                    "name": "p2",
+                    "fields": [{"name": "v", "type": ["int", "string"]}],
+                },
+            },
+        ],
+    }
+    plans = S.derive_field_plans(schema)
+    sim = spark.createDataFrame(
+        [],
+        "source_metadata struct<schema:string,table:string,is_deleted:boolean,"
+        "change_type:string,tx_id:bigint,lsn:string,primary_keys:array<string>>,"
+        "payload struct<v:struct<member0:int,member1:string>>",
+    )
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None
+
+
+def test_engine_gate(spark, tmp_path):
+    """Without the jar: auto falls back to the Python codec, jvm raises a
+    clear error naming the fix."""
+    path = str(tmp_path / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS)
+    assert avro_source.read_avro(spark, [path], engine="auto").count() == len(ROWS)
+    if avro_source.try_native_avro(spark, path) is None:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            avro_source.read_avro(spark, [path], engine="jvm")

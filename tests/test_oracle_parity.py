@@ -47,3 +47,24 @@ def test_query_matches_oracle(spark, name):
     con = parity.duckdb_connection(SF_DIR)
     report = parity.compare(sdf, con.sql(entry.oracle).df())
     assert report["ok"], {k: v for k, v in report.items() if k != "ok"}
+
+
+def test_no_oracle_emits_hugeint():
+    """Every registered oracle must produce driver-hashable types.
+
+    DuckDB returns HUGEINT for integer SUM; pandas renders HUGEINT as
+    float64, so the driver hashes '101005.0' against Spark's '101005' and
+    the row fails even though values are equal. DESCRIBE binds the query
+    without executing it, so sweeping the whole registry is cheap."""
+    con = parity.duckdb_connection(SF_SMOKE)
+    offenders = {}
+    for name, entry in sorted(QUERIES.items()):
+        if entry.oracle is None:
+            continue
+        cols = con.sql(f"DESCRIBE {entry.oracle}").fetchall()
+        bad = [(c[0], c[1]) for c in cols if "HUGEINT" in c[1].upper()]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles emitting HUGEINT (wrap in CAST(... AS BIGINT)): {offenders}"
+    )

@@ -185,6 +185,44 @@ def test_avro_codec_roundtrip(tmp_path_factory, sr):
                 assert _approx_eq(wv, gv), (k, wv, gv)
 
 
+@given(schema_and_rows())
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.data_too_large])
+def test_avro_snappy_roundtrip(tmp_path_factory, sr):
+    """Snappy-codec OCF files (Datastream's common shape) round-trip through
+    the pure-Python codec: compress on write, decompress + CRC check on read."""
+    schema, rows = sr
+    path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    avro_io.write_file(path, schema, rows, codec="snappy")
+    got_schema, got_rows = avro_io.read_file(path)
+    assert got_schema == schema
+    assert len(got_rows) == len(rows)
+    for w, g in zip(rows, got_rows):
+        for k, wv in w.items():
+            assert _approx_eq(wv, g[k]) or (
+                isinstance(wv, float) and math.isclose(wv, g[k], rel_tol=1e-6, abs_tol=1e-30)
+            ), (k, wv, g[k])
+
+
+def test_snappy_decompress_back_references():
+    """The decoder must handle the full snappy format — including copy
+    elements (1/2-byte offsets) and overlapping run-length copies — not just
+    the literal-only streams our own compressor emits."""
+    # literal "abcd", then copy1 len=4 offset=4 → "abcdabcd"
+    stream = bytes([8]) + bytes([3 << 2]) + b"abcd" + bytes([(0 << 5) | (0 << 2) | 1, 4])
+    assert avro_io._snappy_decompress(stream) == b"abcdabcd"
+    # literal "ab", then overlapping copy2 len=6 offset=2 → "ab" * 4
+    stream = bytes([8]) + bytes([1 << 2]) + b"ab" + bytes([(5 << 2) | 2, 2, 0])
+    assert avro_io._snappy_decompress(stream) == b"abababab"
+    # corrupt CRC must be rejected
+    block = avro_io._avro_snappy_encode(b"payload")
+    bad = block[:-1] + bytes([block[-1] ^ 0xFF])
+    try:
+        avro_io._avro_snappy_decode(bad)
+        raise AssertionError("CRC mismatch not detected")
+    except ValueError as e:
+        assert "CRC" in str(e)
+
+
 # --- end-to-end conversion robustness ---------------------------------------
 
 
