@@ -70,3 +70,39 @@ def cdc_latest_snapshot(
             )
         )
     return latest
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    attr_cols: list[str],
+    tie_break_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream: one
+    row per change with a half-open validity interval.
+
+    ``valid_from`` is the change's own ``order_col`` value; ``valid_to``
+    is the NEXT change's value for the same key (NULL while current —
+    ``is_current`` marks it). Consumers time-travel with
+    ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)`` — the
+    standard warehouse SCD2 contract the reference's append-only CDC
+    output (main.py:569-577) leaves every downstream team to rebuild.
+
+    One window pass per key — the same single hash shuffle as
+    ``latest_per_key``; no join, no second pass, so it scales exactly as
+    far as the snapshot compaction does."""
+    from pyspark.sql import Window
+
+    order_exprs = [F.col(order_col).asc()] + [
+        F.col(c).asc() for c in (tie_break_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order_exprs)
+    nxt = F.lead(F.col(order_col)).over(w)
+    return df.select(
+        *key_cols,
+        *attr_cols,
+        F.col(order_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

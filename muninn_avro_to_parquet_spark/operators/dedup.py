@@ -186,6 +186,43 @@ def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     return toksed.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many distinct
+    word n-grams it shares with a held-out evaluation set, plus a
+    ``contaminated`` flag — the pre-training hygiene pass that keeps eval
+    answers out of the training corpus.
+
+    Scale: eval suites are thousands of documents, so the benchmark
+    shingle set broadcasts; the corpus-side check is then a broadcast
+    semi-join inside the scan (no corpus shuffle) followed by one
+    aggregate on the (rare) hits. Output: (id, n_overlap, contaminated)
+    for every corpus document."""
+    bench = (
+        ngram_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    hits = (
+        ngram_shingles(corpus, id_col, text_col, n)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -41,6 +41,53 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(cleaned, " +"), lambda t: t != F.lit(""))
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for normalized dedup: lowercase, punctuation →
+    space, whitespace runs collapsed, trimmed. Two documents differing
+    only in case/punctuation/spacing normalize to the same string."""
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), WORD_RE, " "), " +", " "))
+
+
+def normalized_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup over the normalized text form: every document labeled
+    with its group's canonical (minimum) id plus an ``is_dup`` flag.
+
+    One window pass on the md5 of the normalized form — the same single
+    shuffle shape as ``exact_dedup``, but robust to the formatting noise
+    (case, punctuation, spacing) that makes byte-exact dedup miss near
+    100% of real web duplicates."""
+    from pyspark.sql import Window
+
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy("norm_hash")
+    return (
+        df.select(F.col(id_col), h.alias("norm_hash"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def vocabulary(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: per token, total occurrences, document
+    frequency, and Zipf rank — the counting pass a BPE/WordPiece
+    tokenizer trainer runs before merging, and the df table an IDF
+    weighting needs.
+
+    One explode + one groupBy with map-side partial aggregation; the rank
+    window runs over the distinct-token relation, which is orders of
+    magnitude smaller than the corpus (a 100 TB web corpus has ~10^7
+    distinct tokens — a single executor's work after the aggregate)."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
 def _nsize(arr: Column) -> Column:
     """Null-safe F.size: NULL array → NULL (Spark returns -1 with ANSI
     off, which would diverge from the SQL oracles' len(NULL) → NULL)."""

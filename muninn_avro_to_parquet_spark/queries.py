@@ -2874,3 +2874,121 @@ def q_pack_sequences(spark):
     return pipeline.pack_token_budget(
         spark.table("documents"), budget=2048
     )
+
+
+# ---------------------------------------------------------------------------
+# round 3 additions: decontamination, normalized dedup, vocabulary, SCD2
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 3
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE doc_id % 50 <> 0 AND len(t) >= 3
+    ),
+    hits AS (SELECT doc_id, COUNT(*) AS n FROM corp JOIN bench USING (shingle) GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+           COALESCE(n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def text_decontaminate(spark):
+    """Benchmark decontamination (operators/dedup.decontaminate): every
+    50th document plays the held-out eval set; the rest is the corpus.
+    The eval shingle set broadcasts, so the corpus-side check is a
+    broadcast semi-join inside the scan — zero corpus shuffle."""
+    d = spark.table("documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corp = d.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate(corp, bench, "doc_id")
+
+
+@q(
+    "dedup_normalized",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT doc_id, norm_hash,
+           MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS is_dup
+    FROM h
+    """,
+)
+def dedup_normalized(spark):
+    """Formatting-robust exact dedup (operators/text.normalized_dedup):
+    dedup on the case/punctuation/whitespace-normalized text, one window
+    pass on the normalized-form hash."""
+    return text.normalized_dedup(spark.table("documents"), "doc_id")
+
+
+@q(
+    "text_vocabulary",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY 1
+    )
+    SELECT token, n_occurrences, n_docs,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+    FROM counts
+    """,
+)
+def text_vocabulary(spark):
+    """Corpus vocabulary with Zipf ranks (operators/text.vocabulary) —
+    the counting pass a BPE tokenizer trainer runs first."""
+    return text.vocabulary(spark.table("documents"), "doc_id")
+
+
+@q(
+    "q_scd2_history",
+    """
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+           LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q_scd2_history(spark):
+    """Type-2 SCD history (operators/cdc.scd2_history): per-user change
+    intervals with half-open validity, built in one window pass."""
+    from muninn_avro_to_parquet_spark.operators import cdc
+
+    ev = (
+        spark.table("events")
+        .filter(F.col("user_id") <= 20)
+        .select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("_us")
+        )
+    )
+    return cdc.scd2_history(
+        ev,
+        key_cols=["user_id"],
+        order_col="_us",
+        attr_cols=["event_id", "event_type"],
+        tie_break_cols=["event_id"],
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("valid_from"),
+        "valid_to",
+        "is_current",
+    )
