@@ -90,8 +90,14 @@ def minhash_signature(
     """MinHash signature: for seed i, min over tokens of md5(i ':' token).
 
     One explode + one groupBy (map-side combinable); signature columns are
-    named mh00..mh{k-1}."""
-    dt = doc_tokens(df, id_col, text_col)
+    named mh00..mh{k-1}.
+
+    The token relation is NOT deduplicated first: ``min`` is insensitive
+    to duplicates, so the ``doc_tokens`` distinct — a full shuffle of the
+    widest relation in the pipeline (every (doc, token) occurrence) —
+    would buy nothing. The groupBy's map-side partial min combines
+    duplicate tokens within a partition for free."""
+    dt = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh{i:02d}")
         for i in range(num_hashes)
@@ -138,6 +144,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs: documents agreeing on ≥1 LSH band.
 
@@ -152,27 +159,35 @@ def minhash_candidate_pairs(
     bucket of k docs emits k²/2 pairs, so one boilerplate bucket with
     10^6 members would emit 5·10^11 pairs. Production corpus dedup at
     10^9 docs needs this cap (the dropped buckets are near-universal
-    boilerplate — worth logging, not pairing)."""
-    b = _cache_scoped(
-        minhash_bands(
-            minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
-        ),
-        "minhash_bands",
+    boilerplate — worth logging, not pairing). The cap is one window
+    count over the band key — the same shuffle the pair join needs
+    anyway — not a separate aggregate + anti-join.
+
+    ``distinct=False`` skips the final multi-band dedup shuffle for
+    consumers that are insensitive to duplicate pairs (min-label
+    connected components); keep the default for anything that counts or
+    emits the pairs themselves."""
+    from pyspark.sql import Window
+
+    b = minhash_bands(
+        minhash_signature(df, id_col, text_col, num_hashes), id_col, num_hashes, bands
     )
     if max_bucket is not None:
-        counts = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bucket_n"))
+        w = Window.partitionBy("band_idx", "band_hash")
         b = (
-            b.join(F.broadcast(counts.filter(F.col("_bucket_n") > max_bucket)),
-                   ["band_idx", "band_hash"], "left_anti")
+            b.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
         )
+    b = _cache_scoped(b, "minhash_bands")
     left = b.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = b.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    return (
+    out = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -367,21 +382,67 @@ def connected_components(
     per round); for dedup clusters plain propagation converges faster in
     practice because diameters are 1-3.
 
+    Fixed-cost design (this used to be the slowest operator in the
+    bench for pure overhead reasons, not data volume):
+
+    - **seeding**: the initial labels come from one aggregate over the
+      edge list — ``label(node) = min(node, min(neighbors))`` — which IS
+      the first propagation round, fused with node discovery. A clique
+      whose minimum member touches every other member (the common LSH
+      bucket shape) is already converged at the seed.
+    - **pointer jumping**: after the neighbor-min step each node also
+      adopts its label's label (``label ← label(label)``), so label chains
+      halve every round — convergence in O(log diameter) rounds instead of
+      O(diameter). The jump is a self-join on the (tiny) label relation,
+      not on the edge list.
+    - **one job per round**: ``localCheckpoint(eager=False)`` defers the
+      checkpoint to the convergence count, so each round materializes its
+      result exactly once (the count both answers "changed?" and leaves
+      the checkpointed partitions behind for the next round), instead of
+      an eager-checkpoint job plus a count job.
+    - **data-sized shuffles**: the candidate-pair graph is orders of
+      magnitude smaller than the corpus that produced it, but the loop's
+      checkpoints materialize through the RDD path where AQE partition
+      coalescing does not apply — so every micro-iteration would pay the
+      session's full shuffle-partition count in task overhead. The loop
+      instead sizes ``spark.sql.shuffle.partitions`` from the materialized
+      edge count (~2M edge rows ≈ 32 MB per task) and restores the session
+      value on exit; a billion-edge graph still gets hundreds of tasks.
+
     The per-iteration convergence check is a driver-side ``count`` of a
     LIMIT-1 diff — an O(1)-result job, not a data collect.
     """
+    import math
+
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = _cache_scoped(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         "cc_edges",
     )
+    spark = pairs.sparkSession
+    n_edges = edges.count()  # materializes the cache; sizes the loop shuffles
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, math.ceil(n_edges / 2_000_000))),
+    )
+    try:
+        return _cc_loop(edges, max_iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
+    # seed = one fused propagation round: min over self ∪ neighbors
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"), F.least("src", "_mn").alias("label")
+        )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for _ in range(max_iterations - 1):
         msgs = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label"), F.lit(False).alias("is_old")
         )
@@ -389,14 +450,29 @@ def connected_components(
         # so convergence is read off the aggregated result itself — the
         # old version's per-iteration labels⋈new_labels comparison join
         # doubled the shuffle count for a boolean answer
-        new_labels = (
+        prop = (
             msgs.union(labels.select("node", "label", F.lit(True).alias("is_old")))
             .groupBy("node")
             .agg(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the jump join below references prop twice;
+            # checkpointing first makes both branches share one computation
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: label ← label(label). Labels are always node ids
+        # present in the relation, so the left join hits unless the label
+        # is already a component minimum (which maps to itself anyway).
+        lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        new_labels = (
+            prop.join(lut, F.col("label") == F.col("_ln"), "left")
+            .select(
+                "node",
+                F.coalesce("_ll", "label").alias("label"),
+                "old_label",
+            )
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()

@@ -61,8 +61,15 @@ def _with_qnorm(df: DataFrame, id_col: str, vec_col: str, *extra_cols: str) -> D
     array passes per pair. Join sides prepared here pay one quantize + one
     norm per ROW, and each pair costs a single zip_with dot product. The
     arithmetic is bit-identical (same quantized longs, same double sqrt),
-    so oracle parity is unaffected."""
-    q = df.select(id_col, *extra_cols, _qvec(F.col(vec_col)).alias("_q"))
+    so oracle parity is unaffected.
+
+    If ``df`` already carries a ``_q`` column (``hyperplane_buckets``
+    emits one), it is reused instead of re-quantizing ``vec_col`` — the
+    bucketing pass and the norm pass then share a single quantization."""
+    if "_q" in df.columns:
+        q = df.select(id_col, *extra_cols, "_q")
+    else:
+        q = df.select(id_col, *extra_cols, _qvec(F.col(vec_col)).alias("_q"))
     return q.select(
         id_col,
         *extra_cols,
@@ -196,23 +203,41 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, bucket) where bucket is the sign pattern over H hyperplanes.
+    """(id, vec, _q, bucket) where bucket is the sign pattern over H
+    hyperplanes.
 
-    The quantized vector is materialized once; each plane's dot product is
-    an exact integer sum, so the H sign bits are deterministic."""
-    qv = df.select(F.col(id_col), F.col(vec_col), _qvec(F.col(vec_col)).alias("_bq"))
-    sign_bits = []
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(v).cast("long") for v in _hyperplane(dim, p)])
-        dot = F.aggregate(
-            F.zip_with(F.col("_bq"), plane, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    All H dot products run in ONE pass over the quantized vector: the
+    plane coefficients are laid out dim-major (``mat[d] = [plane0[d], …,
+    planeH-1[d]]``) so a single ``aggregate`` folds a length-H accumulator
+    across the dims — versus one full array traversal per plane, which is
+    what made this 8× more expensive than it needs to be. Each dot is
+    still an exact integer sum, so the H sign bits are deterministic.
+
+    The quantized vector is kept in the output (``_q``) so downstream
+    ``_with_qnorm`` reuses it instead of quantizing again."""
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    # one F.expr call, not dim×planes F.lit().cast() Columns: a 64×8
+    # matrix built element-wise costs >1000 py4j round-trips (~3 s of
+    # DRIVER time per call — measured; execution was never the problem)
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{planes[p][d]}L" for p in range(num_planes)) + ")"
+            for d in range(dim)
         )
-        sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return qv.select(
-        F.col(id_col), F.col(vec_col), F.concat(*sign_bits).alias("bucket")
+        + ")"
     )
+    dots = F.aggregate(
+        F.zip_with(F.col("_q"), mat, lambda x, coeffs: F.transform(coeffs, lambda c: x * c)),
+        F.array_repeat(F.lit(0).cast("long"), num_planes),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, b: a + b),
+    )
+    bucket = F.array_join(
+        F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
+    return df.select(
+        F.col(id_col), F.col(vec_col), _qvec(F.col(vec_col)).alias("_q")
+    ).select(F.col(id_col), F.col(vec_col), F.col("_q"), bucket.alias("bucket"))
 
 
 def ann_topk_lsh(

@@ -1975,7 +1975,8 @@ def dedup_components(spark):
     the capped MinHash-LSH candidate pairs — every near-dup cluster maps
     to its minimum doc_id as the canonical representative."""
     pairs = dedup.minhash_candidate_pairs(
-        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4,
+        max_bucket=64, distinct=False,  # min-label CC is duplicate-insensitive
     )
     return dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component_id"
