@@ -24,7 +24,6 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import datetime as dt
-import glob
 import logging
 import os
 import re
@@ -33,6 +32,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from muninn_avro_to_parquet_spark import fs
 from muninn_avro_to_parquet_spark.sources import avro_io, avro_source
 
 TABLE_FOLDER_RE = re.compile(r"/avro/([^/]+)/")
@@ -349,7 +349,10 @@ def convert(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    paths = [p for p in glob.glob(input_glob, recursive=True) if os.path.isfile(p)]
+    # fs.glob_files: local globs keep stdlib semantics; object-store URIs
+    # (file://, s3://, gs://, …) list through pyarrow.fs — the reference's
+    # GCS-glob contract (main.py:604-608)
+    paths = fs.glob_files(input_glob)
     groups = group_paths_by_table(paths)
     result = ConvertResult()
     if not groups:
@@ -381,7 +384,7 @@ def convert_df(
 ) -> DataFrame:
     """Single-table variant returning the typed DataFrame (no write) —
     used by tests and interactive exploration."""
-    paths = sorted(p for p in glob.glob(input_glob, recursive=True) if os.path.isfile(p))
+    paths = fs.glob_files(input_glob)
     if not paths:
         raise FileNotFoundError(input_glob)
     if permissive:

@@ -483,11 +483,20 @@ def _encode(out: bytearray, value: Any, node: Any, names: dict[str, Any]) -> Non
 # ---------------------------------------------------------------------------
 
 
+def _open_read(path: str) -> BinaryIO:
+    """Seekable reader for a local path or an object-store URI — the seam
+    that lets executor-side block decode stream straight from s3/gs
+    (fs.open_input; plain local paths keep builtin ``open``)."""
+    from muninn_avro_to_parquet_spark import fs
+
+    return fs.open_input(path)
+
+
 def read_schema(path_or_file: str | BinaryIO) -> dict:
     """Read only the writer schema from an OCF header (cheap driver-side op —
     unlike the reference, which re-opens and fully re-reads each file:
     /root/reference/main.py:492-494 then 517-519)."""
-    f = open(path_or_file, "rb") if isinstance(path_or_file, str) else path_or_file
+    f = _open_read(path_or_file) if isinstance(path_or_file, str) else path_or_file
     try:
         header = f.read(1 << 16)
         meta, _, _ = _parse_header(header, f)
@@ -681,7 +690,7 @@ def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]
     Disjoint ranges covering the file therefore decode every record
     exactly once — the contract that lets one huge Avro file fan out
     across many tasks."""
-    with open(path, "rb") as f:
+    with _open_read(path) as f:
         header = f.read(1 << 16)
         meta, sync, data_start = _parse_header(header, f)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
@@ -746,8 +755,10 @@ def write_file(
     # rather than a process-wide constant.
     import hashlib
 
+    from muninn_avro_to_parquet_spark import fs as _fs
+
     sync = hashlib.sha256(json.dumps(schema, sort_keys=True).encode() + path.encode()).digest()[:16]
-    with open(path, "wb") as f:
+    with _fs.open_output(path) as f:
         f.write(MAGIC)
         meta = {
             "avro.schema": json.dumps(schema).encode("utf-8"),

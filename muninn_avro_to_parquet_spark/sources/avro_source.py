@@ -72,12 +72,13 @@ SPLIT_BYTES = 64 * 1024 * 1024
 def plan_splits(paths: list[str], split_bytes: int = SPLIT_BYTES) -> list[tuple[str, int, int]]:
     """(path, start, end) byte splits — one per file below the threshold,
     several Hadoop-style ranges above it. Pure driver-side arithmetic on
-    file sizes; executors seek to the first sync inside their range."""
-    import os
+    file sizes (a stat per file — works on object-store URIs through the
+    fs seam); executors seek to the first sync inside their range."""
+    from muninn_avro_to_parquet_spark import fs
 
     out = []
     for p in paths:
-        size = os.path.getsize(p)
+        size = fs.file_size(p)
         if size <= split_bytes:
             out.append((p, 0, size))
             continue

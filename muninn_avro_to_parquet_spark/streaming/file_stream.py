@@ -15,6 +15,12 @@ convert DoFn. Here the same contract is:
   it stopped, never reconverting acknowledged files. A crash BETWEEN
   write and acknowledge replays that batch (at-least-once on crash) —
   the same window Beam's runner-state dedup has on a fresh launch.
+  Checkpoint state lives behind the fs seam, so it can sit durably next
+  to the data on an object store: local checkpoint dirs keep the
+  append-one-line protocol; URI checkpoint dirs (``file://``, ``s3://``,
+  …) write one immutable object per acknowledgment into
+  ``<ledger>.d/`` — object stores don't append, and one-object-per-ack
+  is exactly how Spark's own streaming file-source commit log works.
 - ``request_drain()`` / drain-file = Dataflow's JOB_STATE_DRAINING
   (/root/reference/run_dataflow.py:121-143): finish the in-flight batch,
   stop polling, exit cleanly. A separate process can request drain by
@@ -30,7 +36,6 @@ a distributed job.
 
 from __future__ import annotations
 
-import glob
 import os
 import time
 from dataclasses import dataclass, field
@@ -38,6 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from muninn_avro_to_parquet_spark import convert as convert_mod
+from muninn_avro_to_parquet_spark import fs
 from muninn_avro_to_parquet_spark.functions.scalars import parse_duration_to_seconds
 
 
@@ -68,30 +74,54 @@ class StreamingConverter:
         self.checkpoint_dir = checkpoint_dir
         self.poll_seconds = parse_duration_to_seconds(window_duration)
         self.permissive = permissive
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        self._ledger_path = os.path.join(checkpoint_dir, "processed_files.log")
-        self._failed_path = os.path.join(checkpoint_dir, "failed_files.log")
-        self._drain_path = os.path.join(checkpoint_dir, "DRAIN")
+        self._is_uri_ckpt = fs.is_uri(checkpoint_dir)
+        fs.makedirs(checkpoint_dir)
+        base = checkpoint_dir.rstrip("/")
+        self._ledger_path = f"{base}/processed_files.log"
+        self._failed_path = f"{base}/failed_files.log"
+        self._drain_path = f"{base}/DRAIN"
         # a drain request applies to the RUN it stopped; a relaunched
         # converter resumes streaming (leaving the flag would silently
         # degrade every future run to one batch)
-        if os.path.exists(self._drain_path):
-            os.remove(self._drain_path)
+        if fs.exists(self._drain_path):
+            fs.delete_file(self._drain_path)
         self._seen: set[str] = set()
+        self._ack_seq = 0
         for ledger in (self._ledger_path, self._failed_path):
-            if os.path.exists(ledger):
-                with open(ledger, encoding="utf-8") as f:
-                    self._seen.update(line.rstrip("\n") for line in f if line.strip())
+            for chunk in self._ledger_chunks(ledger):
+                self._seen.update(
+                    line for line in fs.read_text(chunk).splitlines() if line.strip()
+                )
         self._batch_id = 0
 
     # -- checkpoint ----------------------------------------------------------
 
+    def _ledger_chunks(self, ledger_path: str) -> list[str]:
+        """Every file holding acknowledged paths for this ledger: the plain
+        append file (local protocol) plus any ``<ledger>.d/`` objects (URI
+        protocol); a checkpoint moved between filesystems replays both."""
+        chunks = [ledger_path] if fs.exists(ledger_path) else []
+        chunks.extend(fs.list_files(ledger_path + ".d"))
+        return chunks
+
     def _append_ledger(self, ledger_path: str, paths: list[str]) -> None:
-        with open(ledger_path, "a", encoding="utf-8") as f:
-            for p in paths:
-                f.write(p + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        if self._is_uri_ckpt:
+            # object stores have no append: one immutable object per ack,
+            # named by a monotonically increasing sequence (restart-safe:
+            # the recovery scan reads every object regardless of name)
+            chunk_dir = ledger_path + ".d"
+            fs.makedirs(chunk_dir)
+            self._ack_seq += 1
+            fs.write_text(
+                f"{chunk_dir}/{self._ack_seq:08d}-{abs(hash(tuple(paths))) % 10**8:08d}.log",
+                "".join(p + "\n" for p in paths),
+            )
+        else:
+            with open(ledger_path, "a", encoding="utf-8") as f:
+                for p in paths:
+                    f.write(p + "\n")
+                f.flush()
+                os.fsync(f.fileno())
         self._seen.update(paths)
 
     def _acknowledge(self, paths: list[str]) -> None:
@@ -106,12 +136,11 @@ class StreamingConverter:
         """Ask a running loop to stop after the current batch (JOB_STATE_
         DRAINING semantics). Safe to call from another process via the
         drain file."""
-        with open(self._drain_path, "w", encoding="utf-8") as f:
-            f.write("drain\n")
+        fs.write_text(self._drain_path, "drain\n")
 
     @property
     def drain_requested(self) -> bool:
-        return os.path.exists(self._drain_path)
+        return fs.exists(self._drain_path)
 
     # -- the stream ----------------------------------------------------------
 
@@ -126,9 +155,7 @@ class StreamingConverter:
         healthy tables' rows on every restart."""
         import logging
 
-        matched = sorted(
-            p for p in glob.glob(self.input_pattern, recursive=True) if os.path.isfile(p)
-        )
+        matched = fs.glob_files(self.input_pattern)
         new = [p for p in matched if p not in self._seen]
         result = BatchResult(batch_id=self._batch_id, new_files=new)
         self._batch_id += 1

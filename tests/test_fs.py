@@ -1,0 +1,149 @@
+"""Filesystem-seam tests: the ingest path (listing, header reads, block
+decode, streaming checkpoint) driven through ``file://`` URIs — the exact
+code path an object store takes (URI parse → pyarrow.fs → filesystem API),
+minus the network."""
+
+from __future__ import annotations
+
+import os
+
+from muninn_avro_to_parquet_spark import convert, fs
+from muninn_avro_to_parquet_spark.sources import avro_io, avro_source
+from muninn_avro_to_parquet_spark.streaming.file_stream import StreamingConverter
+from tests.conftest import CDC_SCHEMA
+
+
+def _recs(ids):
+    return [
+        {
+            "uuid": f"u{i}",
+            "read_timestamp": i,
+            "sort_keys": [],
+            "source_metadata": {
+                "schema": "public",
+                "table": "customers",
+                "is_deleted": False,
+                "change_type": "INSERT",
+                "tx_id": 100 + i,
+                "lsn": f"0/{i}",
+                "primary_keys": ["id"],
+            },
+            "payload": {
+                "id": i,
+                "name": f"name{i}",
+                "age": 20 + i,
+                "balance": ((i + 1) * 10**29).to_bytes(16, "big", signed=True),
+                "score": i * 1.5,
+                "active": i % 2 == 0,
+                "created_at": 1_700_000_000_000_000 + i,
+                "updated_at": 1_700_000_000_000 + i,
+                "birth_date": 8000 + i,
+                "tags": [f"t{i}"],
+                "attrs": {"a": str(i)},
+            },
+        }
+        for i in ids
+    ]
+
+
+def _fixture_tree(tmp_path, tables=("customers",), files_per_table=2):
+    for t in tables:
+        base = tmp_path / "avro" / t
+        base.mkdir(parents=True, exist_ok=True)
+        for fi in range(files_per_table):
+            avro_io.write_file(
+                str(base / f"f{fi}.avro"),
+                CDC_SCHEMA,
+                _recs(range(fi * 3, fi * 3 + 3)),
+                codec="deflate" if fi % 2 else "null",
+            )
+
+
+def test_glob_files_uri_matches_local(tmp_path):
+    _fixture_tree(tmp_path, tables=("customers", "orders"))
+    local = fs.glob_files(str(tmp_path / "avro" / "**" / "*.avro"))
+    via_uri = fs.glob_files(f"file://{tmp_path}/avro/**/*.avro")
+    assert len(local) == 4
+    assert [u.removeprefix("file://") for u in via_uri] == local
+    # single-segment wildcard stays within one directory level
+    one_level = fs.glob_files(f"file://{tmp_path}/avro/customers/*.avro")
+    assert [u.removeprefix("file://") for u in one_level] == fs.glob_files(
+        str(tmp_path / "avro" / "customers" / "*.avro")
+    )
+
+
+def test_glob_files_uri_no_match_and_literal(tmp_path):
+    _fixture_tree(tmp_path)
+    assert fs.glob_files(f"file://{tmp_path}/nosuch/**/*.avro") == []
+    literal = f"file://{tmp_path}/avro/customers/f0.avro"
+    assert fs.glob_files(literal) == [literal]
+    assert fs.glob_files(f"file://{tmp_path}/avro/customers/nope.avro") == []
+
+
+def test_header_and_block_reads_through_uri(tmp_path):
+    _fixture_tree(tmp_path)
+    local = str(tmp_path / "avro" / "customers" / "f1.avro")  # deflate file
+    uri = f"file://{local}"
+    assert avro_io.read_schema(uri) == avro_io.read_schema(local)
+    assert list(avro_io.iter_records(uri)) == list(avro_io.iter_records(local))
+    assert fs.file_size(uri) == os.path.getsize(local)
+    # split planning stats through the seam too
+    splits = avro_source.plan_splits([uri])
+    assert splits == [(uri, 0, os.path.getsize(local))]
+
+
+def test_write_file_through_uri(tmp_path):
+    path = str(tmp_path / "out.avro")
+    avro_io.write_file(f"file://{path}", CDC_SCHEMA, _recs(range(4)), codec="deflate")
+    assert [r["payload"]["id"] for r in avro_io.iter_records(path)] == [0, 1, 2, 3]
+
+
+def test_convert_end_to_end_through_uri(spark, tmp_path):
+    """convert() with a file:// glob AND a file:// output prefix — listing,
+    drift probing, executor-side decode, and the parquet write all resolve
+    through the seam (VERDICT r3 'done' criterion)."""
+    _fixture_tree(tmp_path)
+    out = f"file://{tmp_path}/out"
+    res = convert.convert(
+        spark,
+        f"file://{tmp_path}/avro/**/*.avro",
+        out,
+        ingestion_date="2026-01-01",
+    )
+    assert res.tables == {"customers": 6}
+    got = spark.read.parquet(f"{tmp_path}/out/customers")
+    assert got.count() == 6
+    assert set(r.id for r in got.select("id").collect()) == set(range(6))
+
+
+def test_streaming_converter_uri_checkpoint_restart(spark, tmp_path):
+    """StreamingConverter with URI pattern + URI checkpoint: acknowledged
+    files survive a restart (no replay), new files still convert — the
+    ledger lives behind the seam as one object per ack."""
+    _fixture_tree(tmp_path, files_per_table=1)
+    pattern = f"file://{tmp_path}/avro/**/*.avro"
+    ckpt = f"file://{tmp_path}/ckpt"
+    out = f"file://{tmp_path}/out"
+    conv = StreamingConverter(spark, pattern, out, ckpt, "1h")
+    r1 = conv.poll_once(ingestion_date="2026-01-01")
+    assert r1.tables == {"customers": 3} and len(r1.new_files) == 1
+
+    # restart: nothing new → empty batch, no replay
+    conv2 = StreamingConverter(spark, pattern, out, ckpt, "1h")
+    r2 = conv2.poll_once(ingestion_date="2026-01-01")
+    assert r2.new_files == [] and r2.tables == {}
+
+    # drop a new file; only it converts
+    avro_io.write_file(
+        str(tmp_path / "avro" / "customers" / "g0.avro"), CDC_SCHEMA, _recs([100])
+    )
+    r3 = conv2.poll_once(ingestion_date="2026-01-01")
+    assert len(r3.new_files) == 1 and r3.tables == {"customers": 1}
+    total = spark.read.parquet(f"{tmp_path}/out/customers").count()
+    assert total == 4
+
+    # drain flag round-trips through the seam
+    conv2.request_drain()
+    assert conv2.drain_requested
+    conv3 = StreamingConverter(spark, pattern, out, ckpt, "1h")
+    assert not conv3.drain_requested
