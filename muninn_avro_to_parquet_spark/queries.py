@@ -18,6 +18,7 @@ get the driver's rows-only check.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -1042,6 +1043,73 @@ def multimodal_meta(spark):
     )
 
 
+_BINARY_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "binary")
+# (file_name, n_bytes, md5, width, height, round(mean_luma, 6)) for the
+# committed BMP fixtures — regenerate with the block in the fixtures'
+# git history if the images ever change
+_BINARY_GROUND_TRUTH = [
+    ("img_00.bmp", 90, "48e610ccb5f59ff8d0725c0a61089a83", 4, 3, 0.2763),
+    ("img_01.bmp", 174, "7f4b9415a6a79f4faff3b51c9090b1a7", 7, 5, 0.568403),
+    ("img_02.bmp", 58, "8940e1853bede4d33405a8ef4dc7a33d", 1, 1, 0.299),
+    ("img_03.bmp", 150, "7a9568ec895e34002d9b0b42aadb7fe1", 16, 2, 0.470588),
+    ("img_04.bmp", 182, "feaf3af065062d3422088b73d781dec9", 5, 8, 0.444029),
+]
+
+
+def _binary_ingest_oracle() -> str:
+    # DuckDB independently lists + stats the same fixture directory
+    # (read_blob) and joins on (file_name, n_bytes); the content hash and
+    # decoded features come from the generated ground truth because
+    # DuckDB 1.0 has no BLOB hash function. A missing/changed file breaks
+    # the join → row-count mismatch.
+    vals = ",".join(
+        f"('{n}',{s},'{m}',{w},{h},CAST({l} AS DOUBLE))"
+        for n, s, m, w, h, l in _BINARY_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, n_bytes, content_md5, width, height, mean_luma)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.bmp')
+    )
+    SELECT file_name, n_bytes, content_md5, width, height, mean_luma
+    FROM expected JOIN blobs USING (file_name, n_bytes)
+    """
+
+
+@q("multimodal_binary_ingest", _binary_ingest_oracle())
+def multimodal_binary_ingest(spark):
+    """binaryFile directory ingest → real BMP decode: one row per media
+    file with listing metadata, content hash, and decoded image features
+    (``sources/formats.read_binary_dir`` feeding
+    ``multimodal.decode_images``). The oracle assumes the stdlib BMP
+    decoder (this image has no Pillow); luma is rounded to 6 places."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.bmp")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("content"),
+    )
+    feats = multimodal.decode_images(meta, id_col="file_name", media_col="content")
+    return (
+        meta.drop("content")
+        .join(feats, "file_name")
+        .select(
+            "file_name",
+            "n_bytes",
+            "content_md5",
+            "width",
+            "height",
+            F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time windows (same functions serve readStream — tests/test_streaming)
 # ---------------------------------------------------------------------------
@@ -1325,16 +1393,25 @@ def q_approx_distinct(spark):
     the sketches — production profiling uses only the sketch columns.)"""
     o = spark.table("orders")
     price = F.col("o_totalprice").cast("double")
-    agg = o.agg(
+    # two single-row passes instead of one: COUNT(DISTINCT) alongside
+    # other aggregates triggers Catalyst's distinct-rewrite EXPAND, which
+    # multiplies every input row per aggregate group before the (object)
+    # aggregation — measured 5-12 s combined vs <1.3 s for every
+    # aggregate alone at sf0.1. Two scans of a columnar (here: cached)
+    # table are strictly cheaper than one expanded pass, at any scale.
+    exact = o.agg(
         F.count_distinct("o_custkey").alias("exact_customers"),
+        F.count("*").alias("n"),
+    )
+    sketches = o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx_c"),
         # accuracy 1000 ≈ 0.1% rank error — plenty for a profile sketch;
         # 10000 made this 2-sketch agg the slowest query in the bench
         # (18.6 s at sf0.1, 17% of total) for no downstream value
         F.percentile_approx(price, 0.5, 1000).alias("_amed"),
         F.percentile(price, 0.5).alias("_emed"),
-        F.count("*").alias("n"),
     )
+    agg = exact.crossJoin(sketches)  # 1 row × 1 row
     rel_err = lambda a, b: F.abs(a - b) / b  # noqa: E731
     return agg.select(
         "exact_customers",

@@ -33,6 +33,31 @@ BATCH_ROWS = 4096
 SOURCE_FILE_COL = "_source_file"
 
 
+def canon_source_path(p: str) -> str:
+    """Canonical ``_source_file`` value: local-file URIs reduce to the
+    plain filesystem path (percent-decoded), so the Python codec and the
+    JVM scan — whose ``input_file_name()`` returns a percent-encoded
+    ``file:`` URI — emit byte-identical values for the same input.
+    Object-store URIs (s3://, gs://, …) pass through untouched."""
+    import re as _re
+    from urllib.parse import unquote
+
+    if p.startswith("file:"):
+        return unquote(_re.sub(r"^file:/+", "/", p))
+    return p
+
+
+def canon_source_col(col):
+    """Column twin of :func:`canon_source_path` for the JVM ingest path.
+
+    ``url_decode`` treats ``+`` as space (form encoding), so literal plus
+    signs are pre-escaped to ``%2B`` before decoding."""
+    decoded = F.url_decode(
+        F.regexp_replace(F.regexp_replace(col, r"\+", "%2B"), "^file:/+", "/")
+    )
+    return F.when(col.startswith("file:"), decoded).otherwise(col)
+
+
 def _transport_value(value: Any, plan: S.FieldPlan) -> Any:
     """Coerce one decoded Avro value to its transport representation."""
     source = plan.source
@@ -94,6 +119,7 @@ def _batches_for_splits(
 ) -> Iterator[pd.DataFrame]:
     names = [p.name for p in plans]
     for path, start, end in splits:
+        canon_path = canon_source_path(path)
         meta_buf: list[dict] = []
         cols: dict[str, list] = {n: [] for n in names}
         files: list[str] = []
@@ -116,7 +142,7 @@ def _batches_for_splits(
                     cols[plan.name].append(scalars.stringify_any(v))
                 else:
                     cols[plan.name].append(_transport_value(v, plan))
-            files.append(path)
+            files.append(canon_path)
             if len(meta_buf) >= BATCH_ROWS:
                 yield flush()
                 meta_buf, files = [], []
@@ -359,7 +385,11 @@ def read_avro_jvm(
                 cols.append(F.lit(None).cast(p.dtype).alias(p.name))
     except _Unalignable:
         return None
-    return df.select(*cols, F.input_file_name().alias(SOURCE_FILE_COL))
+    # normalized to match the Python codec's _source_file byte-for-byte
+    # (input_file_name returns a percent-encoded file: URI for local reads)
+    return df.select(
+        *cols, canon_source_col(F.input_file_name()).alias(SOURCE_FILE_COL)
+    )
 
 
 def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:

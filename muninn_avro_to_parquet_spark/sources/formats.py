@@ -53,6 +53,31 @@ def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataF
     return spark.read.option("wholetext", str(whole_file).lower()).text(path)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob_filter: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of opaque media files as binary rows — the
+    multimodal primitive (SURVEY §2.3): one row per file with
+    (path, modificationTime, length, content), feeding
+    ``multimodal.decode_images`` / ``decode_audio``.
+
+    Spark's ``binaryFile`` source does the heavy lifting: listing and
+    reads go through the Hadoop filesystem layer (so ``s3://``/``gs://``
+    directories work unchanged), files never split (binary blobs are not
+    splittable), and ``pathGlobFilter`` prunes at listing time. At 100 TB
+    the scan parallelizes per file; pair with ``repartition`` on
+    ``length`` when media sizes are heavily skewed."""
+    r = spark.read.format("binaryFile")
+    if glob_filter:
+        r = r.option("pathGlobFilter", glob_filter)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

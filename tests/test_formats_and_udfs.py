@@ -145,3 +145,39 @@ def test_duration_seconds_long_range(spark):
     df.createOrReplaceTempView("dur_long")
     got = spark.sql("SELECT duration_seconds(d) AS s FROM dur_long").collect()[0]["s"]
     assert got == 30000 * 86400  # > 2^31, needs LONG
+
+
+def test_read_binary_dir_ingests_fixture_images(spark):
+    """binaryFile ingest: one row per media file, opaque binary content,
+    decodable by the multimodal operators (SURVEY §2.3 primitive)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import multimodal
+    from muninn_avro_to_parquet_spark.queries import _BINARY_FIXTURE_DIR
+
+    df = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.bmp")
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 5
+    for r in rows:
+        local = r["path"].removeprefix("file:")
+        assert r["length"] == os.path.getsize(local)
+        assert hashlib.md5(bytes(r["content"])).hexdigest() == hashlib.md5(
+            open(local, "rb").read()
+        ).hexdigest()
+    feats = multimodal.decode_images(
+        df.select(F.col("path").alias("img"), "content"),
+        id_col="img",
+        media_col="content",
+    ).collect()
+    assert all(f["width"] >= 1 and f["height"] >= 1 for f in feats)
+
+
+def test_read_binary_dir_glob_filter_excludes(spark, tmp_path):
+    (tmp_path / "a.bmp").write_bytes(b"BMfake")
+    (tmp_path / "b.txt").write_bytes(b"nope")
+    df = formats.read_binary_dir(spark, str(tmp_path), glob_filter="*.bmp")
+    assert [r["path"].rsplit("/", 1)[-1] for r in df.collect()] == ["a.bmp"]

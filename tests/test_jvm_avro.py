@@ -158,3 +158,41 @@ def test_engine_gate(spark, tmp_path):
     if avro_source.try_native_avro(spark, path) is None:
         with pytest.raises(RuntimeError, match="spark-avro"):
             avro_source.read_avro(spark, [path], engine="jvm")
+
+
+def test_source_file_canon_parity(spark, tmp_path):
+    """ADVICE r3: input_file_name() returns a percent-encoded file: URI
+    while the Python codec emits the caller's path — both must land on the
+    identical canonical value, including paths with spaces and plus signs."""
+    from urllib.parse import quote
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "a b+c"
+    d.mkdir()
+    path = str(d / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS)
+
+    py = avro_source.read_avro(spark, [path], engine="python")
+    py_vals = {r[0] for r in py.select(avro_source.SOURCE_FILE_COL).collect()}
+    assert py_vals == {path}
+
+    # what input_file_name() would return for this local file
+    jvm_uri = "file://" + quote(path)
+    got = (
+        spark.range(1)
+        .select(avro_source.canon_source_col(F.lit(jvm_uri)).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert got == path
+    # python codec fed the URI form also canonicalizes to the plain path
+    assert avro_source.canon_source_path(jvm_uri.replace(quote(path), path)) == path
+    # non-file schemes pass through untouched
+    s3 = "s3://bucket/key+name.avro"
+    assert avro_source.canon_source_path(s3) == s3
+    got_s3 = (
+        spark.range(1)
+        .select(avro_source.canon_source_col(F.lit(s3)).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert got_s3 == s3
