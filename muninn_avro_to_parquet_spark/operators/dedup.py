@@ -253,8 +253,10 @@ def jaccard_pairs(
 
     At corpus scale this runs on LSH-pruned candidates; standalone it is
     still shuffle-efficient: the self-join is an equi-join on the shingle
-    value, so disjoint documents never pair."""
-    sh = ngram_shingles(df, id_col, text_col, n)
+    value, so disjoint documents never pair. The shingle relation feeds
+    three plan branches (sizes, both join sides) — cached so the corpus
+    is tokenized once, not three times."""
+    sh = _cache_scoped(ngram_shingles(df, id_col, text_col, n), "jaccard_shingles")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -292,12 +294,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     dt = doc_tokens(df, id_col, text_col)
     # extract each hex nibble ONCE per token row (16 conv+substring calls),
     # then the 64 vote expressions are cheap shift/mask over those ints —
-    # inlining conv(substring(...)) into every vote costs 4× the string work
+    # inlining conv(substring(...)) into every vote costs 4× the string work.
+    # Expressions are built as SQL strings (one py4j call each) rather than
+    # Column-method chains: the chained form cost ~500 py4j round-trips,
+    # ~1 s of pure DRIVER time per invocation (measured; execution was
+    # unchanged either way).
     hexd = dt.select(F.col(id_col), F.md5(F.col("token")).alias("h"))
     h = hexd.select(
         F.col(id_col),
         *[
-            F.conv(F.substring(F.col("h"), n + 1, 1), 16, 10).cast("int").alias(f"n{n:02d}")
+            F.expr(f"cast(conv(substring(h, {n + 1}, 1), 16, 10) as int) as n{n:02d}")
             for n in range(16)
         ],
     )
@@ -306,18 +312,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     # ints — one groupBy with map-side partial aggregation. (The obvious
     # alternative, exploding 64 (id, bit, ±1) rows per token, multiplies
     # the shuffle input 64× — ~100M rows at sf0.1 — for the same result.)
-    def delta(b: int):
-        bit = F.shiftright(F.col(f"n{b // 4:02d}"), 3 - b % 4).bitwiseAND(F.lit(1))
-        return bit * 2 - 1
-
     votes = h.groupBy(id_col).agg(
-        *[F.sum(delta(b)).alias(f"v{b:02d}") for b in range(64)]
+        *[
+            F.expr(
+                f"sum((shiftright(n{b // 4:02d}, {3 - b % 4}) & 1) * 2 - 1) as v{b:02d}"
+            )
+            for b in range(64)
+        ]
     )
-    bits = [
-        F.when(F.col(f"v{b:02d}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(64)
-    ]
-    return votes.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+    bits = ",".join(
+        f"case when v{b:02d} > 0 then '1' else '0' end" for b in range(64)
+    )
+    return votes.select(F.col(id_col), F.expr(f"concat({bits}) as simhash"))
 
 
 def simhash_candidate_pairs(

@@ -2115,12 +2115,15 @@ def text_tfidf_top_terms(spark):
 def doc_quality_filter(spark):
     """C4-style keep filter: quality_features + threshold — the form a
     pre-training corpus filter actually runs as (keep docs, carry the
-    score for auditing). Pure column expressions over one scan."""
+    score for auditing). One scan, one evaluation of the features:
+    ``filter_once`` blocks Catalyst from substituting the score
+    expression into a pushed-down predicate (which re-ran the tokenizer
+    ~12× per row)."""
     d = spark.table("documents")
-    return (
-        text.quality_features(d)
-        .filter(F.col("quality_score") >= 0.7)
-        .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    return text.filter_once(
+        text.quality_features(d),
+        F.col("quality_score") >= 0.7,
+        ["doc_id", "lang", "source", "n_tokens", "quality_score"],
     )
 
 
