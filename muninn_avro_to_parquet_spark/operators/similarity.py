@@ -29,6 +29,33 @@ from pyspark.sql import types as T
 # quantization scale: 7 decimal digits covers float32 mantissa precision
 _Q = 10_000_000
 
+# Expression-tree builders come in two flavors: Column-based (for callers
+# holding arbitrary Column expressions) and SQL-string-based (for the hot
+# operator paths, where every F.<fn> / lambda is one or more py4j round
+# trips — profiling showed ~2800 round-trips ≈ 0.8 s of pure DRIVER time
+# per ann_topk_ivf plan build; the string forms build the same tree in a
+# handful of calls).
+
+
+def _qvec_sql(col: str) -> str:
+    """SQL for: float vector ``col`` → exact BIGINT vector round(x·1e7)."""
+    return f"transform({col}, x -> cast(round(cast(x as double) * {_Q}) as bigint))"
+
+
+_NORM_SQL = (
+    "sqrt(cast(aggregate(transform(_q, x -> x * x), cast(0 as bigint), "
+    "(acc, x) -> acc + x) as double))"
+)
+
+
+def _pair_cosine_sql(qa: str, na: str, qb: str, nb: str) -> str:
+    """SQL for exact cosine from pre-quantized vector columns and
+    pre-computed norm columns (names, not Column objects)."""
+    return (
+        f"try_divide(cast(aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
+        f"cast(0 as bigint), (acc, x) -> acc + x) as double), {na} * {nb})"
+    )
+
 
 def _qvec(a):
     """float vector → exact BIGINT vector: round(x * 1e7)."""
@@ -69,29 +96,8 @@ def _with_qnorm(df: DataFrame, id_col: str, vec_col: str, *extra_cols: str) -> D
     if "_q" in df.columns:
         q = df.select(id_col, *extra_cols, "_q")
     else:
-        q = df.select(id_col, *extra_cols, _qvec(F.col(vec_col)).alias("_q"))
-    return q.select(
-        id_col,
-        *extra_cols,
-        "_q",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("_q"), lambda x: x * x),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-        ).alias("_norm"),
-    )
-
-
-def _pair_cosine(qa, na, qb, nb):
-    """Exact cosine from pre-quantized vectors and pre-computed norms."""
-    dot = F.aggregate(
-        F.zip_with(qa, qb, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return F.try_divide(dot.cast("double"), na * nb)
+        q = df.select(id_col, *extra_cols, F.expr(f"{_qvec_sql(vec_col)} as _q"))
+    return q.select(id_col, *extra_cols, "_q", F.expr(f"{_NORM_SQL} as _norm"))
 
 
 def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -136,9 +142,7 @@ def cosine_topk(
     scored = scored.select(
         "query_id",
         id_col,
-        _pair_cosine(
-            F.col("_qq"), F.col("_qnorm"), F.col("_q"), F.col("_norm")
-        ).alias("cosine_sim"),
+        F.expr(f"{_pair_cosine_sql('_qq', '_qnorm', '_q', '_norm')} as cosine_sim"),
     )
     return _rank_topk(scored, k, id_col)
 
@@ -166,8 +170,8 @@ def cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            _pair_cosine(F.col("_qa"), F.col("_na"), F.col("_qb"), F.col("_nb")).alias(
-                "cosine_sim"
+            F.expr(
+                f"{_pair_cosine_sql('_qa', '_na', '_qb', '_nb')} as cosine_sim"
             ),
         )
         .filter(F.col("cosine_sim") >= threshold)
@@ -216,10 +220,11 @@ def hyperplane_buckets(
     The quantized vector is kept in the output (``_q``) so downstream
     ``_with_qnorm`` reuses it instead of quantizing again."""
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
-    # one F.expr call, not dim×planes F.lit().cast() Columns: a 64×8
-    # matrix built element-wise costs >1000 py4j round-trips (~3 s of
-    # DRIVER time per call — measured; execution was never the problem)
-    mat = F.expr(
+    # the whole dots+bits computation is ONE F.expr call: a 64×8 matrix
+    # built element-wise from F.lit().cast() Columns costs >1000 py4j
+    # round-trips (~3 s of DRIVER time per call — measured; execution was
+    # never the problem)
+    mat_sql = (
         "array("
         + ",".join(
             "array(" + ",".join(f"{planes[p][d]}L" for p in range(num_planes)) + ")"
@@ -227,17 +232,19 @@ def hyperplane_buckets(
         )
         + ")"
     )
-    dots = F.aggregate(
-        F.zip_with(F.col("_q"), mat, lambda x, coeffs: F.transform(coeffs, lambda c: x * c)),
-        F.array_repeat(F.lit(0).cast("long"), num_planes),
-        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, b: a + b),
+    dots_sql = (
+        f"aggregate(zip_with(_q, {mat_sql}, (x, coeffs) -> "
+        "transform(coeffs, c -> x * c)), "
+        f"array_repeat(cast(0 as bigint), {num_planes}), "
+        "(acc, contrib) -> zip_with(acc, contrib, (a, b) -> a + b))"
     )
-    bucket = F.array_join(
-        F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    bucket_sql = (
+        f"array_join(transform({dots_sql}, "
+        "d -> case when d >= 0 then '1' else '0' end), '')"
     )
     return df.select(
-        F.col(id_col), F.col(vec_col), _qvec(F.col(vec_col)).alias("_q")
-    ).select(F.col(id_col), F.col(vec_col), F.col("_q"), bucket.alias("bucket"))
+        F.col(id_col), F.col(vec_col), F.expr(f"{_qvec_sql(vec_col)} as _q")
+    ).select(F.col(id_col), F.col(vec_col), F.col("_q"), F.expr(f"{bucket_sql} as bucket"))
 
 
 def ann_topk_lsh(
@@ -274,9 +281,9 @@ def ann_topk_lsh(
         .select(
             "query_id",
             id_col,
-            _pair_cosine(
-                F.col("_qq"), F.col("_qnorm"), F.col("_q"), F.col("_norm")
-            ).alias("cosine_sim"),
+            F.expr(
+                f"{_pair_cosine_sql('_qq', '_qnorm', '_q', '_norm')} as cosine_sim"
+            ),
         )
     )
     return _rank_topk(scored, k, id_col)
@@ -319,8 +326,8 @@ def embedding_near_dup_lsh(
         .select(
             "id_a",
             "id_b",
-            _pair_cosine(F.col("_qa"), F.col("_na"), F.col("_qb"), F.col("_nb")).alias(
-                "cosine_sim"
+            F.expr(
+                f"{_pair_cosine_sql('_qa', '_na', '_qb', '_nb')} as cosine_sim"
             ),
         )
         .filter(F.col("cosine_sim") >= threshold)
@@ -352,26 +359,15 @@ def ivf_assign(
     ).select(
         "centroid_id", F.col("_q").alias("_cq"), F.col("_norm").alias("_cnorm")
     )
-    pre = df.select(F.col(id_col), F.col(vec_col), _qvec(F.col(vec_col)).alias("_q"))
-    pre = pre.select(
-        id_col,
-        vec_col,
-        "_q",
-        F.sqrt(
-            F.aggregate(
-                F.transform(F.col("_q"), lambda x: x * x),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-        ).alias("_norm"),
+    pre = df.select(
+        F.col(id_col), F.col(vec_col), F.expr(f"{_qvec_sql(vec_col)} as _q")
     )
+    pre = pre.select(id_col, vec_col, "_q", F.expr(f"{_NORM_SQL} as _norm"))
     scored = pre.crossJoin(F.broadcast(c)).select(
         id_col,
         vec_col,
         "centroid_id",
-        _pair_cosine(F.col("_q"), F.col("_norm"), F.col("_cq"), F.col("_cnorm")).alias(
-            "c_sim"
-        ),
+        F.expr(f"{_pair_cosine_sql('_q', '_norm', '_cq', '_cnorm')} as c_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("centroid_id").asc())
     return (
@@ -441,9 +437,9 @@ def ann_topk_ivf(
         .select(
             "query_id",
             id_col,
-            _pair_cosine(
-                F.col("_qq"), F.col("_qnorm"), F.col("_q"), F.col("_norm")
-            ).alias("cosine_sim"),
+            F.expr(
+                f"{_pair_cosine_sql('_qq', '_qnorm', '_q', '_norm')} as cosine_sim"
+            ),
         )
     )
     return _rank_topk(scored, k, id_col)
