@@ -59,8 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # same rotation as queries() so the driver's capped sweep pairs each
+    # query with its oracle regardless of which dict it iterates
     return {
-        name: entry_.oracle
-        for name, entry_ in QUERIES.items()
-        if entry_.oracle is not None
+        name: QUERIES[name].oracle
+        for name in queries()
+        if QUERIES[name].oracle is not None
     }

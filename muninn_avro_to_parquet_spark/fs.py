@@ -189,6 +189,13 @@ def glob_files(pattern: str) -> list[str]:
     if m is None:
         return [pattern] if exists(pattern) and _is_file(pattern) else []
     base_uri = pattern[: pattern.rfind("/", 0, m.start())]
+    scheme_end = pattern.index("://") + 3
+    if len(base_uri) <= scheme_end:
+        # wildcard inside the authority (e.g. s3://bucket*/...) — there is
+        # no fixed prefix to enumerate
+        raise ValueError(
+            f"glob wildcards are not supported in the bucket/authority part: {pattern!r}"
+        )
     fs, base_path = resolve(base_uri)
     try:
         infos = fs.get_file_info(FileSelector(base_path, recursive=True))

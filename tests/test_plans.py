@@ -120,3 +120,31 @@ def test_q22_anti_join_planned(spark):
     plan = _plan(QUERIES["q22_dormant_customers"].spark(spark, SF_CORRECT))
     assert "LeftAnti" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_quality_filter_single_tokenizer_evaluation(spark):
+    """Regression gate for text.filter_once: without the Generate barrier,
+    predicate pushdown substitutes the score alias into the scan predicate
+    and the plan carries ~25 copies of the regex tokenizer (r4 measured 3×
+    the unfiltered runtime). The barrier plan tokenizes once."""
+    plan = _plan(QUERIES["doc_quality_filter"].spark(spark, SF_CORRECT))
+    assert plan.count("regexp_replace") <= 3, plan.count("regexp_replace")
+    assert "Generate explode" in plan
+
+
+def test_hyperplane_single_pass_and_no_requantize(spark):
+    """ann_topk_lsh: the H plane dots fold in ONE aggregate over the
+    quantized vector (not one traversal per plane), and the bucketing
+    pass's quantization is reused by the norm pass."""
+    plan = _plan(QUERIES["ann_topk_lsh"].spark(spark, SF_CORRECT))
+    # the per-plane form carries ~8 bucket aggregates per side (16+ total);
+    # the one-pass fold keeps the plan under 10 aggregate() nodes
+    assert plan.count("aggregate(") <= 10, plan.count("aggregate(")
+
+
+def test_approx_distinct_no_expand(spark):
+    """COUNT(DISTINCT) is kept in its own pass: the combined form goes
+    through the distinct-rewrite Expand, multiplying every input row
+    through the object aggregation (5-12 s vs 1.7 s at sf0.1)."""
+    plan = _plan(QUERIES["q_approx_distinct"].spark(spark, SF_CORRECT))
+    assert "Expand" not in plan
