@@ -932,6 +932,53 @@ def ann_topk_lsh(spark):
     return similarity.ann_topk_lsh(emb, queries_df, dim=64, k=10)
 
 
+def _ann_lsh_multiprobe_oracle() -> str:
+    # identical pipeline to _ann_lsh_oracle, except the query side probes
+    # its own bucket plus every single-bit flip (the same variant SQL the
+    # Spark operator uses — substring/concat/case are engine-portable)
+    variants = similarity._probe_variants_sql(num_planes=8).removeprefix("array(").removesuffix(")")
+    return f"""
+    WITH {_EMB_EL}, {_lsh_buckets_sql(num_planes=8)},
+    probes AS (
+      SELECT vec_id, unnest([{variants}]) AS bucket
+      FROM buckets WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id
+      FROM probes q JOIN buckets c USING (bucket)
+      WHERE c.vec_id <> q.vec_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.vec_id = nc.vec_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@q("ann_topk_lsh_multiprobe", _ann_lsh_multiprobe_oracle())
+def ann_topk_lsh_multiprobe(spark):
+    """Multiprobe LSH: recall/cost knob that probes the H single-bit-flip
+    neighbor buckets on the query side only — the corpus index is
+    untouched (similarity.ann_topk_lsh_multiprobe)."""
+    emb = spark.table("embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_lsh_multiprobe(emb, queries_df, dim=64, k=10)
+
+
 @q(
     "text_token_count",
     f"""

@@ -501,3 +501,33 @@ def test_multimodal_unsupported_format_raises(spark):
 
     with pytest.raises(Exception, match="unsupported image format"):
         multimodal.decode_images(df).collect()
+
+
+def test_multiprobe_lsh_superset_recall(spark):
+    """Multiprobe probes the query's bucket plus every 1-bit flip: its
+    candidate set strictly contains plain LSH's, so recall against brute
+    force can only improve — and the corpus-side index is untouched."""
+    from tests.conftest import SF_SMOKE
+
+    from muninn_avro_to_parquet_spark.queries import QUERIES
+
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["ann_topk_bruteforce"].spark(spark, SF_SMOKE).collect()
+    }
+    plain = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["ann_topk_lsh"].spark(spark, SF_SMOKE).collect()
+    }
+    mp = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["ann_topk_lsh_multiprobe"].spark(spark, SF_SMOKE).collect()
+    }
+    assert len(mp & bf) >= len(plain & bf)
+    # ranked output is well-formed: ranks start at 1 per query, no dups
+    rows = QUERIES["ann_topk_lsh_multiprobe"].spark(spark, SF_SMOKE).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
