@@ -479,7 +479,14 @@ def ann_topk_ivf(
     partitioned by ``centroid_id``; queries then read only
     nprobe/num_centroids of the corpus — the same list-pruning contract as
     FAISS IVF, expressed as partition pruning."""
-    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    # the centroid list is the INDEX — materialize it once (it feeds both
+    # the corpus-side list build and the query-side probe assignment; an
+    # uncached plan re-runs the TakeOrdered selection and re-broadcasts)
+    cents = cache_scoped(
+        ivf_centroids(corpus, num_centroids, id_col, vec_col), "ivf_centroids"
+    )
     lists = _with_qnorm(
         ivf_assign(corpus, cents, id_col, vec_col, nprobe=1),
         id_col,
