@@ -96,3 +96,26 @@ def test_scd2_time_travel_contract(spark):
         & (F.col("valid_to").isNull() | (F.lit(150) < F.col("valid_to")))
     ).collect()
     assert len(at_150) == 1 and at_150[0]["state"] == "a"
+
+
+def test_global_row_number_matches_single_window(spark):
+    """global_row_number (range partition + offsets) must equal the
+    single-partition Window.orderBy row_number for any total order."""
+    from pyspark.sql import Window, functions as F
+
+    from muninn_avro_to_parquet_spark.operators import text
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("score"), F.col("id").cast("string").alias("key")
+    )
+    order = [F.col("score").desc(), F.col("key").asc()]
+    got = {
+        (r["score"], r["key"]): r["rank"]
+        for r in text.global_row_number(df, *order, num_partitions=7).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        (r["score"], r["key"]): r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
