@@ -225,3 +225,82 @@ def pack_token_budget(
         "n_tokens",
         F.expr(f"(cum_tokens - n_tokens) div {budget}").alias("pack_id"),
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget_per_stratum: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    text_col: str = "text",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Down-sample each stratum to a TOKEN budget (not a row fraction):
+    documents are taken in deterministic md5(salt:id) order until the
+    stratum's running token count would exceed the budget — how a
+    training mixture is actually specified ("20B tokens of web, 5B of
+    code"), versus the row-fraction sampling of ``stratified_sample``.
+
+    One window per stratum (running token sum in hash order) + a filter —
+    narrow, single shuffle on the stratum key, no RNG. The document that
+    would cross the budget is excluded (strict prefix), so the kept set
+    is the maximal hash-ordered prefix with cum_tokens ≤ budget — stable
+    under corpus growth: adding documents never evicts an already-kept
+    one with a smaller hash... it can only push later-hash docs out."""
+    from pyspark.sql.window import Window
+
+    from muninn_avro_to_parquet_spark.operators import text as text_ops
+
+    n_tok = F.coalesce(text_ops.token_count(F.col(text_col)), F.lit(0)).cast("long")
+    h = hash_bucket_prefix(F.col(id_col), salt)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            id_col, stratum_col, n_tok.alias("n_tokens"), h.alias("_h")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_per_stratum)
+        .select(id_col, stratum_col, "n_tokens", "cum_tokens")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character chunks with
+    provenance offsets — the context-window preparation step for
+    embedding/RAG pipelines (chunk text, remember where it came from).
+
+    Pure sequence+explode+substring — no Python, no shuffle: chunking is
+    a per-row flatMap, so it scales as a projection. Output: one row per
+    chunk with (doc, chunk_index, char_start 1-based, chunk_text).
+    Step = chunk_chars − overlap; the final chunk may be shorter; empty
+    or NULL text yields no rows (sequence over an empty range)."""
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap={overlap} must be < chunk_chars={chunk_chars}")
+    step = chunk_chars - overlap
+    starts = F.expr(f"sequence(1, greatest(length({text_col}), 0), {step})")
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_index", "char_start"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_index",
+            "char_start",
+            F.substring(F.col(text_col), F.col("char_start"), F.lit(chunk_chars)).alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -3004,6 +3004,62 @@ def q_pack_sequences(spark):
     )
 
 
+@q(
+    "sample_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(len({_SQL_TOKENS}), 0) AS BIGINT) AS n_tokens,
+             substr(md5('budget-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
+    """,
+)
+def sample_token_budget(spark):
+    """Token-budget mixture sampling (operators/pipeline.sample_token_budget):
+    each source stratum keeps the maximal md5-ordered document prefix whose
+    running token count stays within the budget — how a training mixture
+    is actually specified ('N tokens of web'), deterministic across
+    engines and stable under corpus growth."""
+    return pipeline.sample_token_budget(
+        spark.table("documents"), budget_per_stratum=5000
+    )
+
+
+@q(
+    "q_chunk_documents",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(unnest(generate_series(1, greatest(length(text), 0), 448)) AS INTEGER)
+               AS char_start
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST((char_start - 1) // 448 AS INTEGER) AS chunk_index,
+           char_start,
+           substr(text, char_start, 512) AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark):
+    """Context-window chunking (operators/pipeline.chunk_documents):
+    overlapping 512-char chunks (64-char overlap) with provenance
+    offsets — the RAG/embedding preparation flatMap; pure
+    sequence+posexplode+substring, no shuffle."""
+    return pipeline.chunk_documents(
+        spark.table("documents"), chunk_chars=512, overlap=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 3 additions: decontamination, normalized dedup, vocabulary, SCD2
 # ---------------------------------------------------------------------------

@@ -237,3 +237,68 @@ def test_grouped_value_stats_edges(spark):
     assert got["a"]["min_micros"] == -2_250_000
     assert got["a"]["max_micros"] == 1_500_000
     assert got["b"]["median_micros_x2"] == 1_000_000 + 4_000_000
+
+
+def test_sample_token_budget_maximal_prefix(spark):
+    """Kept set per stratum = the greedy hash-ordered prefix that stays
+    within the token budget (strict: stops at the first doc that would
+    cross it)."""
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import pipeline, text
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else "code", "tok " * (5 + i % 7)) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    budget = 40
+    kept_ids = {
+        r["doc_id"] for r in pipeline.sample_token_budget(docs, budget).collect()
+    }
+    ordered = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.coalesce(text.token_count(F.col("text")), F.lit(0)).alias("n"),
+            pipeline.hash_bucket_prefix(F.col("doc_id"), "budget-v1").alias("h"),
+        )
+        .orderBy("source", "h", "doc_id")
+        .collect()
+    )
+    expected, cum, stopped = set(), {}, set()
+    for r in ordered:
+        src = r["source"]
+        if src in stopped:
+            continue
+        if cum.get(src, 0) + r["n"] <= budget:
+            cum[src] = cum.get(src, 0) + r["n"]
+            expected.add(r["doc_id"])
+        else:
+            stopped.add(src)
+    assert expected, "budget should admit at least one doc"
+    assert kept_ids == expected
+
+
+def test_chunk_documents_exact_chunks(spark):
+    from muninn_avro_to_parquet_spark.operators import pipeline
+
+    text_val = "abcdefghij" * 12  # 120 chars
+    docs = spark.createDataFrame(
+        [(1, text_val), (2, "short"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = pipeline.chunk_documents(docs, chunk_chars=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts at 1, 41, 81 (step 40); last chunk shorter
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    assert [r["char_start"] for r in c1] == [1, 41, 81]
+    assert c1[0]["chunk_text"] == text_val[0:50]
+    assert c1[1]["chunk_text"] == text_val[40:90]
+    assert c1[2]["chunk_text"] == text_val[80:120]
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert c1[0]["chunk_text"][-10:] == c1[1]["chunk_text"][:10]
+    # short doc → one chunk, empty/null docs → no rows
+    assert [r["chunk_text"] for r in by_doc[2]] == ["short"]
+    assert 3 not in by_doc and 4 not in by_doc
