@@ -164,7 +164,10 @@ def _glob_to_regex(pattern: str) -> str:
                 out.append(re.escape(c))
                 i += 1
             else:
-                out.append(pattern[i : j + 1])
+                body = pattern[i + 1 : j]
+                if body.startswith("!"):  # glob negation → regex negation
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
                 i = j + 1
         else:
             out.append(re.escape(c))
@@ -197,8 +200,13 @@ def glob_files(pattern: str) -> list[str]:
             f"glob wildcards are not supported in the bucket/authority part: {pattern!r}"
         )
     fs, base_path = resolve(base_uri)
+    # a pattern whose wildcards all sit in the final segment needs only a
+    # single-level listing; recursive enumeration is reserved for patterns
+    # that descend (``**`` or wildcards above the leaf)
+    rest = pattern[len(base_uri) :].lstrip("/")
+    deep = "/" in rest or "**" in rest
     try:
-        infos = fs.get_file_info(FileSelector(base_path, recursive=True))
+        infos = fs.get_file_info(FileSelector(base_path, recursive=deep))
     except FileNotFoundError:
         return []
     rx = re.compile(_glob_to_regex(pattern) + r"\Z")
