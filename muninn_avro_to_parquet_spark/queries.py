@@ -3005,6 +3005,39 @@ def q_pack_sequences(spark):
 
 
 @q(
+    "q_salted_join",
+    """
+    SELECT e.user_id, e.event_id, e.event_type, c.c_name AS user_name,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey <= 50
+    """,
+)
+def q_salted_join(spark):
+    """Hot-key salted join (operators/skew.salted_join): the events fact
+    side gets a deterministic row-hash salt, the customer dim side is
+    replicated once per salt, and the join key becomes (key, salt) —
+    spreading a pathological hot key over num_salts tasks. Salting is
+    semantics-preserving, so the oracle is the PLAIN join: the driver's
+    hash gate proves row-for-row equivalence, not just plan shape."""
+    from muninn_avro_to_parquet_spark.operators import skew
+
+    e = spark.table("events").select("user_id", "event_id", "event_type", "value")
+    c = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 50)
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name"))
+    )
+    return skew.salted_join(e, c, on=["user_id"], num_salts=8).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "user_name",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+@q(
     "sample_token_budget",
     f"""
     WITH t AS (
