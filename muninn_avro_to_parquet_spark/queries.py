@@ -3005,6 +3005,57 @@ def q_pack_sequences(spark):
 
 
 @q(
+    "q_cdc_snapshot",
+    """
+    WITH env AS (
+      SELECT user_id, event_type, CAST(value AS DOUBLE) AS value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tx_id,
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS lsn,
+             (event_id % 7 = 0) AS is_del
+      FROM events
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY tx_id DESC, lsn DESC) AS rn
+      FROM env
+    )
+    SELECT user_id, event_type, value, tx_id, lsn FROM r WHERE rn = 1 AND NOT is_del
+    """,
+)
+def q_cdc_snapshot(spark):
+    """CDC current-state materialization (operators/cdc.cdc_latest_snapshot):
+    latest row per key by (tx_id, lsn) envelope ordering, tombstone keys
+    dropped from the snapshot. The envelope is synthesized
+    deterministically from events (tx_id = epoch micros, lsn = padded
+    event id, every 7th event a DELETE) so the driver's hash gate checks
+    the MERGE-shaped operator end-to-end, not just unit fixtures."""
+    from muninn_avro_to_parquet_spark.operators import cdc
+
+    e = spark.table("events")
+    env = e.select(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("tx_id"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("lsn"),
+            (F.col("event_id") % 7 == 0).alias("is_deleted"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("change_type"),
+        ).alias("source_metadata"),
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    snap = cdc.cdc_latest_snapshot(env, ["user_id"])
+    return snap.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("source_metadata.tx_id").alias("tx_id"),
+        F.col("source_metadata.lsn").alias("lsn"),
+    )
+
+
+@q(
     "q_salted_join",
     """
     SELECT e.user_id, e.event_id, e.event_type, c.c_name AS user_name,
