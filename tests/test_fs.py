@@ -147,3 +147,43 @@ def test_streaming_converter_uri_checkpoint_restart(spark, tmp_path):
     assert conv2.drain_requested
     conv3 = StreamingConverter(spark, pattern, out, ckpt, "1h")
     assert not conv3.drain_requested
+
+
+def test_split_reads_through_uri(tmp_path):
+    """Range reads (the executor-side split path: seek to sync, decode a
+    byte range) must work on a file-like from the seam, not just builtin
+    open — disjoint ranges over a file:// URI decode every record exactly
+    once."""
+    path = str(tmp_path / "split.avro")
+    recs = _recs(range(200))
+    avro_io.write_file(path, CDC_SCHEMA, recs, codec="deflate")
+    uri = f"file://{path}"
+    size = fs.file_size(uri)
+    mid = size // 2
+    a = list(avro_io.iter_records_range(uri, 0, mid))
+    b = list(avro_io.iter_records_range(uri, mid, size))
+    assert [r["payload"]["id"] for r in a] + [r["payload"]["id"] for r in b] == list(
+        range(200)
+    )
+
+
+def test_glob_files_uri_property(tmp_path):
+    """Randomized trees: URI globbing must agree with stdlib glob for
+    every pattern shape the ingest path uses."""
+    import random
+
+    rng = random.Random(7)
+    names = ["a", "b", "c_1", "d-2"]
+    for i in range(20):
+        depth = rng.randint(1, 3)
+        parts = [rng.choice(names) for _ in range(depth)]
+        d = tmp_path.joinpath(*parts)
+        d.mkdir(parents=True, exist_ok=True)
+        suffix = rng.choice([".avro", ".txt", ".avro.tmp"])
+        (d / f"f{i}{suffix}").write_bytes(b"x")
+    for pat in ["**/*.avro", "*/f*.avro", "a/**/*.txt", "**/f1?.avro", "[ab]/*.avro"]:
+        local = fs.glob_files(str(tmp_path / pat))
+        via_uri = [
+            u.removeprefix("file://") for u in fs.glob_files(f"file://{tmp_path}/{pat}")
+        ]
+        assert via_uri == local, pat
