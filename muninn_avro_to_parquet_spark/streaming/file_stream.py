@@ -86,12 +86,17 @@ class StreamingConverter:
         if fs.exists(self._drain_path):
             fs.delete_file(self._drain_path)
         self._seen: set[str] = set()
-        self._ack_seq = 0
+        n_chunks = 0
         for ledger in (self._ledger_path, self._failed_path):
             for chunk in self._ledger_chunks(ledger):
+                n_chunks += 1
                 self._seen.update(
                     line for line in fs.read_text(chunk).splitlines() if line.strip()
                 )
+        # start the ack sequence past every existing chunk: a restarted
+        # converter re-counting from zero would overwrite chunk 00000001
+        # and silently lose its acknowledged paths (= replay)
+        self._ack_seq = n_chunks
         self._batch_id = 0
 
     # -- checkpoint ----------------------------------------------------------

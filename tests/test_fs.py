@@ -187,3 +187,32 @@ def test_glob_files_uri_property(tmp_path):
             u.removeprefix("file://") for u in fs.glob_files(f"file://{tmp_path}/{pat}")
         ]
         assert via_uri == local, pat
+
+
+def test_uri_ledger_chunks_never_overwrite_across_restarts(spark, tmp_path):
+    """Regression: a restarted converter must continue the ack-chunk
+    sequence past existing objects — restarting from zero would overwrite
+    chunk 1 and replay its files."""
+    _fixture_tree(tmp_path, files_per_table=1)
+    pattern = f"file://{tmp_path}/avro/**/*.avro"
+    ckpt = f"file://{tmp_path}/ckpt"
+    out = f"file://{tmp_path}/out"
+    StreamingConverter(spark, pattern, out, ckpt, "1h").poll_once(
+        ingestion_date="2026-01-01"
+    )
+    for gen in range(2):  # two restarts, one new file each
+        avro_io.write_file(
+            str(tmp_path / "avro" / "customers" / f"g{gen}.avro"),
+            CDC_SCHEMA,
+            _recs([100 + gen]),
+        )
+        conv = StreamingConverter(spark, pattern, out, ckpt, "1h")
+        r = conv.poll_once(ingestion_date="2026-01-01")
+        assert len(r.new_files) == 1, r.new_files
+    chunks = fs.list_files(f"{ckpt}/processed_files.log.d")
+    assert len(chunks) == 3  # one per acknowledgment, none overwritten
+    # a fresh converter sees every acked file: nothing replays
+    final = StreamingConverter(spark, pattern, out, ckpt, "1h").poll_once(
+        ingestion_date="2026-01-01"
+    )
+    assert final.new_files == []
