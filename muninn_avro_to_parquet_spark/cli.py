@@ -56,13 +56,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "drain":
         # no Spark session needed: just write the drain file the running
-        # loop polls between batches
-        import os
+        # loop polls between batches (fs seam: the checkpoint may live on
+        # an object store next to the data)
+        from muninn_avro_to_parquet_spark import fs
 
-        os.makedirs(args.checkpoint, exist_ok=True)
-        with open(os.path.join(args.checkpoint, "DRAIN"), "w", encoding="utf-8") as f:
-            f.write("drain\n")
-        print(f"drain requested: {args.checkpoint}/DRAIN")
+        fs.makedirs(args.checkpoint)
+        fs.write_text(args.checkpoint.rstrip("/") + "/DRAIN", "drain\n")
+        print(f"drain requested: {args.checkpoint.rstrip('/')}/DRAIN")
         return 0
 
     from muninn_avro_to_parquet_spark.session import get_spark

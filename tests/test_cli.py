@@ -35,3 +35,13 @@ def test_cli_convert(tmp_path, capsys, spark, monkeypatch):
     )
     assert rc == 0
     assert "customers: 6 rows" in capsys.readouterr().out
+
+
+def test_cli_drain_uri_checkpoint(tmp_path, capsys):
+    """drain must work against a URI checkpoint (the reference drains a
+    cloud job out-of-band; here the flag lives next to the data)."""
+    from muninn_avro_to_parquet_spark import cli
+
+    ckpt = f"file://{tmp_path}/ckpt"
+    assert cli.main(["drain", "--checkpoint", ckpt]) == 0
+    assert (tmp_path / "ckpt" / "DRAIN").exists()
