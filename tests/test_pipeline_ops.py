@@ -302,3 +302,33 @@ def test_chunk_documents_exact_chunks(spark):
     # short doc → one chunk, empty/null docs → no rows
     assert [r["chunk_text"] for r in by_doc[2]] == ["short"]
     assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_documents_reassembly_property(spark):
+    """Property: dropping each chunk's leading overlap and concatenating
+    in order reconstructs the document exactly — no character lost or
+    duplicated at any boundary, for any text length."""
+    from hypothesis import given, settings, strategies as st
+
+    from muninn_avro_to_parquet_spark.operators import pipeline
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.text(alphabet="abZ 9é漢", min_size=1, max_size=300),
+        st.integers(min_value=2, max_value=40),
+        st.integers(min_value=0, max_value=20),
+    )
+    def check(text_val, chunk_chars, overlap):
+        if overlap >= chunk_chars:
+            return
+        docs = spark.createDataFrame([(1, text_val)], "doc_id long, text string")
+        rows = sorted(
+            pipeline.chunk_documents(docs, chunk_chars, overlap).collect(),
+            key=lambda r: r["chunk_index"],
+        )
+        rebuilt = rows[0]["chunk_text"] + "".join(
+            r["chunk_text"][overlap:] for r in rows[1:]
+        )
+        assert rebuilt == text_val
+
+    check()
