@@ -366,8 +366,15 @@ def tf_idf_top_terms(
     as a score column.
     """
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
-    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    # tf is cached: it feeds both the score join and the document
+    # frequencies, and df derives FROM tf (one row per (doc, token), so a
+    # plain count per token IS the distinct-doc count) — one tokenize +
+    # explode pass over the corpus instead of two, and the df aggregate
+    # runs over the compact tf relation rather than the raw token stream
+    tf = cache_scoped(
+        tok.groupBy(id_col, "token").agg(F.count("*").alias("tf")), "tfidf_tf"
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
