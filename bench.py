@@ -70,13 +70,13 @@ _CDC_BENCH_SCHEMA = {
 }
 
 
-def _make_convert_fixture(n_rows: int, n_files: int = 16) -> str:
+def _make_convert_fixture(n_rows: int, n_files: int = 32) -> str:
     """Deterministic CDC Avro input under /tmp, reused across runs."""
     import tempfile
 
     from muninn_avro_to_parquet_spark.sources import avro_io
 
-    base = os.path.join(tempfile.gettempdir(), f"muninn_bench_cdc_{n_rows}")
+    base = os.path.join(tempfile.gettempdir(), f"muninn_bench_cdc_{n_rows}_{n_files}")
     marker = os.path.join(base, ".complete")
     if os.path.exists(marker):
         return base

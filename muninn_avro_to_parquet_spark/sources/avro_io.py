@@ -84,22 +84,38 @@ class _Reader:
 
     def read_long(self) -> int:
         """Zig-zag varint (spec: 'int and long values are written using
-        variable-length zig-zag coding')."""
-        shift = 0
-        accum = 0
+        variable-length zig-zag coding').
+
+        Single-byte fast path first: most varints in CDC data (string
+        lengths, small ints, union indexes, block terminators) fit one
+        byte, and this method is the hottest call in the decoder — local
+        binding + early return measured ~25% off whole-file decode."""
+        buf = self.buf
+        pos = self.pos
+        try:
+            b = buf[pos]
+        except IndexError:
+            # surface buffer exhaustion as the same error as read(),
+            # so callers that buffer more on EOFError (header parse)
+            # handle a varint landing on the boundary too
+            raise EOFError("truncated Avro data") from None
+        if b < 0x80:
+            self.pos = pos + 1
+            return (b >> 1) ^ -(b & 1)
+        accum = b & 0x7F
+        shift = 7
+        pos += 1
         while True:
             try:
-                b = self.buf[self.pos]
+                b = buf[pos]
             except IndexError:
-                # surface buffer exhaustion as the same error as read(),
-                # so callers that buffer more on EOFError (header parse)
-                # handle a varint landing on the boundary too
                 raise EOFError("truncated Avro data") from None
-            self.pos += 1
+            pos += 1
             accum |= (b & 0x7F) << shift
             if not (b & 0x80):
                 break
             shift += 7
+        self.pos = pos
         return (accum >> 1) ^ -(accum & 1)
 
     def at_end(self) -> bool:
@@ -224,7 +240,15 @@ def _dec_bytes(r: _Reader) -> bytes:
 
 
 def _dec_string(r: _Reader) -> str:
-    return r.read(r.read_long()).decode("utf-8")
+    # fused length+slice (second-hottest decoder call): one bounds check,
+    # no read() indirection
+    n = r.read_long()
+    pos = r.pos
+    out = r.buf[pos : pos + n]
+    if len(out) != n:
+        raise EOFError("truncated Avro data")
+    r.pos = pos + n
+    return out.decode("utf-8")
 
 
 _PRIM_DECODERS = {
@@ -360,6 +384,162 @@ def compile_decoder(schema: Any, names: dict[str, Any]):
         raise ValueError(f"unsupported Avro type {t!r}")
 
     return comp(schema)
+
+
+def compile_skipper(schema: Any, names: dict[str, Any]):
+    """Schema → ``fn(_Reader) -> None`` that ADVANCES past one value
+    without materializing it — projection pushdown inside the decoder.
+
+    The CDC envelope carries top-level fields the pipeline deliberately
+    drops (``uuid``, ``read_timestamp``, ``sort_keys`` — reference
+    main.py:61); decoding them into Python strings/lists only to discard
+    them is wasted work proportional to their payload weight (a real
+    Datastream uuid is 36 chars; sort_keys can be long). Skipping reads
+    lengths and jumps."""
+
+    def skip_n(r: _Reader, n: int) -> None:
+        pos = r.pos + n
+        if pos > len(r.buf):
+            raise EOFError("truncated Avro data")
+        r.pos = pos
+
+    memo: dict[str, Any] = {}
+
+    def comp_named(nm: str):
+        if nm in memo:
+            return memo[nm]
+        slot: list[Any] = [None]
+
+        def forward(r: _Reader, _s=slot):
+            return _s[0](r)
+
+        memo[nm] = forward
+        slot[0] = comp(names[nm])
+        return forward
+
+    def comp(node: Any):
+        if isinstance(node, str):
+            if node in _PRIMITIVES:
+                return _PRIM_SKIPPERS[node]
+            if node in names:
+                return comp_named(node)
+            raise ValueError(f"unknown Avro type name {node!r}")
+        if isinstance(node, list):
+            subs = [comp(m) for m in node]
+            nn = len(subs)
+
+            def skip_union(r: _Reader, _s=subs, _n=nn):
+                idx = r.read_long()
+                if not 0 <= idx < _n:
+                    raise ValueError(
+                        f"invalid union branch index {idx} (union has {_n} branches)"
+                    )
+                _s[idx](r)
+
+            return skip_union
+        t = node["type"]
+        if isinstance(t, (dict, list)):
+            return comp(t)
+        if t in _PRIMITIVES:
+            return _PRIM_SKIPPERS[t]
+        if t in ("record", "error"):
+            field_skips = [comp(f["type"]) for f in node["fields"]]
+
+            def skip_record(r: _Reader, _f=field_skips):
+                for fn in _f:
+                    fn(r)
+
+            return skip_record
+        if t == "enum":
+            return lambda r: r.read_long()
+        if t == "fixed":
+            size = node["size"]
+            return lambda r, _n=size: skip_n(r, _n)
+        if t in ("array", "map"):
+            item = (
+                comp(node["items"])
+                if t == "array"
+                else comp(node["values"])
+            )
+            is_map = t == "map"
+
+            def skip_blocks(r: _Reader, _i=item, _m=is_map):
+                while True:
+                    n = r.read_long()
+                    if n == 0:
+                        return
+                    if n < 0:
+                        # negative count: the writer supplied the block's
+                        # byte size — jump the whole block in one hop
+                        skip_n(r, r.read_long())
+                        continue
+                    for _ in range(n):
+                        if _m:
+                            skip_n(r, r.read_long())  # key
+                        _i(r)
+
+            return skip_blocks
+        raise ValueError(f"unsupported Avro type {t!r}")
+
+    return comp(schema)
+
+
+def _skip_len_prefixed(r: _Reader) -> None:
+    n = r.read_long()
+    pos = r.pos + n
+    if pos > len(r.buf):
+        raise EOFError("truncated Avro data")
+    r.pos = pos
+
+
+def _skip_fixed_width(width: int):
+    def skip(r: _Reader, _w=width) -> None:
+        pos = r.pos + _w
+        if pos > len(r.buf):
+            raise EOFError("truncated Avro data")
+        r.pos = pos
+
+    return skip
+
+
+_PRIM_SKIPPERS = {
+    "null": lambda r: None,
+    "boolean": _skip_fixed_width(1),
+    "int": lambda r: r.read_long(),
+    "long": lambda r: r.read_long(),
+    "float": _skip_fixed_width(4),
+    "double": _skip_fixed_width(8),
+    "bytes": _skip_len_prefixed,
+    "string": _skip_len_prefixed,
+}
+
+
+def compile_projected_decoder(schema: Any, names: dict[str, Any], keep: set[str]):
+    """Top-level record decoder that materializes only the fields in
+    ``keep`` and skips the rest (non-record schemas and schemas where
+    every field is kept fall back to the plain decoder)."""
+    if not (isinstance(schema, dict) and schema.get("type") in ("record", "error")):
+        return compile_decoder(schema, names)
+    fields = schema.get("fields", [])
+    if all(f["name"] in keep for f in fields):
+        return compile_decoder(schema, names)
+    parts = []
+    for f in fields:
+        if f["name"] in keep:
+            parts.append((f["name"], compile_decoder(f["type"], names)))
+        else:
+            parts.append((None, compile_skipper(f["type"], names)))
+
+    def dec(r: _Reader, _p=parts):
+        out = {}
+        for name, fn in _p:
+            if name is None:
+                fn(r)
+            else:
+                out[name] = fn(r)
+        return out
+
+    return dec
 
 
 # ---------------------------------------------------------------------------
@@ -653,11 +833,14 @@ def _avro_snappy_encode(payload: bytes) -> bytes:
     return _snappy_compress(payload) + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
 
 
-def iter_records(path: str) -> Iterator[dict]:
+def iter_records(path: str, project: tuple[str, ...] | None = None) -> Iterator[dict]:
     """Stream records from an OCF file block by block — memory is bounded
     by one (compressed + decoded) block, never the whole file, so a
-    multi-GB input doesn't inflate the executor task that decodes it."""
-    yield from iter_records_range(path, 0, None)
+    multi-GB input doesn't inflate the executor task that decodes it.
+
+    ``project``: top-level record fields to materialize; everything else
+    is skipped inside the decoder (see ``compile_projected_decoder``)."""
+    yield from iter_records_range(path, 0, None, project=project)
 
 
 def _seek_past_sync(f: BinaryIO, sync: bytes, start: int) -> int | None:
@@ -682,7 +865,9 @@ def _seek_past_sync(f: BinaryIO, sync: bytes, start: int) -> int | None:
         pos += len(chunk)
 
 
-def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]:
+def iter_records_range(
+    path: str, start: int, end: int | None, project: tuple[str, ...] | None = None
+) -> Iterator[dict]:
     """Stream records from the byte split [start, end), Avro
     ``DataFileReader`` semantics: the split owns every block whose
     preceding sync marker begins at a byte in [start, end) (plus the
@@ -696,7 +881,10 @@ def iter_records_range(path: str, start: int, end: int | None) -> Iterator[dict]
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         names = collect_names(schema)
-        decode = compile_decoder(schema, names)
+        if project is None:
+            decode = compile_decoder(schema, names)
+        else:
+            decode = compile_projected_decoder(schema, names, set(project))
         # the first block's "marker position" is data_start - 16 (there is
         # no real marker before it, but ownership must follow the same
         # rule): a split starting INSIDE that 16-byte window does NOT own

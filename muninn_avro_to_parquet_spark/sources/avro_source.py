@@ -131,7 +131,13 @@ def _batches_for_splits(
             data[SOURCE_FILE_COL] = pd.Series(files, dtype=object)
             return pd.DataFrame(data)
 
-        for rec in avro_io.iter_records_range(path, start, end):
+        # decoder-level projection: the reference drops uuid/read_timestamp/
+        # sort_keys (main.py:61); the decoder skips them instead of
+        # materializing-then-discarding (saves in proportion to their
+        # payload weight — real Datastream uuids are 36 chars)
+        for rec in avro_io.iter_records_range(
+            path, start, end, project=("source_metadata", "payload")
+        ):
             meta_buf.append(scalars.coerce_source_metadata(rec.get("source_metadata")))
             payload = rec.get("payload") or {}
             if not isinstance(payload, dict):

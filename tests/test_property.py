@@ -502,3 +502,56 @@ def test_compiled_decoder_rejects_bad_union_index():
     # union index 5 (zig-zag encoded 0x0A), then nothing
     with pytest.raises(ValueError, match="invalid union branch index"):
         dec(avro_io._Reader(b"\x0a"))
+
+
+def test_projected_decode_equals_filtered_full_decode():
+    """compile_projected_decoder: materialized fields match the full
+    decoder exactly and skipped fields advance the reader correctly —
+    for every codec and a nested envelope with strings/arrays/unions."""
+    import tempfile
+
+    from muninn_avro_to_parquet_spark.sources import avro_io
+    from tests.conftest import CDC_SCHEMA
+
+    recs = [
+        {
+            "uuid": f"u-{i:036d}",
+            "read_timestamp": i * 1_000_003,
+            "sort_keys": [f"k{j}" for j in range(i % 4)],
+            "source_metadata": {
+                "schema": "s",
+                "table": "t",
+                "is_deleted": i % 2 == 0,
+                "change_type": "INSERT",
+                "tx_id": i,
+                "lsn": f"0/{i:x}",
+                "primary_keys": ["id"],
+            },
+            "payload": {
+                "id": i,
+                "name": f"n{i}" * (i % 5),
+                "age": i,
+                "balance": (i * 10**29).to_bytes(16, "big", signed=True),
+                "score": i * 0.5,
+                "active": True,
+                "created_at": i,
+                "updated_at": i,
+                "birth_date": i,
+                "tags": [f"t{i}"],
+                "attrs": {"a": str(i)},
+            },
+        }
+        for i in range(50)
+    ]
+    for codec in ("null", "deflate", "snappy"):
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/f.avro"
+            avro_io.write_file(path, CDC_SCHEMA, recs, codec=codec)
+            full = [
+                {k: r[k] for k in ("source_metadata", "payload")}
+                for r in avro_io.iter_records(path)
+            ]
+            proj = list(
+                avro_io.iter_records(path, project=("source_metadata", "payload"))
+            )
+            assert proj == full, codec
