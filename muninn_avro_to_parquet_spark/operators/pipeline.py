@@ -304,3 +304,32 @@ def chunk_documents(
             ),
         )
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "exact-n-v1",
+) -> DataFrame:
+    """Exactly-N-rows-per-stratum deterministic sampling: rank documents
+    within each stratum by md5(salt:id) and keep rank ≤ N — the form a
+    data request actually takes ("give me 10k docs per source"), where
+    ``stratified_sample``'s fraction form over- or under-shoots on small
+    strata. A stratum smaller than N is kept whole.
+
+    One window per stratum (single shuffle on the stratum key); the hash
+    order makes the draw stable under repartitioning, retries, and
+    engine changes, and adding documents later only ever swaps items at
+    the tail of the hash order."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_bucket_prefix(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )

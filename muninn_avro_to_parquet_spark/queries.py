@@ -3118,6 +3118,28 @@ def sample_token_budget(spark):
 
 
 @q(
+    "sample_exact_n",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY substr(md5('exact-n-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM r WHERE rn <= 40
+    """,
+)
+def sample_exact_n(spark):
+    """Exactly-N-per-stratum sampling (operators/pipeline.sample_exact_n):
+    rank by md5 hash within each source, keep rank ≤ 40 — deterministic
+    row-count-exact sampling, stable under repartitioning and engines."""
+    d = spark.table("documents").select("doc_id", "source", "lang")
+    return pipeline.sample_exact_n(d, n_per_stratum=40)
+
+
+@q(
     "q_chunk_documents",
     """
     WITH s AS (

@@ -4,7 +4,7 @@ Implements the subset of the public Avro 1.11 specification
 (https://avro.apache.org/docs/1.11.1/specification/) that a Datastream-style
 CDC pipeline needs: null/boolean/int/long/float/double/bytes/string
 primitives, records, arrays, maps, unions, enums, fixed, and the ``null`` /
-``deflate`` block codecs. Logical types are *not* materialized — values come
+``deflate`` / ``snappy`` block codecs. Logical types are *not* materialized — values come
 back as their base-type encoding (e.g. ``timestamp-millis`` stays a raw
 ``long``), which is exactly what the downstream cast layer wants.
 

@@ -332,3 +332,21 @@ def test_chunk_documents_reassembly_property(spark):
         assert rebuilt == text_val
 
     check()
+
+
+def test_sample_exact_n_counts_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 80 else "tiny") for i in range(90)],
+        "doc_id long, source string",
+    )
+    out = pipeline.sample_exact_n(docs, 25, stratum_col="source")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 25, "tiny": 10}  # small stratum kept whole
+    # deterministic: same ids across invocations
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in pipeline.sample_exact_n(docs, 25, stratum_col="source").collect())
+    assert ids1 == ids2
