@@ -191,14 +191,22 @@ def glob_files(pattern: str) -> list[str]:
     m = _MAGIC_RE.search(pattern)
     if m is None:
         return [pattern] if exists(pattern) and _is_file(pattern) else []
-    base_uri = pattern[: pattern.rfind("/", 0, m.start())]
     scheme_end = pattern.index("://") + 3
-    if len(base_uri) <= scheme_end:
+    auth_end = pattern.find("/", scheme_end)
+    if auth_end == -1 or m.start() < auth_end:
         # wildcard inside the authority (e.g. s3://bucket*/...) — there is
-        # no fixed prefix to enumerate
+        # no fixed prefix to enumerate. Detected by position relative to the
+        # slash that ends the authority, NOT by whether the fixed prefix
+        # collapses to the scheme root: file:///data*/x has an EMPTY
+        # authority and its first-segment wildcard is a legal path glob.
         raise ValueError(
             f"glob wildcards are not supported in the bucket/authority part: {pattern!r}"
         )
+    cut = pattern.rfind("/", 0, m.start())
+    # a wildcard in the first path segment cuts back to the authority-ending
+    # slash — keep that slash so base_uri names the filesystem root
+    # ("file:///", "s3://bucket/"), not the bare scheme/bucket
+    base_uri = pattern[: cut + 1] if cut == auth_end else pattern[:cut]
     fs, base_path = resolve(base_uri)
     # a pattern whose wildcards all sit in the final segment needs only a
     # single-level listing; recursive enumeration is reserved for patterns
@@ -211,7 +219,9 @@ def glob_files(pattern: str) -> list[str]:
         return []
     rx = re.compile(_glob_to_regex(pattern) + r"\Z")
     root = base_path.rstrip("/")
-    base = base_uri.rstrip("/")
+    # strip at most ONE trailing slash: rstrip("/") would collapse the
+    # empty-authority root "file:///" to "file:" and break every joined URI
+    base = base_uri[:-1] if base_uri.endswith("/") else base_uri
     out = []
     for info in infos:
         if info.type != FileType.File:

@@ -410,6 +410,13 @@ def connected_components(
 
     The per-iteration convergence check is a driver-side ``count`` of a
     LIMIT-1 diff — an O(1)-result job, not a data collect.
+
+    .. note:: session-wide side effect — the shuffle-partition override is
+       a **SparkSession-level** conf: any query run concurrently on the
+       same session from another thread during the (short) CC loop also
+       executes with the edge-sized partition count. The previous value is
+       restored on exit. Callers that interleave CC with other work on one
+       session should serialize them or use a separate ``newSession()``.
     """
     import math
 

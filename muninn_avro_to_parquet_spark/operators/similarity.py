@@ -90,10 +90,15 @@ def _with_qnorm(df: DataFrame, id_col: str, vec_col: str, *extra_cols: str) -> D
     arithmetic is bit-identical (same quantized longs, same double sqrt),
     so oracle parity is unaffected.
 
-    If ``df`` already carries a ``_q`` column (``hyperplane_buckets``
-    emits one), it is reused instead of re-quantizing ``vec_col`` — the
-    bucketing pass and the norm pass then share a single quantization."""
-    if "_q" in df.columns:
+    If ``df`` already carries a ``_q`` column stamped by
+    ``hyperplane_buckets`` with field metadata ``qvec_of == vec_col``, it
+    is reused instead of re-quantizing ``vec_col`` — the bucketing pass
+    and the norm pass then share a single quantization. The metadata gate
+    (not mere column-name presence) keeps an unrelated caller-supplied
+    ``_q`` from silently poisoning norms and cosines."""
+    if "_q" in df.columns and (
+        df.schema["_q"].metadata.get("qvec_of") == vec_col
+    ):
         q = df.select(id_col, *extra_cols, "_q")
     else:
         q = df.select(id_col, *extra_cols, F.expr(f"{_qvec_sql(vec_col)} as _q"))
@@ -243,7 +248,12 @@ def hyperplane_buckets(
         "d -> case when d >= 0 then '1' else '0' end), '')"
     )
     return df.select(
-        F.col(id_col), F.col(vec_col), F.expr(f"{_qvec_sql(vec_col)} as _q")
+        F.col(id_col),
+        F.col(vec_col),
+        # metadata marks WHICH column this quantization came from, so
+        # _with_qnorm only reuses it for the same vec_col — a caller df
+        # carrying an unrelated `_q` is re-quantized, not trusted
+        F.expr(_qvec_sql(vec_col)).alias("_q", metadata={"qvec_of": vec_col}),
     ).select(F.col(id_col), F.col(vec_col), F.col("_q"), F.expr(f"{bucket_sql} as bucket"))
 
 

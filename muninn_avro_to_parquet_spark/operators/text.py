@@ -81,7 +81,15 @@ def global_row_number(
     parallel, then add each partition's cumulative row offset — computed
     from one tiny aggregate (``num_partitions`` rows to the driver, not
     data). Ranks are identical to the single-window form for any total
-    order (ties must be broken by the order columns themselves)."""
+    order (ties must be broken by the order columns themselves).
+
+    .. note:: EAGER — unlike most operators here this runs Spark jobs at
+       call time (the repartition + per-partition-count collect) and
+       leaves the range-partitioned input in a session-scoped cache (the
+       returned plan reads it twice); the cache is evicted with the other
+       scoped caches (replaced on the next call with the same scope key,
+       see ``cacheutil.cache_scoped``). Don't assume lazy composition:
+       call it on the final, filtered relation."""
     from pyspark.sql import Window
 
     if num_partitions is None:
@@ -121,7 +129,8 @@ def vocabulary(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     One explode + one groupBy with map-side partial aggregation; the Zipf
     rank uses ``global_row_number`` (range partition + per-partition
     windows + offsets), so a 10^7-token vocabulary never funnels through
-    a single task (ADVICE r3)."""
+    a single task (ADVICE r3). Inherits ``global_row_number``'s EAGER
+    behavior: calling this runs the partition-count jobs immediately."""
     tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(
         F.count("*").alias("n_occurrences"),

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -86,6 +87,13 @@ class StreamingConverter:
         if fs.exists(self._drain_path):
             fs.delete_file(self._drain_path)
         self._seen: set[str] = set()
+        # per-instance token in ack-chunk names: two converters sharing one
+        # checkpoint (or a restart racing a still-live run) can compute the
+        # same ack sequence; a PYTHONHASHSEED-salted content hash does not
+        # prevent the collision deterministically, a unique instance token
+        # does — colliding seqs then write distinct objects instead of one
+        # overwriting (= silently un-acknowledging) the other's chunk
+        self._ack_token = uuid.uuid4().hex[:12]
         n_chunks = 0
         for ledger in (self._ledger_path, self._failed_path):
             for chunk in self._ledger_chunks(ledger):
@@ -118,7 +126,7 @@ class StreamingConverter:
             fs.makedirs(chunk_dir)
             self._ack_seq += 1
             fs.write_text(
-                f"{chunk_dir}/{self._ack_seq:08d}-{abs(hash(tuple(paths))) % 10**8:08d}.log",
+                f"{chunk_dir}/{self._ack_seq:08d}-{self._ack_token}.log",
                 "".join(p + "\n" for p in paths),
             )
         else:

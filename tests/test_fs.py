@@ -217,3 +217,41 @@ def test_uri_ledger_chunks_never_overwrite_across_restarts(spark, tmp_path):
         ingestion_date="2026-01-01"
     )
     assert final.new_files == []
+
+
+def test_glob_authority_wildcard_rejected_path_wildcard_allowed(monkeypatch):
+    """ADVICE r4: a wildcard in the FIRST PATH SEGMENT of an
+    empty-authority URI (file:///data*/x.avro) is a legal glob, not an
+    authority wildcard; only wildcards before the authority-ending slash
+    (s3://bucket*/...) are rejected."""
+    import pytest
+    from pyarrow.fs import FileInfo, FileType
+
+    with pytest.raises(ValueError, match="authority"):
+        fs.glob_files("s3://bucket*/data/x.avro")
+    with pytest.raises(ValueError, match="authority"):
+        fs.glob_files("s3://buck?t")  # no authority-ending slash at all
+
+    # first-path-segment wildcard: must enumerate from the filesystem
+    # ROOT, not raise. Fake the filesystem so the test doesn't walk "/".
+    seen = {}
+
+    class FakeFS:
+        def get_file_info(self, selector):
+            seen["base"] = selector.base_dir
+            return [
+                FileInfo("/data1/x.avro", FileType.File),
+                FileInfo("/data1/y.avro", FileType.File),
+                FileInfo("/other/x.avro", FileType.File),
+                FileInfo("/data1", FileType.Directory),
+            ]
+
+    def fake_resolve(uri):
+        seen["base_uri"] = uri
+        return FakeFS(), "/"
+
+    monkeypatch.setattr(fs, "resolve", fake_resolve)
+    out = fs.glob_files("file:///data*/x.avro")
+    assert seen["base_uri"] == "file:///"
+    assert seen["base"] == "/"
+    assert out == ["file:///data1/x.avro"]

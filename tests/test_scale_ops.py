@@ -531,3 +531,33 @@ def test_multiprobe_lsh_superset_recall(spark):
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_unrelated_q_column_not_trusted(spark):
+    """ADVICE r4: _with_qnorm must only reuse a `_q` column stamped by
+    hyperplane_buckets for the SAME vec_col; a caller df carrying an
+    unrelated `_q` (e.g. its own business column) must be re-quantized,
+    not silently used as the quantization — which would poison every norm
+    and cosine with no error."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], [999999]), (2, [0.6, 0.8], [1])],
+        "vec_id long, embedding array<float>, _q array<long>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.cosine_topk(corpus, queries, k=2).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-9        # poisoned _q would skew this
+    assert abs(got[2] - 0.6) < 1e-6
+
+    # the hyperplane path still reuses its own stamped quantization
+    b = similarity.hyperplane_buckets(
+        corpus.drop("_q"), dim=2, num_planes=4, id_col="vec_id", vec_col="embedding"
+    )
+    meta = b.schema["_q"].metadata
+    assert meta.get("qvec_of") == "embedding"
