@@ -121,6 +121,55 @@ def _make_convert_fixture(n_rows: int, n_files: int = 32) -> str:
     return base
 
 
+def _make_bigfile_fixture(target_bytes: int) -> tuple[str, int]:
+    """One >=target_bytes multi-block Avro file under /tmp, reused across
+    runs. Returns (base_dir, total_rows). Generation encodes a 20k-row
+    template once and repeats its block frames (write_file_repeated), so
+    a 1 GiB fixture costs seconds of raw I/O, not minutes of encode."""
+    import tempfile
+
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    base = os.path.join(tempfile.gettempdir(), f"muninn_bench_bigfile_{target_bytes}")
+    avro_dir = os.path.join(base, "avro", "bench_big")
+    path = os.path.join(avro_dir, "huge.avro")
+    marker = os.path.join(base, ".complete")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            return base, int(f.read().strip())
+    os.makedirs(avro_dir, exist_ok=True)
+    template = []
+    for i in range(20_000):
+        template.append(
+            {
+                "uuid": f"u{i}",
+                "source_metadata": {
+                    "schema": "public", "table": "bench_big",
+                    "is_deleted": i % 7 == 0,
+                    "change_type": "INSERT" if i % 3 else "UPDATE",
+                    "tx_id": 1000 + i, "lsn": f"0/{i:x}",
+                    "primary_keys": ["id"],
+                },
+                "payload": {
+                    "id": i, "name": f"name_{i % 1000}", "qty": i % 100,
+                    "price": (i % 10000) / 100.0, "active": i % 2 == 0,
+                    "created": 1_700_000_000_000_000 + i,
+                    "balance": ((i % 100000) * 10**28).to_bytes(16, "big", signed=True),
+                    "tags": [f"t{i % 5}", "x"],
+                },
+            }
+        )
+    avro_io.write_file_repeated(path, _CDC_BENCH_SCHEMA, template, repeats=1, block_size=2000)
+    per_repeat = os.path.getsize(path)
+    repeats = max(1, -(-target_bytes // per_repeat))
+    total = avro_io.write_file_repeated(
+        path, _CDC_BENCH_SCHEMA, template, repeats=repeats, block_size=2000
+    )
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(f"{total}\n")
+    return base, total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -198,6 +247,47 @@ def main() -> None:
         assert res.tables.get("bench_cdc") == n_rows, res.tables
         best = min(best, time.perf_counter() - t0)
     timings[f"convert_{n_rows}_rows"] = round(best, 4)
+
+    # Single-file scale proof (VERDICT r4 #1): one >=1 GiB multi-block Avro
+    # file must fan out across >=16 byte-range splits and convert with
+    # bounded per-task batches — the 100 TB ingest claim exercised at real
+    # file size. Generated once and reused (raw-byte block repeats, so
+    # generation is I/O-bound); timed once (a long steady scan, best-of-N
+    # buys little and costs a full pass).
+    big_bytes = int(os.environ.get("SPARK_GRAFT_BIGFILE_BYTES", str(1 << 30)))
+    if big_bytes > 0:
+        import shutil
+
+        from muninn_avro_to_parquet_spark import convert as convert_mod
+        from muninn_avro_to_parquet_spark.sources import avro_source
+
+        big_dir, big_rows = _make_bigfile_fixture(big_bytes)
+        n_splits = len(
+            avro_source.plan_splits(
+                [os.path.join(big_dir, "avro", "bench_big", "huge.avro")]
+            )
+        )
+        assert n_splits >= 16 or big_bytes < (1 << 30), n_splits
+        out_dir = os.path.join(big_dir, "out")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = convert_mod.convert(
+            spark,
+            os.path.join(big_dir, "avro", "**", "*.avro"),
+            out_dir,
+            ingestion_date="2026-01-01",
+        )
+        big_wall = time.perf_counter() - t0
+        assert res.tables.get("bench_big") == big_rows, res.tables
+        timings["convert_bigfile"] = round(big_wall, 4)
+        bigfile_stats = {
+            "bytes": big_bytes,
+            "rows": big_rows,
+            "splits": n_splits,
+            "rows_per_sec": round(big_rows / big_wall),
+        }
+    else:
+        bigfile_stats = None
     for qi, (name, entry) in enumerate(QUERIES.items()):
         best = float("inf")
         for _ in range(repeat):
@@ -221,6 +311,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if bigfile_stats is not None:
+        result["bigfile"] = bigfile_stats
     # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
     # were cut, losing per-query timings); persist the full result as a
     # standalone artifact so cross-round comparisons always have all queries

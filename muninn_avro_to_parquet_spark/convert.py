@@ -3,7 +3,7 @@
 The reference's whole pipeline body (/root/reference/main.py:481-578)
 re-expressed as one declarative Spark plan per table:
 
-    paths → distributed Avro decode (mapInPandas, 1 task/file)
+    paths → distributed Avro decode (mapInArrow, 1 task/byte-split)
           → cast layer (one select, whole-stage codegen)
           → + table / ingestion_date partition keys
           → write.partitionBy("ingestion_date").parquet(prefix/<table>)

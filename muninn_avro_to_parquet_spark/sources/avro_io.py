@@ -927,6 +927,66 @@ def read_file(path: str) -> tuple[dict, list[dict]]:
     return schema, list(iter_records(path))
 
 
+def _file_sync(schema: dict, path: str) -> bytes:
+    # per-file sync marker, like real Avro writers: a fixed marker can
+    # legitimately occur inside a record payload and false-match in
+    # _seek_past_sync on a split read. Derive it from the schema + path
+    # (deterministic — fixtures must be reproducible without Date/random)
+    # rather than a process-wide constant.
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(schema, sort_keys=True).encode() + path.encode()
+    ).digest()[:16]
+
+
+def _encode_blocks(
+    schema: dict, records: list[dict], codec: str, block_size: int, sync: bytes
+) -> list[bytes]:
+    """Encode ``records`` into complete OCF block frames
+    (count + size + payload + sync), ``block_size`` records per block."""
+    names = collect_names(schema)
+    blocks = []
+    for i in range(0, max(len(records), 1), block_size):
+        chunk = records[i : i + block_size]
+        if not chunk:
+            break
+        body = bytearray()
+        for rec in chunk:
+            _encode(body, rec, schema, names)
+        payload = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":
+            payload = _avro_snappy_encode(payload)
+        elif codec != "null":
+            raise ValueError(f"unsupported Avro codec {codec!r}")
+        blocks.append(
+            _zigzag(len(chunk)) + _zigzag(len(payload)) + payload + sync
+        )
+    return blocks
+
+
+def _write_header(f, schema: dict, codec: str, sync: bytes) -> None:
+    f.write(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    hdr = bytearray()
+    hdr += _zigzag(len(meta))
+    for k, v in meta.items():
+        kb = k.encode("utf-8")
+        hdr += _zigzag(len(kb))
+        hdr += kb
+        hdr += _zigzag(len(v))
+        hdr += v
+    hdr += _zigzag(0)
+    f.write(hdr)
+    f.write(sync)
+
+
 def write_file(
     path: str,
     schema: dict,
@@ -935,50 +995,39 @@ def write_file(
     block_size: int = 1000,
 ) -> None:
     """Write an OCF file (used by tests/fixtures and the demo generator)."""
-    names = collect_names(schema)
-    # per-file sync marker, like real Avro writers: a fixed marker can
-    # legitimately occur inside a record payload and false-match in
-    # _seek_past_sync on a split read. Derive it from the schema + path
-    # (deterministic — fixtures must be reproducible without Date/random)
-    # rather than a process-wide constant.
-    import hashlib
-
     from muninn_avro_to_parquet_spark import fs as _fs
 
-    sync = hashlib.sha256(json.dumps(schema, sort_keys=True).encode() + path.encode()).digest()[:16]
+    sync = _file_sync(schema, path)
     with _fs.open_output(path) as f:
-        f.write(MAGIC)
-        meta = {
-            "avro.schema": json.dumps(schema).encode("utf-8"),
-            "avro.codec": codec.encode("utf-8"),
-        }
-        hdr = bytearray()
-        hdr += _zigzag(len(meta))
-        for k, v in meta.items():
-            kb = k.encode("utf-8")
-            hdr += _zigzag(len(kb))
-            hdr += kb
-            hdr += _zigzag(len(v))
-            hdr += v
-        hdr += _zigzag(0)
-        f.write(hdr)
-        f.write(sync)
-        for i in range(0, max(len(records), 1), block_size):
-            chunk = records[i : i + block_size]
-            if not chunk:
-                break
-            body = bytearray()
-            for rec in chunk:
-                _encode(body, rec, schema, names)
-            payload = bytes(body)
-            if codec == "deflate":
-                co = zlib.compressobj(wbits=-15)
-                payload = co.compress(payload) + co.flush()
-            elif codec == "snappy":
-                payload = _avro_snappy_encode(payload)
-            elif codec != "null":
-                raise ValueError(f"unsupported Avro codec {codec!r}")
-            f.write(_zigzag(len(chunk)))
-            f.write(_zigzag(len(payload)))
-            f.write(payload)
-            f.write(sync)
+        _write_header(f, schema, codec, sync)
+        for block in _encode_blocks(schema, records, codec, block_size, sync):
+            f.write(block)
+
+
+def write_file_repeated(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    repeats: int,
+    codec: str = "null",
+    block_size: int = 1000,
+) -> int:
+    """Write one OCF whose block sequence is ``records`` (chunked into
+    blocks) repeated ``repeats`` times, returning the total record count.
+
+    The multi-gigabyte-single-file fixture generator: the Python record
+    encode runs ONCE over ``records``; every repeat after that is a raw
+    byte write, so producing a 1 GiB file costs seconds, not the minutes
+    a 10M-row per-record encode would. Block frames are self-contained
+    (count + size + payload + sync), so repetition yields a fully valid
+    OCF — split readers see ordinary independent blocks."""
+    from muninn_avro_to_parquet_spark import fs as _fs
+
+    sync = _file_sync(schema, path)
+    blocks = _encode_blocks(schema, records, codec, block_size, sync)
+    with _fs.open_output(path) as f:
+        _write_header(f, schema, codec, sync)
+        for _ in range(repeats):
+            for block in blocks:
+                f.write(block)
+    return len(records) * repeats

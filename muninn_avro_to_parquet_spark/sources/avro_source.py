@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,18 +91,35 @@ def _transport_value(value: Any, plan: S.FieldPlan) -> Any:
 # a file larger than this is split on Avro sync-marker boundaries so its
 # decode fans out across tasks instead of serializing on one core
 SPLIT_BYTES = 64 * 1024 * 1024
+# never split finer than this: each split pays a header read + sync seek,
+# and sub-4MB ranges would be dominated by that fixed cost
+MIN_SPLIT_BYTES = 4 * 1024 * 1024
 
 
-def plan_splits(paths: list[str], split_bytes: int = SPLIT_BYTES) -> list[tuple[str, int, int]]:
+def plan_splits(
+    paths: list[str],
+    split_bytes: int = SPLIT_BYTES,
+    target_tasks: int | None = None,
+) -> list[tuple[str, int, int]]:
     """(path, start, end) byte splits — one per file below the threshold,
     several Hadoop-style ranges above it. Pure driver-side arithmetic on
     file sizes (a stat per file — works on object-store URIs through the
-    fs seam); executors seek to the first sync inside their range."""
+    fs seam); executors seek to the first sync inside their range.
+
+    ``target_tasks`` shrinks the split size (never below MIN_SPLIT_BYTES)
+    when the default would yield fewer splits than the cluster has
+    execution slots — a lone 1 GiB file then fans out across every core
+    instead of leaving the cluster half idle. At real fleet scale the file
+    count dwarfs the core count and the default stays in effect."""
     from muninn_avro_to_parquet_spark import fs
 
+    sizes = [(p, fs.file_size(p)) for p in paths]
+    if target_tasks:
+        total = sum(s for _, s in sizes)
+        if total > 0 and -(-total // split_bytes) < target_tasks:
+            split_bytes = max(MIN_SPLIT_BYTES, -(-total // target_tasks))
     out = []
-    for p in paths:
-        size = fs.file_size(p)
+    for p, size in sizes:
         if size <= split_bytes:
             out.append((p, 0, size))
             continue
@@ -115,21 +131,38 @@ def plan_splits(paths: list[str], split_bytes: int = SPLIT_BYTES) -> list[tuple[
 
 
 def _batches_for_splits(
-    splits: list[tuple[str, int, int]], plans: list[S.FieldPlan], all_string: bool
-) -> Iterator[pd.DataFrame]:
+    splits: list[tuple[str, int, int]],
+    plans: list[S.FieldPlan],
+    all_string: bool,
+    arrow_schema=None,
+):
+    """Decode byte splits into bounded ``pyarrow.RecordBatch``es.
+
+    Arrow arrays are built DIRECTLY from the decoded column lists
+    (``pa.array`` is a single C++ pass), skipping the object-dtype pandas
+    detour mapInPandas would re-convert anyway — profiled at ~2× the
+    decode cost on the 1 GiB CDC fixture. Batches are capped at
+    BATCH_ROWS rows, so one task never materializes its split."""
+    import pyarrow as pa
+
+    if arrow_schema is None:
+        arrow_schema = _transport_arrow_schema(plans, all_string)
     names = [p.name for p in plans]
+    types = {f.name: f.type for f in arrow_schema}
     for path, start, end in splits:
         canon_path = canon_source_path(path)
         meta_buf: list[dict] = []
         cols: dict[str, list] = {n: [] for n in names}
-        files: list[str] = []
+        n_buf = 0
 
-        def flush():
-            data = {"source_metadata": pd.Series(meta_buf, dtype=object)}
+        def flush(n_rows: int):
+            arrays = [pa.array(meta_buf, type=types["source_metadata"])]
             for n in names:
-                data[n] = pd.Series(cols[n], dtype=object)
-            data[SOURCE_FILE_COL] = pd.Series(files, dtype=object)
-            return pd.DataFrame(data)
+                arrays.append(pa.array(cols[n], type=types[n]))
+            arrays.append(
+                pa.array([canon_path] * n_rows, type=types[SOURCE_FILE_COL])
+            )
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
         # decoder-level projection: the reference drops uuid/read_timestamp/
         # sort_keys (main.py:61); the decoder skips them instead of
@@ -148,19 +181,35 @@ def _batches_for_splits(
                     cols[plan.name].append(scalars.stringify_any(v))
                 else:
                     cols[plan.name].append(_transport_value(v, plan))
-            files.append(canon_path)
-            if len(meta_buf) >= BATCH_ROWS:
-                yield flush()
-                meta_buf, files = [], []
+            n_buf += 1
+            if n_buf >= BATCH_ROWS:
+                yield flush(n_buf)
+                meta_buf, n_buf = [], 0
                 cols = {n: [] for n in names}
-        if meta_buf:
-            yield flush()
+        if n_buf:
+            yield flush(n_buf)
 
 
 def _with_source_file(schema):
     from pyspark.sql import types as T
 
     return T.StructType(list(schema.fields) + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)])
+
+
+def _transport_arrow_schema(plans: list[S.FieldPlan], all_string: bool):
+    """Arrow schema the decode tasks emit (mirrors the Spark transport
+    StructType + _source_file)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if all_string:
+        sch = T.StructType(
+            [T.StructField("source_metadata", S.SOURCE_METADATA_TYPE, True)]
+            + [T.StructField(p.name, T.StringType(), True) for p in plans]
+        )
+    else:
+        sch = S.raw_transport_schema_from_plans(plans)
+    return to_arrow_schema(_with_source_file(sch))
 
 
 def _distributed_decode(
@@ -171,19 +220,33 @@ def _distributed_decode(
     all_string: bool,
 ) -> DataFrame:
     """Shared scaffolding for both decode modes: path list → sync-marker
-    splits (big files fan out across tasks) → round-robin distribution
-    (~2 split rows per core so stragglers rebalance) → block-streamed
-    decode in mapInPandas."""
+    splits (big files fan out across tasks; ``target_tasks`` shrinks the
+    split size so even ONE large file saturates every execution slot) →
+    round-robin distribution (~2 split rows per core so stragglers
+    rebalance) → block-streamed decode in mapInArrow (Arrow batches built
+    directly from the decoded columns — no pandas detour)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    def gen(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in iterator:
-            splits = list(zip(pdf["path"], pdf["start"], pdf["end"]))
-            yield from _batches_for_splits(splits, plans, all_string=all_string)
+    aschema = to_arrow_schema(out_schema)
 
-    splits = plan_splits(paths)
+    def gen(batches):
+        for rb in batches:
+            splits = list(
+                zip(
+                    rb.column("path").to_pylist(),
+                    rb.column("start").to_pylist(),
+                    rb.column("end").to_pylist(),
+                )
+            )
+            yield from _batches_for_splits(
+                splits, plans, all_string=all_string, arrow_schema=aschema
+            )
+
+    target = spark.sparkContext.defaultParallelism * 2
+    splits = plan_splits(paths, target_tasks=target)
     splits_df = spark.createDataFrame(splits, "path string, start long, end long")
-    n_part = min(len(splits), spark.sparkContext.defaultParallelism * 2) or 1
-    return splits_df.repartition(n_part).mapInPandas(gen, schema=out_schema)
+    n_part = min(len(splits), target) or 1
+    return splits_df.repartition(n_part).mapInArrow(gen, schema=out_schema)
 
 
 def read_avro_raw(

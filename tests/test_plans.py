@@ -58,14 +58,15 @@ def test_conversion_path_shuffle_free(spark, tmp_path):
     """No data shuffle in Avro→Parquet conversion: decode → project →
     write scales linearly with executors. The one allowed exchange is the
     round-robin distribution of file PATH STRINGS (bytes per row) below
-    the decode — everything above MapInPandas must be exchange-free."""
+    the decode — everything above the MapInArrow decode must be exchange-free."""
     from muninn_avro_to_parquet_spark import convert
     from tests.test_convert import _write_fixture
 
     _write_fixture(tmp_path)
     df = convert.convert_df(spark, str(tmp_path / "avro" / "**" / "*.avro"))
     plan = _plan(df)
-    above_decode = plan.split("MapInPandas")[0]
+    above_decode = plan.split("MapInArrow")[0]
+    assert "MapInArrow" in plan
     assert "Exchange" not in above_decode
 
 
