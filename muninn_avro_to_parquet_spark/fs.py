@@ -40,10 +40,34 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
+# scheme → pyarrow FileSystem instance, consulted before from_uri. Lets a
+# deployment plug a custom client (an emulator endpoint, a PyFileSystem
+# wrapping an fsspec handler, an in-memory filesystem for conformance
+# tests) under its own scheme without env-level configuration. The
+# registry is PER-PROCESS: executors resolve URIs in their own workers,
+# so only driver-side paths (listing, checkpoint ledgers) can rely on a
+# filesystem registered in the driver alone.
+_REGISTERED: dict[str, object] = {}
+
+
+def register_filesystem(scheme: str, filesystem) -> None:
+    """Route ``scheme://...`` URIs to a caller-supplied pyarrow
+    FileSystem. The path handed to the filesystem is the URI minus
+    ``scheme://`` (authority kept — S3-style ``bucket/key`` semantics)."""
+    _REGISTERED[scheme] = filesystem
+
+
+def unregister_filesystem(scheme: str) -> None:
+    _REGISTERED.pop(scheme, None)
+
+
 def resolve(uri: str):
     """URI → (pyarrow FileSystem, filesystem-local path)."""
     from pyarrow.fs import FileSystem
 
+    scheme, sep, rest = uri.partition("://")
+    if sep and scheme in _REGISTERED:
+        return _REGISTERED[scheme], rest
     return FileSystem.from_uri(uri)
 
 

@@ -157,11 +157,24 @@ def cosine_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup detection).
 
     Quadratic by nature — at corpus scale run it per LSH bucket
-    (``hyperplane_buckets``) instead of globally."""
+    (``hyperplane_buckets``) instead of globally; ``embedding_near_dup``
+    is that composition. ``max_rows`` enforces the contract: when set,
+    the input is counted first and a ValueError aborts the plan before
+    the crossJoin if the corpus exceeds it — a 10^9-row table can then
+    never silently schedule a 10^18-pair cartesian (VERDICT r4 #7)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs over {n} rows exceeds max_rows={max_rows}: "
+                "the all-pairs crossJoin is quadratic — run it per LSH "
+                "bucket (hyperplane_buckets / embedding_near_dup) instead"
+            )
     pre = _with_qnorm(df, id_col, vec_col)
     a = pre.select(
         F.col(id_col).alias("id_a"), F.col("_q").alias("_qa"), F.col("_norm").alias("_na")

@@ -334,6 +334,29 @@ class _Unalignable(Exception):
     engine's reference semantics exactly — use the Python codec."""
 
 
+def _same_erased_type(a, b) -> bool:
+    """Type equality ignoring nullability flags: spark-avro derives
+    containsNull/valueContainsNull/field nullability from the Avro unions
+    (a bare ``array<string>`` decodes with containsNull=False) while the
+    §1.3 mapper declares everything nullable — semantically identical
+    columns that plain ``==`` would reject, bailing the JVM path for
+    every container column."""
+    from pyspark.sql import types as T
+
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return _same_erased_type(a.elementType, b.elementType)
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return _same_erased_type(a.keyType, b.keyType) and _same_erased_type(
+            a.valueType, b.valueType
+        )
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        return len(a.fields) == len(b.fields) and all(
+            fa.name == fb.name and _same_erased_type(fa.dataType, fb.dataType)
+            for fa, fb in zip(a.fields, b.fields)
+        )
+    return a == b
+
+
 def _align_value(col, decoded, plan: S.FieldPlan):
     """Column expr mapping spark-avro's native decode of one payload field
     to the engine's target type — or raise ``_Unalignable``.
@@ -359,7 +382,12 @@ def _align_value(col, decoded, plan: S.FieldPlan):
             else:
                 members.append(F.lit(None).cast(c.dtype).alias(c.name))
         return F.when(col.isNull(), F.lit(None).cast(target)).otherwise(F.struct(*members))
-    if decoded == target and plan.source in (S.RAW, S.TS_MILLIS, S.TS_MICROS, S.EPOCH_DAYS):
+    if plan.source in (S.RAW, S.TS_MILLIS, S.TS_MICROS, S.EPOCH_DAYS) and (
+        _same_erased_type(decoded, target)
+    ):
+        # nullability flags may differ (spark-avro's are union-exact, the
+        # mapper's are all-nullable) — values are identical either way, and
+        # Spark refuses casts TOWARD non-null, so pass the column through
         return col
     if plan.source == S.TS_MILLIS and isinstance(decoded, T.LongType):
         return F.timestamp_millis(col)
@@ -374,11 +402,14 @@ def _align_value(col, decoded, plan: S.FieldPlan):
     if isinstance(target, T.LongType) and isinstance(decoded, T.TimestampType):
         return F.unix_micros(col)
     if isinstance(target, T.DecimalType) and isinstance(decoded, T.DecimalType):
-        if decoded.scale <= target.scale and (
-            decoded.precision - decoded.scale <= target.precision - target.scale
-        ):
-            return col.cast(target)  # pure widening, no rounding
-        raise _Unalignable()  # would round: reference quantizes HALF_EVEN
+        # NEVER alignable (parity-matrix finding, r5): the reference
+        # reinterprets a bytes decimal's unscaled int at ASSUMED scale 30
+        # regardless of the writer's declared scale, then quantizes to 9
+        # HALF_EVEN — spark-avro honors the DECLARED scale, so a (10,2)
+        # column decodes 25 → 0.25 where the reference mandates 25·10⁻³⁰.
+        # The two engines agree only when declared scale == 30, which then
+        # needs the HALF_EVEN quantize Spark's cast (HALF_UP) can't do.
+        raise _Unalignable()
     if plan.source == S.STRINGIFY and isinstance(decoded, T.StringType):
         return col  # str() of a string is the identity
     raise _Unalignable()

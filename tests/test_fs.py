@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from muninn_avro_to_parquet_spark import convert, fs
 from muninn_avro_to_parquet_spark.sources import avro_io, avro_source
 from muninn_avro_to_parquet_spark.streaming.file_stream import StreamingConverter
@@ -255,3 +257,72 @@ def test_glob_authority_wildcard_rejected_path_wildcard_allowed(monkeypatch):
     assert seen["base_uri"] == "file:///"
     assert seen["base"] == "/"
     assert out == ["file:///data1/x.avro"]
+
+
+@pytest.fixture()
+def mock_scheme():
+    """An in-memory pyarrow filesystem mounted at mock:// — a second,
+    non-local FileSystem implementation behind the same seam, so the URI
+    code paths (ledger chunks, globbing, byte I/O) are proven against
+    more than LocalFileSystem (VERDICT r4 #4)."""
+    from pyarrow.fs import _MockFileSystem
+
+    mockfs = _MockFileSystem()
+    fs.register_filesystem("mock", mockfs)
+    yield mockfs
+    fs.unregister_filesystem("mock")
+
+
+def test_fs_primitives_over_mock_scheme(mock_scheme):
+    """makedirs / write / read / size / exists / list / glob / delete over
+    a registered non-file scheme behave exactly as over file://."""
+    base = "mock://bkt/data"
+    fs.makedirs(f"{base}/sub")
+    fs.write_text(f"{base}/sub/a.log", "hello\n")
+    fs.write_text(f"{base}/sub/b.log", "world\n")
+    assert fs.exists(f"{base}/sub/a.log")
+    assert not fs.exists(f"{base}/sub/zzz.log")
+    assert fs.read_text(f"{base}/sub/a.log") == "hello\n"
+    assert fs.file_size(f"{base}/sub/b.log") == 6
+    assert sorted(fs.list_files(f"{base}/sub")) == [
+        f"{base}/sub/a.log", f"{base}/sub/b.log",
+    ]
+    assert fs.glob_files(f"{base}/**/*.log") == [
+        f"{base}/sub/a.log", f"{base}/sub/b.log",
+    ]
+    assert fs.glob_files(f"{base}/sub/a.log") == [f"{base}/sub/a.log"]
+    fs.delete_file(f"{base}/sub/a.log")
+    assert not fs.exists(f"{base}/sub/a.log")
+    # avro byte I/O through the same seam: write + split-read a real OCF
+    avro_io.write_file(f"{base}/f.avro", CDC_SCHEMA, _recs(range(7)), codec="deflate")
+    assert [r["payload"]["id"] for r in avro_io.iter_records(f"{base}/f.avro")] == list(range(7))
+
+
+def test_streaming_checkpoint_over_mock_scheme(spark, tmp_path, mock_scheme):
+    """The object-store ledger protocol (immutable ack chunks, restart
+    recovery, no replay) over a non-file scheme: checkpoint state lives
+    entirely in mock://, input/output stay local (executors cannot see a
+    driver-registered in-memory filesystem)."""
+    _fixture_tree(tmp_path, files_per_table=1)
+    pattern = f"{tmp_path}/avro/**/*.avro"
+    ckpt = "mock://ckpts/job1"
+    out = str(tmp_path / "out")
+
+    r1 = StreamingConverter(spark, pattern, out, ckpt, "1h").poll_once(
+        ingestion_date="2026-01-01"
+    )
+    assert len(r1.new_files) == 1
+    # restart: new converter instance, same mock checkpoint — no replay
+    avro_io.write_file(
+        str(tmp_path / "avro" / "customers" / "g0.avro"), CDC_SCHEMA, _recs([50])
+    )
+    r2 = StreamingConverter(spark, pattern, out, ckpt, "1h").poll_once(
+        ingestion_date="2026-01-01"
+    )
+    assert len(r2.new_files) == 1 and r2.new_files[0].endswith("g0.avro")
+    chunks = fs.list_files("mock://ckpts/job1/processed_files.log.d")
+    assert len(chunks) == 2  # one immutable chunk per ack, distinct names
+    r3 = StreamingConverter(spark, pattern, out, ckpt, "1h").poll_once(
+        ingestion_date="2026-01-01"
+    )
+    assert r3.new_files == []

@@ -196,3 +196,219 @@ def test_source_file_canon_parity(spark, tmp_path):
         .collect()[0]["p"]
     )
     assert got_s3 == s3
+
+
+# --- alignment parity matrix (VERDICT r4 #3) --------------------------------
+# Every schema shape the §1.3 mapper can emit, either proven value-parity
+# against the Python codec (alignable) or proven to bail to it (None).
+
+_MATRIX_META = {
+    "schema": "public", "table": "m", "is_deleted": False,
+    "change_type": "INSERT", "tx_id": 1, "lsn": "0/1", "primary_keys": ["id"],
+}
+
+
+def _matrix_file(tmp_path, payload_fields, payload_rows):
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
+            {
+                "name": "payload",
+                "type": {"type": "record", "name": "pm", "fields": payload_fields},
+            },
+        ],
+    }
+    rows = [
+        {"source_metadata": dict(_MATRIX_META), "payload": p} for p in payload_rows
+    ]
+    path = str(tmp_path / "m.avro")
+    avro_io.write_file(path, schema, rows)
+    return schema, path
+
+
+_SM_DDL = (
+    "source_metadata struct<schema:string,table:string,is_deleted:boolean,"
+    "change_type:string,tx_id:bigint,lsn:string,primary_keys:array<string>>"
+)
+
+
+def _assert_jvm_parity(spark, monkeypatch, schema, path, sim):
+    """Monkeypatched JVM decode must align to EXACTLY the Python codec's
+    schema and values."""
+    plans = S.derive_field_plans(schema)
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    jdf = avro_source.read_avro_jvm(spark, ["ignored"], plans)
+    assert jdf is not None, "expected alignable schema"
+    got = jdf.drop(avro_source.SOURCE_FILE_COL)
+    want = avro_source.read_avro(spark, [path], engine="python").drop(
+        avro_source.SOURCE_FILE_COL
+    )
+    # nullability-erased compare: spark-avro carries exact Avro-union
+    # nullability, the mapper declares everything nullable — same types
+    assert got.schema.simpleString() == want.schema.simpleString(), (
+        f"\n{got.schema}\n!=\n{want.schema}"
+    )
+    key = lambda row: row["id"]  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_jvm_parity_raw_containers(spark, tmp_path, monkeypatch):
+    """Bare (non-union) array/map/all-RAW-record columns keep their typed
+    shape — the JVM decode is already the target type (identity align)."""
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "counts", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "point",
+            "type": {
+                "type": "record", "name": "pt",
+                "fields": [{"name": "x", "type": "long"}, {"name": "y", "type": "double"}],
+            },
+        },
+    ]
+    rows = [
+        {"id": i, "tags": [f"t{i}", "x"], "counts": {"a": i, "b": i * 2},
+         "point": {"x": i, "y": i / 2}}
+        for i in range(4)
+    ]
+    schema, path = _matrix_file(tmp_path, fields, rows)
+    sim = spark.createDataFrame(
+        [{"source_metadata": dict(_MATRIX_META), "payload": p} for p in rows],
+        _SM_DDL + ",payload struct<id:bigint,tags:array<string>,"
+        "counts:map<string,bigint>,point:struct<x:bigint,y:double>>",
+    )
+    _assert_jvm_parity(spark, monkeypatch, schema, path, sim)
+
+
+def test_jvm_parity_nested_record_logicals(spark, tmp_path, monkeypatch):
+    """STRUCT_CAST recursion: a nested record mixing union logicals
+    (timestamp-micros/millis -> Timestamp, date -> Date) with a DIRECT
+    date (reference keeps base int; JVM decodes DateType -> unix_date)."""
+    import datetime as dt
+
+    fields = [
+        {"name": "id", "type": "long"},
+        {
+            "name": "evt",
+            "type": {
+                "type": "record", "name": "evt",
+                "fields": [
+                    {"name": "at_us", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+                    {"name": "at_ms", "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}]},
+                    {"name": "day", "type": ["null", {"type": "int", "logicalType": "date"}]},
+                    {"name": "raw_day", "type": {"type": "int", "logicalType": "date"}},
+                ],
+            },
+        },
+    ]
+    rows = [
+        {"id": i, "evt": {"at_us": 1_700_000_000_000_000 + i,
+                          "at_ms": 1_700_000_000_000 + i,
+                          "day": 19_000 + i, "raw_day": 19_100 + i}}
+        for i in range(3)
+    ]
+    schema, path = _matrix_file(tmp_path, fields, rows)
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    day0 = dt.date(1970, 1, 1)
+    sim_rows = [
+        {
+            "source_metadata": dict(_MATRIX_META),
+            "payload": {
+                "id": r["id"],
+                "evt": {
+                    "at_us": epoch + dt.timedelta(microseconds=r["evt"]["at_us"]),
+                    "at_ms": epoch + dt.timedelta(milliseconds=r["evt"]["at_ms"]),
+                    "day": day0 + dt.timedelta(days=r["evt"]["day"]),
+                    "raw_day": day0 + dt.timedelta(days=r["evt"]["raw_day"]),
+                },
+            },
+        }
+        for r in rows
+    ]
+    sim = spark.createDataFrame(
+        sim_rows,
+        _SM_DDL + ",payload struct<id:bigint,evt:struct<at_us:timestamp,"
+        "at_ms:timestamp,day:date,raw_day:date>>",
+    )
+    _assert_jvm_parity(spark, monkeypatch, schema, path, sim)
+
+
+def test_jvm_parity_toplevel_direct_date_and_missing_col(spark, tmp_path, monkeypatch):
+    """Top-level direct date (target stays int, JVM decodes DateType) and
+    a plan column absent from the JVM payload (NULL-filled)."""
+    import datetime as dt
+
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "only_python", "type": ["null", "string"]},
+    ]
+    rows = [{"id": i, "d": 20_000 + i, "only_python": None} for i in range(3)]
+    schema, path = _matrix_file(tmp_path, fields, rows)
+    day0 = dt.date(1970, 1, 1)
+    sim = spark.createDataFrame(
+        [
+            {"source_metadata": dict(_MATRIX_META),
+             "payload": {"id": r["id"], "d": day0 + dt.timedelta(days=r["d"])}}
+            for r in rows
+        ],
+        _SM_DDL + ",payload struct<id:bigint,d:date>",  # only_python missing
+    )
+    _assert_jvm_parity(spark, monkeypatch, schema, path, sim)
+
+
+def test_jvm_parity_bytes_decimal_always_bails(spark, monkeypatch):
+    """Parity-matrix finding (r5): bytes decimals are NEVER JVM-alignable.
+    The reference reinterprets the unscaled int at ASSUMED scale 30
+    regardless of the writer's declared scale (then quantizes to 9
+    HALF_EVEN); spark-avro honors the DECLARED scale, so e.g. a (10,2)
+    column decodes 25 -> 0.25 where the reference mandates 25e-30 -> 0E-9.
+    Any decoded DecimalType must therefore fall back to the Python codec
+    — the earlier 'lossless widening cast' branch was a real divergence."""
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "amount",
+         "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                           "precision": 10, "scale": 2}]},
+    ]
+    schema = {
+        "type": "record", "name": "rec",
+        "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
+            {"name": "payload",
+             "type": {"type": "record", "name": "pd", "fields": fields}},
+        ],
+    }
+    plans = S.derive_field_plans(schema)
+    for ddl_dec in ("decimal(10,2)", "decimal(38,30)", "decimal(38,9)"):
+        sim = spark.createDataFrame(
+            [], _SM_DDL + f",payload struct<id:bigint,amount:{ddl_dec}>"
+        )
+        monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, s=sim: s)
+        assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None, ddl_dec
+
+
+def test_jvm_bails_on_stringify_containers(spark, monkeypatch):
+    """Union-wrapped containers collapse to sorted-key JSON (Python-only
+    semantics): a JVM decode handing back native array/map must bail."""
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "attrs", "type": ["null", {"type": "map", "values": "string"}]},
+    ]
+    schema = {
+        "type": "record", "name": "rec",
+        "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
+            {"name": "payload",
+             "type": {"type": "record", "name": "pz", "fields": fields}},
+        ],
+    }
+    plans = S.derive_field_plans(schema)
+    sim = spark.createDataFrame(
+        [], _SM_DDL + ",payload struct<id:bigint,attrs:map<string,string>>"
+    )
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None

@@ -660,3 +660,19 @@ def test_single_gigabyte_file_fans_out_bounded(spark, tmp_path):
         f"\nbigfile: {size / 2**30:.2f} GiB, {n_rows} rows, {len(splits)} splits, "
         f"convert {wall:.1f}s = {n_rows / wall / 1000:.0f}k rows/s"
     )
+
+
+def test_cosine_pairs_max_rows_guard(spark):
+    """VERDICT r4 #7: the opt-in max_rows guard aborts the quadratic
+    crossJoin before it is scheduled; within the bound the result is
+    unchanged."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0 * i, 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    ok = similarity.cosine_pairs(corpus, threshold=0.0, max_rows=10)
+    assert ok.count() == 10  # C(5,2) pairs
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.cosine_pairs(corpus, threshold=0.0, max_rows=4)
