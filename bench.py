@@ -248,12 +248,25 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     timings[f"convert_{n_rows}_rows"] = round(best, 4)
 
+    for qi, (name, entry) in enumerate(QUERIES.items()):
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = entry.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            _reset_session_state(qi)
+        timings[name] = round(best, 4)
+
     # Single-file scale proof (VERDICT r4 #1): one >=1 GiB multi-block Avro
     # file must fan out across >=16 byte-range splits and convert with
     # bounded per-task batches — the 100 TB ingest claim exercised at real
     # file size. Generated once and reused (raw-byte block repeats, so
     # generation is I/O-bound); timed once (a long steady scan, best-of-N
-    # buys little and costs a full pass).
+    # buys little and costs a full pass). Runs LAST: its 1 GiB of page
+    # cache, shuffle files, and JVM garbage measurably pollute whatever
+    # query benchmarks run right after it (q3 recorded 9 s vs 1.0 s
+    # isolated when this block preceded the query loop).
     big_bytes = int(os.environ.get("SPARK_GRAFT_BIGFILE_BYTES", str(1 << 30)))
     if big_bytes > 0:
         import shutil
@@ -288,15 +301,6 @@ def main() -> None:
         }
     else:
         bigfile_stats = None
-    for qi, (name, entry) in enumerate(QUERIES.items()):
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            df = entry.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            _reset_session_state(qi)
-        timings[name] = round(best, 4)
 
     # the headline metric sums the QUERY timings; the conversion benchmark
     # is reported alongside but not folded in (its row count is a separate
