@@ -1229,35 +1229,48 @@ def _seek_past_sync(f: BinaryIO, sync: bytes, start: int) -> int | None:
         pos += len(chunk)
 
 
-def iter_records_range(
-    path: str, start: int, end: int | None, project: tuple[str, ...] | None = None
-) -> Iterator[dict]:
-    """Stream records from the byte split [start, end), Avro
-    ``DataFileReader`` semantics: the split owns every block whose
-    preceding sync marker begins at a byte in [start, end) (plus the
+class SplitBlockReader:
+    """Open one byte split of an OCF file and iterate its decompressed
+    blocks, Avro ``DataFileReader`` semantics: the split owns every block
+    whose preceding sync marker begins at a byte in [start, end) (plus the
     header-adjacent first block for the split containing the header).
     Disjoint ranges covering the file therefore decode every record
     exactly once — the contract that lets one huge Avro file fan out
-    across many tasks."""
-    with _open_read(path) as f:
-        header = f.read(1 << 16)
-        meta, sync, data_start = _parse_header(header, f)
-        schema = json.loads(meta["avro.schema"].decode("utf-8"))
-        codec = meta.get("avro.codec", b"null").decode("utf-8")
-        names = collect_names(schema)
-        if project is None:
-            decode = compile_decoder_fast(schema, names)
-        else:
-            decode = compile_projected_decoder_fast(schema, names, set(project))
-        # the first block's "marker position" is data_start - 16 (there is
-        # no real marker before it, but ownership must follow the same
-        # rule): a split starting INSIDE that 16-byte window does NOT own
-        # the first block — the earlier split does
-        if start <= data_start - len(sync):
-            f.seek(data_start)
-        else:
-            if _seek_past_sync(f, sync, start) is None:
-                return
+    across many tasks. Exposes the writer ``schema`` so callers compile
+    their decoder once per split."""
+
+    def __init__(self, path: str, start: int, end: int | None):
+        self._f = _open_read(path)
+        try:
+            header = self._f.read(1 << 16)
+            meta, self._sync, data_start = _parse_header(header, self._f)
+            self.schema = json.loads(meta["avro.schema"].decode("utf-8"))
+            self.codec = meta.get("avro.codec", b"null").decode("utf-8")
+            self._end = end
+            # the first block's "marker position" is data_start - 16 (there
+            # is no real marker before it, but ownership must follow the
+            # same rule): a split starting INSIDE that 16-byte window does
+            # NOT own the first block — the earlier split does
+            if start <= data_start - len(self._sync):
+                self._f.seek(data_start)
+                self._empty = False
+            else:
+                self._empty = _seek_past_sync(self._f, self._sync, start) is None
+        except BaseException:
+            self._f.close()
+            raise
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+
+    def blocks(self) -> Iterator[tuple[_Reader, int]]:
+        """Yield (reader over one decompressed block, record count)."""
+        if self._empty:
+            return
+        f, sync, end, codec = self._f, self._sync, self._end, self.codec
         while True:
             block_start = f.tell()
             # pastSync: a block at offset B follows a marker at B-16, so
@@ -1278,11 +1291,25 @@ def iter_records_range(
                 block = _avro_snappy_decode(block)
             elif codec != "null":
                 raise ValueError(f"unsupported Avro codec {codec!r}")
-            br = _Reader(block)
-            for _ in range(count):
-                yield decode(br)
+            yield _Reader(block), count
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch — corrupt Avro block")
+
+
+def iter_records_range(
+    path: str, start: int, end: int | None, project: tuple[str, ...] | None = None
+) -> Iterator[dict]:
+    """Stream records from the byte split [start, end) — see
+    ``SplitBlockReader`` for the block-ownership contract."""
+    with SplitBlockReader(path, start, end) as sbr:
+        names = collect_names(sbr.schema)
+        if project is None:
+            decode = compile_decoder_fast(sbr.schema, names)
+        else:
+            decode = compile_projected_decoder_fast(sbr.schema, names, set(project))
+        for br, count in sbr.blocks():
+            for _ in range(count):
+                yield decode(br)
 
 
 def read_file(path: str) -> tuple[dict, list[dict]]:

@@ -130,6 +130,235 @@ def plan_splits(
     return out
 
 
+_ENVELOPE_STR_KEYS = ("schema", "table", "change_type", "lsn")
+
+
+class _TransportGen(avro_io._SourceGen):
+    """Codegen for the FUSED decode→transport path: one generated function
+    per (writer schema, plan list) that decodes ``n`` records from a block
+    reader and appends transport-ready values straight into per-column
+    lists — no intermediate record dicts, no per-plan dispatch loop, and
+    the source_metadata envelope coercion inlined with identity fast paths
+    chosen at generation time from the writer's field types. Equivalence
+    with the interpreted path (_transport_value + coerce_source_metadata)
+    is property-tested; any shape this generator declines raises at
+    GENERATION time and the caller falls back."""
+
+    @staticmethod
+    def _unwrap(node):
+        while isinstance(node, dict) and isinstance(node.get("type"), (dict, list)):
+            node = node["type"]
+        return node
+
+    def _resolve_record(self, node):
+        node = self._unwrap(node)
+        if isinstance(node, str) and node in self.names:
+            node = self.names[node]
+        if isinstance(node, dict) and node.get("type") in ("record", "error"):
+            return node
+        return None
+
+    # -- payload columns -----------------------------------------------------
+
+    def emit_transport_field(self, ind: int, node, plan: S.FieldPlan, t: str) -> None:
+        if self.all_string or plan.source == S.STRINGIFY:
+            tv = self.tmp()
+            self.emit_decode(ind, node, tv)
+            self.w(ind, f"{t} = _stringify({tv})")  # None -> None inside
+            return
+        src = plan.source
+        if src in (S.RAW, S.TS_MILLIS, S.TS_MICROS, S.EPOCH_DAYS, S.BYTES_DECIMAL):
+            # Python-decoded values are already the transport encoding:
+            # TS/EPOCH plans only arise on long/int bases (ints), bytes
+            # decimals on bytes/fixed bases (bytes) — to_int/bytes() in
+            # _transport_value are identities there
+            self.emit_decode(ind, node, t)
+            return
+        if src == S.NUMERIC_DECIMAL:
+            tv = self.tmp()
+            self.emit_decode(ind, node, tv)
+            self.w(ind, f"{t} = None if {tv} is None else str({tv})")
+            return
+        if src == S.STRUCT_CAST:
+            rec = self._resolve_record(node)
+            if rec is None or [f["name"] for f in rec["fields"]] != [
+                c.name for c in plan.children
+            ]:
+                raise ValueError("struct plan does not match writer record")
+            pairs = []
+            for f, child in zip(rec["fields"], plan.children):
+                ft = self.tmp()
+                self.emit_transport_field(ind, f["type"], child, ft)
+                pairs.append((child.name, ft))
+            body = ", ".join(f"{name!r}: {ft}" for name, ft in pairs)
+            self.w(ind, f"{t} = {{{body}}}")
+            return
+        raise ValueError(f"unsupported transport source {src!r}")
+
+    # -- source_metadata envelope ---------------------------------------------
+
+    def emit_sm(self, ind: int, node, t: str) -> None:
+        node = self._unwrap(node)
+        if isinstance(node, list):
+            if len(node) == 2 and node[0] == "null":
+                idx = self.tmp()
+                self.varint(ind, idx)
+                self.w(ind, f"if {idx} == 0:")
+                self.w(ind + 1, f"{t} = _coerce_sm(None)")
+                self.w(ind, f"elif {idx} == 1:")
+                self.emit_sm(ind + 1, node[1], t)
+                self.w(ind, "else:")
+                self.w(
+                    ind + 1,
+                    "raise ValueError('invalid union branch index %d (union "
+                    f"has 2 branches)' % {idx})",
+                )
+                return
+            raise ValueError("unsupported source_metadata union shape")
+        rec = self._resolve_record(node)
+        if rec is None:
+            tv = self.tmp()
+            self.emit_decode(ind, node, tv)
+            self.w(ind, f"{t} = _coerce_sm({tv})")
+            return
+        got: dict[str, str] = {}
+        for f in rec["fields"]:
+            name = f["name"]
+            if name in _ENVELOPE_STR_KEYS or name in (
+                "is_deleted", "tx_id", "primary_keys",
+            ):
+                ft = self.tmp()
+                self.emit_decode(ind, f["type"], ft)
+                got[name] = self._sm_coerce_expr(name, f["type"], ft)
+            else:
+                self.emit_skip(ind, f["type"])
+        body = ", ".join(
+            f"{k!r}: {got.get(k, 'None')}"
+            for k in (*_ENVELOPE_STR_KEYS[:2], "is_deleted",
+                      _ENVELOPE_STR_KEYS[2], "tx_id", _ENVELOPE_STR_KEYS[3],
+                      "primary_keys")
+        )
+        self.w(ind, f"{t} = {{{body}}}")
+
+    def _sm_coerce_expr(self, key: str, ftype, tv: str) -> str:
+        """Identity when the writer type already yields the coerced shape;
+        the shared scalar coercer otherwise."""
+        base = self._unwrap(ftype)
+        if isinstance(base, list) and len(base) == 2 and base[0] == "null":
+            base = self._unwrap(base[1])
+        if key in _ENVELOPE_STR_KEYS:
+            return tv if base == "string" else f"(None if {tv} is None else str({tv}))"
+        if key == "is_deleted":
+            return tv if base == "boolean" else f"_to_bool({tv})"
+        if key == "tx_id":
+            return tv if base in ("long", "int") else f"_to_int({tv})"
+        # primary_keys
+        if (
+            isinstance(base, dict)
+            and base.get("type") == "array"
+            and base.get("items") == "string"
+        ):
+            return tv
+        return f"_to_list_of_str({tv})"
+
+
+def compile_transport_decoder(
+    schema, plans: list[S.FieldPlan], all_string: bool
+):
+    """Writer schema + plan list → generated
+    ``fn(reader, n, meta_append, appends)`` appending ``n`` records'
+    transport values column-wise (see ``_TransportGen``). Raises at
+    generation time when the shape isn't fusable — callers fall back to
+    the per-record interpreted loop."""
+    if not (isinstance(schema, dict) and schema.get("type") in ("record", "error")):
+        raise ValueError("top level is not a record")
+    names = avro_io.collect_names(schema)
+    g = _TransportGen(names)
+    g.all_string = all_string
+    field_names = [f["name"] for f in schema.get("fields", [])]
+    g.w(0, "def _tentry(r, n, meta_append, appends):")
+    g.w(1, "buf = r.buf; blen = len(buf); pos = r.pos")
+    if plans:
+        unpack = ", ".join(f"a{i}" for i in range(len(plans)))
+        g.w(1, f"{unpack}, = appends" if len(plans) == 1 else f"{unpack} = appends")
+    g.w(1, "try:")
+    g.w(2, "for _ in range(n):")
+    emitted_sm = False
+    emitted_payload = False
+    for f in schema.get("fields", []):
+        if f["name"] == "source_metadata":
+            sm = g.tmp()
+            g.emit_sm(3, f["type"], sm)
+            g.w(3, f"meta_append({sm})")
+            emitted_sm = True
+        elif f["name"] == "payload":
+            node = g._unwrap(f["type"])
+            if isinstance(node, list) and len(node) == 2 and node[0] == "null":
+                idx = g.tmp()
+                g.varint(3, idx)
+                g.w(3, f"if {idx} == 0:")
+                for i in range(len(plans)):
+                    g.w(4, f"a{i}(None)")
+                if not plans:
+                    g.w(4, "pass")
+                g.w(3, f"elif {idx} == 1:")
+                g._emit_payload_record(4, node[1], plans)
+                g.w(3, "else:")
+                g.w(
+                    4,
+                    "raise ValueError('invalid union branch index %d (union "
+                    f"has 2 branches)' % {idx})",
+                )
+            else:
+                g._emit_payload_record(3, node, plans)
+            emitted_payload = True
+        else:
+            g.emit_skip(3, f["type"])
+    if not emitted_sm:
+        g.w(3, "meta_append(_coerce_sm(None))")
+    if not emitted_payload:
+        for i in range(len(plans)):
+            g.w(3, f"a{i}(None)")
+    if not field_names:
+        g.w(3, "pass")
+    g.w(1, "except IndexError:")
+    g.w(2, "raise EOFError('truncated Avro data') from None")
+    g.w(1, "except _struct_error:")
+    g.w(2, "raise EOFError('truncated Avro data') from None")
+    g.w(1, "r.pos = pos")
+    import struct as _struct
+
+    src = "\n".join(g.fn_blocks + ["", "\n".join(g.lines)])
+    ns = {
+        "_F32U": avro_io._F32.unpack_from,
+        "_F64U": avro_io._F64.unpack_from,
+        "_struct_error": _struct.error,
+        "_stringify": scalars.stringify_any,
+        "_coerce_sm": scalars.coerce_source_metadata,
+        "_to_bool": scalars.to_bool,
+        "_to_int": scalars.to_int,
+        "_to_list_of_str": scalars.to_list_of_str,
+        **g.consts,
+    }
+    exec(compile(src, "<avro-transport-codegen>", "exec"), ns)  # noqa: S102
+    fn = ns["_tentry"]
+    fn.__avro_codegen_source__ = src
+    return fn
+
+
+def _emit_payload_record(self, ind, node, plans):
+    rec = self._resolve_record(node)
+    if rec is None or [f["name"] for f in rec["fields"]] != [p.name for p in plans]:
+        raise ValueError("payload record does not match plan list")
+    for i, (f, plan) in enumerate(zip(rec["fields"], plans)):
+        ft = self.tmp()
+        self.emit_transport_field(ind, f["type"], plan, ft)
+        self.w(ind, f"a{i}({ft})")
+
+
+_TransportGen._emit_payload_record = _emit_payload_record
+
+
 def _batches_for_splits(
     splits: list[tuple[str, int, int]],
     plans: list[S.FieldPlan],
@@ -140,9 +369,12 @@ def _batches_for_splits(
 
     Arrow arrays are built DIRECTLY from the decoded column lists
     (``pa.array`` is a single C++ pass), skipping the object-dtype pandas
-    detour mapInPandas would re-convert anyway — profiled at ~2× the
-    decode cost on the 1 GiB CDC fixture. Batches are capped at
-    BATCH_ROWS rows, so one task never materializes its split."""
+    detour mapInPandas would re-convert anyway. The decode itself runs
+    through the FUSED transport codegen when the writer schema matches
+    the plan list (``compile_transport_decoder`` — no intermediate record
+    dicts, no per-plan dispatch); otherwise the per-record interpreted
+    loop. Batches are capped at BATCH_ROWS rows either way, so one task
+    never materializes its split."""
     import pyarrow as pa
 
     if arrow_schema is None:
@@ -164,28 +396,54 @@ def _batches_for_splits(
             )
             return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
-        # decoder-level projection: the reference drops uuid/read_timestamp/
-        # sort_keys (main.py:61); the decoder skips them instead of
-        # materializing-then-discarding (saves in proportion to their
-        # payload weight — real Datastream uuids are 36 chars)
-        for rec in avro_io.iter_records_range(
-            path, start, end, project=("source_metadata", "payload")
-        ):
-            meta_buf.append(scalars.coerce_source_metadata(rec.get("source_metadata")))
-            payload = rec.get("payload") or {}
-            if not isinstance(payload, dict):
-                payload = {}
-            for plan in plans:
-                v = payload.get(plan.name)
-                if all_string:
-                    cols[plan.name].append(scalars.stringify_any(v))
-                else:
-                    cols[plan.name].append(_transport_value(v, plan))
-            n_buf += 1
-            if n_buf >= BATCH_ROWS:
-                yield flush(n_buf)
-                meta_buf, n_buf = [], 0
-                cols = {n: [] for n in names}
+        with avro_io.SplitBlockReader(path, start, end) as sbr:
+            try:
+                tdec = compile_transport_decoder(sbr.schema, plans, all_string)
+            except Exception:
+                tdec = None
+            if tdec is not None:
+                appends = tuple(cols[n].append for n in names)
+                meta_append = meta_buf.append
+                for br, count in sbr.blocks():
+                    while count:
+                        take = min(count, BATCH_ROWS - n_buf)
+                        tdec(br, take, meta_append, appends)
+                        n_buf += take
+                        count -= take
+                        if n_buf >= BATCH_ROWS:
+                            yield flush(n_buf)
+                            meta_buf, n_buf = [], 0
+                            cols = {n: [] for n in names}
+                            appends = tuple(cols[n].append for n in names)
+                            meta_append = meta_buf.append
+            else:
+                # interpreted fallback: decoder-level projection (the
+                # reference drops uuid/read_timestamp/sort_keys,
+                # main.py:61) then per-plan transport dispatch
+                nm = avro_io.collect_names(sbr.schema)
+                decode = avro_io.compile_projected_decoder_fast(
+                    sbr.schema, nm, {"source_metadata", "payload"}
+                )
+                for br, count in sbr.blocks():
+                    for _ in range(count):
+                        rec = decode(br)
+                        meta_buf.append(
+                            scalars.coerce_source_metadata(rec.get("source_metadata"))
+                        )
+                        payload = rec.get("payload") or {}
+                        if not isinstance(payload, dict):
+                            payload = {}
+                        for plan in plans:
+                            v = payload.get(plan.name)
+                            if all_string:
+                                cols[plan.name].append(scalars.stringify_any(v))
+                            else:
+                                cols[plan.name].append(_transport_value(v, plan))
+                        n_buf += 1
+                        if n_buf >= BATCH_ROWS:
+                            yield flush(n_buf)
+                            meta_buf, n_buf = [], 0
+                            cols = {n: [] for n in names}
         if n_buf:
             yield flush(n_buf)
 

@@ -622,3 +622,37 @@ def test_source_codegen_rejects_bad_union_index():
         dec(avro_io._Reader(b"\x0a"))
     with pytest.raises(EOFError):
         dec(avro_io._Reader(b""))  # truncated varint -> EOFError, not IndexError
+
+
+@given(cdc_payload_schema_and_rows())
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.data_too_large])
+def test_fused_transport_decoder_matches_interpreted(tmp_path_factory, sr):
+    """The fused decode→transport codegen (compile_transport_decoder) must
+    produce byte-identical RecordBatches to the interpreted per-record
+    path (projected decode + coerce_source_metadata + _transport_value)
+    for random CDC schemas, in BOTH typed and all-string modes."""
+    import os
+    from unittest import mock
+
+    from muninn_avro_to_parquet_spark import schema as S
+    from muninn_avro_to_parquet_spark.sources import avro_source
+
+    schema, rows = sr
+    path = str(tmp_path_factory.mktemp("fused") / "t.avro")
+    avro_io.write_file(path, schema, rows)
+    plans = S.derive_field_plans(schema)
+    split = [(path, 0, os.path.getsize(path))]
+    for all_string in (False, True):
+        fused = [
+            b.to_pylist()
+            for b in avro_source._batches_for_splits(split, plans, all_string)
+        ]
+        with mock.patch.object(
+            avro_source, "compile_transport_decoder",
+            side_effect=ValueError("forced fallback"),
+        ):
+            interp = [
+                b.to_pylist()
+                for b in avro_source._batches_for_splits(split, plans, all_string)
+            ]
+        assert fused == interp, all_string
