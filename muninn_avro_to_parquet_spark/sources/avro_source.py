@@ -758,9 +758,10 @@ def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
     ships avro-1.12.1 core/ipc/mapred jars but NOT the
     ``spark-avro_2.13`` DataSource module, so ``format("avro")`` raises
     ``Failed to find data source: avro`` and this returns None. The
-    Python path converts the 200k-row CDC benchmark in ~3.6 s at
-    local[32] (~55k rows/s end-to-end decode→cast→partitioned-write,
-    best-of-2). On a real deployment add
+    Python path (source-codegen fused decode→transport, r5) converts a
+    1 GiB / 10.2M-row single-file CDC fixture in ~11 s at local[32]
+    (~950k rows/s end-to-end decode→cast→partitioned-write; ~125k
+    rows/s/core through the batch path). On a real deployment add
     ``--packages org.apache.spark:spark-avro_2.13:<spark-version>`` and
     the scan becomes vectorized JVM work; the cast layer is shared either
     way, so only the decode stage changes."""
