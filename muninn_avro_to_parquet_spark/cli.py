@@ -48,9 +48,26 @@ def main(argv: list[str] | None = None) -> int:
     p_stream.add_argument("--checkpoint", required=True)
     p_stream.add_argument("--window_duration", default="1h")
     p_stream.add_argument("--max_batches", type=int, default=None)
+    p_stream.add_argument(
+        "--max_files_per_batch", type=int, default=None,
+        help="backlog admission cap (like maxFilesPerTrigger): bound each "
+        "batch so acknowledgments stay small while a backlog drains",
+    )
 
     p_drain = sub.add_parser("drain", help="graceful stop of a running stream")
     p_drain.add_argument("--checkpoint", required=True)
+
+    p_compact = sub.add_parser(
+        "compact", help="collapse a converted table's small parquet files"
+    )
+    p_compact.add_argument("--table_dir", required=True)
+    p_compact.add_argument(
+        "--target_mb", type=int, default=128, help="output file size target"
+    )
+    p_compact.add_argument(
+        "--min_files", type=int, default=4,
+        help="skip partitions already under this many files",
+    )
 
     args = ap.parse_args(argv)
 
@@ -69,6 +86,21 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("muninn_cli")
     try:
+        if args.cmd == "compact":
+            from muninn_avro_to_parquet_spark.operators import maintenance
+
+            res = maintenance.compact_table(
+                spark,
+                args.table_dir,
+                target_bytes=args.target_mb * 1024 * 1024,
+                min_files=args.min_files,
+            )
+            for part, (before, after) in sorted(res.partitions.items()):
+                print(f"{part}: {before} -> {after} files")
+            print(f"{len(res.partitions)} partitions compacted, "
+                  f"{len(res.skipped)} already compact")
+            return 0
+
         if args.cmd == "convert":
             from muninn_avro_to_parquet_spark import convert
 
@@ -99,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             window_duration=args.window_duration,
             permissive=args.permissive,
+            max_files_per_batch=args.max_files_per_batch,
         )
         batches = conv.run(max_batches=args.max_batches)
         total = sum(sum(b.tables.values()) for b in batches)

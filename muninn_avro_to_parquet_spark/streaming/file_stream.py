@@ -68,6 +68,7 @@ class StreamingConverter:
         checkpoint_dir: str,
         window_duration: str = "1h",
         permissive: bool = False,
+        max_files_per_batch: int | None = None,
     ) -> None:
         self.spark = spark
         self.input_pattern = input_pattern
@@ -75,6 +76,13 @@ class StreamingConverter:
         self.checkpoint_dir = checkpoint_dir
         self.poll_seconds = parse_duration_to_seconds(window_duration)
         self.permissive = permissive
+        # backlog admission control (Structured Streaming's
+        # maxFilesPerTrigger): a converter started against a 100k-file
+        # backlog otherwise converts it as ONE batch — hours without an
+        # acknowledgment, so a crash repeats all of it. Capped batches
+        # keep each ack small; the run loop drains the remainder on the
+        # following polls (sorted order → oldest files first).
+        self.max_files_per_batch = max_files_per_batch
         self._is_uri_ckpt = fs.is_uri(checkpoint_dir)
         fs.makedirs(checkpoint_dir)
         base = checkpoint_dir.rstrip("/")
@@ -170,6 +178,8 @@ class StreamingConverter:
 
         matched = fs.glob_files(self.input_pattern)
         new = [p for p in matched if p not in self._seen]
+        if self.max_files_per_batch is not None and len(new) > self.max_files_per_batch:
+            new = new[: self.max_files_per_batch]  # glob_files sorts: oldest names first
         result = BatchResult(batch_id=self._batch_id, new_files=new)
         self._batch_id += 1
         if not new:
@@ -243,5 +253,11 @@ class StreamingConverter:
                 break
             if max_batches is not None and len(out) >= max_batches:
                 break
-            sleep_fn(self.poll_seconds)
+            # a capped FULL batch means backlog remains: drain it with
+            # back-to-back polls instead of sleeping a whole window
+            if (
+                self.max_files_per_batch is None
+                or len(out[-1].new_files) < self.max_files_per_batch
+            ):
+                sleep_fn(self.poll_seconds)
         return out

@@ -45,3 +45,22 @@ def test_cli_drain_uri_checkpoint(tmp_path, capsys):
     ckpt = f"file://{tmp_path}/ckpt"
     assert cli.main(["drain", "--checkpoint", ckpt]) == 0
     assert (tmp_path / "ckpt" / "DRAIN").exists()
+
+
+def test_cli_compact(spark, tmp_path, monkeypatch):
+    """`compact` subcommand collapses a partition and reports counts."""
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+
+    table = tmp_path / "t"
+    for i in range(5):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id", "'2026-01-01' AS ingestion_date")
+            .write.mode("append").partitionBy("ingestion_date").parquet(str(table))
+        )
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(["compact", "--table_dir", str(table), "--target_mb", "1024"])
+    assert rc == 0
+    assert spark.read.parquet(str(table)).count() == 50

@@ -676,3 +676,63 @@ def test_cosine_pairs_max_rows_guard(spark):
     assert ok.count() == 10  # C(5,2) pairs
     with pytest.raises(ValueError, match="max_rows"):
         similarity.cosine_pairs(corpus, threshold=0.0, max_rows=4)
+
+
+def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a partition written by many streaming polls
+    collapses to size-targeted files with identical rows; partitions
+    already compact are skipped; a second run is a no-op (idempotent)."""
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    table = tmp_path / "events_t"
+    # simulate 12 tiny per-poll appends into one ingestion_date partition
+    for i in range(12):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id", "id * 2 AS v", "'2026-01-01' AS ingestion_date")
+            .write.mode("append")
+            .partitionBy("ingestion_date")
+            .parquet(str(table))
+        )
+    part = str(table / "ingestion_date=2026-01-01")
+    before = maintenance._parquet_files(part)
+    assert len(before) >= 12
+    want = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(str(table)).collect()
+    )
+
+    res = maintenance.compact_table(spark, str(table), target_bytes=1 << 30)
+    n_before, n_after = res.partitions[part]
+    assert n_before == len(before) and n_after == 1
+    got = sorted((r["id"], r["v"]) for r in spark.read.parquet(str(table)).collect())
+    assert got == want and len(got) == 120
+    # partition column still readable through the hive layout
+    assert spark.read.parquet(str(table)).select("ingestion_date").distinct().count() == 1
+
+    res2 = maintenance.compact_table(spark, str(table), target_bytes=1 << 30)
+    assert res2.partitions == {} and res2.skipped == [part]
+
+
+def test_compact_partition_respects_target_bytes(spark, tmp_path):
+    """target_bytes sizes the output: a partition holding ~N bytes lands
+    in ceil(N/target) files, not one giant file."""
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    table = tmp_path / "big_t"
+    for i in range(6):
+        (
+            spark.range(i * 50_000, (i + 1) * 50_000)
+            .selectExpr("id", "repeat(uuid(), 2) AS payload", "'2026-01-01' AS ingestion_date")
+            .write.mode("append")
+            .partitionBy("ingestion_date")
+            .parquet(str(table))
+        )
+    part = str(table / "ingestion_date=2026-01-01")
+    import os
+    total = sum(os.path.getsize(f) for f in maintenance._parquet_files(part))
+    target = total // 3
+    r = maintenance.compact_partition(spark, part, target_bytes=target)
+    assert r is not None
+    n_before, n_after = r
+    assert 2 <= n_after <= 5, (n_before, n_after, total, target)
+    assert spark.read.parquet(str(table)).count() == 300_000

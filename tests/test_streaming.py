@@ -448,3 +448,65 @@ def test_interval_join_batch_mirror(spark):
     got = windows.interval_join(clicks, buys, "user_id", how="leftOuter").collect()
     by_user = {r["user_id"]: r["r_bid"] for r in got}
     assert by_user == {1: "b1", 2: None}
+
+
+def test_backlog_batch_cap_and_catchup(spark, tmp_path):
+    """max_files_per_batch: a pre-existing backlog converts in capped
+    batches (small acks — a crash never repeats the whole backlog), the
+    run loop drains back-to-back without sleeping between full batches,
+    and every file lands exactly once."""
+    from tests.test_fs import CDC_SCHEMA, _recs
+    from muninn_avro_to_parquet_spark.sources import avro_io
+    from muninn_avro_to_parquet_spark.streaming.file_stream import StreamingConverter
+
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    for i in range(7):  # backlog of 7 files, 2 rows each
+        avro_io.write_file(str(base / f"f{i}.avro"), CDC_SCHEMA, _recs([i * 2, i * 2 + 1]))
+
+    sleeps = []
+    conv = StreamingConverter(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), "1h", max_files_per_batch=3,
+    )
+    conv.request_drain()  # stop once a batch comes back non-full/empty
+    results = conv.run(max_batches=5, ingestion_date="2026-01-02",
+                       sleep_fn=sleeps.append)
+    # drain applies after the first batch; restart-style converters finish
+    batches = [len(r.new_files) for r in results]
+    assert batches[0] == 3
+    total = sum(batches)
+    conv2 = StreamingConverter(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), "1h", max_files_per_batch=3,
+    )
+    while total < 7:
+        r = conv2.poll_once(ingestion_date="2026-01-02")
+        assert len(r.new_files) <= 3
+        total += len(r.new_files)
+    assert conv2.poll_once(ingestion_date="2026-01-02").new_files == []
+    got = spark.read.parquet(str(tmp_path / "out" / "customers"))
+    assert got.count() == 14 and got.select("id").distinct().count() == 14
+
+
+def test_backlog_full_batches_skip_sleep(spark, tmp_path):
+    """The run loop only sleeps after a NON-full batch — a backlog drains
+    at full speed."""
+    from tests.test_fs import CDC_SCHEMA, _recs
+    from muninn_avro_to_parquet_spark.sources import avro_io
+    from muninn_avro_to_parquet_spark.streaming.file_stream import StreamingConverter
+
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    for i in range(4):
+        avro_io.write_file(str(base / f"f{i}.avro"), CDC_SCHEMA, _recs([i]))
+    sleeps = []
+    conv = StreamingConverter(
+        spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), "1h", max_files_per_batch=2,
+    )
+    results = conv.run(max_batches=4, ingestion_date="2026-01-02", sleep_fn=sleeps.append)
+    assert [len(r.new_files) for r in results] == [2, 2, 0, 0]
+    # full batches 1-2 drain back-to-back with NO sleep; the empty batch 3
+    # is the only one followed by a window sleep (batch 4 hits max_batches)
+    assert len(sleeps) == 1
