@@ -120,6 +120,62 @@ def delete_file(path: str) -> None:
     fs.delete_file(p)
 
 
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory tree; missing path is a no-op."""
+    if not is_uri(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    fs, p = resolve(path)
+    try:
+        fs.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def move(src: str, dst: str) -> None:
+    """Move/rename a file. Local paths use ``os.replace`` (atomic on POSIX);
+    URIs use the filesystem's own move (a true rename where the store has
+    one, pyarrow's copy+delete where it doesn't — e.g. S3). Both sides
+    must live on the same filesystem."""
+    if not is_uri(src) and not is_uri(dst):
+        os.replace(src, dst)
+        return
+    fs_s, p_s = resolve(src)
+    fs_d, p_d = resolve(dst)
+    if type(fs_s) is not type(fs_d):
+        raise ValueError(f"cross-filesystem move: {src!r} -> {dst!r}")
+    fs_s.move(p_s, p_d)
+
+
+def list_subdirs(dir_path: str) -> list[str]:
+    """Full paths/URIs of the directories directly inside ``dir_path``
+    (empty list if it doesn't exist)."""
+    if not is_uri(dir_path):
+        if not os.path.isdir(dir_path):
+            return []
+        return sorted(
+            os.path.join(dir_path, n)
+            for n in os.listdir(dir_path)
+            if os.path.isdir(os.path.join(dir_path, n))
+        )
+    from pyarrow.fs import FileSelector, FileType
+
+    fs, p = resolve(dir_path)
+    try:
+        infos = fs.get_file_info(FileSelector(p, recursive=False))
+    except FileNotFoundError:
+        return []
+    base = dir_path.rstrip("/")
+    root = p.rstrip("/")
+    return sorted(
+        base + "/" + info.path[len(root) :].lstrip("/")
+        for info in infos
+        if info.type == FileType.Directory
+    )
+
+
 def read_text(path: str) -> str:
     with open_input(path) as f:
         return f.read().decode("utf-8")

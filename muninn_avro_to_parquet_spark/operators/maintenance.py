@@ -9,18 +9,23 @@ listing cost grows without bound. The reference has no answer for this
 main.py:569-578); a production pipeline runs periodic compaction.
 
 Spark-first design: compaction is a per-partition read→coalesce→rewrite.
-Each partition directory is its own job (atomic swap within a partition;
-readers of other partitions are never touched), sized by the actual byte
-count so output files land near ``target_bytes``.
+Each partition directory is its own job (the swap is confined to one
+partition; readers of other partitions are never touched), sized by the
+actual byte count so output files land near ``target_bytes``. All file
+operations go through the ``fs`` seam, so a table under ``file://``,
+``s3://`` or ``gs://`` compacts with the same code — moves are true
+renames where the store supports them, pyarrow copy+delete where it
+doesn't.
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
+
+from muninn_avro_to_parquet_spark import fs
 
 
 @dataclass
@@ -30,23 +35,22 @@ class CompactionResult:
     skipped: list[str] = field(default_factory=list)
 
 
+def _basename(p: str) -> str:
+    return p.rstrip("/").rsplit("/", 1)[-1]
+
+
 def _parquet_files(part_dir: str) -> list[str]:
-    return sorted(
-        os.path.join(part_dir, f)
-        for f in os.listdir(part_dir)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    return [
+        p
+        for p in fs.list_files(part_dir)
+        if _basename(p).endswith(".parquet") and not _basename(p).startswith(("_", "."))
+    ]
 
 
 def list_partition_dirs(table_dir: str) -> list[str]:
     """Every leaf ``key=value`` partition directory under ``table_dir``
     (one level — the conversion layout is ``<table>/ingestion_date=<d>/``)."""
-    out = []
-    for name in sorted(os.listdir(table_dir)):
-        p = os.path.join(table_dir, name)
-        if os.path.isdir(p) and "=" in name:
-            out.append(p)
-    return out
+    return [d for d in fs.list_subdirs(table_dir) if "=" in _basename(d)]
 
 
 def compact_partition(
@@ -58,27 +62,29 @@ def compact_partition(
     """Rewrite one partition directory's parquet files into
     ``ceil(total_bytes / target_bytes)`` files. Returns
     (files_before, files_after), or None when the partition is already
-    compact (fewer than ``min_files`` files).
+    compact (fewer than ``min_files`` files, or the rewrite would not
+    reduce the count).
 
-    Atomicity: the rewrite lands in a hidden staging dir inside the
-    partition, then the swap is rename-based — readers either see the old
-    file set or the new one, never a mix, and a crash mid-compaction
-    leaves the original files intact (the stale staging dir is ignored by
-    parquet readers and removed by the next compaction run)."""
+    Crash safety: the rewrite lands in a ``_compact_*`` staging dir inside
+    the partition (underscore-prefixed → invisible to parquet readers),
+    then new files move in before old files are removed. A crash mid-swap
+    can leave BOTH file sets visible briefly (double-counted rows until
+    the next compaction run finishes the job) but never loses rows; a
+    transactional table format (Delta/Iceberg) is the strict-isolation
+    answer and out of scope here. Stale staging dirs from crashed runs
+    are removed on the next invocation."""
     files = _parquet_files(part_dir)
     if len(files) < min_files:
         return None
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(fs.file_size(f) for f in files)
     n_out = max(1, -(-total // target_bytes))
     if n_out >= len(files):
-        return None  # rewrite would not reduce the file count
-    staging = os.path.join(part_dir, f"_compact_{uuid.uuid4().hex[:12]}")
-    # stale staging dirs from crashed runs: clean before, they hold no data
-    for name in os.listdir(part_dir):
-        if name.startswith("_compact_"):
-            import shutil
-
-            shutil.rmtree(os.path.join(part_dir, name), ignore_errors=True)
+        return None
+    # stale staging dirs from crashed runs hold no referenced data
+    for d in fs.list_subdirs(part_dir):
+        if _basename(d).startswith("_compact_"):
+            fs.delete_dir(d)
+    staging = f"{part_dir.rstrip('/')}/_compact_{uuid.uuid4().hex[:12]}"
     (
         spark.read.parquet(*files)
         .coalesce(n_out)
@@ -86,21 +92,24 @@ def compact_partition(
         .parquet(staging)
     )
     new_files = _parquet_files(staging)
-    # swap: move the new files in, then drop the old ones. A reader that
-    # lists between the two steps sees old+new rows double-counted for a
-    # moment — acceptable for an append-only analytics table maintained
-    # off-peak; a transactional table format (Delta/Iceberg) is the
-    # strict-isolation answer and out of scope here.
     moved = []
     for i, f in enumerate(new_files):
-        dst = os.path.join(part_dir, f"part-compacted-{i:05d}-{uuid.uuid4().hex[:8]}.snappy.parquet")
-        os.replace(f, dst)
+        dst = (
+            f"{part_dir.rstrip('/')}/part-compacted-{i:05d}-"
+            f"{uuid.uuid4().hex[:8]}.snappy.parquet"
+        )
+        fs.move(f, dst)
         moved.append(dst)
     for f in files:
-        os.remove(f)
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+        fs.delete_file(f)
+        # Hadoop's local FS writes a `.<name>.crc` sidecar per part file;
+        # drop it with its data file so the partition doesn't accumulate
+        # orphaned checksums across compactions
+        head, _, base = f.rpartition("/")
+        crc = f"{head}/.{base}.crc"
+        if fs.exists(crc):
+            fs.delete_file(crc)
+    fs.delete_dir(staging)
     return len(files), len(moved)
 
 

@@ -736,3 +736,25 @@ def test_compact_partition_respects_target_bytes(spark, tmp_path):
     n_before, n_after = r
     assert 2 <= n_after <= 5, (n_before, n_after, total, target)
     assert spark.read.parquet(str(table)).count() == 300_000
+
+
+def test_compact_table_over_file_uri(spark, tmp_path):
+    """Compaction routes every file operation through the fs seam: the
+    same table compacts when addressed as file:// (the code path an
+    object store takes), including the staged-rewrite move and cleanup."""
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    table = tmp_path / "uri_t"
+    for i in range(6):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .selectExpr("id", "'2026-01-01' AS ingestion_date")
+            .write.mode("append").partitionBy("ingestion_date").parquet(str(table))
+        )
+    res = maintenance.compact_table(spark, f"file://{table}", target_bytes=1 << 30)
+    part_uri = f"file://{table}/ingestion_date=2026-01-01"
+    n_before, n_after = res.partitions[part_uri]
+    assert n_before >= 6 and n_after == 1
+    back = spark.read.parquet(str(table))
+    assert back.count() == 60
+    assert sorted(r["id"] for r in back.collect()) == list(range(60))
