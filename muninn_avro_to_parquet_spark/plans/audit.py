@@ -178,6 +178,14 @@ spikes (7-15) explain the r4 sweep numbers. Bench-ordering note: the 1 GiB
 `convert_bigfile` entry measurably pollutes whatever runs next (q3
 recorded 9.0 s vs 1.0 s isolated when it preceded the query loop), so
 bench.py runs it last.
+
+**Codec cost.** Per-codec fused decode of the same 240k CDC rows
+(conftest schema: unions, bytes decimal, stringify containers):
+null 51k, deflate 53k, snappy 54k rows/s/core — block decompression
+(zlib C / pure-Python snappy) is noise next to record decode, so the
+codegen decoder, not the codec, is the right place to keep optimizing.
+The generated decoder's source is inspectable at
+``fn.__avro_codegen_source__``.
 """
 
 
