@@ -3282,3 +3282,367 @@ def q_scd2_history(spark):
         "valid_to",
         "is_current",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H remainder (adapted shapes — the catalog has no partsupp table, so
+# the part-supplier relation is derived from lineitem; the operator shapes
+# are the point: correlated min subquery (Q2), HAVING against a scalar
+# subquery (Q11), CASE-bucketed join aggregate (Q12), view + MAX scalar
+# subquery (Q15), NOT IN + COUNT DISTINCT (Q16), nested IN subqueries with
+# conditional HAVING (Q20), and multi-EXISTS decorrelation (Q21).
+# Threshold comparisons cast exact decimal sums to DOUBLE on both engines
+# (identical IEEE ops → identical outcomes); output money stays on the
+# ROUND(dec-sum, 2)::DOUBLE discipline used by the other TPC-H entries.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), regional AS (
+      SELECT l_partkey, min_price, s_name, s_acctbal, n_name
+      FROM ps JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_price
+    FROM part JOIN regional ON p_partkey = l_partkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      AND min_price = (SELECT MIN(r2.min_price) FROM regional r2
+                       WHERE r2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark):
+    """TPC-H Q2 shape: cheapest regional supplier per part, expressed as a
+    correlated scalar MIN subquery in the oracle and decorrelated on the
+    Spark side into a per-part min aggregate + equi-join (the rewrite
+    Catalyst itself applies to correlated scalar subqueries). The
+    part-supplier "catalog" is derived once from lineitem (groupBy
+    partkey/suppkey MIN price — exact double selection, no arithmetic);
+    region and the filtered part relation broadcast."""
+    ps = (
+        spark.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    r = spark.table("region").filter(F.col("r_name") == "EUROPE")
+    regional = (
+        ps.join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(spark.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "min_price", "s_name", "s_acctbal", "n_name")
+    )
+    p = spark.table("part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    best = regional.groupBy("l_partkey").agg(F.min("min_price").alias("best_price"))
+    return (
+        regional.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(best, "l_partkey")
+        .filter(F.col("min_price") == F.col("best_price"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_price")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS value_dec
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(ROUND(value_dec, 2) AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value_dec AS DOUBLE)
+          > (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val) * 0.0005
+    """,
+)
+def q11_important_parts(spark):
+    """TPC-H Q11 shape: per-part value share with a HAVING threshold
+    against a scalar subquery over the same relation (total regional
+    value). Spark side computes the grouped relation once, derives the
+    one-row total from it, and broadcasts the total into the filter — the
+    relation is NOT cached because both consumers are one scan apart and
+    AQE reuses the shuffle output of the common aggregate."""
+    rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    r = spark.table("region").filter(F.col("r_name") == "ASIA")
+    val = (
+        spark.table("lineitem")
+        .join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(spark.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("value_dec"))
+    )
+    total = F.broadcast(
+        val.agg(F.sum("value_dec").cast("double").alias("total_value"))
+    )
+    return (
+        val.join(total, F.col("value_dec").cast("double") > F.col("total_value") * 0.0005)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value_dec", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@q(
+    "q12_priority_class",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate >= o_orderdate
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_class(spark):
+    """TPC-H Q12 shape (catalog has no l_shipmode; l_returnflag is the
+    grouping attribute): orders-lineitem join with CASE-bucketed priority
+    counts. The date filters push into the lineitem scan; the join
+    shuffles both sides on orderkey with map-side partial counts after."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        spark.table("orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,6)))), 2)
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, s_acctbal, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark):
+    """TPC-H Q15 shape: quarterly revenue view + MAX scalar subquery over
+    the view (returns every supplier tied at the max). The revenue
+    aggregate is computed once; the one-row max broadcasts into the
+    equality filter; the supplier dimension broadcasts into the final
+    join. Exact-decimal accumulation rounds to 2dp before the double
+    conversion so the equality compare is over identical values."""
+    rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
+    revenue = (
+        spark.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    best = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
+    return (
+        revenue.join(best, F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(spark.table("supplier")),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "total_revenue")
+    )
+
+
+@q(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_count(spark):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, size) with a
+    NOT IN exclusion subquery. s_suppkey is non-null, so NOT IN is exactly
+    a left ANTI join (the null-poisoning NOT IN edge case can't fire); the
+    (tiny) exclusion set broadcasts, as does the filtered part dimension.
+    COUNT(DISTINCT) runs as the standard two-phase partial-distinct
+    aggregate — no driver funnel."""
+    p = spark.table("part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = spark.table("supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        spark.table("lineitem")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_heavy_shippers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey,
+                 SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+                          THEN CAST(l_quantity AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS recent_qty,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+          GROUP BY l_suppkey, l_partkey
+        ) per_part
+        WHERE CAST(recent_qty AS DOUBLE) * 2.0 > CAST(total_qty AS DOUBLE)
+      )
+    """,
+)
+def q20_heavy_shippers(spark):
+    """TPC-H Q20 shape: nested IN subqueries — suppliers (in a region) who
+    shipped more than half of their all-time quantity of some 'gear' part
+    since 1998. Both IN subqueries become broadcast LEFT SEMI joins on the
+    Spark side: the part filter semi-joins into lineitem before the
+    grouped conditional-decimal sums, and the qualifying supplier set
+    semi-joins into the supplier dimension. The threshold compares exact
+    decimal sums cast to double (identical IEEE both engines)."""
+    gear = spark.table("part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    recent = F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    qty = _dec("l_quantity", QTY)
+    zero = F.lit(0).cast(QTY)
+    per_part = (
+        spark.table("lineitem")
+        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(recent, qty).otherwise(zero)).alias("recent_qty"),
+            F.sum(qty).alias("total_qty"),
+        )
+        .filter(
+            F.col("recent_qty").cast("double") * 2.0 > F.col("total_qty").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    r = spark.table("region").filter(F.col("r_name") == "AMERICA")
+    return (
+        spark.table("supplier")
+        .join(spark.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(per_part, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark):
+    """TPC-H Q21 shape ("late" = shipped >60 days after the order date —
+    the catalog has no commit/receipt dates): suppliers who were the SOLE
+    late shipper on a multi-supplier finalized order. The correlated
+    EXISTS / NOT EXISTS pair decorrelates into ONE per-order aggregate:
+    EXISTS(other supplier) ⇔ countDistinct(suppkey) ≥ 2, and
+    NOT EXISTS(other late supplier) ⇔ countDistinct(late suppkey) = 1
+    (the probe line itself is late, so it is that one) — a single extra
+    shuffle on orderkey instead of two correlated self-joins over
+    lineitem, which is the rewrite that matters when lineitem is the
+    100 TB relation."""
+    lo = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '60' DAY"),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    ord_stats = (
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+                "_n_late_supp"
+            ),
+        )
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .select(F.col("l_orderkey").alias("_ok"))
+    )
+    return (
+        lo.filter(F.col("_late"))
+        .join(ord_stats, F.col("l_orderkey") == F.col("_ok"), "left_semi")
+        .join(
+            F.broadcast(spark.table("supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
