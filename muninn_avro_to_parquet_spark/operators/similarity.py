@@ -579,3 +579,62 @@ def normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 EMBEDDING_TYPE = T.ArrayType(T.FloatType())
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    num_clusters: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then mark a vector as
+    a semantic duplicate when a SMALLER-id vector in the SAME cluster has
+    cosine similarity above ``threshold``. Output: (id, centroid_id,
+    is_dup) — downstream keeps ``~is_dup`` rows, retaining exactly one
+    representative (the minimum id) per mutually-similar group, which is
+    the greedy keep-first policy of the paper with document id as the
+    deterministic keep order.
+
+    Scale shape: the pairwise comparison is an equi-join on
+    ``centroid_id`` — cost Σ|cluster|², never corpus², which is the whole
+    point of clustering first (the paper's k-means; here the seeded
+    deterministic centroid pick of ``ivf_centroids`` — swap in
+    ``pyspark.ml`` KMeans when index quality matters more than
+    cross-engine reproducibility). Vectors are quantized and normed once
+    per row (``_with_qnorm``), each pair costs one zip_with dot product.
+    For pathological cluster skew apply the same ``max_bucket`` guard
+    pattern as ``dedup.lsh_band_pairs``."""
+    cents = ivf_centroids(corpus, num_clusters, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    pre = _with_qnorm(assigned, id_col, vec_col, "centroid_id")
+    a = pre.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("_ida"),
+        F.col("_q").alias("_qa"),
+        F.col("_norm").alias("_na"),
+    )
+    b = pre.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("_idb"),
+        F.col("_q").alias("_qb"),
+        F.col("_norm").alias("_nb"),
+    )
+    dup_ids = (
+        a.join(b, "centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.expr(_pair_cosine_sql("_qa", "_na", "_qb", "_nb")) > F.lit(threshold)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col, "centroid_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
+        )
+    )

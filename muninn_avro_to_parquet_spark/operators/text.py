@@ -413,3 +413,133 @@ def tf_idf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select(id_col, "token", "tf", "df", "tfidf", "rnk")
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", §A1.1 data pipeline) — the published heuristic filter suite a
+# production pretraining pipeline runs ahead of dedup. The 8 required
+# function words of the original rule set:
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+# explicit char classes (not \s / \d) so the Java regex engine and the
+# DuckDB RE2 oracle agree byte-for-byte
+_BULLET_RE = "^[ \\t]*[-*•]"
+_ELLIPSIS_RE = "(\\.\\.\\.|…)[ \\t]*$"
+
+
+def gopher_features(
+    df: DataFrame, text_col: str = "text", min_stop_hits: int = 2
+) -> DataFrame:
+    """Gopher-style quality rule features + per-rule flags + the overall
+    ``passes_gopher`` verdict.
+
+    Rules (thresholds per the paper): word count in [50, 100 000]; mean
+    word length in [3, 10]; symbol-to-word ratio (#, ..., …) < 0.1;
+    < 90% of lines bullet-led; < 30% of lines ellipsis-terminated;
+    ≥ 80% of words contain a letter; ≥ ``min_stop_hits`` of the 8
+    required stopwords present (paper default 2; corpora with a
+    restricted vocabulary may need 1 for the rule to discriminate).
+
+    Shape: one projection — token array, raw whitespace words, and line
+    array each materialized exactly ONCE (same single-scan discipline as
+    ``quality_features``; inlining would re-run the regex splits per
+    feature). All counts are exact integers; ratios divide exact ints as
+    doubles, so the DuckDB oracle reproduces every value bit-for-bit.
+    Scales linearly: no shuffle, no UDF, whole-stage codegen end-to-end."""
+    txt = F.col(text_col)
+    base = df.select(
+        "*",
+        tokens(txt).alias("_toks"),
+        F.filter(F.split(txt, "[ \\t\\n\\r]+"), lambda w: w != F.lit("")).alias("_raw"),
+        F.split(txt, "\\n").alias("_lines"),
+    )
+    toks, raw, lines = F.col("_toks"), F.col("_raw"), F.col("_lines")
+    n_words = _nsize(toks)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = F.size(F.regexp_extract_all(txt, F.lit("#|\\.\\.\\.|…"), 0))
+    symbol_ratio = n_symbols.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double")
+        / F.greatest(n_lines, F.lit(1)).cast("double")
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE))).cast("double")
+        / F.greatest(n_lines, F.lit(1)).cast("double")
+    )
+    alpha_ratio = (
+        F.size(F.filter(raw, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / F.greatest(F.size(raw), F.lit(1)).cast("double")
+    )
+    stop_hits = sum(
+        (F.when(F.array_contains(toks, s), 1).otherwise(0) for s in GOPHER_STOPWORDS),
+        F.lit(0),
+    ).cast("int")
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "ok_symbols": symbol_ratio < 0.1,
+        "ok_bullets": bullet_ratio < 0.9,
+        "ok_ellipses": ellipsis_ratio < 0.3,
+        "ok_alpha": alpha_ratio > 0.8,
+        "ok_stopwords": stop_hits >= min_stop_hits,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return base.select(
+        *[c for c in df.columns],
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        passes.alias("passes_gopher"),
+    )
+
+
+def unigram_rarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-relative unigram rarity score per document — the
+    deterministic stand-in for a unigram-LM log-prob quality filter
+    (an avg-log-prob score needs libm ``log``, whose last-ulp rounding
+    differs across engines; mean corpus frequency and rare-token ratio
+    rank documents the same way and stay bit-exact).
+
+    Two passes over the tokenized corpus: (1) global token counts
+    (groupBy token — one shuffle with map-side partial aggregation),
+    (2) re-join counts onto the exploded tokens (equi-join on token) and
+    re-aggregate per document. At 100 TB the token-count relation is
+    orders of magnitude smaller than the corpus but can exceed broadcast
+    size, so the join stays a shuffle join and lets AQE pick broadcast
+    when the vocabulary is small. Documents with zero tokens have no
+    rows after explode and drop out (same inner semantics as the SQL
+    oracle)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    tok = cache_scoped(tok, "unigram_tok")
+    counts = tok.groupBy("token").agg(F.count("*").alias("_c"))
+    joined = tok.join(counts, "token")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.sum("_c").cast("double") / F.count("*").cast("double")).alias(
+            "mean_token_freq"
+        ),
+        (
+            F.sum(F.when(F.col("_c") <= rare_max_count, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("rare_ratio"),
+    )

@@ -3646,3 +3646,170 @@ def q21_waiting_suppliers(spark):
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline additions (round 5): Gopher rule filter, corpus-relative
+# unigram rarity, SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_gopher_rules",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '') AS toks,
+             list_filter(string_split_regex(text, '[ \t\n\r]+'), x -> x <> '') AS raw,
+             string_split(text, chr(10)) AS lines,
+             text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mean_word_len,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE) AS bullet_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$'))) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE) AS ellipsis_ratio,
+             CAST(len(list_filter(raw, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               / CAST(greatest(len(raw), 1) AS DOUBLE) AS alpha_ratio,
+             CAST(len([s for s in ['the','be','to','of','and','that','have','with']
+                       IF list_contains(toks, s)]) AS INTEGER) AS stop_hits
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_ratio, alpha_ratio, stop_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+           (symbol_ratio < 0.1) AS ok_symbols,
+           (bullet_ratio < 0.9) AS ok_bullets,
+           (ellipsis_ratio < 0.3) AS ok_ellipses,
+           (alpha_ratio > 0.8) AS ok_alpha,
+           (stop_hits >= 1) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND symbol_ratio < 0.1 AND bullet_ratio < 0.9
+            AND ellipsis_ratio < 0.3 AND alpha_ratio > 0.8
+            AND stop_hits >= 1) AS passes_gopher
+    FROM feat
+    """,
+)
+def text_gopher_rules(spark):
+    """Gopher rule-suite quality filter (operators/text.gopher_features):
+    word-count / word-length / symbol / bullet / ellipsis / alpha /
+    stopword rules with per-rule flags and the conjunctive verdict. One
+    scan, zero shuffles, whole-stage codegen."""
+    # min_stop_hits=1: the synthetic corpus vocabulary contains only one
+    # of the 8 Gopher stopwords, so the paper's >=2 would zero the verdict
+    return text.gopher_features(spark.table("documents"), min_stop_hits=1).select(
+        "doc_id",
+        F.col("n_words").cast("long"),
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "ellipsis_ratio",
+        "alpha_ratio",
+        "stop_hits",
+        "ok_word_count",
+        "ok_word_len",
+        "ok_symbols",
+        "ok_bullets",
+        "ok_ellipses",
+        "ok_alpha",
+        "ok_stopwords",
+        "passes_gopher",
+    )
+
+
+@q(
+    "text_unigram_rarity",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_freq,
+           CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+    FROM tok JOIN cnt USING (token)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_rarity(spark):
+    """Corpus-relative unigram rarity (operators/text.unigram_rarity) —
+    the deterministic unigram-LM quality proxy: global token counts
+    (one shuffle) re-joined onto the exploded corpus and re-aggregated
+    per document."""
+    return text.unigram_rarity(spark.table("documents"), "doc_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    # mirrors similarity.semantic_dedup: seeded centroids, nearest-list
+    # assignment, within-cluster smaller-id pairs above threshold
+    return f"""
+    WITH {_EMB_EL},
+    cents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cel AS (SELECT centroid_id, x, i FROM el JOIN cents ON el.vec_id = cents.centroid_id),
+    cnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM cel GROUP BY 1),
+    adots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM el e JOIN cel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    csim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM adots a
+      JOIN norms nv ON a.vec_id = nv.vec_id
+      JOIN cnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    lists AS (SELECT vec_id, centroid_id FROM csim WHERE r = 1),
+    pairs AS (
+      SELECT la.vec_id AS id_a, lb.vec_id AS id_b
+      FROM lists la JOIN lists lb USING (centroid_id)
+      WHERE la.vec_id < lb.vec_id
+    ),
+    pdots AS (
+      SELECT p.id_a, p.id_b, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM pairs p
+      JOIN el a ON a.vec_id = p.id_a
+      JOIN el b ON b.vec_id = p.id_b AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_b AS vec_id
+      FROM pdots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE d.dot / (na.nrm * nb.nrm) > 0.3
+    )
+    SELECT l.vec_id, l.centroid_id, (d.vec_id IS NOT NULL) AS is_dup
+    FROM lists l LEFT JOIN dups d ON l.vec_id = d.vec_id
+    """
+
+
+@q("semantic_dedup", _semantic_dedup_oracle())
+def semantic_dedup(spark):
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    seeded clustering, within-cluster exact-integer cosine, smaller-id
+    greedy keep. Pair generation is an equi-join on centroid_id — cost
+    Σ|cluster|², never corpus²."""
+    return similarity.semantic_dedup(
+        spark.table("embeddings"), num_clusters=16, threshold=0.3
+    )

@@ -119,3 +119,71 @@ def test_global_row_number_matches_single_window(spark):
         for r in df.withColumn("rank", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_gopher_features_rules(spark):
+    good = "the cat and the dog have fun with all of the things that " + " ".join(
+        ["word"] * 60
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),                                  # passes everything
+            (2, "short text only"),                     # fails word count
+            (3, "- bullet\n- bullet\n- bullet"),        # bullet-led lines
+            (4, "trails off...\nand again...\nmore..."),  # ellipsis lines
+            (5, "#### " + " ".join(["x"] * 60) + " ####"),  # symbol-heavy
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.gopher_features(df).collect()}
+    assert rows[1]["passes_gopher"]
+    assert rows[1]["stop_hits"] >= 2 and rows[1]["ok_word_count"]
+    assert not rows[2]["ok_word_count"] and not rows[2]["passes_gopher"]
+    assert rows[3]["bullet_ratio"] == 1.0 and not rows[3]["ok_bullets"]
+    assert rows[4]["ellipsis_ratio"] == 1.0 and not rows[4]["ok_ellipses"]
+    assert rows[5]["symbol_ratio"] > 0.1 and not rows[5]["ok_symbols"]
+
+
+def test_unigram_rarity_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common"),
+            (2, "common rareword"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_rarity(df, "doc_id").collect()}
+    # corpus counts: common=4, rareword=1
+    assert rows[1]["n_tokens"] == 3 and rows[1]["mean_token_freq"] == 4.0
+    assert rows[1]["rare_ratio"] == 0.0
+    assert rows[2]["mean_token_freq"] == (4 + 1) / 2
+    assert rows[2]["rare_ratio"] == 0.5  # rareword count 1 <= rare_max_count
+
+
+def test_semantic_dedup_marks_smaller_id_neighbor(spark):
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    # two tight groups + one isolated vector; 2 clusters
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0, 0.0]),     # isolated
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(df, num_clusters=4, threshold=0.9).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # the smaller id of each similar pair is kept; the larger is the dup —
+    # IF the pair landed in the same cluster (seeded centroids; with 4
+    # centroids over 5 points at least one pair shares a cluster)
+    dups = {i for i, r in out.items() if r["is_dup"]}
+    keeps = {i for i, r in out.items() if not r["is_dup"]}
+    assert 1 in keeps and 3 in keeps and 5 in keeps  # smaller ids / isolated never dup
+    assert dups <= {2, 4}
+    for d in dups:
+        partner = d - 1
+        assert out[d]["centroid_id"] == out[partner]["centroid_id"]
