@@ -606,9 +606,18 @@ def semantic_dedup(
     per row (``_with_qnorm``), each pair costs one zip_with dot product.
     For pathological cluster skew apply the same ``max_bucket`` guard
     pattern as ``dedup.lsh_band_pairs``."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     cents = ivf_centroids(corpus, num_clusters, id_col, vec_col)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-    pre = _with_qnorm(assigned, id_col, vec_col, "centroid_id")
+    # one materialization feeds the pair join's BOTH sides and the final
+    # output — without it the centroid-assignment cross join (the O(N·C)
+    # pass over the corpus) re-runs three times (measured: 6 embedding
+    # scans at sf0.01 → 2 with the cache; AQE does not reuse the
+    # identical subtrees because each sits under a different join)
+    pre = cache_scoped(
+        _with_qnorm(assigned, id_col, vec_col, "centroid_id"), "semantic_dedup_pre"
+    )
     a = pre.select(
         F.col("centroid_id"),
         F.col(id_col).alias("_ida"),
@@ -632,7 +641,7 @@ def semantic_dedup(
         .withColumn("_dup", F.lit(True))
     )
     return (
-        assigned.select(id_col, "centroid_id")
+        pre.select(id_col, "centroid_id")
         .join(dup_ids, id_col, "left")
         .select(
             id_col, "centroid_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")

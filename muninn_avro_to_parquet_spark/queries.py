@@ -3326,18 +3326,26 @@ def q2_min_cost_supplier(spark):
     Catalyst itself applies to correlated scalar subqueries). The
     part-supplier "catalog" is derived once from lineitem (groupBy
     partkey/suppkey MIN price — exact double selection, no arithmetic);
-    region and the filtered part relation broadcast."""
+    region and the filtered part relation broadcast. ``regional`` is
+    cached: it feeds both the probe side and the per-part min, and
+    without the cache the lineitem aggregate runs twice (AQE does not
+    reuse the identical subtrees — each sits under a different join).
+    The cached relation is (partkey × regional suppkey)-sized — orders
+    of magnitude smaller than lineitem."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     ps = (
         spark.table("lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("min_price"))
     )
     r = spark.table("region").filter(F.col("r_name") == "EUROPE")
-    regional = (
+    regional = cache_scoped(
         ps.join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(spark.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("l_partkey", "min_price", "s_name", "s_acctbal", "n_name")
+        .select("l_partkey", "min_price", "s_name", "s_acctbal", "n_name"),
+        "q2_regional",
     )
     p = spark.table("part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
@@ -3381,19 +3389,22 @@ def q2_min_cost_supplier(spark):
 def q11_important_parts(spark):
     """TPC-H Q11 shape: per-part value share with a HAVING threshold
     against a scalar subquery over the same relation (total regional
-    value). Spark side computes the grouped relation once, derives the
-    one-row total from it, and broadcasts the total into the filter — the
-    relation is NOT cached because both consumers are one scan apart and
-    AQE reuses the shuffle output of the common aggregate."""
+    value). Spark side computes the grouped relation ONCE into a scoped
+    cache — it feeds both the one-row total and the final filter, and
+    AQE does not reuse the identical aggregate subtrees (measured: two
+    full lineitem passes uncached). The cache is one row per partkey."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
     r = spark.table("region").filter(F.col("r_name") == "ASIA")
-    val = (
+    val = cache_scoped(
         spark.table("lineitem")
         .join(spark.table("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(spark.table("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(rev).alias("value_dec"))
+        .agg(F.sum(rev).alias("value_dec")),
+        "q11_val",
     )
     total = F.broadcast(
         val.agg(F.sum("value_dec").cast("double").alias("total_value"))
@@ -3468,16 +3479,21 @@ def q15_top_supplier(spark):
     aggregate is computed once; the one-row max broadcasts into the
     equality filter; the supplier dimension broadcasts into the final
     join. Exact-decimal accumulation rounds to 2dp before the double
-    conversion so the equality compare is over identical values."""
+    conversion so the equality compare is over identical values. The
+    one-row-per-supplier view is cached: it feeds both the MAX and the
+    equality probe (AQE does not reuse the identical subtrees)."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     rev = _dec("l_extendedprice", MONEY) * (F.lit(1) - _dec("l_discount", RATE))
-    revenue = (
+    revenue = cache_scoped(
         spark.table("lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue")),
+        "q15_revenue",
     )
     best = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
     return (

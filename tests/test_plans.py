@@ -149,3 +149,62 @@ def test_approx_distinct_no_expand(spark):
     through the object aggregation (5-12 s vs 1.7 s at sf0.1)."""
     plan = _plan(QUERIES["q_approx_distinct"].spark(spark, SF_CORRECT))
     assert "Expand" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """NOT IN over a non-null key must plan as a broadcast LEFT ANTI join
+    (never a nested-loop or a shuffled anti over lineitem)."""
+    plan = _plan(QUERIES["q16_supplier_count"].spark(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark):
+    """Both IN subqueries must plan as LEFT SEMI joins — the part filter
+    into lineitem and the qualifying-supplier set into supplier."""
+    plan = _plan(QUERIES["q20_heavy_shippers"].spark(spark, SF_CORRECT))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelation_no_nested_loop(spark):
+    """The EXISTS/NOT-EXISTS pair is decorrelated into one per-order
+    aggregate + semi join: no nested-loop join, no cartesian, and the
+    only self-reference to lineitem goes through the aggregate."""
+    plan = _plan(QUERIES["q21_waiting_suppliers"].spark(spark, SF_CORRECT))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelated(spark):
+    """The correlated MIN subquery runs as an aggregate + equi-join;
+    part/region/nation all broadcast."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"].spark(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_shuffle_free(spark):
+    """The Gopher rule suite is a pure projection: no aggregation, no
+    join, no shuffle beyond the cached-view scan."""
+    plan = _plan(QUERIES["text_gopher_rules"].spark(spark, SF_CORRECT))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_semantic_dedup_pairs_are_equi_join(spark):
+    """SemDeDup's pair generation must be an equi-join on centroid_id —
+    the only nested-loop allowed is the broadcast centroid-assignment
+    cross join (C centroids vs corpus), and the cached assignment feeds
+    both pair sides, so that cross join appears exactly once."""
+    plan = _plan(QUERIES["semantic_dedup"].spark(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    # the assignment relation is cached once and read by both pair sides
+    # (the BroadcastNestedLoopJoin text appears inside each InMemoryRelation
+    # printout, but only the cached subtree actually executes it — the
+    # cache reads are the signal that the O(N·C) pass is shared)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "centroid_id" in plan
