@@ -53,10 +53,22 @@ _R4_CHECKED = frozenset(
 )
 
 
+# Queries added in round 5 — never in ANY driver snapshot yet, so they
+# outrank even the round-4-unchecked backlog in the rotation.
+_R5_NEW = (
+    "q2_min_cost_supplier", "q11_important_parts", "q12_priority_class",
+    "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
+    "q21_waiting_suppliers", "text_gopher_rules", "text_unigram_rarity",
+    "semantic_dedup",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = [n for n in QUERIES if n not in _R4_CHECKED] + [
-        n for n in QUERIES if n in _R4_CHECKED
-    ]
+    ordered = (
+        [n for n in _R5_NEW]
+        + [n for n in QUERIES if n not in _R4_CHECKED and n not in _R5_NEW]
+        + [n for n in QUERIES if n in _R4_CHECKED]
+    )
     return {name: QUERIES[name].spark for name in ordered}
 
 
