@@ -3829,3 +3829,81 @@ def semantic_dedup(spark):
     return similarity.semantic_dedup(
         spark.table("embeddings"), num_clusters=16, threshold=0.3
     )
+
+
+def _minhash_verified_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = 64, threshold: float = 0.1
+) -> str:
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"mh{b * rows + r:02d}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_SQL_TOK_CTE},
+    sig AS (
+      SELECT doc_id,
+             {",".join(f"MIN(md5('{i}:' || token)) AS mh{i:02d}" for i in range(num_hashes))}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      {bands_sql}
+    ),
+    kept AS (
+      SELECT bands.* FROM bands
+      JOIN (SELECT band_idx, band_hash FROM bands
+            GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}) ok
+        USING (band_idx, band_hash)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    tl AS (
+      SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM tl WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}
+    """
+
+
+@q("dedup_minhash_verified", _minhash_verified_oracle(8, 4, 64, 0.1))
+def dedup_minhash_verified(spark):
+    """Two-stage near-dup pipeline (operators/dedup.minhash_verified_pairs):
+    LSH banding proposes, exact candidate-bounded Jaccard verifies — the
+    flow a 100 TB corpus dedup actually runs. Same banding parameters as
+    ``dedup_minhash_lsh_pairs``, same threshold as
+    ``dedup_ngram_jaccard``, so the three registry entries tell the full
+    propose→verify story on identical data."""
+    return dedup.minhash_verified_pairs(
+        spark.table("documents"),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        bands=4,
+        n=3,
+        threshold=0.1,
+        max_bucket=64,
+    )
