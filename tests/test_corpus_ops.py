@@ -187,3 +187,71 @@ def test_semantic_dedup_marks_smaller_id_neighbor(spark):
     for d in dups:
         partner = d - 1
         assert out[d]["centroid_id"] == out[partner]["centroid_id"]
+
+
+def test_minhash_verified_equals_jaccard_restricted_to_candidates(spark):
+    """Invariant: the two-stage pipeline returns EXACTLY the jaccard_pairs
+    result restricted to the LSH candidate set — verification changes
+    where the work happens, never the answer."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choices(vocab, k=12))))
+    for i in range(40, 50):  # exact + near duplicates of earlier docs
+        base = docs[i - 40][1].split()
+        if i % 2:
+            base[3] = "mutated"
+        docs.append((i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    kw = dict(num_hashes=8, bands=4)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(df, "doc_id", **kw).collect()
+    }
+    jacc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(df, "doc_id", n=3, threshold=0.5).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_verified_pairs(
+            df, "doc_id", n=3, threshold=0.5, **kw
+        ).collect()
+    }
+    expected = {p: j for p, j in jacc.items() if p in cand}
+    assert verified == expected
+    assert verified, "fixture must produce at least one verified near-dup"
+
+
+def test_gopher_features_consistency(spark):
+    """Cross-checks against independently computed features on random
+    text: n_words matches token_count, ratios stay in [0, 1], and the
+    verdict equals the conjunction of its flags."""
+    import random
+
+    rng = random.Random(11)
+    pieces = ["the quick fox", "### ###", "- item", "...", "plain words here", "42"]
+    docs = [
+        (i, "\n".join(rng.choices(pieces, k=rng.randint(1, 6))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    feats = text.gopher_features(df).collect()
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()
+    }
+    flag_cols = [
+        "ok_word_count", "ok_word_len", "ok_symbols", "ok_bullets",
+        "ok_ellipses", "ok_alpha", "ok_stopwords",
+    ]
+    for r in feats:
+        assert r["n_words"] == toks[r["doc_id"]]
+        for c in ["symbol_ratio", "bullet_ratio", "ellipsis_ratio", "alpha_ratio"]:
+            if c != "symbol_ratio":  # symbol_ratio is per-word, can exceed 1
+                assert 0.0 <= r[c] <= 1.0, (c, r[c])
+        assert r["passes_gopher"] == all(r[c] for c in flag_cols)
