@@ -275,9 +275,12 @@ def main() -> None:
         from muninn_avro_to_parquet_spark.sources import avro_source
 
         big_dir, big_rows = _make_bigfile_fixture(big_bytes)
+        # report the split count convert() actually uses (adaptive sizing
+        # targets 2x parallelism), not the default-64MiB plan
         n_splits = len(
             avro_source.plan_splits(
-                [os.path.join(big_dir, "avro", "bench_big", "huge.avro")]
+                [os.path.join(big_dir, "avro", "bench_big", "huge.avro")],
+                target_tasks=spark.sparkContext.defaultParallelism * 2,
             )
         )
         assert n_splits >= 16 or big_bytes < (1 << 30), n_splits
