@@ -119,6 +119,40 @@ HEADLINERS: list[tuple[str, str]] = [
         "hits relation deliberately does NOT (it scales with corpus size) — "
         "the join on shingle hash is the one exchange.",
     ),
+    (
+        "q2_min_cost_supplier",
+        "Correlated MIN subquery decorrelated by hand into per-part min + "
+        "equi-join; the regional part-supplier relation is scope-cached so "
+        "the lineitem aggregate runs once for both consumers (AQE does not "
+        "reuse identical subtrees under different joins).",
+    ),
+    (
+        "q21_waiting_suppliers",
+        "EXISTS/NOT-EXISTS pair decorrelated into ONE per-order "
+        "countDistinct aggregate + semi join — one extra exchange on "
+        "orderkey instead of two correlated lineitem self-joins (the rewrite "
+        "that matters when lineitem is the 100 TB relation).",
+    ),
+    (
+        "semantic_dedup",
+        "SemDeDup: the centroid-assignment pass (broadcast nested-loop vs "
+        "C centroids) is cached ONCE and feeds both pair-join sides; pair "
+        "generation is an equi-join on centroid_id — Σ|cluster|² work, "
+        "never corpus².",
+    ),
+    (
+        "dedup_minhash_verified",
+        "Two-stage near-dup flow: LSH banding proposes (equi-join on band "
+        "key), exact Jaccard verifies only candidates — the verify join "
+        "expands pairs by their shingle sets, so its cost is "
+        "candidate-bounded, not corpus².",
+    ),
+    (
+        "text_gopher_rules",
+        "The whole Gopher rule suite is one shuffle-free projection: token, "
+        "raw-word, and line arrays each materialize once; every rule reads "
+        "the arrays inside the same whole-stage-codegen span.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")
