@@ -3907,3 +3907,102 @@ def dedup_minhash_verified(spark):
         threshold=0.1,
         max_bucket=64,
     )
+
+
+@q(
+    "corpus_curation_pipeline",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    feat AS (
+      SELECT doc_id, text, toks,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, text, toks,
+             (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+      FROM feat
+    ),
+    qpass AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+    dd AS (
+      SELECT doc_id,
+             doc_id <> MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +', ' ', 'g')))
+             ) AS is_dup
+      FROM qpass
+    ),
+    btoks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id % 50 = 0
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM btoks WHERE len(t) >= 3
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+      ) AS shingle
+      FROM qpass WHERE len(toks) >= 3
+    ),
+    hits AS (SELECT doc_id, COUNT(*) AS n FROM corp JOIN bench USING (shingle) GROUP BY 1)
+    SELECT q.doc_id, q.quality_score, dd.is_dup,
+           COALESCE(h.n, 0) > 0 AS contaminated,
+           (NOT dd.is_dup AND COALESCE(h.n, 0) = 0) AS kept
+    FROM qpass q
+    JOIN dd USING (doc_id)
+    LEFT JOIN hits h ON q.doc_id = h.doc_id
+    """,
+)
+def corpus_curation_pipeline(spark):
+    """The end-to-end pre-training curation flow as ONE query: C4-style
+    quality gate → normalized dedup among survivors → benchmark
+    decontamination of the remainder, emitting a per-document audit row
+    (score + every drop reason + the final ``kept`` verdict).
+
+    Composition, not re-implementation: quality_features + filter_once
+    (single tokenizer evaluation), normalized_dedup (one md5-window
+    shuffle), decontaminate (benchmark shingles broadcast, hits relation
+    deliberately shuffled). The quality-surviving relation is scope-
+    cached — it feeds the dedup window, the shingle explode, and the
+    final join, and each stage would otherwise re-run the quality scan.
+    Every stage inherits its operator's 100 TB shape; stage order
+    (filter BEFORE dedup/decontamination) keeps the expensive shingle
+    work on the smallest surviving corpus."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    scored = text.quality_features(corpus)
+    qpass = cache_scoped(
+        text.filter_once(
+            scored,
+            F.col("quality_score") >= 0.7,
+            ["doc_id", "text", "quality_score"],
+        ),
+        "curation_qpass",
+    )
+    dd = text.normalized_dedup(qpass, "doc_id")
+    dec = dedup.decontaminate(qpass, bench, "doc_id")
+    return (
+        qpass.select("doc_id", "quality_score")
+        .join(dd.select("doc_id", "is_dup"), "doc_id")
+        .join(dec.select("doc_id", "contaminated"), "doc_id")
+        .select(
+            "doc_id",
+            "quality_score",
+            "is_dup",
+            "contaminated",
+            ((~F.col("is_dup")) & (~F.col("contaminated"))).alias("kept"),
+        )
+    )
