@@ -366,7 +366,17 @@ def connected_components(
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair graph: the
     canonical-document-selection step that follows LSH pair generation in a
-    real dedup pipeline. Returns (node, component_id) where component_id is
+    real dedup pipeline.
+
+    Why iterative and not a recursive CTE: Spark 4.1 supports WITH
+    RECURSIVE but only with UNION ALL (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE,
+    verified on this build) — and min-label propagation over an
+    UNDIRECTED (hence cyclic) graph diverges without the distinct-union
+    fixpoint, so the declarative form the DuckDB oracle uses is not
+    expressible here. The driver-controlled loop below is the Spark-native
+    equivalent, with pointer jumping for O(log diameter) rounds.
+
+    Returns (node, component_id) where component_id is
     the minimum node id reachable — every member of a duplicate cluster
     maps to one stable representative.
 
