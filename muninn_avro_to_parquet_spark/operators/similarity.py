@@ -587,6 +587,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then mark a vector as
@@ -604,8 +605,18 @@ def semantic_dedup(
     ``pyspark.ml`` KMeans when index quality matters more than
     cross-engine reproducibility). Vectors are quantized and normed once
     per row (``_with_qnorm``), each pair costs one zip_with dot product.
-    For pathological cluster skew apply the same ``max_bucket`` guard
-    pattern as ``dedup.lsh_band_pairs``."""
+
+    ``max_cluster`` (off by default — it changes results) excludes
+    clusters holding more than that many vectors from the PAIRING stage:
+    a degenerate cluster of k vectors emits k²/2 pairs, so one
+    mega-cluster (near-origin noise, an overloaded seed) can dominate
+    the whole job — the same k²/2 hazard ``max_bucket`` caps in
+    ``dedup.minhash_candidate_pairs``. Vectors in excluded clusters keep
+    their assignment row and report ``is_dup = false`` (never silently
+    dropped); the count is one window over the centroid key the pair
+    join shuffles on anyway."""
+    from pyspark.sql import Window
+
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
 
     cents = ivf_centroids(corpus, num_clusters, id_col, vec_col)
@@ -618,13 +629,21 @@ def semantic_dedup(
     pre = cache_scoped(
         _with_qnorm(assigned, id_col, vec_col, "centroid_id"), "semantic_dedup_pre"
     )
-    a = pre.select(
+    pairable = pre
+    if max_cluster is not None:
+        w = Window.partitionBy("centroid_id")
+        pairable = (
+            pre.withColumn("_cn", F.count("*").over(w))
+            .filter(F.col("_cn") <= max_cluster)
+            .drop("_cn")
+        )
+    a = pairable.select(
         F.col("centroid_id"),
         F.col(id_col).alias("_ida"),
         F.col("_q").alias("_qa"),
         F.col("_norm").alias("_na"),
     )
-    b = pre.select(
+    b = pairable.select(
         F.col("centroid_id"),
         F.col(id_col).alias("_idb"),
         F.col("_q").alias("_qb"),

@@ -255,3 +255,29 @@ def test_gopher_features_consistency(spark):
             if c != "symbol_ratio":  # symbol_ratio is per-word, can exceed 1
                 assert 0.0 <= r[c] <= 1.0, (c, r[c])
         assert r["passes_gopher"] == all(r[c] for c in flag_cols)
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    """Clusters over the cap are excluded from pairing but their vectors
+    stay in the output as non-dups — no silent row drops."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    # one big near-dup family (would pair) + one isolated vector
+    vecs = [(i, [1.0 - i * 0.001, i * 0.001, 0.0, 0.0]) for i in range(6)]
+    vecs.append((99, [0.0, 0.0, 1.0, 0.0]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    uncapped = {
+        r["vec_id"]: r["is_dup"]
+        for r in similarity.semantic_dedup(df, num_clusters=2, threshold=0.9).collect()
+    }
+    capped = {
+        r["vec_id"]: r["is_dup"]
+        for r in similarity.semantic_dedup(
+            df, num_clusters=2, threshold=0.9, max_cluster=3
+        ).collect()
+    }
+    assert set(capped) == set(uncapped) == {0, 1, 2, 3, 4, 5, 99}
+    assert any(uncapped.values())  # the family pairs when uncapped
+    # the 6-member family exceeds max_cluster=3 → excluded from pairing
+    assert not any(capped.values())
