@@ -4,7 +4,8 @@ Implements the subset of the public Avro 1.11 specification
 (https://avro.apache.org/docs/1.11.1/specification/) that a Datastream-style
 CDC pipeline needs: null/boolean/int/long/float/double/bytes/string
 primitives, records, arrays, maps, unions, enums, fixed, and the ``null`` /
-``deflate`` / ``snappy`` block codecs. Logical types are *not* materialized — values come
+``deflate`` / ``snappy`` / ``bzip2`` / ``xz`` block codecs (+ ``zstandard``
+when the optional library is importable). Logical types are *not* materialized — values come
 back as their base-type encoding (e.g. ``timestamp-millis`` stays a raw
 ``long``), which is exactly what the downstream cast layer wants.
 
@@ -20,7 +21,9 @@ one Arrow batch).
 
 from __future__ import annotations
 
+import bz2
 import json
+import lzma
 import struct
 import zlib
 from typing import Any, BinaryIO, Iterator
@@ -1197,6 +1200,58 @@ def _avro_snappy_encode(payload: bytes) -> bytes:
     return _snappy_compress(payload) + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
 
 
+# --- block codec registry ----------------------------------------------------
+# Avro spec codecs (spec §"Required Codecs" / "Optional Codecs"): null,
+# deflate (raw zlib, -15 window), snappy (+CRC32 trailer), bzip2, xz,
+# zstandard. bzip2/xz ride the stdlib; zstandard registers only when the
+# optional library imports (the runtime image does not ship it — the
+# try-import keeps the codec table honest either way).
+
+_BLOCK_DECODERS: dict[str, Any] = {
+    "null": lambda b: b,
+    "deflate": lambda b: zlib.decompress(b, -15),
+    "snappy": _avro_snappy_decode,
+    "bzip2": bz2.decompress,
+    "xz": lzma.decompress,
+}
+
+
+def _deflate_compress(payload: bytes) -> bytes:
+    co = zlib.compressobj(wbits=-15)
+    return co.compress(payload) + co.flush()
+
+
+_BLOCK_ENCODERS: dict[str, Any] = {
+    "null": lambda b: b,
+    "deflate": _deflate_compress,
+    "snappy": _avro_snappy_encode,
+    "bzip2": bz2.compress,
+    "xz": lzma.compress,
+}
+
+try:  # optional: python-zstandard is not in the runtime image
+    import zstandard as _zstd
+
+    _BLOCK_DECODERS["zstandard"] = lambda b: _zstd.ZstdDecompressor().decompress(b)
+    _BLOCK_ENCODERS["zstandard"] = lambda b: _zstd.ZstdCompressor().compress(b)
+except ImportError:
+    pass
+
+
+def _block_decoder(codec: str):
+    try:
+        return _BLOCK_DECODERS[codec]
+    except KeyError:
+        raise ValueError(f"unsupported Avro codec {codec!r}") from None
+
+
+def _block_encoder(codec: str):
+    try:
+        return _BLOCK_ENCODERS[codec]
+    except KeyError:
+        raise ValueError(f"unsupported Avro codec {codec!r}") from None
+
+
 def iter_records(path: str, project: tuple[str, ...] | None = None) -> Iterator[dict]:
     """Stream records from an OCF file block by block — memory is bounded
     by one (compressed + decoded) block, never the whole file, so a
@@ -1270,7 +1325,8 @@ class SplitBlockReader:
         """Yield (reader over one decompressed block, record count)."""
         if self._empty:
             return
-        f, sync, end, codec = self._f, self._sync, self._end, self.codec
+        f, sync, end = self._f, self._sync, self._end
+        decode = _block_decoder(self.codec)
         while True:
             block_start = f.tell()
             # pastSync: a block at offset B follows a marker at B-16, so
@@ -1285,13 +1341,7 @@ class SplitBlockReader:
             block = f.read(size)
             if len(block) != size:
                 raise EOFError("truncated Avro data")
-            if codec == "deflate":
-                block = zlib.decompress(block, -15)
-            elif codec == "snappy":
-                block = _avro_snappy_decode(block)
-            elif codec != "null":
-                raise ValueError(f"unsupported Avro codec {codec!r}")
-            yield _Reader(block), count
+            yield _Reader(decode(block)), count
             if f.read(16) != sync:
                 raise ValueError("sync marker mismatch — corrupt Avro block")
 
@@ -1337,6 +1387,7 @@ def _encode_blocks(
     """Encode ``records`` into complete OCF block frames
     (count + size + payload + sync), ``block_size`` records per block."""
     names = collect_names(schema)
+    encode_block = _block_encoder(codec)
     blocks = []
     for i in range(0, max(len(records), 1), block_size):
         chunk = records[i : i + block_size]
@@ -1345,14 +1396,7 @@ def _encode_blocks(
         body = bytearray()
         for rec in chunk:
             _encode(body, rec, schema, names)
-        payload = bytes(body)
-        if codec == "deflate":
-            co = zlib.compressobj(wbits=-15)
-            payload = co.compress(payload) + co.flush()
-        elif codec == "snappy":
-            payload = _avro_snappy_encode(payload)
-        elif codec != "null":
-            raise ValueError(f"unsupported Avro codec {codec!r}")
+        payload = encode_block(bytes(body))
         blocks.append(
             _zigzag(len(chunk)) + _zigzag(len(payload)) + payload + sync
         )

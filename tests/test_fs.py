@@ -57,7 +57,7 @@ def _fixture_tree(tmp_path, tables=("customers",), files_per_table=2):
                 str(base / f"f{fi}.avro"),
                 CDC_SCHEMA,
                 _recs(range(fi * 3, fi * 3 + 3)),
-                codec=("null", "deflate", "snappy")[fi % 3],
+                codec=("null", "deflate", "snappy", "bzip2", "xz")[fi % 5],
             )
 
 
@@ -103,9 +103,9 @@ def test_write_file_through_uri(tmp_path):
 def test_convert_end_to_end_through_uri(spark, tmp_path):
     """convert() with a file:// glob AND a file:// output prefix — listing,
     drift probing, executor-side decode of every block codec (null,
-    deflate, snappy), and the parquet write all resolve through the seam
-    (VERDICT r3 'done' criterion)."""
-    _fixture_tree(tmp_path, files_per_table=3)
+    deflate, snappy, bzip2, xz), and the parquet write all resolve through
+    the seam (VERDICT r3 'done' criterion)."""
+    _fixture_tree(tmp_path, files_per_table=5)
     out = f"file://{tmp_path}/out"
     res = convert.convert(
         spark,
@@ -113,10 +113,10 @@ def test_convert_end_to_end_through_uri(spark, tmp_path):
         out,
         ingestion_date="2026-01-01",
     )
-    assert res.tables == {"customers": 9}
+    assert res.tables == {"customers": 15}
     got = spark.read.parquet(f"{tmp_path}/out/customers")
-    assert got.count() == 9
-    assert set(r.id for r in got.select("id").collect()) == set(range(9))
+    assert got.count() == 15
+    assert set(r.id for r in got.select("id").collect()) == set(range(15))
 
 
 def test_streaming_converter_uri_checkpoint_restart(spark, tmp_path):
