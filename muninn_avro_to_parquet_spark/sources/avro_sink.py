@@ -1,0 +1,194 @@
+"""Distributed Avro OCF sink — the reverse of the scan path.
+
+The reference pipeline only ever WRITES Parquet (main.py:569-577), but a
+complete engine round-trips its ingest format: re-emitting curated tables
+as Avro feeds the next system in a CDC chain (or re-tests the reader
+against its own writer). Design:
+
+- **Spark → Avro schema** (``avro_schema_of``): the inverse of the
+  ``schema.py`` type mapper for the engine's output surface — primitives,
+  decimal→bytes logical, timestamp-micros, date, arrays, maps, nested
+  records; nullable fields become ``["null", T]`` unions.
+- **Per-partition OCF files** via ``mapInArrow``: each task converts its
+  Arrow batches to Python records (``to_pylist`` — clean datetimes /
+  Decimals / bytes, no pandas dtype laundering) and writes ONE container
+  file through the ``fs`` seam (file://, s3://, gs://, hdfs://). No
+  shuffle: the sink inherits the upstream partitioning, exactly like
+  ``df.write.parquet``.
+- **Retry-idempotent naming**: file names derive from the partition id
+  only (``part-{pid:05d}.avro``), so a speculative or retried task
+  overwrites its own output instead of duplicating it — the same
+  guarantee Spark's committer gives Parquet, without needing one here
+  because OCF files are single-writer objects.
+- The writer emits any registry codec (null/deflate/snappy/bzip2/xz,
+  zstandard when importable); block framing comes from
+  ``avro_io._encode_blocks``, so split readers see ordinary blocks.
+
+Returns a (path, rows) manifest collected on the driver — one row per
+partition, never data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_US = _dt.timedelta(microseconds=1)
+
+
+def avro_schema_of(dtype: T.DataType, *, nullable: bool = False, _names=None) -> Any:
+    """Spark DataType → Avro schema JSON node (dict/str/list)."""
+    if _names is None:
+        _names = {"n": 0}
+    node: Any
+    if isinstance(dtype, T.LongType):
+        node = "long"
+    elif isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        node = "int"
+    elif isinstance(dtype, T.DoubleType):
+        node = "double"
+    elif isinstance(dtype, T.FloatType):
+        node = "float"
+    elif isinstance(dtype, T.BooleanType):
+        node = "boolean"
+    elif isinstance(dtype, T.StringType):
+        node = "string"
+    elif isinstance(dtype, T.BinaryType):
+        node = "bytes"
+    elif isinstance(dtype, T.TimestampType):
+        node = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dtype, T.DateType):
+        node = {"type": "int", "logicalType": "date"}
+    elif isinstance(dtype, T.DecimalType):
+        node = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dtype.precision,
+            "scale": dtype.scale,
+        }
+    elif isinstance(dtype, T.ArrayType):
+        node = {
+            "type": "array",
+            "items": avro_schema_of(
+                dtype.elementType, nullable=dtype.containsNull, _names=_names
+            ),
+        }
+    elif isinstance(dtype, T.MapType):
+        if not isinstance(dtype.keyType, T.StringType):
+            raise TypeError("Avro maps require string keys")
+        node = {
+            "type": "map",
+            "values": avro_schema_of(
+                dtype.valueType, nullable=dtype.valueContainsNull, _names=_names
+            ),
+        }
+    elif isinstance(dtype, T.StructType):
+        _names["n"] += 1
+        node = {
+            "type": "record",
+            "name": f"r{_names['n']}",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": avro_schema_of(f.dataType, nullable=f.nullable, _names=_names),
+                }
+                for f in dtype.fields
+            ],
+        }
+    else:
+        raise TypeError(f"no Avro mapping for Spark type {dtype!r}")
+    return ["null", node] if nullable else node
+
+
+def _value_converter(dtype: T.DataType) -> Callable[[Any], Any]:
+    """Python value (from RecordBatch.to_pylist) → Avro base-type value."""
+    if isinstance(dtype, T.TimestampType):
+
+        def conv_ts(v):
+            if v is None:
+                return None
+            if v.tzinfo is not None:
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            else:
+                epoch = _dt.datetime(1970, 1, 1)
+            return (v - epoch) // _US
+
+        return conv_ts
+    if isinstance(dtype, T.DateType):
+        return lambda v: None if v is None else (v - _EPOCH_DATE).days
+    if isinstance(dtype, T.DecimalType):
+        scale = dtype.scale
+
+        def conv_dec(v):
+            if v is None:
+                return None
+            n = int(_decimal.Decimal(v).scaleb(scale))
+            return n.to_bytes((n.bit_length() + 8) // 8, "big", signed=True)
+
+        return conv_dec
+    if isinstance(dtype, T.ArrayType):
+        elem = _value_converter(dtype.elementType)
+        return lambda v: None if v is None else [elem(x) for x in v]
+    if isinstance(dtype, T.MapType):
+        val = _value_converter(dtype.valueType)
+
+        def conv_map(v):
+            if v is None:
+                return None
+            # Arrow MapArray.to_pylist yields [(k, v), ...]; dicts appear
+            # when values came through createDataFrame fixtures
+            items = v.items() if isinstance(v, dict) else v
+            return {k: val(x) for k, x in items}
+
+        return conv_map
+    if isinstance(dtype, T.StructType):
+        convs = [(f.name, _value_converter(f.dataType)) for f in dtype.fields]
+        return lambda v: None if v is None else {n: c(v.get(n)) for n, c in convs}
+    return lambda v: v
+
+
+def write_avro(
+    df: DataFrame,
+    out_dir: str,
+    codec: str = "deflate",
+    block_size: int = 1000,
+) -> list[tuple[str, int]]:
+    """Write ``df`` as one Avro OCF file per partition under ``out_dir``.
+
+    Runs the conversion and write on executors (``mapInArrow``); only the
+    (path, rows) manifest reaches the driver. Empty partitions write no
+    file and contribute no manifest row. The output is spec-compliant
+    OCF — readable by this engine's scan path, fastavro, or spark-avro."""
+    from muninn_avro_to_parquet_spark import fs as _fs
+
+    avro_schema = avro_schema_of(df.schema)
+    conv = _value_converter(df.schema)
+    out = out_dir.rstrip("/")
+    _fs.makedirs(out)  # once, driver-side — object stores no-op, local mkdir -p
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from muninn_avro_to_parquet_spark.sources import avro_io
+
+        try:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+        except Exception:  # pragma: no cover - non-task context
+            pid = 0
+        recs: list[dict] = []
+        for rb in batches:
+            recs.extend(conv(r) for r in rb.to_pylist())
+        if recs:
+            path = f"{out}/part-{pid:05d}.avro"
+            avro_io.write_file(path, avro_schema, recs, codec=codec, block_size=block_size)
+            yield pa.RecordBatch.from_pylist([{"path": path, "rows": len(recs)}])
+
+    manifest = df.mapInArrow(gen, schema="path string, rows long")
+    return [(r["path"], r["rows"]) for r in manifest.collect()]

@@ -326,3 +326,68 @@ def test_streaming_checkpoint_over_mock_scheme(spark, tmp_path, mock_scheme):
         ingestion_date="2026-01-01"
     )
     assert r3.new_files == []
+
+
+def test_write_avro_roundtrip(spark, tmp_path):
+    """Distributed Avro sink: per-partition OCF files through the fs seam,
+    readable back by the engine's own codec with every mapped type intact
+    (timestamps → micros, decimals → two's-complement bytes, nested
+    array/map/struct, nullable unions)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from muninn_avro_to_parquet_spark.sources import avro_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("ok", T.BooleanType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("amount", T.DecimalType(10, 2), True),
+            T.StructField("tags", T.ArrayType(T.IntegerType(), False), True),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), False), True),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("x", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    rows = [
+        (
+            1, "alpha", 1.5, True,
+            datetime.datetime(2026, 1, 2, 3, 4, 5, 123456),
+            datetime.date(2026, 1, 2),
+            decimal.Decimal("12345.67"),
+            [1, 2, 3], {"a": 1}, (7,),
+        ),
+        (2, None, None, None, None, None, decimal.Decimal("-0.01"), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    out = f"file://{tmp_path}/avro_out"
+    manifest = avro_sink.write_avro(df, out, codec="deflate")
+    assert sum(n for _, n in manifest) == 2
+    assert all(p.startswith("file://") and p.endswith(".avro") for p, _ in manifest)
+
+    got = []
+    for p, _ in manifest:
+        _, recs = avro_io.read_file(p)
+        got.extend(recs)
+    got.sort(key=lambda r: r["id"])
+    r1, r2 = got
+    assert r1["name"] == "alpha" and r1["ok"] is True and r1["score"] == 1.5
+    # timestamp-micros / date / decimal come back as their base encodings
+    assert r1["ts"] == int(
+        datetime.datetime(2026, 1, 2, 3, 4, 5, 123456, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+    )
+    assert r1["day"] == (datetime.date(2026, 1, 2) - datetime.date(1970, 1, 1)).days
+    assert int.from_bytes(r1["amount"], "big", signed=True) == 1234567
+    assert r1["tags"] == [1, 2, 3] and r1["attrs"] == {"a": 1}
+    assert r1["nested"] == {"x": 7}
+    assert r2["name"] is None and r2["tags"] is None and r2["nested"] is None
+    assert int.from_bytes(r2["amount"], "big", signed=True) == -1
