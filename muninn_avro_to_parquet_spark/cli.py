@@ -69,6 +69,20 @@ def main(argv: list[str] | None = None) -> int:
         help="skip partitions already under this many files",
     )
 
+    p_export = sub.add_parser(
+        "export", help="re-emit a parquet table as Avro OCF files"
+    )
+    p_export.add_argument("--input_dir", required=True, help="parquet directory")
+    p_export.add_argument("--output_dir", required=True)
+    p_export.add_argument(
+        "--codec", default="deflate",
+        help="null | deflate | snappy | bzip2 | xz (zstandard when installed)",
+    )
+    p_export.add_argument(
+        "--files", type=int, default=None,
+        help="repartition to exactly this many output files",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "drain":
@@ -99,6 +113,18 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{part}: {before} -> {after} files")
             print(f"{len(res.partitions)} partitions compacted, "
                   f"{len(res.skipped)} already compact")
+            return 0
+
+        if args.cmd == "export":
+            from muninn_avro_to_parquet_spark.sources import avro_sink
+
+            df = spark.read.parquet(args.input_dir)
+            if args.files:
+                df = df.repartition(args.files)
+            manifest = avro_sink.write_avro(df, args.output_dir, codec=args.codec)
+            for path, rows in sorted(manifest):
+                print(f"{path}: {rows} rows")
+            print(f"{len(manifest)} files, {sum(n for _, n in manifest)} rows exported")
             return 0
 
         if args.cmd == "convert":

@@ -64,3 +64,32 @@ def test_cli_compact(spark, tmp_path, monkeypatch):
     rc = cli.main(["compact", "--table_dir", str(table), "--target_mb", "1024"])
     assert rc == 0
     assert spark.read.parquet(str(table)).count() == 50
+
+
+def test_cli_export(spark, tmp_path, monkeypatch, capsys):
+    """`export` re-emits a parquet table as Avro; the engine's own reader
+    gets every row back."""
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    src = tmp_path / "pq"
+    spark.range(100).selectExpr("id", "cast(id * 1.5 as double) AS v").write.parquet(
+        str(src)
+    )
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    out = tmp_path / "avro_out"
+    rc = cli.main(
+        ["export", "--input_dir", str(src), "--output_dir", str(out),
+         "--codec", "xz", "--files", "3"]
+    )
+    assert rc == 0
+    assert "rows exported" in capsys.readouterr().out
+    files = sorted(out.glob("part-*.avro"))
+    assert len(files) == 3
+    got = []
+    for f in files:
+        got.extend(avro_io.read_file(str(f))[1])
+    assert sorted(r["id"] for r in got) == list(range(100))
+    assert all(abs(r["v"] - r["id"] * 1.5) < 1e-12 for r in got)
