@@ -769,3 +769,136 @@ def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
         return spark.read.format("avro").load(pattern)
     except Exception:
         return None
+
+
+def read_avro_generic(
+    spark: SparkSession,
+    paths: list[str],
+    avro_schema: dict | None = None,
+) -> DataFrame:
+    """Read ANY Avro OCF files — no CDC envelope assumed.
+
+    The CDC scan (``read_avro``) is envelope-shaped: it promotes
+    ``payload.*`` and coerces ``source_metadata`` (the reference's
+    contract, main.py:55-108). This entry point instead maps each
+    TOP-LEVEL record field through the same §1.3 type mapper and cast
+    layer, so the engine can re-ingest its own ``avro_sink.write_avro``
+    output or third-party Avro tables. Same scale shape as the CDC path:
+    sync-marker splits, adaptive sizing, round-robin path distribution,
+    bounded Arrow batches; decode is the per-record interpreted loop
+    (the fused codegen is envelope-specific — wire a generic codegen
+    template if this becomes a hot path)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from muninn_avro_to_parquet_spark import casts
+
+    if avro_schema is None:
+        avro_schema = avro_io.read_schema(paths[0])
+    if avro_schema.get("type") != "record":
+        raise ValueError("read_avro_generic needs a top-level record schema")
+
+    def _decimal_spec(node):
+        # unwrap ["null", X]; honor a DECLARED (precision, scale) decimal —
+        # generic files mean the writer's scale, not the CDC contract's
+        # assumed-scale-30 → DECIMAL(38,9) asymmetry
+        if isinstance(node, list):
+            non_null = [m for m in node if m != "null"]
+            node = non_null[0] if len(non_null) == 1 else None
+        if (
+            isinstance(node, dict)
+            and node.get("logicalType") == "decimal"
+            and node.get("type") in ("bytes", "fixed")
+            and "precision" in node
+        ):
+            return int(node["precision"]), int(node.get("scale", 0))
+        return None
+
+    import decimal as _decimal
+
+    plans = []
+    field_types: list[T.DataType] = []
+    converters = []
+    identity_cast: set[str] = set()
+    for f in avro_schema["fields"]:
+        spec = _decimal_spec(f["type"])
+        plan = S.plan_node(f["name"], f["type"])
+        plans.append(plan)
+        if spec is not None:
+            p, s = spec
+            field_types.append(T.DecimalType(p, s))
+            identity_cast.add(plan.name)
+
+            def conv(v, _s=s):
+                if v is None:
+                    return None
+                return _decimal.Decimal(
+                    int.from_bytes(v, "big", signed=True)
+                ).scaleb(-_s)
+
+            converters.append(conv)
+        else:
+            field_types.append(S.raw_transport_type(plan))
+            converters.append(lambda v, _p=plan: _transport_value(v, _p))
+    transport = T.StructType(
+        [
+            T.StructField(p.name, ft, True)
+            for p, ft in zip(plans, field_types)
+        ]
+        + [T.StructField(SOURCE_FILE_COL, T.StringType(), False)]
+    )
+    aschema = to_arrow_schema(transport)
+    names = [p.name for p in plans]
+    keep = set(names)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        types = {f.name: f.type for f in aschema}
+        for rb in batches:
+            for path, start, end in zip(
+                rb.column("path").to_pylist(),
+                rb.column("start").to_pylist(),
+                rb.column("end").to_pylist(),
+            ):
+                canon_path = canon_source_path(path)
+                cols: dict[str, list] = {n: [] for n in names}
+                n_buf = 0
+
+                def flush(n_rows: int):
+                    arrays = [pa.array(cols[n], type=types[n]) for n in names]
+                    arrays.append(
+                        pa.array([canon_path] * n_rows, type=types[SOURCE_FILE_COL])
+                    )
+                    return pa.RecordBatch.from_arrays(arrays, schema=aschema)
+
+                with avro_io.SplitBlockReader(path, start, end) as sbr:
+                    nm = avro_io.collect_names(sbr.schema)
+                    decode = avro_io.compile_projected_decoder_fast(
+                        sbr.schema, nm, keep
+                    )
+                    for br, count in sbr.blocks():
+                        for _ in range(count):
+                            rec = decode(br)
+                            for plan, conv in zip(plans, converters):
+                                cols[plan.name].append(conv(rec.get(plan.name)))
+                            n_buf += 1
+                            if n_buf >= BATCH_ROWS:
+                                yield flush(n_buf)
+                                cols = {n: [] for n in names}
+                                n_buf = 0
+                if n_buf:
+                    yield flush(n_buf)
+
+    target = spark.sparkContext.defaultParallelism * 2
+    splits = plan_splits(paths, target_tasks=target)
+    splits_df = spark.createDataFrame(splits, "path string, start long, end long")
+    n_part = min(len(splits), target) or 1
+    raw = splits_df.repartition(n_part).mapInArrow(gen, schema=transport)
+    typed = [
+        F.col(p.name)
+        if p.name in identity_cast
+        else casts.cast_column(p.name, p.source, p.dtype, plan=p)
+        for p in plans
+    ]
+    return raw.select(*typed, F.col(SOURCE_FILE_COL))

@@ -391,3 +391,52 @@ def test_write_avro_roundtrip(spark, tmp_path):
     assert r1["nested"] == {"x": 7}
     assert r2["name"] is None and r2["tags"] is None and r2["nested"] is None
     assert int.from_bytes(r2["amount"], "big", signed=True) == -1
+
+
+def test_write_avro_read_generic_roundtrip(spark, tmp_path):
+    """Full distributed circle: DataFrame → avro_sink.write_avro →
+    read_avro_generic → same typed values. Scalars, timestamps, dates and
+    decimals come back as their Spark types (containers follow the §1.3
+    mapper contract and are exercised in the driver-side test above)."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from muninn_avro_to_parquet_spark.sources import avro_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("amount", T.DecimalType(12, 2), True),
+        ]
+    )
+    rows = [
+        (
+            i,
+            None if i % 5 == 0 else f"n{i}",
+            i * 0.5,
+            datetime.datetime(2026, 1, 1) + datetime.timedelta(minutes=i),
+            datetime.date(2026, 1, 1) + datetime.timedelta(days=i),
+            decimal.Decimal(i * 7) / 100,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    out = f"{tmp_path}/ge_out"
+    manifest = avro_sink.write_avro(df, out, codec="bzip2")
+    assert sum(n for _, n in manifest) == 200
+
+    back = avro_source.read_avro_generic(spark, [p for p, _ in manifest])
+    got = {r["id"]: r for r in back.collect()}
+    assert len(got) == 200
+    for i, (id_, name, score, ts, day, amount) in enumerate(rows):
+        g = got[id_]
+        assert g["name"] == name and g["score"] == score
+        assert g["ts"] == ts and g["day"] == day
+        assert g["amount"] == amount.quantize(decimal.Decimal("0.01"))
+        assert g["_source_file"].endswith(".avro")
