@@ -196,6 +196,12 @@ from the decoded column lists (no object-dtype pandas detour), and
 4 MiB) when a small file COUNT would leave execution slots idle — one
 1 GiB file fans out across all 32 local cores (64 splits) and converted at
 ~500k rows/s end-to-end (vs 165k rows/s with the pandas path at 17 splits).
+Closing r5 bench (exclusive run): 441k rows/s over the same 64-split 1 GiB
+file; an earlier in-session 271k rows/s reading came from running the
+bench concurrently with a full parity sweep — bench numbers are only
+attributable when nothing shares the machine, which is also why the final
+bench runs alone. Full registry (105 queries): 56 s at sf0.1 including
+both conversion benchmarks; every round-5 query lands in 0.3-2.1 s.
 
 **Regression attribution (r4 flagged q19/q17; r5 verdict: noise).** All
 three suspects re-measured on a fresh 32-core session, 5 repetitions,
