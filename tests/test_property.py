@@ -692,3 +692,79 @@ def test_avro_unknown_codec_rejected(tmp_path_factory):
             [{"id": 1}],
             codec="lz4",
         )
+
+
+@st.composite
+def spark_schema_and_rows(draw):
+    """Random Spark schemas + matching rows for the Avro sink round-trip."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import types as T
+
+    scalar_pool = [
+        (T.LongType(), st.integers(-(2**53), 2**53)),
+        (T.IntegerType(), st.integers(-(2**31), 2**31 - 1)),
+        (T.DoubleType(), st.floats(allow_nan=False, allow_infinity=False, width=64)),
+        (T.BooleanType(), st.booleans()),
+        (T.StringType(), st.text(max_size=20)),
+        (T.BinaryType(), st.binary(max_size=16)),
+        (
+            T.TimestampType(),
+            st.datetimes(
+                min_value=datetime.datetime(1970, 1, 2),
+                max_value=datetime.datetime(2100, 1, 1),
+            ),
+        ),
+        (
+            T.DateType(),
+            st.dates(datetime.date(1970, 1, 1), datetime.date(2100, 1, 1)),
+        ),
+        (
+            T.DecimalType(12, 3),
+            st.integers(-(10**9), 10**9).map(
+                lambda n: decimal.Decimal(n).scaleb(-3)
+            ),
+        ),
+    ]
+    n_cols = draw(st.integers(1, 5))
+    picks = [draw(st.sampled_from(scalar_pool)) for _ in range(n_cols)]
+    fields = [
+        T.StructField(f"c{i}", dt, True) for i, (dt, _) in enumerate(picks)
+    ]
+    n_rows = draw(st.integers(1, 8))
+    rows = [
+        tuple(
+            None if draw(st.booleans()) and draw(st.booleans()) else draw(strat)
+            for _, strat in picks
+        )
+        for _ in range(n_rows)
+    ]
+    return T.StructType(fields), rows
+
+
+@given(spark_schema_and_rows())
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.data_too_large])
+def test_avro_sink_generic_roundtrip_property(spark, tmp_path_factory, sr):
+    """Invariant: ANY scalar-typed DataFrame survives
+    write_avro → read_avro_generic with identical values (nulls included)."""
+    from muninn_avro_to_parquet_spark.sources import avro_sink, avro_source
+
+    schema, rows = sr
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path_factory.mktemp("sinkprop") / "out")
+    manifest = avro_sink.write_avro(df, out, codec="deflate")
+    assert sum(n for _, n in manifest) == len(rows)
+    back = avro_source.read_avro_generic(spark, [p for p, _ in manifest])
+    got = sorted(
+        (tuple(r[f.name] for f in schema.fields) for r in back.collect()),
+        key=repr,
+    )
+    want = sorted(rows, key=repr)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and wv is not None and gv is not None:
+                assert gv == wv or math.isclose(gv, wv, rel_tol=1e-12), (gv, wv)
+            else:
+                assert gv == wv, (gv, wv)
