@@ -4006,3 +4006,133 @@ def corpus_curation_pipeline(spark):
             ((~F.col("is_dup")) & (~F.col("contaminated"))).alias("kept"),
         )
     )
+
+
+@q(
+    "corpus_curation_report",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    feat AS (
+      SELECT doc_id, lang, source, text, toks,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, text, toks,
+             (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+      FROM feat
+    ),
+    qpass AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+    dd AS (
+      SELECT doc_id,
+             doc_id <> MIN(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +', ' ', 'g')))
+             ) AS is_dup
+      FROM qpass
+    ),
+    btoks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents WHERE doc_id % 50 = 0
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM btoks WHERE len(t) >= 3
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest(
+        [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]
+      ) AS shingle
+      FROM qpass WHERE len(toks) >= 3
+    ),
+    hits AS (SELECT doc_id, COUNT(*) AS n FROM corp JOIN bench USING (shingle) GROUP BY 1),
+    verdicts AS (
+      SELECT q.lang, q.source, q.quality_score, dd.is_dup,
+             COALESCE(h.n, 0) > 0 AS contaminated
+      FROM qpass q JOIN dd USING (doc_id) LEFT JOIN hits h ON q.doc_id = h.doc_id
+    ),
+    totals AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs_scanned
+      FROM base GROUP BY lang, source
+    )
+    SELECT t.lang, t.source, t.docs_scanned,
+           CAST(COALESCE(COUNT(v.quality_score), 0) AS BIGINT) AS quality_pass,
+           CAST(COALESCE(SUM(CASE WHEN v.is_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS dups,
+           CAST(COALESCE(SUM(CASE WHEN v.contaminated THEN 1 ELSE 0 END), 0) AS BIGINT) AS contaminated,
+           CAST(COALESCE(SUM(CASE WHEN NOT v.is_dup AND NOT v.contaminated THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept,
+           CAST(COALESCE(SUM(CAST(v.quality_score AS DECIMAL(3,1))), 0) AS DOUBLE) AS quality_sum
+    FROM totals t
+    LEFT JOIN verdicts v ON t.lang = v.lang AND t.source = v.source
+    GROUP BY t.lang, t.source, t.docs_scanned
+    """,
+)
+def corpus_curation_report(spark):
+    """The curation pipeline's OBSERVABILITY rollup: per (lang, source),
+    documents scanned, quality passes, dup and contamination counts, kept
+    count, and summed quality score. The score sum accumulates in
+    DECIMAL(3,1): the scores {0.2, 0.3, 0.7, 0.8} are not binary-exact
+    doubles, so a plain double SUM would be partition-order-dependent
+    and could hash-diverge between engines — every score is exactly one
+    decimal digit, so the decimal sum is exact and order-free.
+    The per-document verdict relation is the same plan as
+    ``corpus_curation_pipeline`` (shared scoped caches); the report adds
+    one grouped aggregate plus a broadcast-sized totals join — the shape
+    a 100 TB curation run logs every batch."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    scored = text.quality_features(corpus)
+    qpass = cache_scoped(
+        text.filter_once(
+            scored,
+            F.col("quality_score") >= 0.7,
+            ["doc_id", "lang", "source", "text", "quality_score"],
+        ),
+        "curation_report_qpass",
+    )
+    dd = text.normalized_dedup(qpass, "doc_id")
+    dec = dedup.decontaminate(qpass, bench, "doc_id")
+    verdicts = (
+        qpass.select("doc_id", "lang", "source", "quality_score")
+        .join(dd.select("doc_id", "is_dup"), "doc_id")
+        .join(dec.select("doc_id", "contaminated"), "doc_id")
+    )
+    totals = corpus.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("docs_scanned")
+    )
+    agg = verdicts.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("quality_pass"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("dups"),
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("contaminated"),
+        F.sum(
+            F.when(~F.col("is_dup") & ~F.col("contaminated"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept"),
+        F.sum(F.col("quality_score").cast("decimal(3,1)")).cast("double").alias("quality_sum"),
+    )
+    return (
+        totals.join(agg, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "docs_scanned",
+            F.coalesce(F.col("quality_pass"), F.lit(0)).cast("long").alias("quality_pass"),
+            F.coalesce(F.col("dups"), F.lit(0)).cast("long").alias("dups"),
+            F.coalesce(F.col("contaminated"), F.lit(0)).cast("long").alias("contaminated"),
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+            F.coalesce(F.col("quality_sum"), F.lit(0.0)).cast("double").alias("quality_sum"),
+        )
+    )
