@@ -440,3 +440,16 @@ def test_write_avro_read_generic_roundtrip(spark, tmp_path):
         assert g["ts"] == ts and g["day"] == day
         assert g["amount"] == amount.quantize(decimal.Decimal("0.01"))
         assert g["_source_file"].endswith(".avro")
+
+
+def test_write_avro_empty_dataframe(spark, tmp_path):
+    """An empty DataFrame writes no files and returns an empty manifest —
+    no zero-record containers littering the output directory."""
+    from pyspark.sql import types as T
+
+    from muninn_avro_to_parquet_spark.sources import avro_sink
+
+    df = spark.createDataFrame([], T.StructType([T.StructField("id", T.LongType())]))
+    out = str(tmp_path / "empty_out")
+    assert avro_sink.write_avro(df, out) == []
+    assert fs.list_files(out) == []
