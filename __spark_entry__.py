@@ -60,7 +60,7 @@ _R5_NEW = (
     "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
     "q21_waiting_suppliers", "text_gopher_rules", "text_unigram_rarity",
     "semantic_dedup", "dedup_minhash_verified", "corpus_curation_pipeline",
-    "corpus_curation_report",
+    "corpus_curation_report", "q_lateral_topk", "q_arg_extremes",
 )
 
 

@@ -4136,3 +4136,71 @@ def corpus_curation_report(spark):
             F.coalesce(F.col("quality_sum"), F.lit(0.0)).cast("double").alias("quality_sum"),
         )
     )
+
+
+@q(
+    "q_lateral_topk",
+    """
+    SELECT n_name, t.c_name, t.c_acctbal
+    FROM nation,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+    ) t
+    """,
+)
+def q_lateral_topk(spark):
+    """Correlated LATERAL subquery driven through the engine's SQL FRONT
+    DOOR (``spark.sql`` — every other registry entry builds DataFrames;
+    this one proves the ANSI surface end-to-end, same string shape as the
+    oracle). Catalyst decorrelates the per-nation top-2 into a window
+    rank over the customer side — the same plan q_topk_per_group gets
+    from the DataFrame API, not a per-nation re-execution."""
+    return spark.sql(
+        """
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM nation,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+        ) t
+        """
+    )
+
+
+@q(
+    "q_arg_extremes",
+    """
+    SELECT c_mktsegment,
+           (MAX(struct_pack(a := c_acctbal, k := c_custkey, n := c_name))).n AS richest,
+           (MIN(struct_pack(a := c_acctbal, k := c_custkey, n := c_name))).n AS poorest,
+           CAST((MAX(struct_pack(a := c_acctbal, k := c_custkey))).a AS DOUBLE) AS top_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_arg_extremes(spark):
+    """Deterministic arg-max/arg-min via lexicographic struct MIN/MAX —
+    the tie-safe form of ``max_by``: bare ``max_by(name, acctbal)`` is
+    nondeterministic when two customers share a balance (sf0.1 has such
+    ties), while (acctbal, custkey, name) is a total order, so both
+    engines must pick the identical row. One map-side-combinable
+    aggregate, no window, no join."""
+    rich = F.struct(
+        F.col("c_acctbal").alias("a"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("n"),
+    )
+    return (
+        spark.table("customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max(rich)["n"].alias("richest"),
+            F.min(rich)["n"].alias("poorest"),
+            F.max(F.struct(F.col("c_acctbal").alias("a"), F.col("c_custkey").alias("k")))["a"]
+            .cast("double")
+            .alias("top_balance"),
+        )
+    )

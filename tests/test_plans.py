@@ -208,3 +208,12 @@ def test_semantic_dedup_pairs_are_equi_join(spark):
     # cache reads are the signal that the O(N·C) pass is shared)
     assert plan.count("InMemoryTableScan") >= 2
     assert "centroid_id" in plan
+
+
+def test_lateral_subquery_decorrelates_to_window(spark):
+    """The SQL-surface LATERAL top-2 must decorrelate into ONE window pass
+    + equi-join — never a per-outer-row re-execution (nested loop)."""
+    plan = _plan(QUERIES["q_lateral_topk"].spark(spark, SF_CORRECT))
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
