@@ -333,3 +333,27 @@ def sample_exact_n(
         .filter(F.col("_rank") <= n_per_stratum)
         .drop("_rank")
     )
+
+
+def sample_weighted(
+    df: DataFrame, id_col: str, weight_col: str, salt: str = "w"
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with a ROW-SPECIFIC keep
+    probability — the quality-weighted corpus sampling step (keep good
+    documents with high probability, noisy ones rarely) that DCLM-style
+    pipelines run after scoring.
+
+    Keep iff md5-bucket(id) < round(clamp(weight, 0, 1) · 65536): the
+    16-bit hash bucket is uniform and engine-portable (same construction
+    as ``split_column``), the threshold renders to a fixed-width hex
+    string so the comparison is lexicographic — identical semantics in
+    any engine, no RNG, reproducible across runs and re-partitioning.
+    weight ≥ 1 keeps unconditionally (the 0x10000 threshold cannot be
+    compared lexicographically against 4-hex buckets, so it is its own
+    branch). Pure filter: no shuffle, no UDF."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    thresh = F.round(w * _BUCKETS).cast("long")
+    prefix = hash_bucket_prefix(F.col(id_col), salt)
+    return df.filter(
+        (thresh >= _BUCKETS) | (prefix < F.format_string("%04x", thresh))
+    )

@@ -4204,3 +4204,134 @@ def q_arg_extremes(spark):
             .alias("top_balance"),
         )
     )
+
+
+@q(
+    "sample_quality_weighted",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        len(toks) AS n_tokens
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+      FROM feat
+    )
+    SELECT doc_id, quality_score
+    FROM scored
+    WHERE CAST(round(least(greatest(quality_score, 0.0), 1.0) * 65536) AS BIGINT) >= 65536
+       OR substring(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(round(least(greatest(quality_score, 0.0), 1.0) * 65536) AS BIGINT))
+    """,
+)
+def sample_quality_weighted(spark):
+    """Quality-weighted deterministic sampling
+    (operators/pipeline.sample_weighted): each document kept with
+    probability equal to its quality score — md5-bucket vs per-row hex
+    threshold, no RNG, engine-reproducible. Pure filter over the scored
+    relation: one scan, no shuffle."""
+    scored = text.quality_features(spark.table("documents"))
+    return pipeline.sample_weighted(scored, "doc_id", "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
+@q(
+    "q_event_funnel",
+    """
+    WITH w AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_signup
+      FROM events
+    ),
+    w2 AS (
+      SELECT user_id, event_type, ts, first_signup,
+             MIN(CASE WHEN event_type = 'view' AND ts > first_signup
+                        AND ts <= first_signup + INTERVAL 3 DAY THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM w
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(first_signup) AS s1,
+             MAX(first_view) AS s2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > first_view THEN ts END) AS s3
+      FROM w2 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(s1) AS BIGINT) AS n_signup,
+           CAST(COUNT(s2) AS BIGINT) AS n_viewed_after,
+           CAST(COUNT(CASE WHEN s3 IS NOT NULL
+                           AND s3 <= s1 + INTERVAL 5 DAY THEN 1 END) AS BIGINT)
+             AS n_purchased_within_5d,
+           CAST(COUNT(s2) AS DOUBLE) / greatest(COUNT(s1), 1) AS view_rate,
+           CAST(COUNT(CASE WHEN s3 IS NOT NULL
+                           AND s3 <= s1 + INTERVAL 5 DAY THEN 1 END) AS DOUBLE)
+             / greatest(COUNT(s2), 1) AS purchase_rate
+    FROM per_user
+    """,
+)
+def q_event_funnel(spark):
+    """Ordered funnel analysis (signup → view within 3 days →
+    purchase within 5 days of signup): the product-analytics shape that needs
+    SEQUENCED milestones, not mere event counts. Both sequencing steps
+    are windows over the SAME user partitioning — one shuffle on
+    user_id, the second window reuses the exchange — then one global
+    aggregate; no self-joins over the event log (the naive form is
+    two event-log joins that each reshuffle the 100 TB relation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    ev = spark.table("events")
+    staged = ev.withColumn(
+        "first_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    ).withColumn(
+        "first_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") > F.col("first_signup"))
+                & (F.col("ts") <= F.col("first_signup") + F.expr("INTERVAL '3' DAY")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("first_signup").alias("s1"),
+        F.max("first_view").alias("s2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).alias("s3"),
+    )
+    purchased = F.col("s3").isNotNull() & (
+        F.col("s3") <= F.col("s1") + F.expr("INTERVAL '5' DAY")
+    )
+    return per_user.agg(
+        F.count("s1").cast("long").alias("n_signup"),
+        F.count("s2").cast("long").alias("n_viewed_after"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("long").alias(
+            "n_purchased_within_5d"
+        ),
+        (F.count("s2").cast("double") / F.greatest(F.count("s1"), F.lit(1))).alias(
+            "view_rate"
+        ),
+        (
+            F.sum(F.when(purchased, 1).otherwise(0)).cast("double")
+            / F.greatest(F.count("s2"), F.lit(1))
+        ).alias("purchase_rate"),
+    )

@@ -350,3 +350,24 @@ def test_sample_exact_n_counts_and_determinism(spark):
     ids1 = sorted(r["doc_id"] for r in out.collect())
     ids2 = sorted(r["doc_id"] for r in pipeline.sample_exact_n(docs, 25, stratum_col="source").collect())
     assert ids1 == ids2
+
+
+def test_sample_weighted_bounds_and_monotonicity(spark):
+    """weight 0 drops everything, weight >= 1 keeps everything, and the
+    kept set at a lower weight is a subset of the kept set at a higher
+    weight (same salt → same hash → nested thresholds)."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as P
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    zero = P.sample_weighted(df.withColumn("w", F.lit(0.0)), "doc_id", "w")
+    one = P.sample_weighted(df.withColumn("w", F.lit(1.0)), "doc_id", "w")
+    lo = P.sample_weighted(df.withColumn("w", F.lit(0.2)), "doc_id", "w")
+    hi = P.sample_weighted(df.withColumn("w", F.lit(0.6)), "doc_id", "w")
+    assert zero.count() == 0
+    assert one.count() == 2000
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    # keep rates near the requested probabilities (16-bit uniform hash)
+    assert abs(len(lo_ids) / 2000 - 0.2) < 0.05
+    assert abs(len(hi_ids) / 2000 - 0.6) < 0.05
