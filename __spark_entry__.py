@@ -61,7 +61,7 @@ _R5_NEW = (
     "q21_waiting_suppliers", "text_gopher_rules", "text_unigram_rarity",
     "semantic_dedup", "dedup_minhash_verified", "corpus_curation_pipeline",
     "corpus_curation_report", "q_lateral_topk", "q_arg_extremes",
-    "sample_quality_weighted", "q_event_funnel",
+    "sample_quality_weighted", "q_event_funnel", "q_stream_dedup_mirror",
 )
 
 

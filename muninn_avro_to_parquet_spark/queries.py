@@ -4335,3 +4335,24 @@ def q_event_funnel(spark):
             / F.greatest(F.count("s2"), F.lit(1))
         ).alias("purchase_rate"),
     )
+
+
+@q(
+    "q_stream_dedup_mirror",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup_mirror(spark):
+    """Batch mirror of streaming.windows.dedup_within_watermark — the
+    same function body the streaming path runs (streaming:
+    dropDuplicatesWithinWatermark with state bounded by the watermark
+    horizon; batch: dropDuplicates). Projected to the key columns so the
+    oracle compare is deterministic (dropDuplicates keeps an arbitrary
+    survivor row; its key set is exact). The true readStream form is
+    exercised in tests/test_streaming.py."""
+    from muninn_avro_to_parquet_spark.streaming import windows
+
+    return windows.dedup_within_watermark(
+        spark.table("events"), ["user_id", "event_type"]
+    ).select("user_id", "event_type")
