@@ -559,3 +559,49 @@ def minhash_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+
+
+def candidate_pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-point PageRank over the undirected candidate-pair graph —
+    the centrality signal for CANONICAL-DOCUMENT selection (keep the most
+    central member of a duplicate cluster, not merely the smallest id)
+    and for spotting template/boilerplate hubs.
+
+    Determinism is the design problem for an oracle-checked iterative
+    algorithm: float PageRank sums neighbor contributions in partition
+    order, so ranks differ in the last ulp between engines AND between
+    runs. This implementation is INTEGER fixed-point — ranks live in
+    micro-units (r₀ = 1 000 000), each step is
+    ``r' = 150 000 + (85 · Σ (r_u div deg_u)) div 100`` using integer
+    division throughout — exact, order-independent, bit-identical in any
+    engine. The cost: each div truncates, so total mass decays slightly
+    per iteration; ORDER is what the consumer uses, and truncation by
+    < deg per node cannot reorder nodes separated by ≥ 1 micro-unit.
+
+    Scale shape: one shuffle per iteration (groupBy dst over the edge
+    relation — same join the CC loop runs), edges cached once;
+    ``iterations`` is a compile-time unroll (default 3 — dup-cluster
+    diameters are 1-3, see ``connected_components``), so the plan is a
+    DAG, no driver-side convergence loop. Output: (node, rank_micro)."""
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = _cache_scoped(
+        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+        "pagerank_edges",
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("rank_micro div _deg").alias("_c"))
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(150_000) + F.expr("85 * sum(_c) div 100")).cast("long").alias("rank_micro")
+        ).select(F.col("dst").alias("node"), "rank_micro")
+    return ranks

@@ -4356,3 +4356,54 @@ def q_stream_dedup_mirror(spark):
     return windows.dedup_within_watermark(
         spark.table("events"), ["user_id", "event_type"]
     ).select("user_id", "event_type")
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    # unrolled fixed-point iterations mirroring dedup.candidate_pagerank:
+    # integer micro-unit ranks, floor division throughout — bit-exact in
+    # any engine, no float summation order anywhere
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(
+            f"""it{k} AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM({prev}.rank_micro // d._deg)) // 100 AS BIGINT) AS rank_micro
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        )
+        prev = f"it{k}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS _deg FROM edges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+    {its_sql}
+    SELECT node AS doc_id, rank_micro FROM {prev}
+    """
+
+
+@q("dedup_graph_pagerank", _pagerank_oracle(3))
+def dedup_graph_pagerank(spark):
+    """Integer fixed-point PageRank over the LSH candidate graph
+    (operators/dedup.candidate_pagerank): the centrality signal for
+    canonical-document selection and boilerplate-hub detection. Ranks are
+    exact BIGINT micro-units (floor-division damping), so an ITERATIVE
+    graph algorithm is value-hash-verifiable across engines — float
+    PageRank can never be (partition-order summation). Same banding
+    parameters as dedup_minhash_lsh_pairs; 3 unrolled iterations, one
+    shuffle each."""
+    pairs = dedup.minhash_candidate_pairs(
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
+    )
+    return dedup.candidate_pagerank(pairs, iterations=3).select(
+        F.col("node").alias("doc_id"), "rank_micro"
+    )

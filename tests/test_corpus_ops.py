@@ -281,3 +281,19 @@ def test_semantic_dedup_max_cluster_guard(spark):
     assert any(uncapped.values())  # the family pairs when uncapped
     # the 6-member family exceeds max_cluster=3 → excluded from pairing
     assert not any(capped.values())
+
+
+def test_candidate_pagerank_star_graph(spark):
+    """On a star graph the hub must outrank every leaf, ranks are exact
+    integers, and leaves (symmetric positions) get identical ranks."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)],  # star + isolated pair
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["rank_micro"] for r in dedup.candidate_pagerank(pairs).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 10, 11}
+    hub, leaves = out[0], [out[i] for i in range(1, 6)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetry → identical integer ranks
+    assert out[10] == out[11]     # the pair is symmetric too
+    assert all(isinstance(v, int) for v in out.values())
