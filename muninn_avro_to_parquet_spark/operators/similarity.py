@@ -666,3 +666,49 @@ def semantic_dedup(
             id_col, "centroid_id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup")
         )
     )
+
+
+def ivf_centroids_refined(
+    corpus: DataFrame,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 1,
+) -> DataFrame:
+    """Seeded centroid pick + DETERMINISTIC Lloyd refinement — the
+    k-means upgrade ``ivf_centroids`` defers to "when index quality
+    matters", made oracle-hashable: the centroid update is an
+    ELEMENT-WISE INTEGER FLOOR-MEAN over the members' quantized vectors
+    (``sum(x) div count``), so every round is exact and order-independent
+    — float mean k-means diverges between engines in the last ulp and
+    can flip assignments.
+
+    Per round: one nearest-centroid assignment (broadcast cross join —
+    O(N·C), same as ``ivf_assign``), one posexplode + (centroid, dim)
+    aggregate for the means, one array reassembly (``array_sort`` over
+    (dim, mean) structs — ``collect_list`` alone is partition-order
+    nondeterministic). Clusters that lose all members DISAPPEAR (both
+    engines drop them identically); callers needing a fixed C should
+    re-seed. The refined centroids come back as double arrays whose
+    re-quantization recovers the integer means exactly (|q/10^7·10^7 −
+    q| ≪ 0.5)."""
+    cents = ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    for _ in range(rounds):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        el = assigned.select(
+            "centroid_id", F.expr(f"{_qvec_sql(vec_col)} as _q")
+        ).select("centroid_id", F.posexplode("_q").alias("i", "x"))
+        means = el.groupBy("centroid_id", "i").agg(
+            F.expr("sum(x) div count(*)").alias("m")
+        )
+        cents = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_ims"))
+            .select(
+                "centroid_id",
+                F.expr(
+                    f"transform(_ims, s -> cast(s.m as double) / {_Q})"
+                ).alias(vec_col),
+            )
+        )
+    return cents

@@ -4407,3 +4407,67 @@ def dedup_graph_pagerank(spark):
     return dedup.candidate_pagerank(pairs, iterations=3).select(
         F.col("node").alias("doc_id"), "rank_micro"
     )
+
+
+def _ivf_refined_oracle() -> str:
+    # mirrors similarity.ivf_centroids_refined(rounds=1) + ivf_assign:
+    # round-0 seeded assignment, integer floor-mean centroid update
+    # (means stay in quantized space — the Spark side's double round-trip
+    # m/1e7*1e7 recovers the identical integers), round-1 reassignment
+    return f"""
+    WITH {_EMB_EL},
+    cents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cel AS (SELECT centroid_id, x, i FROM el JOIN cents ON el.vec_id = cents.centroid_id),
+    cnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM cel GROUP BY 1),
+    adots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM el e JOIN cel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    csim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM adots a
+      JOIN norms nv ON a.vec_id = nv.vec_id
+      JOIN cnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    lists AS (SELECT vec_id, centroid_id FROM csim WHERE r = 1),
+    means AS (
+      SELECT l.centroid_id, e.i, SUM(e.x) // COUNT(*) AS x
+      FROM lists l JOIN el e ON l.vec_id = e.vec_id
+      GROUP BY 1, 2
+    ),
+    mnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM means GROUP BY 1),
+    adots2 AS (
+      SELECT e.vec_id, m.centroid_id, CAST(SUM(e.x * m.x) AS DOUBLE) AS dot
+      FROM el e JOIN means m ON e.i = m.i GROUP BY 1, 2
+    ),
+    csim2 AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * mn.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM adots2 a
+      JOIN norms nv ON a.vec_id = nv.vec_id
+      JOIN mnorms mn ON a.centroid_id = mn.centroid_id
+    )
+    SELECT vec_id, centroid_id FROM csim2 WHERE r = 1
+    """
+
+
+@q("ann_ivf_refined_lists", _ivf_refined_oracle())
+def ann_ivf_refined_lists(spark):
+    """IVF inverted lists after ONE deterministic Lloyd round
+    (operators/similarity.ivf_centroids_refined): integer floor-mean
+    centroid updates keep an iterative clustering algorithm bit-exact
+    across engines — the k-means quality upgrade without giving up the
+    oracle. Output: each vector's refined list assignment."""
+    emb = spark.table("embeddings")
+    cents = similarity.ivf_centroids_refined(emb, 16, rounds=1)
+    return similarity.ivf_assign(emb, cents, nprobe=1).select("vec_id", "centroid_id")

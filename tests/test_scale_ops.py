@@ -758,3 +758,35 @@ def test_compact_table_over_file_uri(spark, tmp_path):
     back = spark.read.parquet(str(table))
     assert back.count() == 60
     assert sorted(r["id"] for r in back.collect()) == list(range(60))
+
+
+def test_ivf_refined_assignment_invariants(spark):
+    """One Lloyd round: every vector stays assigned exactly once, the
+    refinement actually moves assignments (the round is not a no-op on
+    clustered data), and two independent evaluations agree bit-for-bit
+    (the integer floor-mean update is deterministic)."""
+    from muninn_avro_to_parquet_spark import tables
+    from muninn_avro_to_parquet_spark.operators import similarity
+    from tests.conftest import SF_CORRECT
+
+    tables.register_views(spark, SF_CORRECT)
+    emb = spark.table("embeddings")
+    n = emb.count()
+    seeded = similarity.ivf_assign(
+        emb, similarity.ivf_centroids(emb, 16), nprobe=1
+    ).select("vec_id", "centroid_id")
+    refined_c = similarity.ivf_centroids_refined(emb, 16, rounds=1)
+    refined = similarity.ivf_assign(emb, refined_c, nprobe=1).select(
+        "vec_id", "centroid_id"
+    )
+    r1 = {r["vec_id"]: r["centroid_id"] for r in refined.collect()}
+    assert len(r1) == n  # total, exactly-once
+    s = {r["vec_id"]: r["centroid_id"] for r in seeded.collect()}
+    assert any(r1[v] != s[v] for v in r1)  # the round moved something
+    r2 = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(
+            emb, similarity.ivf_centroids_refined(emb, 16, rounds=1), nprobe=1
+        ).select("vec_id", "centroid_id").collect()
+    }
+    assert r1 == r2  # deterministic across evaluations
