@@ -153,6 +153,19 @@ HEADLINERS: list[tuple[str, str]] = [
         "raw-word, and line arrays each materialize once; every rule reads "
         "the arrays inside the same whole-stage-codegen span.",
     ),
+    (
+        "dedup_graph_pagerank",
+        "Integer fixed-point PageRank: 3 unrolled iterations, one groupBy-"
+        "dst shuffle each over the cached edge relation — a DAG, no driver "
+        "convergence loop; exact BIGINT ranks keep the iterative algorithm "
+        "oracle-hashable.",
+    ),
+    (
+        "q_event_funnel",
+        "Both funnel milestones are windows over ONE user_id exchange (the "
+        "second window reuses the first's partitioning) + one global "
+        "aggregate — never the naive pair of event-log self-joins.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")
