@@ -4471,3 +4471,91 @@ def ann_ivf_refined_lists(spark):
     emb = spark.table("embeddings")
     cents = similarity.ivf_centroids_refined(emb, 16, rounds=1)
     return similarity.ivf_assign(emb, cents, nprobe=1).select("vec_id", "centroid_id")
+
+
+def _canonical_docs_oracle() -> str:
+    # components (recursive CTE) + fixed-point pagerank (unrolled) over the
+    # SAME pairs relation, then per-component canonical = max rank with
+    # min-id tiebreak via lexicographic struct MIN
+    its = []
+    prev = "r0"
+    for k in (1, 2, 3):
+        its.append(
+            f"""it{k} AS (
+      SELECT e.dst AS node,
+             CAST(150000 + (85 * SUM({prev}.rank_micro // d._deg)) // 100 AS BIGINT) AS rank_micro
+      FROM dedges e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        )
+        prev = f"it{k}"
+    its_sql = ",\n    ".join(its)
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component_id FROM walk GROUP BY node),
+    dedges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS _deg FROM dedges GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+    {its_sql},
+    ranked AS (
+      SELECT c.node, c.component_id, p.rank_micro
+      FROM comp c JOIN {prev} p ON c.node = p.node
+    ),
+    canon AS (
+      SELECT component_id,
+             (MIN(struct_pack(nr := -rank_micro, n := node))).n AS canonical_id
+      FROM ranked GROUP BY component_id
+    )
+    SELECT r.node AS doc_id, r.component_id, r.rank_micro,
+           c.canonical_id, r.node = c.canonical_id AS is_canonical
+    FROM ranked r JOIN canon c USING (component_id)
+    """
+
+
+@q("dedup_canonical_docs", _canonical_docs_oracle())
+def dedup_canonical_docs(spark):
+    """The dedup END-GAME: which document survives each duplicate
+    cluster. Composes connected components (cluster membership) with
+    integer fixed-point PageRank (centrality) over the SAME candidate
+    graph: the canonical document is the cluster member with the highest
+    rank, smallest-id tiebreak (lexicographic struct MIN over
+    (-rank, id) — tie-safe, engine-exact). Downstream keeps
+    ``is_canonical`` rows — preferring the most CENTRAL member over the
+    arbitrary smallest id means the survivor is the version most similar
+    to the rest of its cluster, not whichever crawled first."""
+    pairs = dedup.minhash_candidate_pairs(
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
+    )
+    comp = dedup.connected_components(pairs)
+    pr = dedup.candidate_pagerank(pairs, iterations=3)
+    ranked = comp.join(pr, comp.node == pr.node).select(
+        comp.node.alias("doc_id"), "component_id", "rank_micro"
+    )
+    canon = ranked.groupBy("component_id").agg(
+        F.min(
+            F.struct((-F.col("rank_micro")).alias("nr"), F.col("doc_id").alias("n"))
+        )["n"].alias("canonical_id")
+    )
+    return ranked.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        "rank_micro",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
