@@ -4538,9 +4538,25 @@ def dedup_canonical_docs(spark):
     (-rank, id) — tie-safe, engine-exact). Downstream keeps
     ``is_canonical`` rows — preferring the most CENTRAL member over the
     arbitrary smallest id means the survivor is the version most similar
-    to the rest of its cluster, not whichever crawled first."""
-    pairs = dedup.minhash_candidate_pairs(
-        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
+    to the rest of its cluster, not whichever crawled first. The pairs
+    relation (tiny — candidate pairs only) is scope-cached: components
+    and pagerank each consume it, and uncached each re-runs the band
+    self-join. At sf0.1 this is timing-neutral (the bands cache already
+    absorbs the sketch, and the query cost is the additive CC + pagerank
+    fixed job counts, ~5.9 s total); at corpus scale the pair join is
+    the expensive stage and materializing it once is the right call."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    pairs = cache_scoped(
+        dedup.minhash_candidate_pairs(
+            spark.table("documents"),
+            "doc_id",
+            "text",
+            num_hashes=8,
+            bands=4,
+            max_bucket=64,
+        ),
+        "canon_pairs",
     )
     comp = dedup.connected_components(pairs)
     pr = dedup.candidate_pagerank(pairs, iterations=3)
