@@ -69,6 +69,24 @@ def main(argv: list[str] | None = None) -> int:
         help="skip partitions already under this many files",
     )
 
+    p_snap = sub.add_parser(
+        "snapshot",
+        help="materialize/refresh a current-state table from converted CDC output",
+    )
+    p_snap.add_argument(
+        "--changes_dir", required=True,
+        help="converted parquet directory of ONE table (convert's <out>/<table>)",
+    )
+    p_snap.add_argument("--table_dir", required=True)
+    p_snap.add_argument(
+        "--keys", required=True, help="comma-separated primary key payload columns"
+    )
+    p_snap.add_argument("--keep_versions", type=int, default=2)
+    p_snap.add_argument(
+        "--keep_deletes", action="store_true",
+        help="retain delete tombstones in the snapshot",
+    )
+
     p_export = sub.add_parser(
         "export", help="re-emit a parquet table as Avro OCF files"
     )
@@ -113,6 +131,20 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{part}: {before} -> {after} files")
             print(f"{len(res.partitions)} partitions compacted, "
                   f"{len(res.skipped)} already compact")
+            return 0
+
+        if args.cmd == "snapshot":
+            from muninn_avro_to_parquet_spark.operators import cdc
+
+            res = cdc.materialize_snapshot(
+                spark,
+                args.table_dir,
+                spark.read.parquet(args.changes_dir),
+                key_cols=args.keys.split(","),
+                drop_deletes=not args.keep_deletes,
+                keep_versions=args.keep_versions,
+            )
+            print(f"v{res.version}: {res.rows} rows at {res.path}")
             return 0
 
         if args.cmd == "export":

@@ -106,3 +106,103 @@ def scd2_history(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persistent snapshot table: versioned dirs + atomic _CURRENT pointer
+# ---------------------------------------------------------------------------
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SnapshotResult:
+    version: int
+    rows: int
+    path: str
+
+
+def _current_pointer(table_dir: str) -> str:
+    return table_dir.rstrip("/") + "/_CURRENT"
+
+
+def current_version(table_dir: str) -> int | None:
+    """Version number the ``_CURRENT`` pointer names, or None for a table
+    that has never been materialized."""
+    from muninn_avro_to_parquet_spark import fs
+
+    ptr = _current_pointer(table_dir)
+    if not fs.exists(ptr):
+        return None
+    return int(fs.read_text(ptr).strip().removeprefix("v"))
+
+
+def read_snapshot(spark, table_dir: str) -> DataFrame | None:
+    """The current state of a materialized table (None before the first
+    ``materialize_snapshot``). Readers resolve the pointer then read an
+    IMMUTABLE version directory — a concurrent materialization can swing
+    the pointer but never mutates a published version."""
+    v = current_version(table_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{table_dir.rstrip('/')}/v{v}")
+
+
+def materialize_snapshot(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str] | None = None,
+    drop_deletes: bool = True,
+    keep_versions: int = 2,
+) -> SnapshotResult:
+    """Maintain an on-disk CURRENT-STATE table from converted CDC batches
+    — the downstream the conversion pipeline feeds (a queryable table,
+    not a pile of change files), without requiring a table format the
+    runtime doesn't ship.
+
+    Mini-table-format design, object-store-safe by construction:
+
+    - each materialization writes a NEW immutable directory
+      ``<table>/v<N>/`` (parquet, snappy);
+    - the ``_CURRENT`` pointer file is then overwritten with ``v<N>`` —
+      a single-object PUT, which object stores make atomic, so readers
+      see either the old or the new version, never a partial table
+      (rename-based swaps are NOT atomic on object stores);
+    - superseded versions older than ``keep_versions`` are pruned AFTER
+      the pointer moves (a concurrent reader of the old pointer value
+      has ``keep_versions - 1`` materializations of grace).
+
+    The merge itself is the CDC compaction: previous snapshot ∪ new
+    batch → ``cdc_latest_snapshot`` (latest row per key by the envelope's
+    (tx_id, lsn) order, delete tombstones dropped). Rows carry their
+    envelope into the snapshot, so RE-APPLYING an already-applied batch
+    is a no-op (same winners) — idempotent under at-least-once delivery.
+    One window shuffle per materialization; the previous snapshot reads
+    pruned/columnar, never the historical change files."""
+    from muninn_avro_to_parquet_spark import fs
+
+    base = table_dir.rstrip("/")
+    prev = read_snapshot(spark, base)
+    merged = (
+        updates
+        if prev is None
+        else prev.unionByName(updates, allowMissingColumns=False)
+    )
+    state = cdc_latest_snapshot(
+        merged, key_cols, order_cols=order_cols, drop_deletes=drop_deletes
+    )
+    v_prev = current_version(base)
+    v_new = 1 if v_prev is None else v_prev + 1
+    out = f"{base}/v{v_new}"
+    state.write.mode("overwrite").parquet(out)
+    rows = spark.read.parquet(out).count()
+    fs.makedirs(base)
+    fs.write_text(_current_pointer(base), f"v{v_new}\n")
+    for old in range(1, v_new - keep_versions + 1):
+        old_dir = f"{base}/v{old}"
+        if fs.exists(f"{old_dir}/_SUCCESS"):  # not yet pruned
+            fs.delete_dir(old_dir)
+    return SnapshotResult(version=v_new, rows=rows, path=out)

@@ -93,3 +93,33 @@ def test_cli_export(spark, tmp_path, monkeypatch, capsys):
         got.extend(avro_io.read_file(str(f))[1])
     assert sorted(r["id"] for r in got) == list(range(100))
     assert all(abs(r["v"] - r["id"] * 1.5) < 1e-12 for r in got)
+
+
+def test_cli_snapshot(spark, tmp_path, monkeypatch, capsys):
+    """`snapshot` materializes a current-state table from converted CDC
+    parquet: end-to-end avro fixture -> convert -> snapshot -> state."""
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+    from muninn_avro_to_parquet_spark.operators import cdc
+    from muninn_avro_to_parquet_spark.sources import avro_io
+    from tests.conftest import CDC_SCHEMA
+    from tests.test_fs import _recs
+
+    avro_dir = tmp_path / "avro" / "customers"
+    avro_dir.mkdir(parents=True)
+    avro_io.write_file(str(avro_dir / "f.avro"), CDC_SCHEMA, _recs(range(5)))
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main(
+        ["convert", "--input_pattern", f"{tmp_path}/avro/**/*.avro",
+         "--output_prefix", str(tmp_path / "out")]
+    )
+    assert rc == 0
+    rc = cli.main(
+        ["snapshot", "--changes_dir", str(tmp_path / "out" / "customers"),
+         "--table_dir", str(tmp_path / "tbl"), "--keys", "id"]
+    )
+    assert rc == 0
+    assert "v1: 5 rows" in capsys.readouterr().out
+    snap = cdc.read_snapshot(spark, str(tmp_path / "tbl"))
+    assert sorted(r["id"] for r in snap.collect()) == [0, 1, 2, 3, 4]
