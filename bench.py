@@ -305,11 +305,59 @@ def main() -> None:
     else:
         bigfile_stats = None
 
+    # scale proof for the dedup family beyond sf0.1: a Spark-GENERATED
+    # synthetic corpus (deterministic md5-derived token picks — no Python
+    # row loop, no disk fixture) through the full LSH propose + connected
+    # components flow. 200k docs ≈ 40x the sf0.1 documents table.
+    bigcorpus_docs = int(os.environ.get("SPARK_GRAFT_BIGCORPUS_DOCS", "200000"))
+    if bigcorpus_docs > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import dedup as dedup_mod
+
+        words = 40
+        # token t of doc d = 'w' || (md5-derived int mod vocab); every
+        # 50th doc repeats doc d-50's text exactly (planted duplicates)
+        eff = F.when(F.col("id") % 50 == 49, F.col("id") - 49).otherwise(F.col("id"))
+        tok = (
+            "transform(sequence(1, {w}), i -> concat('w', "
+            "cast(conv(substring(md5(concat(cast(eff as string), ':', cast(i as string))), 1, 6), 16, 10) % 5000 as string)))"
+        ).format(w=words)
+        corpus = (
+            spark.range(bigcorpus_docs)
+            .withColumn("eff", eff)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(f"array_join({tok}, ' ')").alias("text"),
+            )
+        )
+        t0 = time.perf_counter()
+        pairs = dedup_mod.minhash_candidate_pairs(
+            corpus, "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
+        )
+        n_pairs = pairs.count()
+        comps = dedup_mod.connected_components(pairs)
+        n_nodes = comps.count()
+        big_dedup_wall = time.perf_counter() - t0
+        timings["dedup_bigcorpus"] = round(big_dedup_wall, 4)
+        bigcorpus_stats = {
+            "docs": bigcorpus_docs,
+            "candidate_pairs": n_pairs,
+            "nodes_clustered": n_nodes,
+            "docs_per_sec": round(bigcorpus_docs / big_dedup_wall),
+        }
+    else:
+        bigcorpus_stats = None
+
     # the headline metric sums the QUERY timings; the conversion benchmark
     # is reported alongside but not folded in (its row count is a separate
     # knob, and mixing it in would skew query-only comparisons)
     total = round(
-        sum(v for k, v in timings.items() if not k.startswith("convert_")), 4
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.startswith("convert_") and k != "dedup_bigcorpus"
+        ), 4
     )
     result = {
         "metric": "total_query_wall_seconds",
@@ -320,6 +368,8 @@ def main() -> None:
     }
     if bigfile_stats is not None:
         result["bigfile"] = bigfile_stats
+    if bigcorpus_stats is not None:
+        result["bigcorpus"] = bigcorpus_stats
     # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
     # were cut, losing per-query timings); persist the full result as a
     # standalone artifact so cross-round comparisons always have all queries
