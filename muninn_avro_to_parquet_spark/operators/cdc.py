@@ -138,15 +138,28 @@ def current_version(table_dir: str) -> int | None:
     return int(fs.read_text(ptr).strip().removeprefix("v"))
 
 
-def read_snapshot(spark, table_dir: str) -> DataFrame | None:
+def read_snapshot(spark, table_dir: str, version: int | None = None) -> DataFrame | None:
     """The current state of a materialized table (None before the first
     ``materialize_snapshot``). Readers resolve the pointer then read an
     IMMUTABLE version directory — a concurrent materialization can swing
-    the pointer but never mutates a published version."""
-    v = current_version(table_dir)
-    if v is None:
-        return None
-    return spark.read.parquet(f"{table_dir.rstrip('/')}/v{v}")
+    the pointer but never mutates a published version.
+
+    ``version`` reads a specific retained version instead (time travel —
+    any version ``keep_versions`` hasn't pruned); raises FileNotFoundError
+    for a pruned or never-written version."""
+    from muninn_avro_to_parquet_spark import fs
+
+    base = table_dir.rstrip("/")
+    if version is None:
+        version = current_version(base)
+        if version is None:
+            return None
+    vdir = f"{base}/v{version}"
+    if not fs.exists(f"{vdir}/_SUCCESS"):
+        raise FileNotFoundError(
+            f"snapshot version v{version} of {base} does not exist or was pruned"
+        )
+    return spark.read.parquet(vdir)
 
 
 def materialize_snapshot(
@@ -186,10 +199,13 @@ def materialize_snapshot(
 
     base = table_dir.rstrip("/")
     prev = read_snapshot(spark, base)
+    # allowMissingColumns: CDC sources ADD payload columns over time
+    # (Datastream schema evolution); rows from before the column existed
+    # carry NULL, exactly like the conversion layer's drift merge
     merged = (
         updates
         if prev is None
-        else prev.unionByName(updates, allowMissingColumns=False)
+        else prev.unionByName(updates, allowMissingColumns=True)
     )
     state = cdc_latest_snapshot(
         merged, key_cols, order_cols=order_cols, drop_deletes=drop_deletes

@@ -198,3 +198,30 @@ def test_materialize_snapshot_out_of_order_batch(spark, tmp_path):
     C.materialize_snapshot(spark, tdir, _batch(spark, [(1, "stale", 10, 1, False)]), ["id"])
     state = {r["id"]: r["name"] for r in C.read_snapshot(spark, tdir).collect()}
     assert state == {1: "new"}
+
+
+def test_snapshot_time_travel_and_evolution(spark, tmp_path):
+    """Retained versions are readable as-of (time travel); a later batch
+    with a NEW payload column evolves the schema — pre-existing rows
+    carry NULL for it, like the conversion layer's drift merge."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    tdir = str(tmp_path / "tt")
+    C.materialize_snapshot(spark, tdir, _batch(spark, [(1, "a", 10, 1, False)]), ["id"])
+    b2 = _batch(spark, [(2, "b", 20, 1, False)]).withColumn("email", F.lit("b@x.io"))
+    C.materialize_snapshot(spark, tdir, b2, ["id"])
+
+    # time travel: v1 has the old schema and only id=1
+    v1 = C.read_snapshot(spark, tdir, version=1)
+    assert [r["id"] for r in v1.collect()] == [1]
+    assert "email" not in v1.columns
+
+    # current: evolved schema, NULL backfill for the old row
+    cur = {r["id"]: r for r in C.read_snapshot(spark, tdir).collect()}
+    assert cur[1]["email"] is None and cur[2]["email"] == "b@x.io"
+
+    with pytest.raises(FileNotFoundError):
+        C.read_snapshot(spark, tdir, version=99)
