@@ -215,6 +215,18 @@ def materialize_snapshot(
     out = f"{base}/v{v_new}"
     state.write.mode("overwrite").parquet(out)
     rows = spark.read.parquet(out).count()
+    # optimistic commit: if another materialization swung the pointer
+    # while we computed, refusing is the only safe move — our merge was
+    # based on a stale previous state and publishing it would silently
+    # DROP the concurrent writer's changes. (True CAS needs a store with
+    # conditional PUT; this check narrows the race window to the final
+    # write and makes the common double-scheduler mistake loud.)
+    if current_version(base) != v_prev:
+        raise RuntimeError(
+            f"concurrent materialization detected on {base}: the current "
+            f"version moved past v{v_prev} while this merge ran — re-run "
+            f"to merge against the new state (orphan left at {out})"
+        )
     fs.makedirs(base)
     fs.write_text(_current_pointer(base), f"v{v_new}\n")
     for old in range(1, v_new - keep_versions + 1):

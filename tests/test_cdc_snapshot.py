@@ -225,3 +225,36 @@ def test_snapshot_time_travel_and_evolution(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         C.read_snapshot(spark, tdir, version=99)
+
+
+def test_snapshot_concurrent_writer_detected(spark, tmp_path):
+    """A pointer that moves while a materialization runs must abort the
+    commit (publishing would silently drop the concurrent changes)."""
+    import pytest
+
+    from muninn_avro_to_parquet_spark import fs
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    tdir = str(tmp_path / "cc")
+    C.materialize_snapshot(spark, tdir, _batch(spark, [(1, "a", 10, 1, False)]), ["id"])
+
+    # simulate a racing writer: materialize reads the pointer three times
+    # (previous-state read, v_prev, commit check) — let the COMMIT CHECK
+    # observe a pointer another writer moved
+    real_read_text = fs.read_text
+    calls = {"n": 0}
+
+    def racing_read_text(path):
+        if path.endswith("_CURRENT"):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                return "v7\n"  # the other writer got there first
+        return real_read_text(path)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(fs, "read_text", side_effect=racing_read_text):
+        with pytest.raises(RuntimeError, match="concurrent materialization"):
+            C.materialize_snapshot(
+                spark, tdir, _batch(spark, [(2, "b", 20, 1, False)]), ["id"]
+            )
