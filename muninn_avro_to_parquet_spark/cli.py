@@ -53,6 +53,16 @@ def main(argv: list[str] | None = None) -> int:
         help="backlog admission cap (like maxFilesPerTrigger): bound each "
         "batch so acknowledgments stay small while a backlog drains",
     )
+    p_stream.add_argument(
+        "--snapshot_dir", default=None,
+        help="also maintain versioned current-state tables here (one per "
+        "CDC table), refreshed per acknowledged batch",
+    )
+    p_stream.add_argument(
+        "--snapshot_keys", default=None,
+        help="comma-separated primary key payload columns (applied to "
+        "every table); required with --snapshot_dir",
+    )
 
     p_drain = sub.add_parser("drain", help="graceful stop of a running stream")
     p_drain.add_argument("--checkpoint", required=True)
@@ -190,6 +200,10 @@ def main(argv: list[str] | None = None) -> int:
             window_duration=args.window_duration,
             permissive=args.permissive,
             max_files_per_batch=args.max_files_per_batch,
+            snapshot_dir=args.snapshot_dir,
+            snapshot_keys=(
+                args.snapshot_keys.split(",") if args.snapshot_keys else None
+            ),
         )
         batches = conv.run(max_batches=args.max_batches)
         total = sum(sum(b.tables.values()) for b in batches)

@@ -69,6 +69,8 @@ class StreamingConverter:
         window_duration: str = "1h",
         permissive: bool = False,
         max_files_per_batch: int | None = None,
+        snapshot_dir: str | None = None,
+        snapshot_keys: dict[str, list[str]] | list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.input_pattern = input_pattern
@@ -76,6 +78,16 @@ class StreamingConverter:
         self.checkpoint_dir = checkpoint_dir
         self.poll_seconds = parse_duration_to_seconds(window_duration)
         self.permissive = permissive
+        # continuous CDC materialization: with snapshot_dir set, each
+        # acknowledged batch ALSO merges into a versioned current-state
+        # table per CDC table (operators/cdc.materialize_snapshot).
+        # snapshot_keys: dict table -> primary key payload columns, or one
+        # list shared by every table. The refresh runs BEFORE the batch is
+        # acknowledged — a snapshot failure fails the table's batch, so the
+        # exactly-once ledger and the snapshot can never drift apart
+        # (an after-ack failure would skip those files' changes forever).
+        self.snapshot_dir = snapshot_dir
+        self.snapshot_keys = snapshot_keys
         # backlog admission control (Structured Streaming's
         # maxFilesPerTrigger): a converter started against a 100k-file
         # backlog otherwise converts it as ONE batch — hours without an
@@ -198,6 +210,7 @@ class StreamingConverter:
                 )
                 result.tables[table] = rows
                 result.fallback_files.extend(degraded)
+                self._refresh_snapshot(table, table_paths)
                 self._acknowledge(table_paths)
             except Exception:
                 # the batch failed as a group — isolate per FILE so one
@@ -224,6 +237,7 @@ class StreamingConverter:
                         )
                         rows_total += rows
                         result.fallback_files.extend(degraded)
+                        self._refresh_snapshot(table, [path])
                         self._acknowledge([path])
                     except Exception:
                         log.error(
@@ -238,6 +252,31 @@ class StreamingConverter:
                 if rows_total:
                     result.tables[table] = rows_total
         return result
+
+    def _refresh_snapshot(self, table: str, paths: list[str]) -> None:
+        """Merge one acknowledged-batch-to-be's rows into the table's
+        versioned snapshot. The batch's Avro files are decoded a second
+        time through the typed read path (the conversion write does not
+        hand back its DataFrame) — simple and correct; fuse the two
+        decodes if snapshot-enabled streams become the hot path."""
+        if self.snapshot_dir is None or self.snapshot_keys is None:
+            return
+        if isinstance(self.snapshot_keys, dict):
+            keys = self.snapshot_keys.get(table)
+            if keys is None:
+                return  # table not snapshot-configured
+        else:
+            keys = self.snapshot_keys
+        from muninn_avro_to_parquet_spark.operators import cdc
+        from muninn_avro_to_parquet_spark.sources import avro_source
+
+        updates = avro_source.read_avro(self.spark, paths)
+        cdc.materialize_snapshot(
+            self.spark,
+            f"{self.snapshot_dir.rstrip('/')}/{table}",
+            updates,
+            list(keys),
+        )
 
     def run(
         self,

@@ -476,7 +476,7 @@ def test_backlog_batch_cap_and_catchup(spark, tmp_path):
     batches = [len(r.new_files) for r in results]
     assert batches[0] == 3
     total = sum(batches)
-    conv2 = StreamingConverter(
+    conv2 = file_stream.StreamingConverter(
         spark, str(tmp_path / "avro" / "**" / "*.avro"), str(tmp_path / "out"),
         str(tmp_path / "ckpt"), "1h", max_files_per_batch=3,
     )
@@ -510,3 +510,59 @@ def test_backlog_full_batches_skip_sleep(spark, tmp_path):
     # full batches 1-2 drain back-to-back with NO sleep; the empty batch 3
     # is the only one followed by a window sleep (batch 4 hits max_batches)
     assert len(sleeps) == 1
+
+
+def test_streaming_snapshot_refresh(spark, tmp_path):
+    """snapshot_dir: each acknowledged batch merges into a versioned
+    current-state table — updates win by (tx_id, lsn), deletes drop keys,
+    and a restart replays nothing (snapshot version stays put)."""
+    from tests.conftest import CDC_SCHEMA
+    from tests.test_fs import _recs
+
+    from muninn_avro_to_parquet_spark.operators import cdc
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    avro_dir = tmp_path / "avro" / "customers"
+    avro_dir.mkdir(parents=True)
+    avro_io.write_file(str(avro_dir / "b1.avro"), CDC_SCHEMA, _recs(range(3)))
+    conv = file_stream.StreamingConverter(
+        spark,
+        f"{tmp_path}/avro/**/*.avro",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "1h",
+        snapshot_dir=str(tmp_path / "snap"),
+        snapshot_keys=["id"],
+    )
+    r1 = conv.poll_once(ingestion_date="2026-01-01")
+    assert r1.tables == {"customers": 3}
+    snap_dir = str(tmp_path / "snap" / "customers")
+    s1 = cdc.read_snapshot(spark, snap_dir)
+    assert sorted(r["id"] for r in s1.collect()) == [0, 1, 2]
+    assert cdc.current_version(snap_dir) == 1
+
+    # batch 2: update id=1 (higher tx), delete id=2
+    recs = _recs([1, 2])
+    recs[0]["source_metadata"]["tx_id"] = 9000
+    recs[0]["payload"]["name"] = "updated"
+    recs[1]["source_metadata"]["tx_id"] = 9001
+    recs[1]["source_metadata"]["is_deleted"] = True
+    avro_io.write_file(str(avro_dir / "b2.avro"), CDC_SCHEMA, recs)
+    conv.poll_once(ingestion_date="2026-01-01")
+    state = {r["id"]: r["name"] for r in cdc.read_snapshot(spark, snap_dir).collect()}
+    assert state == {0: "name0", 1: "updated"}
+    assert cdc.current_version(snap_dir) == 2
+
+    # restart: nothing new, snapshot untouched
+    conv2 = file_stream.StreamingConverter(
+        spark,
+        f"{tmp_path}/avro/**/*.avro",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "1h",
+        snapshot_dir=str(tmp_path / "snap"),
+        snapshot_keys=["id"],
+    )
+    r3 = conv2.poll_once(ingestion_date="2026-01-01")
+    assert r3.new_files == []
+    assert cdc.current_version(snap_dir) == 2
