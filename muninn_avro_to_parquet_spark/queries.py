@@ -4575,3 +4575,127 @@ def dedup_canonical_docs(spark):
         "canonical_id",
         (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 late additions: z-order layout keys, int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from muninn_avro_to_parquet_spark.plans.layout import zorder_sql_expr
+
+    zexpr = zorder_sql_expr(["xs", "ys"], bits=16)
+    return f"""
+    WITH base AS (
+      SELECT CAST(o_custkey AS BIGINT) AS x,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+      FROM orders
+    ),
+    st AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
+           FROM base),
+    sc AS (
+      SELECT CASE WHEN mxx > mnx THEN CAST(floor(
+               (CAST(x AS DOUBLE) - CAST(mnx AS DOUBLE)) * 65535.0
+               / (CAST(mxx AS DOUBLE) - CAST(mnx AS DOUBLE))) AS BIGINT)
+             ELSE 0 END AS xs,
+             CASE WHEN mxy > mny THEN CAST(floor(
+               (CAST(y AS DOUBLE) - CAST(mny AS DOUBLE)) * 65535.0
+               / (CAST(mxy AS DOUBLE) - CAST(mny AS DOUBLE))) AS BIGINT)
+             ELSE 0 END AS ys
+      FROM base, st
+    ),
+    z AS (SELECT xs, ys, ({zexpr}) AS zkey FROM sc)
+    SELECT zkey >> 24 AS zbucket, COUNT(*) AS n_rows,
+           MIN(xs) AS x_min, MAX(xs) AS x_max,
+           MIN(ys) AS y_min, MAX(ys) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
+@q("q_zorder_layout", _zorder_oracle())
+def q_zorder_layout(spark):
+    """Z-order (Morton) clustering keys over (customer, order-date) —
+    the multi-dimensional layout behind Delta/Iceberg OPTIMIZE ZORDER
+    (plans/layout.py). The output groups rows by the key's top 8 bits
+    and reports each bucket's (x, y) bounding box: the locality proof
+    that parquet footer min/max stats would prune scans on EITHER
+    dimension after ``write_zordered``. Pure integer expression work
+    (one broadcast 1-row min/max relation, a 32-term shift/AND/OR tree,
+    one hash agg) — whole-stage codegen end to end, and the DuckDB
+    oracle runs the *same generated* bit arithmetic
+    (``zorder_sql_expr``), so the interleave itself is parity-checked.
+    Beyond-reference scope: the reference writes date-partitioned
+    parquet only (main.py partition derivation); this is the §2.3
+    data-layout surface."""
+    from muninn_avro_to_parquet_spark.plans.layout import scale_to_bits, zorder_key
+
+    o = spark.table("orders").select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("y"),
+    )
+    stats = o.agg(
+        F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+        F.min("y").alias("mny"), F.max("y").alias("mxy"),
+    )
+    j = o.crossJoin(F.broadcast(stats))
+    xs = scale_to_bits(F.col("x"), F.col("mnx"), F.col("mxx"), 16)
+    ys = scale_to_bits(F.col("y"), F.col("mny"), F.col("mxy"), 16)
+    keyed = j.select(xs.alias("xs"), ys.alias("ys")).withColumn(
+        "zkey", zorder_key([F.col("xs"), F.col("ys")], 16)
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 24).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xs").alias("x_min"), F.max("xs").alias("x_max"),
+            F.min("ys").alias("y_min"), F.max("ys").alias("y_max"),
+        )
+    )
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH el AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM el GROUP BY pos),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN mx > mn
+                  THEN CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128
+                  ELSE 0 END AS q
+      FROM el JOIN st USING (pos)
+    )
+    SELECT vec_id,
+           CAST(SUM(q) AS BIGINT) AS q_sum,
+           CAST(SUM(abs(q)) AS BIGINT) AS q_l1,
+           MIN(q) AS q_min, MAX(q) AS q_max,
+           CAST(COUNT(*) AS INT) AS n_dims
+    FROM qv GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark):
+    """Min/max-calibrated int8 scalar quantization of the embedding
+    corpus (operators/similarity.py quantize_int8): the 4×-shrink that
+    makes 100 TB ANN shuffles move bytes, not float32s. One (dim →
+    min,max) aggregate broadcast back as a 1-row calibration relation;
+    the quantize is a codegen'd array ``transform``. Output is the
+    per-vector integer checksum surface (sum, L1, min, max, n_dims) —
+    every code is engine-exact (double arithmetic in fixed operand
+    order + exact floor), so the hash check covers all 64 codes per
+    vector, not a sample."""
+    qdf = similarity.quantize_int8(spark.table("embeddings"))
+    return qdf.select(
+        "vec_id",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("q_sum"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + abs(x))").alias("q_l1"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        "n_dims",
+    )

@@ -1,0 +1,120 @@
+"""Z-order layout keys (plans/layout.py) and int8 quantization
+(operators/similarity.py quantize_int8): bit-exactness against a pure
+Python reference, locality property, and quantization error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import similarity
+from muninn_avro_to_parquet_spark.plans import layout
+
+
+def _py_interleave(vals: list[int], bits: int) -> int:
+    z = 0
+    d = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * d + j)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (40000, 7)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", layout.zorder_key([F.col("x"), F.col("y")], 16)
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _py_interleave([x, y], 16), (x, y)
+
+
+def test_zorder_sql_expr_matches_column_form(spark):
+    """The SQL string the oracle uses is the same function as the Column
+    tree — evaluate both in Spark and compare."""
+    df = spark.range(0, 512).select(
+        (F.col("id") % 23).alias("x"), (F.col("id") * 7 % 31).alias("y")
+    )
+    sql = layout.zorder_sql_expr(["x", "y"], bits=8)
+    both = df.select(
+        layout.zorder_key([F.col("x"), F.col("y")], 8).alias("a"),
+        F.expr(sql).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_zorder_three_dims_rejects_overflow():
+    with pytest.raises(ValueError):
+        layout.zorder_key([F.lit(1), F.lit(1), F.lit(1), F.lit(1)], 16)
+
+
+def test_zorder_locality_bounds_every_dimension(spark):
+    """The point of the layout: after sorting by the Morton key, any
+    contiguous chunk of the key space spans a bounded box in EVERY
+    dimension. Check that each top-4-bit key bucket covers at most half
+    of each 8-bit axis (a z-curve order-2 quadrant), which single-column
+    sorting cannot do for the second column."""
+    df = spark.range(0, 256 * 8).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 37) % 256).alias("y")
+    )
+    keyed = df.withColumn("z", layout.zorder_key([F.col("x"), F.col("y")], 8))
+    spans = (
+        keyed.groupBy(F.shiftright("z", 12).alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .agg(F.max("dx").alias("mx"), F.max("dy").alias("my"))
+        .first()
+    )
+    assert spans["mx"] <= 127 and spans["my"] <= 127, spans
+
+
+def test_write_zordered_roundtrip(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("x"),
+        ((F.col("id") * 13) % 89).alias("y"),
+    )
+    out = str(tmp_path / "zo")
+    layout.write_zordered(df, out, ["x", "y"], num_files=4, bits=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"k", "x", "y"}
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    """Codes live in [-128, 127]; extremes hit the endpoints; per-dim
+    dequantization error is within half a step of the calibrated range."""
+    vecs = [
+        (1, [0.0, -1.0, 0.5]),
+        (2, [1.0, 1.0, 0.5]),
+        (3, [0.25, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r["q"] for r in similarity.quantize_int8(df).collect()}
+    # dim0 range [0,1]: 0.0 -> -128, 1.0 -> 127; dim1 range [-1,1]; dim2 degenerate -> 0
+    assert q[1][0] == -128 and q[2][0] == 127
+    assert q[1][1] == -128 and q[2][1] == 127
+    assert all(q[v][2] == 0 for v in (1, 2, 3))
+    # mid-range reconstruction: code -> mn + (code+128)*(mx-mn)/255 within half step
+    step = 1.0 / 255
+    recon = (q[3][0] + 128) * step
+    assert abs(recon - 0.25) <= step / 2 + 1e-9
+
+
+def test_quantize_int8_no_shuffle_on_corpus_side(spark):
+    """The calibration relation must come back as a broadcast, not a
+    shuffled join: the corpus-side plan should contain a
+    BroadcastNestedLoopJoin/BroadcastExchange and no SortMergeJoin."""
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = similarity.quantize_int8(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
