@@ -16,7 +16,7 @@ against the previous snapshot — the operator composes either way because
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -234,3 +234,42 @@ def materialize_snapshot(
         if fs.exists(f"{old_dir}/_SUCCESS"):  # not yet pruned
             fs.delete_dir(old_dir)
     return SnapshotResult(version=v_new, rows=rows, path=out)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (distributive rollups)
+# ---------------------------------------------------------------------------
+
+
+def rollup_partial(df: DataFrame, keys: list[str], sums: dict[str, Column]) -> DataFrame:
+    """Partial-aggregate a relation for incremental maintenance: per key,
+    a row count plus one exact SUM per measure. Measures must be
+    distributive and order-independent (BIGINT/decimal sums — quantize
+    doubles first); avg/min/max under deletes need the full CDC
+    snapshot path instead."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(c).alias(name) for name, c in sums.items()],
+    )
+
+
+def merge_rollup(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: fold a
+    delta batch's partials into the maintained rollup WITHOUT touching
+    raw history. ``merge(base, partial(delta)) == partial(base_rows ∪
+    delta_rows)`` because count and sum are associative/commutative.
+
+    At 100 TB this is the difference between re-scanning the fact table
+    every load and shuffling only aggregate-sized rows: the maintained
+    rollup has one row per key (orders of magnitude smaller than the
+    corpus), the delta partial is batch-sized, and the merge is a single
+    hash aggregate over their union. Store the rollup partitioned by a
+    key prefix (e.g. month) and only the delta's touched partitions
+    rewrite. Retractions fold in the same way: emit the partial of
+    deleted rows with negated count/sums."""
+    cols = [c for c in base.columns if c not in keys]
+    if [c for c in delta.columns if c not in keys] != cols:
+        raise ValueError(f"delta columns {delta.columns} != base {base.columns}")
+    return base.unionByName(delta).groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in cols]
+    )

@@ -4699,3 +4699,100 @@ def embedding_quantize_int8(spark):
         F.array_max("q").alias("q_max"),
         "n_dims",
     )
+
+
+_INT8_QV = """
+    el AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM el GROUP BY pos),
+    qv AS (
+      SELECT vec_id,
+             pos,
+             CASE WHEN mx > mn
+                  THEN CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128
+                  ELSE 0 END AS q
+      FROM el JOIN st USING (pos)
+    )
+"""
+
+
+@q(
+    "ann_topk_int8",
+    f"""
+    WITH {_INT8_QV},
+    norms AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(q AS BIGINT) * q) AS DOUBLE)) AS nrm
+      FROM qv GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS DOUBLE) AS dot
+      FROM qv a JOIN qv b ON a.pos = b.pos
+      WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, d.vec_id, dot / (nq.nrm * nc.nrm) AS cosine_sim
+      FROM dots d
+      JOIN norms nq ON d.query_id = nq.vec_id
+      JOIN norms nc ON d.vec_id = nc.vec_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_int8(spark):
+    """Brute-force cosine top-k over int8 codes (similarity.py
+    cosine_topk_int8 over quantize_int8): the quantized scan moves 1
+    byte/dim instead of 4 — at 100 TB of embeddings the brute-force
+    baseline is bandwidth-bound, so this is a ~4× scan win before any
+    index. Exact-integer code products keep the scores
+    engine-deterministic (the oracle recomputes the same codes), and
+    the recall-vs-float property is asserted separately in
+    tests/test_layout.py."""
+    codes = similarity.quantize_int8(spark.table("embeddings"))
+    return similarity.cosine_topk_int8(codes, codes.filter(F.col("vec_id") < 5), k=10)
+
+
+@q(
+    "q_incremental_rollup",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q_incremental_rollup(spark):
+    """Incremental materialized-aggregate maintenance (operators/cdc.py
+    rollup_partial + merge_rollup): the monthly revenue rollup is built
+    as BASE partials (90% of orders) merged with a DELTA batch's
+    partials (the other 10%) — never re-scanning base rows — and the
+    oracle recomputes the whole aggregate from scratch, proving
+    merge(partial(A), partial(B)) == partial(A ∪ B) value-exact. Sums
+    are quantized to BIGINT cents (floor(x*100+0.5)) so they are
+    order-independent and engine-exact. At 100 TB the maintained rollup
+    is key-cardinality-sized; each load shuffles only aggregate rows."""
+    from muninn_avro_to_parquet_spark.operators import cdc
+
+    o = spark.table("orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+        F.col("o_orderkey"),
+    )
+    sums = {"revenue_cents": F.col("cents")}
+    base = cdc.rollup_partial(
+        o.filter(F.col("o_orderkey") % 10 != 0).drop("o_orderkey"), ["month"], sums
+    )
+    delta = cdc.rollup_partial(
+        o.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey"), ["month"], sums
+    )
+    return cdc.merge_rollup(base, delta, ["month"])

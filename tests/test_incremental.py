@@ -1,0 +1,57 @@
+"""Incremental aggregate maintenance (operators/cdc.py rollup_partial /
+merge_rollup): merge of partials equals the from-scratch aggregate for
+any split of the input, including empty deltas and retractions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import cdc
+
+
+def _rows(df):
+    return {
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    }
+
+
+def test_merge_equals_full_recompute(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    sums = {"v_sum": F.col("v")}
+    full = cdc.rollup_partial(df, ["k"], sums)
+    base = cdc.rollup_partial(df.filter(F.col("id") % 10 != 0), ["k"], sums)
+    delta = cdc.rollup_partial(df.filter(F.col("id") % 10 == 0), ["k"], sums)
+    merged = cdc.merge_rollup(base, delta, ["k"])
+    assert _rows(merged) == _rows(full)
+
+
+def test_merge_with_empty_delta_is_identity(spark):
+    df = spark.range(0, 100).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    sums = {"v_sum": F.col("v")}
+    base = cdc.rollup_partial(df, ["k"], sums)
+    delta = cdc.rollup_partial(df.filter(F.lit(False)), ["k"], sums)
+    assert _rows(cdc.merge_rollup(base, delta, ["k"])) == _rows(base)
+
+
+def test_retraction_folds_with_negated_partials(spark):
+    df = spark.range(0, 100).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    sums = {"v_sum": F.col("v")}
+    base = cdc.rollup_partial(df, ["k"], sums)
+    gone = df.filter(F.col("id") < 10)
+    neg = cdc.rollup_partial(gone, ["k"], sums).select(
+        "k", (-F.col("n_rows")).alias("n_rows"), (-F.col("v_sum")).alias("v_sum")
+    )
+    merged = cdc.merge_rollup(base, neg, ["k"])
+    expect = cdc.rollup_partial(df.filter(F.col("id") >= 10), ["k"], sums)
+    assert _rows(merged) == _rows(expect)
+
+
+def test_merge_rejects_mismatched_schemas(spark):
+    df = spark.range(0, 10).select((F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+    a = cdc.rollup_partial(df, ["k"], {"v_sum": F.col("v")})
+    b = cdc.rollup_partial(df, ["k"], {"other": F.col("v")})
+    with pytest.raises(ValueError):
+        cdc.merge_rollup(a, b, ["k"])
