@@ -605,3 +605,88 @@ def candidate_pagerank(
             (F.lit(150_000) + F.expr("85 * sum(_c) div 100")).cast("long").alias("rank_micro")
         ).select(F.col("dst").alias("node"), "rank_micro")
     return ranks
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 16,
+    max_anchor_docs: int = 64,
+) -> DataFrame:
+    """EXACT repeated-substring runs across documents — the span-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), which removes verbatim repeats a
+    document-level MinHash pass cannot see. Where ``token_chunks``
+    approximates with non-overlapping spans (misses repeats that
+    straddle a chunk boundary), this finds every maximal shared run of
+    ``>= min_run`` tokens exactly.
+
+    Distributed shape (no suffix array needed):
+    1. overlapping ``k``-gram anchor hashes with positions — one row per
+       token (the expensive relation; see scale note);
+    2. anchors are pruned to those in 2..``max_anchor_docs`` distinct
+       docs (the boilerplate cap — a gram in thousands of docs would
+       quadratically explode the pair join, same guard as the LSH
+       ``max_bucket``);
+    3. anchor equi-join pairs positions; matches of a contiguous shared
+       run all fall on one (id_a, id_b, pos_a - pos_b) diagonal;
+    4. gaps-and-islands per diagonal (``pos - row_number`` key) merges
+       contiguous anchors: a run of c matching grams is a shared
+       substring of exactly c + k - 1 tokens.
+
+    Scale: the anchor relation is corpus-token-sized; at 100 TB run this
+    WITHIN near-dup clusters (feed it the documents of one connected
+    component / LSH bucket at a time, or semi-join the corpus on
+    candidate-pair ids first) so the anchor join stays cluster-local.
+    Output: (id_a, id_b, a_start, b_start, run_tokens), one row per
+    maximal shared run, ids ordered a < b.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {k}))))"
+            )
+        ).alias("pos", "h"),
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_anchor_docs))
+        .select("h")
+    )
+    g2 = grams.join(hot, "h")
+    pairs = (
+        g2.select(F.col("_id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+        .join(
+            g2.select(F.col("_id").alias("id_b"), F.col("pos").alias("pos_b"), "h"),
+            "h",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        pairs.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            (F.count("*") + F.lit(k - 1)).alias("run_tokens"),
+        )
+        .filter(F.col("run_tokens") >= min_run)
+    )
+    return runs.select(
+        "id_a",
+        "id_b",
+        "a_start",
+        (F.col("a_start") - F.col("diag")).alias("b_start"),
+        "run_tokens",
+    )

@@ -4796,3 +4796,60 @@ def q_incremental_rollup(spark):
         o.filter(F.col("o_orderkey") % 10 == 0).drop("o_orderkey"), ["month"], sums
     )
     return cdc.merge_rollup(base, delta, ["month"])
+
+
+def _repeated_spans_oracle(k: int = 8, min_run: int = 16, cap: int = 64) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(regexp_replace(lower(text),
+                         '[^a-z0-9一-鿿 ]', ' ', 'g'), ' +'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(u.i AS INT) - 1 AS pos,
+             md5(array_to_string(list_slice(toks, CAST(u.i AS INT),
+                                            CAST(u.i AS INT) + {k - 1}), ' ')) AS h
+      FROM toks, unnest(range(1, len(toks) - {k} + 2)) AS u(i)
+      WHERE len(toks) >= {k}
+    ),
+    hot AS (
+      SELECT h FROM grams GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {cap}
+    ),
+    g2 AS (SELECT g.* FROM grams g JOIN hot USING (h)),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM m
+    ),
+    agg AS (
+      SELECT id_a, id_b, diag, island,
+             MIN(pos_a) AS a_start,
+             CAST(COUNT(*) + {k} - 1 AS BIGINT) AS run_tokens
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, a_start, a_start - diag AS b_start, run_tokens
+    FROM agg WHERE run_tokens >= {min_run}
+    """
+
+
+@q("dedup_repeated_spans", _repeated_spans_oracle())
+def dedup_repeated_spans(spark):
+    """Exact repeated-substring runs (operators/dedup.py repeated_spans):
+    Lee-et-al-style span dedup via overlapping k-gram anchors →
+    boilerplate-capped anchor join → gaps-and-islands per
+    (pair, diagonal). Finds every maximal shared run of >= 16 tokens
+    exactly — the verbatim-repeat remover document-level MinHash cannot
+    express. At 100 TB this runs within near-dup clusters (the anchor
+    join stays cluster-local); the registry query runs it corpus-wide at
+    test scale, which is the same code path."""
+    return dedup.repeated_spans(
+        spark.table("documents"), "doc_id", "text", k=8, min_run=16, max_anchor_docs=64
+    )

@@ -55,3 +55,46 @@ def test_merge_rejects_mismatched_schemas(spark):
     b = cdc.rollup_partial(df, ["k"], {"other": F.col("v")})
     with pytest.raises(ValueError):
         cdc.merge_rollup(a, b, ["k"])
+
+
+# -- exact repeated-span detection (operators/dedup.repeated_spans) --------
+
+from muninn_avro_to_parquet_spark.operators import dedup
+
+
+def test_repeated_spans_finds_known_run(spark):
+    shared = " ".join(f"w{i}" for i in range(20))  # 20-token verbatim run
+    docs = [
+        (1, "alpha beta " + shared + " gamma"),
+        (2, "delta " + shared + " epsilon zeta"),
+        (3, "unrelated text entirely different words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.repeated_spans(df, "doc_id", k=4, min_run=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["run_tokens"] == 20
+    assert r["a_start"] == 2 and r["b_start"] == 1
+
+
+def test_repeated_spans_straddles_chunk_boundaries(spark):
+    """The case non-overlapping token_chunks misses: a repeat offset by
+    half a chunk still comes back exact here."""
+    run = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, "x " + run), (2, "a b c " + run)], "doc_id long, text string"
+    )
+    out = dedup.repeated_spans(df, "doc_id", k=4, min_run=12).collect()
+    assert len(out) == 1 and out[0]["run_tokens"] == 12
+
+
+def test_repeated_spans_caps_boilerplate_anchors(spark):
+    """A gram present in more docs than max_anchor_docs is dropped —
+    the quadratic-blowup guard."""
+    boiler = "same old boilerplate line repeated everywhere forever today"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    out = dedup.repeated_spans(df, "doc_id", k=4, min_run=4, max_anchor_docs=5)
+    assert out.count() == 0
