@@ -64,7 +64,7 @@ _R5_NEW = (
     "sample_quality_weighted", "q_event_funnel", "q_stream_dedup_mirror",
     "dedup_graph_pagerank", "ann_ivf_refined_lists", "dedup_canonical_docs",
     "q_zorder_layout", "embedding_quantize_int8", "ann_topk_int8",
-    "q_incremental_rollup", "dedup_repeated_spans",
+    "q_incremental_rollup", "dedup_repeated_spans", "dedup_span_removal",
 )
 
 

@@ -690,3 +690,48 @@ def repeated_spans(
         (F.col("a_start") - F.col("diag")).alias("b_start"),
         "run_tokens",
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    min_run: int = 16,
+    max_anchor_docs: int = 64,
+) -> DataFrame:
+    """The APPLY step of exact span dedup: cut each repeated run out of
+    the HIGHER-id document of every pair found by ``repeated_spans``
+    (first occurrence survives intact — the Lee et al. policy), and
+    return the cleaned token stream per document.
+
+    Per affected document the cut intervals come back as an array
+    (overlaps union naturally through the existential check), and the
+    cleaned text is a ``filter`` over the indexed token array — pure
+    codegen, no UDFs, no explode of unaffected documents. The span
+    relation joins back LEFT so untouched documents pass through with
+    ``n_removed = 0``. Cost is one extra pass over the corpus beyond
+    ``repeated_spans`` itself; at 100 TB persist/cache the tokenized
+    relation if running both.
+
+    Output: (id, clean_text, n_removed) for EVERY input document.
+    """
+    spans = repeated_spans(df, id_col, text_col, k, min_run, max_anchor_docs)
+    ivs = spans.groupBy(F.col("id_b").alias("_rid")).agg(
+        F.collect_list(
+            F.struct(F.col("b_start").alias("s"), F.col("run_tokens").alias("n"))
+        ).alias("_ivs")
+    )
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    j = toks.join(ivs, toks[id_col] == ivs["_rid"], "left").withColumn(
+        "_kept",
+        F.expr(
+            "filter(transform(_toks, (t, i) -> struct(t, i)),"
+            " s -> _ivs IS NULL OR NOT exists(_ivs, v -> s.i >= v.s AND s.i < v.s + v.n))"
+        ),
+    )
+    return j.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.expr("transform(_kept, s -> s.t)")).alias("clean_text"),
+        (F.size("_toks") - F.size("_kept")).alias("n_removed"),
+    )

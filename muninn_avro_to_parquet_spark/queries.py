@@ -4840,6 +4840,41 @@ def _repeated_spans_oracle(k: int = 8, min_run: int = 16, cap: int = 64) -> str:
     """
 
 
+def _span_removal_oracle(k: int = 8, min_run: int = 16, cap: int = 64) -> str:
+    # same CTE chain as _repeated_spans_oracle, then cut the found runs
+    # out of the higher-id document and re-assemble the token stream
+    spans_select = _repeated_spans_oracle(k, min_run, cap)
+    # turn the standalone spans query into a CTE by splitting off its WITH
+    body = spans_select.strip()
+    assert body.startswith("WITH")
+    ctes, final = body.rsplit("SELECT id_a, id_b", 1)
+    return f"""
+    {ctes.strip()},
+    spans AS (SELECT id_a, id_b{final}),
+    cuts AS (SELECT id_b AS doc_id, b_start, run_tokens FROM spans),
+    tokpos AS (
+      SELECT doc_id, CAST(u.i AS INT) - 1 AS pos, toks[u.i] AS token
+      FROM toks, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.token FROM tokpos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cuts c
+        WHERE c.doc_id = t.doc_id
+          AND t.pos >= c.b_start AND t.pos < c.b_start + c.run_tokens)
+    ),
+    keptagg AS (
+      SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    counts AS (SELECT doc_id, len(toks) AS n_toks FROM toks)
+    SELECT c.doc_id, COALESCE(kk.clean_text, '') AS clean_text,
+           CAST(c.n_toks - COALESCE(kk.n_kept, 0) AS INT) AS n_removed
+    FROM counts c LEFT JOIN keptagg kk USING (doc_id)
+    """
+
+
 @q("dedup_repeated_spans", _repeated_spans_oracle())
 def dedup_repeated_spans(spark):
     """Exact repeated-substring runs (operators/dedup.py repeated_spans):
@@ -4851,5 +4886,22 @@ def dedup_repeated_spans(spark):
     join stays cluster-local); the registry query runs it corpus-wide at
     test scale, which is the same code path."""
     return dedup.repeated_spans(
+        spark.table("documents"), "doc_id", "text", k=8, min_run=16, max_anchor_docs=64
+    )
+
+
+@q("dedup_span_removal", _span_removal_oracle())
+def dedup_span_removal(spark):
+    """The APPLY step of exact span dedup (operators/dedup.py
+    remove_repeated_spans): every run found by ``repeated_spans`` is cut
+    from the higher-id document (first occurrence survives), and the
+    cleaned token stream comes back for EVERY document — untouched docs
+    pass through with n_removed = 0. The cut is a codegen'd indexed-array
+    ``filter`` against the doc's cut-interval array; no UDFs, no explode
+    of unaffected documents. The oracle rebuilds the identical spans via
+    the shared CTE chain, then anti-filters token positions relationally
+    — proving the whole find→apply pipeline value-exact, clean text
+    included."""
+    return dedup.remove_repeated_spans(
         spark.table("documents"), "doc_id", "text", k=8, min_run=16, max_anchor_docs=64
     )

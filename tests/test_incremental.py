@@ -98,3 +98,25 @@ def test_repeated_spans_caps_boilerplate_anchors(spark):
     )
     out = dedup.repeated_spans(df, "doc_id", k=4, min_run=4, max_anchor_docs=5)
     assert out.count() == 0
+
+
+def test_remove_repeated_spans_cuts_higher_id_doc(spark):
+    shared = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, "intro " + shared + " outro"),
+            (2, "pre " + shared + " post"),
+            (3, "untouched document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_repeated_spans(df, "doc_id", k=4, min_run=12).collect()
+    }
+    assert out[1]["n_removed"] == 0  # first occurrence survives
+    assert out[1]["clean_text"] == "intro " + shared + " outro"
+    assert out[2]["n_removed"] == 12  # the run is cut, frame words stay
+    assert out[2]["clean_text"] == "pre post"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "untouched document with its own words"
