@@ -166,6 +166,25 @@ HEADLINERS: list[tuple[str, str]] = [
         "second window reuses the first's partitioning) + one global "
         "aggregate — never the naive pair of event-log self-joins.",
     ),
+    (
+        "dedup_repeated_spans",
+        "Exact span dedup: overlapping k-gram anchors equi-join on the "
+        "anchor hash (boilerplate-capped — no quadratic blowup); runs merge "
+        "in ONE window over the (pair, diagonal) exchange, never a per-pair "
+        "alignment loop.",
+    ),
+    (
+        "q_zorder_layout",
+        "Morton key = a 32-term shift/AND/OR tree inside whole-stage "
+        "codegen; min/max calibration is a broadcast 1-row aggregate, so "
+        "the only exchange is the final bucket group-by.",
+    ),
+    (
+        "q_incremental_rollup",
+        "Base and delta partials each map-side combine; the merge is one "
+        "hash aggregate over aggregate-sized rows — the fact table is "
+        "never re-scanned at load time.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")
