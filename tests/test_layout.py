@@ -136,3 +136,51 @@ def test_int8_topk_recall_vs_exact(spark):
     # can swap ranks 8..12 freely (observed ≈0.78 here; real clustered
     # embeddings sit far higher because true neighbors have a margin).
     assert recall >= 0.7, recall
+
+
+def test_write_zordered_files_have_tight_stats(spark, tmp_path):
+    """The data-skipping proof: after write_zordered, each output FILE's
+    parquet footer min/max covers a small box in BOTH dimensions, so a
+    2-D predicate prunes most files. Compare against a single-column
+    sort, where the second dimension's per-file spread stays ~global."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    # the full 128x128 grid, one row per point — every (x, y) independent
+    df = spark.range(0, 1 << 14).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") / 128).cast("long") % 128).alias("y"),
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    layout.write_zordered(df, zdir, ["x", "y"], num_files=16, bits=7)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(sdir)
+
+    def spreads(d):
+        out = []
+        for f in _glob.glob(f"{d}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mnx = mny = 1 << 30
+            mxx = mxy = -(1 << 30)
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name == "x":
+                        mnx, mxx = min(mnx, st.min), max(mxx, st.max)
+                    elif name == "y":
+                        mny, mxy = min(mny, st.min), max(mxy, st.max)
+            out.append(((mxx - mnx), (mxy - mny)))
+        return out
+
+    z = spreads(zdir)
+    s = spreads(sdir)
+    # z-order: the TYPICAL file covers a small box in BOTH dims (median;
+    # a file straddling a top-level quadrant boundary can legitimately
+    # span wider, so max is not the right statistic for unaligned splits)
+    med = sorted(dx for dx, _ in z)[len(z) // 2], sorted(dy for _, dy in z)[len(z) // 2]
+    assert med[0] <= 63 and med[1] <= 63, z
+    # single-column x-sort: every file spans the whole y domain
+    assert min(dy for _, dy in s) >= 120, s
+    assert max(dx for dx, _ in s) <= 15, s
