@@ -646,14 +646,19 @@ def repeated_spans(
     toks = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= k)
-    grams = toks.select(
-        "_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {k}),"
-                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {k}))))"
-            )
-        ).alias("pos", "h"),
+    # the anchor relation feeds BOTH the hot-anchor aggregate and the pair
+    # join — scope-cache it so tokenize+md5 runs once, not twice
+    grams = _cache_scoped(
+        toks.select(
+            "_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i + 1, {k}))))"
+                )
+            ).alias("pos", "h"),
+        ),
+        "span_grams",
     )
     hot = (
         grams.groupBy("h")
