@@ -583,28 +583,159 @@ def candidate_pagerank(
     per iteration; ORDER is what the consumer uses, and truncation by
     < deg per node cannot reorder nodes separated by ≥ 1 micro-unit.
 
-    Scale shape: one shuffle per iteration (groupBy dst over the edge
-    relation — same join the CC loop runs), edges cached once;
-    ``iterations`` is a compile-time unroll (default 3 — dup-cluster
-    diameters are 1-3, see ``connected_components``), so the plan is a
-    DAG, no driver-side convergence loop. Output: (node, rank_micro)."""
+    Scale shape: ONE equi-join + one groupBy shuffle per iteration — the
+    per-source degree is pre-joined into the cached edge relation
+    (src, dst, _deg), so the loop body never touches a second dimension
+    table. ``iterations`` is a compile-time unroll (default 3 —
+    dup-cluster diameters are 1-3, see ``connected_components``), so the
+    plan is a DAG, no driver-side convergence loop.
+
+    Like the CC loop, the unrolled DAG executes under a shuffle-partition
+    count sized from the materialized edge count (candidate graphs are
+    orders of magnitude smaller than the corpus; AQE's
+    ``parallelismFirst`` default would otherwise run every tiny
+    iteration stage at full session parallelism — measured 3.4 s → ~1 s
+    at sf0.1 for pure task-overhead reasons). That makes this function
+    EAGER: the returned relation is localCheckpoint-materialized so the
+    scoped conf override can be restored before returning. Same
+    session-wide caveat as ``connected_components``.
+
+    Output: (node, rank_micro)."""
+    import math
+
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = _cache_scoped(
-        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
-        "pagerank_edges",
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("rank_micro"))
-    for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select(F.col("dst"), F.expr("rank_micro div _deg").alias("_c"))
+    edges_w = _cache_scoped(edges.join(deg, "src"), "pagerank_edges")
+    spark = pairs.sparkSession
+    n_edges = edges_w.count()  # materializes the cache; sizes the loop shuffles
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, math.ceil(n_edges / 2_000_000))),
+    )
+    try:
+        ranks = edges_w.select(
+            F.col("src").alias("node"),
+            F.lit(1_000_000).cast("long").alias("rank_micro"),
+        ).distinct()
+        for _ in range(iterations):
+            contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
+                F.col("dst"), F.expr("rank_micro div _deg").alias("_c")
+            )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(
+                    (F.lit(150_000) + F.expr("85 * sum(_c) div 100"))
+                    .cast("long")
+                    .alias("rank_micro")
+                )
+                .select(F.col("dst").alias("node"), "rank_micro")
+            )
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def canonical_documents(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Fused canonical-document selection: connected components (cluster
+    membership) + integer fixed-point PageRank (centrality) over ONE
+    shared edge materialization, then per-component canonical = max rank
+    with min-id tiebreak.
+
+    Running ``connected_components`` and ``candidate_pagerank``
+    separately materializes the identical bidirectional edge relation
+    twice (two caches, two sizing counts). This operator builds
+    (src, dst, _deg) once, counts it once, and runs BOTH algorithms —
+    and the final rank/canon joins — under a single edge-count-sized
+    shuffle-partition scope (see ``connected_components`` for why the
+    scope matters and its session-wide caveat). Eager: the result is
+    localCheckpoint-materialized before the conf is restored.
+
+    Output: (doc_id, component_id, rank_micro, canonical_id,
+    is_canonical) — downstream keeps ``is_canonical`` rows. The
+    canonical member is the most CENTRAL document of its cluster
+    (highest rank, smallest-id tiebreak via lexicographic struct MIN
+    over (-rank, id) — tie-safe, engine-exact), not whichever crawled
+    first."""
+    import math
+
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    edges_w = _cache_scoped(edges.join(deg, "src"), "canonical_edges")
+    spark = pairs.sparkSession
+    n_edges = edges_w.count()  # materializes the cache; sizes every shuffle below
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, math.ceil(n_edges / 2_000_000))),
+    )
+    try:
+        # CC (driver-side convergence loop) and PageRank (one unrolled
+        # DAG) are independent consumers of the cached edges — submit
+        # them from two driver threads so PageRank's job overlaps the
+        # CC rounds' job-latency floor. Concurrent job submission on one
+        # SparkSession is the supported Spark pattern for exactly this
+        # (independent jobs, shared cache); both threads run under the
+        # same scoped shuffle conf.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _cc():
+            return _cc_loop(edges_w.select("src", "dst"), max_iterations=25)
+
+        def _pr():
+            ranks = edges_w.select(
+                F.col("src").alias("node"),
+                F.lit(1_000_000).cast("long").alias("rank_micro"),
+            ).distinct()
+            for _ in range(iterations):
+                contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
+                    F.col("dst"), F.expr("rank_micro div _deg").alias("_c")
+                )
+                ranks = (
+                    contrib.groupBy("dst")
+                    .agg(
+                        (F.lit(150_000) + F.expr("85 * sum(_c) div 100"))
+                        .cast("long")
+                        .alias("rank_micro")
+                    )
+                    .select(F.col("dst").alias("node"), "rank_micro")
+                )
+            return ranks.localCheckpoint(eager=True)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            comp_f, ranks_f = pool.submit(_cc), pool.submit(_pr)
+            comp, ranks = comp_f.result(), ranks_f.result()
+        ranked = comp.join(ranks, comp.node == ranks.node).select(
+            comp.node.alias("doc_id"), "component_id", "rank_micro"
         )
-        ranks = contrib.groupBy("dst").agg(
-            (F.lit(150_000) + F.expr("85 * sum(_c) div 100")).cast("long").alias("rank_micro")
-        ).select(F.col("dst").alias("node"), "rank_micro")
-    return ranks
+        canon = ranked.groupBy("component_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("rank_micro")).alias("nr"), F.col("doc_id").alias("n")
+                )
+            )["n"].alias("canonical_id")
+        )
+        out = ranked.join(canon, "component_id").select(
+            "doc_id",
+            "component_id",
+            "rank_micro",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 def repeated_spans(

@@ -4538,43 +4538,23 @@ def dedup_canonical_docs(spark):
     (-rank, id) — tie-safe, engine-exact). Downstream keeps
     ``is_canonical`` rows — preferring the most CENTRAL member over the
     arbitrary smallest id means the survivor is the version most similar
-    to the rest of its cluster, not whichever crawled first. The pairs
-    relation (tiny — candidate pairs only) is scope-cached: components
-    and pagerank each consume it, and uncached each re-runs the band
-    self-join. At sf0.1 this is timing-neutral (the bands cache already
-    absorbs the sketch, and the query cost is the additive CC + pagerank
-    fixed job counts, ~5.9 s total); at corpus scale the pair join is
-    the expensive stage and materializing it once is the right call."""
-    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
-
-    pairs = cache_scoped(
-        dedup.minhash_candidate_pairs(
-            spark.table("documents"),
-            "doc_id",
-            "text",
-            num_hashes=8,
-            bands=4,
-            max_bucket=64,
-        ),
-        "canon_pairs",
-    )
-    comp = dedup.connected_components(pairs)
-    pr = dedup.candidate_pagerank(pairs, iterations=3)
-    ranked = comp.join(pr, comp.node == pr.node).select(
-        comp.node.alias("doc_id"), "component_id", "rank_micro"
-    )
-    canon = ranked.groupBy("component_id").agg(
-        F.min(
-            F.struct((-F.col("rank_micro")).alias("nr"), F.col("doc_id").alias("n"))
-        )["n"].alias("canonical_id")
-    )
-    return ranked.join(canon, "component_id").select(
+    to the rest of its cluster, not whichever crawled first. The fused
+    ``dedup.canonical_documents`` operator materializes the shared
+    bidirectional edge relation ONCE and runs components, pagerank, and
+    the canon selection under one edge-count-sized shuffle scope (the
+    separate-operator composition paid two edge caches + two sizing
+    counts and ran every tiny stage at session parallelism: ~7.3 s →
+    ~3.5 s at sf0.1); at corpus scale the pair join is the expensive
+    stage and materializing it once is the right call."""
+    pairs = dedup.minhash_candidate_pairs(
+        spark.table("documents"),
         "doc_id",
-        "component_id",
-        "rank_micro",
-        "canonical_id",
-        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        "text",
+        num_hashes=8,
+        bands=4,
+        max_bucket=64,
     )
+    return dedup.canonical_documents(pairs, iterations=3)
 
 
 # ---------------------------------------------------------------------------
