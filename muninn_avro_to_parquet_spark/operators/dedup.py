@@ -738,6 +738,67 @@ def canonical_documents(
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    block: F.Column | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Blocked fuzzy self-join: record-linkage-style near-match pairs by
+    Levenshtein edit distance, with a BLOCKING key so the quadratic
+    comparison never runs corpus-wide.
+
+    The classic entity-resolution shape: an all-pairs edit-distance join
+    is O(n²) and dead at any scale; blocking first (here: default block =
+    lowercased first token of ``text_col``; pass any Column for
+    domain-specific keys like soundex or length-band+prefix) turns it
+    into an equi-join on the block key — only same-block rows are ever
+    compared, and ``levenshtein`` runs JVM-side on the joined pairs
+    (whole-stage codegen, no UDF). ``id_a < id_b`` halves the output.
+
+    ``max_block`` is the same guard as ``minhash_candidate_pairs``'s
+    ``max_bucket``: a block of k rows emits k²/2 comparisons, so one
+    degenerate key (empty string, boilerplate prefix) can dominate the
+    job; blocks larger than the cap are dropped (log them, don't pair
+    them). The cap is one window count over the block key — the shuffle
+    the join needs anyway.
+
+    Recall caveat (inherent to blocking, worth stating): pairs whose
+    edits change the block key itself (a typo in the first token) are
+    not candidates. Production linkage runs 2-3 block passes with
+    different keys and unions the candidates — composition of this
+    operator.
+
+    Output: (id_a, id_b, text_a, text_b, distance), distance ≤
+    ``max_distance``."""
+    blk = block if block is not None else F.lower(F.split(F.col(text_col), " ")[0])
+    rel = df.select(F.col(id_col), F.col(text_col), blk.alias("_blk"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        rel = (
+            rel.withColumn("_blk_n", F.count("*").over(Window.partitionBy("_blk")))
+            .filter(F.col("_blk_n") <= max_block)
+            .drop("_blk_n")
+        )
+    rel = _cache_scoped(rel, "fuzzy_blocks")
+    left = rel.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "_blk"
+    )
+    right = rel.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "_blk"
+    )
+    return (
+        left.join(right, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str,

@@ -357,3 +357,111 @@ def sample_weighted(
     return df.filter(
         (thresh >= _BUCKETS) | (prefix < F.format_string("%04x", thresh))
     )
+
+
+def assign_split_leakage_safe(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a duplicate
+    cluster lands in the SAME split, so a near-copy of a training
+    document can never leak into the eval set — the contamination mode a
+    plain per-document hash split cannot prevent (hash(id_a) and
+    hash(id_b) are independent even when doc_a ≈ doc_b).
+
+    ``pairs`` is a candidate-pair relation (id_a, id_b) — typically
+    ``dedup.minhash_candidate_pairs`` output. Connected components
+    collapse the pairs into clusters; the split key is the component
+    representative (minimum member id), falling back to the document's
+    own id for singletons, and the split label is the standard
+    ``split_column`` hash of that key. Because the representative is the
+    cluster MINIMUM (stable under re-runs), assignments stay
+    deterministic across engines and incremental re-processing, same as
+    ``assign_split``.
+
+    Scale shape: the candidate graph is orders of magnitude smaller than
+    the corpus (CC runs edge-count-sized shuffles, see
+    ``connected_components``); the corpus-side work is ONE left
+    equi-join against the (node, component_id) relation — broadcast-able
+    whenever the cluster membership fits, which at production dup rates
+    (<10% of docs in any cluster) it usually does — plus the shuffle-free
+    split projection. Output: df columns + ``split_key`` + ``split``."""
+    from muninn_avro_to_parquet_spark.operators.dedup import connected_components
+
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component_id")
+    )
+    joined = df.join(comp, id_col, "left").withColumn(
+        "split_key", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    return joined.drop("component_id").withColumn(
+        "split", split_column(F.col("split_key"), weights, salt)
+    )
+
+
+def sample_to_target_mixture(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    target_weights: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample a multi-source corpus DOWN to a target mixture — the
+    dataset-mixing step that turns "we crawled whatever we got" into
+    "the training set is 50% web, 30% code, 20% books".
+
+    ``target_weights`` maps stratum value → integer weight (ratios, need
+    not sum to anything). The operator keeps the LARGEST corpus
+    achievable at exactly that mixture: the binding stratum b (smallest
+    observed n_s/w_s) is kept whole, and every other stratum s keeps
+    fraction (w_s·n_b)/(w_b·n_s) of its rows. Strata absent from
+    ``target_weights`` are dropped.
+
+    Engine-exact by construction — the keep decision is the ALL-INTEGER
+    comparison ``bucket(id) · w_b · n_s < 65536 · w_s · n_b`` evaluated
+    in DECIMAL(38,0) (no float fraction ever materializes, so there is
+    no rounding to disagree on), and the binding stratum is chosen by
+    the integer key (n_s·1e6 div w_s, stratum) — deterministic
+    tie-break, exact in any engine.
+
+    Scale shape: one tiny groupBy-count over the stratum column (combines
+    map-side), the 1-row binding reduction, then a broadcast join of the
+    per-stratum counts back onto the corpus and a shuffle-free filter —
+    the scan dominates, as it must at 100 TB."""
+    rows = [(k, int(v)) for k, v in sorted(target_weights.items())]
+    if not rows or any(w <= 0 for _, w in rows):
+        raise ValueError("target_weights must be a non-empty map to positive ints")
+    spark = df.sparkSession
+    targets = spark.createDataFrame(rows, f"{strata_col} string, _w long")
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("_n"))
+        .join(targets, strata_col)
+    )
+    binding = counts.select(
+        F.min(
+            F.struct(
+                F.expr("_n * 1000000L div _w").alias("k"),
+                F.col(strata_col).alias("s"),
+                F.col("_n").alias("nb"),
+                F.col("_w").alias("wb"),
+            )
+        ).alias("b")
+    ).select(F.col("b.nb").alias("_nb"), F.col("b.wb").alias("_wb"))
+    bucket = F.conv(hash_bucket_prefix(F.col(id_col), salt), 16, 10).cast("long")
+    dec = "decimal(38,0)"
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .join(F.broadcast(binding))
+        .filter(
+            bucket.cast(dec) * F.col("_wb").cast(dec) * F.col("_n").cast(dec)
+            < F.lit(_BUCKETS).cast(dec)
+            * F.col("_w").cast(dec)
+            * F.col("_nb").cast(dec)
+        )
+        .drop("_n", "_w", "_nb", "_wb")
+    )

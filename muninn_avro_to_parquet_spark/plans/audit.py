@@ -185,6 +185,19 @@ HEADLINERS: list[tuple[str, str]] = [
         "hash aggregate over aggregate-sized rows — the fact table is "
         "never re-scanned at load time.",
     ),
+    (
+        "q_fuzzy_join_parts",
+        "Blocked fuzzy join: equi-join on the blocking key, levenshtein "
+        "evaluated JVM-side on block-local pairs only — the O(n²) "
+        "all-pairs comparison never appears in the plan.",
+    ),
+    (
+        "sample_target_mixture",
+        "Target-mixture resampling: one tiny stratum-count aggregate, a "
+        "1-row binding reduction, then BROADCAST joins back onto the "
+        "corpus — the scan side never shuffles, and the keep rule is "
+        "all-integer decimal arithmetic in codegen.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")

@@ -4885,3 +4885,123 @@ def dedup_span_removal(spark):
     return dedup.remove_repeated_spans(
         spark.table("documents"), "doc_id", "text", k=8, min_run=16, max_anchor_docs=64
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-2 additions: leakage-safe splits, target-mixture
+# resampling, blocked fuzzy join
+# ---------------------------------------------------------------------------
+
+
+def _leakage_split_oracle() -> str:
+    # CC walk (same CTE as _components_oracle) -> split key = component
+    # representative, own id for singletons -> the standard hash-cutoff
+    # split CASE over that key
+    key = "COALESCE(c.component_id, d.doc_id)"
+    pfx = f"substr(md5('split:' || CAST({key} AS VARCHAR)), 1, 4)"
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component_id FROM walk GROUP BY node)
+    SELECT d.doc_id, {key} AS split_key,
+           CASE WHEN {pfx} < '{_SPLIT_CUT_TRAIN}' THEN 'train'
+                WHEN {pfx} < '{_SPLIT_CUT_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@q("split_leakage_safe", _leakage_split_oracle())
+def split_leakage_safe(spark):
+    """Near-dup-aware train/val/test split (operators/pipeline.py
+    assign_split_leakage_safe): the split key is the connected-component
+    representative of the MinHash-LSH candidate graph, so every member
+    of a duplicate cluster lands in the SAME split — a near-copy of a
+    training document can never contaminate the eval set, the leak a
+    plain per-document hash split cannot prevent. Singletons keep their
+    own id as the key, making the assignment identical to
+    ``split_train_val_test`` wherever no duplicate exists."""
+    docs = spark.table("documents")
+    pairs = dedup.minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=8, bands=4, max_bucket=64,
+        distinct=False,  # min-label CC is duplicate-insensitive
+    )
+    return pipeline.assign_split_leakage_safe(
+        docs, "doc_id", pairs, _SPLIT_WEIGHTS
+    ).select("doc_id", "split_key", "split")
+
+
+_MIXTURE_TARGETS = {"src1": 50, "src2": 30, "src3": 20}
+
+
+def _target_mixture_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIXTURE_TARGETS.items()))
+    srcs = ", ".join(f"'{s}'" for s in sorted(_MIXTURE_TARGETS))
+    return f"""
+    WITH t(source, w) AS (VALUES {vals}),
+    counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source IN ({srcs}) GROUP BY source
+    ),
+    j AS (SELECT c.source, c.n, CAST(t.w AS BIGINT) AS w FROM counts c JOIN t USING (source)),
+    b AS (
+      SELECT n AS nb, w AS wb FROM j
+      ORDER BY (n * 1000000) // w ASC, source ASC LIMIT 1
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN j USING (source) CROSS JOIN b
+    WHERE CAST(CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS HUGEINT)
+          * CAST(b.wb AS HUGEINT) * CAST(j.n AS HUGEINT)
+          < CAST(65536 AS HUGEINT) * CAST(j.w AS HUGEINT) * CAST(b.nb AS HUGEINT)
+    """
+
+
+@q("sample_target_mixture", _target_mixture_oracle())
+def sample_target_mixture(spark):
+    """Resample the corpus DOWN to a target source mixture
+    (operators/pipeline.py sample_to_target_mixture): keep the largest
+    corpus achievable at exactly 50/30/20 across src1/src2/src3 — the
+    binding source is kept whole, every other source is hash-thinned to
+    match, all other sources are dropped. The keep decision is an
+    all-integer cross-multiplication (no float fraction ever exists), so
+    the sampled set is bit-identical in any engine."""
+    return pipeline.sample_to_target_mixture(
+        spark.table("documents"), "doc_id", "source", _MIXTURE_TARGETS
+    ).select("doc_id", "source", "lang")
+
+
+@q(
+    "q_fuzzy_join_parts",
+    """
+    WITH rel AS (
+      SELECT p_partkey AS id, p_name AS txt,
+             lower(split_part(p_name, ' ', 1)) AS blk
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b,
+           CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS distance
+    FROM rel a JOIN rel b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.txt, b.txt) <= 2
+    """,
+)
+def q_fuzzy_join_parts(spark):
+    """Blocked fuzzy self-join (operators/dedup.py fuzzy_pairs_blocked):
+    record-linkage near-matches on part names — equi-join on the
+    blocking key (lowercased first token), JVM-side levenshtein on the
+    block-local pairs only, never corpus-wide. The entity-resolution
+    primitive the relational surface otherwise lacks."""
+    out = dedup.fuzzy_pairs_blocked(
+        spark.table("part"), "p_partkey", "p_name", max_distance=2
+    )
+    return out.select(
+        "id_a", "id_b", "text_a", "text_b", F.col("distance").cast("long").alias("distance")
+    )

@@ -371,3 +371,95 @@ def test_sample_weighted_bounds_and_monotonicity(spark):
     # keep rates near the requested probabilities (16-bit uniform hash)
     assert abs(len(lo_ids) / 2000 - 0.2) < 0.05
     assert abs(len(hi_ids) / 2000 - 0.6) < 0.05
+
+
+def test_leakage_safe_split_clusters_colocated(spark):
+    """Every member of a pair-connected cluster must land in the SAME
+    split, and singletons must match the plain per-id assignment."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # two clusters: {0,1,2,3} (chain) and {10,11}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = pipeline.assign_split_leakage_safe(docs, "doc_id", pairs)
+    rows = {r["doc_id"]: (r["split_key"], r["split"]) for r in out.collect()}
+    assert len(rows) == 200
+    # cluster members share key and split
+    assert len({rows[i] for i in (0, 1, 2, 3)}) == 1
+    assert rows[0][0] == 0  # representative = cluster minimum
+    assert len({rows[i] for i in (10, 11)}) == 1
+    assert rows[10][0] == 10
+    # singletons: identical to the plain hash split of their own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in pipeline.assign_split(docs, "doc_id").collect()
+    }
+    for i in range(20, 200):
+        assert rows[i][0] == i
+        assert rows[i][1] == plain[i]
+
+
+def test_sample_to_target_mixture_exact_shape(spark):
+    """Binding stratum kept whole; other strata thinned to the target
+    ratio; unlisted strata dropped; deterministic across invocations."""
+    rows = (
+        [(i, "a") for i in range(1000)]
+        + [(10_000 + i, "b") for i in range(300)]
+        + [(20_000 + i, "c") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # target 1:1 between a and b -> b (300 per unit) binds; a thins to ~300
+    out = pipeline.sample_to_target_mixture(
+        df, "doc_id", "source", {"a": 1, "b": 1}
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "c" not in counts  # unlisted stratum dropped
+    assert counts["b"] == 300  # binding stratum kept whole
+    assert abs(counts["a"] - 300) < 40  # 16-bit hash thinning tolerance
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in pipeline.sample_to_target_mixture(
+            df, "doc_id", "source", {"a": 1, "b": 1}
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_sample_to_target_mixture_validates_weights(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        pipeline.sample_to_target_mixture(df, "doc_id", "source", {})
+    with pytest.raises(ValueError):
+        pipeline.sample_to_target_mixture(df, "doc_id", "source", {"a": 0})
+
+
+def test_fuzzy_pairs_blocked_matches_and_guard(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "red gear"),
+            (2, "red bear"),   # distance 1 from "red gear"? g->b = 1
+            (3, "red widget"),
+            (4, "blue gear"),  # different block: never compared to red *
+            (5, "blue gearz"),
+        ],
+        "id long, name string",
+    )
+    out = dedup.fuzzy_pairs_blocked(df, "id", "name", max_distance=2)
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in out.collect()}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(4, 5)] == 1
+    assert (1, 4) not in pairs  # cross-block pair, even though distance 1
+    assert (1, 3) not in pairs  # same block but distance > 2
+    # max_block guard: cap of 1 drops every block with >1 member
+    assert (
+        dedup.fuzzy_pairs_blocked(df, "id", "name", max_distance=2, max_block=1).count()
+        == 0
+    )

@@ -252,3 +252,28 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark):
+    """The fuzzy join must pair only within blocks (equi-join on the
+    block key) with levenshtein evaluated JVM-side on the joined rows —
+    never a cartesian/nested-loop over the whole relation, never a
+    Python UDF."""
+    plan = _plan(QUERIES["q_fuzzy_join_parts"].spark(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_target_mixture_corpus_side_unshuffled(spark):
+    """Mixture resampling must join the tiny per-stratum count relation
+    back onto the corpus as a BROADCAST (the corpus side must not
+    shuffle for a 2-row dimension), and the keep filter must be decimal
+    arithmetic in the plan, not a Python UDF."""
+    plan = _plan(QUERIES["sample_target_mixture"].spark(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # corpus side: documents scan feeds the broadcast join directly —
+    # no Exchange between the scan and the first join
+    assert "SortMergeJoin" not in plan
