@@ -231,6 +231,64 @@ def decontaminate(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    stratum_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-subcorpus n-gram overlap matrix: for every pair of strata
+    (sources, dumps, domains), how many distinct word n-grams they
+    share and the shingle-set Jaccard — the observability view that
+    tells you BEFORE training that two crawls are 40% the same corpus,
+    or that a "held-out" source leaks into the training mix.
+
+    Scale shape: one distinct over (stratum, shingle) — the relation is
+    bounded by vocabulary × strata, not by corpus size — then a
+    self-equi-join on the shingle. A shingle appearing in k strata emits
+    k²/2 pair rows, and k is bounded by the NUMBER OF STRATA (tens),
+    not by document count, so the join output is at most
+    |shingles| · |strata|²/2 — no cap needed, unlike document-level
+    pair generation. Jaccard divides two exact longs in double, same
+    operand order in any engine.
+
+    Output: (stratum_a, stratum_b, n_shared, n_a, n_b, jaccard) for
+    every stratum pair that shares at least one shingle."""
+    sh = _cache_scoped(
+        df.select(F.col(stratum_col), tokens(F.col(text_col)).alias("toks"))
+        .select(F.col(stratum_col), F.explode(word_ngrams(F.col("toks"), n)).alias("shingle"))
+        .distinct(),
+        "overlap_shingles",
+    )
+    sizes = sh.groupBy(stratum_col).agg(F.count("*").alias("n_sh"))
+    left = sh.select(F.col(stratum_col).alias("stratum_a"), "shingle")
+    right = sh.select(F.col(stratum_col).alias("stratum_b"), "shingle")
+    shared = (
+        left.join(right, "shingle")
+        .filter(F.col("stratum_a") < F.col("stratum_b"))
+        .groupBy("stratum_a", "stratum_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(stratum_col).alias("stratum_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(stratum_col).alias("stratum_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "stratum_a")
+        .join(F.broadcast(sb), "stratum_b")
+        .select(
+            "stratum_a",
+            "stratum_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

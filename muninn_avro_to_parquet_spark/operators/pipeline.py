@@ -359,6 +359,51 @@ def sample_weighted(
     )
 
 
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    stratum_col: str,
+    fraction_ppm: int,
+    id_col: str,
+) -> DataFrame:
+    """Keep the top fraction of each stratum by score — the RELATIVE
+    quality cut (keep the best 30% of every source) that curation
+    pipelines apply instead of a global threshold, because score
+    distributions differ wildly between sources and one absolute cutoff
+    either guts the clean source or keeps the noisy one whole.
+
+    ``fraction_ppm`` is parts-per-million (300_000 = 30%) so the kept
+    count per stratum is the ALL-INTEGER ``ceil(n · ppm / 1e6)`` —
+    computed as ``(n·ppm + 999999) div 1000000`` — never a float whose
+    rounding could differ between engines. Every non-empty stratum keeps
+    at least one row. Ranking is (score DESC, id ASC): tie-safe and
+    deterministic, so re-runs and engines agree row-for-row.
+
+    Scale shape: one shuffle on the stratum key; rank and stratum count
+    come from the same window partition, so there is no second pass.
+    Skew note: a stratum is a source/dump — row counts are large but the
+    window is rank-only (no full materialization per partition beyond
+    the sort); for pathological single-stratum corpora, range-partition
+    the sort (see ``text.global_row_number``) instead."""
+    from pyspark.sql import Window
+
+    if not (0 < fraction_ppm <= 1_000_000):
+        raise ValueError("fraction_ppm must be in (0, 1000000]")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(
+            F.col("_rn")
+            <= F.expr(f"(_n * {int(fraction_ppm)}L + 999999L) div 1000000L")
+        )
+        .drop("_rn", "_n")
+    )
+
+
 def assign_split_leakage_safe(
     df: DataFrame,
     id_col: str,

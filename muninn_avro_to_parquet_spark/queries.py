@@ -5005,3 +5005,85 @@ def q_fuzzy_join_parts(spark):
     return out.select(
         "id_a", "id_b", "text_a", "text_b", F.col("distance").cast("long").alias("distance")
     )
+
+
+@q(
+    "corpus_overlap_matrix",
+    f"""
+    WITH toks AS (SELECT source, {_SQL_TOKENS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS stratum_a, b.source AS stratum_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.stratum_a, s.stratum_b, s.n_shared, x.n_sh AS n_a, y.n_sh AS n_b,
+           CAST(s.n_shared AS DOUBLE) / CAST(x.n_sh + y.n_sh - s.n_shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes x ON s.stratum_a = x.source
+    JOIN sizes y ON s.stratum_b = y.source
+    """,
+)
+def corpus_overlap_matrix(spark):
+    """Cross-source shingle-overlap matrix (operators/dedup.py
+    source_overlap_matrix): per source pair, shared distinct 3-gram
+    count and shingle-set Jaccard — the before-training observability
+    view that catches two crawls being substantially the same corpus or
+    a held-out source leaking into the mix. The self-join fans out per
+    shingle by the number of STRATA it appears in (bounded by the
+    stratum count, tens), never by document count."""
+    return dedup.source_overlap_matrix(spark.table("documents"), "source")
+
+
+@q(
+    "doc_quality_top_fraction",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, text, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source,
+        len(toks) AS n_tokens,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN stopword_ratio > 0.01 AND stopword_ratio < 0.6 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+      FROM feat
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY quality_score DESC, doc_id ASC
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, quality_score
+    FROM ranked WHERE rn <= (n * 300000 + 999999) // 1000000
+    """,
+)
+def doc_quality_top_fraction(spark):
+    """Per-source relative quality cut (operators/pipeline.py
+    filter_top_fraction): keep the best 30% of EVERY source by quality
+    score — the stratified alternative to a global threshold, which
+    either guts the clean source or keeps the noisy one whole. Kept
+    count per stratum is the all-integer ceil(n·ppm/1e6); ranking is
+    (score DESC, doc_id ASC) so engines and re-runs agree row-for-row."""
+    scored = text.quality_features(spark.table("documents"))
+    return pipeline.filter_top_fraction(
+        scored, "quality_score", "source", 300_000, "doc_id"
+    ).select("doc_id", "source", "quality_score")

@@ -463,3 +463,41 @@ def test_fuzzy_pairs_blocked_matches_and_guard(spark):
         dedup.fuzzy_pairs_blocked(df, "id", "name", max_distance=2, max_block=1).count()
         == 0
     )
+
+
+def test_filter_top_fraction_ceil_and_ties(spark):
+    """Kept count per stratum is ceil(n*ppm/1e6) with at least one row;
+    ranking is (score DESC, id ASC) so ties resolve to smaller ids."""
+    rows = [(i, "a", float(i % 5)) for i in range(10)] + [(100, "b", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = pipeline.filter_top_fraction(df, "score", "source", 300_000, "doc_id")
+    got = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    # stratum a: n=10, ceil(3.0)=3 kept -> scores 4.0 (ids 4,9) then tie at
+    # 3.0 between ids 3,8 -> id 3 wins
+    # stratum b: n=1 -> ceil(0.3)=1 kept
+    assert got == [("a", 3), ("a", 4), ("a", 9), ("b", 100)]
+    with pytest.raises(ValueError):
+        pipeline.filter_top_fraction(df, "score", "source", 0, "doc_id")
+
+
+def test_source_overlap_matrix_exact(spark):
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "alpha beta gamma delta"),   # shingles: abc, bcd
+            (2, "s2", "alpha beta gamma epsilon"), # shingles: abc, bce
+            (3, "s3", "one two three"),            # shingle: ott
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["stratum_a"], r["stratum_b"]): r
+        for r in dedup.source_overlap_matrix(df, "source").collect()
+    }
+    # s1 and s2 share exactly the "alpha beta gamma" shingle
+    r = out[("s1", "s2")]
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert abs(r["jaccard"] - 1 / 3) < 1e-12
+    # s3 shares nothing -> no row at all
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
