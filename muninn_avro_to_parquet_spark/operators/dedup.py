@@ -231,6 +231,94 @@ def decontaminate(
     )
 
 
+def incremental_dedup_flags(
+    delta: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup screening: flag each document of a NEW batch
+    against an EXISTING corpus using the corpus's precomputed MinHash
+    band relation — the daily-crawl maintenance path. At 100 TB you
+    sketch the corpus once, persist the (id, band_idx, band_hash)
+    relation (4 narrow rows per doc), and each increment only sketches
+    ITSELF: the corpus text is never re-read, never re-tokenized.
+
+    Semantics are exactly full-corpus LSH restricted to the delta: the
+    ``max_bucket`` boilerplate cap counts the COMBINED (corpus ∪ delta)
+    bucket population, so a batch that tips a bucket over the cap
+    behaves identically to a from-scratch run over the union — the
+    invariant that makes incremental results reproducible against a
+    full recompute (and lets one oracle verify both).
+
+    Per delta document: ``dup_vs_corpus`` (shares a band with any corpus
+    doc), ``dup_in_delta`` (shares a band with a smaller-id batch doc —
+    the greedy smaller-id-wins rule, so exactly one member of an
+    intra-batch dup group survives), ``is_dup`` (either). Downstream
+    appends ``NOT is_dup`` rows to the corpus and their bands to the
+    band relation.
+
+    Scale shape: one sketch pass over the delta only; the union + bucket
+    window shuffles band-relation-sized rows; the corpus join is an
+    equi-join on the band key. Output: every delta id, with flags."""
+    delta_bands = minhash_bands(
+        minhash_signature(delta, id_col, text_col, num_hashes),
+        id_col,
+        num_hashes,
+        bands,
+    ).withColumn("_new", F.lit(True))
+    old = corpus_bands.select(
+        F.col(id_col), "band_idx", "band_hash", F.lit(False).alias("_new")
+    )
+    allb = delta_bands.unionByName(old)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash")
+        allb = (
+            allb.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+    allb = _cache_scoped(allb, "incremental_bands")
+    new_b = allb.filter(F.col("_new")).select(F.col(id_col), "band_idx", "band_hash")
+    old_b = allb.filter(~F.col("_new")).select(
+        F.col(id_col).alias("_oid"), "band_idx", "band_hash"
+    )
+    vs_corpus = (
+        new_b.join(old_b, ["band_idx", "band_hash"]).select(id_col).distinct()
+        .withColumn("_vs_corpus", F.lit(True))
+    )
+    in_delta = (
+        new_b.select(F.col(id_col).alias("_ida"), "band_idx", "band_hash")
+        .join(
+            new_b.select(F.col(id_col).alias("_idb"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_in_delta", F.lit(True))
+    )
+    return (
+        delta.select(id_col)
+        .join(vs_corpus, id_col, "left")
+        .join(in_delta, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_vs_corpus", F.lit(False)).alias("dup_vs_corpus"),
+            F.coalesce("_in_delta", F.lit(False)).alias("dup_in_delta"),
+            (
+                F.coalesce("_vs_corpus", F.lit(False))
+                | F.coalesce("_in_delta", F.lit(False))
+            ).alias("is_dup"),
+        )
+    )
+
+
 def source_overlap_matrix(
     df: DataFrame,
     stratum_col: str,

@@ -5008,6 +5008,46 @@ def q_fuzzy_join_parts(spark):
 
 
 @q(
+    "dedup_incremental_delta",
+    f"""
+    WITH pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
+    delta AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+    SELECT d.doc_id,
+           EXISTS(SELECT 1 FROM pairs p
+                  WHERE (p.id_a = d.doc_id AND p.id_b % 10 <> 0)
+                     OR (p.id_b = d.doc_id AND p.id_a % 10 <> 0)) AS dup_vs_corpus,
+           EXISTS(SELECT 1 FROM pairs p
+                  WHERE p.id_b = d.doc_id AND p.id_a % 10 = 0) AS dup_in_delta,
+           (EXISTS(SELECT 1 FROM pairs p
+                   WHERE (p.id_a = d.doc_id AND p.id_b % 10 <> 0)
+                      OR (p.id_b = d.doc_id AND p.id_a % 10 <> 0))
+            OR EXISTS(SELECT 1 FROM pairs p
+                      WHERE p.id_b = d.doc_id AND p.id_a % 10 = 0)) AS is_dup
+    FROM delta d
+    """,
+)
+def dedup_incremental_delta(spark):
+    """Incremental dedup of a new batch against an existing corpus
+    (operators/dedup.py incremental_dedup_flags): the corpus's band
+    relation is PRECOMPUTED (persist 4 narrow rows per doc; the corpus
+    text is never re-read per increment) and the batch only sketches
+    itself. The combined boilerplate cap makes the incremental run
+    reproduce a from-scratch run over the union exactly — which is what
+    the oracle checks: it derives the same flags from the FULL-corpus
+    pair relation, proving incremental ≡ batch."""
+    docs = spark.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_bands = dedup.minhash_bands(
+        dedup.minhash_signature(corpus, "doc_id", "text", 8), "doc_id", 8, 4
+    )
+    return dedup.incremental_dedup_flags(
+        delta, corpus_bands, "doc_id", "text",
+        num_hashes=8, bands=4, max_bucket=64,
+    )
+
+
+@q(
     "corpus_overlap_matrix",
     f"""
     WITH toks AS (SELECT source, {_SQL_TOKENS} AS t FROM documents),

@@ -297,3 +297,54 @@ def test_candidate_pagerank_star_graph(spark):
     assert len(set(leaves)) == 1  # symmetry → identical integer ranks
     assert out[10] == out[11]     # the pair is symmetric too
     assert all(isinstance(v, int) for v in out.values())
+
+
+def test_incremental_dedup_equals_batch_and_reuses_bands(spark):
+    """Incremental flags over (corpus bands + delta) must reproduce a
+    from-scratch run over the union, and the greedy smaller-id rule must
+    keep exactly one member of an intra-batch dup group."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "completely different corpus text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # dup of corpus 1
+            (11, "novel one of a kind fresh content"),     # unique
+            (12, "repeated batch text goes right here ok"),
+            (13, "repeated batch text goes right here ok"),  # dup of 12
+        ],
+        "doc_id long, text string",
+    )
+    corpus_bands = dedup.minhash_bands(
+        dedup.minhash_signature(corpus, "doc_id", "text", 8), "doc_id", 8, 4
+    )
+    out = {
+        r["doc_id"]: (r["dup_vs_corpus"], r["dup_in_delta"], r["is_dup"])
+        for r in dedup.incremental_dedup_flags(
+            delta, corpus_bands, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    assert out[10] == (True, False, True)
+    assert out[11] == (False, False, False)
+    assert out[12] == (False, False, False)   # smaller id survives
+    assert out[13] == (False, True, True)     # larger id flagged
+    # batch equivalence: full-union pair relation implies the same flags
+    union = corpus.unionByName(delta)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidate_pairs(
+            union, "doc_id", "text", num_hashes=8, bands=4
+        ).collect()
+    }
+    corpus_ids = {1, 2}
+    for d in (10, 11, 12, 13):
+        vs_c = any(
+            (a == d and b in corpus_ids) or (b == d and a in corpus_ids)
+            for a, b in pairs
+        )
+        in_d = any(b == d and a not in corpus_ids for a, b in pairs)
+        assert out[d] == (vs_c, in_d, vs_c or in_d)
