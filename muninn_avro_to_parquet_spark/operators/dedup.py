@@ -239,6 +239,7 @@ def incremental_dedup_flags(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    delta_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup screening: flag each document of a NEW batch
     against an EXISTING corpus using the corpus's precomputed MinHash
@@ -263,13 +264,19 @@ def incremental_dedup_flags(
 
     Scale shape: one sketch pass over the delta only; the union + bucket
     window shuffles band-relation-sized rows; the corpus join is an
-    equi-join on the band key. Output: every delta id, with flags."""
-    delta_bands = minhash_bands(
-        minhash_signature(delta, id_col, text_col, num_hashes),
-        id_col,
-        num_hashes,
-        bands,
-    ).withColumn("_new", F.lit(True))
+    equi-join on the band key. Output: every delta id, with flags.
+
+    ``delta_bands`` passes a precomputed batch band relation in (callers
+    like ``update_dedup_corpus`` sketch the batch once and reuse the
+    relation for both screening and the ledger append)."""
+    if delta_bands is None:
+        delta_bands = minhash_bands(
+            minhash_signature(delta, id_col, text_col, num_hashes),
+            id_col,
+            num_hashes,
+            bands,
+        )
+    delta_bands = delta_bands.withColumn("_new", F.lit(True))
     old = corpus_bands.select(
         F.col(id_col), "band_idx", "band_hash", F.lit(False).alias("_new")
     )
@@ -317,6 +324,78 @@ def incremental_dedup_flags(
             ).alias("is_dup"),
         )
     )
+
+
+def update_dedup_corpus(
+    spark,
+    bands_dir: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Maintain a PERSISTED dedup corpus across arriving batches — the
+    continuous-corpus counterpart of ``incremental_dedup_flags``. The
+    band ledger at ``bands_dir`` is the corpus's entire dedup state
+    (4 narrow rows per kept doc; the corpus text is never re-read):
+
+    1. screen ``batch`` against every band batch already in the ledger,
+    2. append the KEPT documents' bands under an immutable
+       ``batch=<id>/`` subdir (only survivors enter the ledger, so a
+       later near-copy of a dropped doc still collides with the KEPT
+       representative, not the dropped one),
+    3. return the per-document flag relation.
+
+    Idempotent per ``batch_id``: re-processing a batch whose subdir
+    already exists recomputes the flags (screening EXCLUDES the batch's
+    own ledger entry — otherwise every doc would collide with itself)
+    but never double-appends — the at-least-once safety the streaming
+    converter's ack ledger assumes of its per-batch work. ``batch_id``
+    defaults to a content-independent sequence number, so supply the
+    converter's own batch id when wiring into ``poll_once``.
+
+    Sketches the batch ONCE (the same band relation screens and then
+    lands in the ledger)."""
+    from muninn_avro_to_parquet_spark import fs
+
+    base = bands_dir.rstrip("/")
+    existing = fs.list_subdirs(base) if fs.exists(base) else []
+    if batch_id is None:
+        batch_id = str(len(existing))
+    this_dir = f"{base}/batch={batch_id}"
+    prior = [d for d in existing if not d.rstrip("/").endswith(f"batch={batch_id}")]
+    batch_bands = _cache_scoped(
+        minhash_bands(
+            minhash_signature(batch, id_col, text_col, num_hashes),
+            id_col,
+            num_hashes,
+            bands,
+        ),
+        "update_corpus_batch_bands",
+    )
+    if prior:
+        corpus_bands = spark.read.parquet(*prior)
+    else:
+        corpus_bands = batch_bands.limit(0)
+    flags = incremental_dedup_flags(
+        batch,
+        corpus_bands,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
+        delta_bands=batch_bands,
+    )
+    if not fs.exists(f"{this_dir}/_SUCCESS"):
+        kept = flags.filter(~F.col("is_dup")).select(id_col)
+        batch_bands.join(kept, id_col, "left_semi").write.mode(
+            "overwrite"
+        ).parquet(this_dir)
+    return flags
 
 
 def source_overlap_matrix(

@@ -359,6 +359,93 @@ def sample_weighted(
     )
 
 
+def shard_assignment(id_col: Column, n_shards: int, salt: str = "shard") -> Column:
+    """Deterministic shard id in [0, n_shards): 16-bit md5 bucket mod
+    n_shards. Engine-portable and stable under re-runs/repartitioning,
+    like every hash assignment in this module. For n_shards ≫ 256 the
+    16-bit bucket still balances (65536 mod n residue skew < 2% up to
+    1024 shards); use a longer prefix if you need more."""
+    return (
+        F.conv(hash_bucket_prefix(id_col, salt), 16, 10).cast("long") % n_shards
+    ).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    n_shards: int,
+    token_count_col: str | None = None,
+    salt: str = "shard",
+) -> list[dict]:
+    """Write the final training corpus as N deterministic shards plus a
+    manifest — the handoff surface a distributed training job consumes
+    (each data-loader rank reads its shard dirs; the manifest tells the
+    scheduler how many rows/tokens each shard holds without listing
+    files).
+
+    Layout: ``<out_dir>/shard=<k>/part-*.parquet`` (Hive-partitioned on
+    the shard id, snappy) + ``<out_dir>/_MANIFEST.json`` written LAST —
+    a single-object PUT, so a reader that sees the manifest sees a
+    complete corpus (the same commit discipline as the snapshot table's
+    ``_CURRENT`` pointer). Shard assignment is ``shard_assignment``
+    (pure hash of the id): re-running the writer over the same corpus
+    produces byte-identical shard membership, and a document never
+    migrates between shards across incremental rebuilds.
+
+    Scale shape: ONE exchange on the shard id (the partitionBy write),
+    manifest from one tiny aggregate. Returns the manifest entries
+    (shard, n_rows, n_tokens)."""
+    import json as _json
+
+    from muninn_avro_to_parquet_spark import fs
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    base = out_dir.rstrip("/")
+    sharded = df.withColumn("shard", shard_assignment(F.col(id_col), n_shards, salt))
+    # repartition ON the shard id so each write task owns whole shards
+    # (otherwise every input partition opens a file in every shard dir —
+    # the small-files explosion at 1000 executors)
+    sharded.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(base)
+    toks = (
+        F.sum(F.col(token_count_col)).cast("long")
+        if token_count_col
+        else F.lit(None).cast("long")
+    )
+    # manifest from the WRITTEN files (columnar read of shard + token
+    # count only), so it certifies what landed on disk, not the plan
+    manifest = [
+        {"shard": r["shard"], "n_rows": r["n_rows"], "n_tokens": r["n_tokens"]}
+        for r in (
+            df.sparkSession.read.parquet(base)
+            .groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_rows"), toks.alias("n_tokens"))
+            .orderBy("shard")
+            .collect()
+        )
+    ]
+    fs.write_text(
+        f"{base}/_MANIFEST.json",
+        _json.dumps({"n_shards": n_shards, "salt": salt, "shards": manifest}),
+    )
+    return manifest
+
+
+def read_training_shards(
+    spark, out_dir: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read back a sharded training corpus; ``shards`` restricts to a
+    rank's assigned shard ids via partition pruning (the `shard=` Hive
+    dirs mean non-assigned shards are never listed or read)."""
+    df = spark.read.parquet(out_dir.rstrip("/"))
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(s) for s in shards]))
+    return df
+
+
 def filter_top_fraction(
     df: DataFrame,
     score_col: str,

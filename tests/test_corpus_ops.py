@@ -348,3 +348,55 @@ def test_incremental_dedup_equals_batch_and_reuses_bands(spark):
         )
         in_d = any(b == d and a not in corpus_ids for a, b in pairs)
         assert out[d] == (vs_c, in_d, vs_c or in_d)
+
+
+def test_update_dedup_corpus_ledger_lifecycle(spark, tmp_path):
+    """Two-batch corpus maintenance: batch-2 dups of KEPT batch-1 docs
+    are flagged, dropped docs never enter the ledger, and re-processing
+    a batch is idempotent (same flags, no double-append)."""
+    bands_dir = str(tmp_path / "bands")
+    b1 = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # intra-batch dup of 1
+            (3, "some other first batch content here"),
+        ],
+        "doc_id long, text string",
+    )
+    f1 = {
+        r["doc_id"]: r["is_dup"]
+        for r in dedup.update_dedup_corpus(
+            spark, bands_dir, b1, "doc_id", num_hashes=8, bands=4, batch_id="b1"
+        ).collect()
+    }
+    assert f1 == {1: False, 2: True, 3: False}
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # dup of kept doc 1
+            (11, "entirely new second batch material now"),
+        ],
+        "doc_id long, text string",
+    )
+    f2 = {
+        r["doc_id"]: (r["dup_vs_corpus"], r["is_dup"])
+        for r in dedup.update_dedup_corpus(
+            spark, bands_dir, b2, "doc_id", num_hashes=8, bands=4, batch_id="b2"
+        ).collect()
+    }
+    assert f2 == {10: (True, True), 11: (False, False)}
+    # ledger holds only survivors: 1, 3 from b1; 11 from b2
+    ledger_ids = {
+        r["doc_id"] for r in spark.read.parquet(bands_dir).select("doc_id").collect()
+    }
+    assert ledger_ids == {1, 3, 11}
+    # idempotent re-process of b2: same flags (no self-collision), ledger unchanged
+    f2_again = {
+        r["doc_id"]: (r["dup_vs_corpus"], r["is_dup"])
+        for r in dedup.update_dedup_corpus(
+            spark, bands_dir, b2, "doc_id", num_hashes=8, bands=4, batch_id="b2"
+        ).collect()
+    }
+    assert f2_again == f2
+    assert {
+        r["doc_id"] for r in spark.read.parquet(bands_dir).select("doc_id").collect()
+    } == {1, 3, 11}

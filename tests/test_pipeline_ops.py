@@ -501,3 +501,44 @@ def test_source_overlap_matrix_exact(spark):
     assert abs(r["jaccard"] - 1 / 3) < 1e-12
     # s3 shares nothing -> no row at all
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    """Shards balance, the manifest certifies what's on disk, shard
+    membership is deterministic across rebuilds, and a rank-restricted
+    read prunes to its shard dirs."""
+    import json
+
+    out = str(tmp_path / "shards")
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id").withColumn(
+        "n_tokens", (F.col("doc_id") % 7 + 1).cast("long")
+    )
+    manifest = pipeline.write_training_shards(
+        df, out, "doc_id", n_shards=8, token_count_col="n_tokens"
+    )
+    assert [m["shard"] for m in manifest] == list(range(8))
+    assert sum(m["n_rows"] for m in manifest) == 5000
+    total_tokens = df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(m["n_tokens"] for m in manifest) == total_tokens
+    # balance: 16-bit hash across 8 shards
+    assert max(m["n_rows"] for m in manifest) < 5000 / 8 * 1.2
+    on_disk = json.loads(open(f"{out}/_MANIFEST.json").read())
+    assert on_disk["shards"] == manifest
+    # roundtrip + determinism across a rebuild
+    back = pipeline.read_training_shards(spark, out)
+    assert back.count() == 5000
+    first = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
+    pipeline.write_training_shards(df, out, "doc_id", n_shards=8, token_count_col="n_tokens")
+    again = {
+        r["doc_id"]: r["shard"]
+        for r in pipeline.read_training_shards(spark, out).select("doc_id", "shard").collect()
+    }
+    assert first == again
+    # rank-restricted read: only the named shards come back, and the
+    # filter prunes at the partition level (shard= dirs)
+    sub = pipeline.read_training_shards(spark, out, shards=[0, 3])
+    assert {r["shard"] for r in sub.select("shard").distinct().collect()} == {0, 3}
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    with pytest.raises(ValueError):
+        pipeline.write_training_shards(df, out, "doc_id", n_shards=0)
