@@ -111,6 +111,34 @@ def main(argv: list[str] | None = None) -> int:
         help="repartition to exactly this many output files",
     )
 
+    p_shard = sub.add_parser(
+        "shard", help="write a parquet corpus as deterministic training shards"
+    )
+    p_shard.add_argument("--input_dir", required=True, help="parquet directory")
+    p_shard.add_argument("--output_dir", required=True)
+    p_shard.add_argument("--id_col", required=True)
+    p_shard.add_argument("--n_shards", type=int, required=True)
+    p_shard.add_argument(
+        "--token_col", default=None, help="long column summed into the manifest"
+    )
+
+    p_ledger = sub.add_parser(
+        "dedup-update",
+        help="screen a batch against a persisted dedup band ledger and "
+        "append the survivors' bands",
+    )
+    p_ledger.add_argument("--bands_dir", required=True)
+    p_ledger.add_argument("--batch_dir", required=True, help="parquet directory")
+    p_ledger.add_argument("--id_col", required=True)
+    p_ledger.add_argument("--text_col", default="text")
+    p_ledger.add_argument("--num_hashes", type=int, default=16)
+    p_ledger.add_argument("--bands", type=int, default=4)
+    p_ledger.add_argument("--max_bucket", type=int, default=None)
+    p_ledger.add_argument("--batch_id", default=None)
+    p_ledger.add_argument(
+        "--flags_out", default=None, help="also write the per-doc flag relation here"
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "drain":
@@ -167,6 +195,48 @@ def main(argv: list[str] | None = None) -> int:
             for path, rows in sorted(manifest):
                 print(f"{path}: {rows} rows")
             print(f"{len(manifest)} files, {sum(n for _, n in manifest)} rows exported")
+            return 0
+
+        if args.cmd == "shard":
+            from muninn_avro_to_parquet_spark.operators import pipeline
+
+            manifest = pipeline.write_training_shards(
+                spark.read.parquet(args.input_dir),
+                args.output_dir,
+                args.id_col,
+                n_shards=args.n_shards,
+                token_count_col=args.token_col,
+            )
+            for m in manifest:
+                toks = "" if m["n_tokens"] is None else f", {m['n_tokens']} tokens"
+                print(f"shard {m['shard']}: {m['n_rows']} rows{toks}")
+            print(f"{len(manifest)} shards, manifest at "
+                  f"{args.output_dir.rstrip('/')}/_MANIFEST.json")
+            return 0
+
+        if args.cmd == "dedup-update":
+            from pyspark.sql import functions as F
+
+            from muninn_avro_to_parquet_spark.operators import dedup
+
+            flags = dedup.update_dedup_corpus(
+                spark,
+                args.bands_dir,
+                spark.read.parquet(args.batch_dir),
+                args.id_col,
+                text_col=args.text_col,
+                num_hashes=args.num_hashes,
+                bands=args.bands,
+                max_bucket=args.max_bucket,
+                batch_id=args.batch_id,
+            )
+            if args.flags_out:
+                flags.write.mode("overwrite").parquet(args.flags_out)
+                flags = spark.read.parquet(args.flags_out)
+            n_total = flags.count()
+            n_dup = flags.filter(F.col("is_dup")).count()
+            print(f"{n_total} docs screened: {n_dup} duplicates, "
+                  f"{n_total - n_dup} survivors appended to {args.bands_dir}")
             return 0
 
         if args.cmd == "convert":

@@ -123,3 +123,45 @@ def test_cli_snapshot(spark, tmp_path, monkeypatch, capsys):
     assert "v1: 5 rows" in capsys.readouterr().out
     snap = cdc.read_snapshot(spark, str(tmp_path / "tbl"))
     assert sorted(r["id"] for r in snap.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_cli_shard_and_dedup_update(spark, tmp_path, monkeypatch, capsys):
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+    from muninn_avro_to_parquet_spark.operators import pipeline
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "other corpus content goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "batch"))
+
+    rc = cli.main(
+        ["dedup-update", "--bands_dir", str(tmp_path / "bands"),
+         "--batch_dir", str(tmp_path / "batch"), "--id_col", "doc_id",
+         "--num_hashes", "8", "--batch_id", "b1",
+         "--flags_out", str(tmp_path / "flags")]
+    )
+    assert rc == 0
+    assert "3 docs screened: 1 duplicates, 2 survivors" in capsys.readouterr().out
+    flags = spark.read.parquet(str(tmp_path / "flags"))
+    assert {r["doc_id"]: r["is_dup"] for r in flags.collect()} == {
+        1: False, 2: True, 3: False,
+    }
+
+    rc = cli.main(
+        ["shard", "--input_dir", str(tmp_path / "batch"),
+         "--output_dir", str(tmp_path / "shards"), "--id_col", "doc_id",
+         "--n_shards", "2"]
+    )
+    assert rc == 0
+    assert "2 shards" in capsys.readouterr().out
+    back = pipeline.read_training_shards(spark, str(tmp_path / "shards"))
+    assert back.count() == 3
