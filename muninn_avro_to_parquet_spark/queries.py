@@ -5008,6 +5008,25 @@ def q_fuzzy_join_parts(spark):
 
 
 @q(
+    "q_shard_assignment",
+    """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INT) AS shard
+    FROM documents
+    """,
+)
+def q_shard_assignment(spark):
+    """The training-shard writer's assignment function under the hash
+    gate (operators/pipeline.py shard_assignment): 16-bit md5 bucket mod
+    n_shards, proven bit-identical to the reference SQL — the property
+    that lets any engine (or a resumed rebuild) place every document in
+    the same shard the original writer did."""
+    return spark.table("documents").select(
+        "doc_id", pipeline.shard_assignment(F.col("doc_id"), 8).alias("shard")
+    )
+
+
+@q(
     "dedup_incremental_delta",
     f"""
     WITH pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
