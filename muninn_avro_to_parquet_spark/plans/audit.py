@@ -248,6 +248,18 @@ attributable when nothing shares the machine, which is also why the final
 bench runs alone. Full registry (105 queries): 56 s at sf0.1 including
 both conversion benchmarks; every round-5 query lands in 0.3-2.1 s.
 
+**Round-5 session-2 closing numbers** (registry 127 queries / 127
+oracles, all value-hash green): query total 73.7 s at sf0.1; 1 GiB
+single-file ingest 652k rows/s (64 splits); bigcorpus 200k-doc dedup
+propose+components 5.4k docs/s, and the NEW incremental path screens a
+20k-doc delta against the 180k-doc precomputed band ledger at 5.6k
+docs/s — at this scale the fixed job floor masks the asymptotic win
+(the corpus is never re-sketched), which is the honest reading. The
+iterative-graph family dropped with edge-count-sized shuffle scopes +
+the fused canonical operator: pagerank 5.1→2.5 s, canonical docs
+7.3→3.4 s. Residual slowest entries are the two scale proofs plus the
+CC/pagerank job-latency floors; no query regressed.
+
 **Regression attribution (r4 flagged q19/q17; r5 verdict: noise).** All
 three suspects re-measured on a fresh 32-core session, 5 repetitions,
 operator caches evicted between runs:
