@@ -57,7 +57,7 @@ _R4_CHECKED = frozenset(
 # outrank even the round-4-unchecked backlog in the rotation.
 _R5_NEW = (
     "split_leakage_safe", "sample_target_mixture", "q_fuzzy_join_parts",
-    "corpus_overlap_matrix", "doc_quality_top_fraction", "dedup_incremental_delta", "q_shard_assignment",
+    "corpus_overlap_matrix", "doc_quality_top_fraction", "dedup_incremental_delta", "q_shard_assignment", "q_fuzzy_join_multipass",
     "q2_min_cost_supplier", "q11_important_parts", "q12_priority_class",
     "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
     "q21_waiting_suppliers", "text_gopher_rules", "text_unigram_rarity",

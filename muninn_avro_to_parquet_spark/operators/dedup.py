@@ -326,6 +326,39 @@ def incremental_dedup_flags(
     )
 
 
+def fuzzy_pairs_multipass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 2,
+    blocks: list[F.Column] | None = None,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Multi-pass blocked fuzzy join: union the candidates of SEVERAL
+    blocking keys, so a pair is only lost if the edit breaks EVERY key —
+    the recall fix for single-pass blocking's blind spot (a typo in the
+    block token itself). Default passes: lowercased first token and
+    lowercased last token; pass any Column list for domain keys.
+
+    Each pass is the same equi-join shape as ``fuzzy_pairs_blocked``
+    (never a cross product, ``max_block`` guard per pass); the union
+    dedups on the pair id — distance is a pure function of the two
+    texts, so duplicate pair rows across passes agree and
+    ``dropDuplicates`` on the ids alone is safe. Pass count is a small
+    constant: cost is additive per pass, not multiplicative."""
+    if blocks is None:
+        toks = F.split(F.col(text_col), " ")
+        blocks = [F.lower(toks[0]), F.lower(F.element_at(toks, -1))]
+    out = None
+    for blk in blocks:
+        p = fuzzy_pairs_blocked(
+            df, id_col, text_col, max_distance=max_distance,
+            block=blk, max_block=max_block,
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def update_dedup_corpus(
     spark,
     bands_dir: str,

@@ -5067,6 +5067,45 @@ def dedup_incremental_delta(spark):
 
 
 @q(
+    "q_fuzzy_join_multipass",
+    """
+    WITH rel AS (
+      SELECT p_partkey AS id, p_name AS txt,
+             lower(split_part(p_name, ' ', 1)) AS b1,
+             lower((string_split(p_name, ' '))[-1]) AS b2
+      FROM part
+    ),
+    p1 AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b
+      FROM rel a JOIN rel b ON a.b1 = b.b1 AND a.id < b.id
+    ),
+    p2 AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.txt AS text_a, b.txt AS text_b
+      FROM rel a JOIN rel b ON a.b2 = b.b2 AND a.id < b.id
+    ),
+    u AS (SELECT * FROM p1 UNION SELECT * FROM p2)
+    SELECT id_a, id_b, text_a, text_b,
+           CAST(levenshtein(text_a, text_b) AS BIGINT) AS distance
+    FROM u WHERE levenshtein(text_a, text_b) <= 2
+    """,
+)
+def q_fuzzy_join_multipass(spark):
+    """Two-pass blocked fuzzy join (operators/dedup.py
+    fuzzy_pairs_multipass): first-token AND last-token blocking unioned,
+    so a near-match whose typo sits in one block key is still recovered
+    by the other pass — the recall pattern production record linkage
+    actually runs. Cost is additive per pass (each pass the same
+    equi-join shape), never a cross product."""
+    out = dedup.fuzzy_pairs_multipass(
+        spark.table("part"), "p_partkey", "p_name", max_distance=2
+    )
+    return out.select(
+        "id_a", "id_b", "text_a", "text_b",
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+@q(
     "corpus_overlap_matrix",
     f"""
     WITH toks AS (SELECT source, {_SQL_TOKENS} AS t FROM documents),

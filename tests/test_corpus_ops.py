@@ -400,3 +400,32 @@ def test_update_dedup_corpus_ledger_lifecycle(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(bands_dir).select("doc_id").collect()
     } == {1, 3, 11}
+
+
+def test_fuzzy_multipass_recovers_block_key_typos(spark):
+    """A typo in the FIRST token breaks the first-token block but the
+    last-token pass recovers the pair; the union dedups pairs found by
+    both passes."""
+    df = spark.createDataFrame(
+        [
+            (1, "red gear"),
+            (2, "rad gear"),    # first-token typo: only last-token pass pairs it
+            (3, "red gearz"),   # same first token: first pass pairs with 1
+        ],
+        "id long, name string",
+    )
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.fuzzy_pairs_blocked(df, "id", "name", max_distance=2).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in dedup.fuzzy_pairs_multipass(df, "id", "name", max_distance=2).collect()
+    }
+    assert (1, 2) not in single          # lost by single-pass blocking
+    assert multi[(1, 2)] == 1            # recovered by the last-token pass
+    assert multi[(1, 3)] == 1
+    assert single <= set(multi)          # multipass is a superset
+    # dedup across passes: (2, 3) shares NO block ("rad" vs "red", "gear"
+    # vs "gearz") so it must not appear even though distance is 2
+    assert (2, 3) not in multi
