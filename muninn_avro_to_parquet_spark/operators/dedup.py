@@ -349,6 +349,8 @@ def fuzzy_pairs_multipass(
     if blocks is None:
         toks = F.split(F.col(text_col), " ")
         blocks = [F.lower(toks[0]), F.lower(F.element_at(toks, -1))]
+    if not blocks:
+        raise ValueError("fuzzy_pairs_multipass needs at least one blocking key")
     out = None
     for blk in blocks:
         p = fuzzy_pairs_blocked(

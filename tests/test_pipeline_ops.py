@@ -542,3 +542,50 @@ def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
     assert "PartitionFilters" in plan
     with pytest.raises(ValueError):
         pipeline.write_training_shards(df, out, "doc_id", n_shards=0)
+
+
+def test_sample_to_target_mixture_invariants_multi_seed(spark):
+    """Across several random count/weight configurations: the binding
+    stratum is kept whole, every other stratum's kept count never
+    exceeds its exact target share (floor semantics of the integer
+    cross-multiplication), and assignments are deterministic."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        strata = [f"s{i}" for i in range(rng.randint(2, 4))]
+        counts = {s: rng.randint(50, 800) for s in strata}
+        weights = {s: rng.randint(1, 9) for s in strata}
+        rows = [
+            (i * 10_000 + j, s)
+            for i, s in enumerate(strata)
+            for j in range(counts[s])
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = pipeline.sample_to_target_mixture(df, "doc_id", "source", weights)
+        kept = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        binding = min(strata, key=lambda s: (counts[s] * 1_000_000 // weights[s], s))
+        assert kept.get(binding, 0) == counts[binding], (trial, binding)
+        for s in strata:
+            # the hash filter thins to fraction f = (w_s*n_b)/(w_b*n_s);
+            # kept counts fluctuate binomially around f*n_s, so assert
+            # with a 5-sigma uniformity tolerance, not an exact floor
+            f = min(
+                1.0,
+                (weights[s] * counts[binding])
+                / (weights[binding] * counts[s]),
+            )
+            expected = f * counts[s]
+            slack = 5 * (counts[s] ** 0.5) + 1
+            assert abs(kept.get(s, 0) - expected) <= slack, (trial, s, kept)
+        ids_a = sorted(r["doc_id"] for r in out.collect())
+        ids_b = sorted(
+            r["doc_id"]
+            for r in pipeline.sample_to_target_mixture(
+                df, "doc_id", "source", weights
+            ).collect()
+        )
+        assert ids_a == ids_b
