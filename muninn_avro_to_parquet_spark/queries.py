@@ -1157,6 +1157,71 @@ def multimodal_binary_ingest(spark):
     )
 
 
+# (file_name, src_w, src_h, out_w, out_h, out_bytes, out_md5, round(luma, 6))
+# for the committed BMP fixtures resized to fit 3x3 — regenerated alongside
+# _BINARY_GROUND_TRUTH; the md5 cross-checked against the independent
+# aggregate PPM decoder at generation time
+_RESIZE_GROUND_TRUTH = [
+    ("img_00.bmp", 4, 3, 3, 2, 29, "84f41831503802fce0555550f4fd090b", 0.366208),
+    ("img_01.bmp", 7, 5, 3, 2, 29, "0925d5cee08c9e99f7c7dbe79884cae2", 0.501918),
+    ("img_02.bmp", 1, 1, 1, 1, 14, "090fda8eff74b8fbbf3e9e8564cdb274", 0.299),
+    ("img_03.bmp", 16, 2, 3, 1, 20, "d2528b7fc35811cc5e0218688185340f", 0.313725),
+    ("img_04.bmp", 5, 8, 1, 3, 20, "086ed5af07caa23b9f839da84bb1ad77", 0.196209),
+]
+
+
+def _resize_oracle() -> str:
+    # DuckDB cannot decode BMP; like _binary_ingest_oracle it independently
+    # lists the fixture directory (a missing/renamed file breaks the join →
+    # row-count mismatch) while the resized dims/bytes/md5/luma come from
+    # generated ground truth. The SPARK side recomputes them from pixels, so
+    # a changed fixture or resize-kernel drift shows up as a hash mismatch.
+    vals = ",".join(
+        f"('{n}',{sw},{sh},{w},{h},{b},'{m}',CAST({l} AS DOUBLE))"
+        for n, sw, sh, w, h, b, m, l in _RESIZE_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, src_width, src_height, width, height, n_bytes,
+                  content_md5, mean_luma) AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.bmp')
+    )
+    SELECT file_name, src_width, src_height, width, height, n_bytes,
+           content_md5, mean_luma
+    FROM expected JOIN blobs USING (file_name)
+    """
+
+
+@q("multimodal_resize", _resize_oracle())
+def multimodal_resize(spark):
+    """Real image resize: binaryFile ingest → BMP pixel decode →
+    fit-within-3x3 nearest-neighbor downsample → deterministic P6
+    re-encode (``multimodal.resize_images``). Output rows carry the
+    resized payload's dims, byte count, md5, and mean luma — all
+    recomputed from pixels on the Spark side, ground-truth on the oracle
+    side. Completes the spec's multimodal quartet
+    (decode / feature-extract / RESIZE / frame-sample)."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.bmp")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    out = multimodal.resize_images(meta, max_w=3, max_h=3, id_col="file_name", media_col="content")
+    return out.select(
+        "file_name",
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        "n_bytes",
+        "content_md5",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time windows (same functions serve readStream — tests/test_streaming)
 # ---------------------------------------------------------------------------

@@ -475,6 +475,76 @@ def test_multimodal_real_audio_decode(spark):
     assert abs(r["rms"] - 0.5) < 1e-9
 
 
+def _bmp_rows(width, height, rows_topdown):
+    """Uncompressed 24-bit BMP from explicit per-pixel rows (top-down)."""
+    import struct
+
+    out_rows = []
+    for row in reversed(rows_topdown):  # BMP stores rows bottom-up, BGR
+        rb = b"".join(bytes(px[::-1]) for px in row)
+        rb += b"\x00" * ((4 - len(rb) % 4) % 4)
+        out_rows.append(rb)
+    pixels = b"".join(out_rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return header + info + pixels
+
+
+def test_fit_within_integer_math():
+    from muninn_avro_to_parquet_spark.operators.multimodal import fit_within
+
+    assert fit_within(4, 2, 3, 3) == (3, 1)  # wide: width binds
+    assert fit_within(2, 4, 3, 3) == (1, 3)  # tall: height binds
+    assert fit_within(2, 2, 3, 3) == (2, 2)  # no upscale
+    assert fit_within(100, 1, 3, 3) == (3, 1)  # floor clamps to >= 1
+    assert fit_within(1, 100, 3, 3) == (1, 3)
+
+
+def test_multimodal_resize_exact_pixels(spark):
+    """Nearest-neighbor resize picks exact source pixels (floor mapping):
+    a 4x2 BMP with known quadrants downsampled to 2x1 yields precisely the
+    top row's pixels 0 and 2, re-encoded as canonical P6 — verified
+    byte-for-byte via md5 against a hand-built expected payload."""
+    import hashlib
+
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    R, B, G, W = (255, 0, 0), (0, 0, 255), (0, 255, 0), (255, 255, 255)
+    img = _bmp_rows(4, 2, [[R, R, B, B], [G, G, W, W]])
+    ppm = b"P6\n4 2\n255\n" + bytes(v for px in [R, R, B, B, G, G, W, W] for v in px)
+    df = spark.createDataFrame(
+        [(1, img), (2, ppm)], "doc_id long, media binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.resize_images(df, max_w=2, max_h=2).collect()
+    }
+    expected = b"P6\n2 1\n255\n" + bytes(v for px in [R, B] for v in px)
+    for r in rows.values():  # BMP and PPM inputs produce identical output
+        assert (r["src_width"], r["src_height"]) == (4, 2)
+        assert (r["width"], r["height"]) == (2, 1)
+        assert bytes(r["media"]) == expected
+        assert r["content_md5"] == hashlib.md5(expected).hexdigest()
+        assert r["n_bytes"] == len(expected)
+        # mean luma of {red, blue} = (0.299 + 0.114) / 2
+        assert abs(r["mean_luma"] - (0.299 + 0.114) / 2) < 1e-9
+
+
+def test_multimodal_resize_no_upscale(spark):
+    """A source already inside the box passes through at original dims and
+    survives a decode round-trip of the canonical P6 payload."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+    from muninn_avro_to_parquet_spark.operators.multimodal import _decode_ppm_pixels
+
+    G = (10, 200, 30)
+    img = _bmp_rows(2, 2, [[G, G], [G, G]])
+    df = spark.createDataFrame([(1, img)], "doc_id long, media binary")
+    r = multimodal.resize_images(df, max_w=8, max_h=8).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    w, h, px = _decode_ppm_pixels(bytes(r["media"]))
+    assert (w, h, px) == (2, 2, [G, G, G, G])
+
+
 def test_multimodal_real_decode_jpeg_with_pillow(spark):
     """Pillow-backed JPEG decode — skipped cleanly when Pillow is absent
     (it is not in this runtime image)."""
