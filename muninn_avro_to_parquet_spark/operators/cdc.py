@@ -237,6 +237,99 @@ def materialize_snapshot(
 
 
 # ---------------------------------------------------------------------------
+# version diff: what changed between two states of a keyed relation
+# ---------------------------------------------------------------------------
+
+
+def dataframe_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed relation: one row
+    per key that was ``added`` (new only), ``removed`` (old only), or
+    ``changed`` (present in both with any compared column differing under
+    null-safe equality); unchanged keys drop out. Output columns:
+    ``key_cols``, ``change_col``, then ``old_<c>`` / ``new_<c>`` pairs.
+
+    ``compare_cols`` defaults to every non-key column present in BOTH
+    versions — columns only one side has (schema evolution) don't force
+    every row to 'changed'; pass them explicitly to audit their rollout.
+
+    Scale: one full-outer shuffle join on the key columns — the same
+    partitioning the snapshot MERGE uses, so a diff costs what one
+    materialization costs; no collect, no second pass."""
+    from functools import reduce
+
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c not in key_cols and c in old.columns
+        ]
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, on=key_cols, how="full_outer")
+    same = reduce(
+        Column.__and__,
+        [F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")) for c in compare_cols],
+        F.lit(True),
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.withColumn(change_col, change)
+        .filter(F.col(change_col).isNotNull())
+        .select(
+            *key_cols,
+            change_col,
+            *[x for c in compare_cols for x in (f"old_{c}", f"new_{c}")],
+        )
+    )
+
+
+def snapshot_diff(
+    spark,
+    table_dir: str,
+    key_cols: list[str],
+    v_from: int,
+    v_to: int | None = None,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Diff two retained versions of a materialized snapshot table
+    (``v_to`` defaults to the current version): which keys appeared,
+    disappeared, or changed payload between materializations — the audit
+    query a versioned CDC table owes its consumers.
+
+    ``compare_cols`` defaults to the payload columns (every column both
+    versions share except the keys and the ``source_metadata`` envelope —
+    the envelope advances on every re-delivery, which is not a payload
+    change)."""
+    old = read_snapshot(spark, table_dir, v_from)
+    new = read_snapshot(spark, table_dir, v_to)
+    if old is None or new is None:
+        raise FileNotFoundError(f"snapshot table {table_dir} has no current version")
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in new.columns
+            if c not in key_cols and c != "source_metadata" and c in old.columns
+        ]
+    return dataframe_diff(old, new, key_cols, compare_cols)
+
+
+# ---------------------------------------------------------------------------
 # incremental aggregate maintenance (distributive rollups)
 # ---------------------------------------------------------------------------
 

@@ -3121,6 +3121,72 @@ def q_cdc_snapshot(spark):
 
 
 @q(
+    "q_snapshot_diff",
+    """
+    WITH env AS (
+      SELECT user_id, event_id, event_type, CAST(value AS DOUBLE) AS value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tx_id,
+             lpad(CAST(event_id AS VARCHAR), 12, '0') AS lsn,
+             (event_id % 7 = 0) AS is_del
+      FROM events
+    ),
+    old_r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY tx_id DESC, lsn DESC) AS rn
+      FROM env WHERE event_id % 3 <> 0
+    ),
+    old_s AS (SELECT user_id, event_type, value FROM old_r WHERE rn = 1 AND NOT is_del),
+    new_r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY tx_id DESC, lsn DESC) AS rn
+      FROM env
+    ),
+    new_s AS (SELECT user_id, event_type, value FROM new_r WHERE rn = 1 AND NOT is_del)
+    SELECT * FROM (
+      SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+             CASE WHEN o.user_id IS NULL THEN 'added'
+                  WHEN n.user_id IS NULL THEN 'removed'
+                  WHEN o.event_type IS DISTINCT FROM n.event_type
+                    OR o.value IS DISTINCT FROM n.value THEN 'changed'
+             END AS change_type,
+             o.event_type AS old_event_type, n.event_type AS new_event_type,
+             o.value AS old_value, n.value AS new_value
+      FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+    ) WHERE change_type IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark):
+    """Snapshot version diff (operators/cdc.dataframe_diff — the engine
+    under ``snapshot_diff``): added / removed / changed keys between two
+    CDC snapshot states. Version 1 is built from two thirds of the change
+    stream (event_id % 3 <> 0), version 2 from all of it, so the diff
+    exercises every change type: keys whose only events were withheld
+    ('added' once they arrive), keys whose late-arriving latest change is
+    a tombstone ('removed'), and keys whose winner flipped ('changed').
+    One full-outer shuffle join on the key — diffing costs one merge."""
+    from muninn_avro_to_parquet_spark.operators import cdc
+
+    e = spark.table("events")
+    env = e.select(
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("tx_id"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("lsn"),
+            (F.col("event_id") % 7 == 0).alias("is_deleted"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("change_type"),
+        ).alias("source_metadata"),
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    old = cdc.cdc_latest_snapshot(env.filter(F.col("event_id") % 3 != 0), ["user_id"])
+    new = cdc.cdc_latest_snapshot(env, ["user_id"])
+    return cdc.dataframe_diff(old, new, ["user_id"], compare_cols=["event_type", "value"])
+
+
+@q(
     "q_salted_join",
     """
     SELECT e.user_id, e.event_id, e.event_type, c.c_name AS user_name,

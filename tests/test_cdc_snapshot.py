@@ -258,3 +258,47 @@ def test_snapshot_concurrent_writer_detected(spark, tmp_path):
             C.materialize_snapshot(
                 spark, tdir, _batch(spark, [(2, "b", 20, 1, False)]), ["id"]
             )
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """Diff of two materialized versions reports exactly the added,
+    removed, and changed keys — unchanged keys drop out, and the envelope
+    (which advances every materialization) is excluded by default."""
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    tdir = str(tmp_path / "tbl")
+    # v1: ids 1 (a), 2 (b), 3 (c)
+    C.materialize_snapshot(
+        spark,
+        tdir,
+        _batch(spark, [(1, "a", 10, 1, False), (2, "b", 10, 2, False), (3, "c", 10, 3, False)]),
+        ["id"],
+    )
+    # v2: id 2 renamed, id 3 deleted, id 4 added, id 1 untouched
+    C.materialize_snapshot(
+        spark,
+        tdir,
+        _batch(spark, [(2, "B2", 20, 1, False), (3, "c", 20, 2, True), (4, "d", 20, 3, False)]),
+        ["id"],
+    )
+    diff = C.snapshot_diff(spark, tdir, ["id"], v_from=1, v_to=2)
+    got = {r["id"]: r for r in diff.collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["change_type"] == "changed"
+    assert (got[2]["old_name"], got[2]["new_name"]) == ("b", "B2")
+    assert got[3]["change_type"] == "removed"
+    assert got[3]["new_name"] is None
+    assert got[4]["change_type"] == "added"
+    assert got[4]["old_name"] is None
+
+
+def test_dataframe_diff_null_safe_compare(spark):
+    """NULL-to-NULL payloads compare equal (unchanged, not 'changed');
+    NULL-to-value flips to 'changed' — the eqNullSafe contract."""
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    old = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "id long, v string")
+    got = {r["id"]: r for r in C.dataframe_diff(old, new, ["id"]).collect()}
+    assert set(got) == {2}
+    assert got[2]["change_type"] == "changed"
