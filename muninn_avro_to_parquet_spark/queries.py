@@ -3376,6 +3376,78 @@ def text_vocabulary(spark):
     return text.vocabulary(spark.table("documents"), "doc_id")
 
 
+def _bpe_oracle(num_merges: int) -> str:
+    # the BPE loop unrolled: each iteration is pair-count → deterministic
+    # argmax → greedy merge apply, all as window algebra (the same algebra
+    # operators/bpe.py runs on Spark — see its module docstring for the
+    # even-offset island rule that makes greedy left-to-right merging
+    # set-expressible). Generated programmatically so the oracle and the
+    # operator agree on EVERY iteration, not just the first.
+    parts = [
+        f"w AS (SELECT word, COUNT(*) AS freq FROM "
+        f"(SELECT unnest({_SQL_TOKENS}) AS word FROM documents) GROUP BY 1)",
+        "s0 AS (SELECT word, freq, CAST(pos AS INTEGER) AS pos, "
+        "substr(word, CAST(pos AS INTEGER), 1) AS sym FROM "
+        "(SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM w))",
+    ]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS (
+      SELECT sym AS l, nxt AS r, SUM(freq) AS cnt FROM (
+        SELECT word, freq, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{p}) WHERE nxt IS NOT NULL GROUP BY 1, 2)"""
+        )
+        parts.append(f"b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)")
+        parts.append(
+            f"""x{k} AS (
+      SELECT s.word, s.freq, s.pos, s.sym, b.l, b.r,
+             LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+             s.pos - ROW_NUMBER() OVER (PARTITION BY s.word, s.sym ORDER BY s.pos) AS grp
+      FROM s{p} s CROSS JOIN b{k} b)"""
+        )
+        parts.append(
+            f"y{k} AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY word, sym, grp "
+            f"ORDER BY pos) - 1 AS off FROM x{k})"
+        )
+        parts.append(
+            f"z{k} AS (SELECT *, (sym = l AND nxt = r AND (l <> r OR off % 2 = 0)) "
+            f"AS strt FROM y{k})"
+        )
+        parts.append(
+            f"v{k} AS (SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY word "
+            f"ORDER BY pos), FALSE) AS consumed FROM z{k})"
+        )
+        parts.append(
+            f"""s{k} AS (
+      SELECT word, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INTEGER) AS pos,
+             CASE WHEN strt THEN sym || r ELSE sym END AS sym
+      FROM v{k} WHERE NOT consumed)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@q("text_bpe_merges", _bpe_oracle(6))
+def text_bpe_merges(spark):
+    """Distributed BPE merge learning (operators/bpe.learn_bpe): the
+    first 6 tokenizer merges over the documents corpus, with the
+    deterministic tie-break (count DESC, then pair lexicographic). The
+    loop runs on the (word, freq) VOCABULARY relation — one corpus-sized
+    aggregate, then every iteration touches a relation orders of
+    magnitude smaller; the greedy merge apply is window algebra, no UDF.
+    The oracle unrolls all 6 iterations of the same algebra."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    return bpe.learn_bpe(spark.table("documents"), num_merges=6)
+
+
 @q(
     "q_scd2_history",
     """

@@ -429,3 +429,80 @@ def test_fuzzy_multipass_recovers_block_key_typos(spark):
     # dedup across passes: (2, 3) shares NO block ("rad" vs "red", "gear"
     # vs "gearz") so it must not appear even though distance is 2
     assert (2, 3) not in multi
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, num_merges):
+    """In-memory reference BPE (Sennrich-style greedy merges) with the
+    operator's tie-break — the independent implementation the distributed
+    window-algebra version must match exactly."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(w for w in re.sub(r"[^a-z0-9一-鿿 ]", " ", t.lower()).split() if w)
+    vocab = {w: list(w) for w in wf}
+    merges = []
+    for k in range(1, num_merges + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((k, a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_matches_reference_including_equal_runs(spark):
+    """learn_bpe reproduces the sequential reference merge-for-merge —
+    including the greedy even-offset behavior on equal-symbol runs
+    ('aaaa' with merge (a,a) → (aa, aa), not (aa, a, a))."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat",
+        "aaaa aaa banana bandana",
+        "low lower lowest new newer",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected, _ = _ref_bpe(texts, 8)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.learn_bpe(df, num_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_segment_words_matches_reference(spark):
+    """segment_words applies learned merges per vocabulary entry and
+    yields the reference's final subword split for every word."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    texts = ["banana bandana", "low lower", "aaaa aa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, ref_vocab = _ref_bpe(texts, 5)
+    seg = bpe.segment_words(df, [(m[1], m[2]) for m in merges])
+    got = {r["word"]: list(r["pieces"]) for r in seg.collect()}
+    assert got == ref_vocab
