@@ -3434,6 +3434,43 @@ def _bpe_oracle(num_merges: int) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
 
+def _bpe_segment_oracle(num_merges: int) -> str:
+    # same unrolled loop, but the result is the FINAL segmentation: the
+    # post-merge symbol sequence per vocabulary word, joined to a string
+    # (DuckDB list ordering inside string_agg is pinned by ORDER BY pos)
+    body = _bpe_oracle(num_merges)
+    union_start = body.rindex("SELECT CAST(1 AS INTEGER)")
+    return (
+        body[:union_start]
+        + f"""SELECT word, CAST(freq AS BIGINT) AS freq,
+           string_agg(sym, ' ' ORDER BY pos) AS pieces
+    FROM s{num_merges} GROUP BY word, freq"""
+    )
+
+
+@q("text_bpe_segment", _bpe_segment_oracle(6))
+def text_bpe_segment(spark):
+    """Subword segmentation after the first 6 learned BPE merges
+    (operators/bpe.segment_words): every vocabulary word with its piece
+    sequence — applied once per DISTINCT word, never per corpus row,
+    which is the 100 TB contract (segment the vocab, broadcast-join the
+    pieces back to the corpus)."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    learned = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.learn_bpe(spark.table("documents"), num_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    seg = bpe.segment_words(spark.table("documents"), learned)
+    return seg.select(
+        "word",
+        "freq",
+        F.array_join(F.col("pieces"), " ").alias("pieces"),
+    )
+
+
 @q("text_bpe_merges", _bpe_oracle(6))
 def text_bpe_merges(spark):
     """Distributed BPE merge learning (operators/bpe.learn_bpe): the
