@@ -543,3 +543,95 @@ def unigram_rarity(
             / F.count("*").cast("double")
         ).alias("rare_ratio"),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained bigram language
+    model with absolute discounting and continuation fallback — the
+    LM-based quality filter (CCNet-style: low perplexity ≈ fluent text,
+    high ≈ noise) trained on the corpus itself, so every scored bigram
+    is in-vocabulary and no probability is zero:
+
+        p(w2 | w1) = (c(w1,w2) - d) / c(w1·)
+                     + (d · N1+(w1·) / c(w1·)) · (N1+(·w2) / B)
+
+    with c from corpus bigram counts, N1+ the distinct-continuation /
+    distinct-left-context counts, B the number of distinct bigram types,
+    and d the discount.
+
+    Engine-exact aggregation: each bigram's negative log-probability is
+    quantized to integer micro-nats BEFORE summing (doubles sum in
+    shuffle order, integers commute), so the per-doc total is
+    order-independent and the oracle can reproduce it bit-for-bit; only
+    the final perplexity applies exp, rounded to 4 places.
+
+    Scale: the model relations are distinct-bigram-sized (orders of
+    magnitude below the corpus); scoring re-joins them onto the corpus
+    bigrams with an equi-join on the bigram key — AQE may broadcast the
+    model when the vocabulary is small, and nothing in the plan is
+    quadratic. Documents with fewer than two tokens have no bigrams and
+    drop out (inner semantics, like ``unigram_rarity``)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+    bg = cache_scoped(bg, "bigram_lm")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = cache_scoped(c12, "bigram_lm_counts")
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nafter")
+    )
+    right = c12.groupBy("w2").agg(F.count("*").alias("nleft"))
+    total = c12.agg(F.count("*").cast("double").alias("B"))
+    d = float(discount)
+    prob = (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12").cast("double") - F.lit(d)) / F.col("c1").cast("double")
+                + (F.lit(d) * F.col("nafter").cast("double") / F.col("c1").cast("double"))
+                * (F.col("nleft").cast("double") / F.col("B"))
+            ).alias("p"),
+        )
+        .withColumn(
+            "nll_micro", F.round(-F.log(F.col("p")) * F.lit(1e6)).cast("long")
+        )
+    )
+    return (
+        bg.join(prob, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("nll_micro").cast("long").alias("nll_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_micro",
+            F.round(
+                F.exp(
+                    F.col("nll_micro").cast("double")
+                    / F.lit(1e6)
+                    / F.col("n_bigrams").cast("double")
+                ),
+                4,
+            ).alias("perplexity"),
+        )
+    )

@@ -3376,6 +3376,46 @@ def text_vocabulary(spark):
     return text.vocabulary(spark.table("documents"), "doc_id")
 
 
+@q(
+    "text_lm_perplexity",
+    f"""
+    WITH bg AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+           unnest(range(1, len(toks))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    l AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nafter FROM c12 GROUP BY 1),
+    r AS (SELECT w2, COUNT(*) AS nleft FROM c12 GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS B FROM c12),
+    prob AS (
+      SELECT w1, w2,
+             CAST(ROUND(-ln(
+               (CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+               + (0.75 * CAST(nafter AS DOUBLE) / CAST(c1 AS DOUBLE))
+                 * (CAST(nleft AS DOUBLE) / B)
+             ) * 1e6) AS BIGINT) AS nll_micro
+      FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_micro,
+           ROUND(exp(CAST(SUM(nll_micro) AS DOUBLE) / 1e6 / COUNT(*)), 4)
+             AS perplexity
+    FROM bg JOIN prob USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_perplexity(spark):
+    """Per-document perplexity under a corpus-trained bigram LM with
+    absolute discounting + continuation fallback (operators/
+    text.bigram_lm_score) — the CCNet-style LM quality filter. Each
+    bigram's -ln p is quantized to integer micro-nats before summing so
+    the doc total is shuffle-order-independent and engine-exact; the
+    model relations are distinct-bigram-sized, scoring is one equi-join
+    back onto the corpus bigrams."""
+    return text.bigram_lm_score(spark.table("documents"), "doc_id")
+
+
 def _bpe_oracle(num_merges: int) -> str:
     # the BPE loop unrolled: each iteration is pair-count → deterministic
     # argmax → greedy merge apply, all as window algebra (the same algebra

@@ -506,3 +506,40 @@ def test_bpe_segment_words_matches_reference(spark):
     seg = bpe.segment_words(df, [(m[1], m[2]) for m in merges])
     got = {r["word"]: list(r["pieces"]) for r in seg.collect()}
     assert got == ref_vocab
+
+
+def test_bigram_lm_perplexity_exact_small_corpus(spark):
+    """Hand-checkable bigram LM: corpus {'a b a b', 'a c'} gives bigram
+    counts ab=2, ba=1, ac=1; with d=0.75 the discounted probabilities are
+    p(ab)=7/12, p(ba)=1/2, p(ac)=1/4 — doc2's perplexity is exactly
+    1/p(ac) = 4.0, and doc1's micro-nat total matches the closed form."""
+    import math
+
+    from muninn_avro_to_parquet_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TX.bigram_lm_score(df, "doc_id").collect()}
+    p_ab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    p_ba = (1 - 0.75) / 1 + (0.75 * 1 / 1) * (1 / 3)
+    p_ac = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+    q = lambda p: round(-math.log(p) * 1e6)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["nll_micro"] == 2 * q(p_ab) + q(p_ba)
+    assert got[2]["nll_micro"] == q(p_ac)
+    assert got[2]["perplexity"] == 4.0
+    # fluent (repetitive) text scores lower than its own average context
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+
+
+def test_bigram_lm_short_docs_drop_out(spark):
+    """Documents with fewer than two tokens have no bigrams and drop out
+    (inner semantics, mirroring the SQL oracle)."""
+    from muninn_avro_to_parquet_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    got = [r["doc_id"] for r in TX.bigram_lm_score(df, "doc_id").collect()]
+    assert got == [3]
