@@ -122,33 +122,93 @@ def learn_bpe(
     text_col: str = "text",
     num_merges: int = 10,
     checkpoint_every: int = 4,
-) -> DataFrame:
+    return_final_seq: bool = False,
+):
     """Learn the first ``num_merges`` BPE merges over a corpus; returns
     (merge_rank, left_sym, right_sym, pair_count) in merge order with the
     deterministic tie-break (count DESC, left ASC, right ASC) so every
     engine picks the same merge sequence.
 
-    ``checkpoint_every`` bounds lineage: the working relation is
-    localCheckpoint'ed every N iterations (each iteration stacks four
-    window passes — unchecked, iteration k would replay all k plans)."""
+    Each iteration's working relation is persisted before the pair-count
+    job materializes it, so iteration k reads iteration k-1's cached rows
+    instead of replaying every prior window stack (without this the loop
+    is quadratic in plan replays); the previous iteration's cache is
+    dropped once superseded, and ``checkpoint_every`` additionally
+    truncates the logical plan so analysis cost stays bounded for large
+    merge counts.
+
+    ``return_final_seq=True`` returns ``(merges_df, final_seq)`` — the
+    post-merge (word, freq, pos, sym) relation, still cached — so callers
+    needing the segmentation don't re-run the loop."""
     spark = df.sparkSession
-    seq = initial_symbols(word_frequencies(df, text_col))
+    seq = initial_symbols(word_frequencies(df, text_col)).persist()
+    n_syms = seq.count()
+    # size the loop's shuffles from the materialized symbol count (the
+    # same discipline as connected_components): the vocabulary relation
+    # is orders of magnitude below the corpus, and default-sized
+    # exchanges would cost more in task scheduling than in work. The
+    # override is session-scoped for the loop's duration and restored in
+    # the finally block.
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, n_syms // 50_000 + 1))
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, num_merges + 1):
-        top = (
-            _pair_counts(seq)
-            .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
-            .limit(1)
-            .collect()
+    prev = None
+    try:
+        for k in range(1, num_merges + 1):
+            seq = seq.persist()
+            top = (
+                _pair_counts(seq)
+                .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+                .limit(1)
+                .collect()
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = seq
+            if not top:
+                break
+            left, right, cnt = (
+                top[0]["left_sym"],
+                top[0]["right_sym"],
+                top[0]["pair_count"],
+            )
+            merges.append((k, left, right, int(cnt)))
+            seq = apply_merge(seq, left, right)
+            if k % checkpoint_every == 0:
+                seq = seq.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    merges_df = spark.createDataFrame(merges, MERGES_TYPE)
+    if return_final_seq:
+        return merges_df, seq
+    if prev is not None:
+        prev.unpersist()
+    return merges_df
+
+
+def _pieces(seq: DataFrame) -> DataFrame:
+    """(word, freq, pieces array<string>) from a symbol-sequence relation."""
+    return (
+        seq.groupBy("word", "freq")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "sym"))).alias("_ps"))
+        .select(
+            "word",
+            "freq",
+            F.transform(F.col("_ps"), lambda s: s["sym"]).alias("pieces"),
         )
-        if not top:
-            break
-        left, right, cnt = top[0]["left_sym"], top[0]["right_sym"], top[0]["pair_count"]
-        merges.append((k, left, right, int(cnt)))
-        seq = apply_merge(seq, left, right)
-        if k % checkpoint_every == 0:
-            seq = seq.localCheckpoint(eager=False)
-    return spark.createDataFrame(merges, MERGES_TYPE)
+    )
+
+
+def learn_and_segment(
+    df: DataFrame, text_col: str = "text", num_merges: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """One pass over the merge loop returning BOTH the learned merges and
+    the final per-word segmentation (word, freq, pieces)."""
+    merges_df, seq = learn_bpe(
+        df, text_col, num_merges=num_merges, return_final_seq=True
+    )
+    return merges_df, _pieces(seq)
 
 
 def segment_words(
@@ -163,12 +223,4 @@ def segment_words(
         seq = apply_merge(seq, left, right)
         if i % 4 == 0:
             seq = seq.localCheckpoint(eager=False)
-    return seq.groupBy("word", "freq").agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", "sym"))
-        ).alias("_ps")
-    ).select(
-        "word",
-        "freq",
-        F.transform(F.col("_ps"), lambda s: s["sym"]).alias("pieces"),
-    )
+    return _pieces(seq)

@@ -3497,13 +3497,7 @@ def text_bpe_segment(spark):
     pieces back to the corpus)."""
     from muninn_avro_to_parquet_spark.operators import bpe
 
-    learned = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe.learn_bpe(spark.table("documents"), num_merges=6)
-        .orderBy("merge_rank")
-        .collect()
-    ]
-    seg = bpe.segment_words(spark.table("documents"), learned)
+    _, seg = bpe.learn_and_segment(spark.table("documents"), num_merges=6)
     return seg.select(
         "word",
         "freq",
