@@ -198,6 +198,30 @@ HEADLINERS: list[tuple[str, str]] = [
         "corpus — the scan side never shuffles, and the keep rule is "
         "all-integer decimal arithmetic in codegen.",
     ),
+    (
+        "q_snapshot_diff",
+        "Version diff: ONE full-outer SortMergeJoin on the key — the same "
+        "partitioning the snapshot MERGE uses, so diffing two table "
+        "versions costs what one materialization costs; change "
+        "classification is null-safe codegen on top, no second pass.",
+    ),
+    (
+        "text_lm_perplexity",
+        "Bigram LM scoring: model relations (counts, continuation stats) "
+        "are distinct-bigram-sized aggregates; scoring re-joins them onto "
+        "the corpus bigrams with one equi-join, and per-doc totals sum "
+        "integer micro-nats so no double-order dependence survives the "
+        "shuffle. AQE may broadcast the model when the vocab is small.",
+    ),
+    (
+        "text_bpe_merges",
+        "BPE learning (final iteration's plan): the loop runs on the "
+        "persisted VOCABULARY symbol relation — windows cluster by word "
+        "(one sized exchange, then sorts only), the pair argmax is a "
+        "TakeOrderedAndProject of aggregate-sized rows, and the corpus is "
+        "touched exactly once (the word-frequency aggregate feeding "
+        "iteration 0).",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")
