@@ -635,3 +635,69 @@ def bigram_lm_score(
             ).alias("perplexity"),
         )
     )
+
+
+def corpus_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift between two corpus slices: per-token Jeffreys
+    divergence contributions (symmetric KL) between the slices' additively
+    smoothed unigram distributions — the monitor that catches a new
+    ingest batch drifting away from the training distribution before it
+    pollutes a mixture.
+
+    Per token over the UNION vocabulary (so either-side-only tokens are
+    covered by the smoothing mass):
+
+        p_x(t) = (c_x(t) + α) / (N_x + α·|V|)
+        j(t)   = p_a·ln(p_a/p_b) + p_b·ln(p_b/p_a)   ≥ 0
+
+    ``j`` is quantized to integer nano-nats so slice totals sum
+    engine-exactly (``SUM(jeffreys_nano)`` is the corpus-level Jeffreys
+    divergence); per-token rows rank the movers.
+
+    Scale: two token-count aggregates (corpus-sized scans, vocab-sized
+    outputs), one full-outer join on token, a 1-row binding aggregate for
+    (N_a, N_b, |V|) broadcast back — nothing above vocab-sized moves
+    after the counts."""
+    ca = (
+        df_a.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_a"))
+    )
+    cb = (
+        df_b.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_b"))
+    )
+    both = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce(F.col("c_a"), F.lit(0)).cast("long").alias("c_a"),
+        F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+    )
+    both = cache_scoped(both, "corpus_drift_counts")
+    totals = both.agg(
+        F.sum("c_a").cast("double").alias("n_a"),
+        F.sum("c_b").cast("double").alias("n_b"),
+        F.count("*").cast("double").alias("v"),
+    )
+    a = float(alpha)
+    p_a = (F.col("c_a").cast("double") + F.lit(a)) / (
+        F.col("n_a") + F.lit(a) * F.col("v")
+    )
+    p_b = (F.col("c_b").cast("double") + F.lit(a)) / (
+        F.col("n_b") + F.lit(a) * F.col("v")
+    )
+    return both.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "c_a",
+        "c_b",
+        F.round(
+            (p_a * F.log(p_a / p_b) + p_b * F.log(p_b / p_a)) * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("jeffreys_nano"),
+    )

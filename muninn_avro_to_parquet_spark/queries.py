@@ -3377,6 +3377,61 @@ def text_vocabulary(spark):
 
 
 @q(
+    "text_corpus_drift",
+    f"""
+    WITH ca AS (
+      SELECT token, COUNT(*) AS c_a FROM (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents WHERE doc_id % 2 = 0
+      ) GROUP BY 1
+    ),
+    cb AS (
+      SELECT token, COUNT(*) AS c_b FROM (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents WHERE doc_id % 2 = 1
+      ) GROUP BY 1
+    ),
+    merged AS (
+      SELECT COALESCE(ca.token, cb.token) AS token,
+             CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+             CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+    ),
+    t AS (
+      SELECT CAST(SUM(c_a) AS DOUBLE) AS n_a, CAST(SUM(c_b) AS DOUBLE) AS n_b,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM merged
+    ),
+    scored AS (
+      SELECT token, c_a, c_b,
+             CAST(ROUND((
+               ((CAST(c_a AS DOUBLE) + 0.5) / (n_a + 0.5 * v))
+                 * ln(((CAST(c_a AS DOUBLE) + 0.5) / (n_a + 0.5 * v))
+                      / ((CAST(c_b AS DOUBLE) + 0.5) / (n_b + 0.5 * v)))
+               + ((CAST(c_b AS DOUBLE) + 0.5) / (n_b + 0.5 * v))
+                 * ln(((CAST(c_b AS DOUBLE) + 0.5) / (n_b + 0.5 * v))
+                      / ((CAST(c_a AS DOUBLE) + 0.5) / (n_a + 0.5 * v)))
+             ) * 1e9) AS BIGINT) AS jeffreys_nano
+      FROM merged CROSS JOIN t
+    )
+    SELECT token, c_a, c_b, jeffreys_nano FROM scored
+    ORDER BY jeffreys_nano DESC, token LIMIT 50
+    """,
+)
+def text_corpus_drift(spark):
+    """Corpus distribution drift (operators/text.corpus_drift): top-50
+    token-level Jeffreys-divergence movers between two corpus slices
+    (even vs odd doc_id as the deterministic stand-in for
+    training-corpus vs new-batch). Contributions are integer nano-nats —
+    sum them for the corpus-level divergence, rank them for the movers;
+    the plan is two vocab-sized count aggregates, one full-outer join on
+    token, and a broadcast 1-row binding."""
+    d = spark.table("documents")
+    drift = text.corpus_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+    return drift.orderBy(F.desc("jeffreys_nano"), F.asc("token")).limit(50)
+
+
+@q(
     "text_lm_perplexity",
     f"""
     WITH bg AS (

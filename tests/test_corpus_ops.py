@@ -543,3 +543,35 @@ def test_bigram_lm_short_docs_drop_out(spark):
     )
     got = [r["doc_id"] for r in TX.bigram_lm_score(df, "doc_id").collect()]
     assert got == [3]
+
+
+def test_corpus_drift_exact_and_symmetric(spark):
+    """Hand-checkable Jeffreys drift: corpora {'a a b'} vs {'a c'} over
+    union vocab {a,b,c} with alpha=0.5 — every nano-nat contribution
+    matches the closed form, is non-negative, and is invariant under
+    swapping the slices (symmetry)."""
+    import math
+
+    from muninn_avro_to_parquet_spark.operators import text as TX
+
+    a = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "a c")], "doc_id long, text string")
+    got = {r["token"]: r for r in TX.corpus_drift(a, b).collect()}
+
+    counts = {"a": (2, 1), "b": (1, 0), "c": (0, 1)}
+    n_a, n_b, v = 3.0, 2.0, 3.0
+    for tok, (ca, cb) in counts.items():
+        pa = (ca + 0.5) / (n_a + 0.5 * v)
+        pb = (cb + 0.5) / (n_b + 0.5 * v)
+        expected = round((pa * math.log(pa / pb) + pb * math.log(pb / pa)) * 1e9)
+        assert got[tok]["c_a"] == ca and got[tok]["c_b"] == cb
+        assert got[tok]["jeffreys_nano"] == expected
+        assert got[tok]["jeffreys_nano"] >= 0
+
+    swapped = {r["token"]: r for r in TX.corpus_drift(b, a).collect()}
+    for tok in counts:
+        assert swapped[tok]["jeffreys_nano"] == got[tok]["jeffreys_nano"]
+        assert (swapped[tok]["c_a"], swapped[tok]["c_b"]) == (
+            got[tok]["c_b"],
+            got[tok]["c_a"],
+        )
