@@ -768,3 +768,53 @@ def test_avro_sink_generic_roundtrip_property(spark, tmp_path_factory, sr):
                 assert gv == wv or math.isclose(gv, wv, rel_tol=1e-12), (gv, wv)
             else:
                 assert gv == wv, (gv, wv)
+
+
+# ---------------------------------------------------------------------------
+# image resize kernel (operators/multimodal.py) — pure-function properties
+# ---------------------------------------------------------------------------
+
+
+_pixel = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    box=st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    data=st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_resize_kernel_properties(w, h, box, data):
+    """For any image and any fit box: output dims respect the box and
+    never upscale, every output pixel is an exact source pixel (nearest
+    neighbor never invents colors), and the canonical P6 re-encoding
+    round-trips through the independent PPM decoder."""
+    from muninn_avro_to_parquet_spark.operators.multimodal import (
+        _decode_ppm_pixels,
+        _encode_ppm,
+        _resize_nn,
+        fit_within,
+    )
+
+    pixels = data.draw(
+        st.lists(_pixel, min_size=w * h, max_size=w * h), label="pixels"
+    )
+    max_w, max_h = box
+    ow, oh = fit_within(w, h, max_w, max_h)
+    assert ow >= 1 and oh >= 1  # dims bounded below by 1
+    assert ow <= max(max_w, w) and oh <= max(max_h, h)
+    if w <= max_w and h <= max_h:
+        assert (ow, oh) == (w, h)  # no upscale
+    else:
+        assert ow <= max_w and oh <= max_h
+    out = _resize_nn(w, h, pixels, ow, oh)
+    assert len(out) == ow * oh
+    src = set(pixels)
+    assert all(px in src for px in out)
+    # corners map to corners under floor mapping: top-left always survives
+    assert out[0] == pixels[0]
+    rt_w, rt_h, rt_px = _decode_ppm_pixels(_encode_ppm(ow, oh, out))
+    assert (rt_w, rt_h, rt_px) == (ow, oh, out)
