@@ -575,3 +575,32 @@ def test_corpus_drift_exact_and_symmetric(spark):
             got[tok]["c_b"],
             got[tok]["c_a"],
         )
+
+
+def test_bpe_differential_random_corpora(spark):
+    """Differential check on seeded random corpora (small alphabet →
+    dense pair collisions, heavy tie-breaking and equal-symbol runs):
+    the distributed loop must match the sequential reference
+    merge-for-merge on every corpus."""
+    import random
+
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        expected, _ = _ref_bpe(texts, 5)
+        got = [
+            (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe.learn_bpe(df, num_merges=5).orderBy("merge_rank").collect()
+        ]
+        assert got == expected, f"seed {seed}: {got} != {expected}"
