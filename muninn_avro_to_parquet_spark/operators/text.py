@@ -701,3 +701,48 @@ def corpus_drift(
         .cast("long")
         .alias("jeffreys_nano"),
     )
+
+
+def posting_lists(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_postings: int = 32,
+) -> DataFrame:
+    """Capped inverted index: per token, document frequency plus the top
+    ``max_postings`` postings ranked by term frequency (ties broken by
+    ascending doc id) — the search/retrieval primitive over a curated
+    corpus.
+
+    The cap is the 100 TB guard: stop-word-like tokens would otherwise
+    produce posting lists the size of the corpus in a single aggregation
+    task. Ranking runs as a window over the (token, doc) TF relation
+    (one shuffle on token, skew bounded by the rank<=k filter BEFORE the
+    list aggregation), and ``df`` keeps the TRUE document frequency even
+    where the list is truncated."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc(id_col))
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    docfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("doc_freq"))
+    top = (
+        ranked.filter(F.col("rnk") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("rnk", id_col, "tf"))).alias("_ps")
+        )
+        .select(
+            "token",
+            F.transform(
+                F.col("_ps"),
+                lambda s: F.concat_ws(":", s[id_col].cast("string"), s["tf"].cast("string")),
+            ).alias("_pieces"),
+        )
+        .select("token", F.array_join(F.col("_pieces"), " ").alias("postings"))
+    )
+    return docfreq.join(top, "token")

@@ -3377,6 +3377,38 @@ def text_vocabulary(spark):
 
 
 @q(
+    "text_posting_lists",
+    f"""
+    WITH tf AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+      ) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT token, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id ASC) AS rnk
+      FROM tf
+    ),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1)
+    SELECT token, doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ' ' ORDER BY rnk) AS postings
+    FROM ranked JOIN dfreq USING (token)
+    WHERE rnk <= 8
+    GROUP BY token, doc_freq
+    """,
+)
+def text_posting_lists(spark):
+    """Capped inverted index (operators/text.posting_lists): per token,
+    true document frequency + the top-8 postings by TF (doc:tf pairs).
+    The rank<=k filter runs BEFORE list aggregation, so stop-word-like
+    tokens cannot produce corpus-sized lists in one task — the cap is the
+    100 TB guard; doc_freq stays exact regardless."""
+    return text.posting_lists(spark.table("documents"), "doc_id", max_postings=8)
+
+
+@q(
     "text_corpus_drift",
     f"""
     WITH ca AS (

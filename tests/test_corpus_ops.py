@@ -604,3 +604,25 @@ def test_bpe_differential_random_corpora(spark):
             for r in bpe.learn_bpe(df, num_merges=5).orderBy("merge_rank").collect()
         ]
         assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_posting_lists_cap_and_exact_df(spark):
+    """Posting lists rank by (tf DESC, doc_id ASC), truncate at the cap,
+    and keep the TRUE document frequency even where truncated."""
+    from muninn_avro_to_parquet_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x y"),
+            (2, "x y y"),
+            (3, "x"),
+            (4, "x z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["token"]: r for r in TX.posting_lists(df, "doc_id", max_postings=2).collect()}
+    assert got["x"]["doc_freq"] == 4  # true df, not the cap
+    assert got["x"]["postings"] == "1:2 2:1"  # tf desc, then doc_id asc; capped at 2
+    assert got["y"]["doc_freq"] == 2
+    assert got["y"]["postings"] == "2:2 1:1"
+    assert got["z"]["postings"] == "4:1"
