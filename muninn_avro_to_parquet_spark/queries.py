@@ -5103,6 +5103,62 @@ def ann_topk_int8(spark):
 
 
 @q(
+    "ann_topk_pq",
+    f"""
+    WITH {_INT8_QV},
+    dims AS (SELECT CAST(MAX(pos) AS INTEGER) AS d FROM qv),
+    picked AS (
+      SELECT vec_id AS cb_vec,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                vec_id ASC) - 1 AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cb AS (
+      SELECT p.code_id, CAST((q.pos - 1) AS INTEGER) // (d // 8) AS sub,
+             q.pos, q.q AS cq
+      FROM picked p JOIN qv q ON q.vec_id = p.cb_vec CROSS JOIN dims
+    ),
+    dist AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             SUM(CAST(v.q - c.cq AS BIGINT) * (v.q - c.cq)) AS dist
+      FROM qv v JOIN cb c ON v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    enc AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist ASC, code_id ASC) AS r
+        FROM dist
+      ) WHERE r = 1
+    ),
+    adc AS (
+      SELECT d.vec_id AS query_id, e.vec_id,
+             CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
+      FROM dist d JOIN enc e ON d.sub = e.sub AND d.code_id = e.code_id
+      WHERE d.vec_id < 5 AND e.vec_id <> d.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, approx_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_pq(spark):
+    """Product-quantization ANN (similarity.pq_model + ann_topk_pq):
+    8 subspaces × 16 seeded codes over the int8-coded embeddings — the
+    index at rest is 4 BYTES per 64-dim vector (64× below float32),
+    which is the 100 TB vector-search answer. ADC scoring joins each
+    query's integer distance table onto the corpus code assignments on
+    (sub, code_id) and sums; every distance is an exact integer, so the
+    oracle reproduces codebook, encoding, and ranking bit-for-bit."""
+    codes = similarity.quantize_int8(spark.table("embeddings"))
+    return similarity.ann_topk_pq(codes, F.col("vec_id") < 5, m=8, k=16, top_k=10)
+
+
+@q(
     "q_incremental_rollup",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,

