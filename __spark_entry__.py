@@ -54,8 +54,12 @@ _R4_CHECKED = frozenset(
 
 
 # Queries added in round 5 — never in ANY driver snapshot yet, so they
-# outrank even the round-4-unchecked backlog in the rotation.
+# outrank even the round-4-unchecked backlog in the rotation. Session-3
+# additions lead (newest first).
 _R5_NEW = (
+    "multimodal_resize", "q_snapshot_diff", "text_bpe_merges",
+    "text_bpe_segment", "text_lm_perplexity", "text_corpus_drift",
+    "text_posting_lists", "ann_topk_pq",
     "split_leakage_safe", "sample_target_mixture", "q_fuzzy_join_parts",
     "corpus_overlap_matrix", "doc_quality_top_fraction", "dedup_incremental_delta", "q_shard_assignment", "q_fuzzy_join_multipass",
     "q2_min_cost_supplier", "q11_important_parts", "q12_priority_class",
