@@ -139,6 +139,20 @@ def main(argv: list[str] | None = None) -> int:
         "--flags_out", default=None, help="also write the per-doc flag relation here"
     )
 
+    p_bpe = sub.add_parser(
+        "bpe-train",
+        help="learn BPE merges over a parquet corpus (distributed "
+        "vocabulary-relation loop)",
+    )
+    p_bpe.add_argument("--input_dir", required=True, help="parquet directory")
+    p_bpe.add_argument("--text_col", default="text")
+    p_bpe.add_argument("--num_merges", type=int, default=1000)
+    p_bpe.add_argument("--merges_out", required=True, help="merge table parquet dir")
+    p_bpe.add_argument(
+        "--segments_out", default=None,
+        help="also write the per-word subword segmentation here",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "drain":
@@ -237,6 +251,30 @@ def main(argv: list[str] | None = None) -> int:
             n_dup = flags.filter(F.col("is_dup")).count()
             print(f"{n_total} docs screened: {n_dup} duplicates, "
                   f"{n_total - n_dup} survivors appended to {args.bands_dir}")
+            return 0
+
+        if args.cmd == "bpe-train":
+            from pyspark.sql import functions as F
+
+            from muninn_avro_to_parquet_spark.operators import bpe
+
+            docs = spark.read.parquet(args.input_dir)
+            if args.segments_out:
+                merges, seg = bpe.learn_and_segment(
+                    docs, args.text_col, num_merges=args.num_merges
+                )
+                seg.withColumn(
+                    "pieces", F.array_join(F.col("pieces"), " ")
+                ).write.mode("overwrite").parquet(args.segments_out)
+            else:
+                merges = bpe.learn_bpe(
+                    docs, args.text_col, num_merges=args.num_merges
+                )
+            merges.write.mode("overwrite").parquet(args.merges_out)
+            n = spark.read.parquet(args.merges_out).count()
+            print(f"{n} merges written to {args.merges_out}")
+            if args.segments_out:
+                print(f"segmentation at {args.segments_out}")
             return 0
 
         if args.cmd == "convert":

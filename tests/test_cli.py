@@ -165,3 +165,40 @@ def test_cli_shard_and_dedup_update(spark, tmp_path, monkeypatch, capsys):
     assert "2 shards" in capsys.readouterr().out
     back = pipeline.read_training_shards(spark, str(tmp_path / "shards"))
     assert back.count() == 3
+
+
+def test_cli_bpe_train(spark, tmp_path, monkeypatch, capsys):
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    rc = cli.main(
+        ["bpe-train", "--input_dir", str(tmp_path / "docs"),
+         "--num_merges", "4", "--merges_out", str(tmp_path / "merges"),
+         "--segments_out", str(tmp_path / "segments")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "4 merges written" in out
+    merges = spark.read.parquet(str(tmp_path / "merges"))
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert len(got) == 4 and got[0][0] == 1
+    # 'e' + 'w' dominates (appears in every word of doc 2) alongside
+    # 'l' 'o' / 'o' 'w' chains from doc 1 — just assert structure + the
+    # segmentation round-trips through parquet with joined pieces
+    seg = spark.read.parquet(str(tmp_path / "segments"))
+    rows = {r["word"]: r["pieces"] for r in seg.collect()}
+    assert set(rows) == {"low", "lower", "lowest", "new", "newer", "newest"}
+    for word, pieces in rows.items():
+        assert "".join(pieces.split(" ")) == word  # pieces reassemble the word
