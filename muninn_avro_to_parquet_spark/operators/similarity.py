@@ -934,3 +934,60 @@ def ann_topk_pq(
     return adc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= top_k
     )
+
+
+def ann_topk_pq_rerank(
+    codes: DataFrame,
+    query_pred,
+    m: int = 8,
+    k: int = 16,
+    shortlist: int = 50,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search — the production ANN pattern: ADC over
+    4-byte PQ codes builds a ``shortlist`` per query (corpus side moves
+    only codes), then EXACT int8 cosine re-ranks just the shortlist
+    (``shortlist × queries`` pairs, not corpus × queries). Recovers most
+    of the recall PQ loses while touching full vectors for ~0.1% of the
+    corpus — the reason FAISS-style engines always re-rank.
+
+    Integer code products keep both stages engine-deterministic; output
+    is (query_id, vec_id, cosine_sim, rank) like ``cosine_topk_int8``."""
+    from pyspark.sql import Window
+
+    cand = ann_topk_pq(
+        codes, query_pred, m=m, k=k, top_k=shortlist, id_col=id_col
+    ).select("query_id", id_col)
+
+    def _norm(col: str):
+        return F.sqrt(
+            F.expr(
+                f"aggregate(transform({col}, x -> cast(x as bigint) * cast(x as bigint)),"
+                " 0L, (a, x) -> a + x)"
+            ).cast("double")
+        )
+
+    q = codes.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qa"), _norm("q").alias("_na")
+    )
+    c = codes.select(F.col(id_col), F.col("q").alias("qb"), _norm("q").alias("_nb"))
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+        " 0L, (a, x) -> a + x)"
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, id_col)
+        .select(
+            "query_id",
+            id_col,
+            (dot.cast("double") / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )

@@ -5102,10 +5102,9 @@ def ann_topk_int8(spark):
     return similarity.cosine_topk_int8(codes, codes.filter(F.col("vec_id") < 5), k=10)
 
 
-@q(
-    "ann_topk_pq",
-    f"""
-    WITH {_INT8_QV},
+# shared PQ oracle pipeline: int8 codes → seeded codebook → subspace
+# distances → argmin encoding → ADC totals for queries (vec_id < 5)
+_PQ_CTES = f"""{_INT8_QV},
     dims AS (SELECT CAST(MAX(pos) AS INTEGER) AS d FROM qv),
     picked AS (
       SELECT vec_id AS cb_vec,
@@ -5138,7 +5137,13 @@ def ann_topk_int8(spark):
       FROM dist d JOIN enc e ON d.sub = e.sub AND d.code_id = e.code_id
       WHERE d.vec_id < 5 AND e.vec_id <> d.vec_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@q(
+    "ann_topk_pq",
+    f"""
+    WITH {_PQ_CTES}
     SELECT query_id, vec_id, approx_sqdist, rank FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
@@ -5156,6 +5161,56 @@ def ann_topk_pq(spark):
     oracle reproduces codebook, encoding, and ranking bit-for-bit."""
     codes = similarity.quantize_int8(spark.table("embeddings"))
     return similarity.ann_topk_pq(codes, F.col("vec_id") < 5, m=8, k=16, top_k=10)
+
+
+@q(
+    "ann_topk_pq_rerank",
+    f"""
+    WITH {_PQ_CTES},
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_sqdist ASC, vec_id ASC) AS r
+        FROM adc
+      ) WHERE r <= 50
+    ),
+    qn AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(q AS BIGINT) * q) AS DOUBLE)) AS nrm
+      FROM qv GROUP BY 1
+    ),
+    dots AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN qv a ON a.vec_id = c.query_id
+      JOIN qv b ON b.vec_id = c.vec_id AND b.pos = a.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, dot / (na.nrm * nb.nrm) AS cosine_sim
+      FROM dots d
+      JOIN qn na ON d.query_id = na.vec_id
+      JOIN qn nb ON d.vec_id = nb.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_pq_rerank(spark):
+    """Two-stage PQ search (similarity.ann_topk_pq_rerank): ADC over
+    4-byte codes shortlists 50 candidates per query, then EXACT int8
+    cosine re-ranks only the shortlist — full vectors are touched for
+    ~shortlist/corpus of the data, which is the production FAISS-style
+    pattern that recovers the recall PQ's lossy codes give up. Both
+    stages are integer-exact, so the oracle reproduces shortlist and
+    final ranking bit-for-bit."""
+    codes = similarity.quantize_int8(spark.table("embeddings"))
+    return similarity.ann_topk_pq_rerank(
+        codes, F.col("vec_id") < 5, m=8, k=16, shortlist=50, top_k=10
+    )
 
 
 @q(

@@ -225,3 +225,22 @@ def test_pq_topk_recall_vs_int8_exact(spark):
     got = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
     recall = len(ex & got) / len(ex)
     assert recall >= 0.1, recall
+
+
+def test_pq_rerank_recall_dominates_plain_pq(spark):
+    """The exact re-rank stage must recover recall: rerank@10 vs the
+    exact int8 top-10 is at least plain-PQ recall, and the shortlist
+    bound guarantees any exact top-10 member inside the 50-candidate
+    shortlist is surfaced."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = similarity.quantize_int8(emb)
+    exact = similarity.cosine_topk_int8(codes, codes.filter(F.col("vec_id") < 5), k=10)
+    pq = similarity.ann_topk_pq(codes, F.col("vec_id") < 5, top_k=10)
+    rr = similarity.ann_topk_pq_rerank(codes, F.col("vec_id") < 5, shortlist=50, top_k=10)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got_pq = {(r["query_id"], r["vec_id"]) for r in pq.collect()}
+    got_rr = {(r["query_id"], r["vec_id"]) for r in rr.collect()}
+    recall_pq = len(ex & got_pq) / len(ex)
+    recall_rr = len(ex & got_rr) / len(ex)
+    assert recall_rr >= recall_pq, (recall_rr, recall_pq)
+    assert recall_rr >= 0.2, recall_rr
