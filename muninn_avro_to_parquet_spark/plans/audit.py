@@ -214,6 +214,14 @@ HEADLINERS: list[tuple[str, str]] = [
         "shuffle. AQE may broadcast the model when the vocab is small.",
     ),
     (
+        "ann_topk_pq_rerank",
+        "Two-stage PQ search: the ADC stage joins query distance tables "
+        "to corpus code assignments on (sub, code_id) — the corpus side "
+        "moves 4-byte codes, never vectors — and the re-rank stage "
+        "touches full int8 vectors only for the 50-candidate shortlist "
+        "(broadcast join back onto the codes).",
+    ),
+    (
         "text_bpe_merges",
         "BPE learning (final iteration's plan): the loop runs on the "
         "persisted VOCABULARY symbol relation — windows cluster by word "
