@@ -857,7 +857,12 @@ def pq_model(
     relation is corpus × m × k rows of integers built by ONE equi-join
     on dimension position and a hash aggregate — no cross product over
     vectors, and everything downstream of the corpus scan is
-    integer-exact (oracle-hashable)."""
+    integer-exact (oracle-hashable).
+
+    ``m`` should divide the vector dimension; with a non-divisor the
+    floor split ``pos div (n_dims div m)`` still partitions dimensions
+    deterministically (identically in every engine), but produces up to
+    one extra, smaller trailing subspace."""
     from pyspark.sql import Window
 
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped

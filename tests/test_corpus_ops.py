@@ -626,3 +626,18 @@ def test_posting_lists_cap_and_exact_df(spark):
     assert got["y"]["doc_freq"] == 2
     assert got["y"]["postings"] == "2:2 1:1"
     assert got["z"]["postings"] == "4:1"
+
+
+def test_bpe_empty_and_pairless_corpora(spark):
+    """Degenerate corpora terminate cleanly: an empty corpus and a
+    corpus of single-character words (no adjacent pairs) both yield an
+    empty, correctly-typed merge table instead of erroring or looping."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    m = bpe.learn_bpe(empty, num_merges=3)
+    assert m.count() == 0
+    assert m.columns == ["merge_rank", "left_sym", "right_sym", "pair_count"]
+
+    pairless = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    assert bpe.learn_bpe(pairless, num_merges=3).count() == 0
