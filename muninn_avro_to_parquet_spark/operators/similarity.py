@@ -996,3 +996,62 @@ def ann_topk_pq_rerank(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= top_k
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    query_pred,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    k: int = 16,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style composition of both index structures —
+    coarse IVF lists restrict WHICH vectors are scored (each query reads
+    only its ``nprobe`` probed lists, ~nprobe/n_centroids of the corpus),
+    and PQ codes decide HOW they are scored (integer ADC over 4-byte
+    codes, no vector movement). At 100 TB this is the full vector-search
+    architecture: partition pruning × compressed scoring.
+
+    Everything stays engine-deterministic: the seeded centroid pick and
+    integer-cosine assignment come from the IVF path, the codebook and
+    ADC tables from the PQ path; the candidate restriction is one
+    equi-join on centroid_id, the scoring one equi-join on
+    (query, sub, code). Output: (query_id, vec_id, approx_sqdist, rank).
+    """
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        id_col, "centroid_id"
+    )
+    q_lists = ivf_assign(
+        corpus.filter(query_pred), cents, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        q_lists.join(corpus_lists, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+
+    codes = quantize_int8(corpus, id_col, vec_col)
+    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
+    qtab = dist.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), "sub", "code_id", "dist"
+    )
+    adc = (
+        cand.join(enc, id_col)
+        .join(qtab, ["query_id", "sub", "code_id"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_sqdist"), F.asc(id_col)
+    )
+    return adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )

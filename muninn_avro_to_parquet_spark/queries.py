@@ -5214,6 +5214,73 @@ def ann_topk_pq_rerank(spark):
 
 
 @q(
+    "ann_topk_ivfpq",
+    f"""
+    WITH {_PQ_CTES},
+    fel AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    fnorms AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM fel GROUP BY 1),
+    icents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    icel AS (SELECT centroid_id, x, i FROM fel JOIN icents ON fel.vec_id = icents.centroid_id),
+    icnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM icel GROUP BY 1),
+    iadots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM fel e JOIN icel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    icsim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM iadots a
+      JOIN fnorms nv ON a.vec_id = nv.vec_id
+      JOIN icnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    corpus_lists AS (SELECT vec_id, centroid_id FROM icsim WHERE r = 1),
+    q_lists AS (
+      SELECT vec_id AS query_id, centroid_id FROM icsim WHERE vec_id < 5 AND r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM q_lists q JOIN corpus_lists c USING (centroid_id)
+      WHERE c.vec_id <> q.query_id
+    ),
+    iadc AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub AND d.code_id = e.code_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, approx_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+      FROM iadc
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_ivfpq(spark):
+    """IVF-PQ (similarity.ann_topk_ivfpq): the FAISS-style composition —
+    coarse IVF lists prune WHICH vectors each query scores (nprobe=2 of
+    16 lists, ~1/8 of the corpus read) and PQ codes decide HOW (integer
+    ADC over 4-byte codes, no vector movement). The 100 TB vector-search
+    architecture in one plan: partition pruning × compressed scoring,
+    every stage integer-deterministic and reproduced by the oracle."""
+    emb = spark.table("embeddings")
+    return similarity.ann_topk_ivfpq(
+        emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, m=8, k=16, top_k=10
+    )
+
+
+@q(
     "q_incremental_rollup",
     """
     SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -244,3 +244,28 @@ def test_pq_rerank_recall_dominates_plain_pq(spark):
     recall_rr = len(ex & got_rr) / len(ex)
     assert recall_rr >= recall_pq, (recall_rr, recall_pq)
     assert recall_rr >= 0.2, recall_rr
+
+
+def test_ivfpq_results_respect_probed_lists(spark):
+    """Structural IVF-PQ invariant: every returned neighbor lives in one
+    of its query's nprobe probed lists — the partition pruning is real,
+    not advisory."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    res = similarity.ann_topk_ivfpq(
+        emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, top_k=10
+    )
+    cents = similarity.ivf_centroids(emb, 16)
+    corpus_lists = {
+        (r["vec_id"], r["centroid_id"])
+        for r in similarity.ivf_assign(emb, cents, nprobe=1).collect()
+    }
+    probed = {}
+    for r in similarity.ivf_assign(emb.filter(F.col("vec_id") < 5), cents, nprobe=2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+    rows = res.collect()
+    assert rows, "ivfpq returned no rows"
+    for r in rows:
+        lists_of_v = {c for v, c in corpus_lists if v == r["vec_id"]}
+        assert lists_of_v & probed[r["query_id"]], (
+            r["query_id"], r["vec_id"], lists_of_v, probed[r["query_id"]],
+        )
