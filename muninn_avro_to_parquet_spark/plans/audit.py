@@ -308,6 +308,19 @@ spikes (7-15) explain the r4 sweep numbers. Bench-ordering note: the 1 GiB
 recorded 9.0 s vs 1.0 s isolated when it preceded the query loop), so
 bench.py runs it last.
 
+**Round-5 session-3 closing bench (clean machine, nothing concurrent).**
+142 entries at sf0.1 in 116.3 s total, of which the two deliberate scale
+proofs cost 50 s (`dedup_bigcorpus` 30.2 s — 200k docs, 1.33M candidate
+pairs, 6.6k docs/s incl. components; `convert_bigfile` 19.9 s — 1 GiB
+single-file Avro across 64 splits at 511k rows/s). The 138-query
+registry itself totals ≈66 s; every session-3 addition lands between
+0.2 s (`multimodal_resize`) and 3.1 s (`ann_topk_ivfpq`), the latter at
+the driver-loop fixed floor shared with the CC/pagerank/BPE loops
+(~0.5 s per Spark job on local mode — amortizes at real scale).
+Concurrency caveat reconfirmed: a bench run with tests executing in
+parallel measured 109 s for the SAME workload that takes 66 s clean —
+never trust in-sweep numbers from a busy machine.
+
 **Codec cost.** Per-codec fused decode of the same 240k CDC rows
 (conftest schema: unions, bytes decimal, stringify containers):
 null 51k, deflate 53k, snappy 54k rows/s/core — block decompression
