@@ -308,18 +308,24 @@ spikes (7-15) explain the r4 sweep numbers. Bench-ordering note: the 1 GiB
 recorded 9.0 s vs 1.0 s isolated when it preceded the query loop), so
 bench.py runs it last.
 
-**Round-5 session-3 closing bench (clean machine, nothing concurrent).**
-142 entries at sf0.1 in 116.3 s total, of which the two deliberate scale
-proofs cost 50 s (`dedup_bigcorpus` 30.2 s — 200k docs, 1.33M candidate
-pairs, 6.6k docs/s incl. components; `convert_bigfile` 19.9 s — 1 GiB
-single-file Avro across 64 splits at 511k rows/s). The 138-query
-registry itself totals ≈66 s; every session-3 addition lands between
-0.2 s (`multimodal_resize`) and 3.1 s (`ann_topk_ivfpq`), the latter at
-the driver-loop fixed floor shared with the CC/pagerank/BPE loops
-(~0.5 s per Spark job on local mode — amortizes at real scale).
-Concurrency caveat reconfirmed: a bench run with tests executing in
-parallel measured 109 s for the SAME workload that takes 66 s clean —
-never trust in-sweep numbers from a busy machine.
+**Round-5 session-3 closing bench.** The 138-query registry totals
+≈116 s at sf0.1 (the headline metric excludes conversions and scale
+proofs, reported alongside: `dedup_bigcorpus` 30 s — 200k docs, 1.33M
+candidate pairs, 6.6k docs/s incl. components;
+`dedup_incremental_bigbatch` 4.2 s — 20k-doc delta at 4.7k docs/s;
+`convert_bigfile` ~20 s — 1 GiB single-file Avro across 64 splits at
+~510k rows/s). Two back-to-back full runs agree within 0.6 % (116.3 /
+115.7 s), so the numbers are repeatable — but both ran under the
+machine's documented co-tenant load (loadavg 7–15 observed throughout
+this session), and against session-2's record the light queries are
+unchanged (q1 0.37→0.38, q6 0.25→0.22) while multi-JOB queries read
+20–35 % higher (pagerank 2.5→3.7, canonical 3.4→4.6) — the same
+in-sweep-vs-isolated signature r4's verdict attributed to co-tenant
+noise, concentrated in loop operators because each of their many
+short Spark jobs eats a scheduling delay. Session-3 additions land
+between 0.2 s (`multimodal_resize`) and 3.1 s (`ann_topk_ivfpq`), the
+latter at the same driver-loop fixed floor (~0.5 s per Spark job on
+local mode — amortizes at real scale).
 
 **Codec cost.** Per-codec fused decode of the same 240k CDC rows
 (conftest schema: unions, bytes decimal, stringify containers):
