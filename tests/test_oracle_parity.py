@@ -68,3 +68,34 @@ def test_no_oracle_emits_hugeint():
     assert not offenders, (
         f"oracles emitting HUGEINT (wrap in CAST(... AS BIGINT)): {offenders}"
     )
+
+
+def test_gate_detects_each_perturbation_class(spark):
+    """Meta-test of the gate itself: a green board is only evidence if
+    the comparator actually trips on wrong results. Perturb q1's Spark
+    side four ways — wrong value, renamed column, dropped row, int→float
+    dtype drift — and assert the corresponding guard catches each."""
+    from pyspark.sql import functions as F
+
+    entry = QUERIES["q1_pricing_summary"]
+    con = parity.duckdb_connection(SF_SMOKE)
+    oracle = con.sql(entry.oracle).df()
+
+    good = entry.spark(spark, SF_SMOKE)
+    assert parity.compare(good, oracle)["ok"]
+
+    wrong_value = good.withColumn("count_order", F.col("count_order") + 1)
+    r = parity.compare(wrong_value, oracle)
+    assert not r["ok"] and r["value_mismatches"]
+
+    renamed = good.withColumnRenamed("count_order", "n_orders")
+    r = parity.compare(renamed, oracle)
+    assert not r["ok"] and not r["cols_match"]
+
+    dropped = good.limit(good.count() - 1)
+    r = parity.compare(dropped, oracle)
+    assert not r["ok"] and not r["rows_match"]
+
+    drifted = good.withColumn("count_order", F.col("count_order").cast("double"))
+    r = parity.compare(drifted, oracle)
+    assert not r["ok"] and r["dtype_conflicts"]
