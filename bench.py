@@ -378,6 +378,63 @@ def main() -> None:
     else:
         bigcorpus_stats = None
 
+    # scale proof for the text/tokenizer family: the sf tables' synthetic
+    # documents draw from a ~31-word pool, so nothing above exercises a
+    # REALISTIC vocabulary. Generate a corpus with a 50k-word Zipf-ish
+    # vocabulary (30% of positions from a 500-word head, the rest from
+    # the 50k tail — md5-derived, deterministic, no Python row loop) and
+    # run the LM scorer + BPE loop + inverted index at 2.4M tokens. This
+    # corpus is ADVERSARIAL for the bigram LM: ~96% of its bigrams are
+    # distinct, so the model relation is nearly corpus-sized and the
+    # scoring join is ~1:1 — real corpora repeat bigrams heavily and sit
+    # far above these docs/s numbers.
+    bigvocab_docs = int(os.environ.get("SPARK_GRAFT_BIGVOCAB_DOCS", "20000"))
+    if bigvocab_docs > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import bpe as bpe_mod
+        from muninn_avro_to_parquet_spark.operators import text as text_mod
+
+        vwords = 120
+        vtok = (
+            "transform(sequence(1, {w}), i -> concat('w', cast("
+            "CASE WHEN conv(substring(md5(concat(cast(id as string), 'p', cast(i as string))), 1, 4), 16, 10) % 10 < 3 "
+            "THEN conv(substring(md5(concat(cast(id as string), 'h', cast(i as string))), 1, 5), 16, 10) % 500 "
+            "ELSE conv(substring(md5(concat(cast(id as string), 't', cast(i as string))), 1, 8), 16, 10) % 50000 END as string)))"
+        ).format(w=vwords)
+        vcorpus = (
+            spark.range(bigvocab_docs)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(f"array_join({vtok}, ' ')").alias("text"),
+            )
+            .cache()
+        )
+        vcorpus.count()
+        t0 = time.perf_counter()
+        n_scored = text_mod.bigram_lm_score(vcorpus, "doc_id").count()
+        lm_wall = time.perf_counter() - t0
+        timings["lm_bigvocab"] = round(lm_wall, 4)
+        t0 = time.perf_counter()
+        n_merges = bpe_mod.learn_bpe(vcorpus, num_merges=6).count()
+        bpe_wall = time.perf_counter() - t0
+        timings["bpe_bigvocab"] = round(bpe_wall, 4)
+        t0 = time.perf_counter()
+        n_terms = text_mod.posting_lists(vcorpus, "doc_id", max_postings=16).count()
+        post_wall = time.perf_counter() - t0
+        timings["postings_bigvocab"] = round(post_wall, 4)
+        bigvocab_stats = {
+            "docs": bigvocab_docs,
+            "tokens": bigvocab_docs * vwords,
+            "lm_docs_per_sec": round(n_scored / lm_wall),
+            "bpe_merges": n_merges,
+            "index_terms": n_terms,
+            "postings_tokens_per_sec": round(bigvocab_docs * vwords / post_wall),
+        }
+        vcorpus.unpersist()
+    else:
+        bigvocab_stats = None
+
     # the headline metric sums the QUERY timings; the conversion benchmark
     # is reported alongside but not folded in (its row count is a separate
     # knob, and mixing it in would skew query-only comparisons)
@@ -386,7 +443,10 @@ def main() -> None:
             v
             for k, v in timings.items()
             if not k.startswith("convert_")
-            and k not in ("dedup_bigcorpus", "dedup_incremental_bigbatch")
+            and k not in (
+                "dedup_bigcorpus", "dedup_incremental_bigbatch",
+                "lm_bigvocab", "bpe_bigvocab", "postings_bigvocab",
+            )
         ), 4
     )
     result = {
@@ -400,6 +460,8 @@ def main() -> None:
         result["bigfile"] = bigfile_stats
     if bigcorpus_stats is not None:
         result["bigcorpus"] = bigcorpus_stats
+    if bigvocab_stats is not None:
+        result["bigvocab"] = bigvocab_stats
     # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
     # were cut, losing per-query timings); persist the full result as a
     # standalone artifact so cross-round comparisons always have all queries
