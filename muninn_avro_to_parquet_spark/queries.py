@@ -3592,6 +3592,51 @@ def text_bpe_segment(spark):
     )
 
 
+def _bpe_token_counts_oracle(num_merges: int) -> str:
+    # BPE unroll → pieces-per-word from the final symbol relation →
+    # join back onto the corpus token stream → per-doc piece totals
+    body = _bpe_oracle(num_merges)
+    union_start = body.rindex("SELECT CAST(1 AS INTEGER)")
+    return (
+        body[:union_start]
+        + f""", wp AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces_word
+      FROM s{num_merges} GROUP BY word
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces_word) AS BIGINT) AS n_pieces
+    FROM tok JOIN wp USING (word)
+    GROUP BY doc_id"""
+    )
+
+
+@q("text_bpe_token_counts", _bpe_token_counts_oracle(6))
+def text_bpe_token_counts(spark):
+    """Per-document token budget under the LEARNED tokenizer: apply the
+    first 6 BPE merges to the vocabulary once, then join the per-word
+    piece counts back onto the corpus token stream (vocabulary-sized
+    relation broadcast onto the corpus — words are never re-segmented
+    per occurrence). The count a sequence-packing or pricing step would
+    consume; composes learn_and_segment with one corpus aggregate."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    d = spark.table("documents")
+    _, seg = bpe.learn_and_segment(d, num_merges=6)
+    wp = seg.select("word", F.size("pieces").cast("long").alias("n_pieces_word"))
+    tok = d.select("doc_id", F.explode(text.tokens(F.col("text"))).alias("word"))
+    return (
+        tok.join(F.broadcast(wp), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_pieces_word").cast("long").alias("n_pieces"),
+        )
+    )
+
+
 @q("text_bpe_merges", _bpe_oracle(6))
 def text_bpe_merges(spark):
     """Distributed BPE merge learning (operators/bpe.learn_bpe): the
