@@ -89,18 +89,28 @@ def apply_merge(seq: DataFrame, left: str, right: str) -> DataFrame:
     - a merge START becomes ``left || right``; the row AFTER a start is
       consumed; positions renumber densely for the next iteration."""
     w = Window.partitionBy("word").orderBy("pos")
-    island = Window.partitionBy("word", "sym").orderBy("pos")
-    annotated = (
-        seq.withColumn("nxt", F.lead("sym").over(w))
-        .withColumn("grp", F.col("pos") - F.row_number().over(island))
-    )
-    offw = Window.partitionBy("word", "sym", "grp").orderBy("pos")
-    flagged = annotated.withColumn("off", F.row_number().over(offw) - 1).withColumn(
-        "strt",
-        (F.col("sym") == F.lit(left))
-        & (F.col("nxt") == F.lit(right))
-        & (F.lit(left != right) | (F.col("off") % 2 == 0)),
-    )
+    annotated = seq.withColumn("nxt", F.lead("sym").over(w))
+    if left != right:
+        # unequal pair: matches can never overlap (a second start at the
+        # next position would need left == right), so the island/offset
+        # windows — two extra sorts per iteration — are skipped entirely
+        flagged = annotated.withColumn(
+            "strt", (F.col("sym") == F.lit(left)) & (F.col("nxt") == F.lit(right))
+        )
+    else:
+        island = Window.partitionBy("word", "sym").orderBy("pos")
+        annotated = annotated.withColumn(
+            "grp", F.col("pos") - F.row_number().over(island)
+        )
+        offw = Window.partitionBy("word", "sym", "grp").orderBy("pos")
+        flagged = annotated.withColumn(
+            "off", F.row_number().over(offw) - 1
+        ).withColumn(
+            "strt",
+            (F.col("sym") == F.lit(left))
+            & (F.col("nxt") == F.lit(right))
+            & (F.col("off") % 2 == 0),
+        )
     consumed = flagged.withColumn(
         "consumed", F.coalesce(F.lag("strt").over(w), F.lit(False))
     )
