@@ -435,6 +435,54 @@ def main() -> None:
     else:
         bigvocab_stats = None
 
+    # scale proof for the vector-index family: the sf0.1 embeddings table
+    # is 6.4k vectors, so build and search the PQ / IVF-PQ indexes over a
+    # Spark-generated 100k x 64-dim corpus (md5-derived values in [-1,1),
+    # deterministic). Timed span covers index construction (codebooks,
+    # encoding) AND a 5-query top-10 search — the full cold-start cost.
+    bigvec_n = int(os.environ.get("SPARK_GRAFT_BIGVEC_N", "100000"))
+    if bigvec_n > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import similarity as sim_mod
+
+        dim = 64
+        vexpr = (
+            "transform(sequence(1, {d}), i -> cast(conv(substring(md5(concat("
+            "cast(id as string), ':', cast(i as string))), 1, 6), 16, 10) "
+            "% 2000 - 1000 as double) / 1000.0)"
+        ).format(d=dim)
+        vemb = (
+            spark.range(bigvec_n)
+            .select(F.col("id").alias("vec_id"), F.expr(vexpr).alias("embedding"))
+            .cache()
+        )
+        vemb.count()
+        t0 = time.perf_counter()
+        vcodes = sim_mod.quantize_int8(vemb)
+        n_pq = sim_mod.ann_topk_pq(
+            vcodes, F.col("vec_id") < 5, m=8, k=16, top_k=10
+        ).count()
+        pq_wall = time.perf_counter() - t0
+        timings["pq_bigvectors"] = round(pq_wall, 4)
+        t0 = time.perf_counter()
+        n_ivfpq = sim_mod.ann_topk_ivfpq(
+            vemb, F.col("vec_id") < 5, n_centroids=64, nprobe=4, m=8, k=16, top_k=10
+        ).count()
+        ivfpq_wall = time.perf_counter() - t0
+        timings["ivfpq_bigvectors"] = round(ivfpq_wall, 4)
+        bigvec_stats = {
+            "vectors": bigvec_n,
+            "dim": dim,
+            "pq_results": n_pq,
+            "pq_vectors_per_sec": round(bigvec_n / pq_wall),
+            "ivfpq_results": n_ivfpq,
+            "ivfpq_vectors_per_sec": round(bigvec_n / ivfpq_wall),
+        }
+        vemb.unpersist()
+    else:
+        bigvec_stats = None
+
     # the headline metric sums the QUERY timings; the conversion benchmark
     # is reported alongside but not folded in (its row count is a separate
     # knob, and mixing it in would skew query-only comparisons)
@@ -446,6 +494,7 @@ def main() -> None:
             and k not in (
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
                 "lm_bigvocab", "bpe_bigvocab", "postings_bigvocab",
+                "pq_bigvectors", "ivfpq_bigvectors",
             )
         ), 4
     )
@@ -462,6 +511,8 @@ def main() -> None:
         result["bigcorpus"] = bigcorpus_stats
     if bigvocab_stats is not None:
         result["bigvocab"] = bigvocab_stats
+    if bigvec_stats is not None:
+        result["bigvectors"] = bigvec_stats
     # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
     # were cut, losing per-query timings); persist the full result as a
     # standalone artifact so cross-round comparisons always have all queries
