@@ -30,6 +30,10 @@ REPRESENTATIVE = [
     "q_asof_join",              # temporal join
     "q_tumbling_events",        # event-time window
     "multimodal_image_features",  # mapInPandas feature extraction
+    "text_bpe_merges",          # iterative tokenizer training (r5s3)
+    "text_lm_perplexity",       # fixed-point LM scoring (r5s3)
+    "ann_topk_pq",              # product-quantization ANN (r5s3)
+    "q_snapshot_diff",          # CDC version diff (r5s3)
 ]
 
 FULL = os.environ.get("PARITY_FULL") == "1"
