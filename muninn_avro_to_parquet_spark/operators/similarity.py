@@ -877,9 +877,22 @@ def pq_model(
         .withColumn("sub", F.expr(f"pos div (n_dims div {m})"))
         .select("code_id", "sub", "pos", "cq")
     )
-    vsub = codes.select(
+    vsub = _pq_subvectors(codes, m, id_col)
+    dist = _pq_distances(vsub, cb, id_col, cache_key="pq_dist")
+    return dist, _pq_argmin(dist, id_col)
+
+
+def _pq_subvectors(codes: DataFrame, m: int, id_col: str) -> DataFrame:
+    return codes.select(
         id_col, "n_dims", F.posexplode("q").alias("pos", "vq")
     ).withColumn("sub", F.expr(f"pos div (n_dims div {m})"))
+
+
+def _pq_distances(
+    vsub: DataFrame, cb: DataFrame, id_col: str, cache_key: str
+) -> DataFrame:
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     dist = (
         vsub.join(F.broadcast(cb), "pos")
         .groupBy(id_col, vsub["sub"].alias("sub"), "code_id")
@@ -890,15 +903,48 @@ def pq_model(
             ).alias("dist")
         )
     )
-    dist = cache_scoped(dist, "pq_dist")
-    wmin = Window.partitionBy(id_col, "sub").orderBy(
-        F.asc("dist"), F.asc("code_id")
-    )
-    enc = (
+    return cache_scoped(dist, cache_key)
+
+
+def _pq_argmin(dist: DataFrame, id_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wmin = Window.partitionBy(id_col, "sub").orderBy(F.asc("dist"), F.asc("code_id"))
+    return (
         dist.withColumn("_r", F.row_number().over(wmin))
         .filter(F.col("_r") == 1)
         .select(id_col, "sub", "code_id")
     )
+
+
+def pq_model_refined(
+    codes: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    rounds: int = 1,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded PQ codebooks + deterministic Lloyd refinement per subspace —
+    the same oracle-hashable k-means upgrade ``ivf_centroids_refined``
+    applies to the coarse quantizer, applied to the product codebooks:
+    each round replaces every (sub, code) cell's subvector with the
+    ELEMENT-WISE INTEGER FLOOR-MEAN of its assigned members' int8 codes
+    (``sum(q) div count``) and re-encodes. Exact integer arithmetic, so
+    refined codebooks, assignments, and ADC tables stay bit-identical in
+    every engine; codes that lose all members disappear (both engines
+    drop them identically). Returns (dist, enc) against the REFINED
+    codebooks — drop-in for the ``pq_model`` consumers."""
+    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
+    vsub = _pq_subvectors(codes, m, id_col)
+    for r in range(rounds):
+        members = enc.join(vsub, [id_col, "sub"])
+        cb = (
+            members.groupBy("sub", "code_id", "pos")
+            .agg(F.expr("sum(vq) div count(*)").alias("cq"))
+            .select("code_id", "sub", "pos", "cq")
+        )
+        dist = _pq_distances(vsub, cb, id_col, cache_key=f"pq_dist_r{r + 1}")
+        enc = _pq_argmin(dist, id_col)
     return dist, enc
 
 
@@ -909,6 +955,7 @@ def ann_topk_pq(
     k: int = 16,
     top_k: int = 10,
     id_col: str = "vec_id",
+    refine_rounds: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each query's
     per-subspace distance table (its row of ``dist``) joins the corpus
@@ -920,10 +967,17 @@ def ann_topk_pq(
 
     ``query_pred`` is a Column predicate over ``codes`` selecting the
     query vectors (they must be part of the indexed corpus; self-matches
-    are excluded). Output: (query_id, vec_id, approx_sqdist, rank)."""
+    are excluded). ``refine_rounds`` > 0 swaps in the Lloyd-refined
+    codebooks (``pq_model_refined``) — same plan shape, better cells.
+    Output: (query_id, vec_id, approx_sqdist, rank)."""
     from pyspark.sql import Window
 
-    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
+    if refine_rounds > 0:
+        dist, enc = pq_model_refined(
+            codes, m=m, k=k, rounds=refine_rounds, id_col=id_col
+        )
+    else:
+        dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
     qtab = dist.filter(query_pred).select(
         F.col(id_col).alias("query_id"), "sub", "code_id", "dist"
     )

@@ -5209,6 +5209,58 @@ def ann_topk_pq(spark):
 
 
 @q(
+    "ann_topk_pq_refined",
+    f"""
+    WITH {_PQ_CTES},
+    means AS (
+      SELECT e.sub, e.code_id, v.pos,
+             CAST(SUM(v.q) // COUNT(*) AS BIGINT) AS cq
+      FROM enc e
+      JOIN qv v ON v.vec_id = e.vec_id CROSS JOIN dims
+      WHERE CAST((v.pos - 1) AS INTEGER) // (d // 8) = e.sub
+      GROUP BY 1, 2, 3
+    ),
+    dist1 AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             SUM(CAST(v.q - c.cq AS BIGINT) * (v.q - c.cq)) AS dist
+      FROM qv v JOIN means c ON v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    enc1 AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist ASC, code_id ASC) AS r
+        FROM dist1
+      ) WHERE r = 1
+    ),
+    adc1 AS (
+      SELECT d.vec_id AS query_id, e.vec_id,
+             CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
+      FROM dist1 d JOIN enc1 e ON d.sub = e.sub AND d.code_id = e.code_id
+      WHERE d.vec_id < 5 AND e.vec_id <> d.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, approx_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+      FROM adc1
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_pq_refined(spark):
+    """PQ with one deterministic Lloyd refinement round
+    (similarity.pq_model_refined): each (subspace, code) cell moves to
+    the integer floor-mean of its members' int8 subvectors and the
+    corpus re-encodes — the same oracle-hashable k-means upgrade
+    `ann_ivf_refined_lists` applies to the coarse quantizer, applied to
+    the product codebooks. Tighter cells, identical ADC plan shape."""
+    codes = similarity.quantize_int8(spark.table("embeddings"))
+    return similarity.ann_topk_pq(
+        codes, F.col("vec_id") < 5, m=8, k=16, top_k=10, refine_rounds=1
+    )
+
+
+@q(
     "ann_topk_pq_rerank",
     f"""
     WITH {_PQ_CTES},
