@@ -1,0 +1,112 @@
+"""Probabilistic record linkage: Fellegi–Sunter-style match scoring over
+blocked candidate pairs.
+
+The fuzzy-join family (``dedup.fuzzy_pairs_blocked`` / ``_multipass``)
+answers "which pairs are textually close on ONE field"; entity resolution
+needs the next layer — a calibrated score ACROSS fields, where agreement
+on a discriminating field (phone) counts for more than agreement on a
+common one (nation), and disagreement subtracts. Fellegi & Sunter (1969,
+public method): each field contributes log(m/u) when it agrees and
+log((1-m)/(1-u)) when it disagrees; the pair's score is the sum, and two
+thresholds split link / possible / non-link.
+
+Engine-exact by construction: weights are INTEGER micro-log-odds supplied
+by the caller (quantize ``round(ln(m/u) * 1e6)`` once, offline — the
+weights are model constants, not per-row floats), agreement predicates
+are exact equality or a Levenshtein bound (JVM-side), and the score is an
+integer sum — so the DuckDB oracle reproduces every score bit-for-bit.
+
+Scale shape: one equi-join on the blocking key (never a cross product —
+same discipline as the fuzzy joins, including the ``max_block`` skew
+guard), then per-field codegen CASE expressions; the score adds no
+shuffle beyond the blocked self-join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class FieldRule:
+    """Scoring rule for one field.
+
+    ``agree_micro`` / ``disagree_micro``: integer micro-log-odds added
+    when the field agrees / disagrees (typically positive / negative).
+    ``kind``: 'exact' (null-safe equality) or 'fuzzy' (Levenshtein ≤
+    ``max_distance``). Null-vs-null counts as agreement under exact
+    (eqNullSafe); any null on a fuzzy field counts as disagreement
+    (levenshtein returns NULL → not ≤ bound)."""
+
+    col: str
+    agree_micro: int
+    disagree_micro: int
+    kind: str = "exact"
+    max_distance: int = 1
+
+
+def _agree(rule: FieldRule, a: Column, b: Column) -> Column:
+    if rule.kind == "exact":
+        return a.eqNullSafe(b)
+    if rule.kind == "fuzzy":
+        return F.levenshtein(a, b) <= rule.max_distance
+    raise ValueError(f"unknown FieldRule kind: {rule.kind!r}")
+
+
+def pair_scores(
+    df: DataFrame,
+    id_col: str,
+    block: Column,
+    rules: list[FieldRule],
+    link_micro: int,
+    nonlink_micro: int,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Score every within-block candidate pair: (id_a, id_b, one
+    ``<col>_agree`` flag per rule, ``score_micro``, ``decision``
+    'link' / 'possible' / 'non-link' by the two thresholds).
+
+    ``block`` is the blocking key (deterministic column over ``df``);
+    ``max_block`` caps pathological blocks like the fuzzy joins do —
+    blocks larger than the cap are DROPPED (loud in the returned count,
+    never a quadratic blow-up)."""
+    if not rules:
+        raise ValueError("pair_scores needs at least one FieldRule")
+    cols = [id_col] + [r.col for r in rules]
+    rel = df.select(*cols, block.alias("_blk"))
+    if max_block is not None:
+        sizes = rel.groupBy("_blk").agg(F.count("*").alias("_n"))
+        rel = rel.join(sizes.filter(F.col("_n") <= max_block).select("_blk"), "_blk")
+    a = rel.select(
+        F.col("_blk"),
+        F.col(id_col).alias("id_a"),
+        *[F.col(r.col).alias(f"_a_{r.col}") for r in rules],
+    )
+    b = rel.select(
+        F.col("_blk"),
+        F.col(id_col).alias("id_b"),
+        *[F.col(r.col).alias(f"_b_{r.col}") for r in rules],
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    agree_cols = []
+    score = F.lit(0).cast("long")
+    for r in rules:
+        # NULL comparisons (e.g. levenshtein with a null side) count as
+        # disagreement; coalesce so the emitted flag is never null
+        flag = F.coalesce(
+            _agree(r, F.col(f"_a_{r.col}"), F.col(f"_b_{r.col}")), F.lit(False)
+        )
+        agree_cols.append(flag.alias(f"{r.col}_agree"))
+        score = score + F.when(flag, F.lit(r.agree_micro)).otherwise(
+            F.lit(r.disagree_micro)
+        ).cast("long")
+    scored = pairs.select("id_a", "id_b", *agree_cols, score.alias("score_micro"))
+    decision = (
+        F.when(F.col("score_micro") >= link_micro, F.lit("link"))
+        .when(F.col("score_micro") <= nonlink_micro, F.lit("non-link"))
+        .otherwise(F.lit("possible"))
+    )
+    return scored.withColumn("decision", decision)

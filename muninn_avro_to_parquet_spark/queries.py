@@ -5616,6 +5616,69 @@ def sample_target_mixture(spark):
 
 
 @q(
+    "q_record_linkage",
+    """
+    WITH rel AS (
+      SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
+             c_mktsegment AS segment,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS acct_band
+      FROM customer
+    ),
+    scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             COALESCE(levenshtein(a.name, b.name) <= 2, FALSE) AS name_agree,
+             (a.segment IS NOT DISTINCT FROM b.segment) AS segment_agree,
+             (a.acct_band IS NOT DISTINCT FROM b.acct_band) AS acct_band_agree,
+             CAST(CASE WHEN levenshtein(a.name, b.name) <= 2
+                       THEN 2000000 ELSE -500000 END
+                + CASE WHEN a.segment IS NOT DISTINCT FROM b.segment
+                       THEN 300000 ELSE -300000 END
+                + CASE WHEN a.acct_band IS NOT DISTINCT FROM b.acct_band
+                       THEN 400000 ELSE -400000 END AS BIGINT) AS score_micro
+      FROM rel a JOIN rel b ON a.blk = b.blk AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_agree, segment_agree, acct_band_agree, score_micro,
+           CASE WHEN score_micro >= 2400000 THEN 'link'
+                WHEN score_micro <= -700000 THEN 'non-link'
+                ELSE 'possible' END AS decision
+    FROM scored
+    """,
+)
+def q_record_linkage(spark):
+    """Fellegi–Sunter record-linkage scoring (operators/linkage.py):
+    nation-blocked customer pairs scored across three fields — fuzzy
+    name (Levenshtein ≤ 2), exact market segment, exact account-balance
+    band — with integer micro-log-odds weights summed per pair and split
+    into link / possible / non-link by two thresholds. One equi-join on
+    the blocking key, per-field codegen CASEs, integer score — the
+    oracle reproduces every score and decision exactly."""
+    from muninn_avro_to_parquet_spark.operators import linkage
+
+    c = spark.table("customer").select(
+        "c_custkey",
+        F.col("c_nationkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("acct_band"),
+    )
+    rules = [
+        linkage.FieldRule("name", 2_000_000, -500_000, kind="fuzzy", max_distance=2),
+        linkage.FieldRule("segment", 300_000, -300_000),
+        linkage.FieldRule("acct_band", 400_000, -400_000),
+    ]
+    return linkage.pair_scores(
+        c,
+        "c_custkey",
+        F.col("c_nationkey"),
+        rules,
+        link_micro=2_400_000,
+        nonlink_micro=-700_000,
+    )
+
+
+@q(
     "q_fuzzy_join_parts",
     """
     WITH rel AS (

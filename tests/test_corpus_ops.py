@@ -641,3 +641,60 @@ def test_bpe_empty_and_pairless_corpora(spark):
 
     pairless = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     assert bpe.learn_bpe(pairless, num_merges=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+
+def test_linkage_scores_and_decisions(spark):
+    """Hand-checkable Fellegi-Sunter scoring: agreements add, nulls
+    behave per contract (null==null agrees under exact, any null on a
+    fuzzy field disagrees), and the thresholds split the decisions."""
+    from muninn_avro_to_parquet_spark.operators import linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "anna", "A"),
+            (2, 1, "anne", "A"),     # fuzzy-agree with 1 (dist 1), exact-agree
+            (3, 1, "zxqw", None),    # disagrees with both on name
+            (4, 1, None, None),      # null name: fuzzy disagree; null==null seg agrees w/ 3
+        ],
+        "id long, blk int, name string, seg string",
+    )
+    rules = [
+        linkage.FieldRule("name", 1_000_000, -400_000, kind="fuzzy", max_distance=1),
+        linkage.FieldRule("seg", 300_000, -300_000),
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in linkage.pair_scores(
+            df, "id", F.col("blk"), rules, link_micro=1_300_000, nonlink_micro=-600_000
+        ).collect()
+    }
+    assert len(out) == 6  # all within-block pairs, a < b
+    assert out[(1, 2)]["score_micro"] == 1_300_000
+    assert out[(1, 2)]["decision"] == "link"
+    assert out[(1, 3)]["score_micro"] == -400_000 - 300_000
+    assert out[(1, 3)]["decision"] == "non-link"
+    # null name vs null name: fuzzy disagree (levenshtein NULL), seg null==null agree
+    assert out[(3, 4)]["name_agree"] is False
+    assert out[(3, 4)]["seg_agree"] is True
+    assert out[(3, 4)]["score_micro"] == -400_000 + 300_000
+    assert out[(3, 4)]["decision"] == "possible"
+
+
+def test_linkage_max_block_drops_hot_blocks(spark):
+    """Blocks above max_block are dropped entirely (the fuzzy-join skew
+    guard), never exploded into quadratic pairs."""
+    from muninn_avro_to_parquet_spark.operators import linkage
+
+    rows = [(i, 1, f"n{i}") for i in range(10)] + [(100, 2, "x"), (101, 2, "x")]
+    df = spark.createDataFrame(rows, "id long, blk int, name string")
+    out = linkage.pair_scores(
+        df, "id", F.col("blk"),
+        [linkage.FieldRule("name", 1, -1)],
+        link_micro=1, nonlink_micro=-1, max_block=5,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
