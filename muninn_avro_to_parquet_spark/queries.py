@@ -5681,6 +5681,79 @@ def q_record_linkage(spark):
     )
 
 
+def _linkage_entities_oracle() -> str:
+    # the record-linkage scoring CTEs, link-decision pairs only, then the
+    # recursive min-label walk the components oracle uses: every customer
+    # in a link-connected group maps to the group's minimum id
+    return """
+    WITH RECURSIVE rel AS (
+      SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
+             c_mktsegment AS segment,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS acct_band
+      FROM customer WHERE c_custkey < 3000
+    ),
+    scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(CASE WHEN levenshtein(a.name, b.name) <= 2
+                       THEN 2000000 ELSE -500000 END
+                + CASE WHEN a.segment IS NOT DISTINCT FROM b.segment
+                       THEN 300000 ELSE -300000 END
+                + CASE WHEN a.acct_band IS NOT DISTINCT FROM b.acct_band
+                       THEN 400000 ELSE -400000 END AS BIGINT) AS score_micro
+      FROM rel a JOIN rel b ON a.blk = b.blk AND a.id < b.id
+    ),
+    links AS (SELECT id_a, id_b FROM scored WHERE score_micro >= 2400000),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM links
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM links
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS c_custkey, MIN(label) AS entity_id FROM walk GROUP BY node
+    """
+
+
+@q("q_linkage_entities", _linkage_entities_oracle())
+def q_linkage_entities(spark):
+    """Entity resolution end-to-end: Fellegi-Sunter scoring →
+    link-decision pairs → connected components → one entity id per
+    linked customer (the group's minimum id). The full production ER
+    flow — block, score, threshold, cluster — in one composition;
+    the component loop reuses the dedup machinery, so its scale
+    behavior (pointer jumping, edge-sized shuffles) is already proven."""
+    from muninn_avro_to_parquet_spark.operators import linkage
+
+    c = spark.table("customer").filter(F.col("c_custkey") < 3000).select(
+        "c_custkey",
+        F.col("c_nationkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("acct_band"),
+    )
+    rules = [
+        linkage.FieldRule("name", 2_000_000, -500_000, kind="fuzzy", max_distance=2),
+        linkage.FieldRule("segment", 300_000, -300_000),
+        linkage.FieldRule("acct_band", 400_000, -400_000),
+    ]
+    links = (
+        linkage.pair_scores(
+            c, "c_custkey", F.col("c_nationkey"), rules,
+            link_micro=2_400_000, nonlink_micro=-700_000,
+        )
+        .filter(F.col("decision") == "link")
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(links).select(
+        F.col("node").alias("c_custkey"), F.col("component_id").alias("entity_id")
+    )
+
+
 @q(
     "q_fuzzy_join_parts",
     """
