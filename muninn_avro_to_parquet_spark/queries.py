@@ -2744,6 +2744,141 @@ def q_array_higher_order(spark):
 
 
 @q(
+    "q_interpolate_gaps",
+    """
+    WITH masked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(value AS DOUBLE) END AS v
+      FROM events
+    ),
+    ctx AS (
+      SELECT user_id, event_id, ts, v,
+             LAST_VALUE(v IGNORE NULLS) OVER w_prev AS prev_v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER w_prev AS prev_ts,
+             FIRST_VALUE(v IGNORE NULLS) OVER w_next AS next_v,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER w_next AS next_ts
+      FROM masked
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_id, v AS observed,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+               * (CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) AS DOUBLE)
+                  / CAST(epoch_us(CAST(next_ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) AS DOUBLE))
+             ELSE COALESCE(prev_v, next_v)
+           END, 6) AS filled
+    FROM ctx
+    """,
+)
+def q_interpolate_gaps(spark):
+    """Time-series linear interpolation: every 5th event's value is
+    masked, then reconstructed from its per-user temporal neighbors —
+    ``prev + (next - prev) · Δt/ΔT`` over ignore-nulls window frames,
+    edges carried from the available side. Two sorts on (user, time)
+    per the two frames, no joins; the identical IEEE expression order on
+    both engines makes the filled values hash-exact at 6 places."""
+    from pyspark.sql import Window
+
+    e = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value").cast("double"))
+        .alias("v"),
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    v_ts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    ctx = (
+        e.withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_ts", F.last(v_ts, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("next_ts", F.first(v_ts, ignorenulls=True).over(w_next))
+    )
+    frac = (
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).cast("double")
+        / (F.unix_micros("next_ts") - F.unix_micros("prev_ts")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("prev_v"), F.col("next_v")))
+    )
+    return ctx.select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("observed"),
+        F.round(filled, 6).alias("filled"),
+    )
+
+
+@q(
+    "q_user_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS g
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_user_streaks(spark):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands pattern: distinct active days, island key = day
+    minus its per-user row number (constant within a consecutive run),
+    run lengths aggregated twice. One shuffle on user, windows + two
+    hash aggregates, no self-join."""
+    from pyspark.sql import Window
+
+    days = (
+        spark.table("events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "g", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = grp.groupBy("user_id", "g").agg(F.count("*").cast("long").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.sum("run_len").cast("long").alias("n_active_days"),
+    )
+
+
+@q(
     "q_date_spine_gapfill",
     """
     WITH spine AS (
