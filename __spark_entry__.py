@@ -60,7 +60,7 @@ _R5_NEW = (
     "multimodal_resize", "q_snapshot_diff", "text_bpe_merges",
     "text_bpe_segment", "text_lm_perplexity", "text_corpus_drift",
     "text_posting_lists", "ann_topk_pq", "ann_topk_pq_rerank", "ann_topk_ivfpq",
-    "text_bpe_token_counts", "ann_topk_pq_refined", "q_record_linkage", "q_linkage_entities", "q_interpolate_gaps", "q_user_streaks",
+    "text_bpe_token_counts", "ann_topk_pq_refined", "q_record_linkage", "q_linkage_entities", "q_interpolate_gaps", "q_user_streaks", "q_geo_neighbor_pairs",
     "split_leakage_safe", "sample_target_mixture", "q_fuzzy_join_parts",
     "corpus_overlap_matrix", "doc_quality_top_fraction", "dedup_incremental_delta", "q_shard_assignment", "q_fuzzy_join_multipass",
     "q2_min_cost_supplier", "q11_important_parts", "q12_priority_class",

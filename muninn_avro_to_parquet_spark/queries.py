@@ -2833,6 +2833,83 @@ def q_interpolate_gaps(spark):
 
 
 @q(
+    "q_geo_neighbor_pairs",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    pts AS (
+      SELECT user_id,
+             CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':lat'), 1, 8)) AS BIGINT)
+                  % 1200000 AS DOUBLE) / 10000.0 - 60.0 AS lat,
+             CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':lon'), 1, 8)) AS BIGINT)
+                  % 3600000 AS DOUBLE) / 10000.0 - 180.0 AS lon
+      FROM u
+    ),
+    cells AS (
+      SELECT user_id, lat, lon,
+             CAST(floor(lat / 40.0) AS BIGINT) AS cy,
+             CAST(floor(lon / 40.0) AS BIGINT) AS cx
+      FROM pts
+    ),
+    probing AS (
+      SELECT c.user_id AS id_a, c.lat AS lat_a, c.lon AS lon_a,
+             c.cy + o.dy AS cy, c.cx + o.dx AS cx
+      FROM cells c
+      CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) oy
+      CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) ox
+      CROSS JOIN (SELECT oy.dy, ox.dx) o
+    ),
+    pairs AS (
+      SELECT p.id_a, h.user_id AS id_b, p.lat_a, p.lon_a,
+             h.lat AS lat_b, h.lon AS lon_b
+      FROM probing p JOIN cells h ON p.cy = h.cy AND p.cx = h.cx
+      WHERE p.id_a < h.user_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND(12742.0 * asin(sqrt(
+               sin(radians(lat_b - lat_a) / 2) * sin(radians(lat_b - lat_a) / 2)
+               + cos(radians(lat_a)) * cos(radians(lat_b))
+                 * sin(radians(lon_b - lon_a) / 2) * sin(radians(lon_b - lon_a) / 2)
+             )), 3) AS dist_km
+      FROM pairs
+    )
+    SELECT id_a, id_b, dist_km FROM scored WHERE dist_km <= 2000.0
+    """,
+)
+def q_geo_neighbor_pairs(spark):
+    """Spatial neighbor join (operators/geo.neighbor_pairs): user
+    coordinates derived deterministically from md5(user_id) (the corpus
+    has no geo columns — the derivation is the fixture), then all pairs
+    within 2000 km via the 3x3 grid-probe bucket join — same
+    bucket-join discipline as the LSH/fuzzy families, exact haversine
+    post-filter rounded to 3 decimals (meters of slack vs the ~1e-9
+    relative trig ulp, so both engines hash-match)."""
+    from muninn_avro_to_parquet_spark.operators import geo
+
+    def coord(salt: str, mod: int, scale: float, shift: float):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return (h % mod).cast("double") / F.lit(scale) - F.lit(shift)
+
+    pts = (
+        spark.table("events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            coord(":lat", 1_200_000, 10000.0, 60.0).alias("lat"),
+            coord(":lon", 3_600_000, 10000.0, 180.0).alias("lon"),
+        )
+    )
+    return geo.neighbor_pairs(
+        pts, "user_id", "lat", "lon", radius_km=2000.0, cell_deg=40.0
+    )
+
+
+@q(
     "q_user_streaks",
     """
     WITH days AS (

@@ -698,3 +698,60 @@ def test_linkage_max_block_drops_hot_blocks(spark):
         link_micro=1, nonlink_micro=-1, max_block=5,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+# ---------------------------------------------------------------------------
+# geospatial neighbor join (operators/geo.py)
+# ---------------------------------------------------------------------------
+
+
+def test_geo_neighbor_pairs_exact_and_cross_cell(spark):
+    """Haversine matches the closed form (equator degree ~111.195 km),
+    pairs straddling a grid-cell boundary are still found (3x3 probe),
+    and the radius filter excludes far pairs."""
+    import math
+
+    from muninn_avro_to_parquet_spark.operators import geo
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 0.0, 1.0),      # exactly 1 degree east on the equator
+            (3, 0.05, -0.05),   # near origin, in the adjacent cell at 0.1 deg
+            (4, 40.0, 40.0),    # far away
+        ],
+        "id long, lat double, lon double",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist_km"]
+        for r in geo.neighbor_pairs(
+            df, "id", "lat", "lon", radius_km=150.0, cell_deg=1.5
+        ).collect()
+    }
+    one_deg = 2 * 6371.0 * math.asin(
+        math.sqrt(math.cos(0.0) * math.cos(0.0) * math.sin(math.radians(1.0) / 2) ** 2)
+    )
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)] == round(one_deg, 3)
+
+    # cross-cell recovery at a small cell size: (1,3) sit in different
+    # 0.1-degree cells but the probe still pairs them
+    small = geo.neighbor_pairs(
+        df.filter(F.col("id").isin(1, 3)), "id", "lat", "lon",
+        radius_km=20.0, cell_deg=0.1,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in small} == {(1, 3)}
+
+
+def test_geo_max_cell_guard(spark):
+    """Over-dense cells drop entirely (bucket-guard contract)."""
+    from muninn_avro_to_parquet_spark.operators import geo
+
+    rows = [(i, 10.0 + i * 1e-4, 10.0) for i in range(10)] + [
+        (100, -50.0, -50.0), (101, -50.0001, -50.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    out = geo.neighbor_pairs(
+        df, "id", "lat", "lon", radius_km=5.0, cell_deg=1.0, max_cell=5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
