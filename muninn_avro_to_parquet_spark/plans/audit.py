@@ -222,6 +222,14 @@ HEADLINERS: list[tuple[str, str]] = [
         "(broadcast join back onto the codes).",
     ),
     (
+        "q_geo_neighbor_pairs",
+        "Spatial bucket join: the probe side explodes 9 cell offsets "
+        "(constant fan-out, not data-dependent), candidates equi-join on "
+        "the cell key, and the exact haversine filter runs post-join in "
+        "codegen — no cross product at any density, with max_cell as the "
+        "hot-city guard.",
+    ),
+    (
         "text_bpe_merges",
         "BPE learning (final iteration's plan): the loop runs on the "
         "persisted VOCABULARY symbol relation — windows cluster by word "
