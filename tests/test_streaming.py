@@ -566,3 +566,46 @@ def test_streaming_snapshot_refresh(spark, tmp_path):
     r3 = conv2.poll_once(ingestion_date="2026-01-01")
     assert r3.new_files == []
     assert cdc.current_version(snap_dir) == 2
+
+
+def test_streaming_snapshot_versions_diffable(spark, tmp_path):
+    """snapshot_diff composes with the streaming materializer: the two
+    versions two micro-batches produce diff into exactly the changed /
+    removed keys (envelope excluded, so re-delivered-but-identical
+    payloads don't show up as changes)."""
+    from tests.conftest import CDC_SCHEMA
+    from tests.test_fs import _recs
+
+    from muninn_avro_to_parquet_spark.operators import cdc
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    avro_dir = tmp_path / "avro" / "customers"
+    avro_dir.mkdir(parents=True)
+    avro_io.write_file(str(avro_dir / "b1.avro"), CDC_SCHEMA, _recs(range(3)))
+    conv = file_stream.StreamingConverter(
+        spark,
+        f"{tmp_path}/avro/**/*.avro",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "1h",
+        snapshot_dir=str(tmp_path / "snap"),
+        snapshot_keys=["id"],
+    )
+    conv.poll_once(ingestion_date="2026-01-01")
+    recs = _recs([1, 2])
+    recs[0]["source_metadata"]["tx_id"] = 9000
+    recs[0]["payload"]["name"] = "updated"
+    recs[1]["source_metadata"]["tx_id"] = 9001
+    recs[1]["source_metadata"]["is_deleted"] = True
+    avro_io.write_file(str(avro_dir / "b2.avro"), CDC_SCHEMA, recs)
+    conv.poll_once(ingestion_date="2026-01-01")
+
+    snap_dir = str(tmp_path / "snap" / "customers")
+    diff = {
+        r["id"]: r
+        for r in cdc.snapshot_diff(spark, snap_dir, ["id"], v_from=1, v_to=2).collect()
+    }
+    assert set(diff) == {1, 2}  # id=0 untouched -> absent
+    assert diff[1]["change_type"] == "changed"
+    assert (diff[1]["old_name"], diff[1]["new_name"]) == ("name1", "updated")
+    assert diff[2]["change_type"] == "removed"
