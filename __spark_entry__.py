@@ -53,9 +53,17 @@ _R4_CHECKED = frozenset(
 )
 
 
-# Queries added in round 5 — never in ANY driver snapshot yet, so they
-# outrank even the round-4-unchecked backlog in the rotation. Session-3
-# additions lead (newest first).
+# Round-6 rotation head: queries never hash-checked by ANY driver
+# snapshot (r5 verdict: positions 51-52 of the r5 rotation missed the
+# 50-entry cap), plus queries newly added in round 6 (newest first).
+_R6_NEW = (
+    "dedup_repeated_spans",
+    "dedup_span_removal",
+)
+
+
+# Queries added in round 5 — all driver-green in CORRECTNESS_r05 except
+# the two promoted into _R6_NEW above.
 _R5_NEW = (
     "multimodal_resize", "q_snapshot_diff", "text_bpe_merges",
     "text_bpe_segment", "text_lm_perplexity", "text_corpus_drift",
@@ -76,9 +84,10 @@ _R5_NEW = (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    head = list(_R6_NEW) + [n for n in _R5_NEW if n not in _R6_NEW]
     ordered = (
-        [n for n in _R5_NEW]
-        + [n for n in QUERIES if n not in _R4_CHECKED and n not in _R5_NEW]
+        head
+        + [n for n in QUERIES if n not in _R4_CHECKED and n not in head]
         + [n for n in QUERIES if n in _R4_CHECKED]
     )
     return {name: QUERIES[name].spark for name in ordered}

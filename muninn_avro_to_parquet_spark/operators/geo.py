@@ -60,7 +60,22 @@ def neighbor_pairs(
     latitudes in play (1° latitude ≈ 111 km; longitude shrinks toward the
     poles — pick the cell from the worst-case latitude), otherwise pairs
     straddling more than one cell boundary are missed. ``max_cell`` drops
-    over-dense cells like every other bucket guard here."""
+    over-dense cells like every other bucket guard here.
+
+    Antimeridian: points within one cell of the ±180° seam are duplicated
+    on the probing side with ``lon ± 360`` (re-bucketed at the shifted
+    longitude), so near pairs straddling the seam are found; the haversine
+    is 360°-periodic in Δlon, so the shifted copy scores the exact same
+    distance. ``cell_deg`` must be ≤ 90 so the shifted probe cells can
+    never collide with the unshifted 3x3 neighborhood (≥4 cells around the
+    globe keeps them >2 cells apart). Pole-crossing pairs (two points
+    within ``radius_km`` of the same pole across meridians) are still
+    out of contract — a polar cap cell would be the fix at that latitude."""
+    if cell_deg > 90.0:
+        raise ValueError(
+            f"cell_deg={cell_deg} > 90: with fewer than 4 longitude cells the "
+            "antimeridian probe duplicates collide with the 3x3 neighborhood"
+        )
     cy, cx = grid_cell(F.col(lat_col), F.col(lon_col), cell_deg)
     pts = df.select(
         F.col(id_col),
@@ -75,11 +90,27 @@ def neighbor_pairs(
             sizes.filter(F.col("_n") <= max_cell).select("_cy", "_cx"),
             ["_cy", "_cx"],
         )
+    # seam duplicates: the probing side gains a lon±360 copy of every
+    # point within one cell of the antimeridian, re-bucketed at the
+    # shifted longitude (the home side stays unshifted — each straddling
+    # pair is reached from the endpoint whose shifted probe lands on the
+    # other's home cell, and the id_a < id_b filter keeps one direction)
+    east = pts.filter(F.col("_lon") >= F.lit(180.0 - cell_deg)).withColumn(
+        "_lon", F.col("_lon") - F.lit(360.0)
+    )
+    west = pts.filter(F.col("_lon") < F.lit(-180.0 + cell_deg)).withColumn(
+        "_lon", F.col("_lon") + F.lit(360.0)
+    )
+    probe_pts = (
+        pts.unionByName(east)
+        .unionByName(west)
+        .withColumn("_cx", F.floor(F.col("_lon") / F.lit(cell_deg)).cast("long"))
+    )
     # the LEFT side probes its 3x3 neighborhood; the right side stays in
     # its own cell — every near pair is generated exactly once per
     # (probe, home) combination and dedup falls out of the id_a < id_b
     # filter plus the distinct cell key
-    probing = pts.select(
+    probing = probe_pts.select(
         F.col(id_col).alias("id_a"),
         F.col("_lat").alias("_lat_a"),
         F.col("_lon").alias("_lon_a"),

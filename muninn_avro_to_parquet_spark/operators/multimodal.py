@@ -119,6 +119,9 @@ def _decode_ppm(data: bytes) -> tuple[int, int, float]:
         tokens.append(int(data[start:pos]))
     pos += 1  # the single whitespace after maxval
     width, height, maxval = tokens
+    if maxval > 255:
+        # 2-byte samples; reading 1 byte/sample would silently mis-decode
+        raise ValueError(f"PPM maxval {maxval} > 255 (16-bit samples) unsupported")
     total = 0.0
     for i in range(width * height):
         r, g, b = data[pos + 3 * i : pos + 3 * i + 3]
@@ -290,7 +293,11 @@ def _decode_ppm_pixels(data: bytes) -> tuple[int, int, list[tuple[int, int, int]
             pos += 1
         tokens.append(int(data[start:pos]))
     pos += 1
-    width, height, _maxval = tokens
+    width, height, maxval = tokens
+    if maxval != 255:
+        # downstream (resize luma, _encode_ppm) hard-codes the 255 scale;
+        # anything else would be a silent wrong answer
+        raise ValueError(f"PPM maxval {maxval} != 255 unsupported in pixel decode")
     pixels = [
         tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(width * height)
     ]

@@ -2770,7 +2770,8 @@ def q_array_higher_order(spark):
     SELECT user_id, event_id, v AS observed,
            ROUND(CASE
              WHEN v IS NOT NULL THEN v
-             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  AND next_ts > prev_ts THEN
                prev_v + (next_v - prev_v)
                * (CAST(epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) AS DOUBLE)
                   / CAST(epoch_us(CAST(next_ts AS TIMESTAMP)) - epoch_us(CAST(prev_ts AS TIMESTAMP)) AS DOUBLE))
@@ -2786,9 +2787,16 @@ def q_interpolate_gaps(spark):
     edges carried from the available side. Two sorts on (user, time)
     per the two frames, no joins; the identical IEEE expression order on
     both engines makes the filled values hash-exact at 6 places."""
+    return _interpolate_masked_events(spark.table("events"))
+
+
+def _interpolate_masked_events(events: DataFrame) -> DataFrame:
+    """Body of q_interpolate_gaps over an arbitrary events relation
+    (factored out so the zero-span duplicate-timestamp branch — which the
+    sf fixtures never trigger — is testable on a crafted frame)."""
     from pyspark.sql import Window
 
-    e = spark.table("events").select(
+    e = events.select(
         "user_id",
         "event_id",
         "ts",
@@ -2816,10 +2824,16 @@ def q_interpolate_gaps(spark):
         (F.unix_micros("ts") - F.unix_micros("prev_ts")).cast("double")
         / (F.unix_micros("next_ts") - F.unix_micros("prev_ts")).cast("double")
     )
+    # next_ts > prev_ts guards the zero-span gap (duplicate timestamps):
+    # Spark's non-ANSI 0/0 is NULL while DuckDB's IEEE division is NaN,
+    # so without the guard the two engines would diverge — fall back to
+    # prev_v (the coalesce branch) identically on both sides instead
     filled = (
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(
-            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_ts") > F.col("prev_ts")),
             F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
         )
         .otherwise(F.coalesce(F.col("prev_v"), F.col("next_v")))
@@ -2850,10 +2864,23 @@ def q_interpolate_gaps(spark):
              CAST(floor(lon / 40.0) AS BIGINT) AS cx
       FROM pts
     ),
+    probe_src AS (
+      SELECT user_id, lat, lon FROM pts
+      UNION ALL
+      SELECT user_id, lat, lon - 360.0 AS lon FROM pts WHERE lon >= 180.0 - 40.0
+      UNION ALL
+      SELECT user_id, lat, lon + 360.0 AS lon FROM pts WHERE lon < -180.0 + 40.0
+    ),
+    probe_cells AS (
+      SELECT user_id, lat, lon,
+             CAST(floor(lat / 40.0) AS BIGINT) AS cy,
+             CAST(floor(lon / 40.0) AS BIGINT) AS cx
+      FROM probe_src
+    ),
     probing AS (
       SELECT c.user_id AS id_a, c.lat AS lat_a, c.lon AS lon_a,
              c.cy + o.dy AS cy, c.cx + o.dx AS cx
-      FROM cells c
+      FROM probe_cells c
       CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) oy
       CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) ox
       CROSS JOIN (SELECT oy.dy, ox.dx) o

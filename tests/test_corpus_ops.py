@@ -743,6 +743,92 @@ def test_geo_neighbor_pairs_exact_and_cross_cell(spark):
     assert {(r["id_a"], r["id_b"]) for r in small} == {(1, 3)}
 
 
+def test_interpolate_zero_span_gap_parity(spark):
+    """Duplicate timestamps around a masked row (prev_ts == next_ts) must
+    NOT divide by zero: Spark's non-ANSI 0/0 → NULL and DuckDB's IEEE
+    0/0 → NaN would hash-diverge; the next_ts > prev_ts guard routes both
+    engines to the prev_v fallback identically."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from muninn_avro_to_parquet_spark.queries import (
+        QUERIES,
+        _interpolate_masked_events,
+    )
+
+    t = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    t2 = t + datetime.timedelta(hours=2)
+    rows = [
+        # user 1: three events at the SAME timestamp, middle one masked
+        (1, 1, t, 10.0), (1, 5, t, 77.0), (1, 9, t, 20.0),
+        # user 2: normal midpoint interpolation
+        (2, 1, t, 0.0), (2, 5, t + datetime.timedelta(hours=1), 77.0),
+        (2, 9, t2, 30.0),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["filled"]
+        for r in _interpolate_masked_events(sdf).collect()
+    }
+    assert got[(1, 5)] == 10.0  # zero-span gap → prev_v, not NULL/NaN
+    assert got[(2, 5)] == 15.0  # normal path unchanged
+
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "value"]
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = {
+        (int(r[0]), int(r[1])): r[3]
+        for r in con.execute(QUERIES["q_interpolate_gaps"].oracle).fetchall()
+    }
+    assert oracle == {k: got[k] for k in oracle}
+
+
+def test_geo_antimeridian_pairs(spark):
+    """Near pairs straddling the ±180° seam are found via the lon±360
+    probe duplicates, exactly once, with the same distance the unwrapped
+    haversine would give; cell_deg > 90 is rejected."""
+    import math
+
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import geo
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 179.9),     # just west of the seam
+            (2, 0.0, -179.9),    # just east of it — 0.2 deg apart across ±180
+            (3, 0.0, 170.0),     # same side as 1, ~9.9 deg away
+            (4, 10.0, 0.0),      # far away
+        ],
+        "id long, lat double, lon double",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist_km"]
+        for r in geo.neighbor_pairs(
+            df, "id", "lat", "lon", radius_km=50.0, cell_deg=1.0
+        ).collect()
+    }
+    point_two_deg = 2 * 6371.0 * math.asin(abs(math.sin(math.radians(0.2) / 2)))
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == round(point_two_deg, 3)
+
+    # seam pair generated exactly once even when both endpoints sit in
+    # the wrap band (no duplicate rows from the two probe directions)
+    rows = geo.neighbor_pairs(
+        df, "id", "lat", "lon", radius_km=50.0, cell_deg=1.0
+    ).collect()
+    assert len(rows) == 1
+
+    with pytest.raises(ValueError, match="cell_deg"):
+        geo.neighbor_pairs(df, "id", "lat", "lon", radius_km=50.0, cell_deg=120.0)
+
+
 def test_geo_max_cell_guard(spark):
     """Over-dense cells drop entirely (bucket-guard contract)."""
     from muninn_avro_to_parquet_spark.operators import geo

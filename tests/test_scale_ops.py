@@ -462,6 +462,31 @@ def test_multimodal_real_image_decode(spark):
     assert rows[2]["mean_luma"] == 0.0
 
 
+def test_multimodal_ppm_maxval_contract():
+    """maxval is not silently mis-decoded: >255 (2-byte samples) raises in
+    both decoders; <255 still normalizes correctly on the feature path but
+    raises on the pixel path (resize hard-codes the 255 scale)."""
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators.multimodal import (
+        _decode_ppm,
+        _decode_ppm_pixels,
+    )
+
+    wide = b"P6\n1 1\n65535\n" + bytes(6)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(wide)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm_pixels(wide)
+
+    # maxval 15, all-max pixels: feature path normalizes to luma 1.0
+    lo = b"P6\n2 1\n15\n" + bytes([15] * 6)
+    w, h, luma = _decode_ppm(lo)
+    assert (w, h) == (2, 1) and abs(luma - 1.0) < 1e-9
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm_pixels(lo)
+
+
 def test_multimodal_real_audio_decode(spark):
     """PCM WAV decodes via the stdlib: exact rate, duration, and RMS."""
     from muninn_avro_to_parquet_spark.operators import multimodal
