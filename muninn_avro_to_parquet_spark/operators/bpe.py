@@ -148,50 +148,58 @@ def learn_bpe(
     merge counts.
 
     ``return_final_seq=True`` returns ``(merges_df, final_seq)`` — the
-    post-merge (word, freq, pos, sym) relation, still cached — so callers
-    needing the segmentation don't re-run the loop."""
+    post-merge (word, freq, pos, sym) relation, cached under the
+    session-scoped ``bpe_seq`` key (``cache_scoped``), so callers needing
+    the segmentation don't re-run the loop and repeated calls replace
+    rather than accumulate cached relations."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     spark = df.sparkSession
-    seq = initial_symbols(word_frequencies(df, text_col)).persist()
-    n_syms = seq.count()
-    # size the loop's shuffles from the materialized symbol count (the
-    # same discipline as connected_components): the vocabulary relation
-    # is orders of magnitude below the corpus, and default-sized
-    # exchanges would cost more in task scheduling than in work. The
-    # override is session-scoped for the loop's duration and restored in
-    # the finally block.
+    base = initial_symbols(word_frequencies(df, text_col)).persist()
+    n_syms = base.count()
+    # size the loop's working-relation width from the materialized symbol
+    # count (the same discipline as connected_components): the vocabulary
+    # relation is orders of magnitude below the corpus. The sizing is
+    # expressed IN the plan (repartition on the window key — every window
+    # in the loop then reuses that partitioning with no further exchange)
+    # rather than via a session-global spark.sql.shuffle.partitions
+    # override, so concurrent queries on the shared session are untouched.
     n_part = max(1, min(spark.sparkContext.defaultParallelism, n_syms // 50_000 + 1))
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    seq = base.repartition(n_part, "word")
     merges: list[tuple[int, str, str, int]] = []
-    prev = None
-    try:
-        for k in range(1, num_merges + 1):
-            seq = seq.persist()
-            top = (
-                _pair_counts(seq)
-                .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
-                .limit(1)
-                .collect()
-            )
-            if prev is not None:
-                prev.unpersist()
-            prev = seq
-            if not top:
-                break
-            left, right, cnt = (
-                top[0]["left_sym"],
-                top[0]["right_sym"],
-                top[0]["pair_count"],
-            )
-            merges.append((k, left, right, int(cnt)))
-            seq = apply_merge(seq, left, right)
-            if k % checkpoint_every == 0:
-                seq = seq.localCheckpoint(eager=False)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    prev: DataFrame | None = base
+    for k in range(1, num_merges + 1):
+        seq = seq.persist()
+        top = (
+            _pair_counts(seq)
+            .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = seq
+        if not top:
+            break
+        left, right, cnt = (
+            top[0]["left_sym"],
+            top[0]["right_sym"],
+            top[0]["pair_count"],
+        )
+        merges.append((k, left, right, int(cnt)))
+        seq = apply_merge(seq, left, right)
+        if k % checkpoint_every == 0:
+            # localCheckpoint drops partitioning info; re-establish the
+            # word hash partitioning so the next rounds' windows stay
+            # exchange-free (one n_part-wide exchange per checkpoint)
+            seq = seq.localCheckpoint(eager=False).repartition(n_part, "word")
     merges_df = spark.createDataFrame(merges, MERGES_TYPE)
     if return_final_seq:
-        return merges_df, seq
+        final = cache_scoped(seq, "bpe_seq")
+        final.count()  # materialize before dropping the loop cache it reads
+        if prev is not None:
+            prev.unpersist()
+        return merges_df, final
     if prev is not None:
         prev.unpersist()
     return merges_df

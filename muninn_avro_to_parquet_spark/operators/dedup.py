@@ -690,24 +690,23 @@ def connected_components(
       result exactly once (the count both answers "changed?" and leaves
       the checkpointed partitions behind for the next round), instead of
       an eager-checkpoint job plus a count job.
-    - **data-sized shuffles**: the candidate-pair graph is orders of
+    - **data-sized stages**: the candidate-pair graph is orders of
       magnitude smaller than the corpus that produced it, but the loop's
       checkpoints materialize through the RDD path where AQE partition
       coalescing does not apply — so every micro-iteration would pay the
       session's full shuffle-partition count in task overhead. The loop
-      instead sizes ``spark.sql.shuffle.partitions`` from the materialized
-      edge count (~2M edge rows ≈ 32 MB per task) and restores the session
-      value on exit; a billion-edge graph still gets hundreds of tasks.
+      instead narrows each post-shuffle stage with an explicit
+      ``coalesce(n_part)`` sized from the materialized edge count (~2M
+      edge rows ≈ 32 MB per task); a billion-edge graph still gets
+      hundreds of tasks. ``coalesce`` merges the exchange's reduce
+      partitions without an extra shuffle AND without losing map-side
+      partial aggregation, and — unlike the session-global
+      ``spark.sql.shuffle.partitions`` override this replaced — it is
+      plan-local: queries running concurrently on the same session are
+      untouched.
 
     The per-iteration convergence check is a driver-side ``count`` of a
     LIMIT-1 diff — an O(1)-result job, not a data collect.
-
-    .. note:: session-wide side effect — the shuffle-partition override is
-       a **SparkSession-level** conf: any query run concurrently on the
-       same session from another thread during the (short) CC loop also
-       executes with the edge-sized partition count. The previous value is
-       restored on exit. Callers that interleave CC with other work on one
-       session should serialize them or use a separate ``newSession()``.
     """
     import math
 
@@ -716,19 +715,10 @@ def connected_components(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         "cc_edges",
     )
-    spark = pairs.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(1, math.ceil(n_edges / 2_000_000))),
-    )
-    try:
-        return _cc_loop(edges, max_iterations)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    return _cc_loop(edges, max_iterations, max(1, math.ceil(n_edges / 2_000_000)))
 
 
-def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
+def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
     # seed = one fused propagation round: min over self ∪ neighbors
     labels = (
         edges.groupBy("src")
@@ -736,6 +726,7 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
         .select(
             F.col("src").alias("node"), F.least("src", "_mn").alias("label")
         )
+        .coalesce(n_part)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations - 1):
@@ -753,6 +744,7 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
             )
+            .coalesce(n_part)
             # lazy checkpoint: the jump join below references prop twice;
             # checkpointing first makes both branches share one computation
             .localCheckpoint(eager=False)
@@ -768,6 +760,7 @@ def _cc_loop(edges: DataFrame, max_iterations: int) -> DataFrame:
                 F.coalesce("_ll", "label").alias("label"),
                 "old_label",
             )
+            .coalesce(n_part)
             .localCheckpoint(eager=False)
         )
         changed = (
@@ -870,15 +863,16 @@ def candidate_pagerank(
     dup-cluster diameters are 1-3, see ``connected_components``), so the
     plan is a DAG, no driver-side convergence loop.
 
-    Like the CC loop, the unrolled DAG executes under a shuffle-partition
-    count sized from the materialized edge count (candidate graphs are
-    orders of magnitude smaller than the corpus; AQE's
-    ``parallelismFirst`` default would otherwise run every tiny
-    iteration stage at full session parallelism — measured 3.4 s → ~1 s
-    at sf0.1 for pure task-overhead reasons). That makes this function
-    EAGER: the returned relation is localCheckpoint-materialized so the
-    scoped conf override can be restored before returning. Same
-    session-wide caveat as ``connected_components``.
+    Like the CC loop, the unrolled DAG's stages are narrowed to a task
+    count sized from the materialized edge count via plan-local
+    ``coalesce`` (candidate graphs are orders of magnitude smaller than
+    the corpus; AQE's ``parallelismFirst`` default would otherwise run
+    every tiny iteration stage at full session parallelism — measured
+    3.4 s → ~1 s at sf0.1 for pure task-overhead reasons). ``coalesce``
+    keeps map-side partial aggregation and, unlike the session-global
+    shuffle-partition override it replaced, cannot leak into queries
+    running concurrently on the same session. Eager: the returned
+    relation is localCheckpoint-materialized.
 
     Output: (node, rank_micro)."""
     import math
@@ -889,33 +883,30 @@ def candidate_pagerank(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
     edges_w, n_edges = _sized_edge_cache(edges.join(deg, "src"), "pagerank_edges")
-    spark = pairs.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(1, math.ceil(n_edges / 2_000_000))),
-    )
-    try:
-        ranks = edges_w.select(
+    n_part = max(1, math.ceil(n_edges / 2_000_000))
+    ranks = (
+        edges_w.select(
             F.col("src").alias("node"),
             F.lit(1_000_000).cast("long").alias("rank_micro"),
-        ).distinct()
-        for _ in range(iterations):
-            contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
-                F.col("dst"), F.expr("rank_micro div _deg").alias("_c")
+        )
+        .distinct()
+        .coalesce(n_part)
+    )
+    for _ in range(iterations):
+        contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
+            F.col("dst"), F.expr("rank_micro div _deg").alias("_c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(150_000) + F.expr("85 * sum(_c) div 100"))
+                .cast("long")
+                .alias("rank_micro")
             )
-            ranks = (
-                contrib.groupBy("dst")
-                .agg(
-                    (F.lit(150_000) + F.expr("85 * sum(_c) div 100"))
-                    .cast("long")
-                    .alias("rank_micro")
-                )
-                .select(F.col("dst").alias("node"), "rank_micro")
-            )
-        return ranks.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            .select(F.col("dst").alias("node"), "rank_micro")
+            .coalesce(n_part)
+        )
+    return ranks.localCheckpoint(eager=True)
 
 
 def canonical_documents(
@@ -933,10 +924,10 @@ def canonical_documents(
     separately materializes the identical bidirectional edge relation
     twice (two caches, two sizing counts). This operator builds
     (src, dst, _deg) once, counts it once, and runs BOTH algorithms —
-    and the final rank/canon joins — under a single edge-count-sized
-    shuffle-partition scope (see ``connected_components`` for why the
-    scope matters and its session-wide caveat). Eager: the result is
-    localCheckpoint-materialized before the conf is restored.
+    and the final rank/canon joins — with every post-shuffle stage
+    narrowed by the same edge-count-sized plan-local ``coalesce`` (see
+    ``connected_components`` for why the sizing matters). Eager: the
+    result is localCheckpoint-materialized.
 
     Output: (doc_id, component_id, rank_micro, canonical_id,
     is_canonical) — downstream keeps ``is_canonical`` rows. The
@@ -952,68 +943,64 @@ def canonical_documents(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
     edges_w, n_edges = _sized_edge_cache(edges.join(deg, "src"), "canonical_edges")
-    spark = pairs.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(1, math.ceil(n_edges / 2_000_000))),
-    )
-    try:
-        # CC (driver-side convergence loop) and PageRank (one unrolled
-        # DAG) are independent consumers of the cached edges — submit
-        # them from two driver threads so PageRank's job overlaps the
-        # CC rounds' job-latency floor. Concurrent job submission on one
-        # SparkSession is the supported Spark pattern for exactly this
-        # (independent jobs, shared cache); both threads run under the
-        # same scoped shuffle conf.
-        from concurrent.futures import ThreadPoolExecutor
+    n_part = max(1, math.ceil(n_edges / 2_000_000))
+    # CC (driver-side convergence loop) and PageRank (one unrolled
+    # DAG) are independent consumers of the cached edges — submit
+    # them from two driver threads so PageRank's job overlaps the
+    # CC rounds' job-latency floor. Concurrent job submission on one
+    # SparkSession is the supported Spark pattern for exactly this
+    # (independent jobs, shared cache).
+    from concurrent.futures import ThreadPoolExecutor
 
-        def _cc():
-            return _cc_loop(edges_w.select("src", "dst"), max_iterations=25)
+    def _cc():
+        return _cc_loop(edges_w.select("src", "dst"), 25, n_part)
 
-        def _pr():
-            ranks = edges_w.select(
+    def _pr():
+        ranks = (
+            edges_w.select(
                 F.col("src").alias("node"),
                 F.lit(1_000_000).cast("long").alias("rank_micro"),
-            ).distinct()
-            for _ in range(iterations):
-                contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
-                    F.col("dst"), F.expr("rank_micro div _deg").alias("_c")
+            )
+            .distinct()
+            .coalesce(n_part)
+        )
+        for _ in range(iterations):
+            contrib = edges_w.join(ranks, edges_w.src == ranks.node).select(
+                F.col("dst"), F.expr("rank_micro div _deg").alias("_c")
+            )
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(
+                    (F.lit(150_000) + F.expr("85 * sum(_c) div 100"))
+                    .cast("long")
+                    .alias("rank_micro")
                 )
-                ranks = (
-                    contrib.groupBy("dst")
-                    .agg(
-                        (F.lit(150_000) + F.expr("85 * sum(_c) div 100"))
-                        .cast("long")
-                        .alias("rank_micro")
-                    )
-                    .select(F.col("dst").alias("node"), "rank_micro")
-                )
-            return ranks.localCheckpoint(eager=True)
+                .select(F.col("dst").alias("node"), "rank_micro")
+                .coalesce(n_part)
+            )
+        return ranks.localCheckpoint(eager=True)
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            comp_f, ranks_f = pool.submit(_cc), pool.submit(_pr)
-            comp, ranks = comp_f.result(), ranks_f.result()
-        ranked = comp.join(ranks, comp.node == ranks.node).select(
-            comp.node.alias("doc_id"), "component_id", "rank_micro"
-        )
-        canon = ranked.groupBy("component_id").agg(
-            F.min(
-                F.struct(
-                    (-F.col("rank_micro")).alias("nr"), F.col("doc_id").alias("n")
-                )
-            )["n"].alias("canonical_id")
-        )
-        out = ranked.join(canon, "component_id").select(
-            "doc_id",
-            "component_id",
-            "rank_micro",
-            "canonical_id",
-            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        comp_f, ranks_f = pool.submit(_cc), pool.submit(_pr)
+        comp, ranks = comp_f.result(), ranks_f.result()
+    ranked = comp.join(ranks, comp.node == ranks.node).select(
+        comp.node.alias("doc_id"), "component_id", "rank_micro"
+    )
+    canon = ranked.groupBy("component_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("rank_micro")).alias("nr"), F.col("doc_id").alias("n")
+            )
+        )["n"].alias("canonical_id")
+    )
+    out = ranked.join(canon, "component_id").select(
+        "doc_id",
+        "component_id",
+        "rank_micro",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+    ).coalesce(n_part)
+    return out.localCheckpoint(eager=True)
 
 
 def fuzzy_pairs_blocked(
