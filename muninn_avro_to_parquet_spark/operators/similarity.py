@@ -157,16 +157,19 @@ def cosine_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_rows: int | None = None,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup detection).
 
     Quadratic by nature — at corpus scale run it per LSH bucket
     (``hyperplane_buckets``) instead of globally; ``embedding_near_dup``
-    is that composition. ``max_rows`` enforces the contract: when set,
-    the input is counted first and a ValueError aborts the plan before
-    the crossJoin if the corpus exceeds it — a 10^9-row table can then
-    never silently schedule a 10^18-pair cartesian (VERDICT r4 #7)."""
+    is that composition. ``max_rows`` enforces the contract — ON BY
+    DEFAULT (100k rows ≈ 5·10^9 candidate pairs, the ceiling of sane
+    brute force): the input is counted first and a ValueError aborts the
+    plan before the crossJoin if the corpus exceeds it, so a 10^9-row
+    table can never silently schedule a 10^18-pair cartesian (VERDICT
+    r4 #7, default-on per r5 #9). Pass ``max_rows=None`` to explicitly
+    opt out."""
     if max_rows is not None:
         n = df.count()
         if n > max_rows:

@@ -2082,15 +2082,31 @@ def q18_large_volume(spark):
     """,
 )
 def q_ntile_deciles(spark):
-    """Decile audit via ntile. The empty-partition global-order window is a
-    single-reducer sort — correct here, and the documented trade-off: at
-    100 TB you'd pre-bucket by range (approx quantiles) instead."""
-    from pyspark.sql.window import Window
+    """Decile audit WITHOUT the single-reducer global window: the rank
+    comes from ``text.global_row_number`` (range partition → parallel
+    per-partition windows → cumulative offsets), and the ntile bucket is
+    computed arithmetically from (rank, N) with SQL ntile's exact
+    fill rule — the first N mod k buckets get one extra row. Bit-identical
+    to ``ntile(10) OVER (ORDER BY ...)`` (the oracle) at any N, but the
+    sort is the same sampled range exchange a distributed ORDER BY uses,
+    so the plan survives a 100x scale-up (no Exchange SinglePartition —
+    gated in tests/test_plans.py)."""
+    from muninn_avro_to_parquet_spark.operators import text as TX
 
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    d = spark.table("customer").select(
-        "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    c = spark.table("customer").select("c_custkey", "c_acctbal")
+    n = c.count()  # one metadata-cheap job on the cached table
+    ranked = TX.global_row_number(
+        c, F.col("c_acctbal").asc(), F.col("c_custkey").asc(), rank_col="_rk"
     )
+    k = 10
+    size_big, n_big = n // k + 1, n % k  # first n_big buckets are larger
+    decile = F.expr(
+        f"CASE WHEN _rk <= {n_big * size_big}"
+        f" THEN (_rk - 1) div {size_big}"
+        f" ELSE {n_big} + (_rk - {n_big * size_big} - 1) div {max(n // k, 1)}"
+        f" END + 1"
+    )
+    d = ranked.select("c_custkey", "c_acctbal", decile.cast("int").alias("decile"))
     return d.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.min("c_acctbal").alias("min_bal"),

@@ -277,3 +277,15 @@ def test_target_mixture_corpus_side_unshuffled(spark):
     # corpus side: documents scan feeds the broadcast join directly —
     # no Exchange between the scan and the first join
     assert "SortMergeJoin" not in plan
+
+
+def test_ntile_deciles_no_single_partition_window(spark):
+    """q_ntile_deciles must not funnel the relation through an
+    empty-partition global window (Exchange SinglePartition + the
+    `WindowExec: No Partition Defined` warning): the rank comes from
+    the range-partitioned global_row_number and the decile from
+    arithmetic on (rank, N)."""
+    plan = _plan(QUERIES["q_ntile_deciles"].spark(spark, SF_CORRECT))
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile" not in plan  # the bucket is arithmetic, not a window fn
+    assert "Exchange rangepartitioning" in plan  # the distributed sort

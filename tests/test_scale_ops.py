@@ -758,9 +758,11 @@ def test_single_gigabyte_file_fans_out_bounded(spark, tmp_path):
 
 
 def test_cosine_pairs_max_rows_guard(spark):
-    """VERDICT r4 #7: the opt-in max_rows guard aborts the quadratic
-    crossJoin before it is scheduled; within the bound the result is
-    unchanged."""
+    """VERDICT r4 #7 / r5 #9: the max_rows guard aborts the quadratic
+    crossJoin before it is scheduled, is ON by default (100k), and can
+    only be lifted by an explicit max_rows=None opt-out."""
+    import inspect
+
     from muninn_avro_to_parquet_spark.operators import similarity
 
     corpus = spark.createDataFrame(
@@ -771,6 +773,13 @@ def test_cosine_pairs_max_rows_guard(spark):
     assert ok.count() == 10  # C(5,2) pairs
     with pytest.raises(ValueError, match="max_rows"):
         similarity.cosine_pairs(corpus, threshold=0.0, max_rows=4)
+    # guard-on default: not None, and small enough that a 10^9-row
+    # corpus can never silently cross-join through the default path
+    default = inspect.signature(similarity.cosine_pairs).parameters["max_rows"].default
+    assert default is not None and default <= 1_000_000
+    # default path still works within the bound and opt-out is explicit
+    assert similarity.cosine_pairs(corpus, threshold=0.0).count() == 10
+    assert similarity.cosine_pairs(corpus, threshold=0.0, max_rows=None).count() == 10
 
 
 def test_compact_partition_reduces_files_preserves_rows(spark, tmp_path):
