@@ -59,6 +59,7 @@ _R4_CHECKED = frozenset(
 _R6_NEW = (
     "dedup_repeated_spans",
     "dedup_span_removal",
+    "text_bpe_batched",
 )
 
 

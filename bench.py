@@ -419,6 +419,17 @@ def main() -> None:
         n_merges = bpe_mod.learn_bpe(vcorpus, num_merges=6).count()
         bpe_wall = time.perf_counter() - t0
         timings["bpe_bigvocab"] = round(bpe_wall, 4)
+        # BATCHED trainer at real-vocabulary scale (VERDICT r5 #4): >=256
+        # merges as one unrolled dataflow — per-merge wall time must be
+        # sub-linear vs the sequential loop's one-job-per-merge cadence
+        # (compare sec_per_merge to seq_sec_per_merge below)
+        t0 = time.perf_counter()
+        n_bmerges = bpe_mod.learn_bpe_batched(
+            vcorpus, rounds=14, batch_size=64, slice_factor=32,
+            selection="greedy",
+        ).count()
+        bpe_b_wall = time.perf_counter() - t0
+        timings["bpe_batched_bigvocab"] = round(bpe_b_wall, 4)
         t0 = time.perf_counter()
         n_terms = text_mod.posting_lists(vcorpus, "doc_id", max_postings=16).count()
         post_wall = time.perf_counter() - t0
@@ -430,6 +441,12 @@ def main() -> None:
             "bpe_merges": n_merges,
             "index_terms": n_terms,
             "postings_tokens_per_sec": round(bigvocab_docs * vwords / post_wall),
+            "bpe_batched": {
+                "merges": n_bmerges,
+                "rounds": 14,
+                "sec_per_merge": round(bpe_b_wall / max(n_bmerges, 1), 4),
+                "seq_sec_per_merge": round(bpe_wall / max(n_merges, 1), 4),
+            },
         }
         vcorpus.unpersist()
     else:
@@ -483,6 +500,104 @@ def main() -> None:
     else:
         bigvec_stats = None
 
+    # scale proof for the spatial join (VERDICT r5 #7): ~1M md5-derived
+    # points over ±60° lat, full longitude, through the 3x3 grid-probe
+    # bucket join with the max_cell guard armed. 0.25° cells keep the
+    # candidate fan-out ~(9 · points-per-cell) per point — the measured
+    # quantity is candidate generation + exact haversine at 1M-row scale,
+    # ~160x the sf0.1 fixture.
+    biggeo_n = int(os.environ.get("SPARK_GRAFT_BIGGEO_N", "1000000"))
+    if biggeo_n > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import geo as geo_mod
+
+        def _md5_unit(salt: str) -> str:
+            return (
+                f"cast(conv(substring(md5(concat(cast(id as string), '{salt}')), 1, 8), 16, 10) "
+                f"% 1000000 as double) / 1000000.0"
+            )
+
+        gpts = (
+            spark.range(biggeo_n)
+            .select(
+                "id",
+                F.expr(f"({_md5_unit(':lat')}) * 120.0 - 60.0").alias("lat"),
+                F.expr(f"({_md5_unit(':lon')}) * 360.0 - 180.0").alias("lon"),
+            )
+            .cache()
+        )
+        gpts.count()
+        t0 = time.perf_counter()
+        n_geo_pairs = geo_mod.neighbor_pairs(
+            gpts, "id", "lat", "lon", radius_km=10.0, cell_deg=0.25, max_cell=5000
+        ).count()
+        geo_wall = time.perf_counter() - t0
+        timings["geo_bigpoints"] = round(geo_wall, 4)
+        biggeo_stats = {
+            "points": biggeo_n,
+            "pairs_within_10km": n_geo_pairs,
+            "points_per_sec": round(biggeo_n / geo_wall),
+        }
+        gpts.unpersist()
+    else:
+        biggeo_stats = None
+
+    # scale proof for Fellegi-Sunter linkage (VERDICT r5 #7): ~100k
+    # records with a planted near-duplicate per 10th record, blocked into
+    # ~5k blocks, scored on one exact + one fuzzy field. Measures blocked
+    # pair generation + integer scoring; max_block guard armed.
+    biglink_n = int(os.environ.get("SPARK_GRAFT_BIGLINK_N", "100000"))
+    if biglink_n > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import linkage as link_mod
+
+        eff = F.when(F.col("id") % 10 == 9, F.col("id") - 9).otherwise(F.col("id"))
+        lrecs = (
+            spark.range(biglink_n)
+            .withColumn("eff", eff)
+            .select(
+                "id",
+                (F.col("eff") % 5000).alias("blk"),
+                F.concat(
+                    F.lit("name"),
+                    (F.col("eff") % 40000).cast("string"),
+                    # the planted dup perturbs the tail → fuzzy, not exact
+                    F.when(F.col("id") % 10 == 9, F.lit("x")).otherwise(F.lit("")),
+                ).alias("name"),
+                (F.col("eff") % 97).alias("phone"),
+            )
+            .cache()
+        )
+        lrecs.count()
+        t0 = time.perf_counter()
+        lscores = link_mod.pair_scores(
+            lrecs,
+            "id",
+            F.col("blk"),
+            [
+                link_mod.FieldRule("name", 2_400_000, -1_800_000, kind="fuzzy"),
+                link_mod.FieldRule("phone", 1_200_000, -600_000),
+            ],
+            link_micro=2_000_000,
+            nonlink_micro=-500_000,
+            max_block=64,
+        )
+        n_link_pairs = lscores.count()
+        n_links = lscores.filter(F.col("decision") == "link").count()
+        link_wall = time.perf_counter() - t0
+        timings["linkage_bigrecords"] = round(link_wall, 4)
+        biglink_stats = {
+            "records": biglink_n,
+            "candidate_pairs": n_link_pairs,
+            "links": n_links,
+            "records_per_sec": round(biglink_n / link_wall),
+        }
+        lrecs.unpersist()
+    else:
+        biglink_stats = None
+
     # the headline metric sums the QUERY timings; the conversion benchmark
     # is reported alongside but not folded in (its row count is a separate
     # knob, and mixing it in would skew query-only comparisons)
@@ -493,8 +608,9 @@ def main() -> None:
             if not k.startswith("convert_")
             and k not in (
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
-                "lm_bigvocab", "bpe_bigvocab", "postings_bigvocab",
-                "pq_bigvectors", "ivfpq_bigvectors",
+                "lm_bigvocab", "bpe_bigvocab", "bpe_batched_bigvocab",
+                "postings_bigvocab", "pq_bigvectors", "ivfpq_bigvectors",
+                "geo_bigpoints", "linkage_bigrecords",
             )
         ), 4
     )
@@ -513,6 +629,10 @@ def main() -> None:
         result["bigvocab"] = bigvocab_stats
     if bigvec_stats is not None:
         result["bigvectors"] = bigvec_stats
+    if biggeo_stats is not None:
+        result["biggeo"] = biggeo_stats
+    if biglink_stats is not None:
+        result["biglinkage"] = biglink_stats
     # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
     # were cut, losing per-query timings); persist the full result as a
     # standalone artifact so cross-round comparisons always have all queries

@@ -152,6 +152,12 @@ def main(argv: list[str] | None = None) -> int:
         "--segments_out", default=None,
         help="also write the per-word subword segmentation here",
     )
+    p_bpe.add_argument(
+        "--batch_size", type=int, default=0,
+        help="merges per round for BATCHED training (0 = sequential "
+        "argmax loop). Batched is the scale path: a 30k-merge vocabulary "
+        "is ~num_merges/batch_size round segments, not 30k driver jobs",
+    )
 
     args = ap.parse_args(argv)
 
@@ -259,17 +265,39 @@ def main(argv: list[str] | None = None) -> int:
             from muninn_avro_to_parquet_spark.operators import bpe
 
             docs = spark.read.parquet(args.input_dir)
-            if args.segments_out:
+            seg = None
+            if args.batch_size > 0:
+                # batched path: rounds sized to reach num_merges even if
+                # early rounds select under batch_size (small alphabets)
+                rounds = max(1, -(-args.num_merges // args.batch_size)) * 2
+                # num_merges is a TARGET in batched mode: the trainer may
+                # finish a round slightly past it (the segmentation always
+                # reflects every applied merge)
+                merges, final_seq = bpe.learn_bpe_batched(
+                    docs,
+                    args.text_col,
+                    rounds=rounds,
+                    batch_size=args.batch_size,
+                    slice_factor=32,
+                    selection="greedy",
+                    return_final_seq=True,
+                )
+                if args.segments_out:
+                    from muninn_avro_to_parquet_spark.operators.bpe import _pieces
+
+                    seg = _pieces(final_seq)
+            elif args.segments_out:
                 merges, seg = bpe.learn_and_segment(
                     docs, args.text_col, num_merges=args.num_merges
                 )
-                seg.withColumn(
-                    "pieces", F.array_join(F.col("pieces"), " ")
-                ).write.mode("overwrite").parquet(args.segments_out)
             else:
                 merges = bpe.learn_bpe(
                     docs, args.text_col, num_merges=args.num_merges
                 )
+            if seg is not None:
+                seg.withColumn(
+                    "pieces", F.array_join(F.col("pieces"), " ")
+                ).write.mode("overwrite").parquet(args.segments_out)
             merges.write.mode("overwrite").parquet(args.merges_out)
             n = spark.read.parquet(args.merges_out).count()
             print(f"{n} merges written to {args.merges_out}")

@@ -3892,6 +3892,111 @@ def text_bpe_token_counts(spark):
     )
 
 
+def _bpe_batched_oracle(rounds: int, batch_size: int, slice_factor: int) -> str:
+    # the BATCHED trainer unrolled: each round is pair-count → top-slice
+    # rank → conservative disjoint selection (both symbols first appear at
+    # the pair's own rank) → one-pass batch apply via join instead of the
+    # sequential argmax literal. Same generation discipline as _bpe_oracle
+    # so oracle and operator agree on EVERY round.
+    slice_n = batch_size * slice_factor
+    parts = [
+        f"w AS (SELECT word, COUNT(*) AS freq FROM "
+        f"(SELECT unnest({_SQL_TOKENS}) AS word FROM documents) GROUP BY 1)",
+        "s0 AS (SELECT word, freq, CAST(pos AS INTEGER) AS pos, "
+        "substr(word, CAST(pos AS INTEGER), 1) AS sym FROM "
+        "(SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos FROM w))",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"""p{k} AS (
+      SELECT sym AS l, nxt AS r, SUM(freq) AS cnt FROM (
+        SELECT word, freq, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM s{p}) WHERE nxt IS NOT NULL GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"t{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT {slice_n})"
+        )
+        parts.append(
+            f"rk{k} AS (SELECT l, r, cnt, ROW_NUMBER() OVER "
+            f"(ORDER BY cnt DESC, l, r) AS rk FROM t{k})"
+        )
+        parts.append(
+            f"""fa{k} AS (
+      SELECT s, MIN(rk) AS frk FROM (
+        SELECT l AS s, rk FROM rk{k} UNION ALL SELECT r AS s, rk FROM rk{k})
+      GROUP BY 1)"""
+        )
+        parts.append(
+            f"""c{k} AS (
+      SELECT * FROM (
+        SELECT l, r, cnt, rk, ROW_NUMBER() OVER (ORDER BY rk) AS sel_rk FROM (
+          SELECT q.l, q.r, q.cnt, q.rk FROM rk{k} q
+          JOIN fa{k} fl ON q.l = fl.s AND q.rk = fl.frk
+          JOIN fa{k} fr ON q.r = fr.s AND q.rk = fr.frk))
+      WHERE sel_rk <= {batch_size})"""
+        )
+        parts.append(
+            f"""x{k} AS (
+      SELECT word, freq, pos, sym,
+             LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos) AS grp
+      FROM s{p})"""
+        )
+        parts.append(
+            f"y{k} AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY word, sym, grp "
+            f"ORDER BY pos) - 1 AS off FROM x{k})"
+        )
+        parts.append(
+            f"""z{k} AS (
+      SELECT y.word, y.freq, y.pos, y.sym, y.nxt,
+             (c.l IS NOT NULL AND (c.l <> c.r OR y.off % 2 = 0)) AS strt
+      FROM y{k} y LEFT JOIN c{k} c ON y.sym = c.l AND y.nxt = c.r)"""
+        )
+        parts.append(
+            f"v{k} AS (SELECT *, COALESCE(LAG(strt) OVER (PARTITION BY word "
+            f"ORDER BY pos), FALSE) AS consumed FROM z{k})"
+        )
+        parts.append(
+            f"""s{k} AS (
+      SELECT word, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INTEGER) AS pos,
+             CASE WHEN strt THEN sym || nxt ELSE sym END AS sym
+      FROM v{k} WHERE NOT consumed)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT {k} AS round_idx, l, r, cnt, sel_rk FROM c{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY round_idx, sel_rk) AS INTEGER) AS merge_rank,
+           CAST(round_idx AS INTEGER) AS round_idx,
+           l AS left_sym, r AS right_sym, CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})"""
+    )
+
+
+@q("text_bpe_batched", _bpe_batched_oracle(3, 4, 8))
+def text_bpe_batched(spark):
+    """BATCHED BPE training (operators/bpe.learn_bpe_batched): 3 rounds of
+    up to 4 mutually-disjoint merges, selected and applied entirely in the
+    dataflow — no per-merge driver round-trip (the r5 verdict's named BPE
+    scale limit). The conservative disjoint rule (both symbols first
+    appear at the pair's own rank in the top slice) makes the selection
+    SQL-expressible; the oracle unrolls all 3 rounds of the identical
+    algebra. Per-merge wall time is sub-linear in merge count — see the
+    bpe_batched_256 bench proof."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    return bpe.learn_bpe_batched(
+        spark.table("documents"), rounds=3, batch_size=4, slice_factor=8
+    )
+
+
 @q("text_bpe_merges", _bpe_oracle(6))
 def text_bpe_merges(spark):
     """Distributed BPE merge learning (operators/bpe.learn_bpe): the

@@ -202,3 +202,37 @@ def test_cli_bpe_train(spark, tmp_path, monkeypatch, capsys):
     assert set(rows) == {"low", "lower", "lowest", "new", "newer", "newest"}
     for word, pieces in rows.items():
         assert "".join(pieces.split(" ")) == word  # pieces reassemble the word
+
+
+def test_cli_bpe_train_batched(spark, tmp_path, monkeypatch, capsys):
+    """--batch_size routes through the batched greedy trainer: merges
+    carry round_idx, the segmentation reflects every applied merge, and
+    pieces still reassemble their words."""
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest"), (3, "banana bandana")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+
+    rc = cli.main(
+        ["bpe-train", "--input_dir", str(tmp_path / "docs"),
+         "--num_merges", "6", "--batch_size", "3",
+         "--merges_out", str(tmp_path / "merges"),
+         "--segments_out", str(tmp_path / "segments")]
+    )
+    assert rc == 0
+    assert "merges written" in capsys.readouterr().out
+    merges = spark.read.parquet(str(tmp_path / "merges"))
+    assert {"merge_rank", "round_idx", "left_sym", "right_sym", "pair_count"} <= set(
+        merges.columns
+    )
+    assert merges.count() >= 6
+    seg = spark.read.parquet(str(tmp_path / "segments"))
+    for r in seg.collect():
+        assert "".join(r["pieces"].split(" ")) == r["word"]

@@ -493,6 +493,186 @@ def test_bpe_matches_reference_including_equal_runs(spark):
     assert got == expected
 
 
+def _ref_bpe_batched(texts, rounds, batch_size, slice_factor=8):
+    """In-memory reference for BATCHED BPE: per round, rank pairs by
+    (count desc, left, right) over the top batch·slice slice, keep pairs
+    whose both symbols first appear at their own rank (the conservative
+    disjoint rule), cap to batch_size, then apply all selected merges in
+    one greedy left-to-right scan."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(w for w in re.sub(r"[^a-z0-9一-鿿 ]", " ", t.lower()).split() if w)
+    vocab = {w: list(w) for w in wf}
+    out_merges = []
+    rank = 0
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ranked = ranked[: batch_size * slice_factor]
+        first: dict[str, int] = {}
+        for rk, ((a, b), _) in enumerate(ranked, 1):
+            first.setdefault(a, rk)
+            first.setdefault(b, rk)
+        sel = [
+            (a, b, cnt)
+            for rk, ((a, b), cnt) in enumerate(ranked, 1)
+            if first[a] == rk and first[b] == rk
+        ][:batch_size]
+        for i, (a, b, cnt) in enumerate(sel, 1):
+            rank += 1
+            out_merges.append((rank, rnd, a, b, cnt))
+        pairs = {(a, b) for a, b, _ in sel}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in pairs:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return out_merges, vocab
+
+
+def test_bpe_batched_matches_reference(spark):
+    """learn_bpe_batched reproduces the batched reference round-for-round
+    (disjoint selection + one-pass batch apply, incl. equal-symbol runs)."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat the hat",
+        "aaaa aaa banana bandana cabana",
+        "low lower lowest new newer newest",
+        "she sells sea shells by the sea shore",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected, ref_vocab = _ref_bpe_batched(texts, rounds=4, batch_size=4)
+    got = [
+        (r["merge_rank"], r["round_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.learn_bpe_batched(df, rounds=4, batch_size=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+    # the final segmentation matches the reference's vocabulary too
+    _, seq = bpe.learn_bpe_batched(df, rounds=4, batch_size=4, return_final_seq=True)
+    from muninn_avro_to_parquet_spark.operators.bpe import _pieces
+
+    pieces = {r["word"]: list(r["pieces"]) for r in _pieces(seq).collect()}
+    assert pieces == ref_vocab
+
+
+def _ref_bpe_batched_greedy(texts, rounds, batch_size, slice_factor=8):
+    """Greedy variant of the batched reference: scan the ranked slice in
+    order, keep a pair iff its symbols are untouched by earlier KEEPS
+    (not merely earlier appearances), cap to batch_size."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        wf.update(w for w in re.sub(r"[^a-z0-9一-鿿 ]", " ", t.lower()).split() if w)
+    vocab = {w: list(w) for w in wf}
+    out_merges = []
+    rank = 0
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ranked = ranked[: batch_size * slice_factor]
+        used: set[str] = set()
+        sel = []
+        for (a, b), cnt in ranked:
+            if a in used or b in used:
+                continue
+            sel.append((a, b, cnt))
+            used.add(a)
+            used.add(b)
+            if len(sel) >= batch_size:
+                break
+        for a, b, cnt in sel:
+            rank += 1
+            out_merges.append((rank, rnd, a, b, cnt))
+        pairs = {(a, b) for a, b, _ in sel}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in pairs:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return out_merges, vocab
+
+
+def test_bpe_batched_greedy_matches_reference(spark):
+    """selection='greedy' reproduces the greedy batched reference — and
+    selects at least as many merges per round as the conservative rule."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat the hat",
+        "aaaa aaa banana bandana cabana",
+        "low lower lowest new newer newest",
+        "she sells sea shells by the sea shore",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected, _ = _ref_bpe_batched_greedy(texts, rounds=4, batch_size=4)
+    got = [
+        (r["merge_rank"], r["round_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.learn_bpe_batched(
+            df, rounds=4, batch_size=4, selection="greedy"
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    conservative, _ = _ref_bpe_batched(texts, rounds=4, batch_size=4)
+    assert len(got) >= len(conservative)
+
+
+def test_bpe_batched_batch1_equals_sequential(spark):
+    """batch_size=1 degenerates to sequential learn_bpe exactly — the
+    conservative disjoint rule always admits the argmax pair."""
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    texts = ["the cat sat on the mat", "aaaa aaa bb aab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    seq_merges = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.learn_bpe(df, num_merges=6).orderBy("merge_rank").collect()
+    ]
+    batched = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe.learn_bpe_batched(df, rounds=6, batch_size=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert batched == seq_merges
+
+
 def test_bpe_segment_words_matches_reference(spark):
     """segment_words applies learned merges per vocabulary entry and
     yields the reference's final subword split for every word."""
