@@ -44,9 +44,11 @@ def is_uri(path: str) -> bool:
 # deployment plug a custom client (an emulator endpoint, a PyFileSystem
 # wrapping an fsspec handler, an in-memory filesystem for conformance
 # tests) under its own scheme without env-level configuration. The
-# registry is PER-PROCESS: executors resolve URIs in their own workers,
-# so only driver-side paths (listing, checkpoint ledgers) can rely on a
-# filesystem registered in the driver alone.
+# registry is per-process, but the executor-side consumers (split decode,
+# the OCF sink) capture a picklable snapshot into their task closures via
+# registry_snapshot/ensure_registry, so driver registration reaches every
+# worker for picklable filesystems (proved end-to-end by
+# tests/test_s3_conformance.py against a live S3 emulator).
 _REGISTERED: dict[str, object] = {}
 
 
@@ -59,6 +61,39 @@ def register_filesystem(scheme: str, filesystem) -> None:
 
 def unregister_filesystem(scheme: str) -> None:
     _REGISTERED.pop(scheme, None)
+
+
+def registry_snapshot() -> dict[str, object]:
+    """Picklable snapshot of this process's filesystem registry. Capture
+    on the DRIVER at plan-build time and replay inside each task via
+    ``ensure_registry`` so ``register_filesystem`` behaves cluster-wide:
+    pyarrow filesystems (including ``S3FileSystem`` with
+    ``endpoint_override`` — the emulator/conformance case) pickle their
+    construction options, so the snapshot rides the task closure.
+
+    Filesystems that cannot pickle (e.g. pyarrow's in-process
+    ``_MockFileSystem``) are skipped: they stay DRIVER-LOCAL, which keeps
+    driver-only consumers (listing, checkpoint ledgers) working while the
+    task closure remains serializable."""
+    import pickle
+
+    snap: dict[str, object] = {}
+    for scheme, filesystem in _REGISTERED.items():
+        try:
+            pickle.dumps(filesystem)
+        except Exception:
+            continue
+        snap[scheme] = filesystem
+    return snap
+
+
+def ensure_registry(snapshot: dict[str, object]) -> None:
+    """Worker-side half of the cluster-wide ``register_filesystem``
+    contract: merge a driver-captured snapshot into this process's
+    registry. Process-local registrations win (setdefault), so an
+    executor bootstrap that pre-registers a scheme is never clobbered."""
+    for scheme, filesystem in snapshot.items():
+        _REGISTERED.setdefault(scheme, filesystem)
 
 
 def resolve(uri: str):

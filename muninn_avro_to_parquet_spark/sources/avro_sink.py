@@ -170,11 +170,17 @@ def write_avro(
     conv = _value_converter(df.schema)
     out = out_dir.rstrip("/")
     _fs.makedirs(out)  # once, driver-side — object stores no-op, local mkdir -p
+    # driver-registered filesystems ride the closure (fs.registry_snapshot)
+    # so executor-side writes hit the same endpoint the driver resolved
+    fs_snapshot = _fs.registry_snapshot()
 
     def gen(batches):
         import pyarrow as pa
 
+        from muninn_avro_to_parquet_spark import fs as _wfs
         from muninn_avro_to_parquet_spark.sources import avro_io
+
+        _wfs.ensure_registry(fs_snapshot)
 
         try:
             from pyspark import TaskContext

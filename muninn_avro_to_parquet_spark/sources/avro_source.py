@@ -485,9 +485,16 @@ def _distributed_decode(
     directly from the decoded columns — no pandas detour)."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    from muninn_avro_to_parquet_spark import fs
+
     aschema = to_arrow_schema(out_schema)
+    # driver-registered filesystems (emulator endpoints, custom clients)
+    # ride the task closure so executor-side split decode resolves the
+    # same URIs the driver listed — see fs.registry_snapshot
+    fs_snapshot = fs.registry_snapshot()
 
     def gen(batches):
+        fs.ensure_registry(fs_snapshot)
         for rb in batches:
             splits = list(
                 zip(
@@ -850,10 +857,17 @@ def read_avro_generic(
     aschema = to_arrow_schema(transport)
     names = [p.name for p in plans]
     keep = set(names)
+    # driver-registered filesystems ride the closure (fs.registry_snapshot)
+    from muninn_avro_to_parquet_spark import fs as _fs
+
+    fs_snapshot = _fs.registry_snapshot()
 
     def gen(batches):
         import pyarrow as pa
 
+        from muninn_avro_to_parquet_spark import fs as _wfs
+
+        _wfs.ensure_registry(fs_snapshot)
         types = {f.name: f.type for f in aschema}
         for rb in batches:
             for path, start, end in zip(
