@@ -53,6 +53,46 @@ def list_partition_dirs(table_dir: str) -> list[str]:
     return [d for d in fs.list_subdirs(table_dir) if "=" in _basename(d)]
 
 
+def _pending_path(part_dir: str) -> str:
+    return f"{part_dir.rstrip('/')}/_compact_pending.json"
+
+
+def _delete_with_crc(path: str) -> None:
+    if fs.exists(path):
+        fs.delete_file(path)
+    # Hadoop's local FS writes a `.<name>.crc` sidecar per part file;
+    # drop it with its data file so the partition doesn't accumulate
+    # orphaned checksums across compactions
+    head, _, base = path.rpartition("/")
+    crc = f"{head}/.{base}.crc"
+    if fs.exists(crc):
+        fs.delete_file(crc)
+
+
+def heal_pending(part_dir: str) -> bool:
+    """Finish a crashed swap recorded in the partition's pending manifest:
+    complete any outstanding staged→final moves, delete exactly the OLD
+    files the manifest names (never re-listing — a re-list after a crash
+    between move and delete would see old+new and a naive recompaction
+    would bake the duplicates in), then drop staging and manifest. Every
+    step is an idempotent exists-guarded operation, so healing itself can
+    crash and re-run. Returns True when a manifest was found."""
+    import json
+
+    pp = _pending_path(part_dir)
+    if not fs.exists(pp):
+        return False
+    manifest = json.loads(fs.read_text(pp))
+    for src, dst in zip(manifest["staged"], manifest["news"]):
+        if not fs.exists(dst) and fs.exists(src):
+            fs.move(src, dst)
+    for f in manifest["olds"]:
+        _delete_with_crc(f)
+    fs.delete_dir(manifest["staging"])
+    fs.delete_file(pp)
+    return True
+
+
 def compact_partition(
     spark: SparkSession,
     part_dir: str,
@@ -65,14 +105,28 @@ def compact_partition(
     compact (fewer than ``min_files`` files, or the rewrite would not
     reduce the count).
 
-    Crash safety: the rewrite lands in a ``_compact_*`` staging dir inside
-    the partition (underscore-prefixed → invisible to parquet readers),
-    then new files move in before old files are removed. A crash mid-swap
-    can leave BOTH file sets visible briefly (double-counted rows until
-    the next compaction run finishes the job) but never loses rows; a
-    transactional table format (Delta/Iceberg) is the strict-isolation
-    answer and out of scope here. Stale staging dirs from crashed runs
-    are removed on the next invocation."""
+    Isolation contract (tested in tests/test_scale_ops.py):
+
+    - **Crash safety**: the rewrite lands in a ``_compact_*`` staging dir
+      (underscore-prefixed → invisible to parquet readers); a pending
+      MANIFEST naming (olds, staged, news) is written before any visible
+      mutation; then new files move in and old files are removed. A crash
+      mid-swap can leave both file sets visible briefly, but the next run
+      (or ``heal_pending``) finishes exactly the recorded swap — it never
+      re-lists mid-state, so rows are never lost OR duplicated.
+    - **Concurrent readers**: a reader that listed files BEFORE the swap
+      completes may fail with missing files and must re-list (the
+      standard non-transactional parquet contract); a fresh read after
+      the swap is exact. Readers during the brief both-sets window can
+      double-count — a transactional table format (Delta/Iceberg) is the
+      strict-isolation answer and out of scope.
+    - **Concurrent compactors**: same-partition compaction is
+      single-writer by contract; a second invocation that finds an
+      in-flight manifest completes THAT swap first (heal) instead of
+      recompacting the mixed state into duplicates."""
+    import json
+
+    heal_pending(part_dir)
     files = _parquet_files(part_dir)
     if len(files) < min_files:
         return None
@@ -80,7 +134,9 @@ def compact_partition(
     n_out = max(1, -(-total // target_bytes))
     if n_out >= len(files):
         return None
-    # stale staging dirs from crashed runs hold no referenced data
+    # stale staging dirs from runs that crashed BEFORE their manifest
+    # write hold no referenced data (heal_pending already consumed any
+    # manifest-referenced staging above)
     for d in fs.list_subdirs(part_dir):
         if _basename(d).startswith("_compact_"):
             fs.delete_dir(d)
@@ -91,26 +147,23 @@ def compact_partition(
         .write.mode("overwrite")
         .parquet(staging)
     )
-    new_files = _parquet_files(staging)
-    moved = []
-    for i, f in enumerate(new_files):
-        dst = (
-            f"{part_dir.rstrip('/')}/part-compacted-{i:05d}-"
-            f"{uuid.uuid4().hex[:8]}.snappy.parquet"
-        )
-        fs.move(f, dst)
-        moved.append(dst)
+    staged = _parquet_files(staging)
+    news = [
+        f"{part_dir.rstrip('/')}/part-compacted-{i:05d}-"
+        f"{uuid.uuid4().hex[:8]}.snappy.parquet"
+        for i in range(len(staged))
+    ]
+    fs.write_text(
+        _pending_path(part_dir),
+        json.dumps({"olds": files, "staged": staged, "news": news, "staging": staging}),
+    )
+    for src, dst in zip(staged, news):
+        fs.move(src, dst)
     for f in files:
-        fs.delete_file(f)
-        # Hadoop's local FS writes a `.<name>.crc` sidecar per part file;
-        # drop it with its data file so the partition doesn't accumulate
-        # orphaned checksums across compactions
-        head, _, base = f.rpartition("/")
-        crc = f"{head}/.{base}.crc"
-        if fs.exists(crc):
-            fs.delete_file(crc)
+        _delete_with_crc(f)
     fs.delete_dir(staging)
-    return len(files), len(moved)
+    fs.delete_file(_pending_path(part_dir))
+    return len(files), len(news)
 
 
 def compact_table(

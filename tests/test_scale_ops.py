@@ -894,3 +894,100 @@ def test_ivf_refined_assignment_invariants(spark):
         ).select("vec_id", "centroid_id").collect()
     }
     assert r1 == r2  # deterministic across evaluations
+
+
+def _small_file_partition(spark, table, n_files=5, rows_per=20):
+    for i in range(n_files):
+        (
+            spark.range(i * rows_per, (i + 1) * rows_per)
+            .selectExpr("id", "'2026-01-01' AS ingestion_date")
+            .write.mode("append").partitionBy("ingestion_date").parquet(str(table))
+        )
+    return str(table / "ingestion_date=2026-01-01"), n_files * rows_per
+
+
+def test_compaction_crash_midswap_heals_exactly(spark, tmp_path, monkeypatch):
+    """A compactor that crashes between moving the new files in and
+    deleting the old ones leaves both sets visible (double counting — the
+    documented transient), but the next run completes exactly the swap
+    the pending manifest recorded: rows are never lost OR duplicated and
+    the manifest/staging are gone."""
+    from muninn_avro_to_parquet_spark import fs as fs_mod
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    part, n_rows = _small_file_partition(spark, tmp_path / "crash_t")
+
+    real_delete = fs_mod.delete_file
+    deleted = {"n": 0}
+
+    def boom(path):
+        if path.endswith(".parquet"):
+            deleted["n"] += 1
+            if deleted["n"] == 2:  # crash mid old-file deletion
+                raise RuntimeError("simulated crash mid-swap")
+        real_delete(path)
+
+    monkeypatch.setattr(fs_mod, "delete_file", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        maintenance.compact_partition(spark, part, target_bytes=1 << 30, min_files=2)
+    monkeypatch.setattr(fs_mod, "delete_file", real_delete)
+
+    # both sets partially visible: a fresh reader double-counts
+    assert spark.read.parquet(part).count() > n_rows
+    assert fs_mod.exists(part + "/_compact_pending.json")
+
+    # the next run heals the recorded swap BEFORE recompacting
+    maintenance.compact_partition(spark, part, target_bytes=1 << 30, min_files=2)
+    assert not fs_mod.exists(part + "/_compact_pending.json")
+    got = sorted(r["id"] for r in spark.read.parquet(part).collect())
+    assert got == list(range(n_rows))  # exact: no loss, no duplicates
+    assert all(
+        not maintenance._basename(d).startswith("_compact_")
+        for d in fs_mod.list_subdirs(part)
+    )
+
+
+def test_compaction_inflight_manifest_not_recompacted(spark, tmp_path, monkeypatch):
+    """A second compactor that finds an in-flight manifest (news moved in,
+    olds still present) completes THAT swap instead of recompacting the
+    mixed state — the naive re-list would bake the duplicates in."""
+    from muninn_avro_to_parquet_spark import fs as fs_mod
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    part, n_rows = _small_file_partition(spark, tmp_path / "race_t")
+
+    real_delete = fs_mod.delete_file
+
+    def boom(path):
+        if path.endswith(".parquet"):
+            raise RuntimeError("crash before any old delete")
+        real_delete(path)
+
+    monkeypatch.setattr(fs_mod, "delete_file", boom)
+    with pytest.raises(RuntimeError):
+        maintenance.compact_partition(spark, part, target_bytes=1 << 30, min_files=2)
+    monkeypatch.setattr(fs_mod, "delete_file", real_delete)
+    assert spark.read.parquet(part).count() == 2 * n_rows  # fully doubled
+
+    r = maintenance.compact_partition(spark, part, target_bytes=1 << 30, min_files=2)
+    got = sorted(r["id"] for r in spark.read.parquet(part).collect())
+    assert got == list(range(n_rows)), r
+
+
+def test_compaction_stale_reader_must_relist(spark, tmp_path):
+    """The documented reader contract: a DataFrame whose file listing
+    predates the swap fails loudly on missing files (it never silently
+    undercounts); a fresh read after the swap is exact."""
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    part, n_rows = _small_file_partition(spark, tmp_path / "stale_t")
+    stale = spark.read.parquet(part)  # listing resolved now
+    assert stale.count() == n_rows
+
+    r = maintenance.compact_partition(spark, part, target_bytes=1 << 30, min_files=2)
+    assert r is not None and r[1] < r[0]
+
+    with pytest.raises(Exception) as exc_info:
+        stale.count()  # old files are gone; the stale plan must not lie
+    assert "exist" in str(exc_info.value) or "FileNotFound" in str(exc_info.value)
+    assert spark.read.parquet(part).count() == n_rows
