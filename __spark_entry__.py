@@ -60,6 +60,8 @@ _R6_NEW = (
     "dedup_repeated_spans",
     "dedup_span_removal",
     "text_bpe_batched",
+    "dedup_graph_triangles",
+    "embedding_random_projection",
 )
 
 

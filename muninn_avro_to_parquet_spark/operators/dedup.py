@@ -909,6 +909,54 @@ def candidate_pagerank(
     return ranks.localCheckpoint(eager=True)
 
 
+def candidate_triangles(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over the candidate-pair graph — the
+    standard cohesion metric for dedup-cluster QA: a near-clique cluster
+    (high triangle counts) is high-confidence duplication, while a
+    star/chain shape (zero triangles through the hub's neighbors)
+    suggests LSH false positives chained by one hub document.
+
+    Edge-oriented algorithm (no adjacency lists, no per-node
+    materialization): canonicalize to a<b edges, build wedges a<b<c with
+    one self-equi-join on the middle node, close each wedge with a
+    LEFT-SEMI equi-join against the edge set, then count each triangle
+    once per member node. Work is Σ deg(v)² wedge rows — bounded by the
+    bucket guards upstream — never |V|². Output: (doc_id, n_triangles)
+    for nodes in ≥1 triangle."""
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    closing = e.select(F.col("a").alias("_ca"), F.col("b").alias("_cb"))
+    tri = wedges.join(
+        closing,
+        (F.col("a") == F.col("_ca")) & (F.col("c") == F.col("_cb")),
+        "leftsemi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 def canonical_documents(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -717,6 +717,46 @@ def ivf_centroids_refined(
     return cents
 
 
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_offset: int = 1000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss-style dimensionality reduction with the same
+    deterministic md5-derived integer hyperplanes the LSH family uses
+    (plane j = ``_hyperplane(dim, plane_offset + j)`` — the offset keeps
+    the projection matrix independent of the LSH bucketing planes).
+
+    Component j is the EXACT BIGINT dot ``Σ round(x·1e7) · plane_j`` —
+    order-independent and engine-exact, so the 4-8× narrower
+    representation a downstream clustering/coarse-ANN stage wants stays
+    value-hash verifiable (the float-JL matrix never is). All ``out_dim``
+    dots fold in ONE pass over the quantized vector via the dim-major
+    matrix layout (the ``hyperplane_buckets`` trick); no shuffle, no UDF —
+    a pure projection inside whole-stage codegen.
+
+    Output: (id, proj array<long> of length out_dim)."""
+    planes = [_hyperplane(dim, plane_offset + j) for j in range(out_dim)]
+    mat_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{planes[j][d]}L" for j in range(out_dim)) + ")"
+            for d in range(dim)
+        )
+        + ")"
+    )
+    dots_sql = (
+        f"aggregate(zip_with({_qvec_sql(vec_col)}, {mat_sql}, (x, coeffs) -> "
+        "transform(coeffs, c -> x * c)), "
+        f"array_repeat(cast(0 as bigint), {out_dim}), "
+        "(acc, contrib) -> zip_with(acc, contrib, (a, b) -> a + b))"
+    )
+    return df.select(F.col(id_col), F.expr(f"{dots_sql} as proj"))
+
+
 def quantize_int8(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -238,6 +238,23 @@ HEADLINERS: list[tuple[str, str]] = [
         "touched exactly once (the word-frequency aggregate feeding "
         "iteration 0).",
     ),
+    (
+        "text_bpe_batched",
+        "Batched BPE (3 rounds unrolled): merge selection is a "
+        "TakeOrdered slice + tiny-window disjoint rule INSIDE the "
+        "dataflow, the batch applies via a broadcast join against the "
+        "selected pairs, and each round is a lazy localCheckpoint "
+        "barrier — per-merge cost amortizes across the batch instead of "
+        "paying one driver job per merge.",
+    ),
+    (
+        "q_ntile_deciles",
+        "Distributed ntile: rank via range-partition exchange + "
+        "per-partition windows + driver offsets (global_row_number), "
+        "decile = integer arithmetic on (rank, N) in codegen — no "
+        "Exchange SinglePartition, no empty-partition WindowExec "
+        "anywhere in the plan (r5's one named scale-killer, fixed).",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")

@@ -874,6 +874,45 @@ _EMB_EL = """
 """
 
 
+def _random_projection_oracle(out_dim: int = 16, dim: int = 64) -> str:
+    # the projection matrix is the SAME md5 integer-plane derivation the
+    # Spark operator uses (offset 1000), inlined as literals; components
+    # are exact BIGINT sums so both engines hash-match bit-for-bit
+    rows = []
+    for j in range(out_dim):
+        for d, coef in enumerate(similarity._hyperplane(dim, 1000 + j)):
+            rows.append(f"({j},{d + 1},{coef})")
+    return f"""
+    WITH {_EMB_EL},
+    planes(p, i, coef) AS (VALUES {",".join(rows)})
+    SELECT e.vec_id, CAST(pl.p AS INTEGER) AS dim_idx,
+           CAST(SUM(e.x * pl.coef) AS BIGINT) AS component
+    FROM el e JOIN planes pl ON e.i = pl.i
+    GROUP BY 1, 2
+    """
+
+
+@q("embedding_random_projection", _random_projection_oracle())
+def embedding_random_projection(spark):
+    """Integer Johnson-Lindenstrauss projection 64→16 dims
+    (operators/similarity.random_projection): deterministic md5-derived
+    integer planes, exact BIGINT components — a shuffle-free, UDF-free
+    projection in whole-stage codegen that narrows vectors 4× for
+    downstream clustering/coarse ANN while staying value-hash
+    verifiable. Output exploded to (vec_id, dim_idx, component) rows so
+    the oracle compares every component exactly."""
+    proj = similarity.random_projection(
+        spark.table("embeddings"), dim=64, out_dim=16
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim_idx", "component")
+    ).select(
+        "vec_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def _lsh_buckets_sql(num_planes: int, dim: int = 64) -> str:
     """CTE fragment computing each vector's hyperplane-LSH bucket exactly as
     ``similarity.hyperplane_buckets``: integer plane coefficients are inlined
@@ -2171,6 +2210,44 @@ def _components_oracle() -> str:
     )
     SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node
     """
+
+
+def _triangles_oracle() -> str:
+    # same LSH pair CTE as the CC/pagerank family, then the edge-oriented
+    # triangle enumeration: canonical a<b edges, wedge join on the middle
+    # node, EXISTS for the closing edge, one count per member node
+    return f"""
+    WITH pairs AS ({_minhash_pairs_oracle(8, 4, 64)}),
+    e AS (
+      SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+      FROM pairs WHERE id_a <> id_b
+    ),
+    w AS (
+      SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a
+    ),
+    tri AS (
+      SELECT w.a, w.b, w.c FROM w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c)
+    ),
+    nodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1
+    """
+
+
+@q("dedup_graph_triangles", _triangles_oracle())
+def dedup_graph_triangles(spark):
+    """Triangle counts over the LSH candidate graph
+    (operators/dedup.candidate_triangles): the dedup-cluster cohesion
+    metric — near-clique clusters are high-confidence duplicates, hubs
+    with triangle-free neighborhoods are LSH false-positive chains.
+    Edge-oriented wedge join + closing semi-join; work is Σ deg² wedge
+    rows (bucket-guard bounded), never a cross product."""
+    pairs = dedup.minhash_candidate_pairs(
+        spark.table("documents"), "doc_id", "text", num_hashes=8, bands=4,
+        max_bucket=64,
+    )
+    return dedup.candidate_triangles(pairs)
 
 
 @q("dedup_components", _components_oracle())

@@ -1021,3 +1021,43 @@ def test_geo_max_cell_guard(spark):
         df, "id", "lat", "lon", radius_km=5.0, cell_deg=1.0, max_cell=5
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_candidate_triangles_counts(spark):
+    """Hand-built graph: K4 on {1,2,3,4} (4 triangles, each node in 3) plus
+    a star hub 10-{11,12,13} (triangle-free) plus a dangling edge."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    star = [(10, 11), (10, 12), (10, 13)]
+    pairs = spark.createDataFrame(
+        k4 + star + [(20, 21), (2, 1)],  # duplicate reversed edge folds away
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: r["n_triangles"]
+        for r in dedup.candidate_triangles(pairs).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # star/dangling nodes absent
+
+
+def test_random_projection_matches_reference(spark):
+    """Exact integer JL projection: components equal the Python dot of
+    round(x*1e7) against the md5-derived planes (offset 1000)."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    vecs = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-1.0, 1.0, -1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.random_projection(df, dim=4, out_dim=3).collect()
+    }
+    planes = [similarity._hyperplane(4, 1000 + j) for j in range(3)]
+    for vid, v in vecs:
+        q = [round(x * 10_000_000) for x in v]
+        want = [sum(x * c for x, c in zip(q, p)) for p in planes]
+        assert out[vid] == want
