@@ -62,6 +62,7 @@ _R6_NEW = (
     "text_bpe_batched",
     "dedup_graph_triangles",
     "embedding_random_projection",
+    "q_group_quartiles",
 )
 
 

@@ -340,10 +340,17 @@ def main() -> None:
         n_nodes = comps.count()
         big_dedup_wall = time.perf_counter() - t0
         timings["dedup_bigcorpus"] = round(big_dedup_wall, 4)
+        # triangle cohesion metric over the same (cached) candidate graph:
+        # the wedge join is the Σ deg² stress test of the r6 operator
+        t0 = time.perf_counter()
+        n_tri_nodes = dedup_mod.candidate_triangles(pairs).count()
+        tri_wall = time.perf_counter() - t0
+        timings["triangles_bigcorpus"] = round(tri_wall, 4)
         bigcorpus_stats = {
             "docs": bigcorpus_docs,
             "candidate_pairs": n_pairs,
             "nodes_clustered": n_nodes,
+            "nodes_in_triangles": n_tri_nodes,
             "docs_per_sec": round(bigcorpus_docs / big_dedup_wall),
         }
         # incremental path at the same scale: the last 10% of docs arrive
@@ -608,8 +615,9 @@ def main() -> None:
             if not k.startswith("convert_")
             and k not in (
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
-                "lm_bigvocab", "bpe_bigvocab", "bpe_batched_bigvocab",
-                "postings_bigvocab", "pq_bigvectors", "ivfpq_bigvectors",
+                "triangles_bigcorpus", "lm_bigvocab", "bpe_bigvocab",
+                "bpe_batched_bigvocab", "postings_bigvocab",
+                "pq_bigvectors", "ivfpq_bigvectors",
                 "geo_bigpoints", "linkage_bigrecords",
             )
         ), 4

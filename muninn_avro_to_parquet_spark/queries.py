@@ -3303,6 +3303,65 @@ def q_first_last_window(spark):
 
 
 @q(
+    "q_group_quartiles",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM g
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1_micros,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS median_micros,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3_micros
+    FROM r GROUP BY 1
+    """,
+)
+def q_group_quartiles(spark):
+    """EXACT per-group quartiles fully JVM-side: nearest-rank
+    (percentile_disc) positions computed by integer arithmetic over a
+    per-group row_number — one exchange on the group key, the final
+    aggregate reuses the window's partitioning, no Python crossing
+    (contrast q_pandas_grouped_stats, the Arrow grouped-map route to the
+    same order statistics). Values quantized to micros so rank positions
+    and selected values are engine-exact; approx_percentile would never
+    hash-match."""
+    from pyspark.sql import Window
+
+    g = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+        )
+    )
+    r = g.select(
+        "event_type",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v"))
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    pick = lambda pos: F.max(F.when(F.col("rn") == F.expr(pos), F.col("v")))  # noqa: E731
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        pick("(n + 3) div 4").alias("q1_micros"),
+        pick("(n + 1) div 2").alias("median_micros"),
+        pick("(3 * n + 3) div 4").alias("q3_micros"),
+    )
+
+
+@q(
     "q_pandas_grouped_stats",
     """
     WITH g AS (

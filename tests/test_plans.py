@@ -289,3 +289,27 @@ def test_ntile_deciles_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in plan
     assert "ntile" not in plan  # the bucket is arithmetic, not a window fn
     assert "Exchange rangepartitioning" in plan  # the distributed sort
+
+
+def test_triangles_all_equi_joins(spark):
+    """Triangle enumeration must stay equi-join shaped: wedge join on the
+    middle node + closing LEFT-SEMI join — no cartesian, no nested loop,
+    no Python."""
+    plan = _plan(QUERIES["dedup_graph_triangles"].spark(spark, SF_CORRECT))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_random_projection_shuffle_free(spark):
+    """The JL projection is a pure codegen projection: the only exchange
+    allowed below the explode is none at all (scan → project → generate)."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    proj = similarity.random_projection(
+        spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet"), dim=64, out_dim=16
+    )
+    plan = _plan(proj)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
