@@ -63,6 +63,7 @@ _R6_NEW = (
     "dedup_graph_triangles",
     "embedding_random_projection",
     "q_group_quartiles",
+    "dedup_containment_pairs",
 )
 
 

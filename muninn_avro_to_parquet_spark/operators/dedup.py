@@ -530,6 +530,67 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup by CONTAINMENT: |S(A)∩S(B)| / min(|S(A)|,|S(B)|)
+    for every pair sharing ≥1 shingle.
+
+    Jaccard misses quote-inclusion: a short document embedded verbatim in
+    a long one scores ≈ |short|/|long| and stays under any sane Jaccard
+    threshold, while its containment is 1.0. Candidates come from the
+    shingle equi-join (NOT MinHash-LSH, which buckets by Jaccard and
+    therefore also misses contained pairs) — a contained pair necessarily
+    shares shingles, so the candidate set is complete for containment.
+
+    ``max_shingle_docs`` is this operator's boilerplate guard (the
+    ``max_bucket`` discipline): shingles appearing in more than K
+    documents — navigation chrome, licence headers — are dropped from
+    PAIRING (sizes still count them), capping the equi-join fan-out at
+    K² per shingle instead of corpus².
+
+    Output: (id_a, id_b, n_common, n_a, n_b, containment)."""
+    sh = _cache_scoped(
+        ngram_shingles(df, id_col, text_col, n), "containment_shingles"
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    pairing = sh
+    if max_shingle_docs is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_docs)
+            .select("shingle")
+        )
+        pairing = sh.join(rare, "shingle")
+    a = pairing.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pairing.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -776,6 +776,50 @@ def dedup_ngram_jaccard(spark):
 
 
 @q(
+    "dedup_containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 64
+    ),
+    p AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark):
+    """Asymmetric near-dup by containment
+    (operators/dedup.containment_pairs): |S(A)∩S(B)| / min(|S|) — catches
+    a short document quoted verbatim inside a long one, where Jaccard ≈
+    |short|/|long| stays under any sane threshold. Shingle equi-join
+    candidates (complete for containment, unlike Jaccard-bucketed LSH)
+    with the max_shingle_docs boilerplate guard capping hot-shingle
+    fan-out."""
+    return dedup.containment_pairs(
+        spark.table("documents"), "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_docs=64,
+    )
+
+
+@q(
     "dedup_simhash",
     """
     WITH tok AS (

@@ -1061,3 +1061,44 @@ def test_random_projection_matches_reference(spark):
         q = [round(x * 10_000_000) for x in v]
         want = [sum(x * c for x, c in zip(q, p)) for p in planes]
         assert out[vid] == want
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short doc fully embedded in a long one: containment 1.0 while
+    Jaccard stays ~|short|/|long|; hot shingles above max_shingle_docs
+    never generate pairs."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = (
+        "intro words before the quote " + short + " and plenty of trailing "
+        "commentary that dilutes the union so jaccard drops far below half"
+    )
+    boiler = "all rights reserved footer"
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, long_doc),
+            (3, "unrelated content about spark plans " + boiler),
+            (4, "different unrelated words entirely " + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["containment"] == 1.0
+    jac = out[(1, 2)]["n_common"] / (
+        out[(1, 2)]["n_a"] + out[(1, 2)]["n_b"] - out[(1, 2)]["n_common"]
+    )
+    assert jac < 0.5  # the pair Jaccard would have missed
+    assert (3, 4) not in out  # boilerplate-only overlap below threshold
+
+    # hot-shingle guard: with max_shingle_docs=1 NO shingle may pair
+    guarded = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_shingle_docs=1
+    )
+    assert guarded.count() == 0
