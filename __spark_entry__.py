@@ -64,6 +64,8 @@ _R6_NEW = (
     "embedding_random_projection",
     "q_group_quartiles",
     "dedup_containment_pairs",
+    "text_tfidf_cosine_pairs",
+    "q_key_skew_report",
 )
 
 

@@ -43,6 +43,46 @@ def replicate_side(df: DataFrame, num_salts: int) -> DataFrame:
 _SAFE_HOWS = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
 
 
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Join-key skew diagnostic: the ``top_k`` hottest keys with their
+    row counts, corpus share, and cumulative share — the number an
+    engineer reads BEFORE picking ``num_salts`` (cum_share of the top
+    handful ≈ how much of the shuffle one task would own un-salted).
+
+    Scale shape: one groupBy on the key (aggregate-sized output), a
+    distributed TakeOrdered for the top_k (never a global sort), a
+    broadcast 1-row total; the rank/cumulative windows run over top_k
+    rows only. Shares divide exact BIGINTs in double, rounded at 6 —
+    engine-exact.
+
+    Output: (rank, key, n_rows, share, cum_share)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    total = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count("*").alias("_n_keys")
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))  # top_k rows only
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(F.sum("n_rows").over(wc) / F.col("_total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

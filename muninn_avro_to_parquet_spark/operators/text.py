@@ -415,6 +415,87 @@ def tf_idf_top_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    top_k: int = 8,
+    threshold: float = 0.3,
+    max_token_docs: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF document-similarity join: each document reduces to
+    its ``top_k`` distinctive terms, pairs generate via an equi-join on
+    the shared TERM (two docs with disjoint top-terms never pair — the
+    sparse-vector analogue of the shingle/LSH bucket discipline), and
+    cosine evaluates over the shared terms only.
+
+    The topical-similarity complement to the lexical family: Jaccard /
+    containment need literal n-gram overlap; TF-IDF cosine pairs
+    documents that discuss the same distinctive vocabulary with
+    different phrasing — and unlike embedding cosine it needs no model.
+
+    Engine-exact: term weights are MILLI-quantized BIGINTs
+    (``ROUND(tfidf·1000)`` — tfidf itself is ln-based rounded at 6
+    places, the established cross-engine-stable form), the numerator is
+    an exact BIGINT sum (weights ≤ ~1e7 even for degenerate 1e5-token
+    repeats, so Σ over top_k products stays < 2^50 — no overflow at any
+    corpus size), and the norms are double sqrt of exact integer sums.
+
+    ``max_token_docs`` is the hot-term guard (``max_bucket`` discipline):
+    a term that is top-k-distinctive for more than K documents — corpus
+    boilerplate that survived IDF — is dropped from PAIRING, capping the
+    equi-join fan-out at K² per term.
+
+    Output: (id_a, id_b, n_shared_terms, cosine) with cosine ≥ threshold."""
+    top = tf_idf_top_terms(df, id_col, text_col, top_k=top_k)
+    w = cache_scoped(
+        top.select(
+            F.col(id_col),
+            "token",
+            F.round(F.col("tfidf") * 1000).cast("long").alias("w"),
+        ),
+        "tfidf_pair_weights",
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    pairing = w
+    if max_token_docs is not None:
+        rare = (
+            w.groupBy("token")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_token_docs)
+            .select("token")
+        )
+        pairing = w.join(rare, "token")
+    a = pairing.select(F.col(id_col).alias("id_a"), "token", F.col("w").alias("wa"))
+    b = pairing.select(F.col(id_col).alias("id_b"), "token", F.col("w").alias("wb"))
+    num = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(F.col("wa") * F.col("wb")).alias("_num"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nrm").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nrm").alias("_nb"))
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            F.round(
+                F.col("_num").cast("double") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
 # Gopher", §A1.1 data pipeline) — the published heuristic filter suite a
 # production pretraining pipeline runs ahead of dedup. The 8 required

@@ -2337,6 +2337,60 @@ def text_tfidf_top_terms(spark):
 
 
 @q(
+    "text_tfidf_cosine_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf DESC, df ASC, token ASC) AS rnk
+      FROM scored
+    ),
+    w AS (
+      SELECT doc_id, token, CAST(ROUND(tfidf * 1000) AS BIGINT) AS w
+      FROM ranked WHERE rnk <= 5
+    ),
+    norms AS (SELECT doc_id, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+              FROM w GROUP BY 1),
+    rare AS (SELECT token FROM w GROUP BY token HAVING COUNT(*) <= 64),
+    p AS (SELECT w.doc_id, w.token, w.w FROM w JOIN rare USING (token)),
+    num AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             SUM(a.w * b.w) AS _num
+      FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared_terms,
+           ROUND(CAST(_num AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+    FROM num
+    JOIN norms na ON id_a = na.doc_id
+    JOIN norms nb ON id_b = nb.doc_id
+    WHERE ROUND(CAST(_num AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.2
+    """,
+)
+def text_tfidf_cosine_pairs(spark):
+    """Sparse TF-IDF document-similarity join
+    (operators/text.tfidf_cosine_pairs): top-5 distinctive terms per doc,
+    pairs via equi-join on the shared TERM — topical similarity without a
+    model, the complement to lexical Jaccard/containment and embedding
+    cosine. Milli-quantized BIGINT weights make the numerator exact and
+    both engines' cosines bit-identical; max_token_docs caps hot-term
+    fan-out (boilerplate that survived IDF)."""
+    return text.tfidf_cosine_pairs(
+        spark.table("documents"), "doc_id", "text", top_k=5, threshold=0.2,
+        max_token_docs=64,
+    )
+
+
+@q(
     "doc_quality_filter",
     f"""
     WITH base AS (
@@ -3343,6 +3397,40 @@ def q_first_last_window(spark):
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@q(
+    "q_key_skew_report",
+    """
+    WITH k AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM k),
+    topk AS (SELECT key, n_rows FROM k ORDER BY n_rows DESC, key LIMIT 20),
+    r AS (SELECT key, n_rows,
+                 ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank
+          FROM topk)
+    SELECT CAST(rank AS BIGINT) AS rank, key, CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(n_rows) OVER (ORDER BY rank) AS DOUBLE)
+                 / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM r CROSS JOIN t
+    """,
+)
+def q_key_skew_report(spark):
+    """Join-key skew diagnostic (operators/skew.key_skew_report): the 20
+    hottest event user_ids with share and cumulative share of all rows —
+    the number read before choosing salted_join's num_salts. GroupBy on
+    the key, distributed TakeOrdered for the top 20 (no global sort),
+    broadcast 1-row total; the rank/cumulative windows see 20 rows."""
+    from muninn_avro_to_parquet_spark.operators import skew
+
+    rep = skew.key_skew_report(spark.table("events"), "user_id", top_k=20)
+    return rep.select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "share",
+        "cum_share",
     )
 
 

@@ -1102,3 +1102,48 @@ def test_containment_catches_quote_inclusion(spark):
         df, "doc_id", "text", n=3, threshold=0.0, max_shingle_docs=1
     )
     assert guarded.count() == 0
+
+
+def test_tfidf_cosine_pairs_topical_similarity(spark):
+    """Two docs sharing distinctive vocabulary pair with high cosine even
+    with different phrasing; docs with disjoint top-terms never pair."""
+    from muninn_avro_to_parquet_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "quantum entanglement decoherence qubit superposition"),
+            (2, "qubit decoherence limits quantum entanglement fidelity"),
+            (3, "sourdough fermentation hydration crumb proofing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in text_ops.tfidf_cosine_pairs(
+            df, "doc_id", "text", top_k=5, threshold=0.0
+        ).collect()
+    }
+    # 3 of 5 top terms shared (top-k tie-breaks differ per doc) → ~0.49
+    assert (1, 2) in out and out[(1, 2)]["cosine"] > 0.4
+    assert out[(1, 2)]["n_shared_terms"] >= 3
+    assert (1, 3) not in out and (2, 3) not in out
+
+    # hot-term guard: max_token_docs=1 removes every shared term
+    assert (
+        text_ops.tfidf_cosine_pairs(
+            df, "doc_id", "text", top_k=5, threshold=0.0, max_token_docs=1
+        ).count()
+        == 0
+    )
+
+
+def test_key_skew_report_shares(spark):
+    """Counts, shares, and cumulative shares against a known distribution."""
+    from muninn_avro_to_parquet_spark.operators import skew
+
+    rows = [(1,)] * 60 + [(2,)] * 30 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    rep = {r["rank"]: r for r in skew.key_skew_report(df, "k", top_k=2).collect()}
+    assert len(rep) == 2
+    assert rep[1]["key"] == 1 and rep[1]["n_rows"] == 60 and rep[1]["share"] == 0.6
+    assert rep[2]["key"] == 2 and rep[2]["cum_share"] == 0.9
