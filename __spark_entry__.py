@@ -66,6 +66,7 @@ _R6_NEW = (
     "dedup_containment_pairs",
     "text_tfidf_cosine_pairs",
     "q_key_skew_report",
+    "q_training_order",
 )
 
 

@@ -597,3 +597,61 @@ def sample_to_target_mixture(
         )
         .drop("_n", "_w", "_nb", "_wb")
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    salt: str = "order",
+) -> DataFrame:
+    """Deterministic STRIDE-SCHEDULED training order: a single global
+    example sequence in which every source's examples appear evenly
+    spread in proportion to its size — the "data-loader order" a trainer
+    wants (no long single-source runs, no epoch boundaries), computed
+    once at corpus-build time instead of in the loader.
+
+    Mechanics (all integer, engine-exact): each example gets a
+    deterministic within-source rank r (md5(id) order — a stable shuffle,
+    so the interleave is also a shuffle within each source); its virtual
+    time is ``vt = ((r-1)·1_000_000 + 500_000) div n_s`` (stride
+    scheduling with mid-stride start, so a 2:1 source pair alternates
+    A A B rather than front-loading every source's first example at
+    vt=0); the global order is (vt, source, r). Every prefix of the
+    sequence then tracks the corpus mixture to within one example per
+    source — the property a curriculum/mixture schedule needs.
+
+    Scale shape: one window per source (hash exchange on source),
+    source sizes broadcast, and the global step number comes from
+    ``global_row_number`` (range partition + offsets) — never a
+    single-partition window. Output: (step, source, id)."""
+    from pyspark.sql import Window
+
+    from muninn_avro_to_parquet_spark.operators.text import global_row_number
+
+    sized = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))).alias(
+            "_shuf"
+        ),
+    )
+    ranked = sized.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("_shuf", F.col(id_col))
+        ),
+    )
+    sizes = ranked.groupBy("source").agg(F.count("*").alias("_n"))
+    vt = F.expr("((_r - 1) * 1000000 + 500000) div _n")
+    keyed = ranked.join(F.broadcast(sizes), "source").select(
+        "source",
+        F.col(id_col),
+        "_r",
+        vt.alias("_vt"),
+    )
+    ordered = global_row_number(
+        keyed, F.col("_vt").asc(), F.col("source").asc(), F.col("_r").asc(),
+        rank_col="step",
+    )
+    return ordered.select("step", "source", F.col(id_col))

@@ -3401,6 +3401,46 @@ def q_first_last_window(spark):
 
 
 @q(
+    "q_training_order",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || ':order') AS shuf
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, shuf,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY shuf, doc_id) AS r
+      FROM s
+    ),
+    n AS (SELECT source, COUNT(*) AS n_s FROM r GROUP BY 1),
+    k AS (
+      SELECT r.source, r.doc_id, r.r,
+             ((r.r - 1) * 1000000 + 500000) // n_s AS vt
+      FROM r JOIN n USING (source)
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, r) AS BIGINT) AS step,
+           source, doc_id
+    FROM k
+    """,
+)
+def q_training_order(spark):
+    """Deterministic stride-scheduled training order
+    (operators/pipeline.training_order): one global example sequence in
+    which every source appears evenly spread in proportion to its size —
+    the data-loader order computed at corpus-build time. md5 stable
+    shuffle within source, integer virtual-time stride, and the global
+    step from range-partitioned global_row_number (never a
+    single-partition window)."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    out = pl.training_order(spark.table("documents"), "doc_id", "source")
+    return out.select(
+        F.col("step").cast("long").alias("step"), "source", "doc_id"
+    )
+
+
+@q(
     "q_key_skew_report",
     """
     WITH k AS (SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1),

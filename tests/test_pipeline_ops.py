@@ -589,3 +589,44 @@ def test_sample_to_target_mixture_invariants_multi_seed(spark):
             ).collect()
         )
         assert ids_a == ids_b
+
+
+def test_training_order_tracks_mixture(spark):
+    """Stride scheduling: every prefix of the global order tracks the
+    corpus mixture to within ~one example per source, and the order is
+    deterministic across invocations."""
+    from muninn_avro_to_parquet_spark.operators import pipeline
+
+    rows = [(i, "web") for i in range(60)] + [(100 + i, "code") for i in range(30)] + [
+        (200 + i, "books") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = [
+        (r["step"], r["source"], r["doc_id"])
+        for r in pipeline.training_order(df, "doc_id", "source")
+        .orderBy("step")
+        .collect()
+    ]
+    assert [s for s, _, _ in out] == list(range(1, 101))
+    # prefix mixture: at any cut, each source's count is within 1+ratio
+    # of its proportional share
+    seen = {"web": 0, "code": 0, "books": 0}
+    share = {"web": 0.6, "code": 0.3, "books": 0.1}
+    for step, src, _ in out:
+        seen[src] += 1
+        for s in seen:
+            assert abs(seen[s] - share[s] * step) <= 1.5, (step, s, seen)
+    # no source ever appears 3+ times consecutively (web is 60% → runs of
+    # at most 2 under stride scheduling)
+    runs = 1
+    for prev, cur in zip(out, out[1:]):
+        runs = runs + 1 if prev[1] == cur[1] else 1
+        assert runs <= 2
+
+    again = [
+        (r["step"], r["source"], r["doc_id"])
+        for r in pipeline.training_order(df, "doc_id", "source")
+        .orderBy("step")
+        .collect()
+    ]
+    assert again == out
