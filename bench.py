@@ -346,11 +346,20 @@ def main() -> None:
         n_tri_nodes = dedup_mod.candidate_triangles(pairs).count()
         tri_wall = time.perf_counter() - t0
         timings["triangles_bigcorpus"] = round(tri_wall, 4)
+        # containment (shingle self-join with the hot-shingle guard) at
+        # the same scale — the non-LSH pair generator's stress test
+        t0 = time.perf_counter()
+        n_contain = dedup_mod.containment_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.9, max_shingle_docs=64
+        ).count()
+        contain_wall = time.perf_counter() - t0
+        timings["containment_bigcorpus"] = round(contain_wall, 4)
         bigcorpus_stats = {
             "docs": bigcorpus_docs,
             "candidate_pairs": n_pairs,
             "nodes_clustered": n_nodes,
             "nodes_in_triangles": n_tri_nodes,
+            "containment_pairs": n_contain,
             "docs_per_sec": round(bigcorpus_docs / big_dedup_wall),
         }
         # incremental path at the same scale: the last 10% of docs arrive
@@ -615,7 +624,8 @@ def main() -> None:
             if not k.startswith("convert_")
             and k not in (
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
-                "triangles_bigcorpus", "lm_bigvocab", "bpe_bigvocab",
+                "triangles_bigcorpus", "containment_bigcorpus",
+                "lm_bigvocab", "bpe_bigvocab",
                 "bpe_batched_bigvocab", "postings_bigvocab",
                 "pq_bigvectors", "ivfpq_bigvectors",
                 "geo_bigpoints", "linkage_bigrecords",

@@ -255,6 +255,29 @@ HEADLINERS: list[tuple[str, str]] = [
         "Exchange SinglePartition, no empty-partition WindowExec "
         "anywhere in the plan (r5's one named scale-killer, fixed).",
     ),
+    (
+        "dedup_containment_pairs",
+        "Containment near-dup: shingle equi-join candidates (complete "
+        "for quote-inclusion, unlike Jaccard-bucketed LSH) with the "
+        "hot-shingle doc-frequency guard capping fan-out at K^2 per "
+        "shingle — the boilerplate problem solved in the plan, not by "
+        "sampling.",
+    ),
+    (
+        "text_tfidf_cosine_pairs",
+        "Sparse-vector similarity join: docs reduce to top-k TF-IDF "
+        "terms, pairs generate ONLY through shared-term equi-joins, the "
+        "BIGINT milli-weight numerator aggregates map-side — topical "
+        "pairing whose cost scales with term co-occurrence, never "
+        "corpus^2.",
+    ),
+    (
+        "q_training_order",
+        "Stride-scheduled loader order: per-source windows on one "
+        "source exchange, broadcast size join, integer virtual time, "
+        "and the global step from the range-partitioned rank — a "
+        "corpus-wide total order without a single-partition sort.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")

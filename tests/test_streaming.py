@@ -609,3 +609,35 @@ def test_streaming_snapshot_versions_diffable(spark, tmp_path):
     assert diff[1]["change_type"] == "changed"
     assert (diff[1]["old_name"], diff[1]["new_name"]) == ("name1", "updated")
     assert diff[2]["change_type"] == "removed"
+
+
+def test_session_counts_streaming_matches_batch(spark, tmp_path):
+    """True readStream run of the SESSION window operator: the state
+    store's incremental window-merge must produce exactly the batch
+    result (sessions that span multiple micro-batch arrivals included)."""
+    src = str(tmp_path / "sess_src")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id int, event_type string, ts timestamp"
+    ).parquet(src)
+    agg = windows.session_counts(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["session_start"]), str(r["session_end"]), r["user_id"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM session_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (str(r["session_start"]), str(r["session_end"]), r["user_id"]): r["n_events"]
+        for r in windows.session_counts(_events(spark), gap="30 minutes").collect()
+    }
+    assert got == want and len(got) >= 3  # user 1: 2 sessions; user 2: 2
