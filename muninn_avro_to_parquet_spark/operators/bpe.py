@@ -248,7 +248,13 @@ def _select_batch(pc: DataFrame, batch_size: int, slice_factor: int) -> DataFram
     sliced = pc.orderBy(
         F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
     ).limit(batch_size * slice_factor)
-    w = Window.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+    # constant partition key: the windows see <= batch*slice rows (the
+    # slice), so a single partition IS the plan — the lit(0) key just
+    # states that on purpose instead of tripping the empty-partition-spec
+    # WindowExec warning
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
     ranked = sliced.withColumn("rk", F.row_number().over(w))
     first = (
         ranked.select("rk", F.explode(F.array("left_sym", "right_sym")).alias("s"))
@@ -263,7 +269,7 @@ def _select_batch(pc: DataFrame, batch_size: int, slice_factor: int) -> DataFram
         .filter((F.col("rk") == F.col("_fl")) & (F.col("rk") == F.col("_fr")))
     )
     return (
-        sel.withColumn("sel_rk", F.row_number().over(Window.orderBy("rk")))
+        sel.withColumn("sel_rk", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("rk")))
         .filter(F.col("sel_rk") <= batch_size)
         .select("left_sym", "right_sym", "pair_count", "sel_rk")
     )
@@ -434,7 +440,7 @@ def learn_bpe_batched(
         merges = sels[0]
         for s in sels[1:]:
             merges = merges.unionByName(s)
-        wrank = Window.orderBy("round_idx", "sel_rk")  # ≤ rounds·batch rows
+        wrank = Window.partitionBy(F.lit(0)).orderBy("round_idx", "sel_rk")  # ≤ rounds·batch rows
         merges_df = (
             merges.withColumn("merge_rank", F.row_number().over(wrank))
             .select(

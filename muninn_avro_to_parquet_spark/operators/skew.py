@@ -67,7 +67,9 @@ def key_skew_report(
         F.sum("n_rows").alias("_total"), F.count("*").alias("_n_keys")
     )
     top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
-    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))  # top_k rows only
+    # constant partition key: the windows see top_k rows; lit(0) states
+    # the single partition on purpose (no empty-partition-spec warning)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_rows"), F.asc("key"))
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
         top.crossJoin(F.broadcast(total))
