@@ -313,3 +313,39 @@ def test_random_projection_shuffle_free(spark):
     plan = _plan(proj)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """The co-located-join technique the 100 TB story leans on: two fact
+    tables written with bucketBy(8, key) + sortBy(key) join WITHOUT any
+    Exchange — bucket pruning replaces the shuffle entirely (at 100 TB
+    this is the difference between a join that moves both relations and
+    one that moves nothing)."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_a_{suffix}", f"bkt_b_{suffix}"
+    try:
+        (
+            spark.range(0, 10_000)
+            .selectExpr("id AS k", "id * 2 AS va")
+            .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(ta)
+        )
+        (
+            spark.range(0, 10_000)
+            .selectExpr("id AS k", "id * 3 AS vb")
+            .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(tb)
+        )
+        # hint("merge") keeps AQE from broadcasting the (tiny) test
+        # relation — at real fact-fact scale SMJ is what the planner
+        # picks anyway, and SMJ over matching bucket specs is the
+        # exchange-free case being gated
+        joined = spark.table(ta).join(spark.table(tb).hint("merge"), "k")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
