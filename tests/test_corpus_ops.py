@@ -1147,3 +1147,75 @@ def test_key_skew_report_shares(spark):
     assert len(rep) == 2
     assert rep[1]["key"] == 1 and rep[1]["n_rows"] == 60 and rep[1]["share"] == 0.6
     assert rep[2]["key"] == 2 and rep[2]["cum_share"] == 0.9
+
+
+def test_bpe_batched_differential_random_corpora(spark):
+    """Differential check of BOTH batched selection modes on seeded
+    random corpora (small alphabet → dense collisions, equal-symbol
+    runs, heavy tie-breaking): each must match its in-memory reference
+    round-for-round, and greedy must never select fewer merges."""
+    import random
+
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    for seed in (11, 47):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(8)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        exp_cons, _ = _ref_bpe_batched(texts, rounds=3, batch_size=3)
+        got_cons = [
+            (r["merge_rank"], r["round_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe.learn_bpe_batched(df, rounds=3, batch_size=3)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got_cons == exp_cons, f"seed {seed} conservative"
+        exp_greedy, _ = _ref_bpe_batched_greedy(texts, rounds=3, batch_size=3)
+        got_greedy = [
+            (r["merge_rank"], r["round_idx"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in bpe.learn_bpe_batched(
+                df, rounds=3, batch_size=3, selection="greedy"
+            )
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got_greedy == exp_greedy, f"seed {seed} greedy"
+        assert len(got_greedy) >= len(got_cons)
+
+
+def test_triangles_differential_random_graphs(spark):
+    """Per-node triangle counts on seeded random graphs must match a
+    brute-force O(V^3) reference (duplicate/reversed input edges folded)."""
+    import itertools
+    import random
+
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        nodes = list(range(12))
+        edges = set()
+        for a, b in itertools.combinations(nodes, 2):
+            if rng.random() < 0.35:
+                edges.add((a, b))
+        rows = [(a, b) if rng.random() < 0.5 else (b, a) for a, b in edges]
+        rows += rows[: len(rows) // 3]  # duplicates fold away
+        df = spark.createDataFrame(rows, "id_a long, id_b long")
+        want: dict[int, int] = {}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        got = {
+            r["doc_id"]: r["n_triangles"]
+            for r in dedup.candidate_triangles(df).collect()
+        }
+        assert got == want, f"seed {seed}"
