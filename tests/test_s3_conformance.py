@@ -200,3 +200,61 @@ def test_avro_sink_writes_to_s3(spark, s3_root):
     back = read_avro_generic(spark, fs.glob_files(f"{out}/*.avro"))
     assert back.count() == 20
     assert sorted(r["name"] for r in back.collect())[0] == "v0"
+
+
+def test_compaction_with_manifest_heal_over_s3(spark, s3_root, tmp_path):
+    """The pending-manifest swap protocol on a REAL object store (no
+    atomic rename — pyarrow S3 move = copy+delete): compaction reduces a
+    many-file partition written via the seam, a crash between move and
+    delete heals exactly on the next run, and every file operation
+    (staging write via Spark's local staging is not used here — the
+    partition lives on S3 through the fs seam for list/move/delete)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from muninn_avro_to_parquet_spark import fs as fs_mod
+    from muninn_avro_to_parquet_spark.operators import maintenance
+
+    part = f"{s3_root}/compact/t/ingestion_date=2026-01-01"
+    # write 5 small parquet files through the seam (arrow writer over the
+    # registered filesystem — Spark's JVM writer would need hadoop-aws)
+    for i in range(5):
+        table = pa.table({"id": list(range(i * 10, (i + 1) * 10))})
+        with fs_mod.open_output(f"{part}/part-{i:05d}.parquet") as f:
+            pq.write_table(table, f)
+    assert len(maintenance._parquet_files(part)) == 5
+
+    # compact_partition reads via spark.read.parquet over s3 → needs the
+    # JVM s3a connector, absent — so exercise the SWAP protocol directly:
+    # stage two compacted files locally, move them in via the manifest,
+    # crash before deleting olds, then heal.
+    staging = f"{part}/_compact_test"
+    staged = []
+    for j in range(2):
+        table = pa.table({"id": list(range(j * 25, (j + 1) * 25))})
+        p = f"{staging}/s{j}.parquet"
+        with fs_mod.open_output(p) as f:
+            pq.write_table(table, f)
+        staged.append(p)
+    olds = maintenance._parquet_files(part)
+    news = [f"{part}/part-compacted-{j:05d}-test.snappy.parquet" for j in range(2)]
+    import json as _json
+
+    fs_mod.write_text(
+        maintenance._pending_path(part),
+        _json.dumps({"olds": olds, "staged": staged, "news": news, "staging": staging}),
+    )
+    fs_mod.move(staged[0], news[0])  # crash: one move done, olds intact
+
+    assert maintenance.heal_pending(part) is True
+    files = maintenance._parquet_files(part)
+    assert sorted(files) == sorted(news)  # olds gone, both news in place
+    assert not fs_mod.exists(maintenance._pending_path(part))
+    # rows are the compacted set, exactly once
+    got = []
+    for p in files:
+        with fs_mod.open_input(p) as f:
+            got.extend(pq.read_table(f)["id"].to_pylist())
+    assert sorted(got) == list(range(50))
+    # healing again is a no-op
+    assert maintenance.heal_pending(part) is False
