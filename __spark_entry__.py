@@ -67,6 +67,7 @@ _R6_NEW = (
     "text_tfidf_cosine_pairs",
     "q_key_skew_report",
     "q_training_order",
+    "multimodal_dhash",
 )
 
 

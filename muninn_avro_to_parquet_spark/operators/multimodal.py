@@ -404,6 +404,65 @@ def resize_images(
     return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
+def dhash_bits(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> tuple[int, int, str]:
+    """(src_w, src_h, dhash hex) of one image: decode → nearest-neighbor
+    resample to (hash_w+1) × hash_h → integer per-mille luma → horizontal
+    gradient bits, row-major MSB-first. All-integer (the 299/587/114 luma
+    weights), so the hash is bit-identical on every platform — the
+    determinism float-based perceptual hashes can't give an oracle."""
+    w, h, px = _decode_pixels(payload)
+    res = _resize_nn(w, h, px, hash_w + 1, hash_h)
+    bits = 0
+    for r in range(hash_h):
+        row = r * (hash_w + 1)
+        for c in range(hash_w):
+            ra, ga_, ba = res[row + c]
+            rb, gb_, bb = res[row + c + 1]
+            ga = 299 * ra + 587 * ga_ + 114 * ba
+            gb = 299 * rb + 587 * gb_ + 114 * bb
+            bits = (bits << 1) | (1 if gb > ga else 0)
+    hex_width = (hash_w * hash_h + 3) // 4
+    return w, h, f"{bits:0{hex_width}x}"
+
+
+def dhash_images(
+    df: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Perceptual difference-hash per image — the visual near-dup key: two
+    images that differ only by scaling/re-encode/mild brightness shifts
+    share most gradient bits, so pairing on low Hamming distance of the
+    dhash finds visual duplicates the byte-level md5 can never match.
+    Same Arrow-batch plumbing as ``decode_images``; downstream pairing is
+    an equi-join on the hash (exact visual dups) or a banded join over
+    hash nibbles (near dups) — the LSH discipline again.
+
+    Output: (id, src_width, src_height, dhash hex string)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                w, h, hx = dhash_bits(bytes(m), hash_w, hash_h)
+                rows.append((i, w, h, hx))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "src_width", "src_height", "dhash"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("src_width", T.IntegerType(), True),
+            T.StructField("src_height", T.IntegerType(), True),
+            T.StructField("dhash", T.StringType(), True),
+        ]
+    )
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") -> DataFrame:
     """Video frame-sampling *plan*: rows (doc_id, frame_index) for frames a
     decoder would extract — the Spark-side fan-out is real, the decode is

@@ -1253,6 +1253,55 @@ _RESIZE_GROUND_TRUTH = [
 ]
 
 
+_DHASH_GROUND_TRUTH = [
+    ("img_00.bmp", 4, 3, "2828282828282828"),
+    ("img_01.bmp", 7, 5, "7676767676767676"),
+    ("img_02.bmp", 1, 1, "0000000000000000"),
+    ("img_03.bmp", 16, 2, "ffffffffffffffff"),
+    ("img_04.bmp", 5, 8, "5555555555555555"),
+]
+
+
+def _dhash_oracle() -> str:
+    # same fixture-ground-truth discipline as _resize_oracle: DuckDB lists
+    # the directory independently (missing file → row-count mismatch), the
+    # hashes are generated literals, and the Spark side recomputes them
+    # from pixels — decoder or kernel drift shows up as a hash mismatch
+    vals = ",".join(
+        f"('{n}',{w},{h},'{d}')" for n, w, h, d in _DHASH_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, src_width, src_height, dhash) AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.bmp')
+    )
+    SELECT file_name, src_width, src_height, dhash
+    FROM expected JOIN blobs USING (file_name)
+    """
+
+
+@q("multimodal_dhash", _dhash_oracle())
+def multimodal_dhash(spark):
+    """Perceptual difference-hash per image (multimodal.dhash_images):
+    decode → 9×8 integer-luma resample → horizontal gradient bits — the
+    visual near-dup key (robust to re-encode/scale, pairable by Hamming
+    distance where md5 only catches byte-identical copies). All-integer,
+    so the 64-bit hash is engine- and platform-exact; oracle =
+    fixture-ground-truth literals the Spark side must recompute from
+    pixels."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.bmp")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    return multimodal.dhash_images(
+        meta, id_col="file_name", media_col="content"
+    ).select("file_name", "src_width", "src_height", "dhash")
+
+
 def _resize_oracle() -> str:
     # DuckDB cannot decode BMP; like _binary_ingest_oracle it independently
     # lists the fixture directory (a missing/renamed file breaks the join →

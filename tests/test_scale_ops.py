@@ -991,3 +991,48 @@ def test_compaction_stale_reader_must_relist(spark, tmp_path):
         stale.count()  # old files are gone; the stale plan must not lie
     assert "exist" in str(exc_info.value) or "FileNotFound" in str(exc_info.value)
     assert spark.read.parquet(part).count() == n_rows
+
+
+def test_dhash_gradients_and_scale_invariance(spark):
+    """Hand-derivable dhash bits: a left→right brightening 9x8 image is
+    all-ones, darkening is all-zeros, flat is all-zeros; and a 2x
+    upscaled copy of an image keeps the identical hash (the perceptual
+    property byte-md5 lacks)."""
+    from muninn_avro_to_parquet_spark.operators.multimodal import (
+        _encode_ppm,
+        dhash_bits,
+        dhash_images,
+    )
+
+    def ppm(w, h, f):
+        return _encode_ppm(w, h, [f(x, y) for y in range(h) for x in range(w)])
+
+    brighten = ppm(9, 8, lambda x, y: (x * 28, x * 28, x * 28))
+    darken = ppm(9, 8, lambda x, y: (255 - x * 28,) * 3)
+    flat = ppm(9, 8, lambda x, y: (128, 128, 128))
+    assert dhash_bits(brighten)[2] == "f" * 16
+    assert dhash_bits(darken)[2] == "0" * 16
+    assert dhash_bits(flat)[2] == "0" * 16
+
+    # scale invariance: pixel-double the brighten image → same hash
+    big = ppm(18, 16, lambda x, y: ((x // 2) * 28,) * 3)
+    assert dhash_bits(big)[2] == dhash_bits(brighten)[2]
+
+    # through the Spark plumbing, and pairable on hash equality
+    df = spark.createDataFrame(
+        [(1, bytearray(brighten)), (2, bytearray(big)), (3, bytearray(darken))],
+        "doc_id long, media binary",
+    )
+    out = dhash_images(df)
+    rows = {r["doc_id"]: r["dhash"] for r in out.collect()}
+    assert rows[1] == rows[2] != rows[3]
+    pairs = (
+        out.alias("a")
+        .join(
+            out.alias("b"),
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
