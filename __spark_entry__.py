@@ -68,6 +68,7 @@ _R6_NEW = (
     "q_key_skew_report",
     "q_training_order",
     "multimodal_dhash",
+    "multimodal_ahash",
 )
 
 

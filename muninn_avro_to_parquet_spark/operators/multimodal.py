@@ -404,6 +404,78 @@ def resize_images(
     return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
+def ahash_bits(payload: bytes, n_windows: int = 64) -> tuple[int, float, str]:
+    """(sample_rate, duration_s, energy-gradient hash hex) of one PCM WAV:
+    samples split into ``n_windows`` equal windows (floor boundaries —
+    ``i·n_samples div n_windows``), integer mean |amplitude| per window
+    (floor division — exact), bit i set iff window i+1 is louder than
+    window i, plus a final wrap bit (last vs first) so the hash stays
+    ``n_windows`` bits. The audio analogue of ``dhash_bits``: robust to
+    level-preserving re-encodes and resampling that keeps the envelope,
+    all-integer so bit-identical everywhere."""
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload or b"")), "rb") as w:
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        sampwidth = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    elif sampwidth == 1:
+        samples = [b - 128 for b in frames]
+    else:
+        raise ValueError(f"unsupported PCM sample width {sampwidth}")
+    duration_s = n_frames / float(rate) if rate else 0.0
+    n = len(samples)
+    if n < n_windows:
+        raise ValueError(f"audio too short for {n_windows} windows: {n} samples")
+    energies = []
+    for i in range(n_windows):
+        lo = i * n // n_windows
+        hi = (i + 1) * n // n_windows
+        energies.append(sum(abs(s) for s in samples[lo:hi]) // (hi - lo))
+    bits = 0
+    for i in range(n_windows):
+        nxt = energies[(i + 1) % n_windows]
+        bits = (bits << 1) | (1 if nxt > energies[i] else 0)
+    hex_width = (n_windows + 3) // 4
+    return rate, duration_s, f"{bits:0{hex_width}x}"
+
+
+def ahash_audio(
+    df: DataFrame,
+    n_windows: int = 64,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Audio energy-gradient hash per clip (``ahash_bits``) — the audio
+    near-dup key, pairable on hash equality / banded Hamming distance
+    like the visual ``dhash_images``. Arrow-batch plumbing as usual.
+
+    Output: (id, sample_rate, duration_s, ahash hex string)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                rate, dur, hx = ahash_bits(bytes(m), n_windows)
+                rows.append((i, rate, round(dur, 6), hx))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "sample_rate", "duration_s", "ahash"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("duration_s", T.DoubleType(), True),
+            T.StructField("ahash", T.StringType(), True),
+        ]
+    )
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)
+
+
 def dhash_bits(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> tuple[int, int, str]:
     """(src_w, src_h, dhash hex) of one image: decode → nearest-neighbor
     resample to (hash_w+1) × hash_h → integer per-mille luma → horizontal

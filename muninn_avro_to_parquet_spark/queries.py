@@ -1302,6 +1302,49 @@ def multimodal_dhash(spark):
     ).select("file_name", "src_width", "src_height", "dhash")
 
 
+_AHASH_GROUND_TRUTH = [
+    ("aud_00.wav", 16000, 0.5, "fffffffffffffffe"),
+    ("aud_01.wav", 16000, 0.5, "1e1e1e1e1e1e1e1e"),
+    ("aud_02.wav", 16000, 0.5, "0000000000000000"),
+]
+
+
+def _ahash_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{r},CAST({d} AS DOUBLE),'{h}')"
+        for n, r, d, h in _AHASH_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, sample_rate, duration_s, ahash) AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.wav')
+    )
+    SELECT file_name, sample_rate, duration_s, ahash
+    FROM expected JOIN blobs USING (file_name)
+    """
+
+
+@q("multimodal_ahash", _ahash_oracle())
+def multimodal_ahash(spark):
+    """Audio energy-gradient hash per clip (multimodal.ahash_audio): PCM
+    decode → 64 integer mean-|amplitude| windows → louder-than-previous
+    bits — the audio near-dup key, the WAV analogue of multimodal_dhash.
+    All-integer window energies make the 64-bit hash engine- and
+    platform-exact; oracle = fixture-ground-truth literals the Spark side
+    recomputes from samples."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.wav")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    return multimodal.ahash_audio(
+        meta, id_col="file_name", media_col="content"
+    ).select("file_name", "sample_rate", "duration_s", "ahash")
+
+
 def _resize_oracle() -> str:
     # DuckDB cannot decode BMP; like _binary_ingest_oracle it independently
     # lists the fixture directory (a missing/renamed file breaks the join →

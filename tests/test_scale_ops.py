@@ -1036,3 +1036,45 @@ def test_dhash_gradients_and_scale_invariance(spark):
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_ahash_envelope_and_level_shift_robustness(spark):
+    """Hand-derivable ahash: a rising envelope is all-ones (except the
+    wrap bit), constant is zero; halving the level (a volume change)
+    keeps the hash; reversing the envelope changes it."""
+    import struct
+    import wave
+    import io as _io
+
+    from muninn_avro_to_parquet_spark.operators.multimodal import (
+        ahash_audio,
+        ahash_bits,
+    )
+
+    def wav(samples, rate=8000):
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    rising = [((i * 30000) // 6400) * (1 if i % 2 == 0 else -1) for i in range(6400)]
+    falling = list(reversed(rising))
+    constant = [500 if i % 2 == 0 else -500 for i in range(6400)]
+    r_rate, r_dur, r_hash = ahash_bits(wav(rising))
+    assert (r_rate, r_dur) == (8000, 0.8)
+    assert r_hash == "f" * 15 + "e"  # wrap bit: first window not > last
+    assert ahash_bits(wav(constant))[2] == "0" * 16
+    half = [s // 2 for s in rising]
+    assert ahash_bits(wav(half))[2] == r_hash  # volume-shift invariant
+    assert ahash_bits(wav(falling))[2] != r_hash
+
+    # Spark plumbing + equality pairing
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(rising))), (2, bytearray(wav(half)))],
+        "doc_id long, media binary",
+    )
+    rows = {r["doc_id"]: r["ahash"] for r in ahash_audio(df).collect()}
+    assert rows[1] == rows[2]
