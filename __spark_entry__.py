@@ -69,6 +69,7 @@ _R6_NEW = (
     "q_training_order",
     "multimodal_dhash",
     "multimodal_ahash",
+    "ann_recall_report",
 )
 
 

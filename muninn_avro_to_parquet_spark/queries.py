@@ -1015,6 +1015,172 @@ def ann_topk_lsh(spark):
     return similarity.ann_topk_lsh(emb, queries_df, dim=64, k=10)
 
 
+def _recall_block_sql(method: str, top_cte: str) -> str:
+    # per-method recall vs etop; micro-quantized before averaging so the
+    # aggregate is shuffle-order-proof
+    return f"""
+    SELECT '{method}' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CAST(round(r * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_recall,
+           ROUND(MIN(r), 6) AS min_recall
+    FROM (
+      SELECT nx.query_id,
+             CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS r
+      FROM (SELECT query_id, COUNT(*) AS n_exact FROM etop GROUP BY 1) nx
+      LEFT JOIN (
+        SELECT e.query_id, COUNT(*) AS n_hits
+        FROM etop e JOIN {top_cte} l
+          ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+        GROUP BY 1
+      ) nh USING (query_id)
+    )"""
+
+
+def _ann_recall_oracle() -> str:
+    # recall@10 of every ANN variant vs exact brute force, all built from
+    # the SAME integer-exact CTE machinery the individual queries use
+    variants = similarity._probe_variants_sql(num_planes=8).removeprefix(
+        "array("
+    ).removesuffix(")")
+
+    def rerank(src: str, out: str) -> str:
+        return f"""
+    {out}d AS (
+      SELECT cd.query_id, cd.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM {src} cd
+      JOIN el a ON a.vec_id = cd.query_id
+      JOIN el b ON b.vec_id = cd.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, d.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (nq.nrm * nc.nrm) DESC,
+                                           d.vec_id ASC) AS rank
+        FROM {out}d d
+        JOIN norms nq ON d.query_id = nq.vec_id
+        JOIN norms nc ON d.vec_id = nc.vec_id
+      ) WHERE rank <= 10
+    )"""
+
+    return f"""
+    WITH {_EMB_EL}, {_lsh_buckets_sql(num_planes=8)},
+    ecand AS (
+      SELECT a.vec_id AS query_id, b.vec_id
+      FROM (SELECT DISTINCT vec_id FROM el WHERE vec_id < 5) a
+      CROSS JOIN (SELECT DISTINCT vec_id FROM el) b
+      WHERE a.vec_id <> b.vec_id
+    ),
+    {rerank("ecand", "etop").lstrip()},
+    lcand AS (
+      SELECT q.vec_id AS query_id, c.vec_id
+      FROM buckets q JOIN buckets c USING (bucket)
+      WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ),
+    {rerank("lcand", "ltop").lstrip()},
+    probes AS (
+      SELECT vec_id, unnest([{variants}]) AS bucket
+      FROM buckets WHERE vec_id < 5
+    ),
+    mcand AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id
+      FROM probes p JOIN buckets c USING (bucket)
+      WHERE c.vec_id <> p.vec_id
+    ),
+    {rerank("mcand", "mtop").lstrip()},
+    cents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cel AS (SELECT centroid_id, x, i FROM el JOIN cents ON el.vec_id = cents.centroid_id),
+    cnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM cel GROUP BY 1),
+    adots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM el e JOIN cel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    csim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM adots a
+      JOIN norms nv ON a.vec_id = nv.vec_id
+      JOIN cnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    lists AS (SELECT vec_id, centroid_id FROM csim WHERE r = 1),
+    iprobes AS (SELECT vec_id AS query_id, centroid_id FROM csim WHERE vec_id < 5 AND r <= 4),
+    icand AS (
+      SELECT p.query_id, l.vec_id
+      FROM iprobes p JOIN lists l USING (centroid_id)
+      WHERE l.vec_id <> p.query_id
+    ),
+    {rerank("icand", "itop").lstrip()}
+    {_recall_block_sql("lsh", "ltop")}
+    UNION ALL {_recall_block_sql("lsh_multiprobe", "mtop")}
+    UNION ALL {_recall_block_sql("ivf", "itop")}
+    """
+
+
+@q("ann_recall_report", _ann_recall_oracle())
+def ann_recall_report(spark):
+    """ANN index QUALITY measured in the engine: recall@10 of every ANN
+    variant (single-bucket LSH, multiprobe LSH, IVF nprobe=4) vs exact
+    brute force over the same queries — the tuning report an operator
+    reads before trusting an approximate index at corpus scale. On this
+    synthetic corpus it shows exactly why the variants exist: 8-plane
+    single-bucket LSH recalls ~0, multiprobe a little, IVF most — the
+    engine measures its own index quality instead of asserting it.
+    Per-query recall is micro-quantized before averaging so the
+    aggregate hash-matches."""
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, qs, k=10).select("query_id", "vec_id")
+    exact = exact.persist()
+    methods = {
+        "lsh": similarity.ann_topk_lsh(emb, qs, dim=64, k=10),
+        "lsh_multiprobe": similarity.ann_topk_lsh_multiprobe(
+            emb, qs, dim=64, k=10
+        ),
+        "ivf": similarity.ann_topk_ivf(
+            emb, qs, num_centroids=16, nprobe=4, k=10
+        ),
+    }
+    n_ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    reports = []
+    for name, top in methods.items():
+        n_hit = (
+            exact.join(top.select("query_id", "vec_id"), ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        rec = n_ex.join(n_hit, "query_id", "left").select(
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("r")
+        )
+        reports.append(
+            rec.agg(
+                F.lit(name).alias("method"),
+                F.count("*").cast("long").alias("n_queries"),
+                F.round(
+                    F.sum(F.round(F.col("r") * 1000000).cast("long")).cast(
+                        "double"
+                    )
+                    / (F.count("*") * 1000000.0),
+                    6,
+                ).alias("avg_recall"),
+                F.round(F.min("r"), 6).alias("min_recall"),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
 def _ann_lsh_multiprobe_oracle() -> str:
     # identical pipeline to _ann_lsh_oracle, except the query side probes
     # its own bucket plus every single-bit flip (the same variant SQL the
