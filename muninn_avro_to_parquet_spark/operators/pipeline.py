@@ -614,20 +614,26 @@ def training_order(
     Mechanics (all integer, engine-exact): each example gets a
     deterministic within-source rank r (md5(id) order — a stable shuffle,
     so the interleave is also a shuffle within each source); its virtual
-    time is ``vt = ((r-1)·1_000_000 + 500_000) div n_s`` (stride
-    scheduling with mid-stride start, so a 2:1 source pair alternates
-    A A B rather than front-loading every source's first example at
-    vt=0); the global order is (vt, source, r). Every prefix of the
+    time is ``vt = ((r-1)·10^12 + 5·10^11) div n_s`` (stride scheduling
+    with mid-stride start, so a 2:1 source pair alternates A A B rather
+    than front-loading every source's first example at vt=0; the 10^12
+    numerator keeps vt injective within a source up to 10^12 examples —
+    a 10^6 numerator would collapse ranks in any source past 1M rows,
+    ADVICE r6); the global order is (vt, source, r). Every prefix of the
     sequence then tracks the corpus mixture to within one example per
     source — the property a curriculum/mixture schedule needs.
 
-    Scale shape: one window per source (hash exchange on source),
-    source sizes broadcast, and the global step number comes from
-    ``global_row_number`` (range partition + offsets) — never a
-    single-partition window. Output: (step, source, id)."""
-    from pyspark.sql import Window
-
-    from muninn_avro_to_parquet_spark.operators.text import global_row_number
+    Scale shape: NO per-source window anywhere — source cardinality in a
+    training corpus is single digits, so ``Window.partitionBy(source)``
+    would push an entire tens-of-TB source through one task. Both the
+    within-source rank (``grouped_row_number``) and the global step
+    (``global_row_number``) use the range-partition + per-partition
+    offset technique; source sizes are a broadcast join. Output:
+    (step, source, id)."""
+    from muninn_avro_to_parquet_spark.operators.text import (
+        global_row_number,
+        grouped_row_number,
+    )
 
     sized = df.select(
         F.col(id_col),
@@ -636,14 +642,11 @@ def training_order(
             "_shuf"
         ),
     )
-    ranked = sized.withColumn(
-        "_r",
-        F.row_number().over(
-            Window.partitionBy("source").orderBy("_shuf", F.col(id_col))
-        ),
+    ranked = grouped_row_number(
+        sized, ["source"], F.col("_shuf").asc(), F.col(id_col).asc(), rank_col="_r"
     )
     sizes = ranked.groupBy("source").agg(F.count("*").alias("_n"))
-    vt = F.expr("((_r - 1) * 1000000 + 500000) div _n")
+    vt = F.expr("((_r - 1) * 1000000000000 + 500000000000) div _n")
     keyed = ranked.join(F.broadcast(sizes), "source").select(
         "source",
         F.col(id_col),

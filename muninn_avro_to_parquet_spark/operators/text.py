@@ -120,6 +120,70 @@ def global_row_number(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    *order: Column,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group row_number WITHOUT ``Window.partitionBy(group)`` — the
+    distributed form of a grouped rank for LOW-CARDINALITY groups (a
+    handful of corpus sources, a few dataset splits), where a plain
+    grouped window would put an entire group through ONE task: at 100 TB
+    a single training-data source is tens of TB, far past any executor.
+
+    Same technique as ``global_row_number``, stratified: range-partition
+    on (group..., order...) so each group spans a contiguous RUN of
+    partitions but no partition holds more than ~1/num_partitions of the
+    data; rank within (partition, group) via parallel windows; then add
+    each (partition, group)'s cumulative offset, computed from one tiny
+    per-(pid, group) count aggregate (≤ num_partitions·n_groups rows to
+    the driver) and broadcast-joined back. Ranks are identical to
+    ``Window.partitionBy(*group_cols).orderBy(*order)`` for any per-group
+    total order (ties must be broken by the order columns).
+
+    .. note:: EAGER, like ``global_row_number`` — runs the repartition +
+       count jobs at call time and caches the range-partitioned input
+       under the scope key ``grouped_rank_{rank_col}``."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    part = df.repartitionByRange(num_partitions, *gcols, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = cache_scoped(part, f"grouped_rank_{rank_col}")
+    counts = part.groupBy("_pid", *group_cols).agg(F.count("*").alias("_gn")).collect()
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts:
+        per_group.setdefault(tuple(r[c] for c in group_cols), []).append(
+            (r["_pid"], r["_gn"])
+        )
+    off_rows = []
+    for key, lst in per_group.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            off_rows.append((pid, *key, acc))
+            acc += n
+    off_schema = T.StructType(
+        [T.StructField("_pid", T.IntegerType(), False)]
+        + [df.schema[c] for c in group_cols]
+        + [T.StructField("_goff", T.LongType(), False)]
+    )
+    offsets = df.sparkSession.createDataFrame(off_rows, off_schema)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order)
+    return (
+        part.join(F.broadcast(offsets), ["_pid", *group_cols], "left")
+        .withColumn(
+            rank_col, F.row_number().over(w) + F.coalesce(F.col("_goff"), F.lit(0))
+        )
+        .drop("_pid", "_goff")
+    )
+
+
 def vocabulary(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: per token, total occurrences, document
     frequency, and Zipf rank — the counting pass a BPE/WordPiece

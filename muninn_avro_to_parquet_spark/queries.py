@@ -3674,7 +3674,7 @@ def q_first_last_window(spark):
     n AS (SELECT source, COUNT(*) AS n_s FROM r GROUP BY 1),
     k AS (
       SELECT r.source, r.doc_id, r.r,
-             ((r.r - 1) * 1000000 + 500000) // n_s AS vt
+             ((r.r - 1) * 1000000000000 + 500000000000) // n_s AS vt
       FROM r JOIN n USING (source)
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, r) AS BIGINT) AS step,

@@ -121,6 +121,38 @@ def test_global_row_number_matches_single_window(spark):
     assert got == want
 
 
+def test_grouped_row_number_matches_grouped_window(spark):
+    """grouped_row_number (range partition on (group, order) + per-(pid,
+    group) offsets) must equal Window.partitionBy(group) row_number for
+    any per-group total order — including groups far larger than a
+    single range partition and groups absent from some partitions."""
+    from pyspark.sql import Window, functions as F
+
+    from muninn_avro_to_parquet_spark.operators import text
+
+    df = spark.range(0, 1200).select(
+        F.when(F.col("id") < 900, "big")
+        .when(F.col("id") < 1190, "mid")
+        .otherwise("tiny")
+        .alias("src"),
+        (F.col("id") % 131).alias("score"),
+        F.col("id").cast("string").alias("key"),
+    )
+    order = [F.col("score").desc(), F.col("key").asc()]
+    got = {
+        (r["src"], r["score"], r["key"]): r["rank"]
+        for r in text.grouped_row_number(
+            df, ["src"], *order, num_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("src").orderBy(*order)
+    want = {
+        (r["src"], r["score"], r["key"]): r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
 def test_gopher_features_rules(spark):
     good = "the cat and the dog have fun with all of the things that " + " ".join(
         ["word"] * 60

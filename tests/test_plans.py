@@ -291,6 +291,25 @@ def test_ntile_deciles_no_single_partition_window(spark):
     assert "Exchange rangepartitioning" in plan  # the distributed sort
 
 
+def test_training_order_no_per_source_window(spark):
+    """training_order must never rank a source through ONE task: source
+    cardinality is single digits, so ``Window.partitionBy(source)`` puts
+    an entire tens-of-TB source on one executor at 100 TB. Both the
+    within-source rank and the global step must come from the
+    range-partition + offset technique — every window in the plan is
+    partitioned by the physical partition id, never by source alone."""
+    plan = _plan(QUERIES["q_training_order"].spark(spark, SF_CORRECT))
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" in plan
+    specs = [
+        l for l in plan.splitlines() if "windowspecdefinition(" in l
+    ]
+    assert specs, "expected window specs in the training_order plan"
+    for line in specs:
+        spec = line[line.index("windowspecdefinition(") :]
+        assert "_pid" in spec, f"window not partitioned by _pid: {line}"
+
+
 def test_triangles_all_equi_joins(spark):
     """Triangle enumeration must stay equi-join shaped: wedge join on the
     middle node + closing LEFT-SEMI join — no cartesian, no nested loop,
