@@ -267,25 +267,30 @@ def main(argv: list[str] | None = None) -> int:
             docs = spark.read.parquet(args.input_dir)
             seg = None
             if args.batch_size > 0:
-                # batched path: rounds sized to reach num_merges even if
-                # early rounds select under batch_size (small alphabets)
+                # batched path: rounds is an upper bound sized so the loop
+                # can reach num_merges even if early rounds select under
+                # batch_size (small alphabets); max_merges caps the total
+                # EXACTLY (the last batch is truncated before it applies)
                 rounds = max(1, -(-args.num_merges // args.batch_size)) * 2
-                # num_merges is a TARGET in batched mode: the trainer may
-                # finish a round slightly past it (the segmentation always
-                # reflects every applied merge)
-                merges, final_seq = bpe.learn_bpe_batched(
+                res = bpe.learn_bpe_batched(
                     docs,
                     args.text_col,
                     rounds=rounds,
                     batch_size=args.batch_size,
                     slice_factor=32,
                     selection="greedy",
-                    return_final_seq=True,
+                    max_merges=args.num_merges,
+                    # don't pay the final-segmentation materialization
+                    # unless the user asked for it (ADVICE r6)
+                    return_final_seq=args.segments_out is not None,
                 )
                 if args.segments_out:
                     from muninn_avro_to_parquet_spark.operators.bpe import _pieces
 
+                    merges, final_seq = res
                     seg = _pieces(final_seq)
+                else:
+                    merges = res
             elif args.segments_out:
                 merges, seg = bpe.learn_and_segment(
                     docs, args.text_col, num_merges=args.num_merges

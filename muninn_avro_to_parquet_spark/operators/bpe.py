@@ -356,6 +356,7 @@ def learn_bpe_batched(
     slice_factor: int = 8,
     return_final_seq: bool = False,
     selection: str = "conservative",
+    max_merges: int | None = None,
 ):
     """BPE training at tokenizer scale: ``rounds`` rounds of up to
     ``batch_size`` mutually-disjoint merges each, as ONE unrolled
@@ -386,6 +387,13 @@ def learn_bpe_batched(
       ``bpe-train`` wants. Differential-tested against the in-memory
       greedy reference.
 
+    ``max_merges`` (greedy mode) caps the TOTAL merge count exactly —
+    the last round's batch is truncated before it applies, so the
+    returned segmentation always reflects precisely the recorded merges;
+    ``rounds`` then only bounds the round loop. Conservative mode is
+    driver-round-trip-free by design, so it cannot count mid-run and
+    ignores ``max_merges``.
+
     Output: (merge_rank, round_idx, left_sym, right_sym, pair_count) in
     selection order; with ``return_final_seq`` also the final (word,
     freq, pos, sym) relation, cached under the scoped ``bpe_seq`` key."""
@@ -393,6 +401,10 @@ def learn_bpe_batched(
 
     if selection not in ("conservative", "greedy"):
         raise ValueError(f"unknown selection mode: {selection!r}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if max_merges is not None and max_merges < 1:
+        raise ValueError(f"max_merges must be >= 1, got {max_merges}")
     base = initial_symbols(word_frequencies(df, text_col)).persist()
     n_syms = base.count()
     spark = df.sparkSession
@@ -405,6 +417,12 @@ def learn_bpe_batched(
             picked = _select_batch_greedy(
                 _pair_counts(seq), batch_size, slice_factor
             )
+            if max_merges is not None:
+                # cap at exactly max_merges total (ADVICE r6: the CLI's
+                # rounds×2 sizing otherwise overshoots up to ~2× the
+                # requested merge count); truncate BEFORE applying so the
+                # segmentation reflects precisely the recorded merges
+                picked = picked[: max(0, max_merges - len(greedy_merges))]
             if not picked:
                 break
             for left, right, cnt in picked:
@@ -434,6 +452,12 @@ def learn_bpe_batched(
             .repartition(n_part, "word")
             .localCheckpoint(eager=False)
         )
+        if (
+            selection == "greedy"
+            and max_merges is not None
+            and len(greedy_merges) >= max_merges
+        ):
+            break
     if selection == "greedy":
         merges_df = spark.createDataFrame(greedy_merges, BATCH_MERGES_TYPE)
     else:

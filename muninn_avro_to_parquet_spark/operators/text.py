@@ -174,13 +174,27 @@ def grouped_row_number(
         + [T.StructField("_goff", T.LongType(), False)]
     )
     offsets = df.sparkSession.createDataFrame(off_rows, off_schema)
+    # NULL-safe INNER join (ADVICE r7): plain equality would never match a
+    # NULL group value to its offset row, silently restarting those rows'
+    # ranks at 1 in every physical partition — eqNullSafe makes NULL one
+    # ordinary group, matching Window.partitionBy semantics. INNER (not
+    # left+coalesce) because every (pid, group) in `part` is in `counts`
+    # by construction; a missing offset row (e.g. a _pid drift after cache
+    # eviction) must surface as dropped rows in any count-checked caller,
+    # not as silently wrong ranks.
+    off = offsets.select(
+        F.col("_pid").alias("_opid"),
+        *[F.col(c).alias(f"_og{i}") for i, c in enumerate(group_cols)],
+        "_goff",
+    )
+    cond = F.col("_pid") == F.col("_opid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_og{i}"))
     w = Window.partitionBy("_pid", *group_cols).orderBy(*order)
     return (
-        part.join(F.broadcast(offsets), ["_pid", *group_cols], "left")
-        .withColumn(
-            rank_col, F.row_number().over(w) + F.coalesce(F.col("_goff"), F.lit(0))
-        )
-        .drop("_pid", "_goff")
+        part.join(F.broadcast(off), cond, "inner")
+        .withColumn(rank_col, F.row_number().over(w) + F.col("_goff"))
+        .drop("_pid", "_opid", "_goff", *[f"_og{i}" for i in range(len(group_cols))])
     )
 
 
@@ -485,7 +499,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     top_k: int = 8,
     threshold: float = 0.3,
-    max_token_docs: int | None = None,
+    max_token_docs: int | None = 64,
 ) -> DataFrame:
     """Sparse TF-IDF document-similarity join: each document reduces to
     its ``top_k`` distinctive terms, pairs generate via an equi-join on
@@ -505,7 +519,9 @@ def tfidf_cosine_pairs(
     repeats, so Σ over top_k products stays < 2^50 — no overflow at any
     corpus size), and the norms are double sqrt of exact integer sums.
 
-    ``max_token_docs`` is the hot-term guard (``max_bucket`` discipline):
+    ``max_token_docs`` is the hot-term guard (``max_bucket`` discipline,
+    ON by default — pass ``None`` to disable, matching the
+    ``cosine_pairs``/``repeated_spans`` precedent):
     a term that is top-k-distinctive for more than K documents — corpus
     boilerplate that survived IDF — is dropped from PAIRING, capping the
     equi-join fan-out at K² per term.

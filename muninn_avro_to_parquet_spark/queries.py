@@ -1136,8 +1136,12 @@ def ann_recall_report(spark):
     aggregate hash-matches."""
     emb = spark.table("embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     exact = similarity.cosine_topk(emb, qs, k=10).select("query_id", "vec_id")
-    exact = exact.persist()
+    # scoped cache, not bare persist(): a bare persist leaked one cached
+    # relation per invocation (ADVICE r6)
+    exact = cache_scoped(exact, "ann_recall_exact")
     methods = {
         "lsh": similarity.ann_topk_lsh(emb, qs, dim=64, k=10),
         "lsh_multiprobe": similarity.ann_topk_lsh_multiprobe(
@@ -3674,7 +3678,7 @@ def q_first_last_window(spark):
     n AS (SELECT source, COUNT(*) AS n_s FROM r GROUP BY 1),
     k AS (
       SELECT r.source, r.doc_id, r.r,
-             ((r.r - 1) * 1000000000000 + 500000000000) // n_s AS vt
+             (CAST(r.r - 1 AS HUGEINT) * 1000000000000 + 500000000000) // n_s AS vt
       FROM r JOIN n USING (source)
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, r) AS BIGINT) AS step,

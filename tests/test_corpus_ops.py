@@ -1251,3 +1251,102 @@ def test_triangles_differential_random_graphs(spark):
             for r in dedup.candidate_triangles(df).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_grouped_row_number_null_group(spark):
+    """A NULL group value must rank as ONE ordinary group — matching
+    Window.partitionBy, which treats NULL as a group. The offset join is
+    null-safe (eqNullSafe, ADVICE r7); plain equality would silently
+    restart every NULL row's rank at 1 in each physical partition."""
+    from pyspark.sql import Window, functions as F
+
+    from muninn_avro_to_parquet_spark.operators import text
+
+    df = spark.range(0, 400).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 3 == 1, "a")
+        .otherwise("b")
+        .alias("src"),
+        F.col("id").cast("string").alias("key"),
+    )
+    order = [F.col("key").asc()]
+    got = {
+        (r["src"], r["key"]): r["rank"]
+        for r in text.grouped_row_number(
+            df, ["src"], *order, num_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("src").orderBy(*order)
+    want = {
+        (r["src"], r["key"]): r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    # the NULL group really spans several range partitions (134 rows over
+    # 7 partitions), so a per-physical-partition restart would show
+    assert max(v for (s, _), v in got.items() if s is None) == 134
+
+
+def test_pair_generator_guards_default_on(spark):
+    """containment_pairs / tfidf_cosine_pairs ship with their hot-key
+    guards ON (64 docs per shingle/term, the cosine_pairs /
+    repeated_spans precedent): a boilerplate shingle shared by 70 docs
+    generates ZERO pairs by default, corpus²/2 pairs only when the guard
+    is explicitly disabled (VERDICT r6/r7)."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+    from muninn_avro_to_parquet_spark.operators import text as text_ops
+
+    boiler = "common header words repeated verbatim"
+    rows = [(i, f"{boiler} unique{i} tail{i}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dflt = dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.0)
+    off = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, max_shingle_docs=None
+    )
+    assert dflt.count() == 0
+    assert off.count() == 70 * 69 // 2
+
+    t_dflt = text_ops.tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.0)
+    t_off = text_ops.tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.0, max_token_docs=None
+    )
+    assert t_dflt.count() == 0
+    assert t_off.count() == 70 * 69 // 2
+
+
+def test_bpe_batched_max_merges_and_rounds_validation(spark):
+    """max_merges caps the greedy trainer EXACTLY (the final batch is
+    truncated before it applies, so the segmentation matches the
+    recorded merges); rounds < 1 raises instead of IndexError
+    (ADVICE r6)."""
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    merges, seq = bpe.learn_bpe_batched(
+        docs, "text", rounds=8, batch_size=3, selection="greedy",
+        max_merges=4, return_final_seq=True,
+    )
+    got = merges.orderBy("merge_rank").collect()
+    assert len(got) == 4
+    # the segmentation reflects exactly those 4 merges: replaying them
+    # over the initial symbols reproduces seq's symbol multiset
+    replay = bpe.initial_symbols(bpe.word_frequencies(docs, "text"))
+    for r in got:
+        sel = spark.createDataFrame(
+            [(r["left_sym"], r["right_sym"])], "left_sym string, right_sym string"
+        )
+        replay = bpe.apply_merge_batch(replay, sel)
+    want = sorted((x["word"], x["sym"]) for x in replay.collect())
+    have = sorted((x["word"], x["sym"]) for x in seq.collect())
+    assert have == want
+
+    with pytest.raises(ValueError, match="rounds"):
+        bpe.learn_bpe_batched(docs, "text", rounds=0)
+    with pytest.raises(ValueError, match="max_merges"):
+        bpe.learn_bpe_batched(docs, "text", rounds=1, max_merges=0)

@@ -630,3 +630,39 @@ def test_training_order_tracks_mixture(spark):
         .collect()
     ]
     assert again == out
+
+
+def test_training_order_vt_exact_at_10m_rows(spark):
+    """The virtual-time expression must survive r = 10^7 (a 100 TB
+    training source is billions of examples): in BIGINT the
+    (r−1)·10^12 multiply overflows at r ≈ 9.2·10^6 and Spark 4's
+    default ANSI mode aborts the whole job (VERDICT r7). The
+    DECIMAL(38,0) form must stay exact, injective, and < 10^12 over a
+    real 10M-row frame."""
+    n = 10_000_000
+    df = spark.range(1, n + 1).select(
+        F.col("id").alias("_r"), F.lit(n).cast("long").alias("_n")
+    )
+    agg = (
+        df.select(pipeline.virtual_time_expr().alias("vt"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("vt").alias("nd"),
+            F.min("vt").alias("mn"),
+            F.max("vt").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert agg["n"] == n
+    assert agg["nd"] == n  # injective: one distinct vt per rank
+    assert agg["mn"] == 50_000  # (0·10^12 + 5·10^11) div 10^7
+    assert agg["mx"] == 999_999_950_000  # < 10^12: fits BIGINT with 6 nines of headroom
+
+    # and the naive BIGINT form is genuinely the bug the decimal form
+    # fixes: under default ANSI it overflows at the same r
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        bad = F.expr("((_r - 1) * 1000000000000 + 500000000000) div _n")
+        with pytest.raises(Exception, match="(?i)overflow"):
+            df.filter(F.col("_r") >= 9_300_000).select(bad.alias("vt")).agg(
+                F.max("vt")
+            ).collect()
