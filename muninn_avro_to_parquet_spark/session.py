@@ -38,7 +38,19 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batch transfer for the pandas-UDF operators
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # route format("avro") to the DataSource V2 path: Spark pins "avro"
+    # to V1 by default, but the upstream spark-avro module is a V1
+    # FileFormat absent from this image — the engine ships its own DSv2
+    # implementation (jars/muninn-spark-avro.jar, source under jvm/)
+    # registered under the same short name. With no avro source on the
+    # classpath this conf changes nothing (lookup still fails over to
+    # the pure-Python codec).
+    "spark.sql.sources.useV1SourceList": "csv,json,kafka,orc,parquet,text",
 }
+
+JVM_AVRO_JAR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "jars", "muninn-spark-avro.jar"
+)
 
 
 def ensure_runtime_confs(spark: SparkSession) -> None:
@@ -62,6 +74,10 @@ def get_spark(app_name: str = "muninn_spark", cpus: int | None = None) -> SparkS
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if os.path.exists(JVM_AVRO_JAR):
+        # launch-time only (spark.jars is a static conf): sessions built
+        # elsewhere simply fall back to the Python Avro codec
+        builder = builder.config("spark.jars", JVM_AVRO_JAR)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensure_runtime_confs(spark)

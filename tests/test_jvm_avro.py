@@ -412,3 +412,85 @@ def test_jvm_bails_on_stringify_containers(spark, monkeypatch):
     )
     monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
     assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None
+
+
+# --- un-mocked JVM path (round 8) -------------------------------------------
+# The engine now ships its own DSv2 Avro source (jvm/src/muninnavro/,
+# loaded from jars/muninn-spark-avro.jar by session.get_spark and
+# registered under format("avro")), so the JVM ingest gate is exercised
+# for REAL: these tests skip only in sessions without the jar.
+
+
+def _jvm_live(spark, tmp_path) -> bool:
+    path = str(tmp_path / "probe.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS[:1])
+    return avro_source.try_native_avro(spark, path) is not None
+
+
+def test_jvm_path_live_full_parity(spark, tmp_path):
+    """engine='jvm' against the real DSv2 jar must reproduce the Python
+    codec's output byte-for-byte — schema, values, AND _source_file
+    provenance (the DSv2 source's muninn.pathColumn seam, since
+    input_file_name() is empty for DSv2 scans)."""
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    path = str(tmp_path / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS)
+    jdf = avro_source.read_avro(spark, [path], engine="jvm")
+    pdf = avro_source.read_avro(spark, [path], engine="python")
+    assert jdf.schema.simpleString() == pdf.schema.simpleString()
+    key = lambda r: r["id"]  # noqa: E731
+    got = sorted(jdf.collect(), key=key)
+    want = sorted(pdf.collect(), key=key)
+    assert got == want
+    assert {r[avro_source.SOURCE_FILE_COL] for r in got} == {path}
+
+
+def test_jvm_path_live_split_fanout(spark, tmp_path):
+    """A multi-block file read through the DSv2 source with a small
+    maxPartitionBytes must fan out across several sync-aligned splits and
+    still return every record exactly once."""
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    rows = [
+        {
+            "source_metadata": dict(ROWS[0]["source_metadata"]),
+            "payload": {"id": i, "name": f"n{i}", "qty": i,
+                        "created": 1_700_000_000_000_000 + i,
+                        "tags": [f"t{i}"]},
+        }
+        for i in range(20_000)
+    ]
+    path = str(tmp_path / "big.avro")
+    avro_io.write_file(path, CDC_SCHEMA, rows, block_size=500)
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = avro_source.read_avro(spark, [path], engine="jvm")
+        n_parts = df.rdd.getNumPartitions()
+        ids = [r["id"] for r in df.select("id").collect()]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert sorted(ids) == list(range(20_000))  # exactly once across splits
+    assert n_parts >= 2, n_parts
+
+
+def test_jvm_path_live_projection_pushdown(spark, tmp_path):
+    """Column pruning must reach the DSv2 scan (reader-schema projection):
+    the BatchScan's ReadSchema lists only the required columns."""
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    path = str(tmp_path / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS)
+    raw = spark.read.format("avro").load(path)
+    pruned = raw.select("payload.id")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "muninn-avro" in plan
+    assert "source_metadata" not in plan.split("ReadSchema")[-1]
+    assert "payload" in plan.split("ReadSchema")[-1]
