@@ -117,7 +117,10 @@ public class AvroReaderFactory implements PartitionReaderFactory {
         @Override
         public boolean next() throws IOException {
             if (reader.hasNext() && !reader.pastSync(end)) {
-                current = reader.next(null);
+                // datum reuse is safe: get() copies every leaf value out of
+                // the record (strings/bytes/fixed byte-copied, containers
+                // rebuilt), so nothing escapes that the next read mutates
+                current = reader.next(current);
                 return true;
             }
             return false;
