@@ -806,10 +806,49 @@ def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
         return None
 
 
+def _read_avro_generic_jvm(spark, paths, plans, field_types, identity_cast):
+    """JVM fast path for the generic (non-CDC) scan: the DSv2 avro source
+    decodes, one aligned select reproduces the §1.3 + declared-decimal
+    output contract. None when unavailable or unalignable (multi-branch
+    unions, decimals whose declared type the decode doesn't match) — the
+    caller falls back to the Python loop."""
+    from pyspark.sql import types as T
+
+    df = try_native_avro(spark, paths)
+    if df is None:
+        return None
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    try:
+        cols = []
+        for p, ft in zip(plans, field_types):
+            target = ft if p.name in identity_cast else p.dtype
+            if p.name not in by_name:
+                cols.append(F.lit(None).cast(target).alias(p.name))
+            elif p.name in identity_cast:
+                # generic files honor the DECLARED decimal scale (unlike
+                # the CDC contract's assumed-scale-30): the JVM decode is
+                # the identity when the types agree exactly
+                if by_name[p.name] != ft:
+                    raise _Unalignable()
+                cols.append(F.col(p.name).alias(p.name))
+            else:
+                cols.append(
+                    _align_value(F.col(p.name), by_name[p.name], p).alias(p.name)
+                )
+    except _Unalignable:
+        return None
+    if JVM_PATH_COL in df.columns:
+        src = canon_source_col(F.col(JVM_PATH_COL))
+    else:
+        src = canon_source_col(F.input_file_name())
+    return df.select(*cols, src.alias(SOURCE_FILE_COL))
+
+
 def read_avro_generic(
     spark: SparkSession,
     paths: list[str],
     avro_schema: dict | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Read ANY Avro OCF files — no CDC envelope assumed.
 
@@ -820,9 +859,13 @@ def read_avro_generic(
     layer, so the engine can re-ingest its own ``avro_sink.write_avro``
     output or third-party Avro tables. Same scale shape as the CDC path:
     sync-marker splits, adaptive sizing, round-robin path distribution,
-    bounded Arrow batches; decode is the per-record interpreted loop
-    (the fused codegen is envelope-specific — wire a generic codegen
-    template if this becomes a hot path)."""
+    bounded Arrow batches.
+
+    ``engine`` mirrors ``read_avro``: ``auto`` (default, or conf
+    ``spark.muninn.avro.engine``) tries the JVM DSv2 scan first (round
+    8 — whole-stage decode, no Python worker) and falls back to the
+    interpreted Python loop when the jar is absent or the schema is not
+    exactly alignable; ``jvm`` forces, ``python`` skips."""
     from pyspark.sql import types as T
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -875,6 +918,17 @@ def read_avro_generic(
         else:
             field_types.append(S.raw_transport_type(plan))
             converters.append(lambda v, _p=plan: _transport_value(v, _p))
+    if engine is None:
+        engine = spark.conf.get("spark.muninn.avro.engine", "auto")
+    if engine in ("auto", "jvm"):
+        jdf = _read_avro_generic_jvm(spark, paths, plans, field_types, identity_cast)
+        if jdf is not None:
+            return jdf
+        if engine == "jvm":
+            raise RuntimeError(
+                "engine=jvm but the avro DataSource is not on the classpath "
+                "or the schema is not JVM-alignable; use engine='auto'/'python'"
+            )
     transport = T.StructType(
         [
             T.StructField(p.name, ft, True)

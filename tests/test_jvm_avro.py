@@ -494,3 +494,55 @@ def test_jvm_path_live_projection_pushdown(spark, tmp_path):
     assert "muninn-avro" in plan
     assert "source_metadata" not in plan.split("ReadSchema")[-1]
     assert "payload" in plan.split("ReadSchema")[-1]
+
+
+def test_jvm_generic_scan_parity_with_python(spark, tmp_path):
+    """read_avro_generic's JVM fast path (round 8): the engine's own
+    avro_sink output re-ingests through the DSv2 scan with byte-identical
+    schema and values vs the interpreted Python loop — declared-scale
+    decimals, timestamps, containers, provenance included."""
+    import pytest
+
+    from muninn_avro_to_parquet_spark.sources import avro_sink
+    from muninn_avro_to_parquet_spark.sources.avro_source import read_avro_generic
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    df = spark.range(50).selectExpr(
+        "id",
+        "concat('v', id) as name",
+        "cast(id as double) / 4 as score",
+        "id % 2 = 0 as flag",
+        "array(concat('t', id)) as tags",
+        "timestamp_micros(1700000000000000 + id) as at_us",
+        "cast(cast(id as string) || '.25' as decimal(10,2)) as amount",
+    )
+    out = str(tmp_path / "sink")
+    avro_sink.write_avro(df.repartition(3), out)
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{out}/*.avro"))
+    jdf = read_avro_generic(spark, paths, engine="jvm")
+    pdf = read_avro_generic(spark, paths, engine="python")
+    assert jdf.schema.simpleString() == pdf.schema.simpleString()
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(jdf.collect(), key=key) == sorted(pdf.collect(), key=key)
+
+
+def test_jvm_generic_scan_bails_to_python_on_union(spark, tmp_path):
+    """A multi-branch union needs the sorted-key-JSON collapse only the
+    Python codec implements: auto must transparently fall back and still
+    produce the reference stringify."""
+    schema = {
+        "type": "record", "name": "g",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["int", "string"]},
+        ],
+    }
+    path = str(tmp_path / "u.avro")
+    avro_io.write_file(path, schema, [{"id": 1, "v": 7}, {"id": 2, "v": "x"}])
+    from muninn_avro_to_parquet_spark.sources.avro_source import read_avro_generic
+
+    got = {r["id"]: r["v"] for r in read_avro_generic(spark, [path]).collect()}
+    assert got == {1: "7", 2: "x"}
