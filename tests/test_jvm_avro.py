@@ -546,3 +546,22 @@ def test_jvm_generic_scan_bails_to_python_on_union(spark, tmp_path):
 
     got = {r["id"]: r["v"] for r in read_avro_generic(spark, [path]).collect()}
     assert got == {1: "7", 2: "x"}
+
+
+def test_jvm_path_live_compressed_codecs(spark, tmp_path):
+    """Snappy / deflate / bzip2 / xz block codecs through the LIVE DSv2
+    scan: the executor-side DataFileReader resolves each codec from the
+    jars Spark ships (snappy-java, commons-compress, xz) and decodes the
+    Python-codec-written blocks exactly — the cross-implementation
+    contract test_java_avro_conformance pins, now on the query path."""
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    want = sorted((r["payload"]["id"], r["payload"]["name"]) for r in ROWS)
+    for codec in ("snappy", "deflate", "bzip2", "xz"):
+        path = str(tmp_path / f"c_{codec}.avro")
+        avro_io.write_file(path, CDC_SCHEMA, ROWS, codec=codec)
+        df = avro_source.read_avro(spark, [path], engine="jvm")
+        got = sorted((r["id"], r["name"]) for r in df.collect())
+        assert got == want, codec
