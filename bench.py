@@ -384,6 +384,22 @@ def main() -> None:
             finally:
                 spark.conf.set("spark.muninn.avro.engine", "auto")
         bigfile_stats["engine_compare"] = engine_compare
+        # scan-only rate (decode to noop, no cast/parquet): isolates the
+        # DSv2 reader itself — the convert race above is write-bound
+        try:
+            sdf = spark.read.format("avro").load(
+                os.path.join(nd_dir, "avro", "bench_big", "huge.avro")
+            )
+            t0 = time.perf_counter()
+            sdf.write.format("noop").mode("overwrite").save()
+            scan_wall = time.perf_counter() - t0
+            timings["scan_bigfile_jvm"] = round(scan_wall, 4)
+            engine_compare["jvm_scan_only"] = {
+                "sec": round(scan_wall, 4),
+                "rows_per_sec": round(nd_rows / scan_wall),
+            }
+        except Exception:
+            pass
     else:
         bigfile_stats = None
 
@@ -746,6 +762,7 @@ def main() -> None:
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
                 "triangles_bigcorpus", "containment_bigcorpus",
                 "spans_bigcorpus", "span_removal_bigcorpus",
+                "scan_bigfile_jvm",
                 "lm_bigvocab", "bpe_bigvocab",
                 "bpe_batched_bigvocab", "postings_bigvocab",
                 "pq_bigvectors", "ivfpq_bigvectors",

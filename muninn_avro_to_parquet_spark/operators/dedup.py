@@ -231,6 +231,84 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the bounded-broadcast
+    form of :func:`decontaminate` for when even the benchmark's DISTINCT
+    shingle set is too large to broadcast comfortably (a merged eval
+    union at 100 TB). The benchmark compresses to its Bloom POSITION set:
+    each shingle sets ``num_hashes`` positions in an ``m_bits``-slot
+    filter, and the broadcast side is the distinct positions — **at most
+    m_bits rows no matter how many benchmark documents exist**. A corpus
+    shingle is flagged iff ALL of its positions are set, so the output is
+    a deterministic SUPERSET of the exact operator's flags (false-positive
+    rate ≈ (1 − e^(−k·n/m))^k, identical in every engine because the
+    hash is md5-derived, not seeded): the standard two-phase hygiene
+    pass runs this cheap prefilter corpus-wide, then exact
+    ``decontaminate`` only over the flagged sliver.
+
+    Engine-exact: position i of a shingle is
+    ``conv(substr(md5(i || ':' || shingle), 1, 14), 16, 10) % m_bits``
+    (56-bit hex prefix — fits BIGINT in Spark and DuckDB alike). Within
+    one shingle two hash functions may collide on a position, so the
+    all-set test compares against the DISTINCT position count, never
+    ``num_hashes`` (a duplicate would otherwise read as a miss).
+
+    Output: (id, n_flagged, contaminated) for every corpus document."""
+
+    def positions(col):
+        return F.array_distinct(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), col)), 1, 14
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m_bits
+                    for i in range(num_hashes)
+                ]
+            )
+        )
+
+    bench_pos = (
+        ngram_shingles(benchmark, id_col, text_col, n)
+        .select(F.explode(positions(F.col("shingle"))).alias("pos"))
+        .distinct()
+    )
+    corp = ngram_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col), "shingle", positions(F.col("shingle")).alias("_ps")
+    )
+    per_gram = (
+        corp.select(
+            id_col, "shingle", F.size("_ps").alias("_np"), F.explode("_ps").alias("pos")
+        )
+        .join(F.broadcast(bench_pos), "pos")
+        .groupBy(id_col, "shingle", "_np")
+        .agg(F.count("*").alias("_nhit"))
+        .filter(F.col("_nhit") == F.col("_np"))
+    )
+    flagged = per_gram.groupBy(id_col).agg(F.count("*").alias("_nf"))
+    return (
+        corpus.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_nf"), F.lit(0)).alias("n_flagged"),
+            (F.coalesce(F.col("_nf"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def incremental_dedup_flags(
     delta: DataFrame,
     corpus_bands: DataFrame,

@@ -4186,6 +4186,69 @@ def text_decontaminate(spark):
     return dedup.decontaminate(corp, bench, "doc_id")
 
 
+_BLOOM_POS = (
+    "[CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 14)) "
+    "AS BIGINT) % 4096 for i in range(0, 3)]"
+)
+
+
+@q(
+    "text_decontaminate_bloom",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 3
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE doc_id % 50 <> 0 AND len(t) >= 3
+    ),
+    bpos AS (
+      SELECT DISTINCT unnest(list_distinct({_BLOOM_POS})) AS pos FROM bench
+    ),
+    cpos AS (
+      SELECT doc_id, shingle,
+             len(list_distinct({_BLOOM_POS})) AS np,
+             unnest(list_distinct({_BLOOM_POS})) AS pos
+      FROM corp
+    ),
+    gr AS (
+      SELECT doc_id, shingle, np, COUNT(*) AS nhit
+      FROM cpos JOIN bpos USING (pos)
+      GROUP BY 1, 2, 3
+    ),
+    flg AS (
+      SELECT doc_id, COUNT(*) AS nf FROM gr WHERE nhit = np GROUP BY 1
+    )
+    SELECT d.doc_id, CAST(COALESCE(nf, 0) AS BIGINT) AS n_flagged,
+           COALESCE(nf, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN flg ON d.doc_id = flg.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def text_decontaminate_bloom(spark):
+    """Bloom-filter decontamination prefilter
+    (operators/dedup.decontaminate_bloom): the benchmark compresses to
+    its distinct Bloom POSITION set (≤ m rows however large the eval
+    union grows — here m=4096, k=3 so the sf corpus actually exercises
+    false positives), the corpus probes it with a broadcast join, and a
+    shingle flags iff ALL its positions are set. Deterministic SUPERSET
+    of text_decontaminate's flags: the cheap corpus-wide phase of the
+    two-phase hygiene pass, value-exact in both engines because the
+    'filter' is md5-derived positions, not a seeded bitset."""
+    d = spark.table("documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corp = d.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_bloom(
+        corp, bench, "doc_id", m_bits=4096, num_hashes=3
+    )
+
+
 @q(
     "dedup_normalized",
     """

@@ -1350,3 +1350,46 @@ def test_bpe_batched_max_merges_and_rounds_validation(spark):
         bpe.learn_bpe_batched(docs, "text", rounds=0)
     with pytest.raises(ValueError, match="max_merges"):
         bpe.learn_bpe_batched(docs, "text", rounds=1, max_merges=0)
+
+
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """The Bloom prefilter must flag EVERY document the exact operator
+    flags (no false negatives, including when two hash functions collide
+    on a position within one shingle), and at a tiny filter it may flag
+    more — the deterministic false positives the two-phase pass then
+    clears with the exact operator."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words about astronomy and planets"),
+            (3, "quick brown fox appears here too"),
+            (4, "more harmless filler text entirely distinct tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], "doc_id long, text string"
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup.decontaminate(corpus, bench, "doc_id").collect()
+    }
+    for m_bits, k in ((1 << 20, 4), (64, 3), (8, 2)):
+        bloom = {
+            r["doc_id"]: r["contaminated"]
+            for r in dedup.decontaminate_bloom(
+                corpus, bench, "doc_id", m_bits=m_bits, num_hashes=k
+            ).collect()
+        }
+        assert set(bloom) == set(exact)  # every corpus doc present
+        for doc, flagged in exact.items():
+            if flagged:
+                assert bloom[doc], (m_bits, k, doc)
+    # at a roomy filter the flags are exactly the exact operator's
+    roomy = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup.decontaminate_bloom(
+            corpus, bench, "doc_id", m_bits=1 << 20, num_hashes=4
+        ).collect()
+    }
+    assert roomy == exact
