@@ -530,6 +530,39 @@ def main() -> None:
     else:
         bigcorpus_stats = None
 
+    # scale proof for training_order (r7's weak plan, r8-fixed arithmetic):
+    # a 2M-example 5-source corpus through the full stride schedule —
+    # grouped_row_number (range partition + per-(pid, source) offsets),
+    # DECIMAL(38,0) virtual time, global_row_number. The r7 BIGINT form
+    # would have survived this size but failed at 9.2M/source; the
+    # DECIMAL form is proven to 10^7 in the unit test, and this entry
+    # tracks the wall cost of the only order-materializing operator.
+    bigorder_n = int(os.environ.get("SPARK_GRAFT_BIGORDER_N", "2000000"))
+    if bigorder_n > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import pipeline as pl_mod
+
+        ocorpus = spark.range(bigorder_n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias(
+                "source"
+            ),
+        )
+        t0 = time.perf_counter()
+        ordered = pl_mod.training_order(ocorpus, "doc_id", "source")
+        n_ordered = ordered.count()
+        order_wall = time.perf_counter() - t0
+        timings["training_order_bigcorpus"] = round(order_wall, 4)
+        assert n_ordered == bigorder_n, n_ordered
+        bigorder_stats = {
+            "examples": bigorder_n,
+            "sources": 5,
+            "examples_per_sec": round(bigorder_n / order_wall),
+        }
+    else:
+        bigorder_stats = None
+
     # scale proof for the text/tokenizer family: the sf tables' synthetic
     # documents draw from a ~31-word pool, so nothing above exercises a
     # REALISTIC vocabulary. Generate a corpus with a 50k-word Zipf-ish
@@ -762,7 +795,7 @@ def main() -> None:
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
                 "triangles_bigcorpus", "containment_bigcorpus",
                 "spans_bigcorpus", "span_removal_bigcorpus",
-                "scan_bigfile_jvm",
+                "scan_bigfile_jvm", "training_order_bigcorpus",
                 "lm_bigvocab", "bpe_bigvocab",
                 "bpe_batched_bigvocab", "postings_bigvocab",
                 "pq_bigvectors", "ivfpq_bigvectors",
@@ -781,6 +814,8 @@ def main() -> None:
         result["bigfile"] = bigfile_stats
     if bigcorpus_stats is not None:
         result["bigcorpus"] = bigcorpus_stats
+    if bigorder_stats is not None:
+        result["bigorder"] = bigorder_stats
     if bigvocab_stats is not None:
         result["bigvocab"] = bigvocab_stats
     if bigvec_stats is not None:

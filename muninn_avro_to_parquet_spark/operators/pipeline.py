@@ -599,6 +599,56 @@ def sample_to_target_mixture(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """α-temperature mixture targets: per-source weight ∝ n_s^α — the
+    standard multilingual/multi-source rebalancing (α=1 is proportional,
+    α→0 uniform; α≈0.25–0.75 is the usual flattening that keeps small
+    sources from drowning). Feed ``weight_micro`` straight into
+    :func:`sample_to_target_mixture` as its integer target weights.
+
+    Engine-exact by construction: ``alpha`` is restricted to the dyadic
+    grid {0.25, 0.5, 0.75, 1.0} so n^α is a composition of IEEE-754
+    ``sqrt`` and multiply — both correctly-rounded operations, hence
+    bit-identical in any engine — then micro-quantized to BIGINT. A
+    general ``pow``/``exp(α·ln n)`` would hand the last ulp to each
+    engine's libm and break cross-engine verification.
+
+    One tiny groupBy (map-side combined) + a 1-row total broadcast; the
+    corpus is scanned once. Output: (strata, n_rows, weight_micro,
+    share_micro) per source."""
+    n = F.col("n_rows").cast("double")
+    forms = {
+        1.0: n,
+        0.5: F.sqrt(n),
+        0.25: F.sqrt(F.sqrt(n)),
+        0.75: F.sqrt(n) * F.sqrt(F.sqrt(n)),
+    }
+    if alpha not in forms:
+        raise ValueError(
+            f"alpha must be one of {sorted(forms)} (dyadic sqrt grid — "
+            "engine-exact); got {alpha}"
+        )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    w = counts.select(
+        strata_col,
+        "n_rows",
+        F.round(forms[alpha] * 1_000_000).cast("long").alias("weight_micro"),
+    )
+    total = w.agg(F.sum("weight_micro").alias("_tw"))
+    return w.join(F.broadcast(total)).select(
+        strata_col,
+        "n_rows",
+        "weight_micro",
+        F.round(
+            F.col("weight_micro").cast("double") / F.col("_tw").cast("double"), 6
+        ).alias("share_micro"),
+    )
+
+
 def virtual_time_expr() -> Column:
     """The stride-scheduling virtual time over columns ``_r`` (1-based
     within-source rank) and ``_n`` (source size):

@@ -3688,6 +3688,37 @@ def q_first_last_window(spark):
 
 
 @q(
+    "q_temperature_mixture",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n_rows,
+             CAST(ROUND(sqrt(CAST(n_rows AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_micro
+      FROM c
+    )
+    SELECT source, CAST(n_rows AS BIGINT) AS n_rows, weight_micro,
+           ROUND(CAST(weight_micro AS DOUBLE)
+                 / CAST((SELECT SUM(weight_micro) FROM w) AS DOUBLE), 6)
+             AS share_micro
+    FROM w
+    """,
+)
+def q_temperature_mixture(spark):
+    """α-temperature mixture targets
+    (operators/pipeline.temperature_mixture_weights, α=0.5): per-source
+    weight ∝ sqrt(n) micro-quantized to BIGINT — the multilingual
+    rebalancing whose integer output feeds sample_to_target_mixture.
+    sqrt/multiply are correctly-rounded IEEE ops, so the doubles are
+    bit-identical across engines before quantization."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    return pl.temperature_mixture_weights(
+        spark.table("documents"), "source", alpha=0.5
+    )
+
+
+@q(
     "q_training_order",
     """
     WITH s AS (
