@@ -166,7 +166,8 @@ public class AvroDataSource implements TableProvider, DataSourceRegister {
 
     // ------------------------------------------------------------------
 
-    static class AvroTable implements Table, SupportsRead {
+    static class AvroTable implements Table, SupportsRead,
+            org.apache.spark.sql.connector.catalog.SupportsWrite {
         private final StructType schema;
         private final CaseInsensitiveStringMap options;
 
@@ -187,14 +188,32 @@ public class AvroDataSource implements TableProvider, DataSourceRegister {
 
         @Override
         public Set<TableCapability> capabilities() {
-            return Collections.unmodifiableSet(
-                    new HashSet<>(Arrays.asList(TableCapability.BATCH_READ)));
+            return Collections.unmodifiableSet(new HashSet<>(Arrays.asList(
+                    TableCapability.BATCH_READ,
+                    TableCapability.BATCH_WRITE,
+                    TableCapability.ACCEPT_ANY_SCHEMA)));
         }
 
         @Override
         public ScanBuilder newScanBuilder(CaseInsensitiveStringMap scanOptions) {
             CaseInsensitiveStringMap merged = scanOptions.isEmpty() ? options : scanOptions;
             return new AvroScanBuilder(schema, merged);
+        }
+
+        @Override
+        public org.apache.spark.sql.connector.write.WriteBuilder newWriteBuilder(
+                org.apache.spark.sql.connector.write.LogicalWriteInfo info) {
+            String path = info.options().containsKey("path")
+                    ? info.options().get("path") : options.get("path");
+            if (path == null) {
+                throw new IllegalArgumentException("avro write needs a path");
+            }
+            String codec = info.options().getOrDefault(
+                    "muninn.codec",
+                    options.getOrDefault("muninn.codec", "null"));
+            return new AvroWriteSupport.AvroWriteBuilder(
+                    path, info.schema(), codec,
+                    new SerializableConfiguration(hadoopConf()));
         }
     }
 
