@@ -284,6 +284,148 @@ public final class AvroConverters {
         }
     }
 
+    /** Compile a converter that also PROJECTS to the required Catalyst
+     * type: nested column pruning hands the scan a struct whose fields
+     * are a (possibly non-prefix) subset of the decoded record, and
+     * Catalyst struct access is positional — emitting the full record
+     * where a pruned struct is expected silently mis-reads every
+     * non-prefix field. Converters therefore emit rows with EXACTLY the
+     * required shape, selecting avro fields by NAME; a required leaf
+     * whose avro type decodes differently throws (schema drift). */
+    public static Conv compileFor(Schema s, DataType required) {
+        final Conv inner = compileForNonNull(s, required);
+        return v -> v == null ? null : inner.apply(v);
+    }
+
+    private static Conv compileForNonNull(Schema s, DataType required) {
+        if (s.getType() == Schema.Type.UNION) {
+            List<Schema> branches = nonNullBranches(s);
+            if (branches.size() == 1) {
+                return compileForNonNull(branches.get(0), required);
+            }
+            DataType sql = toSqlType(s);
+            if (sql instanceof org.apache.spark.sql.types.LongType
+                    || sql instanceof org.apache.spark.sql.types.DoubleType) {
+                checkLeaf(sql, required, s);
+                return compileNonNull(s);
+            }
+            // member-struct union: required may prune members; slots are
+            // matched by their "member<i>" names
+            if (!(required instanceof StructType)) {
+                throw drift(sql, required, s);
+            }
+            StructField[] req = ((StructType) required).fields();
+            int[] slotOfBranch = new int[branches.size()];
+            java.util.Arrays.fill(slotOfBranch, -1);
+            Conv[] convs = new Conv[branches.size()];
+            for (int j = 0; j < req.length; j++) {
+                String nm = req[j].name();
+                if (!nm.startsWith("member")) {
+                    throw drift(toSqlType(s), required, s);
+                }
+                int b = Integer.parseInt(nm.substring("member".length()));
+                slotOfBranch[b] = j;
+                convs[b] = compileFor(branches.get(b), req[j].dataType());
+            }
+            final Schema union = s;
+            final List<Schema> nn = branches;
+            final int arity = req.length;
+            return v -> {
+                int raw = GenericData.get().resolveUnion(union, v);
+                int b = nn.indexOf(union.getTypes().get(raw));
+                Object[] out = new Object[arity];
+                if (b >= 0 && slotOfBranch[b] >= 0) {
+                    out[slotOfBranch[b]] = convs[b].apply(v);
+                }
+                return new GenericInternalRow(out);
+            };
+        }
+        switch (s.getType()) {
+            case RECORD: {
+                if (!(required instanceof StructType)) {
+                    throw drift(toSqlType(s), required, s);
+                }
+                StructField[] req = ((StructType) required).fields();
+                Conv[] convs = new Conv[req.length];
+                int[] pos = new int[req.length];
+                for (int j = 0; j < req.length; j++) {
+                    Schema.Field f = s.getField(req[j].name());
+                    if (f == null) {
+                        pos[j] = -1;
+                        continue;
+                    }
+                    pos[j] = f.pos();
+                    convs[j] = compileFor(f.schema(), req[j].dataType());
+                }
+                final int n = req.length;
+                return v -> {
+                    IndexedRecord rec = (IndexedRecord) v;
+                    Object[] out = new Object[n];
+                    for (int j = 0; j < n; j++) {
+                        if (pos[j] >= 0) {
+                            out[j] = convs[j].apply(rec.get(pos[j]));
+                        }
+                    }
+                    return new GenericInternalRow(out);
+                };
+            }
+            case ARRAY: {
+                if (!(required instanceof org.apache.spark.sql.types.ArrayType)) {
+                    throw drift(toSqlType(s), required, s);
+                }
+                Conv el = compileFor(
+                        s.getElementType(),
+                        ((org.apache.spark.sql.types.ArrayType) required).elementType());
+                return v -> {
+                    List<?> in = (List<?>) v;
+                    Object[] out = new Object[in.size()];
+                    for (int i = 0; i < out.length; i++) {
+                        out[i] = el.apply(in.get(i));
+                    }
+                    return new GenericArrayData(out);
+                };
+            }
+            case MAP: {
+                if (!(required instanceof org.apache.spark.sql.types.MapType)) {
+                    throw drift(toSqlType(s), required, s);
+                }
+                Conv val = compileFor(
+                        s.getValueType(),
+                        ((org.apache.spark.sql.types.MapType) required).valueType());
+                return v -> {
+                    java.util.Map<?, ?> in = (java.util.Map<?, ?>) v;
+                    Object[] keys = new Object[in.size()];
+                    Object[] vals = new Object[in.size()];
+                    int i = 0;
+                    for (java.util.Map.Entry<?, ?> e : in.entrySet()) {
+                        keys[i] = UTF8String.fromString(e.getKey().toString());
+                        vals[i] = val.apply(e.getValue());
+                        i++;
+                    }
+                    return new ArrayBasedMapData(
+                            new GenericArrayData(keys), new GenericArrayData(vals));
+                };
+            }
+            default: {
+                checkLeaf(toSqlType(s), required, s);
+                return compileNonNull(s);
+            }
+        }
+    }
+
+    private static void checkLeaf(DataType got, DataType required, Schema s) {
+        if (!got.sameType(required)) {
+            throw drift(got, required, s);
+        }
+    }
+
+    private static RuntimeException drift(DataType got, DataType required, Schema s) {
+        return new IllegalStateException(
+                "schema drift: avro " + s + " decodes as " + got.sql()
+                + " but the scan schema expects " + required.sql()
+                + "; read drifted files in separate loads");
+    }
+
     private static byte[] bufferBytes(ByteBuffer bb) {
         byte[] out = new byte[bb.remaining()];
         bb.duplicate().get(out);

@@ -98,7 +98,20 @@ public class AvroReaderFactory implements PartitionReaderFactory {
                     continue;
                 }
                 readerPos[i] = f.pos();
-                convs[i] = AvroConverters.compile(f.schema());
+                // compile against the REQUIRED Catalyst type: projects
+                // nested-pruned structs by name (positional emission of a
+                // superset record would silently mis-read non-prefix
+                // subfields) and throws a loud schema-drift error when
+                // this FILE's writer schema decodes to a different type
+                // than the scan schema (which came from the first file)
+                try {
+                    convs[i] = AvroConverters.compileFor(
+                            f.schema(), fields[i].dataType());
+                } catch (IllegalStateException e) {
+                    throw new IOException(
+                            e.getMessage() + " (file: " + p.path + ", field '"
+                            + fields[i].name() + "')", e);
+                }
             }
             this.pathSlot = slot;
             this.pathValue = UTF8String.fromString(p.path);

@@ -607,3 +607,46 @@ def test_jvm_write_path_round_trip(spark, tmp_path):
         # the Python codec decodes the JVM-written blocks identically
         py = read_avro_generic(spark, files, engine="python")
         assert py.count() == 200, codec
+
+
+def test_jvm_scan_drift_fails_loudly(spark, tmp_path):
+    """Two files with drifted writer schemas in ONE load: the reader must
+    refuse (clear 'schema drift' error) rather than emit mis-typed values
+    silently — the engine's convert layer groups files by writer schema,
+    so this guards only raw format('avro') use over mixed directories."""
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    s1 = {"type": "record", "name": "d",
+          "fields": [{"name": "id", "type": "long"}, {"name": "v", "type": "long"}]}
+    s2 = {"type": "record", "name": "d",
+          "fields": [{"name": "id", "type": "long"}, {"name": "v", "type": "string"}]}
+    avro_io.write_file(str(tmp_path / "a.avro"), s1, [{"id": 1, "v": 10}])
+    avro_io.write_file(str(tmp_path / "b.avro"), s2, [{"id": 2, "v": "x"}])
+    df = spark.read.format("avro").load(str(tmp_path / "*.avro"))
+    with pytest.raises(Exception, match="schema drift"):
+        df.collect()
+
+
+def test_jvm_nested_pruning_non_prefix_field(spark, tmp_path):
+    """Nested column pruning with a NON-PREFIX subfield: selecting only
+    payload.qty must return qty values — positional emission of the full
+    record where Catalyst expects the pruned struct would silently hand
+    back payload.id instead (regression: caught by the round-8 drift
+    guard, fixed by name-projected converters)."""
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    path = str(tmp_path / "f.avro")
+    avro_io.write_file(path, CDC_SCHEMA, ROWS)
+    raw = spark.read.format("avro").load(path)
+    got = sorted(r["qty"] for r in raw.select("payload.qty").collect())
+    assert got == sorted(r["payload"]["qty"] for r in ROWS)
+    # and a two-field non-prefix projection keeps name alignment
+    both = {
+        r["qty"]: r["created"] is not None
+        for r in raw.select("payload.qty", "payload.created").collect()
+    }
+    assert set(both) == {r["payload"]["qty"] for r in ROWS}
