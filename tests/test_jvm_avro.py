@@ -650,3 +650,76 @@ def test_jvm_nested_pruning_non_prefix_field(spark, tmp_path):
         for r in raw.select("payload.qty", "payload.created").collect()
     }
     assert set(both) == {r["payload"]["qty"] for r in ROWS}
+
+
+def test_jvm_scan_random_projection_differential(spark, tmp_path):
+    """Deterministic fuzz of the name-projected converter tree: random
+    nested field subsets (including non-prefix, reordered paths) selected
+    through the LIVE DSv2 scan must equal the same selection applied to
+    the Python codec's full decode — 20 random projections over a
+    deep schema with every alignable shape."""
+    import random
+
+    import pytest
+
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    schema = {
+        "type": "record", "name": "deep",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "meta", "type": {
+                "type": "record", "name": "meta",
+                "fields": [
+                    {"name": "a", "type": ["null", "string"]},
+                    {"name": "b", "type": "int"},
+                    {"name": "c", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+                    {"name": "inner", "type": {
+                        "type": "record", "name": "inner",
+                        "fields": [
+                            {"name": "x", "type": "double"},
+                            {"name": "y", "type": ["null", "boolean"]},
+                            {"name": "z", "type": {"type": "array", "items": "long"}},
+                        ],
+                    }},
+                ],
+            }},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "counts", "type": {"type": "map", "values": "long"}},
+            {"name": "day", "type": ["null", {"type": "int", "logicalType": "date"}]},
+        ],
+    }
+    rows = [
+        {
+            "id": i,
+            "meta": {
+                "a": f"a{i}" if i % 3 else None,
+                "b": i * 3,
+                "c": 1_700_000_000_000_000 + i if i % 2 else None,
+                "inner": {"x": i / 8, "y": i % 2 == 0 if i % 4 else None,
+                          "z": [i, i + 1]},
+            },
+            "tags": [f"t{i}", "u"],
+            "counts": {"k": i},
+            "day": 19_000 + i,
+        }
+        for i in range(25)
+    ]
+    path = str(tmp_path / "deep.avro")
+    avro_io.write_file(path, schema, rows)
+    jdf = spark.read.format("avro").load(path)
+    pdf = avro_source.read_avro_generic(spark, [path], engine="python").drop(
+        avro_source.SOURCE_FILE_COL
+    )
+    leaf_paths = [
+        "id", "meta.a", "meta.b", "meta.c", "meta.inner.x", "meta.inner.y",
+        "meta.inner.z", "tags", "counts", "day",
+    ]
+    rng = random.Random(8)
+    key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+    for trial in range(20):
+        sel = rng.sample(leaf_paths, rng.randint(1, len(leaf_paths)))
+        cols = [f"`{p}`" if "." not in p else p for p in sel]
+        got = sorted((tuple(r) for r in jdf.selectExpr(*cols).collect()), key=key)
+        want = sorted((tuple(r) for r in pdf.selectExpr(*cols).collect()), key=key)
+        assert got == want, (trial, sel)
