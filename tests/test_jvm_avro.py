@@ -594,7 +594,7 @@ def test_jvm_write_path_round_trip(spark, tmp_path):
         "named_struct('x', id, 'y', concat('s', id)) as pt",
         "date_from_unix_date(cast(19000 + id as int)) as day",
     )
-    for codec in ("null", "snappy", "deflate"):
+    for codec in ("null", "snappy", "deflate", "bzip2", "xz", "zstandard"):
         out = str(tmp_path / f"w_{codec}")
         df.repartition(3).write.format("avro").option(
             "muninn.codec", codec
@@ -604,9 +604,12 @@ def test_jvm_write_path_round_trip(spark, tmp_path):
         back = spark.read.format("avro").load(f"{out}/*.avro")
         key = lambda r: r["id"]  # noqa: E731
         assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key), codec
-        # the Python codec decodes the JVM-written blocks identically
-        py = read_avro_generic(spark, files, engine="python")
-        assert py.count() == 200, codec
+        if codec != "zstandard":
+            # the Python codec decodes the JVM-written blocks identically
+            # (its zstandard support needs the optional module, absent here
+            # — the JVM path is how the engine gets zstd at rest)
+            py = read_avro_generic(spark, files, engine="python")
+            assert py.count() == 200, codec
 
 
 def test_jvm_scan_drift_fails_loudly(spark, tmp_path):
