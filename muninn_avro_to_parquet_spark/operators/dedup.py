@@ -309,6 +309,44 @@ def decontaminate_bloom(
     )
 
 
+def decontaminate_two_phase(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """The production decontamination shape: Bloom prefilter corpus-wide,
+    exact n-gram check only over the flagged sliver. Because the Bloom
+    flags are a superset of the exact operator's (no false negatives —
+    :func:`decontaminate_bloom`), the composition returns EXACTLY what
+    :func:`decontaminate` would on the full corpus, while the expensive
+    benchmark-shingle join touches only suspected documents — at 100 TB
+    that sliver is typically orders of magnitude smaller than the corpus
+    (contamination rates are per-mille), so phase 2's cost is negligible
+    and phase 1 is a broadcast probe of a ≤ m_bits-row position set
+    inside the scan. Output contract identical to ``decontaminate``:
+    (id, n_overlap, contaminated) for every corpus document."""
+    flags = decontaminate_bloom(
+        corpus, benchmark, id_col, text_col, n, m_bits, num_hashes
+    )
+    suspects = corpus.join(
+        flags.filter(F.col("contaminated")).select(id_col), id_col
+    )
+    exact = decontaminate(suspects, benchmark, id_col, text_col, n)
+    return (
+        corpus.select(id_col)
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 def incremental_dedup_flags(
     delta: DataFrame,
     corpus_bands: DataFrame,

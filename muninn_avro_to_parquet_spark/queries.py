@@ -4217,6 +4217,46 @@ def text_decontaminate(spark):
     return dedup.decontaminate(corp, bench, "doc_id")
 
 
+@q(
+    "text_decontaminate_twophase",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bench AS (
+      SELECT DISTINCT unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 3
+    ),
+    corp AS (
+      SELECT DISTINCT doc_id, unnest(
+        [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]
+      ) AS shingle
+      FROM toks WHERE doc_id % 50 <> 0 AND len(t) >= 3
+    ),
+    hits AS (SELECT doc_id, COUNT(*) AS n FROM corp JOIN bench USING (shingle) GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+           COALESCE(n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def text_decontaminate_twophase(spark):
+    """Two-phase decontamination
+    (operators/dedup.decontaminate_two_phase): Bloom prefilter
+    corpus-wide, exact n-gram verification only over the flagged sliver.
+    The oracle is deliberately the PLAIN exact operator's SQL — the
+    composition must hash-match it on every document, which proves the
+    prefilter's no-false-negative contract end-to-end (a dropped true
+    positive would show as a value mismatch). The tiny m=1024 filter
+    forces real false positives through phase 2 at sf scale."""
+    d = spark.table("documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corp = d.filter(F.col("doc_id") % 50 != 0)
+    return dedup.decontaminate_two_phase(
+        corp, bench, "doc_id", m_bits=1024, num_hashes=3
+    )
+
+
 _BLOOM_POS = (
     "[CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 14)) "
     "AS BIGINT) % 4096 for i in range(0, 3)]"
