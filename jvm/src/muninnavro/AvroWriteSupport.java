@@ -292,6 +292,7 @@ public final class AvroWriteSupport {
 
     static final class Writer implements DataWriter<InternalRow> {
         private final Path file;
+        private final Path tmp;
         private final FileSystem fs;
         private final DataFileWriter<GenericRecord> out;
         private final Schema avro;
@@ -301,6 +302,12 @@ public final class AvroWriteSupport {
         Writer(Path file, StructType st, String codec,
                SerializableConfiguration conf) throws IOException {
             this.file = file;
+            // write behind a dot-name and rename on commit: readers skip
+            // dot/underscore files, so a task killed mid-write (no abort
+            // callback) never leaves a VISIBLE partial container file;
+            // speculative/retried attempts write distinct uuid names
+            this.tmp = new Path(
+                    file.getParent(), "." + file.getName() + ".inprogress");
             this.fs = file.getFileSystem(conf.value());
             this.avro = toAvroSchema(st, "spark_row");
             StructField[] fields = st.fields();
@@ -314,7 +321,7 @@ public final class AvroWriteSupport {
             DataFileWriter<GenericRecord> w =
                     new DataFileWriter<>(new GenericDatumWriter<>(avro));
             w.setCodec(CodecFactory.fromString(codec));
-            OutputStream os = fs.create(file, true);
+            OutputStream os = fs.create(tmp, true);
             this.out = w.create(avro, os);
         }
 
@@ -330,13 +337,16 @@ public final class AvroWriteSupport {
         @Override
         public WriterCommitMessage commit() throws IOException {
             out.close();
+            if (!fs.rename(tmp, file)) {
+                throw new IOException("rename failed: " + tmp + " -> " + file);
+            }
             return new Done(file.toString());
         }
 
         @Override
         public void abort() throws IOException {
             out.close();
-            fs.delete(file, false);
+            fs.delete(tmp, false);
         }
 
         @Override
