@@ -29,6 +29,16 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--input_pattern", required=True)
     p.add_argument("--output_prefix", required=True)
     p.add_argument("--permissive", action="store_true", help="all-string payload mode")
+    p.add_argument(
+        "--avro_engine",
+        choices=("auto", "jvm", "python"),
+        default=None,
+        help="Avro decode engine: auto (default — JVM DSv2 scan when the "
+        "jar is loaded and the schema is exactly alignable, else the "
+        "Python codec), jvm (force, error if unavailable), python "
+        "(force the reference-semantics codec). Sets conf "
+        "spark.muninn.avro.engine for the run.",
+    )
     # accepted for CLI parity with the reference; unused there too
     # (main.py:586-587 "compat")
     p.add_argument("--batch_min", type=int, default=500, help=argparse.SUPPRESS)
@@ -175,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
     from muninn_avro_to_parquet_spark.session import get_spark
 
     spark = get_spark("muninn_cli")
+    if getattr(args, "avro_engine", None):
+        spark.conf.set("spark.muninn.avro.engine", args.avro_engine)
     try:
         if args.cmd == "compact":
             from muninn_avro_to_parquet_spark.operators import maintenance

@@ -238,3 +238,33 @@ def test_cli_bpe_train_batched(spark, tmp_path, monkeypatch, capsys):
     seg = spark.read.parquet(str(tmp_path / "segments"))
     for r in seg.collect():
         assert "".join(r["pieces"].split(" ")) == r["word"]
+
+
+def test_cli_avro_engine_flag(spark, tmp_path, monkeypatch, capsys):
+    """--avro_engine python forces the reference-semantics codec for the
+    run (conf spark.muninn.avro.engine), and the conversion output is
+    identical either way."""
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+    from muninn_avro_to_parquet_spark.sources import avro_io
+    from tests.conftest import CDC_SCHEMA
+    from tests.test_fs import _recs
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    d = tmp_path / "avro" / "customers"
+    d.mkdir(parents=True)
+    avro_io.write_file(str(d / "f.avro"), CDC_SCHEMA, _recs(range(4)))
+    prev = spark.conf.get("spark.muninn.avro.engine", "auto")
+    try:
+        rc = cli.main([
+            "convert", "--input_pattern", f"{tmp_path}/avro/**/*.avro",
+            "--output_prefix", str(tmp_path / "out"),
+            "--ingestion_date", "2026-01-01", "--avro_engine", "python",
+        ])
+        assert rc == 0
+        assert spark.conf.get("spark.muninn.avro.engine") == "python"
+    finally:
+        spark.conf.set("spark.muninn.avro.engine", prev)
+    got = spark.read.parquet(str(tmp_path / "out" / "customers"))
+    assert sorted(r["id"] for r in got.select("id").collect()) == [0, 1, 2, 3]
