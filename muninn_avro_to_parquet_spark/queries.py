@@ -1723,6 +1723,71 @@ def multimodal_audio_features(spark):
     return multimodal.decode_audio(d, deterministic_fake=True)
 
 
+# (file_name, n_bytes, frame_index, width, height, round(mean_luma, 6))
+# for the committed uncompressed-AVI fixtures at every_n=2 — regenerate
+# with multimodal.encode_avi/_decode_avi_frames if the videos change
+_VIDEO_GROUND_TRUTH = [
+    ("vid_00.avi", 664, 0, 6, 4, 0.127098),
+    ("vid_00.avi", 664, 2, 6, 4, 0.472196),
+    ("vid_00.avi", 664, 4, 6, 4, 0.817294),
+    ("vid_01.avi", 576, 0, 3, 3, 0.065349),
+    ("vid_01.avi", 576, 2, 3, 3, 0.410447),
+    ("vid_01.avi", 576, 4, 3, 3, 0.755545),
+    ("vid_01.avi", 576, 6, 3, 3, 0.511341),
+    ("vid_02.avi", 440, 0, 10, 2, 0.148973),
+    ("vid_02.avi", 440, 2, 10, 2, 0.494071),
+]
+
+
+def _video_frames_oracle() -> str:
+    # DuckDB independently lists the fixture directory (read_blob) and
+    # joins the decoded ground truth on (file_name, n_bytes): a missing
+    # or changed video breaks the join → row-count mismatch, and the
+    # Spark side must recompute every luma from actual pixels
+    vals = ",".join(
+        f"('{n}',{s},{i},{w},{h},CAST({l} AS DOUBLE))"
+        for n, s, i, w, h, l in _VIDEO_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, n_bytes, frame_index, width, height, mean_luma)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.avi')
+    )
+    SELECT e.file_name, e.frame_index, e.width, e.height, e.mean_luma
+    FROM expected e JOIN blobs b USING (file_name, n_bytes)
+    """
+
+
+@q("multimodal_video_frames", _video_frames_oracle())
+def multimodal_video_frames(spark):
+    """REAL video frame sampling (multimodal.decode_video_frames):
+    uncompressed-AVI fixtures decode executor-side (RIFF walk → DIB
+    frames → BT.601 mean luma) at every_n=2 — frame_sample_plan's
+    promise made concrete for the container the stdlib verifies exactly.
+    Oracle = fixture ground truth joined against DuckDB's independent
+    directory listing (the dhash/ahash pattern)."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.avi")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    out = multimodal.decode_video_frames(
+        meta, id_col="file_name", media_col="content", every_n=2
+    )
+    return out.select(
+        "file_name",
+        "frame_index",
+        "width",
+        "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
 @q(
     "multimodal_frame_plan",
     """

@@ -1188,3 +1188,55 @@ def test_ahash_envelope_and_level_shift_robustness(spark):
     )
     rows = {r["doc_id"]: r["ahash"] for r in ahash_audio(df).collect()}
     assert rows[1] == rows[2]
+
+
+def test_multimodal_video_frame_decode(spark):
+    """Real uncompressed-AVI frame sampling (decode_video_frames): a
+    3-frame synthetic video round-trips through encode_avi and decodes
+    to exact per-frame mean lumas; every_n sampling picks frames 0 and
+    2; a compressed stream and a non-AVI payload raise."""
+    import struct as _struct
+
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    w, h = 5, 3
+    row_bytes = (w * 3 + 3) & ~3
+
+    def frame(val):
+        # constant-BGR frame: b=val, g=val+1, r=val+2 with row padding
+        row = bytes([val, (val + 1) % 256, (val + 2) % 256] * w) + b"\x00" * (
+            row_bytes - w * 3
+        )
+        return row * h
+
+    frames = [frame(10), frame(100), frame(200)]
+    avi = multimodal.encode_avi(frames, w, h)
+
+    def want_luma(val):
+        return (
+            0.299 * ((val + 2) % 256) + 0.587 * ((val + 1) % 256) + 0.114 * val
+        ) / 255.0
+
+    df = spark.createDataFrame([(7, avi)], "doc_id long, media binary")
+    got = {
+        r["frame_index"]: r
+        for r in multimodal.decode_video_frames(df, every_n=1).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for idx, val in ((0, 10), (1, 100), (2, 200)):
+        assert (got[idx]["width"], got[idx]["height"]) == (w, h)
+        assert abs(got[idx]["mean_luma"] - want_luma(val)) < 1e-9
+    sampled = sorted(
+        r["frame_index"]
+        for r in multimodal.decode_video_frames(df, every_n=2).collect()
+    )
+    assert sampled == [0, 2]
+
+    # compressed stream tag refuses; non-AVI refuses
+    bad = avi.replace(b"00db", b"00dc", 1)
+    for payload, msg in ((bad, "00dc"), (b"RIFF" + b"\x00" * 16, "AVI"), (b"nope", "RIFF")):
+        d2 = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
+        with pytest.raises(Exception, match=msg):
+            multimodal.decode_video_frames(d2).collect()
