@@ -361,22 +361,31 @@ def main() -> None:
         # sink, only the decode stage differs.
         nd_dir, nd_rows = _make_bigfile_fixture(big_bytes, strip_decimal=True)
         nd_pattern = os.path.join(nd_dir, "avro", "**", "*.avro")
+        nd_file = os.path.join(nd_dir, "avro", "bench_big", "huge.avro")
+        # warm the page cache ONCE before either engine runs: whichever
+        # leg goes first would otherwise pay the cold read and the race
+        # would measure disk, not decode
+        with open(nd_file, "rb") as f:
+            while f.read(1 << 24):
+                pass
         engine_compare = {}
         for eng in ("jvm", "python"):
-            out_dir = os.path.join(nd_dir, f"out_{eng}")
-            shutil.rmtree(out_dir, ignore_errors=True)
             spark.conf.set("spark.muninn.avro.engine", eng)
             try:
-                t0 = time.perf_counter()
-                res = convert_mod.convert(
-                    spark, nd_pattern, out_dir, ingestion_date="2026-01-01"
-                )
-                wall = time.perf_counter() - t0
-                assert res.tables.get("bench_big") == nd_rows, res.tables
-                timings[f"convert_bigfile_{eng}"] = round(wall, 4)
+                best = float("inf")
+                for i in range(2):  # best-of-2: shared-box noise guard
+                    out_dir = os.path.join(nd_dir, f"out_{eng}{i}")
+                    shutil.rmtree(out_dir, ignore_errors=True)
+                    t0 = time.perf_counter()
+                    res = convert_mod.convert(
+                        spark, nd_pattern, out_dir, ingestion_date="2026-01-01"
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                    assert res.tables.get("bench_big") == nd_rows, res.tables
+                timings[f"convert_bigfile_{eng}"] = round(best, 4)
                 engine_compare[eng] = {
-                    "sec": round(wall, 4),
-                    "rows_per_sec": round(nd_rows / wall),
+                    "sec": round(best, 4),
+                    "rows_per_sec": round(nd_rows / best),
                 }
             except RuntimeError as e:
                 # jar not loaded in this session: record, don't fail

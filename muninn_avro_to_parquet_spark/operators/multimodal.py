@@ -636,6 +636,78 @@ def dhash_images(
     return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
+def dhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    bands: int = 4,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """VISUAL near-duplicate candidate pairs: dhash each image, band the
+    16-hex hash (``bands`` equal hex slices), equi-join on
+    (band_idx, band_val) — two images pair only if SOME band matches
+    exactly, the LSH discipline applied to perceptual hashes — then score
+    every candidate with the EXACT Hamming distance (bit_count over two
+    xor'd 32-bit halves, integer-exact in any engine) and keep pairs at
+    ``<= max_hamming`` bits. md5/byte dedup only catches identical files;
+    this pairs re-encoded, rescaled, or slightly-edited variants of the
+    same picture. A pair within max_hamming whose bands ALL differ is
+    missed (standard LSH recall trade — more bands = higher recall);
+    with bands=4 any pair within 3 bits is guaranteed caught.
+
+    Scale: the band join is sparse (only colliding 16-bit band values),
+    hot bands (e.g. the all-zero hash of blank images) behave like LSH
+    hot buckets — prefilter trivial images upstream. One shuffle for the
+    join, one distinct. Output: (id_a, id_b, hamming)."""
+    hs = dhash_images(df, id_col=id_col, media_col=media_col).select(
+        F.col(id_col), "dhash"
+    )
+    width = 16 // bands
+    banded = hs.select(
+        F.col(id_col),
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.substring("dhash", i * width + 1, width).alias(
+                            "band_val"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "dhash", "_b.band_idx", "_b.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("_ha"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("_hb"),
+        "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("_ha", off, 8), 16, 10).cast("long")
+            .bitwiseXOR(F.conv(F.substring("_hb", off, 8), 16, 10).cast("long"))
+        )
+        for off in (1, 9)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def _dib_mean_luma(frame: bytes, width: int, height: int) -> float:
     """Mean BT.601 luma of one uncompressed bottom-up BGR24 DIB frame
     (rows padded to 4 bytes). Row order is irrelevant to the mean."""

@@ -1723,6 +1723,84 @@ def multimodal_audio_features(spark):
     return multimodal.decode_audio(d, deterministic_fake=True)
 
 
+_PAIRS_FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "binary_pairs"
+)
+# (file_name, n_bytes, dhash) for the committed visual-near-dup fixtures:
+# pair_00 (9x8 gradient) and pair_01 (the SAME pattern at 2x size,
+# different bytes) hash identically — the perceptual point; pair_02
+# reverses the last row (8 bits away); pair_03 is a checkerboard
+_PAIR_GROUND_TRUTH = [
+    ("pair_00.bmp", 278, "ffffffffffffffff"),
+    ("pair_01.bmp", 950, "ffffffffffffffff"),
+    ("pair_02.bmp", 278, "ffffffffffffff00"),
+    ("pair_03.bmp", 278, "aa55aa55aa55aa55"),
+]
+
+
+def _visual_near_dup_oracle() -> str:
+    # the hash literals are pixel-anchored by the same discipline as
+    # _dhash_oracle; the PAIRING logic (banding, exact Hamming over two
+    # 32-bit halves) is genuinely recomputed in SQL
+    vals = ",".join(
+        f"('{n}',{s},'{h}')" for n, s, h in _PAIR_GROUND_TRUTH
+    )
+    def half(col, off):
+        return f"CAST(('0x' || substr({col}, {off}, 8)) AS BIGINT)"
+    return f"""
+    WITH expected(file_name, n_bytes, dhash) AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_PAIRS_FIXTURE_DIR}/*.bmp')
+    ),
+    hs AS (
+      SELECT e.file_name, e.dhash FROM expected e JOIN blobs b
+      USING (file_name, n_bytes)
+    ),
+    banded AS (
+      SELECT file_name, dhash, i AS band_idx,
+             substr(dhash, i * 4 + 1, 4) AS band_val
+      FROM hs, (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.file_name AS id_a, b.file_name AS id_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM banded a JOIN banded b USING (band_idx, band_val)
+      WHERE a.file_name < b.file_name
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor({half('ha', 1)}, {half('hb', 1)}))
+                + bit_count(xor({half('ha', 9)}, {half('hb', 9)})) AS INT)
+               AS hamming
+      FROM cand
+    ) WHERE hamming <= 10
+    """
+
+
+@q("multimodal_visual_near_dup", _visual_near_dup_oracle())
+def multimodal_visual_near_dup(spark):
+    """Visual near-duplicate pairs (multimodal.dhash_near_dup_pairs):
+    dhash each fixture image from PIXELS executor-side, band the hash,
+    equi-join on band collisions, exact integer Hamming filter. The
+    planted set proves the perceptual property end-to-end: pair_01 is
+    pair_00's pattern at 2x size — different bytes, different md5, same
+    dhash, Hamming 0 — and the last-row edit sits 8 bits away while the
+    checkerboard never pairs. Oracle recomputes banding + Hamming in SQL
+    from pixel-anchored hash literals."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _PAIRS_FIXTURE_DIR, glob_filter="*.bmp")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    return multimodal.dhash_near_dup_pairs(
+        meta, id_col="file_name", media_col="content", bands=4, max_hamming=10
+    )
+
+
 # (file_name, n_bytes, frame_index, width, height, round(mean_luma, 6))
 # for the committed uncompressed-AVI fixtures at every_n=2 — regenerate
 # with multimodal.encode_avi/_decode_avi_frames if the videos change

@@ -1240,3 +1240,39 @@ def test_multimodal_video_frame_decode(spark):
         d2 = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
         with pytest.raises(Exception, match=msg):
             multimodal.decode_video_frames(d2).collect()
+
+
+def test_dhash_near_dup_pairs_banded_hamming(spark):
+    """The visual pair join: identical-hash pair (different bytes AND
+    dimensions) at Hamming 0, the last-row edit at 8, the checkerboard
+    excluded (no shared band); raising bands=8 still catches the 8-bit
+    pair via its unchanged bands."""
+    import os
+
+    from muninn_avro_to_parquet_spark.operators import multimodal
+    from muninn_avro_to_parquet_spark.queries import _PAIRS_FIXTURE_DIR
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _PAIRS_FIXTURE_DIR, glob_filter="*.bmp")
+    meta = raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "content",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_dup_pairs(
+            meta, id_col="file_name", media_col="content"
+        ).collect()
+    }
+    assert got == {
+        ("pair_00.bmp", "pair_01.bmp"): 0,
+        ("pair_00.bmp", "pair_02.bmp"): 8,
+        ("pair_01.bmp", "pair_02.bmp"): 8,
+    }
+    got8 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_dup_pairs(
+            meta, id_col="file_name", media_col="content", bands=8
+        ).collect()
+    }
+    assert got8 == got
