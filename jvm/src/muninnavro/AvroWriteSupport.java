@@ -297,7 +297,6 @@ public final class AvroWriteSupport {
         private final DataFileWriter<GenericRecord> out;
         private final Schema avro;
         private final Getter[] getters;
-        private final boolean[] nullable;
 
         Writer(Path file, StructType st, String codec,
                SerializableConfiguration conf) throws IOException {
@@ -312,11 +311,9 @@ public final class AvroWriteSupport {
             this.avro = toAvroSchema(st, "spark_row");
             StructField[] fields = st.fields();
             this.getters = new Getter[fields.length];
-            this.nullable = new boolean[fields.length];
             for (int i = 0; i < fields.length; i++) {
                 getters[i] = getterFor(
                         fields[i].dataType(), avro.getFields().get(i).schema());
-                nullable[i] = fields[i].nullable();
             }
             DataFileWriter<GenericRecord> w =
                     new DataFileWriter<>(new GenericDatumWriter<>(avro));

@@ -662,16 +662,47 @@ def dhash_near_dup_pairs(
     hs = dhash_images(df, id_col=id_col, media_col=media_col).select(
         F.col(id_col), "dhash"
     )
+    return hamming_hash_pairs(hs, id_col, "dhash", bands, max_hamming)
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    bands: int = 4,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """AUDIO near-duplicate candidate pairs — :func:`dhash_near_dup_pairs`
+    for the energy-gradient ``ahash``: re-encoded or slightly-trimmed
+    copies of the same clip share most gradient bits while md5 sees
+    different bytes. Same banded equi-join + exact integer Hamming."""
+    hs = ahash_audio(df, id_col=id_col, media_col=media_col).select(
+        F.col(id_col), "ahash"
+    )
+    return hamming_hash_pairs(hs, id_col, "ahash", bands, max_hamming)
+
+
+def hamming_hash_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bands: int = 4,
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Banded Hamming join over any 16-hex (64-bit) perceptual hash
+    column: candidates from the (band_idx, band_val) equi-join, scored
+    with the exact bit distance. Shared by the image (dhash) and audio
+    (ahash) pair generators; works for any 64-bit fingerprint."""
     width = 16 // bands
-    banded = hs.select(
+    banded = hashes.select(
         F.col(id_col),
-        "dhash",
+        F.col(hash_col).alias("_h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.substring("dhash", i * width + 1, width).alias(
+                        F.substring(hash_col, i * width + 1, width).alias(
                             "band_val"
                         ),
                     )
@@ -679,13 +710,13 @@ def dhash_near_dup_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select(id_col, "dhash", "_b.band_idx", "_b.band_val")
+    ).select(id_col, "_h", "_b.band_idx", "_b.band_val")
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("dhash").alias("_ha"),
+        F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"),
         "band_idx", "band_val",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("dhash").alias("_hb"),
+        F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"),
         "band_idx", "band_val",
     )
     cand = (

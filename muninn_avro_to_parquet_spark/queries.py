@@ -1801,6 +1801,75 @@ def multimodal_visual_near_dup(spark):
     )
 
 
+# (file_name, n_bytes, ahash) for the audio near-dup fixtures:
+# aud_pair_01 is the SAME amplitude ramp at HALF the sample rate —
+# different bytes, identical energy curve, identical hash; aud_pair_02
+# dips three windows (4 bits away); aud_pair_03 alternates loud/quiet
+_AUDIO_PAIR_GROUND_TRUTH = [
+    ("aud_pair_00.wav", 16044, "fffffffffffffffe"),
+    ("aud_pair_01.wav", 8044, "fffffffffffffffe"),
+    ("aud_pair_02.wav", 16044, "ffffe7fffefffffe"),
+    ("aud_pair_03.wav", 16044, "5555555555555555"),
+]
+
+
+def _audio_near_dup_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{s},'{h}')" for n, s, h in _AUDIO_PAIR_GROUND_TRUTH
+    )
+    def half(col, off):
+        return f"CAST(('0x' || substr({col}, {off}, 8)) AS BIGINT)"
+    return f"""
+    WITH expected(file_name, n_bytes, ahash) AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_PAIRS_FIXTURE_DIR}/*.wav')
+    ),
+    hs AS (
+      SELECT e.file_name, e.ahash FROM expected e JOIN blobs b
+      USING (file_name, n_bytes)
+    ),
+    banded AS (
+      SELECT file_name, ahash, i AS band_idx,
+             substr(ahash, i * 4 + 1, 4) AS band_val
+      FROM hs, (SELECT unnest([0, 1, 2, 3]) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.file_name AS id_a, b.file_name AS id_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM banded a JOIN banded b USING (band_idx, band_val)
+      WHERE a.file_name < b.file_name
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(bit_count(xor({half('ha', 1)}, {half('hb', 1)}))
+                + bit_count(xor({half('ha', 9)}, {half('hb', 9)})) AS INT)
+               AS hamming
+      FROM cand
+    ) WHERE hamming <= 10
+    """
+
+
+@q("multimodal_audio_near_dup", _audio_near_dup_oracle())
+def multimodal_audio_near_dup(spark):
+    """Audio near-duplicate pairs (multimodal.ahash_near_dup_pairs, the
+    shared hamming_hash_pairs machinery over the energy-gradient hash):
+    the same amplitude ramp at half the sample rate hashes identically
+    (Hamming 0 across different byte streams), a three-window dip sits
+    4 bits away, the alternating clip never pairs."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _PAIRS_FIXTURE_DIR, glob_filter="*.wav")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    return multimodal.ahash_near_dup_pairs(
+        meta, id_col="file_name", media_col="content", bands=4, max_hamming=10
+    )
+
+
 # (file_name, n_bytes, frame_index, width, height, round(mean_luma, 6))
 # for the committed uncompressed-AVI fixtures at every_n=2 — regenerate
 # with multimodal.encode_avi/_decode_avi_frames if the videos change
