@@ -539,6 +539,51 @@ def main() -> None:
     else:
         bigcorpus_stats = None
 
+    # scale proof for the perceptual-hash pair join (round 8): 100k
+    # 64-bit hashes (md5-derived) with a planted near-dup every 50th
+    # (one nibble flipped — shares 3 of 4 bands) through the shared
+    # banded-Hamming machinery behind dhash/ahash near-dup pairs. The
+    # join cost is the banded-collision profile, not hash count².
+    bighash_n = int(os.environ.get("SPARK_GRAFT_BIGHASH_N", "100000"))
+    if bighash_n > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import multimodal as mm_mod
+
+        base_hex = "substring(md5(concat('h', cast(eff as string))), 1, 16)"
+        mut = (
+            f"concat(substring({base_hex}, 1, 15), "
+            f"substring(md5(concat('m', cast(id as string))), 1, 1))"
+        )
+        hashes = (
+            spark.range(bighash_n)
+            .withColumn(
+                "eff",
+                F.when(F.col("id") % 50 == 49, F.col("id") - 49).otherwise(
+                    F.col("id")
+                ),
+            )
+            .select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    f"CASE WHEN id % 50 = 49 THEN {mut} ELSE {base_hex} END"
+                ).alias("phash"),
+            )
+        )
+        t0 = time.perf_counter()
+        n_hpairs = mm_mod.hamming_hash_pairs(
+            hashes, "doc_id", "phash", bands=4, max_hamming=6
+        ).count()
+        hash_wall = time.perf_counter() - t0
+        timings["hamming_bighashes"] = round(hash_wall, 4)
+        bighash_stats = {
+            "hashes": bighash_n,
+            "near_dup_pairs": n_hpairs,
+            "hashes_per_sec": round(bighash_n / hash_wall),
+        }
+    else:
+        bighash_stats = None
+
     # scale proof for training_order (r7's weak plan, r8-fixed arithmetic):
     # a 2M-example 5-source corpus through the full stride schedule —
     # grouped_row_number (range partition + per-(pid, source) offsets),
@@ -805,6 +850,7 @@ def main() -> None:
                 "triangles_bigcorpus", "containment_bigcorpus",
                 "spans_bigcorpus", "span_removal_bigcorpus",
                 "scan_bigfile_jvm", "training_order_bigcorpus",
+                "hamming_bighashes",
                 "lm_bigvocab", "bpe_bigvocab",
                 "bpe_batched_bigvocab", "postings_bigvocab",
                 "pq_bigvectors", "ivfpq_bigvectors",
@@ -825,6 +871,8 @@ def main() -> None:
         result["bigcorpus"] = bigcorpus_stats
     if bigorder_stats is not None:
         result["bigorder"] = bigorder_stats
+    if bighash_stats is not None:
+        result["bighashes"] = bighash_stats
     if bigvocab_stats is not None:
         result["bigvocab"] = bigvocab_stats
     if bigvec_stats is not None:

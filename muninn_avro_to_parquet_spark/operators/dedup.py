@@ -327,7 +327,10 @@ def decontaminate_two_phase(
     that sliver is typically orders of magnitude smaller than the corpus
     (contamination rates are per-mille), so phase 2's cost is negligible
     and phase 1 is a broadcast probe of a ≤ m_bits-row position set
-    inside the scan. Output contract identical to ``decontaminate``:
+    inside the scan. Phase 2 re-reads the suspects' text through a
+    second (semi-join-filtered) corpus scan — at 100 TB either accept
+    that scan or persist the flagged sliver's text during phase 1.
+    Output contract identical to ``decontaminate``:
     (id, n_overlap, contaminated) for every corpus document."""
     flags = decontaminate_bloom(
         corpus, benchmark, id_col, text_col, n, m_bits, num_hashes
