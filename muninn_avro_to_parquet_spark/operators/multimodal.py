@@ -767,10 +767,15 @@ def _decode_avi_frames(
         raise ValueError("not a RIFF/AVI container")
     width = height = None
     compression = 0
-    frames: list[bytes] = []
+    step = max(1, every_n)
+    n_seen = 0
+    # only every_n-th frame's bytes are retained (a long clip sampled
+    # 1-in-30 must not buffer all 30/30ths); slices of `data` share the
+    # payload buffer, so retention is (index, offset) bookkeeping
+    sampled: list[tuple[int, bytes]] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, compression
+        nonlocal width, height, compression, n_seen
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             (sz,) = struct.unpack_from("<I", data, pos + 4)
@@ -784,7 +789,9 @@ def _decode_avi_frames(
                 # BITMAPINFOHEADER: biCompression at offset 16
                 compression = struct.unpack_from("<I", data, body_start + 16)[0]
             elif cid == b"00db":
-                frames.append(data[body_start : body_start + sz])
+                if n_seen % step == 0:
+                    sampled.append((n_seen, data[body_start : body_start + sz]))
+                n_seen += 1
             elif cid == b"00dc":
                 raise ValueError(
                     "compressed AVI stream (00dc) unsupported by the "
@@ -793,16 +800,14 @@ def _decode_avi_frames(
             pos = body_start + sz + (sz & 1)  # chunks pad to even
 
     walk(12, len(data))
-    if width is None or not frames:
+    if width is None or not sampled:
         raise ValueError("AVI missing avih header or frames")
     if compression != 0:
         raise ValueError(f"AVI biCompression {compression} unsupported")
-    out = []
-    for idx in range(0, len(frames), max(1, every_n)):
-        out.append(
-            (idx, width, height, _dib_mean_luma(frames[idx], width, height))
-        )
-    return out
+    return [
+        (idx, width, height, _dib_mean_luma(frame, width, height))
+        for idx, frame in sampled
+    ]
 
 
 def video_frame_features_type(
