@@ -1150,9 +1150,14 @@ def ann_recall_report(spark):
     8-plane single-bucket LSH recalls ~0, multiprobe a little, IVF
     nprobe=4 ~0.5, and the nprobe sweep climbs to >=0.9 at nprobe=12 and
     ~0.98 at nprobe=14 of 16 lists — recall is a dial, paid for in
-    probed-list fraction, measured rather than asserted. Per-query
-    recall is micro-quantized before averaging so the aggregate
-    hash-matches."""
+    probed-list fraction, measured rather than asserted. (The
+    COMPRESSED path was measured too: int8 PQ-rerank plateaus at ~0.74
+    recall@10 vs the float baseline on this corpus even at
+    shortlist=400, because uniform-random vectors leave near-tied
+    similarity margins that int8 rerank noise flips — real embedding
+    distributions have wider margins; the IVF rows are the
+    production-recall demonstration here.) Per-query recall is
+    micro-quantized before averaging so the aggregate hash-matches."""
     emb = spark.table("embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
