@@ -6617,6 +6617,61 @@ def ann_topk_pq_rerank(spark):
 
 
 @q(
+    "ann_topk_pq_rerank_exact",
+    f"""
+    WITH {_PQ_CTES},
+    fel AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    fnorms AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM fel GROUP BY 1),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_sqdist ASC, vec_id ASC) AS r
+        FROM adc
+      ) WHERE r <= 400
+    ),
+    dots AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN fel a ON a.vec_id = c.query_id
+      JOIN fel b ON b.vec_id = c.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.query_id, d.vec_id, dot / (na.nrm * nb.nrm) AS cosine_sim
+      FROM dots d
+      JOIN fnorms na ON d.query_id = na.vec_id
+      JOIN fnorms nb ON d.vec_id = nb.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_topk_pq_rerank_exact(spark):
+    """The full two-stage production retrieve
+    (similarity.ann_topk_pq_rerank_exact): ADC over 4-byte PQ codes
+    shortlists 400 candidates per query, the shortlist joins back to the
+    STORED full-precision vectors, and the final scores are the same
+    quantized-exact cosine cosine_topk computes. Unlike the int8 rerank
+    (whose quantization ceiling caps recall at ~0.74 here), this
+    variant's recall is bounded only by shortlist containment — at 400
+    the ADC shortlist contains the complete exact top-10 on this corpus,
+    so the result EQUALS brute force while scanning codes + 6% of full
+    vectors per query."""
+    return similarity.ann_topk_pq_rerank_exact(
+        spark.table("embeddings"), F.col("vec_id") < 5,
+        m=8, k=16, shortlist=400, top_k=10,
+    )
+
+
+@q(
     "ann_topk_ivfpq",
     f"""
     WITH {_PQ_CTES},

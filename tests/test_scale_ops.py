@@ -1276,3 +1276,24 @@ def test_dhash_near_dup_pairs_banded_hamming(spark):
         ).collect()
     }
     assert got8 == got
+
+
+def test_pq_rerank_exact_equals_bruteforce(spark):
+    """The exact-rerank two-stage retrieve must EQUAL brute force when
+    the ADC shortlist contains the true top-k (shortlist=400 on this
+    corpus) — same ids, same ranks, bit-identical scores."""
+    from muninn_avro_to_parquet_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pred = F.col("vec_id") < 5
+    exact = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"])
+        for r in similarity.cosine_topk(emb, emb.filter(pred), k=10).collect()
+    )
+    two_stage = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine_sim"])
+        for r in similarity.ann_topk_pq_rerank_exact(
+            emb, pred, m=8, k=16, shortlist=400, top_k=10
+        ).collect()
+    )
+    assert two_stage == exact
