@@ -727,6 +727,15 @@ def main() -> None:
         ).count()
         ivfpq_wall = time.perf_counter() - t0
         timings["ivfpq_bigvectors"] = round(ivfpq_wall, 4)
+        # exact-rerank two-stage retrieve at the same scale: ADC shortlist
+        # (1% of the corpus) + stored-vector exact scores — the
+        # brute-force-equal configuration's cost at 100k vectors
+        t0 = time.perf_counter()
+        n_pqx = sim_mod.ann_topk_pq_rerank_exact(
+            vemb, F.col("vec_id") < 5, m=8, k=16, shortlist=1000, top_k=10
+        ).count()
+        pqx_wall = time.perf_counter() - t0
+        timings["pq_rerank_exact_bigvectors"] = round(pqx_wall, 4)
         bigvec_stats = {
             "vectors": bigvec_n,
             "dim": dim,
@@ -734,6 +743,8 @@ def main() -> None:
             "pq_vectors_per_sec": round(bigvec_n / pq_wall),
             "ivfpq_results": n_ivfpq,
             "ivfpq_vectors_per_sec": round(bigvec_n / ivfpq_wall),
+            "pq_rerank_exact_results": n_pqx,
+            "pq_rerank_exact_vectors_per_sec": round(bigvec_n / pqx_wall),
         }
         vemb.unpersist()
     else:
@@ -853,7 +864,7 @@ def main() -> None:
                 "hamming_bighashes",
                 "lm_bigvocab", "bpe_bigvocab",
                 "bpe_batched_bigvocab", "postings_bigvocab",
-                "pq_bigvectors", "ivfpq_bigvectors",
+                "pq_bigvectors", "ivfpq_bigvectors", "pq_rerank_exact_bigvectors",
                 "geo_bigpoints", "linkage_bigrecords",
             )
         ), 4
