@@ -4285,6 +4285,76 @@ def q_snapshot_diff(spark):
 
 
 @q(
+    "q_merge_upsert",
+    """
+    WITH t AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DOUBLE) AS o_totalprice,
+             (o_orderkey % 10 = 0) AS is_del
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT CAST(o_orderkey AS BIGINT) + 1000000000, 'N',
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), FALSE
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.o_totalprice END AS o_totalprice,
+           t.o_orderdate
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND s.is_del)
+      AND NOT (t.o_orderkey IS NULL AND s.is_del)
+    """,
+)
+def q_merge_upsert(spark):
+    """MERGE INTO (operators/cdc.merge_upsert): a CDC batch synthesized
+    deterministically from orders — every 5th key an UPDATE (+10 price,
+    status 'U'), every 10th a DELETE, every 17th a brand-new key INSERT —
+    merged into the orders table in one full-outer hash join. The oracle
+    is the MERGE truth table written longhand, so the driver hash-checks
+    all four branches (update / delete / insert / untouched) end-to-end;
+    inserted rows correctly surface NULL for the target-only o_orderdate
+    column."""
+    from muninn_avro_to_parquet_spark.operators import cdc
+
+    o = spark.table("orders")
+    t = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast(MONEY).cast("double").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice").cast(MONEY) + 10).cast("double").alias("o_totalprice"),
+        (F.col("o_orderkey") % 10 == 0).alias("is_del"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey").cast("long") + 1000000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice").cast(MONEY).cast("double").alias("o_totalprice"),
+        F.lit(False).alias("is_del"),
+    )
+    return cdc.merge_upsert(
+        t,
+        upd.unionByName(ins),
+        ["o_orderkey"],
+        update_cols=["o_orderstatus", "o_totalprice"],
+        delete_col="is_del",
+    )
+
+
+@q(
     "q_salted_join",
     """
     SELECT e.user_id, e.event_id, e.event_type, c.c_name AS user_name,

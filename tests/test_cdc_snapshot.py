@@ -302,3 +302,49 @@ def test_dataframe_diff_null_safe_compare(spark):
     got = {r["id"]: r for r in C.dataframe_diff(old, new, ["id"]).collect()}
     assert set(got) == {2}
     assert got[2]["change_type"] == "changed"
+
+
+def test_merge_upsert_truth_table(spark):
+    """All four MERGE branches in one pass: matched-update, matched-delete,
+    source-only insert, target-only untouched — plus the two contract
+    corners: a delete for an absent key is a no-op, and inserted rows get
+    NULL for target-only columns."""
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, name string, extra int",
+    )
+    source = spark.createDataFrame(
+        [
+            (1, "A", False),   # matched update
+            (2, "b", True),    # matched delete
+            (4, "d", False),   # not matched insert
+            (9, "z", True),    # delete for absent key: no-op
+        ],
+        "id long, name string, is_del boolean",
+    )
+    got = {
+        r["id"]: r
+        for r in C.merge_upsert(
+            target, source, ["id"], update_cols=["name"], delete_col="is_del"
+        ).collect()
+    }
+    assert set(got) == {1, 3, 4}
+    assert got[1]["name"] == "A" and got[1]["extra"] == 10
+    assert got[3]["name"] == "c" and got[3]["extra"] == 30
+    assert got[4]["name"] == "d" and got[4]["extra"] is None
+
+
+def test_merge_upsert_no_insert_and_validation(spark):
+    """insert=False drops source-only rows; unknown update_cols raise."""
+    import pytest as _pytest
+
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    target = spark.createDataFrame([(1, "a")], "id long, name string")
+    source = spark.createDataFrame([(1, "A"), (2, "b")], "id long, name string")
+    got = C.merge_upsert(target, source, ["id"], insert=False).collect()
+    assert [(r["id"], r["name"]) for r in got] == [(1, "A")]
+    with _pytest.raises(ValueError, match="absent from source"):
+        C.merge_upsert(target, source, ["id"], update_cols=["missing"])
