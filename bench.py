@@ -491,6 +491,37 @@ def main() -> None:
         )
         span_rm_wall = time.perf_counter() - t0
         timings["span_removal_bigcorpus"] = round(span_rm_wall, 4)
+        # two-phase heavy hitters at long-tail scale: 200k docs x 40
+        # tokens over a ~500k-token vocabulary (expected distinct ~499k)
+        # with 5 planted hot tokens (~0.49% share each) at threshold
+        # 1/1000. The MG propose phase bounds the shuffle to
+        # partitions x 2000 candidate rows — an order of magnitude under
+        # the vocabulary a naive global groupBy would shuffle — and the
+        # verify phase must return EXACTLY the 5 planted tokens.
+        from muninn_avro_to_parquet_spark.operators import text as text_mod
+
+        hh_tok = (
+            "transform(sequence(1, 40), i -> concat('v', "
+            "cast(conv(substring(md5(concat(cast(id as string), '_', cast(i as string))), 1, 7), 16, 10) % 500000 as string)))"
+        )
+        hh_corpus = spark.range(bigcorpus_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat('hot', cast(id % 5 as string), ' ', array_join({hh_tok}, ' '))"
+            ).alias("text"),
+        )
+        t0 = time.perf_counter()
+        hh_rows = text_mod.heavy_hitters(
+            hh_corpus, threshold_num=1, threshold_den=1000
+        ).collect()
+        hh_wall = time.perf_counter() - t0
+        timings["heavyhitters_bigcorpus"] = round(hh_wall, 4)
+        hh_tokens = sorted(r["token"] for r in hh_rows)
+        if hh_tokens != [f"hot{i}" for i in range(5)]:
+            raise AssertionError(
+                f"heavy_hitters scale proof: expected the 5 planted hot "
+                f"tokens, got {hh_tokens[:10]}"
+            )
         bigcorpus_stats = {
             "docs": bigcorpus_docs,
             "candidate_pairs": n_pairs,
@@ -498,6 +529,10 @@ def main() -> None:
             "nodes_in_triangles": n_tri_nodes,
             "containment_pairs": n_contain,
             "docs_per_sec": round(bigcorpus_docs / big_dedup_wall),
+            "heavy_hitters": {
+                "hot_tokens": len(hh_rows),
+                "docs_per_sec": round(bigcorpus_docs / hh_wall),
+            },
             "spans": {
                 "shared_runs": n_spans,
                 "docs": removed["n_docs"],
@@ -860,6 +895,7 @@ def main() -> None:
                 "dedup_bigcorpus", "dedup_incremental_bigbatch",
                 "triangles_bigcorpus", "containment_bigcorpus",
                 "spans_bigcorpus", "span_removal_bigcorpus",
+                "heavyhitters_bigcorpus",
                 "scan_bigfile_jvm", "training_order_bigcorpus",
                 "hamming_bighashes",
                 "lm_bigvocab", "bpe_bigvocab",

@@ -907,3 +907,107 @@ def posting_lists(
         .select("token", F.array_join(F.col("_pieces"), " ").alias("postings"))
     )
     return docfreq.join(top, "token")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 200,
+    counters_per_partition: int | None = None,
+) -> DataFrame:
+    """EXACT corpus heavy hitters — every token whose global frequency is
+    ≥ ``threshold_num/threshold_den`` of all token occurrences — via the
+    bounded-shuffle two-phase pattern (propose → verify, same contract as
+    ``dedup_minhash_verified``):
+
+    **Phase 1 (propose)**: one Arrow-batched ``mapInPandas`` pass runs a
+    Misra-Gries summary per partition (``m`` counters, merged batch-wise
+    with the Agarwal-et-al mergeable-summaries rule: pointwise add, then
+    subtract the (m+1)-th largest count and drop non-positives). MG
+    guarantees any token with partition count > n_p/(m+1) survives; a
+    token with GLOBAL share ≥ f has ≥ f share in at least one partition
+    (averaging argument), so with m ≥ den/num the union of survivors is a
+    SUPERSET of the true heavy hitters — no false negatives, proven by
+    ``test_heavy_hitters_no_false_negatives``. Each partition also emits
+    its token count, so the corpus total N needs no extra scan.
+
+    **Phase 2 (verify)**: exact counts of ONLY the candidate set — a
+    broadcast semi-join onto the token stream, then one hash aggregate
+    whose shuffle carries ≤ (partitions × m) distinct keys instead of the
+    full vocabulary. The threshold compare is integer-exact
+    (``count·den ≥ N·num`` in BIGINT — no float epsilon), so the result
+    hash-matches a plain SQL oracle bit-for-bit.
+
+    Scale: the whole point. A naive global groupBy shuffles the entire
+    long-tail vocabulary (O(distinct tokens) keys — billions at 100 TB);
+    here the shuffle is bounded by the MG summaries regardless of corpus
+    size, and the verify scan is colocated with the (tiny, broadcast)
+    candidate list. Two corpus scans, O(partitions·m) shuffled rows.
+
+    Output: (token, n_occurrences, corpus_share) for qualifying tokens.
+    """
+    import pandas as pd
+
+    if counters_per_partition is None:
+        # m ≥ den/num makes phase 1 a no-false-negative superset; 2× headroom
+        counters_per_partition = 2 * -(-threshold_den // threshold_num)
+    m = int(counters_per_partition)
+    if m * threshold_num < threshold_den:
+        raise ValueError(
+            f"counters_per_partition={m} < den/num="
+            f"{threshold_den}/{threshold_num}: phase 1 could miss true "
+            "heavy hitters"
+        )
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        n_p = 0
+        for pdf in batches:
+            col = pdf["token"]
+            n_p += len(col)
+            for t, c in col.value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > m:
+                vals = sorted(counts.values(), reverse=True)
+                d = vals[m]
+                counts = {k: v - d for k, v in counts.items() if v > d}
+        yield pd.DataFrame(
+            {
+                "token": list(counts) + [None],
+                "part_n": [0] * len(counts) + [n_p],
+            }
+        )
+
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    # the summary is tiny (≤ partitions·(m+1) rows) but costs a full
+    # corpus scan — cache it so the total and the candidate list don't
+    # each re-run phase 1
+    summary = cache_scoped(
+        tok.mapInPandas(mg, schema="token string, part_n long"),
+        "text_heavy_hitters_summary",
+    )
+    total = summary.agg(F.sum("part_n").alias("_N"))
+    cands = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    counts = (
+        tok.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences") * F.lit(int(threshold_den))
+            >= F.col("_N") * F.lit(int(threshold_num))
+        )
+        .select(
+            "token",
+            "n_occurrences",
+            (F.col("n_occurrences").cast("double") / F.col("_N").cast("double")).alias(
+                "corpus_share"
+            ),
+        )
+    )

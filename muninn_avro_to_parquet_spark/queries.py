@@ -4648,6 +4648,29 @@ def text_vocabulary(spark):
 
 
 @q(
+    "text_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM toks GROUP BY 1)
+    SELECT token, n_occurrences,
+           CAST(n_occurrences AS DOUBLE) / CAST(n AS DOUBLE) AS corpus_share
+    FROM c, tot WHERE n_occurrences * 30 >= n
+    """,
+)
+def text_heavy_hitters(spark):
+    """Exact heavy hitters via bounded-shuffle two-phase Misra-Gries
+    (operators/text.heavy_hitters): per-partition mergeable MG summaries
+    propose a no-false-negative candidate superset, then a broadcast
+    semi-join verifies exact counts — the shuffle never carries the
+    long-tail vocabulary. The oracle is the naive full groupBy, so the
+    driver hash-proves the bounded plan EXACT, not approximate."""
+    return text.heavy_hitters(
+        spark.table("documents"), threshold_num=1, threshold_den=30
+    )
+
+
+@q(
     "text_posting_lists",
     f"""
     WITH tf AS (

@@ -1393,3 +1393,46 @@ def test_decontaminate_bloom_superset_of_exact(spark):
         ).collect()
     }
     assert roomy == exact
+
+
+def test_heavy_hitters_no_false_negatives_vs_exact(spark):
+    """The MG propose phase is stressed (vocab 3000 ≫ 40 counters, many
+    partitions) and the two-phase result must still EQUAL the naive exact
+    computation — the no-false-negative superset guarantee made visible."""
+    import random
+
+    rng = random.Random(7)
+    heavy = ["alpha"] * 900 + ["beta"] * 600   # well above 1/10 of ~5k tokens
+    tail = [f"t{rng.randrange(3000)}" for _ in range(3500)]
+    words = heavy + tail
+    rng.shuffle(words)
+    docs = [
+        (i, " ".join(words[i * 44 : (i + 1) * 44])) for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(16)
+
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in text.heavy_hitters(
+            df, threshold_num=1, threshold_den=10, counters_per_partition=40
+        ).collect()
+    }
+    tok = df.select(F.explode(text.tokens(F.col("text"))).alias("token"))
+    n = tok.count()
+    exact = {
+        r["token"]: r["cnt"]
+        for r in tok.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 10 >= F.lit(n))
+        .collect()
+    }
+    assert got == exact
+    assert "alpha" in got and "beta" in got
+
+
+def test_heavy_hitters_rejects_undersized_counters(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="could miss"):
+        text.heavy_hitters(df, threshold_num=1, threshold_den=100, counters_per_partition=50)
