@@ -605,6 +605,56 @@ def q_events_json(spark):
 
 
 @q(
+    "q_events_variant",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(value * 2) AS max_val2,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_variant(spark):
+    """Spark 4 VARIANT ingestion: a nested JSON document (synthesized
+    deterministically from events so the binary-encoded path is exercised
+    on arbitrary structure, not just the flat props payload) goes through
+    ``parse_json`` into a VARIANT column, and every read is a typed
+    ``variant_get`` path — struct field, array element, and a missing
+    path (NULL, not an error). VARIANT keeps the open-schema encoding
+    columnar-shredded instead of re-parsing JSON text per access — the
+    100 TB answer for semi-structured event payloads whose schema drifts
+    faster than the table's. The oracle recomputes the same facts from
+    the source columns, proving the encode → extract loop lossless
+    (including exact double round-trip through JSON)."""
+    e = spark.table("events")
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            ).alias("meta"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+        )
+    )
+    v = e.select(F.parse_json(doc).alias("v"))
+    flat = v.select(
+        F.expr("variant_get(v, '$.meta.type', 'string')").alias("event_type"),
+        F.expr("variant_get(v, '$.meta.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.vals[1]', 'double')").alias("val2"),
+        F.expr("variant_get(v, '$.absent', 'string')").alias("absent"),
+    )
+    return flat.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("val2").alias("max_val2"),
+        F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
+
+
+@q(
     "q_string_funcs",
     """
     SELECT p_brand,
@@ -3862,6 +3912,47 @@ def q_posexplode_tokens(spark):
 
     return d.select(
         "doc_id", F.posexplode(tok(F.col("text"))).alias("pos", "token")
+    )
+
+
+@q(
+    "q_token_runs_udtf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKENS}) AS token,
+             unnest(range(1, len({_SQL_TOKENS}) + 1)) AS pos
+      FROM documents WHERE doc_id < 50
+    ),
+    runs AS (
+      SELECT doc_id, token, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY pos) AS grp
+      FROM toks
+    )
+    SELECT doc_id, CAST(MIN(pos) AS INT) AS start_pos, token,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM runs GROUP BY doc_id, token, grp
+    """,
+)
+def q_token_runs_udtf(spark):
+    """Python UDTF + LATERAL join (functions/udtfs.TokenRuns): run-length
+    encoding of each document's token stream, where one input row yields
+    a data-dependent number of output rows through imperative per-row
+    logic — the table-function corner of the UDF surface (SURVEY §2.2;
+    scalar pandas UDFs and the grouped-map UDAF cover the rest). The
+    oracle rebuilds the runs declaratively (gaps-and-islands window), so
+    the hash gate proves the imperative and relational forms equivalent.
+    Doc-pruned slice: UDTFs are row-at-a-time Python — the slow path by
+    design; unbounded corpora use the window form instead."""
+    from muninn_avro_to_parquet_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT t.doc_id, r.start_pos, r.token, r.run_len
+        FROM documents AS t, LATERAL token_runs(t.text) AS r
+        WHERE t.doc_id < 50
+        """
     )
 
 

@@ -181,3 +181,27 @@ def test_read_binary_dir_glob_filter_excludes(spark, tmp_path):
     (tmp_path / "b.txt").write_bytes(b"nope")
     df = formats.read_binary_dir(spark, str(tmp_path), glob_filter="*.bmp")
     assert [r["path"].rsplit("/", 1)[-1] for r in df.collect()] == ["a.bmp"]
+
+
+def test_token_runs_udtf_rle_and_nulls(spark):
+    """UDTF contract: maximal runs with 1-based starts, NULL text yields
+    no rows, and the lateral join drops rows for token-free documents."""
+    from muninn_avro_to_parquet_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a a b a"), (2, None), (3, "!!!")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT t.doc_id, r.start_pos, r.token, r.run_len
+        FROM udtf_docs t, LATERAL token_runs(t.text) r
+        ORDER BY t.doc_id, r.start_pos
+        """
+    ).collect()
+    assert [(r.doc_id, r.start_pos, r.token, r.run_len) for r in rows] == [
+        (1, 1, "a", 2),
+        (1, 3, "b", 1),
+        (1, 4, "a", 1),
+    ]
