@@ -107,6 +107,24 @@ def main(argv: list[str] | None = None) -> int:
         help="retain delete tombstones in the snapshot",
     )
 
+    p_vacuum = sub.add_parser(
+        "vacuum",
+        help="garbage-collect orphaned snapshot version directories "
+        "(crashed writes, lost optimistic-commit races)",
+    )
+    p_vacuum.add_argument("--table_dir", required=True)
+    p_vacuum.add_argument(
+        "--retention_hours", type=float, default=168.0,
+        help="never delete a directory whose newest file is younger than "
+        "this (protects in-flight materializations); default 7 days",
+    )
+    p_vacuum.add_argument(
+        "--keep_versions", type=int, default=None,
+        help="also collect PUBLISHED versions at least this far below the "
+        "current pointer (stranded by a crash mid-prune)",
+    )
+    p_vacuum.add_argument("--dry_run", action="store_true")
+
     p_export = sub.add_parser(
         "export", help="re-emit a parquet table as Avro OCF files"
     )
@@ -180,6 +198,22 @@ def main(argv: list[str] | None = None) -> int:
         fs.makedirs(args.checkpoint)
         fs.write_text(args.checkpoint.rstrip("/") + "/DRAIN", "drain\n")
         print(f"drain requested: {args.checkpoint.rstrip('/')}/DRAIN")
+        return 0
+
+    if args.cmd == "vacuum":
+        # driver-only metadata pass: listings + deletes, no Spark session
+        from muninn_avro_to_parquet_spark.operators import cdc
+
+        gone = cdc.vacuum_snapshots(
+            args.table_dir,
+            retention_seconds=args.retention_hours * 3600,
+            keep_versions=args.keep_versions,
+            dry_run=args.dry_run,
+        )
+        verb = "would delete" if args.dry_run else "deleted"
+        for d in gone:
+            print(f"{verb}: {d}")
+        print(f"{len(gone)} orphaned version dirs {verb.split()[-1]}")
         return 0
 
     from muninn_avro_to_parquet_spark.session import get_spark

@@ -130,6 +130,16 @@ def file_size(path: str) -> int:
     return info.size
 
 
+def file_mtime(path: str) -> float:
+    """Last-modification time of a file as a POSIX timestamp (0.0 when
+    the store doesn't report one — treat as 'unknown age', i.e. old)."""
+    if not is_uri(path):
+        return os.path.getmtime(path)
+    fs, p = resolve(path)
+    mt = fs.get_file_info(p).mtime
+    return mt.timestamp() if mt is not None else 0.0
+
+
 def exists(path: str) -> bool:
     if not is_uri(path):
         return os.path.exists(path)

@@ -452,3 +452,81 @@ def _not_deleted_source(delete_col: str | None):
     if delete_col is None:
         return F.lit(True)
     return ~F.coalesce(F.col("_s_del"), F.lit(False))
+
+
+def vacuum_snapshots(
+    table_dir: str,
+    retention_seconds: float = 7 * 24 * 3600,
+    keep_versions: int | None = None,
+    dry_run: bool = False,
+    _now: float | None = None,
+) -> list[str]:
+    """Garbage-collect ORPHANED snapshot version directories — the table
+    hygiene pass (Delta/Iceberg ``VACUUM``) the mini-table-format needs,
+    because two failure modes legitimately leave unreferenced data behind:
+
+    - a materialization that lost the optimistic-commit race writes a
+      complete ``v<N>`` (with ``_SUCCESS``) ABOVE the published pointer
+      and then raises — documented as "orphan left at <out>";
+    - a writer that crashed mid-``parquet()`` leaves a version directory
+      WITHOUT ``_SUCCESS`` at any number.
+
+    Neither is ever read (readers resolve ``_CURRENT`` then require
+    ``_SUCCESS``) and neither is pruned by ``materialize_snapshot``'s
+    keep-window loop (it only walks published versions below the
+    pointer), so they accumulate storage forever at CDC cadence.
+
+    Safety: a directory is only deleted when its NEWEST file is older
+    than ``retention_seconds`` (default 7 days, Delta's default) — an
+    IN-FLIGHT materialization that hasn't committed yet looks exactly
+    like a crashed one, and the retention window is what keeps vacuum
+    from eating it. Published versions (``_SUCCESS`` present and
+    ≤ the current pointer) are never touched unless ``keep_versions`` is
+    given, in which case versions the keep-window policy should have
+    pruned (a crash between pointer write and prune loop strands them)
+    are collected too — the current version itself is always kept.
+
+    Returns the directories deleted (or, with ``dry_run``, the ones that
+    would be). Driver-only metadata operation: O(versions) listings, no
+    Spark job."""
+    import re as _re
+    import time as _time
+
+    from muninn_avro_to_parquet_spark import fs
+
+    base = table_dir.rstrip("/")
+    cur = current_version(base)
+    now = _time.time() if _now is None else _now
+
+    def newest_mtime(d: str) -> float:
+        newest = 0.0
+        stack = [d]
+        while stack:
+            cur_dir = stack.pop()
+            for f in fs.list_files(cur_dir):
+                newest = max(newest, fs.file_mtime(f))
+            stack.extend(fs.list_subdirs(cur_dir))
+        return newest
+
+    doomed: list[str] = []
+    for d in fs.list_subdirs(base):
+        name = d.rsplit("/", 1)[-1]
+        if not _re.fullmatch(r"v\d+", name):
+            continue
+        v = int(name[1:])
+        published = fs.exists(f"{d}/_SUCCESS") and cur is not None and v <= cur
+        if published:
+            stranded = (
+                keep_versions is not None
+                and cur is not None
+                and v <= cur - keep_versions
+            )
+            if not stranded:
+                continue
+        if newest_mtime(d) > now - retention_seconds:
+            continue  # possibly in flight — retention window protects it
+        doomed.append(d)
+    if not dry_run:
+        for d in doomed:
+            fs.delete_dir(d)
+    return doomed

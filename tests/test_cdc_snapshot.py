@@ -348,3 +348,58 @@ def test_merge_upsert_no_insert_and_validation(spark):
     assert [(r["id"], r["name"]) for r in got] == [(1, "A")]
     with _pytest.raises(ValueError, match="absent from source"):
         C.merge_upsert(target, source, ["id"], update_cols=["missing"])
+
+
+def test_vacuum_snapshots_orphans_and_retention(spark, tmp_path):
+    """Vacuum eats (a) a complete version stranded ABOVE the pointer by a
+    lost optimistic-commit race and (b) a crashed _SUCCESS-less write —
+    but only past the retention window; published versions survive, and
+    keep_versions collects a stranded below-window published dir."""
+    import os
+
+    from muninn_avro_to_parquet_spark.operators import cdc as C
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1, False)], "id long, name string, tx long, is_del boolean"
+    ).select(
+        F.struct(
+            F.col("tx").alias("tx_id"),
+            F.lit("0").alias("lsn"),
+            F.col("is_del").alias("is_deleted"),
+            F.lit("UPDATE").alias("change_type"),
+        ).alias("source_metadata"),
+        "id",
+        "name",
+    )
+    C.materialize_snapshot(spark, tdir, df, ["id"])     # v1 (current)
+    C.materialize_snapshot(spark, tdir, df, ["id"])     # v2 (current)
+    # orphan ABOVE the pointer, complete with _SUCCESS (lost CAS race)
+    os.makedirs(f"{tdir}/v9")
+    open(f"{tdir}/v9/_SUCCESS", "w").close()
+    open(f"{tdir}/v9/part-0.parquet", "w").close()
+    # crashed write: no _SUCCESS
+    os.makedirs(f"{tdir}/v3")
+    open(f"{tdir}/v3/part-0.parquet", "w").close()
+    # unrelated dir must never match
+    os.makedirs(f"{tdir}/not_a_version")
+
+    now = os.path.getmtime(f"{tdir}/v9/part-0.parquet")
+    # inside retention: nothing deleted (could be in-flight)
+    assert C.vacuum_snapshots(tdir, retention_seconds=3600, _now=now) == []
+    # past retention, dry-run first: both orphans listed, nothing deleted
+    listed = C.vacuum_snapshots(
+        tdir, retention_seconds=0, dry_run=True, _now=now + 10
+    )
+    assert sorted(p.rsplit("/", 1)[-1] for p in listed) == ["v3", "v9"]
+    assert os.path.isdir(f"{tdir}/v9")
+    # real run
+    C.vacuum_snapshots(tdir, retention_seconds=0, _now=now + 10)
+    assert not os.path.exists(f"{tdir}/v9") and not os.path.exists(f"{tdir}/v3")
+    # published current + previous survive; keep_versions=1 strands v1
+    assert os.path.isdir(f"{tdir}/v1") and os.path.isdir(f"{tdir}/v2")
+    gone = C.vacuum_snapshots(
+        tdir, retention_seconds=0, keep_versions=1, _now=now + 10
+    )
+    assert [p.rsplit("/", 1)[-1] for p in gone] == ["v1"]
+    assert C.read_snapshot(spark, tdir).count() == 1

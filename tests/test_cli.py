@@ -268,3 +268,33 @@ def test_cli_avro_engine_flag(spark, tmp_path, monkeypatch, capsys):
         spark.conf.set("spark.muninn.avro.engine", prev)
     got = spark.read.parquet(str(tmp_path / "out" / "customers"))
     assert sorted(r["id"] for r in got.select("id").collect()) == [0, 1, 2, 3]
+
+
+def test_cli_vacuum(tmp_path, capsys):
+    """vacuum is driver-only (no Spark session): dry-run lists the orphan,
+    the real run deletes it, the published version survives."""
+    import os
+
+    import muninn_avro_to_parquet_spark.cli as cli
+
+    tdir = tmp_path / "tbl"
+    (tdir / "v1").mkdir(parents=True)
+    (tdir / "v1" / "_SUCCESS").touch()
+    (tdir / "v1" / "part-0.parquet").touch()
+    (tdir / "_CURRENT").write_text("v1\n")
+    (tdir / "v7").mkdir()         # crashed write: no _SUCCESS
+    (tdir / "v7" / "part-0.parquet").touch()
+
+    rc = cli.main([
+        "vacuum", "--table_dir", str(tdir),
+        "--retention_hours", "0", "--dry_run",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "would delete" in out and "v7" in out
+    assert (tdir / "v7").is_dir()
+
+    rc = cli.main(["vacuum", "--table_dir", str(tdir), "--retention_hours", "0"])
+    assert rc == 0
+    assert not (tdir / "v7").exists()
+    assert (tdir / "v1" / "part-0.parquet").exists()
