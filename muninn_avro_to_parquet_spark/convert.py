@@ -110,6 +110,40 @@ def detect_schema_drift(table_paths: list[str], sample_cap: int = DRIFT_SAMPLE_C
     return len(schema_groups(table_paths, sample_cap))
 
 
+def _write_table_output(
+    df,
+    table: str,
+    output_prefix: str,
+    ingestion_date: str,
+    max_records_per_file: int | None,
+) -> int:
+    """Shared sink for the convert paths: Hive-partitioned parquet via the
+    JVM writer, EXCEPT when the output scheme is owned by the engine's
+    filesystem registry (e.g. ``s3://`` registered through
+    ``fs.register_filesystem`` on images without hadoop-aws) — then the
+    executor-side pyarrow sink (``sources/parquet_fs``) writes the same
+    layout through the fs seam. Every row of a run shares ONE
+    ingestion_date, so the Hive layout is a single partition directory
+    either way. Returns rows written (Observation on the write pass for
+    the JVM route; the commit manifest for the fs route — no second
+    scan in either)."""
+    from pyspark.sql import Observation
+
+    if fs.has_registered_filesystem(output_prefix):
+        from muninn_avro_to_parquet_spark.sources import parquet_fs
+
+        out = f"{output_prefix.rstrip('/')}/{table}/ingestion_date={ingestion_date}"
+        manifest = parquet_fs.write_parquet_fs(df.drop("ingestion_date"), out)
+        return sum(n for _, n in manifest)
+    obs = Observation(f"convert_{table}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    writer = df.write.mode("append").partitionBy("ingestion_date")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(os.path.join(output_prefix, table))
+    return int(obs.get["rows"])
+
+
 def convert_paths(
     spark: SparkSession,
     table: str,
@@ -126,8 +160,6 @@ def convert_paths(
     The row count comes from an ``Observation`` on the same pass as the
     write — no second scan of input or output. ``avro_schema`` lets a
     caller that already read the first file's header pass it in."""
-    from pyspark.sql import Observation
-
     if ingestion_date is None:
         ingestion_date = dt.datetime.now(dt.timezone.utc).strftime("%Y-%m-%d")
     if avro_schema is None:
@@ -139,13 +171,9 @@ def convert_paths(
     df = df.drop(avro_source.SOURCE_FILE_COL).withColumn(
         "ingestion_date", F.lit(ingestion_date)
     )
-    obs = Observation(f"convert_{table}")
-    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    writer = df.write.mode("append").partitionBy("ingestion_date")
-    if max_records_per_file:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(os.path.join(output_prefix, table))
-    return int(obs.get["rows"])
+    return _write_table_output(
+        df, table, output_prefix, ingestion_date, max_records_per_file
+    )
 
 
 def _unified_plan_groups(groups: list[tuple[dict, list[str]]]):
@@ -205,7 +233,6 @@ def convert_paths_merged(
     groups align on the unified column list, and a single unionByName plan
     writes once — the union is narrow, so the conversion stays
     shuffle-free."""
-    from pyspark.sql import Observation
     from pyspark.sql import types as T
 
     if ingestion_date is None:
@@ -230,13 +257,9 @@ def convert_paths_merged(
     for p in parts[1:]:
         df = df.unionByName(p)
     df = df.withColumn("ingestion_date", F.lit(ingestion_date))
-    obs = Observation(f"convert_{table}")
-    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    writer = df.write.mode("append").partitionBy("ingestion_date")
-    if max_records_per_file:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(os.path.join(output_prefix, table))
-    return int(obs.get["rows"])
+    return _write_table_output(
+        df, table, output_prefix, ingestion_date, max_records_per_file
+    )
 
 
 def _convert_one_table(

@@ -63,6 +63,12 @@ def unregister_filesystem(scheme: str) -> None:
     _REGISTERED.pop(scheme, None)
 
 
+def has_registered_filesystem(path: str) -> bool:
+    """True when ``path`` is a URI whose scheme was explicitly registered
+    — i.e. this engine (not the JVM's Hadoop connectors) owns its I/O."""
+    return is_uri(path) and path.split("://", 1)[0] in _REGISTERED
+
+
 def registry_snapshot() -> dict[str, object]:
     """Picklable snapshot of this process's filesystem registry. Capture
     on the DRIVER at plan-build time and replay inside each task via

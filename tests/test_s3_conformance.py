@@ -11,10 +11,12 @@ Executor-side resolution works because ``fs.registry_snapshot`` rides the
 task closure: the S3FileSystem pickles its endpoint options into each
 worker process (tested cross-process by Spark's python workers here).
 
-The parquet OUTPUT stays local in these tests: Spark's JVM parquet writer
-needs hadoop-aws on the classpath for ``s3a://`` (standard cluster setup,
-jar not shipped in this image) — the engine-side seam (glob, decode,
-checkpoint, OCF sink) is what this module proves object-store-clean.
+Parquet OUTPUT runs over s3:// too: Spark's JVM parquet writer would need
+hadoop-aws on the classpath for ``s3a://`` (jar not shipped in this
+image), so the engine routes registered-scheme outputs through its own
+executor-side pyarrow sink (``sources/parquet_fs`` — dot-staged tasks,
+driver rename-commit, manifest) and ``convert()`` auto-selects it; the
+sink/source roundtrip and the convert-to-S3 path are tested below.
 
 moto quirk: its CompleteMultipartUpload response uses the root element
 ``CompleteMultipartUploadResponse`` where the S3 spec (and aws-sdk-cpp,
@@ -407,3 +409,74 @@ def test_durability_soak_stream_compact_snapshot_kill(spark, s3_root, tmp_path):
     assert got == {k: v["name"] for k, v in expected.items()}
     # one more poll finds nothing new — the ledger is complete
     assert make_conv().poll_once(ingestion_date="2026-01-01").new_files == []
+
+
+def test_parquet_sink_and_source_over_s3(spark, s3_root):
+    """The historically hadoop-aws-blocked half, closed engine-side:
+    executor tasks stream parquet straight to s3:// through the fs seam
+    (pyarrow ParquetWriter per task, dot-staged, driver rename-commit +
+    manifest), and the distributed source reads it back column-pruned —
+    full roundtrip over S3 HTTP with zero JVM connector jars."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.sources import parquet_fs
+
+    df = (
+        spark.range(1000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+    )
+    out = f"{s3_root}/pq/table1"
+    # stray from a "previous crashed run": same layout, different run id —
+    # the commit sweep must NOT touch other runs' files (vacuum territory)
+    fs.write_text(f"{out}/.part-00000-deadbeefdead-a0.parquet", "stale")
+
+    manifest = parquet_fs.write_parquet_fs(df.repartition(4), out)
+    assert sum(n for _, n in manifest) == 1000
+    names = sorted(p.rsplit("/", 1)[-1] for p, _ in manifest)
+    assert len(names) == 4
+    assert all(
+        n.startswith(f"part-0000{i}-") and n.endswith(".snappy.parquet")
+        for i, n in enumerate(names)
+    )
+    listing = {p.rsplit("/", 1)[-1] for p in fs.list_files(out)}
+    assert "_SUCCESS" in listing and "_MANIFEST.json" in listing
+    # no staged leftovers from THIS run; the foreign stray survives
+    assert {n for n in listing if n.startswith(".part-")} == {
+        ".part-00000-deadbeefdead-a0.parquet"
+    }
+    man = json.loads(fs.read_text(f"{out}/_MANIFEST.json"))
+    assert man["total_rows"] == 1000 and len(man["files"]) == 4
+
+    back = parquet_fs.read_parquet_fs(spark, out)
+    assert back.schema == df.schema
+    assert sorted((r.k, r.v) for r in back.collect()) == [
+        (i, 2 * i) for i in range(1000)
+    ]
+    pruned = parquet_fs.read_parquet_fs(spark, out, columns=["v"])
+    assert pruned.columns == ["v"]
+    assert pruned.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(1000))
+
+
+def test_convert_end_to_end_s3_output(spark, s3_root):
+    """convert() with BOTH ends on s3://: the write auto-routes through
+    the executor-side pyarrow sink (fs registry owns the scheme — no
+    hadoop-aws), lands the same Hive ``ingestion_date=`` layout with a
+    commit manifest, and reads back value-identical."""
+    from muninn_avro_to_parquet_spark.sources import parquet_fs
+
+    _s3_fixture_tree(s3_root, tables=("orders_t",), files_per_table=2)
+    res = convert.convert(
+        spark,
+        f"{s3_root}/avro/orders_t/*.avro",
+        f"{s3_root}/converted",
+        ingestion_date="2026-01-02",
+    )
+    assert res.tables == {"orders_t": 6}
+    part_dir = f"{s3_root}/converted/orders_t/ingestion_date=2026-01-02"
+    names = {p.rsplit("/", 1)[-1] for p in fs.list_files(part_dir)}
+    assert "_SUCCESS" in names and "_MANIFEST.json" in names
+    back = parquet_fs.read_parquet_fs(spark, part_dir)
+    assert sorted(r.id for r in back.select("id").collect()) == list(range(6))
