@@ -368,3 +368,48 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime half of the engine's skew
+    story (the static half is operators/skew.salted_join): a 90%-hot key
+    lands one shuffle partition far above the skew threshold, and the
+    FINAL adaptive plan must show the sort-merge join running in skew
+    mode (`skew=true`) with the skewed partition split into sub-reads
+    instead of one straggler task. Thresholds are lowered for the test
+    corpus; the assertion is on the executed-plan shape (and the exact
+    join cardinality, so the split is also proven lossless)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x"), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(5000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv")
+        )
+        j = left.join(right, "k")
+        # 180000 hot rows match k=7; cold rows k=id%10==9 match iff k<5000
+        assert len(j.collect()) == 180500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead reports the split reads
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
