@@ -1,0 +1,650 @@
+"""Pure-stdlib baseline JPEG codec — the last image format the multimodal
+family needed a third-party library for.
+
+Scope (and honest limits):
+- **decode**: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+  with per-component sampling factors up to 2×2 (so 4:4:4, 4:2:2 and the
+  ubiquitous 4:2:0 all decode), multiple DQT/DHT segments, restart
+  markers (DRI/RSTn). Progressive (SOF2), arithmetic coding and 12-bit
+  raise ``ValueError`` rather than mis-decoding.
+- **encode**: baseline sequential, YCbCr 4:4:4, Annex-K quantization
+  tables scaled by IJG quality, Annex-K Huffman tables, JFIF APP0 —
+  bit-deterministic for a given (pixels, quality), which is what lets
+  committed fixtures carry exact byte sizes and hashes.
+
+Conformance is cross-validated against an independent implementation
+that IS in this image: the JVM's ``javax.imageio`` (the same
+borrow-the-JVM strategy as the Java Avro conformance suite) — both
+directions, see ``tests/test_java_jpeg_conformance.py``.
+
+Used by ``operators/multimodal``'s feature/pixel decode seams; JPEG Y is
+BT.601 luma, so the features path reads mean luma straight off the Y
+plane without color conversion.
+
+Like every codec in this engine the per-byte work runs executor-side
+(Arrow-batched ``mapInPandas`` callers); pure python per 8×8 block is
+the deliberate trade for zero native dependencies — wire in a vectorized
+IDCT behind the same function signatures when throughput ever matters
+more than portability.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ---------------------------------------------------------------------------
+# tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# separable DCT basis: _COS[u][x] = cos((2x+1)·u·π/16), with the 1/√2 DC
+# normalization folded into _CU
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)] for u in range(8)
+]
+_CU = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) in canonical JPEG order."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol for the bit-serial decoder."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any marker and reports it (restart handling)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                raise _MarkerHit()
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def sync_restart(self, expected: int) -> None:
+        """Discard the byte-alignment padding, consume the RSTn marker,
+        reset bit state (DC predictors are the caller's job)."""
+        self.acc = self.n = 0
+        self.marker = None
+        d = self.data
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or d[self.pos + 1] != 0xD0 + (expected & 7)
+        ):
+            got = d[self.pos : self.pos + 2].hex() if self.pos + 1 < len(d) else "EOF"
+            raise ValueError(f"JPEG restart marker mismatch: got {got}")
+        self.pos += 2
+
+
+class _MarkerHit(Exception):
+    pass
+
+
+def _extend(v: int, size: int) -> int:
+    """EXTEND (T.81 F.2.2.1): map a ``size``-bit magnitude to its signed
+    value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode baseline JPEG bytes → (width, height, row-major RGB
+    pixels)."""
+    w, h, planes, samp = _decode_planes(data)
+    if len(planes) == 1:
+        y = planes[0]
+        return w, h, [(v, v, v) for v in y]
+    yp, cbp, crp = planes
+    (hy, vy), (hcb, vcb), (hcr, vcr) = samp
+    pix: list[tuple[int, int, int]] = []
+    # chroma planes are stored at their own resolution; replicate up
+    cb_w = -(-w * hcb // hy)
+    cr_w = -(-w * hcr // hy)
+    for yy in range(h):
+        cb_y = yy * vcb // vy
+        cr_y = yy * vcr // vy
+        for xx in range(w):
+            Y = yp[yy * w + xx]
+            Cb = cbp[cb_y * cb_w + xx * hcb // hy] - 128
+            Cr = crp[cr_y * cr_w + xx * hcr // hy] - 128
+            r = Y + 1.402 * Cr
+            g = Y - 0.344136 * Cb - 0.714136 * Cr
+            b = Y + 1.772 * Cb
+            pix.append(
+                (
+                    min(255, max(0, int(round(r)))),
+                    min(255, max(0, int(round(g)))),
+                    min(255, max(0, int(round(b)))),
+                )
+            )
+    return w, h, pix
+
+
+def decode_jpeg_luma(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma in [0,1]) without color conversion —
+    JPEG Y *is* BT.601 luma."""
+    w, h, planes, _samp = _decode_planes(data)
+    y = planes[0]
+    return w, h, (sum(y) / (w * h)) / 255.0
+
+
+def _decode_planes(data: bytes):
+    """Shared marker walk + entropy decode. Returns (w, h, [plane per
+    component at its own sampling resolution], [(Hi, Vi) per comp])."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[i + 2 * j : i + 2 * j + 2])[0]
+                        for j in range(64)
+                    ]
+                    i += 128
+                tbl = [0] * 64
+                for z, v in enumerate(vals):
+                    tbl[ZIGZAG[z]] = v
+                qtables[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} unsupported (8 only)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended) unsupported — "
+                "baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                data, pos, frame, scan_sel, qtables, htables, restart_interval
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG has no scan (SOS) segment")
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """8×8 inverse DCT + level shift, clamped to [0, 255]."""
+    cos = _COS
+    cu = _CU
+    # rows then columns (separable)
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        row = coef[base : base + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                if row[u]:
+                    s += cu[u] * row[u] * cos[u][x]
+            tmp[base + x] = s / 2
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                if col[v]:
+                    s += cu[v] * col[v] * cos[v][y]
+            val = int(round(s / 2)) + 128
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def _decode_scan(data, pos, frame, scan_sel, qtables, htables, restart_interval):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("JPEG sampling factors above 2 unsupported")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component plane dimensions (full MCU-padded, cropped at the end)
+    planes = []
+    dims = []
+    for cid, hi, vi, tq in comps:
+        pw, ph = mcus_x * 8 * hi, mcus_y * 8 * vi
+        planes.append([0] * (pw * ph))
+        dims.append((pw, ph))
+    sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count == restart_interval:
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * len(comps)
+                mcu_count = 0
+            try:
+                for ci, (cid, hi, vi, tq) in enumerate(comps):
+                    td, ta = sel[cid]
+                    dc_tbl = htables[(0, td)]
+                    ac_tbl = htables[(1, ta)]
+                    q = qtables[tq]
+                    pw, _ph = dims[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            coef = [0.0] * 64
+                            t = reader.huff(dc_tbl)
+                            diff = _extend(reader.bits(t), t)
+                            preds[ci] += diff
+                            coef[0] = preds[ci] * q[0]
+                            z = 1
+                            while z < 64:
+                                rs = reader.huff(ac_tbl)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        z += 16
+                                        continue
+                                    break  # EOB
+                                z += r
+                                if z > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                nat = ZIGZAG[z]
+                                coef[nat] = _extend(reader.bits(s), s) * q[nat]
+                                z += 1
+                            block = _idct_block(coef)
+                            ox = (mx * hi + bx) * 8
+                            oy = (my * vi + by) * 8
+                            plane = planes[ci]
+                            for yy in range(8):
+                                dst = (oy + yy) * pw + ox
+                                plane[dst : dst + 8] = block[yy * 8 : yy * 8 + 8]
+            except _MarkerHit:
+                raise ValueError(
+                    f"JPEG marker {reader.marker:#x} inside MCU data"
+                ) from None
+            mcu_count += 1
+    # crop padded planes to each component's true resolution
+    out_planes = []
+    samp = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        pw, _ph = dims[ci]
+        plane = planes[ci]
+        out_planes.append(
+            [plane[yy * pw + xx] for yy in range(ch) for xx in range(cw)]
+        )
+        samp.append((hi, vi))
+    # luma plane is cropped to (w, h) exactly
+    return w, h, out_planes, samp
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _scaled_quant(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (v * scale + 50) // 100)) for v in base]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+
+
+def _fdct_quant(block: list[float], q: list[int]) -> list[int]:
+    cos = _COS
+    cu = _CU
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += block[base + x] * cos[u][x]
+            tmp[base + u] = s
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * cos[v][y]
+            val = s * cu[u] * cu[v] / 4
+            qi = v * 8 + u
+            out[qi] = int(round(val / q[qi]))
+    return out
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value → (size, code bits) per T.81 F.1.2.1/F.1.4."""
+    if v == 0:
+        return 0, 0
+    size = v.bit_length() if v > 0 else (-v).bit_length()
+    code = v if v > 0 else v + (1 << size) - 1
+    return size, code
+
+
+def _encode_block(
+    samples: list[float],
+    q: list[int],
+    dc_codes,
+    ac_codes,
+    pred: int,
+    bw: _BitWriter,
+) -> int:
+    coef = _fdct_quant(samples, q)
+    dc = coef[0]
+    size, code = _magnitude(dc - pred)
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(code, size)
+    zz = [coef[ZIGZAG[z]] for z in range(64)]
+    run = 0
+    last_nz = 0
+    for z in range(63, 0, -1):
+        if zz[z]:
+            last_nz = z
+            break
+    for z in range(1, last_nz + 1):
+        v = zz[z]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, code = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(code, size)
+        run = 0
+    if last_nz != 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return dc
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    quality: int = 85,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major RGB pixels as a baseline JFIF JPEG (YCbCr 4:4:4,
+    Annex-K Huffman tables). Deterministic bytes for a given input.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs — the resync points a splittable/streaming reader needs."""
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    ql = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+    dc_l = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    # color convert once, level-shifted
+    yp = [0.0] * (width * height)
+    cbp = [0.0] * (width * height)
+    crp = [0.0] * (width * height)
+    for i, (r, g, b) in enumerate(pixels):
+        yp[i] = 0.299 * r + 0.587 * g + 0.114 * b - 128
+        cbp[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+        crp[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def block_at(plane: list[float], bx: int, by: int) -> list[float]:
+        out = [0.0] * 64
+        for yy in range(8):
+            sy = min(by * 8 + yy, height - 1)
+            for xx in range(8):
+                sx = min(bx * 8 + xx, width - 1)  # edge replication pad
+                out[yy * 8 + xx] = plane[sy * width + sx]
+        return out
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    blocks_x = -(-width // 8)
+    blocks_y = -(-height // 8)
+    mcu_count = 0
+    rst_n = 0
+    for by in range(blocks_y):
+        for bx in range(blocks_x):
+            if restart_interval and mcu_count == restart_interval:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                preds = [0, 0, 0]
+                mcu_count = 0
+            preds[0] = _encode_block(block_at(yp, bx, by), ql, dc_l, ac_l, preds[0], bw)
+            preds[1] = _encode_block(block_at(cbp, bx, by), qc, dc_c, ac_c, preds[1], bw)
+            preds[2] = _encode_block(block_at(crp, bx, by), qc, dc_c, ac_c, preds[2], bw)
+            mcu_count += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG[z]] for z in range(64)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG[z]] for z in range(64)))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUMA_BITS) + bytes(_AC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS))
+    out += seg(0xC4, bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -7,14 +7,15 @@ signatures — is real and tested. Codec coverage is tiered:
 - ``deterministic_fake=True``: a seeded fake derived from the content hash
   (stable across runs/engines — the oracle-parity mode, and what the
   registry queries use).
-- real decode, stdlib-only: BMP (24-bit uncompressed), PPM (P6), and PNG
-  (full unfilter set) images, WAV (PCM) audio, and uncompressed-AVI video
-  frame sampling (``decode_video_frames`` — RIFF walk, DIB frames; the
-  planning-only ``frame_sample_plan`` remains for payloads whose codec
-  the runtime lacks) — no third-party dependency, covered by tests in
-  this image; Pillow (JPEG/…) when importable. Formats beyond these
-  raise ``ValueError`` per ROW batch — a clear contract, not a silent
-  wrong answer.
+- real decode, stdlib-only: BMP (24-bit uncompressed), PPM (P6), PNG
+  (full unfilter set) and baseline JPEG (own codec in
+  ``operators/jpeg``, ImageIO-cross-validated) images, WAV (PCM) audio,
+  and uncompressed-AVI video frame sampling (``decode_video_frames`` —
+  RIFF walk, DIB frames; the planning-only ``frame_sample_plan`` remains
+  for payloads whose codec the runtime lacks) — no third-party
+  dependency, covered by tests in this image; Pillow when importable for
+  anything else. Formats beyond these raise ``ValueError`` per ROW
+  batch — a clear contract, not a silent wrong answer.
 
 At 100 TB: binary payloads stay columnar (Parquet binary + Snappy), decode
 runs in ``mapInPandas`` with Arrow batches so each task holds only one
@@ -239,6 +240,12 @@ def _real_image_features(doc_id, payload: bytes):
         w, h, luma = _decode_ppm(payload)
     elif payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         w, h, luma = _decode_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from muninn_avro_to_parquet_spark.operators import jpeg
+
+        # baseline JPEG Y is BT.601 luma — mean comes off the Y plane
+        # with no color conversion (operators/jpeg, ImageIO-conformant)
+        w, h, luma = jpeg.decode_jpeg_luma(payload)
     else:
         try:
             from PIL import Image  # optional dependency — absent in this image
@@ -248,8 +255,8 @@ def _real_image_features(doc_id, payload: bytes):
             return doc_id, img.width, img.height, sum(pixels) / (len(pixels) * 255.0)
         except ImportError:
             raise ValueError(
-                "unsupported image format without Pillow (stdlib path handles "
-                "BMP/PPM/PNG); install Pillow for JPEG"
+                "unsupported image format (stdlib path handles BMP/PPM/PNG "
+                "and baseline JPEG; install Pillow for the rest)"
             ) from None
     return doc_id, w, h, luma
 
@@ -411,7 +418,13 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]
         return _decode_bmp_pixels(payload)
     if payload[:2] == b"P6":
         return _decode_ppm_pixels(payload)
-    raise ValueError("unsupported image format for resize (stdlib path handles BMP/PPM)")
+    if payload[:2] == b"\xff\xd8":
+        from muninn_avro_to_parquet_spark.operators import jpeg
+
+        return jpeg.decode_jpeg(payload)
+    raise ValueError(
+        "unsupported image format for resize (stdlib path handles BMP/PPM/JPEG)"
+    )
 
 
 def _encode_ppm(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:

@@ -1490,6 +1490,70 @@ def multimodal_binary_ingest(spark):
     )
 
 
+# (file_name, n_bytes, md5, width, height, round(mean_luma, 6)) for the
+# committed JPEG fixtures: jimg_00 = own encoder 4:4:4 q90;
+# jimg_01 = own encoder q80 WITH restart markers, non-multiple-of-8 dims;
+# jimg_02 = encoded by the JVM's javax.imageio (independent encoder,
+# 4:2:0 subsampling — exercises the decoder's chroma upsample path).
+# Regenerate with the block in the fixtures' git history.
+_JPEG_GROUND_TRUTH = [
+    ("jimg_00.jpg", 753, "35e19da66fce62fb4456f2144ca683a8", 24, 16, 0.478217),
+    ("jimg_01.jpg", 812, "df01634240c7d0321603ffbe1de8c0f4", 33, 17, 0.494747),
+    ("jimg_02.jpg", 684, "c6950871494f7cb6c04e85c49de7fd4d", 20, 12, 0.44415),
+]
+
+
+def _jpeg_ingest_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{s},'{m}',{w},{h},CAST({l} AS DOUBLE))"
+        for n, s, m, w, h, l in _JPEG_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, n_bytes, content_md5, width, height, mean_luma)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.jpg')
+    )
+    SELECT file_name, n_bytes, content_md5, width, height, mean_luma
+    FROM expected JOIN blobs USING (file_name, n_bytes)
+    """
+
+
+@q("multimodal_jpeg_ingest", _jpeg_ingest_oracle())
+def multimodal_jpeg_ingest(spark):
+    """binaryFile ingest → REAL baseline-JPEG decode with the engine's own
+    stdlib codec (operators/jpeg — Huffman + dequant + IDCT + chroma
+    upsample, ImageIO-cross-validated): one row per .jpg fixture with
+    exact bytes/hash and decoded (width, height, mean_luma). The fixture
+    set deliberately mixes our 4:4:4 output, a restart-marker stream with
+    non-multiple-of-8 dimensions, and an independently encoded 4:2:0
+    file, so the oracle pins all three decode paths."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.jpg")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("content"),
+    )
+    feats = multimodal.decode_images(meta, id_col="file_name", media_col="content")
+    return (
+        meta.drop("content")
+        .join(feats, "file_name")
+        .select(
+            "file_name",
+            "n_bytes",
+            "content_md5",
+            "width",
+            "height",
+            F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+        )
+    )
+
+
 # (file_name, src_w, src_h, out_w, out_h, out_bytes, out_md5, round(luma, 6))
 # for the committed BMP fixtures resized to fit 3x3 — regenerated alongside
 # _BINARY_GROUND_TRUTH; the md5 cross-checked against the independent
