@@ -81,7 +81,10 @@ _UDFS = {
 
 
 def register_all(spark: SparkSession) -> list[str]:
-    """Register every engine scalar as a SQL function; returns the names."""
+    """Register every engine scalar UDF and table function (UDTF) for SQL
+    use; returns the names."""
+    from muninn_avro_to_parquet_spark.functions.udtfs import register_udtfs
+
     for name, fn in _UDFS.items():
         spark.udf.register(name, fn)
-    return sorted(_UDFS)
+    return sorted(_UDFS) + register_udtfs(spark)
