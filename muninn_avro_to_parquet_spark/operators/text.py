@@ -622,7 +622,10 @@ def gopher_features(
     base = df.select(
         "*",
         tokens(txt).alias("_toks"),
-        F.filter(F.split(txt, "[ \\t\\n\\r]+"), lambda w: w != F.lit("")).alias("_raw"),
+        # maximal non-whitespace runs via ONE extract_all — same stream
+        # as split-on-whitespace + drop-empties (the oracle's form), and
+        # the same 20x constant-factor win as tokens()
+        F.regexp_extract_all(txt, F.lit("[^ \\t\\n\\r]+"), 0).alias("_raw"),
         F.split(txt, "\\n").alias("_lines"),
     )
     toks, raw, lines = F.col("_toks"), F.col("_raw"), F.col("_lines")
