@@ -896,7 +896,18 @@ def connected_components(
         half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
         "cc_edges",
     )
-    return _cc_loop(edges, max_iterations, max(1, math.ceil(n_edges / 2_000_000)))
+    # two-sided stage sizing: ~2M edge rows (≈32 MB) per task bounds task
+    # COUNT on billion-edge graphs, but alone it stranded mid-size graphs
+    # on a couple of cores (2.6M edges → 2 tasks on 32 cores, measured 2x
+    # slower end-to-end) — so below ~100k rows/task the floor is the
+    # session's parallelism instead: every core works until tasks would
+    # go micro
+    cores = edges.sparkSession.sparkContext.defaultParallelism
+    n_part = max(
+        math.ceil(n_edges / 2_000_000),
+        min(math.ceil(max(n_edges, 1) / 100_000), cores),
+    )
+    return _cc_loop(edges, max_iterations, n_part)
 
 
 def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
@@ -934,11 +945,20 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
         # present in the relation, so the left join hits unless the label
         # is already a component minimum (which maps to itself anyway).
         lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
+        jumped = prop.join(lut, F.col("label") == F.col("_ln"), "left").select(
+            "node", F.coalesce("_ll", "label").alias("label"), "old_label"
+        )
+        # second jump in the same round: label chains shrink 4x per round
+        # instead of 2x (log4 rounds on path-y graphs — LSH bucket chains
+        # in a random candidate graph run longer than single-clique
+        # theory says). The jump joins are on the label relation, which
+        # is node-sized — far cheaper than the edge join that opens the
+        # round, so trading one more of them for a whole round wins.
         new_labels = (
-            prop.join(lut, F.col("label") == F.col("_ln"), "left")
+            jumped.join(lut, jumped["label"] == F.col("_ln"), "left")
             .select(
                 "node",
-                F.coalesce("_ll", "label").alias("label"),
+                F.coalesce("_ll", jumped["label"]).alias("label"),
                 "old_label",
             )
             .coalesce(n_part)
