@@ -437,7 +437,15 @@ def main() -> None:
                 F.col("id").alias("doc_id"),
                 F.expr(f"array_join({tok}, ' ')").alias("text"),
             )
+            .cache()
         )
+        # materialize the SYNTHETIC corpus outside the timers: the md5
+        # text generator is not the operator under test, and the LSH
+        # propose plan references the corpus from several branches — an
+        # uncached input re-runs generation per branch and the entries
+        # end up measuring the generator (profiled: warm signature pass
+        # 0.6 s vs 8.6 s with generation folded in)
+        corpus.count()
         t0 = time.perf_counter()
         pairs = dedup_mod.minhash_candidate_pairs(
             corpus, "doc_id", "text", num_hashes=8, bands=4, max_bucket=64
@@ -509,12 +517,14 @@ def main() -> None:
             F.expr(
                 f"concat('hot', cast(id % 5 as string), ' ', array_join({hh_tok}, ' '))"
             ).alias("text"),
-        )
+        ).cache()
+        hh_corpus.count()  # generator outside the timer (see corpus above)
         t0 = time.perf_counter()
         hh_rows = text_mod.heavy_hitters(
             hh_corpus, threshold_num=1, threshold_den=1000
         ).collect()
         hh_wall = time.perf_counter() - t0
+        hh_corpus.unpersist()
         timings["heavyhitters_bigcorpus"] = round(hh_wall, 4)
         hh_tokens = sorted(r["token"] for r in hh_rows)
         if hh_tokens != [f"hot{i}" for i in range(5)]:
@@ -571,6 +581,7 @@ def main() -> None:
             "delta_docs_per_sec": round(delta_docs / inc_wall),
         }
         corpus_bands.unpersist()
+        corpus.unpersist()
     else:
         bigcorpus_stats = None
 
