@@ -1,0 +1,135 @@
+"""In-DataFrame iterative ML — the "you'd reach for MLlib" gap closed with
+plain aggregates, arithmetic exact enough to hash-match a DuckDB oracle.
+
+``logreg_fit``: batch gradient-descent logistic regression where every
+cross-row reduction is an EXACT integer sum, so the result is
+deterministic under any partitioning / aggregation order:
+
+- features are caller-supplied INTEGER columns (quantize upstream, the
+  ``similarity``/``text`` convention);
+- weights live as scaled integers (``scale`` fixed-point);
+- the margin and sigmoid run per-row in IEEE double (deterministic on
+  every engine — no Σ of doubles ever happens), then the probability is
+  re-quantized with ``round`` before the gradient sum;
+- the sigmoid is the RATIONAL approximation ``0.5 + m/(2(1+|m|))``
+  (Elliott / "fast sigmoid") — only +,*,/,abs, which IEEE pins
+  bit-for-bit cross-engine, unlike ``exp`` whose last-ulp behavior is
+  library-specific;
+- weight updates divide with TRUNCATION toward zero, matching Spark's
+  ``div`` and DuckDB's ``//`` (python ``//`` floors — ``_tdiv`` mirrors
+  the SQL semantics).
+
+Scale: one scan + one map-side-combinable aggregate per iteration; the
+(d+1) weights ride into the plan as literals (no join, no driver-sized
+state). Gradient terms must fit BIGINT: |resid| ≤ scale, so the bound is
+rows · scale · max|x| < 2^63 — at 10^9 rows with scale 10^6 keep
+features under ~10^3, or lift the sums to DECIMAL(38,0) (one-line
+change) for headroom to 10^26.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark ``div``, DuckDB
+    ``//``); python's ``//`` floors, which disagrees for negative a."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def fast_sigmoid(m: Column) -> Column:
+    """0.5 + m / (2·(1+|m|)) — strictly increasing, bounded (0,1),
+    crosses 0.5 at m=0; all-rational so cross-engine bit-exact."""
+    return F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+
+
+@dataclass(frozen=True)
+class LogRegModel:
+    weights: list[int]  # scaled by `scale`; index 0 = bias
+    scale: int
+    iterations: int
+    n_rows: int
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 3,
+    lr_num: int = 5,
+    lr_den: int = 1,
+    scale: int = 1_000_000,
+) -> LogRegModel:
+    """Fit by full-batch gradient descent; see module docstring for the
+    determinism contract. ``label_col`` must be 0/1 integers; features
+    integer columns. Learning rate = lr_num/lr_den applied to the MEAN
+    gradient (the n divisor is folded into the update's truncating
+    division, so no per-row float division happens)."""
+    d = len(feature_cols)
+    w = [0] * (d + 1)
+    n_rows = 0
+    for _ in range(iterations):
+        m_s = F.lit(w[0]).cast("long")
+        for i, c in enumerate(feature_cols):
+            m_s = m_s + F.lit(w[i + 1]).cast("long") * F.col(c).cast("long")
+        p = fast_sigmoid(m_s.cast("double") / F.lit(float(scale)))
+        resid = F.round(p * scale).cast("long") - F.col(label_col).cast("long") * scale
+        aggs = [F.count(F.lit(1)).alias("n"), F.sum(resid).alias("g0")]
+        aggs += [
+            F.sum(resid * F.col(c).cast("long")).alias(f"g{i + 1}")
+            for i, c in enumerate(feature_cols)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        n_rows = row["n"]
+        w = [
+            w[i] - _tdiv(lr_num * row[f"g{i}"], lr_den * n_rows)
+            for i in range(d + 1)
+        ]
+    return LogRegModel(weights=w, scale=scale, iterations=iterations, n_rows=n_rows)
+
+
+def logreg_score(
+    df: DataFrame,
+    model: LogRegModel,
+    feature_cols: list[str],
+    prob_col: str = "probability",
+) -> DataFrame:
+    """Score rows with a fitted model: scaled margin, rational-sigmoid
+    probability, and the 0.5-threshold prediction."""
+    m_s = F.lit(model.weights[0]).cast("long")
+    for i, c in enumerate(feature_cols):
+        m_s = m_s + F.lit(model.weights[i + 1]).cast("long") * F.col(c).cast("long")
+    p = fast_sigmoid(m_s.cast("double") / F.lit(float(model.scale)))
+    return df.withColumn("margin_scaled", m_s).withColumn(prob_col, p).withColumn(
+        "prediction", (m_s > 0).cast("int")
+    )
+
+
+def logreg_training_report(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iterations: int = 3,
+    lr_num: int = 5,
+    lr_den: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fit + evaluate in one call, returned as a RELATION so the result
+    is oracle-hashable: one row per weight (w0..wd, scaled BIGINT) plus
+    ``n_rows`` and ``n_correct`` under the 0.5 threshold."""
+    spark = df.sparkSession
+    model = logreg_fit(
+        df, feature_cols, label_col, iterations, lr_num, lr_den, scale
+    )
+    scored = logreg_score(df, model, feature_cols)
+    correct = scored.filter(
+        F.col("prediction") == F.col(label_col).cast("int")
+    ).count()
+    rows = [(f"w{i}", int(model.weights[i])) for i in range(len(feature_cols) + 1)]
+    rows += [("n_rows", int(model.n_rows)), ("n_correct", int(correct))]
+    return spark.createDataFrame(rows, "name string, value long")
