@@ -6,11 +6,25 @@ agg + top-k) at sf0.001. ``queries()`` / ``oracle_sql()`` expose every
 registry entry; entries whose oracle is ``None`` (approximate /
 non-SQL-expressible ops) are omitted from ``oracle_sql()`` so the driver
 records the weaker rows-only check for them.
+
+Rotation is SELF-MAINTAINING (round-8 verdict task #1): the driver's
+correctness sweep caps at 50 entries taken in dict order, so the dict is
+ordered by reading the ``CORRECTNESS_r*.json`` artifacts the driver
+itself writes next to this file:
+
+1. queries never driver-green in ANY round come first (new additions
+   land at the head automatically — no hand-kept ``_R{N}_NEW`` tuple to
+   go stale);
+2. ever-green queries follow, stalest verification first, so the capped
+   sweep continuously re-freshens the oldest signal.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -24,84 +38,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q3_shipping_priority"].spark(spark, SMOKE_SF_DIR)
 
 
-# Queries the ROUND-4 driver snapshot hash-verified (its correctness
-# sweep caps at 50 entries, taken in dict order). Listing them LAST
-# rotates the 43 queries that round 4 left with only judge-side
-# verification back into the driver's hard signal — the r4+r5 snapshot
-# union then covers the whole registry.
-_R4_CHECKED = frozenset(
-    {
-        "ann_topk_lsh_multiprobe", "dedup_components", "dedup_normalized",
-        "dedup_token_chunks", "doc_length_buckets", "doc_quality_filter",
-        "embedding_centroids", "multimodal_binary_ingest", "q10_returned_items",
-        "q13_order_count_distribution", "q14_promo_revenue",
-        "q17_small_quantity_revenue", "q18_large_volume",
-        "q19_disjunctive_revenue", "q1_pricing_summary",
-        "q22_dormant_customers", "q3_shipping_priority", "q4_order_priority",
-        "q6_revenue_forecast", "q7_nation_volume", "q8_market_share",
-        "q9_product_type_profit", "q_array_higher_order", "q_cdc_snapshot",
-        "q_chunk_documents", "q_cohort_retention", "q_cube_sales",
-        "q_date_spine_gapfill", "q_distinct_counts", "q_first_last_window",
-        "q_interval_join_attrib", "q_latest_event_per_user",
-        "q_moving_range_window", "q_ntile_deciles", "q_pack_sequences",
-        "q_pandas_grouped_stats", "q_pivot_status", "q_posexplode_tokens",
-        "q_rank_metrics", "q_rollup_sales", "q_salted_join", "q_scd2_history",
-        "q_unpivot_metrics", "sample_exact_n", "sample_token_budget",
-        "text_decontaminate", "text_pii_scrub", "text_repetition",
-        "text_tfidf_top_terms", "text_vocabulary",
-    }
-)
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r{N}.json marked it green.
+
+    Green = no error, row counts matched, and the value hash matched
+    (or the entry was a rows-only check with no hash recorded). Files
+    are best-effort: a missing or malformed artifact contributes
+    nothing rather than breaking the driver's import of this module.
+    """
+    green: dict[str, int] = {}
+    for path in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            records = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, rec in records.items():
+            if not isinstance(rec, dict) or rec.get("err") is not None:
+                continue
+            if not rec.get("rows_match"):
+                continue
+            if rec.get("hash_match") is False:
+                continue
+            green[name] = max(green.get(name, 0), rnd)
+    return green
 
 
-# Round-6 rotation head: queries never hash-checked by ANY driver
-# snapshot (r5 verdict: positions 51-52 of the r5 rotation missed the
-# 50-entry cap), plus queries newly added in round 6 (newest first).
-_R6_NEW = (
-    "dedup_repeated_spans",
-    "dedup_span_removal",
-    "text_bpe_batched",
-    "dedup_graph_triangles",
-    "embedding_random_projection",
-    "q_group_quartiles",
-    "dedup_containment_pairs",
-    "text_tfidf_cosine_pairs",
-    "q_key_skew_report",
-    "q_training_order",
-    "multimodal_dhash",
-    "multimodal_ahash",
-    "ann_recall_report",
-)
-
-
-# Queries added in round 5 — all driver-green in CORRECTNESS_r05 except
-# the two promoted into _R6_NEW above.
-_R5_NEW = (
-    "multimodal_resize", "q_snapshot_diff", "text_bpe_merges",
-    "text_bpe_segment", "text_lm_perplexity", "text_corpus_drift",
-    "text_posting_lists", "ann_topk_pq", "ann_topk_pq_rerank", "ann_topk_ivfpq",
-    "text_bpe_token_counts", "ann_topk_pq_refined", "q_record_linkage", "q_linkage_entities", "q_interpolate_gaps", "q_user_streaks", "q_geo_neighbor_pairs",
-    "split_leakage_safe", "sample_target_mixture", "q_fuzzy_join_parts",
-    "corpus_overlap_matrix", "doc_quality_top_fraction", "dedup_incremental_delta", "q_shard_assignment", "q_fuzzy_join_multipass",
-    "q2_min_cost_supplier", "q11_important_parts", "q12_priority_class",
-    "q15_top_supplier", "q16_supplier_count", "q20_heavy_shippers",
-    "q21_waiting_suppliers", "text_gopher_rules", "text_unigram_rarity",
-    "semantic_dedup", "dedup_minhash_verified", "corpus_curation_pipeline",
-    "corpus_curation_report", "q_lateral_topk", "q_arg_extremes",
-    "sample_quality_weighted", "q_event_funnel", "q_stream_dedup_mirror",
-    "dedup_graph_pagerank", "ann_ivf_refined_lists", "dedup_canonical_docs",
-    "q_zorder_layout", "embedding_quantize_int8", "ann_topk_int8",
-    "q_incremental_rollup", "dedup_repeated_spans", "dedup_span_removal",
-)
+def _rotation() -> list[str]:
+    green = _last_green_round()
+    order = {name: i for i, name in enumerate(QUERIES)}
+    never = [n for n in QUERIES if n not in green]
+    ever = sorted((n for n in QUERIES if n in green), key=lambda n: (green[n], order[n]))
+    return never + ever
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = list(_R6_NEW) + [n for n in _R5_NEW if n not in _R6_NEW]
-    ordered = (
-        head
-        + [n for n in QUERIES if n not in _R4_CHECKED and n not in head]
-        + [n for n in QUERIES if n in _R4_CHECKED]
-    )
-    return {name: QUERIES[name].spark for name in ordered}
+    return {name: QUERIES[name].spark for name in _rotation()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -109,6 +86,6 @@ def oracle_sql() -> dict[str, str]:
     # query with its oracle regardless of which dict it iterates
     return {
         name: QUERIES[name].oracle
-        for name in queries()
+        for name in _rotation()
         if QUERIES[name].oracle is not None
     }

@@ -35,6 +35,24 @@ def test_every_oracle_parses_in_duckdb(name):
     con.sql("EXPLAIN " + entry_mod.oracle_sql()[name])
 
 
+def test_rotation_puts_unverified_queries_first():
+    """Round-8 verdict #1: the driver's correctness sweep caps at 50
+    entries in dict order, and the hand-kept ``_R{N}_NEW`` head tuples
+    went stale. The rotation is now derived from the CORRECTNESS_r*.json
+    artifacts themselves — any query never driver-green MUST lead the
+    dict so the next sweep verifies it."""
+    green = entry_mod._last_green_round()
+    names = list(entry_mod.queries())
+    never = [n for n in names if n not in green]
+    assert names[: len(never)] == never, (
+        "never-driver-green queries must occupy the head of the rotation"
+    )
+    # ever-green tail is ordered stalest-verification-first
+    tail = names[len(never) :]
+    rounds = [green[n] for n in tail]
+    assert rounds == sorted(rounds), "ever-green tail must be stalest-first"
+
+
 def test_entry_returns_rows(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
