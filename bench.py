@@ -217,11 +217,51 @@ def _untee_stderr(orig: int, tee) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     err_log = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "err_bench.log"
     )
     tee_orig, tee_proc = _tee_stderr(err_log)
+    try:
+        result = _bench_body()
+    finally:
+        # always restore fd 2 and reap the tee, even when the bench dies
+        # mid-run — otherwise stderr stays redirected for the rest of the
+        # process and the tee child dangles (ADVICE r8). Stop the JVM
+        # FIRST: it holds its own copy of the tee'd fd 2 from launch, so
+        # the log is complete only once the JVM exits.
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+        finally:
+            _untee_stderr(tee_orig, tee_proc)
+    # the zero-unpartitioned-window claim, self-enforced (VERDICT r7 #2):
+    # every ranking window in the engine is partition-pinned; a "No
+    # Partition Defined for Window operation" warning means a plan
+    # regressed to a single-task window and the bench FAILS, loudly,
+    # after persisting its numbers
+    with open(err_log, encoding="utf-8", errors="replace") as f:
+        n_unpartitioned = sum(1 for line in f if "No Partition Defined" in line)
+    result["windowexec_warnings"] = n_unpartitioned
+
+    # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
+    # were cut, losing per-query timings); persist the full result as a
+    # standalone artifact so cross-round comparisons always have all queries
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
+    if n_unpartitioned:
+        sys.exit(
+            f"FAIL: {n_unpartitioned} 'No Partition Defined' WindowExec "
+            f"warning(s) in {err_log} — a window lost its partitioning"
+        )
+
+
+def _bench_body() -> dict:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -939,32 +979,7 @@ def main() -> None:
         result["biggeo"] = biggeo_stats
     if biglink_stats is not None:
         result["biglinkage"] = biglink_stats
-    # stop the JVM BEFORE finalizing the stderr tee: the JVM holds its own
-    # copy of the tee'd fd 2 from launch, so the log is complete only once
-    # the JVM exits
-    spark.stop()
-    _untee_stderr(tee_orig, tee_proc)
-    # the zero-unpartitioned-window claim, self-enforced (VERDICT r7 #2):
-    # every ranking window in the engine is partition-pinned; a "No
-    # Partition Defined for Window operation" warning means a plan
-    # regressed to a single-task window and the bench FAILS, loudly,
-    # after persisting its numbers
-    with open(err_log, encoding="utf-8", errors="replace") as f:
-        n_unpartitioned = sum(1 for line in f if "No Partition Defined" in line)
-    result["windowexec_warnings"] = n_unpartitioned
-
-    # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
-    # were cut, losing per-query timings); persist the full result as a
-    # standalone artifact so cross-round comparisons always have all queries
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json"), "w", encoding="utf-8") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
-    print(json.dumps(result))
-    if n_unpartitioned:
-        sys.exit(
-            f"FAIL: {n_unpartitioned} 'No Partition Defined' WindowExec "
-            f"warning(s) in {err_log} — a window lost its partitioning"
-        )
+    return result
 
 
 if __name__ == "__main__":

@@ -392,6 +392,12 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, htables, restart_interval)
         planes.append([0] * (pw * ph))
         dims.append((pw, ph))
     sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+    missing = [cid for cid, _hi, _vi, _tq in comps if cid not in sel]
+    if missing:
+        raise ValueError(
+            "non-interleaved/multi-scan baseline JPEG unsupported: frame "
+            f"components {missing} absent from the first SOS"
+        )
     reader = _BitReader(data, pos)
     preds = [0] * len(comps)
     mcu_count = 0

@@ -21,10 +21,10 @@ deterministic under any partitioning / aggregation order:
 
 Scale: one scan + one map-side-combinable aggregate per iteration; the
 (d+1) weights ride into the plan as literals (no join, no driver-sized
-state). Gradient terms must fit BIGINT: |resid| ≤ scale, so the bound is
-rows · scale · max|x| < 2^63 — at 10^9 rows with scale 10^6 keep
-features under ~10^3, or lift the sums to DECIMAL(38,0) (one-line
-change) for headroom to 10^26.
+state). Per-row gradient terms fit BIGINT (|resid| ≤ scale); the
+cross-row sums accumulate in DECIMAL(38,0), so the global bound is
+rows · scale · max|x| < 10^38 — comfortable at 10^12 rows, scale 10^6,
+features to 10^19.
 """
 
 from __future__ import annotations
@@ -79,15 +79,19 @@ def logreg_fit(
             m_s = m_s + F.lit(w[i + 1]).cast("long") * F.col(c).cast("long")
         p = fast_sigmoid(m_s.cast("double") / F.lit(float(scale)))
         resid = F.round(p * scale).cast("long") - F.col(label_col).cast("long") * scale
-        aggs = [F.count(F.lit(1)).alias("n"), F.sum(resid).alias("g0")]
+        # per-row terms fit BIGINT (|resid| ≤ scale); the cross-row SUM is
+        # the overflow risk, so it accumulates in DECIMAL(38,0) — exact to
+        # 10^38, i.e. rows · scale · max|x| has 38 digits of headroom
+        dec = "decimal(38,0)"
+        aggs = [F.count(F.lit(1)).alias("n"), F.sum(resid.cast(dec)).alias("g0")]
         aggs += [
-            F.sum(resid * F.col(c).cast("long")).alias(f"g{i + 1}")
+            F.sum((resid * F.col(c).cast("long")).cast(dec)).alias(f"g{i + 1}")
             for i, c in enumerate(feature_cols)
         ]
         row = df.agg(*aggs).collect()[0]
         n_rows = row["n"]
         w = [
-            w[i] - _tdiv(lr_num * row[f"g{i}"], lr_den * n_rows)
+            w[i] - _tdiv(lr_num * int(row[f"g{i}"]), lr_den * n_rows)
             for i in range(d + 1)
         ]
     return LogRegModel(weights=w, scale=scale, iterations=iterations, n_rows=n_rows)

@@ -706,6 +706,11 @@ def hamming_hash_pairs(
     column: candidates from the (band_idx, band_val) equi-join, scored
     with the exact bit distance. Shared by the image (dhash) and audio
     (ahash) pair generators; works for any 64-bit fingerprint."""
+    if bands < 1 or 16 % bands != 0:
+        raise ValueError(
+            "bands must divide the 16 hex chars of a 64-bit hash evenly "
+            f"(1/2/4/8/16) so banding covers every bit; got {bands}"
+        )
     width = 16 // bands
     banded = hashes.select(
         F.col(id_col),

@@ -630,7 +630,7 @@ def temperature_mixture_weights(
     if alpha not in forms:
         raise ValueError(
             f"alpha must be one of {sorted(forms)} (dyadic sqrt grid — "
-            "engine-exact); got {alpha}"
+            f"engine-exact); got {alpha}"
         )
     counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
     w = counts.select(

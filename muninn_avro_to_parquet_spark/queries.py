@@ -7569,3 +7569,115 @@ def doc_quality_top_fraction(spark):
     return pipeline.filter_top_fraction(
         scored, "quality_score", "source", 300_000, "doc_id"
     ).select("doc_id", "source", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# in-DataFrame ML (operators/ml.py)
+# ---------------------------------------------------------------------------
+
+_LOGREG_FEATURES_SQL = """
+      SELECT (length(t) - length(replace(t, 'a', '')))
+               - (length(t) - length(replace(t, 'e', ''))) AS x1,
+             (length(t) - length(replace(t, ' ', ''))) // 8 AS x2,
+             (length(t) - length(replace(t, 'o', ''))) // 8 AS x3,
+             CAST((length(t) - length(replace(t, 'a', '')))
+                    > (length(t) - length(replace(t, 'e', ''))) AS INT) AS label
+      FROM (SELECT coalesce(text, '') AS t FROM documents)
+"""
+
+
+def _logreg_oracle_sql(iterations: int, lr_num: int, lr_den: int, scale: int) -> str:
+    """Unroll ``ml.logreg_fit`` into pure DuckDB SQL (the BPE-oracle
+    pattern): one margin/residual/aggregate/weight-update CTE chain per
+    iteration, then score with the final weights. Every cross-row sum is
+    an integer (HUGEINT in DuckDB mirrors the engine's DECIMAL(38,0)
+    accumulators); the per-row sigmoid is the same all-rational
+    0.5 + m/(2(1+|m|)) in IEEE double, so the hash must match bit-for-bit.
+    """
+    d = 3
+    xs = [f"x{i}" for i in range(1, d + 1)]
+
+    def tdiv(a: str, b: str) -> str:
+        # truncation toward zero — matches python _tdiv / Spark `div`
+        return f"(CASE WHEN ({a}) >= 0 THEN abs({a}) // ({b}) ELSE -(abs({a}) // ({b})) END)"
+
+    ctes = [f"f AS ({_LOGREG_FEATURES_SQL})"]
+    prev = None
+    for it in range(1, iterations + 1):
+        if prev is None:
+            m_body = f"SELECT {', '.join(xs)}, label, CAST(0 AS DOUBLE) AS m FROM f"
+        else:
+            margin = " + ".join(
+                ["w.w0"] + [f"w.w{i + 1}*f.{c}" for i, c in enumerate(xs)]
+            )
+            m_body = (
+                f"SELECT {', '.join('f.' + c for c in xs)}, f.label, "
+                f"CAST({margin} AS DOUBLE)/{scale}.0 AS m FROM f, {prev} w"
+            )
+        ctes.append(f"m{it} AS ({m_body})")
+        ctes.append(
+            f"r{it} AS (SELECT {', '.join(xs)}, "
+            f"CAST(round((0.5 + m/(2.0*(1.0+abs(m))))*{scale}) AS BIGINT) "
+            f"- label*{scale} AS r FROM m{it})"
+        )
+        sums = ", ".join(
+            ["SUM(r) AS g0"] + [f"SUM(r*{c}) AS g{i + 1}" for i, c in enumerate(xs)]
+        )
+        ctes.append(f"a{it} AS (SELECT COUNT(*) AS n, {sums} FROM r{it})")
+        upd = ", ".join(
+            (
+                f"{'w.w%d' % i if prev else '0'} - "
+                f"{tdiv(f'{lr_num}*a.g{i}', f'{lr_den}*a.n')} AS w{i}"
+            )
+            for i in range(d + 1)
+        )
+        src = f"a{it} a, {prev} w" if prev else f"a{it} a"
+        ctes.append(f"w{it} AS (SELECT a.n, {upd} FROM {src})")
+        prev = f"w{it}"
+    margin = " + ".join(["w.w0"] + [f"w.w{i + 1}*f.{c}" for i, c in enumerate(xs)])
+    ctes.append(
+        "score AS (SELECT COUNT(*) AS n_rows, "
+        f"SUM(CASE WHEN CAST(({margin}) > 0 AS INT) = f.label THEN 1 ELSE 0 END) AS n_correct "
+        f"FROM f, {prev} w)"
+    )
+    weight_rows = "\n      UNION ALL ".join(
+        f"SELECT 'w{i}' AS name, CAST(w{i} AS BIGINT) AS value FROM {prev}"
+        for i in range(d + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    {weight_rows}
+      UNION ALL SELECT 'n_rows', CAST(n_rows AS BIGINT) FROM score
+      UNION ALL SELECT 'n_correct', CAST(n_correct AS BIGINT) FROM score
+    ORDER BY name
+    """
+
+
+@q("q_logreg_report", _logreg_oracle_sql(3, 1, 1, 1_000_000))
+def q_logreg_report(spark):
+    """Full-batch integer-exact logistic regression (operators/ml.py) as
+    a relation: 3 GD iterations over letter-count features of documents,
+    label = ('a'-count > 'e'-count) — a genuinely learnable linear signal
+    (accuracy climbs 452 → 500/500 on sf0.01 across the iterations), so
+    the report proves the learner moves weights in the right direction,
+    not just that the arithmetic hashes. One scan + one map-side-combined
+    aggregate per iteration; weights travel as plan literals, so the
+    shape is cluster-safe at any row count (sums are DECIMAL(38,0))."""
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    feats = (
+        spark.table("documents")
+        .selectExpr("coalesce(text, '') AS t")
+        .selectExpr(
+            "(length(t) - length(replace(t, 'a', ''))) "
+            "- (length(t) - length(replace(t, 'e', ''))) AS x1",
+            "(length(t) - length(replace(t, ' ', ''))) div 8 AS x2",
+            "(length(t) - length(replace(t, 'o', ''))) div 8 AS x3",
+            "cast((length(t) - length(replace(t, 'a', ''))) "
+            "> (length(t) - length(replace(t, 'e', ''))) as int) AS label",
+        )
+    )
+    return ml.logreg_training_report(
+        feats, ["x1", "x2", "x3"], "label", iterations=3, lr_num=1, lr_den=1
+    ).orderBy("name")

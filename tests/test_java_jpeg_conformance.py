@@ -144,6 +144,29 @@ def test_progressive_and_garbage_raise():
         jpeg.decode_jpeg(sof2 + b"\xff\xd9")
 
 
+def test_non_interleaved_multi_scan_raises_value_error():
+    """ADVICE r8: a baseline JPEG whose first SOS selects only a subset
+    of the frame components (non-interleaved / multi-scan layout) must
+    hit the documented ValueError contract, not a KeyError."""
+    import struct
+
+    w, h = 16, 16
+    pix = _gradient(w, h, lambda x, y: (16 * x, 16 * y, 128))
+    data = jpeg.encode_jpeg(w, h, pix, quality=75)
+    # rewrite the SOS header in place: ns 3 -> 1, keep only component 1
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+    ns = data[i + 4]
+    assert ns == 3 and seg_len == 2 + 1 + 2 * ns + 3
+    first_comp = data[i + 5 : i + 7]
+    tail = data[i + 4 + 1 + 2 * ns : i + 2 + seg_len]  # Ss/Se/AhAl bytes
+    new_sos = b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3) + b"\x01" + first_comp + tail
+    patched = data[:i] + new_sos + data[i + 2 + seg_len :]
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg.decode_jpeg(patched)
+
+
 def test_roundtrip_determinism_and_quality_ladder():
     w, h = 16, 16
     pix = _gradient(w, h, lambda x, y: (16 * x, 16 * y, 128))

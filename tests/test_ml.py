@@ -1,0 +1,135 @@
+"""operators/ml.py — integer-exact logistic regression. The contract is
+bit-for-bit determinism of the fitted weights under ANY partitioning /
+aggregation order (every cross-row reduction is an exact integer sum),
+plus agreement with an independent pure-Python reference loop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import ml
+
+
+def _tdiv_ref(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def _fit_ref(rows, d, iterations, lr_num, lr_den, scale=1_000_000):
+    """Independent reference: plain python loop over collected rows, same
+    rational sigmoid, same integer quantization. Spark's round(double)
+    is HALF_UP (away from zero); python's round() is half-even, so the
+    tie case is handled explicitly."""
+    import math
+
+    def round_half_up(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    w = [0] * (d + 1)
+    for _ in range(iterations):
+        n = 0
+        g = [0] * (d + 1)
+        for r in rows:
+            xs, label = r[:d], r[d]
+            m_s = w[0] + sum(w[i + 1] * xs[i] for i in range(d))
+            m = m_s / float(scale)
+            p = 0.5 + m / (2.0 * (1.0 + abs(m)))
+            resid = round_half_up(p * scale) - label * scale
+            n += 1
+            g[0] += resid
+            for i in range(d):
+                g[i + 1] += resid * xs[i]
+        w = [w[i] - _tdiv_ref(lr_num * g[i], lr_den * n) for i in range(d + 1)]
+    return w, n
+
+
+def test_tdiv_matches_sql_div_semantics(spark):
+    cases = [(7, 2), (-7, 2), (7, -2), (-7, -2), (0, 3), (5, 5), (-1, 4)]
+    got = [ml._tdiv(a, b) for a, b in cases]
+    expected = [
+        spark.sql(f"SELECT CAST({a} AS BIGINT) div CAST({b} AS BIGINT)").collect()[0][0]
+        for a, b in cases
+    ]
+    assert got == expected
+
+
+def test_fast_sigmoid_shape(spark):
+    df = spark.range(1).select(
+        *[ml.fast_sigmoid(F.lit(float(m))).alias(f"s{i}") for i, m in enumerate([-100.0, -1.0, 0.0, 1.0, 100.0])]
+    )
+    s = df.collect()[0]
+    vals = [s[i] for i in range(5)]
+    assert vals[2] == 0.5
+    assert all(0.0 < v < 1.0 for v in vals)
+    assert vals == sorted(vals)  # strictly increasing
+    assert vals[0] < 0.01 and vals[4] > 0.99
+
+
+@pytest.fixture(scope="module")
+def _toy(spark):
+    """Linearly separable-ish integer features with both signs."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        x1 = rng.randint(-25, 25)
+        x2 = rng.randint(0, 40)
+        x3 = rng.randint(0, 40)
+        label = 1 if (3 * x1 - x2 + 2 * x3 + rng.randint(-20, 20)) > 0 else 0
+        rows.append((x1, x2, x3, label))
+    return rows
+
+
+def test_fit_matches_pure_python_reference(spark, _toy):
+    df = spark.createDataFrame(_toy, "x1 int, x2 int, x3 int, label int")
+    model = ml.logreg_fit(df, ["x1", "x2", "x3"], "label", iterations=3)
+    ref_w, ref_n = _fit_ref(_toy, 3, 3, lr_num=5, lr_den=1)
+    assert model.weights == ref_w
+    assert model.n_rows == ref_n == 400
+
+
+def test_fit_invariant_under_partitioning(spark, _toy):
+    df = spark.createDataFrame(_toy, "x1 int, x2 int, x3 int, label int")
+    base = ml.logreg_fit(df, ["x1", "x2", "x3"], "label", iterations=2)
+    for parts in (1, 7, 32):
+        again = ml.logreg_fit(
+            df.repartition(parts), ["x1", "x2", "x3"], "label", iterations=2
+        )
+        assert again.weights == base.weights, parts
+
+
+def test_score_threshold_and_report(spark, _toy):
+    df = spark.createDataFrame(_toy, "x1 int, x2 int, x3 int, label int")
+    model = ml.logreg_fit(df, ["x1", "x2", "x3"], "label", iterations=3)
+    scored = ml.logreg_score(df, model, ["x1", "x2", "x3"])
+    rows = scored.collect()
+    for r in rows:
+        assert r["prediction"] == (1 if r["margin_scaled"] > 0 else 0)
+        assert 0.0 < r["probability"] < 1.0
+    report = ml.logreg_training_report(df, ["x1", "x2", "x3"], "label", iterations=3)
+    rep = {r["name"]: r["value"] for r in report.collect()}
+    assert [rep[f"w{i}"] for i in range(4)] == model.weights
+    assert rep["n_rows"] == 400
+    n_correct = sum(1 for r in rows if r["prediction"] == r["label"])
+    assert rep["n_correct"] == n_correct
+    # the learner beats the majority-class baseline on a learnable signal
+    majority = max(n for n in (sum(1 for t in _toy if t[3] == 1),
+                               sum(1 for t in _toy if t[3] == 0)))
+    assert n_correct > majority
+
+
+def test_gradient_sums_accumulate_in_decimal38(spark):
+    """The docstring bound: rows · scale · max|x| beyond 2^63 must not
+    overflow — the sums are DECIMAL(38,0). 2k rows of |x| = 10^13 with
+    scale 10^6 pushes each gradient sum past 10^22 (BIGINT dies at
+    9.2·10^18)."""
+    big = 10_000_000_000_000  # 10^13
+    df = spark.range(2000).select(
+        F.lit(big).alias("x1"), (F.col("id") % 2).cast("int").alias("label")
+    )
+    model = ml.logreg_fit(df, ["x1"], "label", iterations=1)
+    rows = [(big, int(i % 2)) for i in range(2000)]
+    ref_w, _ = _fit_ref(rows, 1, 1, lr_num=5, lr_den=1)
+    assert model.weights == ref_w

@@ -666,3 +666,13 @@ def test_training_order_vt_exact_at_10m_rows(spark):
             df.filter(F.col("_r") >= 9_300_000).select(bad.alias("vt")).agg(
                 F.max("vt")
             ).collect()
+
+
+def test_temperature_mixture_alpha_error_names_the_value(spark):
+    """ADVICE r8: the rejection message used to print the literal
+    '{alpha}' instead of the offending value."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame([("a", 1)], "source string, x int")
+    with pytest.raises(ValueError, match=r"got 0\.3"):
+        pl.temperature_mixture_weights(df, "source", alpha=0.3)

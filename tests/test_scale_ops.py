@@ -1278,6 +1278,20 @@ def test_dhash_near_dup_pairs_banded_hamming(spark):
     assert got8 == got
 
 
+def test_hamming_pairs_rejects_uneven_bands(spark):
+    """ADVICE r8: bands that don't divide the 16 hex chars (e.g. 3)
+    silently dropped trailing hash bits from the banding, weakening the
+    recall guarantee — now a loud ValueError."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    hs = spark.createDataFrame([(1, "0" * 16)], "doc_id long, dhash string")
+    for bad in (0, 3, 5, 32):
+        with pytest.raises(ValueError, match="divide"):
+            multimodal.hamming_hash_pairs(hs, "doc_id", "dhash", bands=bad)
+    for ok in (1, 2, 4, 8, 16):
+        multimodal.hamming_hash_pairs(hs, "doc_id", "dhash", bands=ok)
+
+
 def test_pq_rerank_exact_equals_bruteforce(spark):
     """The exact-rerank two-stage retrieve must EQUAL brute force when
     the ADC shortlist contains the true top-k (shortlist=400 on this
