@@ -133,9 +133,10 @@ def _make_bigfile_fixture(target_bytes: int, strip_decimal: bool = False) -> tup
     suffix = "_nodec" if strip_decimal else ""
     schema = _CDC_BENCH_SCHEMA
     if strip_decimal:
-        # bytes-decimal is never JVM-alignable (reference scale-30
-        # semantics); this variant exists to race the two ingest engines
-        # on the same file
+        # this variant races PURE JVM decode vs pure Python decode with
+        # no Arrow hop at all (since r9 the primary decimal fixture is
+        # also JVM-alignable — its bytes-decimal column rides the
+        # muninn.decimalAsBinary scan + Arrow coercion)
         schema = dict(schema)
         payload = dict(schema["fields"][2]["type"])
         payload["fields"] = [f for f in payload["fields"] if f["name"] != "balance"]
@@ -393,12 +394,14 @@ def _bench_body() -> dict:
             "rows_per_sec": round(big_rows / big_wall),
         }
         # JVM vs Python ingest on the SAME 1 GiB single file (round 8):
-        # the engine ships its own DSv2 Avro DataSource (jvm/BUILD.md), so
-        # the JVM-alignable fixture variant (no bytes-decimal — never
-        # alignable by reference semantics) converts end-to-end on BOTH
-        # engines. This is the direct measurement of the known 100 TB
-        # decode bottleneck: same file, same cast layer, same parquet
-        # sink, only the decode stage differs.
+        # the engine ships its own DSv2 Avro DataSource (jvm/BUILD.md).
+        # The no-decimal variant isolates the pure decode stage (zero
+        # Python in the JVM leg); the primary convert_bigfile above keeps
+        # the bytes-decimal column and, since r9, ALSO rides the JVM scan
+        # (muninn.decimalAsBinary + Arrow coercion on just that column).
+        # This is the direct measurement of the known 100 TB decode
+        # bottleneck: same file, same cast layer, same parquet sink, only
+        # the decode stage differs.
         nd_dir, nd_rows = _make_bigfile_fixture(big_bytes, strip_decimal=True)
         nd_pattern = os.path.join(nd_dir, "avro", "**", "*.avro")
         nd_file = os.path.join(nd_dir, "avro", "bench_big", "huge.avro")

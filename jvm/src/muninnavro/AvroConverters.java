@@ -67,6 +67,17 @@ public final class AvroConverters {
     }
 
     public static DataType toSqlType(Schema s) {
+        return toSqlType(s, false);
+    }
+
+    /** With {@code decimalAsBinary}, bytes/fixed decimal columns map to
+     * BinaryType carrying the raw big-endian two's-complement unscaled
+     * bytes instead of DecimalType. The CDC ingest path requests this:
+     * its contract reinterprets the unscaled int at an ASSUMED scale the
+     * writer's declared scale doesn't express, so the engine applies its
+     * own (Arrow-vectorized) decimal coercion on top of the JVM scan —
+     * only the decimal columns pay the Python hop, not the whole row. */
+    public static DataType toSqlType(Schema s, boolean decimalAsBinary) {
         switch (s.getType()) {
             case BOOLEAN:
                 return DataTypes.BooleanType;
@@ -99,7 +110,7 @@ public final class AvroConverters {
             case BYTES:
             case FIXED: {
                 LogicalType lt = s.getLogicalType();
-                if (lt instanceof LogicalTypes.Decimal) {
+                if (lt instanceof LogicalTypes.Decimal && !decimalAsBinary) {
                     LogicalTypes.Decimal d = (LogicalTypes.Decimal) lt;
                     return DataTypes.createDecimalType(d.getPrecision(), d.getScale());
                 }
@@ -107,18 +118,19 @@ public final class AvroConverters {
             }
             case ARRAY:
                 return DataTypes.createArrayType(
-                        toSqlType(s.getElementType()), isNullable(s.getElementType()));
+                        toSqlType(s.getElementType(), decimalAsBinary),
+                        isNullable(s.getElementType()));
             case MAP:
                 return DataTypes.createMapType(
                         DataTypes.StringType,
-                        toSqlType(s.getValueType()),
+                        toSqlType(s.getValueType(), decimalAsBinary),
                         isNullable(s.getValueType()));
             case RECORD: {
                 List<StructField> fields = new ArrayList<>();
                 for (Schema.Field f : s.getFields()) {
                     fields.add(new StructField(
                             f.name(),
-                            toSqlType(f.schema()),
+                            toSqlType(f.schema(), decimalAsBinary),
                             isNullable(f.schema()),
                             Metadata.empty()));
                 }
@@ -127,7 +139,7 @@ public final class AvroConverters {
             case UNION: {
                 List<Schema> branches = nonNullBranches(s);
                 if (branches.size() == 1) {
-                    return toSqlType(branches.get(0));
+                    return toSqlType(branches.get(0), decimalAsBinary);
                 }
                 if (branches.size() == 2) {
                     Schema.Type t0 = branches.get(0).getType();
@@ -144,7 +156,9 @@ public final class AvroConverters {
                 List<StructField> members = new ArrayList<>();
                 for (int i = 0; i < branches.size(); i++) {
                     members.add(new StructField(
-                            "member" + i, toSqlType(branches.get(i)), true, Metadata.empty()));
+                            "member" + i,
+                            toSqlType(branches.get(i), decimalAsBinary),
+                            true, Metadata.empty()));
                 }
                 return DataTypes.createStructType(members);
             }
@@ -407,6 +421,18 @@ public final class AvroConverters {
                 };
             }
             default: {
+                // required BinaryType over an avro decimal: the scan was
+                // built with muninn.decimalAsBinary — emit the raw
+                // unscaled bytes; the engine's own coercion runs on top
+                if (required instanceof org.apache.spark.sql.types.BinaryType
+                        && s.getLogicalType() instanceof LogicalTypes.Decimal) {
+                    if (s.getType() == Schema.Type.BYTES) {
+                        return v -> bufferBytes((ByteBuffer) v);
+                    }
+                    if (s.getType() == Schema.Type.FIXED) {
+                        return v -> ((GenericFixed) v).bytes().clone();
+                    }
+                }
                 checkLeaf(toSqlType(s), required, s);
                 return compileNonNull(s);
             }

@@ -149,7 +149,8 @@ public class AvroDataSource implements TableProvider, DataSourceRegister {
             throw new IllegalArgumentException(
                     "top-level avro schema must be a record, got " + avro.getType());
         }
-        StructType sql = (StructType) AvroConverters.toSqlType(avro);
+        StructType sql = (StructType) AvroConverters.toSqlType(
+                avro, options.getBoolean("muninn.decimalAsBinary", false));
         String pathCol = options.get(PATH_COLUMN_OPTION);
         if (pathCol != null && !pathCol.isEmpty()) {
             sql = sql.add(new StructField(

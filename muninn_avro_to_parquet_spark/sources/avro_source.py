@@ -669,14 +669,33 @@ def _align_value(col, decoded, plan: S.FieldPlan):
         return F.unix_date(col)
     if isinstance(target, T.LongType) and isinstance(decoded, T.TimestampType):
         return F.unix_micros(col)
+    if (
+        plan.source == S.BYTES_DECIMAL
+        and isinstance(target, T.DecimalType)
+        and isinstance(decoded, T.BinaryType)
+    ):
+        # the engine's DSv2 source honored muninn.decimalAsBinary: the
+        # column carries the raw big-endian two's-complement unscaled
+        # bytes, and the SAME Arrow-batched coercion the SQL surface
+        # registers (assumed scale 30, quantize to 9 HALF_EVEN — the
+        # reference semantics no Catalyst cast expresses) runs on just
+        # this column; ArrowEvalPython ships only the bytes to the
+        # worker, the rest of the row never leaves the JVM
+        from muninn_avro_to_parquet_spark.functions.register import (
+            cdc_bytes_decimal,
+        )
+
+        return cdc_bytes_decimal(col)
     if isinstance(target, T.DecimalType) and isinstance(decoded, T.DecimalType):
         # NEVER alignable (parity-matrix finding, r5): the reference
         # reinterprets a bytes decimal's unscaled int at ASSUMED scale 30
         # regardless of the writer's declared scale, then quantizes to 9
-        # HALF_EVEN — spark-avro honors the DECLARED scale, so a (10,2)
-        # column decodes 25 → 0.25 where the reference mandates 25·10⁻³⁰.
-        # The two engines agree only when declared scale == 30, which then
-        # needs the HALF_EVEN quantize Spark's cast (HALF_UP) can't do.
+        # HALF_EVEN — upstream spark-avro honors the DECLARED scale, so a
+        # (10,2) column decodes 25 → 0.25 where the reference mandates
+        # 25·10⁻³⁰. The two engines agree only when declared scale == 30,
+        # which then needs the HALF_EVEN quantize Spark's cast (HALF_UP)
+        # can't do. (With the engine's own source this branch is dormant —
+        # decimalAsBinary delivers BinaryType, handled above.)
         raise _Unalignable()
     if plan.source == S.STRINGIFY and isinstance(decoded, T.StringType):
         return col  # str() of a string is the identity
@@ -735,10 +754,16 @@ def read_avro_jvm(
 
     At 100 TB this is the production path: the whole decode happens in
     whole-stage codegen with no Python worker in the loop; the Python
-    codec remains the semantic reference and offline fallback."""
+    codec remains the semantic reference and offline fallback. The one
+    exception is bytes-decimal columns (the reference's core CDC shape,
+    main.py:172-191): their assumed-scale-30 + HALF_EVEN semantics are
+    not expressible as a Catalyst cast, so the scan delivers the raw
+    unscaled bytes (``muninn.decimalAsBinary``) and the engine's
+    Arrow-batched ``cdc_bytes_decimal`` runs on top — only those columns
+    pay the Python hop, the rest of the row stays JVM-side."""
     from pyspark.sql import types as T
 
-    df = try_native_avro(spark, paths)
+    df = try_native_avro(spark, paths, decimal_as_binary=True)
     if df is None:
         return None
     by_name = {f.name: f.dataType for f in df.schema.fields}
@@ -772,7 +797,9 @@ def read_avro_jvm(
     )
 
 
-def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
+def try_native_avro(
+    spark: SparkSession, pattern: str, decimal_as_binary: bool = False
+) -> DataFrame | None:
     """Use the spark-avro connector when its jar is on the classpath;
     callers fall back to the pure-Python distributed reader.
 
@@ -795,13 +822,22 @@ def try_native_avro(spark: SparkSession, pattern: str) -> DataFrame | None:
 
     The ``muninn.pathColumn`` option asks the engine's DSv2 source to
     emit per-row file provenance (upstream spark-avro ignores the
-    unknown option, and there ``input_file_name()`` works instead)."""
+    unknown option, and there ``input_file_name()`` works instead).
+
+    ``decimal_as_binary`` (CDC path only): ask the engine's source to
+    scan bytes/fixed decimal columns as raw unscaled BinaryType so the
+    engine's own assumed-scale-30 coercion can run on top — upstream
+    spark-avro ignores the option and still decodes DecimalType, which
+    ``_align_value`` then rejects into the Python fallback, exactly the
+    pre-option behavior."""
     try:
-        return (
+        reader = (
             spark.read.format("avro")
             .option("muninn.pathColumn", JVM_PATH_COL)
-            .load(pattern)
         )
+        if decimal_as_binary:
+            reader = reader.option("muninn.decimalAsBinary", "true")
+        return reader.load(pattern)
     except Exception:
         return None
 

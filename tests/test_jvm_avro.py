@@ -110,7 +110,7 @@ def _simulated_jvm_decode(spark):
 def test_jvm_alignment_matches_python_codec(spark, tmp_path, monkeypatch):
     plans = S.derive_field_plans(CDC_SCHEMA)
     sim = _simulated_jvm_decode(spark)
-    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, **__: sim)
     jdf = avro_source.read_avro_jvm(spark, ["ignored"], plans)
     assert jdf is not None
     got = jdf.drop(avro_source.SOURCE_FILE_COL)
@@ -145,7 +145,7 @@ def test_jvm_bails_on_union_collapse_schema(spark, monkeypatch):
         "change_type:string,tx_id:bigint,lsn:string,primary_keys:array<string>>,"
         "payload struct<v:struct<member0:int,member1:string>>",
     )
-    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, **__: sim)
     assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None
 
 
@@ -238,7 +238,7 @@ def _assert_jvm_parity(spark, monkeypatch, schema, path, sim):
     """Monkeypatched JVM decode must align to EXACTLY the Python codec's
     schema and values."""
     plans = S.derive_field_plans(schema)
-    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, **__: sim)
     jdf = avro_source.read_avro_jvm(spark, ["ignored"], plans)
     assert jdf is not None, "expected alignable schema"
     got = jdf.drop(avro_source.SOURCE_FILE_COL)
@@ -361,13 +361,15 @@ def test_jvm_parity_toplevel_direct_date_and_missing_col(spark, tmp_path, monkey
 
 
 def test_jvm_parity_bytes_decimal_always_bails(spark, monkeypatch):
-    """Parity-matrix finding (r5): bytes decimals are NEVER JVM-alignable.
-    The reference reinterprets the unscaled int at ASSUMED scale 30
-    regardless of the writer's declared scale (then quantizes to 9
-    HALF_EVEN); spark-avro honors the DECLARED scale, so e.g. a (10,2)
-    column decodes 25 -> 0.25 where the reference mandates 25e-30 -> 0E-9.
-    Any decoded DecimalType must therefore fall back to the Python codec
-    — the earlier 'lossless widening cast' branch was a real divergence."""
+    """Parity-matrix finding (r5): a DECODED DecimalType is never
+    JVM-alignable. The reference reinterprets the unscaled int at ASSUMED
+    scale 30 regardless of the writer's declared scale (then quantizes to
+    9 HALF_EVEN); UPSTREAM spark-avro honors the DECLARED scale, so e.g.
+    a (10,2) column decodes 25 -> 0.25 where the reference mandates
+    25e-30 -> 0E-9 — those sessions fall back to the Python codec. (The
+    engine's own DSv2 source instead honors muninn.decimalAsBinary and
+    delivers raw bytes, the alignable case — see
+    test_jvm_path_live_bytes_decimal_alignment.)"""
     fields = [
         {"name": "id", "type": "long"},
         {"name": "amount",
@@ -387,7 +389,7 @@ def test_jvm_parity_bytes_decimal_always_bails(spark, monkeypatch):
         sim = spark.createDataFrame(
             [], _SM_DDL + f",payload struct<id:bigint,amount:{ddl_dec}>"
         )
-        monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, s=sim: s)
+        monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, s=sim, **__: s)
         assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None, ddl_dec
 
 
@@ -410,7 +412,7 @@ def test_jvm_bails_on_stringify_containers(spark, monkeypatch):
     sim = spark.createDataFrame(
         [], _SM_DDL + ",payload struct<id:bigint,attrs:map<string,string>>"
     )
-    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_: sim)
+    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, **__: sim)
     assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None
 
 
@@ -826,3 +828,73 @@ def test_jvm_write_random_schema_differential(spark, tmp_path):
         # can decode every record the JVM writer produced
         back_py = read_avro_generic(spark, files, engine="python")
         assert back_py.count() == 30, (trial, "python", schema.simpleString())
+
+
+def test_jvm_path_live_bytes_decimal_alignment(spark, tmp_path):
+    """Round-8 verdict #2: bytes-decimal payloads (the reference's core
+    CDC shape, main.py:172-191) are now JVM-alignable. The engine's DSv2
+    source scans them as raw unscaled bytes (muninn.decimalAsBinary) and
+    the Arrow-batched cdc_bytes_decimal coercion runs on just those
+    columns — value parity with the Python codec must hold bit-for-bit,
+    including the assumed-scale-30 reinterpretation of a mis-declared
+    writer scale and the HALF_EVEN quantize to 9 places."""
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    fields = [
+        {"name": "id", "type": "long"},
+        {"name": "amount",
+         "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                           "precision": 38, "scale": 30}]},
+        # declared scale 2: the reference IGNORES it (assumed 30) — both
+        # engines must agree on the reinterpretation
+        {"name": "price",
+         "type": {"type": "bytes", "logicalType": "decimal",
+                  "precision": 10, "scale": 2}},
+        {"name": "note", "type": ["null", "string"]},
+    ]
+    schema = {
+        "type": "record", "name": "rec",
+        "fields": [
+            CDC_SCHEMA["fields"][0],
+            {"name": "payload",
+             "type": {"type": "record", "name": "pdec", "fields": fields}},
+        ],
+    }
+
+    def be(n: int, width: int | None = None) -> bytes:
+        length = width or max(1, (n.bit_length() + 8) // 8)
+        return n.to_bytes(length, byteorder="big", signed=True)
+
+    half = 10 ** 21  # exactly x.5 at the 9th place: HALF_EVEN ties
+    rows = []
+    vals = [
+        (10 ** 30, be(123 * 10 ** 28)),                   # 1e30 -> 1.0
+        (None, be(-(7 * 10 ** 29))),                      # negative
+        (25, be(half * 3)),                               # 25e-30 -> 0E-9; 3.5 -> tie
+        (5 * half, be(5 * half)),                         # 2.5 ties to even both cols
+        (-3 * 10 ** 35, be(1, 40)),                       # >16-byte two's-complement width
+    ]
+    for i, (a, p) in enumerate(vals):
+        rows.append({
+            "source_metadata": ROWS[0]["source_metadata"],
+            "payload": {
+                "id": i,
+                "amount": None if a is None else be(a),
+                "price": p,
+                "note": f"r{i}",
+            },
+        })
+    path = str(tmp_path / "dec.avro")
+    avro_io.write_file(path, schema, rows)
+    jdf = avro_source.read_avro(spark, [path], engine="jvm")
+    pdf = avro_source.read_avro(spark, [path], engine="python")
+    assert jdf.schema.simpleString() == pdf.schema.simpleString()
+    key = lambda r: r["id"]  # noqa: E731
+    got = sorted(jdf.collect(), key=key)
+    want = sorted(pdf.collect(), key=key)
+    assert got == want
+    # only the decimal columns ride the Python hop: the plan has exactly
+    # one ArrowEvalPython node and the scan is still the DSv2 source
+    plan = jdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchScan" in plan, plan
