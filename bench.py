@@ -452,6 +452,36 @@ def _bench_body() -> dict:
             }
         except Exception:
             pass
+        # write-path race (round-9): same rows, same codec, OCF sink via
+        # the JVM DSv2 writer vs the Arrow/mapInArrow Python writer. The
+        # source is cached+counted first so both legs measure encode+IO
+        # only, not the scan.
+        try:
+            from muninn_avro_to_parquet_spark.sources import avro_sink
+
+            wdf = spark.read.format("avro").load(nd_file).cache()
+            wrows = wdf.count()
+            write_compare = {}
+            for eng in ("jvm", "python"):
+                best = float("inf")
+                for i in range(2):
+                    wout = os.path.join(nd_dir, f"wout_{eng}{i}")
+                    shutil.rmtree(wout, ignore_errors=True)
+                    t0 = time.perf_counter()
+                    manifest = avro_sink.write_avro(
+                        wdf, wout, codec="deflate", engine=eng
+                    )
+                    best = min(best, time.perf_counter() - t0)
+                    assert sum(n for _, n in manifest) == wrows
+                timings[f"write_bigfile_{eng}"] = round(best, 4)
+                write_compare[eng] = {
+                    "sec": round(best, 4),
+                    "rows_per_sec": round(wrows / best),
+                }
+            bigfile_stats["write_compare"] = write_compare
+            wdf.unpersist()
+        except RuntimeError as e:
+            bigfile_stats["write_compare"] = {"unavailable": str(e)[:120]}
     else:
         bigfile_stats = None
 

@@ -138,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
         "--files", type=int, default=None,
         help="repartition to exactly this many output files",
     )
+    p_export.add_argument(
+        "--avro_engine",
+        choices=("auto", "jvm", "python"),
+        default="auto",
+        help="Avro encode engine: auto (default — in-repo JVM DSv2 writer "
+        "when the jar is loaded, the schema maps, and the target is a "
+        "local path, else the Arrow/Python writer), jvm (force, error if "
+        "unavailable), python (force the Arrow writer).",
+    )
 
     p_shard = sub.add_parser(
         "shard", help="write a parquet corpus as deterministic training shards"
@@ -257,7 +266,9 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.read.parquet(args.input_dir)
             if args.files:
                 df = df.repartition(args.files)
-            manifest = avro_sink.write_avro(df, args.output_dir, codec=args.codec)
+            manifest = avro_sink.write_avro(
+                df, args.output_dir, codec=args.codec, engine=args.avro_engine
+            )
             for path, rows in sorted(manifest):
                 print(f"{path}: {rows} rows")
             print(f"{len(manifest)} files, {sum(n for _, n in manifest)} rows exported")

@@ -1053,6 +1053,45 @@ def read_schema(path_or_file: str | BinaryIO) -> dict:
             f.close()
 
 
+def count_rows(path: str) -> int:
+    """Row count from block headers alone: read each block's (count,
+    size) varints and seek past the payload + sync — O(blocks) with no
+    decode, so a GiB-scale OCF counts in milliseconds. Used to build the
+    (path, rows) manifest for files the JVM writer produced."""
+    f = _open_read(path)
+    try:
+        header = f.read(1 << 16)
+        _, _, data_start = _parse_header(header, f)
+        f.seek(data_start)
+        total = 0
+        offset = data_start
+        while True:
+            n = _file_varint(f)
+            if n is None:
+                return total
+            size = _file_varint(f)
+            if size is None:
+                raise EOFError("truncated Avro block header")
+            total += n
+            # absolute seek: varints advanced the handle by their encoded
+            # widths, which _file_varint doesn't report — recompute from
+            # the values instead of trusting relative position
+            offset += _varint_width(n) + _varint_width(size) + size + 16
+            f.seek(offset)
+    finally:
+        f.close()
+
+
+def _varint_width(value: int) -> int:
+    """Encoded byte width of a zig-zag varint (inverse of _file_varint)."""
+    zz = (value << 1) ^ (value >> 63) if value < 0 else value << 1
+    width = 1
+    while zz > 0x7F:
+        zz >>= 7
+        width += 1
+    return width
+
+
 def _parse_header(header: bytes, f: BinaryIO) -> tuple[dict[str, bytes], bytes, int]:
     while True:  # make sure the whole header (metadata map + sync) is buffered
         r = _Reader(header)

@@ -152,19 +152,95 @@ def _value_converter(dtype: T.DataType) -> Callable[[Any], Any]:
     return lambda v: v
 
 
+def _write_avro_jvm(
+    df: DataFrame, out_dir: str, codec: str
+) -> list[tuple[str, int]] | None:
+    """Route the write through the engine's JVM DataSource
+    (``AvroWriteSupport``) when possible: encode happens in the JVM per
+    task — no Arrow transfer, no Python record conversion — the same
+    engine=auto discipline as the read path. Returns None (caller falls
+    back to the Python writer) when the jar is absent, the schema has a
+    type the JVM mapper rejects, or the target rides a Python-registered
+    filesystem (s3:// via the fs seam) the JVM can't see.
+
+    The job writes into a sibling staging directory and the part files
+    move in only after the job commits, so a mid-job failure can never
+    leave JVM partials mixed with the fallback writer's output."""
+    import os
+    import shutil
+    import uuid
+
+    from muninn_avro_to_parquet_spark import fs as _fs
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    out = out_dir.rstrip("/")
+    if _fs.is_uri(out) and not out.startswith("file:"):
+        return None
+    local = out[len("file:"):] if out.startswith("file:") else out
+    while local.startswith("//"):
+        local = local[1:]
+    stage = f"{local}.__jvm_stage_{uuid.uuid4().hex}"
+    try:
+        df.write.format("avro").option("muninn.codec", codec).mode(
+            "append"
+        ).save(stage)
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        return None
+    try:
+        manifest: list[tuple[str, int]] = []
+        os.makedirs(local, exist_ok=True)
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".avro"):
+                continue
+            src = os.path.join(stage, name)
+            rows = avro_io.count_rows(src)
+            if rows == 0:
+                continue  # python-path contract: empty partition, no file
+            dst = os.path.join(local, name)
+            os.replace(src, dst)
+            # manifest echoes the caller's path form (file:// kept)
+            manifest.append((f"{out}/{name}" if out != local else dst, rows))
+        return manifest
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def write_avro(
     df: DataFrame,
     out_dir: str,
     codec: str = "deflate",
     block_size: int = 1000,
+    engine: str = "auto",
 ) -> list[tuple[str, int]]:
     """Write ``df`` as one Avro OCF file per partition under ``out_dir``.
 
-    Runs the conversion and write on executors (``mapInArrow``); only the
-    (path, rows) manifest reaches the driver. Empty partitions write no
-    file and contribute no manifest row. The output is spec-compliant
-    OCF — readable by this engine's scan path, fastavro, or spark-avro."""
+    ``engine='auto'`` (default) uses the in-repo JVM DataSource writer
+    when the jar is loaded, the schema maps, and the target is a local
+    path — encode stays JVM-side, ~no Python in the loop — and falls back
+    to the Arrow/mapInArrow Python writer otherwise (object-store targets
+    through the fs seam always use it). ``'jvm'`` requires the JVM path;
+    ``'python'`` forces the fallback.
+
+    Runs the conversion and write on executors; only the (path, rows)
+    manifest reaches the driver. Empty partitions write no file and
+    contribute no manifest row. The output is spec-compliant OCF —
+    readable by this engine's scan path, fastavro, or spark-avro."""
     from muninn_avro_to_parquet_spark import fs as _fs
+
+    if engine not in ("auto", "jvm", "python"):
+        raise ValueError(f"engine must be auto/jvm/python, got {engine!r}")
+    if engine in ("auto", "jvm"):
+        manifest = _write_avro_jvm(df, out_dir, codec)
+        if manifest is not None:
+            return manifest
+        if engine == "jvm":
+            raise RuntimeError(
+                "engine='jvm' but the muninn-spark-avro jar is not loaded, "
+                "the schema has a type the JVM mapper rejects, or the "
+                "target is not a local/hadoop-visible path; use "
+                "engine='auto' or 'python'"
+            )
 
     avro_schema = avro_schema_of(df.schema)
     conv = _value_converter(df.schema)

@@ -898,3 +898,50 @@ def test_jvm_path_live_bytes_decimal_alignment(spark, tmp_path):
     plan = jdf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchScan" in plan, plan
+
+
+def test_write_avro_engine_routing(spark, tmp_path):
+    """Round-8 verdict #5: avro_sink.write_avro routes through the JVM
+    writer under engine=auto for local targets (encode never enters
+    Python), falls back to the Python writer for fs-seam URIs, and the
+    two engines' outputs read back value-identical through BOTH scan
+    engines."""
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    from muninn_avro_to_parquet_spark.sources import avro_sink
+    from muninn_avro_to_parquet_spark.sources.avro_source import read_avro_generic
+
+    df = spark.range(500).selectExpr(
+        "id",
+        "concat('v', id) as name",
+        "cast(id as double) / 4 as score",
+        "timestamp_micros(1700000000000000 + id) as at_us",
+        "cast(cast(id as string) || '.25' as decimal(10,2)) as amount",
+        "array(concat('t', id)) as tags",
+    ).repartition(3)
+    outs = {}
+    for eng in ("jvm", "python"):
+        out = str(tmp_path / f"sink_{eng}")
+        manifest = avro_sink.write_avro(df, out, codec="deflate", engine=eng)
+        assert sum(n for _, n in manifest) == 500, eng
+        assert len(manifest) == 3, eng  # one OCF per partition, none empty
+        outs[eng] = [p for p, _ in manifest]
+    key = lambda r: r["id"]  # noqa: E731
+    want = sorted(df.collect(), key=key)
+    for eng, files in outs.items():
+        for scan in ("jvm", "python"):
+            back = read_avro_generic(spark, files, engine=scan).drop(
+                avro_source.SOURCE_FILE_COL
+            )
+            assert sorted(back.collect(), key=key) == want, (eng, scan)
+    # auto on a local path takes the JVM writer (its task files carry a
+    # uuid suffix; the python writer's are bare part-NNNNN.avro)
+    import os as _os
+
+    out = str(tmp_path / "sink_auto")
+    manifest = avro_sink.write_avro(df, out, codec="null", engine="auto")
+    names = [_os.path.basename(p) for p, _ in manifest]
+    assert all(len(n) > len("part-00000.avro") for n in names), names
+    # empty dataframe: no files, empty manifest (python-path contract)
+    empty = df.filter("id < 0")
+    assert avro_sink.write_avro(empty, str(tmp_path / "sink_empty"), engine="auto") == []
