@@ -697,9 +697,42 @@ def _align_value(col, decoded, plan: S.FieldPlan):
         # can't do. (With the engine's own source this branch is dormant —
         # decimalAsBinary delivers BinaryType, handled above.)
         raise _Unalignable()
-    if plan.source == S.STRINGIFY and isinstance(decoded, T.StringType):
-        return col  # str() of a string is the identity
+    if plan.source == S.STRINGIFY:
+        if isinstance(decoded, T.StringType):
+            return col  # str() of a string is the identity
+        expr = _stringify_catalyst(col, decoded)
+        if expr is not None:
+            return expr
     raise _Unalignable()
+
+
+def _stringify_catalyst(col, decoded):
+    """JVM-side equivalent of ``scalars.stringify_any`` for the container
+    shapes where Jackson and json.dumps agree byte-for-byte — compact
+    separators, sorted map keys (UTF-8 byte order == code-point order ==
+    Python's), nulls kept. Returns None when the element type has no
+    exact JVM rendering (caller falls back to the Python codec).
+
+    Safe leaves: strings (same \\", \\\\, \\uXXXX control escapes, raw
+    UTF-8 beyond ASCII under ensure_ascii=False), integers, booleans.
+    Floats/decimals/bytes stay unalignable — their Python reprs
+    (shortest-round-trip floats, str(Decimal), utf-8-replace bytes) have
+    no Catalyst equivalent."""
+    from pyspark.sql import types as T
+
+    safe_leaf = (T.StringType, T.BooleanType, T.IntegerType, T.LongType)
+    if isinstance(decoded, T.ArrayType) and isinstance(
+        decoded.elementType, safe_leaf
+    ):
+        return F.to_json(col, {"ignoreNullFields": "false"})
+    if (
+        isinstance(decoded, T.MapType)
+        and isinstance(decoded.keyType, T.StringType)
+        and isinstance(decoded.valueType, safe_leaf)
+    ):
+        entries = F.array_sort(F.map_entries(col))
+        return F.to_json(F.map_from_entries(entries), {"ignoreNullFields": "false"})
+    return None
 
 
 def _align_envelope(decoded) -> F.Column:

@@ -393,27 +393,37 @@ def test_jvm_parity_bytes_decimal_always_bails(spark, monkeypatch):
         assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None, ddl_dec
 
 
-def test_jvm_bails_on_stringify_containers(spark, monkeypatch):
-    """Union-wrapped containers collapse to sorted-key JSON (Python-only
-    semantics): a JVM decode handing back native array/map must bail."""
-    fields = [
-        {"name": "id", "type": "long"},
-        {"name": "attrs", "type": ["null", {"type": "map", "values": "string"}]},
-    ]
-    schema = {
-        "type": "record", "name": "rec",
-        "fields": [
-            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
-            {"name": "payload",
-             "type": {"type": "record", "name": "pz", "fields": fields}},
-        ],
-    }
-    plans = S.derive_field_plans(schema)
-    sim = spark.createDataFrame(
-        [], _SM_DDL + ",payload struct<id:bigint,attrs:map<string,string>>"
-    )
-    monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, **__: sim)
-    assert avro_source.read_avro_jvm(spark, ["ignored"], plans) is None
+def test_jvm_stringify_container_alignment(spark, monkeypatch):
+    """Union-wrapped containers collapse to sorted-key JSON. Since r9
+    string/int/bool-leaf containers align JVM-side (``_stringify_catalyst``
+    — Jackson output is byte-identical to json.dumps for those leaves,
+    proven by test_jvm_path_live_stringify_parity); float-leaf containers
+    must still bail (shortest-round-trip float repr has no Catalyst
+    equivalent)."""
+    def mk(avro_values, ddl_values):
+        fields = [
+            {"name": "id", "type": "long"},
+            {"name": "attrs", "type": ["null", {"type": "map", "values": avro_values}]},
+        ]
+        schema = {
+            "type": "record", "name": "rec",
+            "fields": [
+                {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
+                {"name": "payload",
+                 "type": {"type": "record", "name": "pz", "fields": fields}},
+            ],
+        }
+        plans = S.derive_field_plans(schema)
+        sim = spark.createDataFrame(
+            [], _SM_DDL + f",payload struct<id:bigint,attrs:map<string,{ddl_values}>>"
+        )
+        monkeypatch.setattr(avro_source, "try_native_avro", lambda *_, **__: sim)
+        return avro_source.read_avro_jvm(spark, ["ignored"], plans)
+
+    aligned = mk("string", "string")
+    assert aligned is not None  # safe leaf: stays on the JVM path
+    assert dict(aligned.dtypes)["attrs"] == "string"  # collapsed to JSON
+    assert mk("double", "double") is None  # unsafe leaf: falls back
 
 
 # --- un-mocked JVM path (round 8) -------------------------------------------
@@ -945,3 +955,54 @@ def test_write_avro_engine_routing(spark, tmp_path):
     # empty dataframe: no files, empty manifest (python-path contract)
     empty = df.filter("id < 0")
     assert avro_sink.write_avro(empty, str(tmp_path / "sink_empty"), engine="auto") == []
+
+
+def test_jvm_path_live_stringify_parity(spark, tmp_path):
+    """r9: union-wrapped string-leaf containers (the CDC tags/attrs shape)
+    now ride the JVM scan — _stringify_catalyst's Jackson JSON must be
+    BYTE-identical to the Python codec's json.dumps(sort_keys,
+    separators=(',',':'), ensure_ascii=False) across escapes, unicode,
+    empties, nulls, and map-key ordering."""
+    if not _jvm_live(spark, tmp_path):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    schema = {
+        "type": "record", "name": "rec",
+        "fields": [
+            {"name": "source_metadata", "type": CDC_SCHEMA["fields"][0]["type"]},
+            {"name": "payload", "type": {"type": "record", "name": "ps", "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "tags", "type": ["null", {"type": "array", "items": "string"}]},
+                {"name": "attrs", "type": ["null", {"type": "map", "values": "string"}]},
+                {"name": "nums", "type": ["null", {"type": "array", "items": "long"}]},
+                {"name": "flags", "type": ["null", {"type": "map", "values": "boolean"}]},
+            ]}},
+        ],
+    }
+    cases = [
+        ([], {}),
+        (["a", "b"], {"z": "1", "a": "2"}),
+        (["q\"x", "b\\s", "n\nx", "t\tx", "c\x01x"], {"k\"y": "v\\w"}),
+        (["héllo", "日本語", "emoji🎉"], {"日本": "語", "é": "ü"}),
+        (["", " "], {"": "ek", " ": ""}),
+        (["/s", "<html>"], {"a/b": "<tag>"}),
+        (None, None),
+        (["dup", "dup"], {"10": "x", "2": "y", "A": "z", "a": "w", "Z~": "q"}),
+    ]
+    rows = [
+        {
+            "source_metadata": ROWS[0]["source_metadata"],
+            "payload": {
+                "id": i, "tags": tags, "attrs": attrs,
+                "nums": [0, -1, 2**62] if i % 2 else None,
+                "flags": {"t": True, "f": False} if i % 3 else {},
+            },
+        }
+        for i, (tags, attrs) in enumerate(cases)
+    ]
+    path = str(tmp_path / "strfy.avro")
+    avro_io.write_file(path, schema, rows)
+    jdf = avro_source.read_avro(spark, [path], engine="jvm")
+    pdf = avro_source.read_avro(spark, [path], engine="python")
+    assert jdf.schema.simpleString() == pdf.schema.simpleString()
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(jdf.collect(), key=key) == sorted(pdf.collect(), key=key)

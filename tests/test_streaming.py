@@ -641,3 +641,62 @@ def test_session_counts_streaming_matches_batch(spark, tmp_path):
         for r in windows.session_counts(_events(spark), gap="30 minutes").collect()
     }
     assert got == want and len(got) >= 3  # user 1: 2 sessions; user 2: 2
+
+
+def test_native_stream_jvm_engine_exactly_once_and_parity(spark, tmp_path):
+    """Round-8 verdict #8: streaming CDC inherits the JVM DSv2 scan.
+
+    ``spark.muninn.avro.engine=jvm`` is FORCED for the whole run, so any
+    batch that silently fell back to the Python codec would raise inside
+    ``_convert_one_table`` and surface in ``failed_files`` — the CDC
+    fixture's bytes-decimal ``balance`` exercises the r9
+    ``muninn.decimalAsBinary`` alignment on the streaming path. Restart
+    on the same checkpoint must not replay, and the final parquet must be
+    value-identical to a pure-Python-engine conversion of the same files."""
+    import pytest
+
+    from muninn_avro_to_parquet_spark import convert as convert_mod
+    from muninn_avro_to_parquet_spark.streaming import native_stream
+    from tests.test_jvm_avro import _jvm_live
+
+    (tmp_path / "probe").mkdir()
+    if not _jvm_live(spark, tmp_path / "probe"):
+        pytest.skip("muninn-spark-avro.jar not loaded in this session")
+    base = tmp_path / "avro" / "customers"
+    base.mkdir(parents=True)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pattern = str(tmp_path / "avro" / "*" / "*.avro")
+
+    spark.conf.set("spark.muninn.avro.engine", "jvm")
+    try:
+        conv = native_stream.NativeStreamingConverter(spark, pattern, out, ckpt)
+        _one_file(base, "a.avro", [0, 1, 2])
+        run1 = conv.process_available(ingestion_date="2026-01-01")
+        assert {t: n for b in run1 for t, n in b.tables.items()} == {"customers": 3}
+        assert not any(b.failed_files for b in run1)
+
+        # restart mid-stream: new converter, same checkpoint, one new file
+        _one_file(base, "b.avro", [3, 4])
+        conv2 = native_stream.NativeStreamingConverter(spark, pattern, out, ckpt)
+        run2 = conv2.process_available(ingestion_date="2026-01-01")
+        new2 = [p for b in run2 for p in b.new_files]
+        assert len(new2) == 1 and new2[0].endswith("b.avro")
+        assert not any(b.failed_files for b in run2)
+    finally:
+        spark.conf.set("spark.muninn.avro.engine", "auto")
+
+    # value parity: the streamed (JVM-scanned) table vs a one-shot
+    # python-engine convert of the same two files
+    spark.conf.set("spark.muninn.avro.engine", "python")
+    try:
+        convert_mod.convert(
+            spark, pattern, str(tmp_path / "out_py"), ingestion_date="2026-01-01"
+        )
+    finally:
+        spark.conf.set("spark.muninn.avro.engine", "auto")
+    got = spark.read.parquet(os.path.join(out, "customers"))
+    want = spark.read.parquet(os.path.join(str(tmp_path / "out_py"), "customers"))
+    assert got.schema.simpleString() == want.schema.simpleString()
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
