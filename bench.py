@@ -703,6 +703,65 @@ def _bench_body() -> dict:
     else:
         bighash_stats = None
 
+    # JPEG decode throughput proof (round 9, verdict #7): the decoder's
+    # batched-matrix IDCT + 16-bit Huffman LUT vs r8's per-8x8-block
+    # Python (108 kpx/s at this shape). Corpus is GENERATED distributed
+    # (one encode per row inside mapInPandas), then decoded through the
+    # same decode_images features path the multimodal family ships.
+    bigjpeg_n = int(os.environ.get("SPARK_GRAFT_BIGJPEG_N", "256"))
+    if bigjpeg_n > 0:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import multimodal as mm_mod
+
+        jside = 128
+
+        def _jpeg_gen(batches):
+            from muninn_avro_to_parquet_spark.operators import jpeg as jpeg_mod
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    pix = [
+                        (
+                            (x * 7 + i) % 256,
+                            (y * 5 + 2 * i) % 256,
+                            ((x + y) * 3 + i) % 256,
+                        )
+                        for y in range(jside)
+                        for x in range(jside)
+                    ]
+                    rows.append(
+                        (i, jpeg_mod.encode_jpeg(jside, jside, pix, quality=75))
+                    )
+                yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+        jcorpus = (
+            spark.range(bigjpeg_n)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_jpeg_gen, "doc_id long, media binary")
+            .cache()
+        )
+        jcorpus.count()  # build + cache OUTSIDE the timer
+        t0 = time.perf_counter()
+        feats = mm_mod.decode_images(jcorpus).agg(
+            F.count("*").alias("n"), F.sum("width").alias("wsum")
+        ).collect()[0]
+        jpeg_wall = time.perf_counter() - t0
+        assert feats["n"] == bigjpeg_n and feats["wsum"] == bigjpeg_n * jside
+        timings["jpeg_decode_bigcorpus"] = round(jpeg_wall, 4)
+        bigjpeg_stats = {
+            "images": bigjpeg_n,
+            "px": bigjpeg_n * jside * jside,
+            "kpx_per_sec": round(bigjpeg_n * jside * jside / jpeg_wall / 1e3),
+            "images_per_sec": round(bigjpeg_n / jpeg_wall, 1),
+        }
+        jcorpus.unpersist()
+    else:
+        bigjpeg_stats = None
+
     # scale proof for training_order (r7's weak plan, r8-fixed arithmetic):
     # a 2M-example 5-source corpus through the full stride schedule —
     # grouped_row_number (range partition + per-(pid, source) offsets),
@@ -1004,6 +1063,8 @@ def _bench_body() -> dict:
         result["bigorder"] = bigorder_stats
     if bighash_stats is not None:
         result["bighashes"] = bighash_stats
+    if bigjpeg_stats is not None:
+        result["bigjpeg"] = bigjpeg_stats
     if bigvocab_stats is not None:
         result["bigvocab"] = bigvocab_stats
     if bigvec_stats is not None:

@@ -33,6 +33,11 @@ from __future__ import annotations
 import math
 import struct
 
+try:  # the vectorized decode path (r9); the pure-Python loops remain
+    import numpy as _np  # the semantic reference and no-numpy fallback
+except ImportError:  # pragma: no cover - numpy is baked into this image
+    _np = None
+
 # ---------------------------------------------------------------------------
 # tables (ITU-T T.81 Annex K)
 # ---------------------------------------------------------------------------
@@ -114,6 +119,19 @@ _COS = [
 ]
 _CU = [1 / math.sqrt(2)] + [1.0] * 7
 
+_IDCT_M = None
+
+
+def _idct_matrix():
+    """Cached M[u,x] = cu[u]·cos[u][x] for the batched matrix IDCT."""
+    global _IDCT_M
+    if _IDCT_M is None:
+        _IDCT_M = _np.array(
+            [[_CU[u] * _COS[u][x] for x in range(8)] for u in range(8)],
+            dtype=_np.float64,
+        )
+    return _IDCT_M
+
 
 # ---------------------------------------------------------------------------
 # Huffman
@@ -134,8 +152,40 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) → symbol for the bit-serial decoder."""
+class _HuffTable:
+    """Decode table in two forms: ``codes`` ((length, code) → symbol, the
+    bit-serial reference for the buffered-run-ends-inside-a-code edge) and
+    a full 16-bit peek LUT (``syms``/``lens`` parallel int lists; len 0 =
+    invalid prefix) — one list index resolves ANY code in one step. The
+    64K-entry build is amortized across a corpus by ``_cached_table``
+    (every image our encoder or any IJG-derived encoder emits reuses the
+    Annex-K tables verbatim)."""
+
+    __slots__ = ("codes", "syms", "lens")
+
+    def __init__(self, codes: dict[tuple[int, int], int]):
+        self.codes = codes
+        syms = [0] * 65536
+        lens = [0] * 65536
+        for (length, code), sym in codes.items():
+            base = code << (16 - length)
+            for i in range(base, base + (1 << (16 - length))):
+                syms[i] = sym
+                lens[i] = length
+        self.syms = syms
+        self.lens = lens
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    """(length, code) → symbol for the bit-serial decoder, plus its peek
+    LUT — built once per distinct (bits, vals) pair, process-wide."""
+    return _cached_table(tuple(bits), tuple(vals))
+
+
+def _cached_table(bits: tuple[int, ...], vals: tuple[int, ...]) -> _HuffTable:
+    cached = _TABLE_CACHE.get((bits, vals))
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -145,7 +195,14 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
             code += 1
             k += 1
         code <<= 1
-    return table
+    built = _HuffTable(table)
+    if len(_TABLE_CACHE) >= 64:  # bound: 64 tables ≈ 32 MB of LUT lists
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[(bits, vals)] = built
+    return built
+
+
+_TABLE_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], _HuffTable] = {}
 
 
 class _BitReader:
@@ -173,8 +230,34 @@ class _BitReader:
                 raise _MarkerHit()
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask keeps the accumulator a machine int: without it every fill
+        # grows a big-int for the whole entropy stream and each shift gets
+        # progressively slower (56 bits of history is more than the 16-bit
+        # max code + 16-bit peek ever need)
+        self.acc = ((self.acc & 0xFF_FFFF_FFFF_FFFF) << 8) | b
         self.n += 8
+
+    def _try_fill(self) -> bool:
+        """Speculative fill for the peek path: buffer one more byte if it
+        is plain entropy data; return False (leaving ALL state untouched)
+        at a marker or EOF so the error surfaces only if the decode
+        actually consumes that far — eager peeking must not move the
+        marker/truncation point the bit-serial reader would report."""
+        d = self.data
+        pos = self.pos
+        if pos >= len(d):
+            return False
+        b = d[pos]
+        if b == 0xFF:
+            if pos + 1 < len(d) and d[pos + 1] == 0x00:
+                self.pos = pos + 2
+            else:
+                return False
+        else:
+            self.pos = pos + 1
+        self.acc = ((self.acc & 0xFF_FFFF_FFFF_FFFF) << 8) | b
+        self.n += 8
+        return True
 
     def bit(self) -> int:
         if self.n == 0:
@@ -183,16 +266,37 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.bit()
-        return v
+        n = self.n
+        while n < count:
+            self._fill()
+            n = self.n
+        n -= count
+        self.n = n
+        return (self.acc >> n) & ((1 << count) - 1)
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def huff(self, table: _HuffTable) -> int:
+        # fast path: peek 16 bits (zero-padded at stream end — a valid
+        # short code still resolves; the pad bits are never consumed)
+        n = self.n
+        while n < 16 and self._try_fill():
+            n = self.n
+        key = (
+            (self.acc >> (n - 16)) & 0xFFFF
+            if n >= 16
+            else (self.acc << (16 - n)) & 0xFFFF
+        )
+        length = table.lens[key]
+        if length and length <= n:
+            self.n = n - length
+            return table.syms[key]
+        # slow path: invalid prefix, or the buffered run ends inside the
+        # code — the bit-serial walk then raises at exactly the byte the
+        # reference reader would
+        codes = table.codes
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.bit()
-            sym = table.get((length, code))
+            sym = codes.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
@@ -233,7 +337,28 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """Decode baseline JPEG bytes → (width, height, row-major RGB
     pixels)."""
-    w, h, planes, samp = _decode_planes(data)
+    w, h, planes, samp = _decode_planes_raw(data)
+    if _np is not None:
+        if len(planes) == 1:
+            y = planes[0].reshape(-1)
+            rgb = _np.stack([y, y, y], axis=-1)
+            return w, h, list(map(tuple, rgb.tolist()))
+        yp, cbp, crp = planes
+        (hy, vy), (hcb, vcb), (hcr, vcr) = samp
+        # replicate-up indices reproduce the scalar loop's yy*v//vy /
+        # xx*h//hy sampling exactly; the float expressions below are the
+        # same IEEE ops per pixel, and np.rint == round() (half-even)
+        Y = yp[:h, :w].astype(_np.float64)
+        cb = cbp[(_np.arange(h) * vcb) // vy][:, (_np.arange(w) * hcb) // hy]
+        cr = crp[(_np.arange(h) * vcr) // vy][:, (_np.arange(w) * hcr) // hy]
+        Cb = cb.astype(_np.float64) - 128.0
+        Cr = cr.astype(_np.float64) - 128.0
+        r = Y + 1.402 * Cr
+        g = Y - 0.344136 * Cb - 0.714136 * Cr
+        b = Y + 1.772 * Cb
+        rgb = _np.stack([r, g, b], axis=-1)
+        rgb = _np.clip(_np.rint(rgb), 0, 255).astype(_np.int64).reshape(-1, 3)
+        return w, h, list(map(tuple, rgb.tolist()))
     if len(planes) == 1:
         y = planes[0]
         return w, h, [(v, v, v) for v in y]
@@ -266,14 +391,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
 def decode_jpeg_luma(data: bytes) -> tuple[int, int, float]:
     """(width, height, mean_luma in [0,1]) without color conversion —
     JPEG Y *is* BT.601 luma."""
-    w, h, planes, _samp = _decode_planes(data)
+    w, h, planes, _samp = _decode_planes_raw(data)
     y = planes[0]
+    if _np is not None:
+        # int sums ≤ 255·w·h < 2^53 are exact in float64: identical to
+        # the scalar sum()
+        return w, h, (float(y.sum()) / (w * h)) / 255.0
     return w, h, (sum(y) / (w * h)) / 255.0
 
 
 def _decode_planes(data: bytes):
+    """``_decode_planes_raw`` with the historical flat-list plane shape —
+    kept for callers/tests that index planes as row-major lists."""
+    w, h, planes, samp = _decode_planes_raw(data)
+    if _np is not None:
+        planes = [p.reshape(-1).tolist() for p in planes]
+    return w, h, planes, samp
+
+
+def _decode_planes_raw(data: bytes):
     """Shared marker walk + entropy decode. Returns (w, h, [plane per
-    component at its own sampling resolution], [(Hi, Vi) per comp])."""
+    component at its own sampling resolution — 2-D int64 ndarrays when
+    numpy is available, flat row-major lists otherwise], [(Hi, Vi) per
+    comp])."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -389,8 +529,14 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, htables, restart_interval)
     dims = []
     for cid, hi, vi, tq in comps:
         pw, ph = mcus_x * 8 * hi, mcus_y * 8 * vi
-        planes.append([0] * (pw * ph))
+        planes.append(None if _np is not None else [0] * (pw * ph))
         dims.append((pw, ph))
+    # vectorized mode: entropy-decode ALL blocks first (inherently
+    # bit-serial), then run one batched matrix IDCT over every block and
+    # scatter 8x8 tiles with slice assigns — the per-coefficient Python
+    # loop below is identical either way, only idct+placement move out
+    batch_coefs: list[list[float]] = []
+    batch_place: list[tuple[int, int, int]] = []
     sel = {cs: (td, ta) for cs, td, ta in scan_sel}
     missing = [cid for cid, _hi, _vi, _tq in comps if cid not in sel]
     if missing:
@@ -438,18 +584,35 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, htables, restart_interval)
                                 nat = ZIGZAG[z]
                                 coef[nat] = _extend(reader.bits(s), s) * q[nat]
                                 z += 1
-                            block = _idct_block(coef)
                             ox = (mx * hi + bx) * 8
                             oy = (my * vi + by) * 8
-                            plane = planes[ci]
-                            for yy in range(8):
-                                dst = (oy + yy) * pw + ox
-                                plane[dst : dst + 8] = block[yy * 8 : yy * 8 + 8]
+                            if _np is not None:
+                                batch_coefs.append(coef)
+                                batch_place.append((ci, ox, oy))
+                            else:
+                                block = _idct_block(coef)
+                                plane = planes[ci]
+                                for yy in range(8):
+                                    dst = (oy + yy) * pw + ox
+                                    plane[dst : dst + 8] = block[yy * 8 : yy * 8 + 8]
             except _MarkerHit:
                 raise ValueError(
                     f"JPEG marker {reader.marker:#x} inside MCU data"
                 ) from None
             mcu_count += 1
+    if _np is not None:
+        # one matrix IDCT over every block of the scan: with M[u,x] =
+        # cu[u]·cos[u][x], the separable row pass is (C @ M)/2 and the
+        # column pass (M.T @ ·)/2 — identical arithmetic to _idct_block,
+        # fused across N blocks. np.rint rounds half-even like round().
+        M = _idct_matrix()
+        B = _np.asarray(batch_coefs, dtype=_np.float64).reshape(-1, 8, 8)
+        pix = (M.T @ ((B @ M) * 0.5)) * 0.5
+        pix = _np.clip(_np.rint(pix) + 128, 0, 255).astype(_np.int64)
+        for ci, (pw, ph) in enumerate(dims):
+            planes[ci] = _np.zeros((ph, pw), dtype=_np.int64)
+        for k, (ci, ox, oy) in enumerate(batch_place):
+            planes[ci][oy : oy + 8, ox : ox + 8] = pix[k]
     # crop padded planes to each component's true resolution
     out_planes = []
     samp = []
@@ -458,9 +621,12 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, htables, restart_interval)
         ch = -(-h * vi // vmax)
         pw, _ph = dims[ci]
         plane = planes[ci]
-        out_planes.append(
-            [plane[yy * pw + xx] for yy in range(ch) for xx in range(cw)]
-        )
+        if _np is not None:
+            out_planes.append(plane[:ch, :cw])
+        else:
+            out_planes.append(
+                [plane[yy * pw + xx] for yy in range(ch) for xx in range(cw)]
+            )
         samp.append((hi, vi))
     # luma plane is cropped to (w, h) exactly
     return w, h, out_planes, samp
