@@ -911,6 +911,23 @@ def connected_components(
 
 
 def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
+    # the label relation is node-sized — when the seed's EXACT
+    # materialized row count (a free count on the eager checkpoint)
+    # proves it fits the session's broadcast budget, hint every
+    # per-round join to broadcast it: the edge relation then never
+    # re-exchanges inside the loop. AQE would make the same call but
+    # can't — localCheckpoint leaves LogicalRDD nodes with no size
+    # stats, so every round paid a full edge-relation shuffle. Past the
+    # budget the loop shuffles exactly as before (a billion-node label
+    # relation must never ride a broadcast) — the 100 TB shape is
+    # unchanged.
+    threshold = int(
+        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
+
     # seed = one fused propagation round: min over self ∪ neighbors
     labels = (
         edges.groupBy("src")
@@ -921,8 +938,10 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
         .coalesce(n_part)
         .localCheckpoint(eager=True)
     )
+    # 64 B/row is deliberately fat (two longs + HashedRelation overhead)
+    broadcast_labels = 0 < (labels.count() * 64) < max(threshold, 0)
     for _ in range(max_iterations - 1):
-        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+        msgs = edges.join(_maybe_bc(labels), edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label"), F.lit(False).alias("is_old")
         )
         # carry each node's previous label THROUGH the union (is_old flag)
@@ -945,7 +964,7 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
         # present in the relation, so the left join hits unless the label
         # is already a component minimum (which maps to itself anyway).
         lut = prop.select(F.col("node").alias("_ln"), F.col("label").alias("_ll"))
-        jumped = prop.join(lut, F.col("label") == F.col("_ln"), "left").select(
+        jumped = prop.join(_maybe_bc(lut), F.col("label") == F.col("_ln"), "left").select(
             "node", F.coalesce("_ll", "label").alias("label"), "old_label"
         )
         # second jump in the same round: label chains shrink 4x per round
@@ -955,7 +974,7 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
         # is node-sized — far cheaper than the edge join that opens the
         # round, so trading one more of them for a whole round wins.
         new_labels = (
-            jumped.join(lut, jumped["label"] == F.col("_ln"), "left")
+            jumped.join(_maybe_bc(lut), jumped["label"] == F.col("_ln"), "left")
             .select(
                 "node",
                 F.coalesce("_ll", jumped["label"]).alias("label"),
