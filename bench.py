@@ -552,10 +552,15 @@ def _bench_body() -> dict:
         big_dedup_wall = stage_walls["propose_total"] + stage_walls["connected_components"]
         timings["dedup_bigcorpus"] = round(big_dedup_wall, 4)
         # triangle cohesion metric over the same (cached) candidate graph:
-        # the wedge join is the Σ deg² stress test of the r6 operator
-        t0 = time.perf_counter()
-        n_tri_nodes = dedup_mod.candidate_triangles(pairs).count()
-        tri_wall = time.perf_counter() - t0
+        # the wedge join is the Σ deg² stress test of the r6 operator.
+        # Best-of-2 (r8 verdict #6): this entry drifted 3.9 → 5.2 s in r8
+        # with no code change on a shared box — guard it like the bigfile
+        # race so a real regression is distinguishable from co-tenant noise
+        tri_wall = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_tri_nodes = dedup_mod.candidate_triangles(pairs).count()
+            tri_wall = min(tri_wall, time.perf_counter() - t0)
         timings["triangles_bigcorpus"] = round(tri_wall, 4)
         pairs.unpersist()
         # containment (shingle self-join with the hot-shingle guard) at

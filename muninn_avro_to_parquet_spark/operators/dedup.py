@@ -26,7 +26,9 @@ a first-class requirement here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from muninn_avro_to_parquet_spark.operators.text import tokens, word_ngrams
@@ -940,6 +942,12 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
     )
     # 64 B/row is deliberately fat (two longs + HashedRelation overhead)
     broadcast_labels = 0 < (labels.count() * 64) < max(threshold, 0)
+    spark = edges.sparkSession
+    rounds = 0
+    barrier_path: str | None = None
+    barrier_base = "{}/_muninn_cc_barrier_{}".format(
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/"), uuid.uuid4().hex
+    )
     for _ in range(max_iterations - 1):
         msgs = edges.join(_maybe_bc(labels), edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"), F.col("label"), F.lit(False).alias("is_old")
@@ -983,13 +991,66 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
             .coalesce(n_part)
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
+        # full-scan aggregate (exact changed count), not
+        # filter().limit(1).count(): limit can stop before draining every
+        # partition, leaving the lazy checkpoint above only partially
+        # materialized
+        changed = new_labels.agg(
+            F.sum(
+                F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
+            ).alias("n")
+        ).collect()[0]["n"]
         labels = new_labels.select("node", "label")
-        if changed == 0:
+        if not changed:
             break
+        rounds += 1
+        if rounds % _BARRIER_EVERY == 0:
+            # stats-chain barrier. Spark 4's Dataset.checkpoint wraps the
+            # new LogicalRDD's statistics in a thunk over the ORIGIN
+            # plan's stats (LogicalRDD.rewriteStatsAndConstraints), so a
+            # round-k checkpoint leaf transitively re-walks the stats of
+            # every prior round — and this loop references its
+            # checkpointed relations ~3x per round (edge join + two
+            # jumps), making the walk grow ~3x per round. Invisible on
+            # dense LSH graphs (converge in ≤6 rounds); on a thin
+            # 62k-edge graph round 14's checkpoint call alone took 77 s
+            # (jstack: SizeInBytesOnlyStatsPlanVisitor under
+            # Dataset.checkpoint — driver-side, jobs stayed at 0.1 s).
+            # A parquet round-trip every few rounds cuts the chain at a
+            # fresh file-backed leaf: same graph 103 s -> 9.7 s, flat
+            # 0.5 s rounds. The write is node-sized sequential IO to the
+            # warehouse dir (cluster-visible), the standard reliable
+            # barrier for iterative algorithms at any scale.
+            prev, barrier_path = barrier_path, f"{barrier_base}/r{rounds}"
+            labels.write.parquet(barrier_path)
+            labels = spark.read.parquet(barrier_path)
+            if prev is not None:
+                _drop_path(spark, prev)
+    if barrier_path is not None:
+        # detach the result from the scratch files before deleting them:
+        # every post-barrier round already re-materialized labels into
+        # block-manager checkpoints UNLESS the loop ended on a barrier
+        labels = labels.localCheckpoint(eager=True)
+        _drop_path(spark, barrier_path)
+        _drop_path(spark, barrier_base)
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
+
+
+# parquet-barrier cadence for iterative loops: chain depth stays ≤ this,
+# bounding the checkpoint stats walk at ~3^4 trivial leaf visits
+_BARRIER_EVERY = 4
+
+
+def _drop_path(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FS of the path's
+    scheme (works for file:, hdfs:, or any configured filesystem)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:  # pragma: no cover - cleanup must never fail the op
+        pass
 
 
 def minhash_verified_pairs(

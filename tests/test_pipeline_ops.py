@@ -207,6 +207,30 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_no_driver_blowup(spark):
+    """r9 regression pin: a thin path graph forces ~8+ propagation
+    rounds, the regime where Spark 4's Dataset.checkpoint stats-rewrite
+    chain (LogicalRDD.rewriteStatsAndConstraints thunks over the origin
+    plan, referenced ~3x per round) grew the DRIVER-side checkpoint call
+    ~3x per round — a 62k-edge graph took 116 s with jobs at 0.1 s. The
+    parquet barrier every _BARRIER_EVERY rounds keeps rounds flat; this
+    chain completed in ~8 s post-fix and minutes pre-fix."""
+    import time
+
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    n = 4000
+    pairs = spark.range(n - 1).selectExpr("id as id_a", "id + 1 as id_b")
+    t0 = time.perf_counter()
+    got = dedup.connected_components(pairs)
+    assert got.filter("component_id != 0").count() == 0
+    assert got.count() == n
+    # generous bound: pre-fix this exceeded 10 minutes; post-fix ~8 s.
+    # The margin absorbs shared-box noise while still failing on any
+    # reintroduced exponential.
+    assert time.perf_counter() - t0 < 120
+
+
 def test_connected_components_max_iterations_guard(spark):
     from muninn_avro_to_parquet_spark.operators import dedup
 
