@@ -137,3 +137,106 @@ def logreg_training_report(
     rows = [(f"w{i}", int(model.weights[i])) for i in range(len(feature_cols) + 1)]
     rows += [("n_rows", int(model.n_rows)), ("n_correct", int(correct))]
     return spark.createDataFrame(rows, "name string, value long")
+
+
+@dataclass(frozen=True)
+class LinRegModel:
+    weights_scaled: list[int]  # trunc-toward-zero of scale·detᵢ/det; [0]=bias
+    scale: int
+    n_rows: int
+
+
+def linreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    scale: int = 10_000,
+) -> LinRegModel:
+    """Closed-form OLS by the normal equations — zero iterations, one
+    map-side-combinable aggregate, exact everywhere:
+
+    - the Gram matrix XᵀX and moment vector Xᵀy (with intercept) are
+      EXACT integer sums over integer feature/label columns, accumulated
+      in DECIMAL(38,0) (per-row products must fit BIGINT: |x|·|x| and
+      |x|·|y| below 2⁶³);
+    - the (d+1)×(d+1) system solves on the driver in exact rational
+      arithmetic (``fractions.Fraction`` over the collected integer
+      sums — d is feature count, not data size);
+    - reported weights are ``trunc(scale · detᵢ/det)`` toward zero —
+      the same truncation contract as ``logreg_fit`` (Spark ``div`` /
+      DuckDB ``//`` of positives), so a SQL oracle can reproduce them
+      digit-for-digit via Cramer determinants in HUGEINT.
+
+    Raises ``ValueError`` on a singular system (collinear features).
+    At 100 TB the shape is one scan + a (d+1)(d+4)/2-column aggregate;
+    nothing driver-side scales with rows."""
+    from fractions import Fraction
+
+    d = len(feature_cols)
+    cols = [F.lit(1).cast("long").alias("_x0")] + [
+        F.col(c).cast("long").alias(f"_x{i + 1}") for i, c in enumerate(feature_cols)
+    ]
+    base = df.select(*cols, F.col(label_col).cast("long").alias("_y"))
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(d + 1):
+        for j in range(i, d + 1):
+            aggs.append(
+                F.sum((F.col(f"_x{i}") * F.col(f"_x{j}")).cast(dec)).alias(f"a{i}_{j}")
+            )
+        aggs.append(F.sum((F.col(f"_x{i}") * F.col("_y")).cast(dec)).alias(f"b{i}"))
+    row = base.agg(*aggs).collect()[0]
+    n_rows = row["n"]
+    A = [
+        [int(row[f"a{min(i, j)}_{max(i, j)}"] or 0) for j in range(d + 1)]
+        for i in range(d + 1)
+    ]
+    b = [int(row[f"b{i}"] or 0) for i in range(d + 1)]
+    # exact Gaussian elimination over rationals (d+1 ≤ a handful)
+    M = [[Fraction(v) for v in A[i]] + [Fraction(b[i])] for i in range(d + 1)]
+    for col in range(d + 1):
+        piv = next(
+            (r for r in range(col, d + 1) if M[r][col] != 0),
+            None,
+        )
+        if piv is None:
+            raise ValueError(
+                "singular normal equations (collinear features / empty input)"
+            )
+        M[col], M[piv] = M[piv], M[col]
+        for r in range(d + 1):
+            if r != col and M[r][col] != 0:
+                f = M[r][col] / M[col][col]
+                M[r] = [a - f * c for a, c in zip(M[r], M[col])]
+    weights = [M[i][d + 1] / M[i][i] for i in range(d + 1)]
+    scaled = [_tdiv(scale * w.numerator, w.denominator) for w in weights]
+    return LinRegModel(weights_scaled=scaled, scale=scale, n_rows=n_rows)
+
+
+def linreg_training_report(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Fit + evaluate as a relation (the ``logreg_training_report``
+    contract): one row per scaled weight, ``n_rows``, and
+    ``abs_err_scaled_sum`` = Σ|scale·y − (w0ₛ + Σ wiₛ·xᵢ)| — an exact
+    integer fit-quality figure computable identically in SQL."""
+    spark = df.sparkSession
+    model = linreg_fit(df, feature_cols, label_col, scale)
+    m_s = F.lit(model.weights_scaled[0]).cast("long")
+    for i, c in enumerate(feature_cols):
+        m_s = m_s + F.lit(model.weights_scaled[i + 1]).cast("long") * F.col(c).cast(
+            "long"
+        )
+    err = df.agg(
+        F.sum(
+            F.abs(F.col(label_col).cast("long") * scale - m_s).cast("decimal(38,0)")
+        ).alias("e")
+    ).collect()[0]["e"]
+    rows = [
+        (f"w{i}", int(model.weights_scaled[i])) for i in range(len(feature_cols) + 1)
+    ]
+    rows += [("n_rows", int(model.n_rows)), ("abs_err_scaled_sum", int(err or 0))]
+    return spark.createDataFrame(rows, "name string, value long")

@@ -7681,3 +7681,83 @@ def q_logreg_report(spark):
     return ml.logreg_training_report(
         feats, ["x1", "x2", "x3"], "label", iterations=3, lr_num=1, lr_den=1
     ).orderBy("name")
+
+
+def _linreg_oracle_sql(scale: int) -> str:
+    """Mirror ``ml.linreg_fit`` for d=2 in pure DuckDB SQL: the Gram /
+    moment sums in HUGEINT, the 3x3 normal-equations solve as exact
+    Cramer determinants (first-row cofactor expansion), weights as the
+    same trunc-toward-zero scale*det_i/det, then the exact integer
+    abs-error sum with the scaled weights. Every value is an integer
+    end-to-end, so the hash must match digit-for-digit."""
+
+    def tdiv(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN (({a}) >= 0) = (({b}) > 0) "
+            f"THEN abs({a}) // abs({b}) ELSE -(abs({a}) // abs({b})) END)"
+        )
+
+    return f"""
+    WITH f AS (
+      SELECT length(t) // 16 AS x1,
+             (length(t) - length(replace(t, ' ', ''))) // 4 AS x2,
+             (length(t) - length(replace(t, 'e', ''))) AS y
+      FROM (SELECT coalesce(text, '') AS t FROM documents)
+    ),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+                 CAST(SUM(x1*x1) AS HUGEINT) AS s11,
+                 CAST(SUM(x1*x2) AS HUGEINT) AS s12,
+                 CAST(SUM(x2*x2) AS HUGEINT) AS s22,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(x1*y) AS HUGEINT) AS s1y,
+                 CAST(SUM(x2*y) AS HUGEINT) AS s2y
+          FROM f),
+    d AS (SELECT n,
+            n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+            sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+            n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+            n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS det2
+          FROM s),
+    w AS (SELECT n,
+                 {tdiv(f"{scale}*det0", "det")} AS w0,
+                 {tdiv(f"{scale}*det1", "det")} AS w1,
+                 {tdiv(f"{scale}*det2", "det")} AS w2
+          FROM d),
+    e AS (SELECT SUM(ABS(CAST(f.y AS HUGEINT)*{scale}
+                         - (w.w0 + w.w1*f.x1 + w.w2*f.x2))) AS err
+          FROM f, w)
+    SELECT 'abs_err_scaled_sum' AS name, CAST(err AS BIGINT) AS value FROM e
+    UNION ALL SELECT 'n_rows', CAST(n AS BIGINT) FROM w
+    UNION ALL SELECT 'w0', CAST(w0 AS BIGINT) FROM w
+    UNION ALL SELECT 'w1', CAST(w1 AS BIGINT) FROM w
+    UNION ALL SELECT 'w2', CAST(w2 AS BIGINT) FROM w
+    ORDER BY name
+    """
+
+
+@q("q_linreg_report", _linreg_oracle_sql(10_000))
+def q_linreg_report(spark):
+    """Closed-form OLS (operators/ml.linreg_fit) as a relation: predict a
+    document's 'e'-count from its length/16 and space-count/4 — a real
+    linear signal, so the exact-rational normal-equations solve has to
+    land near the true coefficients, not just hash. Zero iterations: one
+    scan + one (d+1)(d+4)/2-column DECIMAL(38,0) aggregate; the 3x3
+    solve is driver-side Fraction arithmetic over nine integers; weights
+    re-enter the abs-error pass as plan literals. The DuckDB oracle
+    solves the SAME system via Cramer determinants in HUGEINT with the
+    shared trunc-toward-zero contract."""
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    feats = (
+        spark.table("documents")
+        .selectExpr("coalesce(text, '') AS t")
+        .selectExpr(
+            "length(t) div 16 AS x1",
+            "(length(t) - length(replace(t, ' ', ''))) div 4 AS x2",
+            "length(t) - length(replace(t, 'e', '')) AS y",
+        )
+    )
+    return ml.linreg_training_report(feats, ["x1", "x2"], "y", scale=10_000).orderBy(
+        "name"
+    )

@@ -133,3 +133,76 @@ def test_gradient_sums_accumulate_in_decimal38(spark):
     rows = [(big, int(i % 2)) for i in range(2000)]
     ref_w, _ = _fit_ref(rows, 1, 1, lr_num=5, lr_den=1)
     assert model.weights == ref_w
+
+
+# ---------------------------------------------------------------------------
+# linear regression (closed-form OLS, r9)
+# ---------------------------------------------------------------------------
+
+
+def test_linreg_matches_exact_rational_reference(spark):
+    """linreg_fit vs a pure-Python exact solve of the same normal
+    equations (Fraction Cramer) — including the trunc-toward-zero
+    scaling contract — and a sanity check against the data-generating
+    line."""
+    from fractions import Fraction
+
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    # y = 3 + 2*x1 - x2 + deterministic integer "noise" in {-1,0,1}
+    rows = [
+        (x1, x2, 3 + 2 * x1 - x2 + ((x1 * 7 + x2 * 5) % 3 - 1))
+        for x1 in range(12)
+        for x2 in range(9)
+    ]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long").repartition(7)
+    model = ml.linreg_fit(df, ["x1", "x2"], "y", scale=10_000)
+
+    # reference: exact rational Cramer over plain-python sums
+    n = len(rows)
+    s1 = sum(r[0] for r in rows); s2 = sum(r[1] for r in rows)
+    s11 = sum(r[0] * r[0] for r in rows); s12 = sum(r[0] * r[1] for r in rows)
+    s22 = sum(r[1] * r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    s1y = sum(r[0] * r[2] for r in rows); s2y = sum(r[1] * r[2] for r in rows)
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    want = [
+        ml._tdiv(10_000 * d_, det) for d_ in (det0, det1, det2)
+    ]
+    assert model.weights_scaled == want
+    assert model.n_rows == n
+    # the fit must land near the generating line (noise is tiny)
+    w = [Fraction(v, 10_000) for v in model.weights_scaled]
+    assert abs(w[0] - 3) < 1 and abs(w[1] - 2) < Fraction(1, 4) and abs(w[2] + 1) < Fraction(1, 4)
+
+
+def test_linreg_partitioning_invariant_and_report(spark):
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    rows = [(x, 5 * x + 7) for x in range(50)]
+    a = spark.createDataFrame(rows, "x long, y long")
+    m1 = ml.linreg_fit(a.coalesce(1), ["x"], "y")
+    m2 = ml.linreg_fit(a.repartition(13), ["x"], "y")
+    assert m1.weights_scaled == m2.weights_scaled == [70_000, 50_000]  # exact line
+    rep = {
+        r["name"]: r["value"]
+        for r in ml.linreg_training_report(a, ["x"], "y").collect()
+    }
+    assert rep["w0"] == 70_000 and rep["w1"] == 50_000
+    assert rep["n_rows"] == 50 and rep["abs_err_scaled_sum"] == 0  # perfect fit
+
+
+def test_linreg_singular_raises(spark):
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    # x2 = 2*x1 → collinear with x1 (and the intercept handles shift)
+    df = spark.createDataFrame(
+        [(i, 2 * i, i + 1) for i in range(10)], "x1 long, x2 long, y long"
+    )
+    with pytest.raises(ValueError, match="singular"):
+        ml.linreg_fit(df, ["x1", "x2"], "y")
