@@ -677,10 +677,13 @@ def _align_value(col, decoded, plan: S.FieldPlan):
         # the engine's DSv2 source honored muninn.decimalAsBinary: the
         # column carries the raw big-endian two's-complement unscaled
         # bytes, and the SAME Arrow-batched coercion the SQL surface
-        # registers (assumed scale 30, quantize to 9 HALF_EVEN — the
-        # reference semantics no Catalyst cast expresses) runs on just
-        # this column; ArrowEvalPython ships only the bytes to the
-        # worker, the rest of the row never leaves the JVM
+        # registers (assumed scale 30, quantize to 9 HALF_EVEN) runs on
+        # just this column; ArrowEvalPython ships only the bytes to the
+        # worker, the rest of the row never leaves the JVM. A pure
+        # Catalyst limb-division variant exists
+        # (casts.bytes_decimal_expr) and was RACED in r9: 59.8 s vs
+        # 7.9 s for the UDF on the 1 GiB fixture — per-row BigDecimal +
+        # regex loses to the Arrow hop, so the UDF stays
         from muninn_avro_to_parquet_spark.functions.register import (
             cdc_bytes_decimal,
         )

@@ -905,6 +905,8 @@ def test_jvm_path_live_bytes_decimal_alignment(spark, tmp_path):
     assert got == want
     # only the decimal columns ride the Python hop: the plan has exactly
     # one ArrowEvalPython node and the scan is still the DSv2 source
+    # (the pure-Catalyst variant lost the r9 race — see
+    # casts.bytes_decimal_expr docstring)
     plan = jdf._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchScan" in plan, plan

@@ -129,3 +129,50 @@ def test_lenient_exprs_match_python_scalars(spark):
     for r in out:
         assert r["b"] == scalars.to_bool(r["v"]), ("bool", r["v"], r["b"])
         assert r["i"] == scalars.to_int(r["v"]), ("int", r["v"], r["i"])
+
+
+def test_bytes_decimal_expr_matches_python_reference(spark):
+    """r9: casts.bytes_decimal_expr (pure Catalyst limb division) must
+    reproduce scalars.bytes_to_decimal EXACTLY — both signs, HALF_EVEN
+    ties, lengths 0-30, non-minimal sign-fill padding, the 10^28
+    coefficient zero-gate, and the 16-byte two's-complement extremes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark import casts
+    from muninn_avro_to_parquet_spark.functions import scalars
+
+    rng = random.Random(7)
+    vals = [b"", b"\x00", b"\xff", (10**29).to_bytes(16, "big", signed=True)]
+    for n in range(1, 31):
+        for _ in range(4):
+            vals.append(bytes(rng.randrange(256) for _ in range(n)))
+    for q in (2, 3, 7, 8):  # x.5 ties at the 9th place, both signs
+        vals.append((q * 10**21 + 5 * 10**20).to_bytes(12, "big", signed=True))
+        vals.append((-(q * 10**21 + 5 * 10**20)).to_bytes(12, "big", signed=True))
+    vals += [
+        ((10**28 - 1) * 10**21 + 5 * 10**20).to_bytes(21, "big", signed=True),
+        (10**28 * 10**21).to_bytes(21, "big", signed=True),  # gate: -> 0
+        (2**127 - 1).to_bytes(16, "big", signed=True),
+        (-(2**127)).to_bytes(16, "big", signed=True),
+        b"\x00" * 10 + (25 * 10**28).to_bytes(13, "big", signed=True),
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, b binary"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", casts.bytes_decimal_expr(F.col("b")).alias("d")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        want = scalars.bytes_to_decimal(v) if v is not None else None
+        assert got[i] == want or (got[i] is None and want is None), (
+            i,
+            v.hex() if v else v,
+            got[i],
+            want,
+        )
