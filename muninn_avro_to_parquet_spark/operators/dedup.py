@@ -683,13 +683,19 @@ def containment_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     pairing = sh
     if max_shingle_docs is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
+        # one window count over the shingle key — the same shuffle the
+        # pair join below needs anyway, so the guard is ~free and the
+        # join reuses the partitioning. The r8 form (groupBy + semi-join
+        # back) re-shuffled the full 3-gram STRING keys twice: 9.2 s of
+        # the 21 s containment_bigcorpus entry (r9 stage decomposition)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        pairing = (
+            sh.withColumn("_df", F.count("*").over(w))
             .filter(F.col("_df") <= max_shingle_docs)
-            .select("shingle")
+            .drop("_df")
         )
-        pairing = sh.join(rare, "shingle")
     a = pairing.select(F.col(id_col).alias("id_a"), "shingle")
     b = pairing.select(F.col(id_col).alias("id_b"), "shingle")
     common = (

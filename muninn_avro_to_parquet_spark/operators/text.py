@@ -550,13 +550,18 @@ def tfidf_cosine_pairs(
     )
     pairing = w
     if max_token_docs is not None:
-        rare = (
-            w.groupBy("token")
-            .agg(F.count("*").alias("_df"))
+        # window count over the token key — the same shuffle the pair
+        # join below needs, so the guard is ~free and the join reuses
+        # the partitioning (the groupBy + semi-join-back form paid two
+        # extra string-key shuffles; see containment_pairs, r9)
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("token")
+        pairing = (
+            w.withColumn("_df", F.count("*").over(win))
             .filter(F.col("_df") <= max_token_docs)
-            .select("token")
+            .drop("_df")
         )
-        pairing = w.join(rare, "token")
     a = pairing.select(F.col(id_col).alias("id_a"), "token", F.col("w").alias("wa"))
     b = pairing.select(F.col(id_col).alias("id_b"), "token", F.col("w").alias("wb"))
     num = (
