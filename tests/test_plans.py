@@ -56,18 +56,28 @@ def test_topk_avoids_global_sort(spark):
 
 def test_conversion_path_shuffle_free(spark, tmp_path):
     """No data shuffle in Avro→Parquet conversion: decode → project →
-    write scales linearly with executors. The one allowed exchange is the
-    round-robin distribution of file PATH STRINGS (bytes per row) below
-    the decode — everything above the MapInArrow decode must be exchange-free."""
+    write scales linearly with executors, ON BOTH ENGINES. Python codec:
+    the one allowed exchange is the round-robin distribution of file
+    PATH STRINGS below the MapInArrow decode. JVM DSv2 scan (the
+    engine=auto choice for this fixture since the r9 stringify
+    alignment): no Exchange anywhere — splits come from the source."""
     from muninn_avro_to_parquet_spark import convert
     from tests.test_convert import _write_fixture
 
     _write_fixture(tmp_path)
-    df = convert.convert_df(spark, str(tmp_path / "avro" / "**" / "*.avro"))
-    plan = _plan(df)
-    above_decode = plan.split("MapInArrow")[0]
-    assert "MapInArrow" in plan
-    assert "Exchange" not in above_decode
+    pattern = str(tmp_path / "avro" / "**" / "*.avro")
+    auto_plan = _plan(convert.convert_df(spark, pattern))
+    spark.conf.set("spark.muninn.avro.engine", "python")
+    try:
+        py_plan = _plan(convert.convert_df(spark, pattern))
+    finally:
+        spark.conf.set("spark.muninn.avro.engine", "auto")
+    assert "MapInArrow" in py_plan
+    assert "Exchange" not in py_plan.split("MapInArrow")[0]
+    if "BatchScan" in auto_plan:  # jar loaded: JVM scan, zero exchanges
+        assert "Exchange" not in auto_plan
+    else:  # no jar in this session: auto == python
+        assert "MapInArrow" in auto_plan
 
 
 def test_text_ops_stay_jvm_side(spark):

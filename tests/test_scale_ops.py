@@ -838,8 +838,16 @@ def test_single_gigabyte_file_fans_out_bounded(spark, tmp_path):
     target = spark.sparkContext.defaultParallelism * 2
     adaptive = plan_splits([path], target_tasks=target)
     assert len(adaptive) >= min(target, size // avro_source.MIN_SPLIT_BYTES)
-    df = convert.convert_df(spark, str(tmp_path / "avro" / "**" / "*.avro"))
-    assert df.rdd.getNumPartitions() == min(len(adaptive), target)
+    # the partition-count contract under test is the PYTHON decoder's
+    # adaptive split planning — pin the engine (since the r9 stringify
+    # alignment this fixture rides the JVM scan under auto, whose split
+    # sizing is the DSv2 source's own and is covered by test_jvm_avro)
+    spark.conf.set("spark.muninn.avro.engine", "python")
+    try:
+        df = convert.convert_df(spark, str(tmp_path / "avro" / "**" / "*.avro"))
+        assert df.rdd.getNumPartitions() == min(len(adaptive), target)
+    finally:
+        spark.conf.set("spark.muninn.avro.engine", "auto")
 
     # (b) bounded batches: drive the per-task decoder directly over the
     # LARGEST split and assert no batch exceeds the streaming bound
