@@ -1452,13 +1452,22 @@ def repeated_spans(
         ),
         "span_grams",
     )
-    hot = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("_id").alias("_nd"))
+    # anchor guard as two windows over the SAME (h) shuffle the pair
+    # join needs: max(dense_rank over _id) == countDistinct(_id), so the
+    # 2..max_anchor_docs band filter happens in-line and the self-join
+    # below reuses the exchange — the r8 form (countDistinct aggregate +
+    # semi-join back) re-shuffled the md5-string keys twice: raced 9.3 s
+    # vs 2.7 s at the 200k-doc bench scale, identical runs out
+    from pyspark.sql import Window as _W
+
+    _wo = _W.partitionBy("h").orderBy("_id")
+    _wa = _W.partitionBy("h")
+    g2 = (
+        grams.withColumn("_rnk", F.dense_rank().over(_wo))
+        .withColumn("_nd", F.max("_rnk").over(_wa))
         .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_anchor_docs))
-        .select("h")
+        .drop("_rnk", "_nd")
     )
-    g2 = grams.join(hot, "h")
     pairs = (
         g2.select(F.col("_id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
         .join(
