@@ -466,7 +466,15 @@ def _bench_body() -> dict:
         try:
             from muninn_avro_to_parquet_spark.sources import avro_sink
 
-            wdf = spark.read.format("avro").load(nd_file).cache()
+            # quarter sample: the compare's point is the engine RATIO
+            # (~20x), and the Python leg at full size was 25% of the
+            # whole bench wall; both legs write the SAME sampled rows so
+            # the ratio and rows_per_sec stay meaningful
+            wdf = (
+                spark.read.format("avro").load(nd_file)
+                .sample(0.25, seed=7)
+                .cache()
+            )
             wrows = wdf.count()
             write_compare = {}
             for eng in ("jvm", "python"):
