@@ -240,3 +240,121 @@ def linreg_training_report(
     ]
     rows += [("n_rows", int(model.n_rows)), ("abs_err_scaled_sum", int(err or 0))]
     return spark.createDataFrame(rows, "name string, value long")
+
+
+@dataclass(frozen=True)
+class KMeansModel:
+    centroids: list[tuple[int, ...]]  # k tuples of d integer coordinates
+    k: int
+    iterations: int
+    n_rows: int
+    inertia: int  # Σ min squared distance under the FINAL centroids
+
+
+def _assign_expr(feature_cols: list[str], centroids: list[tuple[int, ...]]) -> Column:
+    """Cluster index of each row: argmin of exact integer squared
+    distance, ties to the LOWEST centroid index (array_min over
+    (dist, j) structs compares field-wise — deterministic under any
+    partitioning)."""
+    entries = []
+    for j, c in enumerate(centroids):
+        dist = None
+        for i, col in enumerate(feature_cols):
+            term = (F.col(col).cast("long") - F.lit(int(c[i]))) * (
+                F.col(col).cast("long") - F.lit(int(c[i]))
+            )
+            dist = term if dist is None else dist + term
+        entries.append(F.struct(dist.alias("d"), F.lit(j).alias("j")))
+    return F.array_min(F.array(*entries))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    k: int = 3,
+    iterations: int = 2,
+) -> KMeansModel:
+    """Lloyd's k-means in exact integer arithmetic — deterministic under
+    any partitioning, hash-matchable by a SQL oracle:
+
+    - init: the k lexicographically-smallest DISTINCT feature tuples
+      (TakeOrdered — no RNG, no partition order dependence);
+    - assignment: argmin of exact integer squared distance, ties to the
+      lowest centroid index. Caller quantizes features so that
+      d · max|x − c|² < 2⁶³ (the similarity-family convention);
+    - update: per-cluster integer sums in DECIMAL(38,0), new coordinate
+      = trunc-toward-zero sum/count (the shared ``_tdiv`` contract); an
+      EMPTY cluster keeps its previous centroid;
+    - inertia: Σ min squared distance under the final centroids,
+      accumulated in DECIMAL(38,0).
+
+    One scan + one map-side-combinable aggregate per iteration; the k·d
+    centroid integers ride the plan as literals — nothing driver-side
+    scales with rows."""
+    d = len(feature_cols)
+    init = (
+        df.select(*feature_cols)
+        .distinct()
+        .orderBy(*feature_cols)
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(
+            f"need at least k={k} distinct feature tuples, got {len(init)}"
+        )
+    centroids = [tuple(int(r[c]) for c in feature_cols) for r in init]
+    dec = "decimal(38,0)"
+    n_rows = 0
+    for _ in range(iterations):
+        assign = _assign_expr(feature_cols, centroids)
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.col(c).cast("long").cast(dec)).alias(f"s{i}")
+            for i, c in enumerate(feature_cols)
+        ]
+        stats = {
+            int(r["j"]): r
+            for r in df.withColumn("j", assign["j"]).groupBy("j").agg(*aggs).collect()
+        }
+        n_rows = sum(int(r["n"]) for r in stats.values())
+        centroids = [
+            tuple(
+                _tdiv(int(stats[j][f"s{i}"]), int(stats[j]["n"]))
+                for i in range(d)
+            )
+            if j in stats
+            else centroids[j]  # empty cluster keeps its centroid
+            for j in range(k)
+        ]
+    inertia = (
+        df.agg(
+            F.sum(_assign_expr(feature_cols, centroids)["d"].cast(dec)).alias("i")
+        ).collect()[0]["i"]
+    )
+    return KMeansModel(
+        centroids=centroids,
+        k=k,
+        iterations=iterations,
+        n_rows=n_rows,
+        inertia=int(inertia or 0),
+    )
+
+
+def kmeans_training_report(
+    df: DataFrame,
+    feature_cols: list[str],
+    k: int = 3,
+    iterations: int = 2,
+) -> DataFrame:
+    """Fit + evaluate as a relation (the ml-family report contract): one
+    row per centroid coordinate (``c{j}_{col}``), ``n_rows`` and the
+    exact integer ``inertia``."""
+    spark = df.sparkSession
+    model = kmeans_fit(df, feature_cols, k, iterations)
+    rows = [
+        (f"c{j}_{col}", int(model.centroids[j][i]))
+        for j in range(k)
+        for i, col in enumerate(feature_cols)
+    ]
+    rows += [("inertia", model.inertia), ("n_rows", int(model.n_rows))]
+    return spark.createDataFrame(rows, "name string, value long")

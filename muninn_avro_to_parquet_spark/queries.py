@@ -7761,3 +7761,99 @@ def q_linreg_report(spark):
     return ml.linreg_training_report(feats, ["x1", "x2"], "y", scale=10_000).orderBy(
         "name"
     )
+
+
+def _kmeans_oracle_sql(k: int, iterations: int) -> str:
+    """Unroll ``ml.kmeans_fit`` (d=2 document features) into DuckDB SQL:
+    lexicographic-smallest distinct init, per-iteration argmin assignment
+    (ties to the lowest centroid index via ORDER BY dist, j), integer
+    trunc-toward-zero centroid updates with the empty-cluster keep rule,
+    exact integer inertia under the final centroids."""
+
+    def tdiv(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN (({a}) >= 0) = (({b}) > 0) "
+            f"THEN abs({a}) // abs({b}) ELSE -(abs({a}) // abs({b})) END)"
+        )
+
+    dist = "((f.x1 - c.cx1)*(f.x1 - c.cx1) + (f.x2 - c.cx2)*(f.x2 - c.cx2))"
+    ctes = [
+        """f AS (
+      SELECT row_number() OVER () AS rid,
+             length(t) // 16 AS x1,
+             (length(t) - length(replace(t, ' ', ''))) // 4 AS x2
+      FROM (SELECT coalesce(text, '') AS t FROM documents)
+    )""",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY x1, x2) - 1 AS j,
+             x1 AS cx1, x2 AS cx2
+      FROM (SELECT DISTINCT x1, x2 FROM f ORDER BY x1, x2 LIMIT {k})
+    )""",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""a{it} AS (
+      SELECT rid, x1, x2, j FROM (
+        SELECT f.rid, f.x1, f.x2, c.j,
+               row_number() OVER (PARTITION BY f.rid ORDER BY {dist}, c.j) AS rn
+        FROM f, {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""g{it} AS (
+      SELECT j, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2 FROM a{it} GROUP BY j
+    )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+      SELECT p.j,
+             CASE WHEN g.n IS NULL THEN p.cx1 ELSE {tdiv('g.s1', 'g.n')} END AS cx1,
+             CASE WHEN g.n IS NULL THEN p.cx2 ELSE {tdiv('g.s2', 'g.n')} END AS cx2
+      FROM {prev} p LEFT JOIN g{it} g USING (j)
+    )"""
+        )
+        prev = f"c{it}"
+    ctes.append(
+        f"""inert AS (
+      SELECT SUM(md) AS inertia, COUNT(*) AS n_rows FROM (
+        SELECT MIN({dist}) AS md FROM f, {prev} c GROUP BY f.rid
+      )
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT concat('c', CAST(j AS VARCHAR), '_x1') AS name, CAST(cx1 AS BIGINT) AS value FROM {prev}
+    UNION ALL SELECT concat('c', CAST(j AS VARCHAR), '_x2'), CAST(cx2 AS BIGINT) FROM {prev}
+    UNION ALL SELECT 'inertia', CAST(inertia AS BIGINT) FROM inert
+    UNION ALL SELECT 'n_rows', CAST(n_rows AS BIGINT) FROM inert
+    ORDER BY name
+    """
+
+
+@q("q_kmeans_report", _kmeans_oracle_sql(3, 2))
+def q_kmeans_report(spark):
+    """Lloyd's k-means (operators/ml.kmeans_fit) as a relation: cluster
+    documents by (length/16, spaces/4) — k=3, 2 iterations, everything
+    exact integers so the DuckDB oracle (unrolled assignment/update CTE
+    chain, the BPE-oracle pattern) hash-matches digit-for-digit. Init is
+    the k lexicographically-smallest distinct feature tuples (no RNG);
+    ties go to the lowest centroid index; updates are trunc-toward-zero
+    means with the empty-cluster keep rule. One scan + one map-side
+    aggregate per iteration, centroids as plan literals — the same
+    cluster-safe shape as logreg/linreg."""
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    feats = (
+        spark.table("documents")
+        .selectExpr("coalesce(text, '') AS t")
+        .selectExpr(
+            "length(t) div 16 AS x1",
+            "(length(t) - length(replace(t, ' ', ''))) div 4 AS x2",
+        )
+    )
+    return ml.kmeans_training_report(feats, ["x1", "x2"], k=3, iterations=2).orderBy(
+        "name"
+    )

@@ -206,3 +206,83 @@ def test_linreg_singular_raises(spark):
     )
     with pytest.raises(ValueError, match="singular"):
         ml.linreg_fit(df, ["x1", "x2"], "y")
+
+
+# ---------------------------------------------------------------------------
+# k-means (integer-exact Lloyd, r9)
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_reference(points, k, iterations):
+    """Pure-python mirror of the kmeans_fit contract."""
+    from muninn_avro_to_parquet_spark.operators.ml import _tdiv
+
+    cents = sorted(set(points))[:k]
+    for _ in range(iterations):
+        groups = {}
+        for p in points:
+            j = min(
+                range(len(cents)),
+                key=lambda j: (
+                    sum((a - b) ** 2 for a, b in zip(p, cents[j])),
+                    j,
+                ),
+            )
+            groups.setdefault(j, []).append(p)
+        cents = [
+            tuple(
+                _tdiv(sum(p[i] for p in groups[j]), len(groups[j]))
+                for i in range(len(cents[j]))
+            )
+            if j in groups
+            else cents[j]
+            for j in range(len(cents))
+        ]
+    inertia = sum(
+        min(sum((a - b) ** 2 for a, b in zip(p, c)) for c in cents)
+        for p in points
+    )
+    return cents, inertia
+
+
+def test_kmeans_matches_pure_python_reference(spark):
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    pts = [
+        ((i * 37) % 20, (i * 53) % 17) for i in range(200)
+    ] + [(100 + (i % 5), 90 + (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(pts, "x1 long, x2 long").repartition(9)
+    model = ml.kmeans_fit(df, ["x1", "x2"], k=4, iterations=3)
+    want_c, want_i = _lloyd_reference(pts, 4, 3)
+    assert model.centroids == want_c
+    assert model.inertia == want_i
+    assert model.n_rows == len(pts)
+    # partitioning invariance
+    model2 = ml.kmeans_fit(df.coalesce(1), ["x1", "x2"], k=4, iterations=3)
+    assert model2.centroids == model.centroids
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    # three distinct tuples seed three centroids, but every point sits on
+    # top of the first two: centroid 2 gets no members and must survive
+    pts = [(0, 0)] * 10 + [(10, 10)] * 10 + [(100, 100)]
+    df = spark.createDataFrame(pts, "x1 long, x2 long")
+    model = ml.kmeans_fit(df, ["x1", "x2"], k=3, iterations=2)
+    assert model.centroids[2] == (100, 100)
+    rep = {
+        r["name"]: r["value"]
+        for r in ml.kmeans_training_report(df, ["x1", "x2"], k=3, iterations=2).collect()
+    }
+    assert rep["c2_x1"] == 100 and rep["n_rows"] == 21
+
+
+def test_kmeans_too_few_distinct_raises(spark):
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    df = spark.createDataFrame([(1, 1)] * 5 + [(2, 2)] * 5, "x1 long, x2 long")
+    with pytest.raises(ValueError, match="distinct"):
+        ml.kmeans_fit(df, ["x1", "x2"], k=3)
