@@ -7857,3 +7857,35 @@ def q_kmeans_report(spark):
     return ml.kmeans_training_report(feats, ["x1", "x2"], k=3, iterations=2).orderBy(
         "name"
     )
+
+
+@q(
+    "q_xml_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_xml_roundtrip(spark):
+    """Spark 4 native XML source/sink (sources/formats.read_xml): the
+    nation table writes as rowTag XML to a scratch dir and reads back
+    with a pinned schema — the oracle is the table itself, so the hash
+    proves the XML round-trip is lossless (types included)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    src = spark.table("nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="muninn_xmlrt_") + "/nation_xml"
+    formats.write(src, out, fmt="xml", mode="overwrite", rowTag="row", rootTag="rows")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = formats.read_xml(spark, out, schema).drop("_corrupt_record")
+    return back.orderBy("n_nationkey")

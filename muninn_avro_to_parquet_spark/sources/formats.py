@@ -49,6 +49,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    row_tag: str = "row",
+    **options,
+) -> DataFrame:
+    """Spark 4's built-in XML source (the spark-xml module merged
+    upstream in 4.0 — no external package). ``schema=None`` infers;
+    passing one pins types and enables the shared PERMISSIVE
+    corrupt-record capture used by csv/json."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).schema(_with_corrupt_col(schema))
+    return reader.load(path)
+
+
 def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
     return spark.read.option("wholetext", str(whole_file).lower()).text(path)
 

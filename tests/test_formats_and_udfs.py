@@ -57,6 +57,19 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(ROWS)
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML (rowTag mode): write -> read with a pinned
+    schema must round-trip values; inference mode must agree on the
+    row count."""
+    p = str(tmp_path / "xml")
+    formats.write(
+        _df(spark), p, fmt="xml", mode="overwrite", rowTag="row", rootTag="rows"
+    )
+    back = formats.read_xml(spark, p, SCHEMA)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(ROWS)
+    assert formats.read_xml(spark, p).count() == len(ROWS)
+
+
 def test_text_read(spark, tmp_path):
     p = tmp_path / "txt"
     p.mkdir()
