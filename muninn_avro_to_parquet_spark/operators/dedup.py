@@ -828,6 +828,18 @@ def _sized_edge_cache(edges: DataFrame, scope_key: str) -> tuple[DataFrame, int]
     return cached, n
 
 
+def _hash_partitioned_cache(
+    edges: DataFrame, key: str, n_part: int, scope_key: str
+) -> DataFrame:
+    """Re-cache the edge relation HASH-partitioned on ``key`` so loop
+    stages keyed on it (the CC propagate-aggregate) reuse the cache's
+    output partitioning instead of exchanging the edge relation every
+    round. One extra narrow job reading the existing cache."""
+    sized = edges.repartition(n_part, key).cache()
+    sized.count()
+    return _cache_scoped(sized, scope_key)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -900,21 +912,28 @@ def connected_components(
     import math
 
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges, n_edges = _sized_edge_cache(
-        half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
-        "cc_edges",
+    both = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # size the stages BEFORE caching so the one cache is already
+    # hash-partitioned on dst (r9): the loop's propagate aggregate groups
+    # on the renamed dst, so in the broadcast regime every round reuses
+    # the cache's partitioning with zero exchanges. The count is one
+    # uncached pass over the (usually caller-cached) pair relation — the
+    # same single computation the old cache-then-count order paid.
+    n_edges = both.count()
     # two-sided stage sizing: ~2M edge rows (≈32 MB) per task bounds task
     # COUNT on billion-edge graphs, but alone it stranded mid-size graphs
     # on a couple of cores (2.6M edges → 2 tasks on 32 cores, measured 2x
     # slower end-to-end) — so below ~100k rows/task the floor is the
     # session's parallelism instead: every core works until tasks would
     # go micro
-    cores = edges.sparkSession.sparkContext.defaultParallelism
+    cores = pairs.sparkSession.sparkContext.defaultParallelism
     n_part = max(
         math.ceil(n_edges / 2_000_000),
         min(math.ceil(max(n_edges, 1) / 100_000), cores),
     )
+    edges = _hash_partitioned_cache(both, "dst", n_part, "cc_edges")
     return _cc_loop(edges, max_iterations, n_part)
 
 
@@ -955,25 +974,53 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
         spark.conf.get("spark.sql.warehouse.dir").rstrip("/"), uuid.uuid4().hex
     )
     for _ in range(max_iterations - 1):
-        msgs = edges.join(_maybe_bc(labels), edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("label"), F.lit(False).alias("is_old")
-        )
-        # carry each node's previous label THROUGH the union (is_old flag)
-        # so convergence is read off the aggregated result itself — the
-        # old version's per-iteration labels⋈new_labels comparison join
-        # doubled the shuffle count for a boolean answer
-        prop = (
-            msgs.union(labels.select("node", "label", F.lit(True).alias("is_old")))
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("is_old"), F.col("label"))).alias("old_label"),
+        if broadcast_labels:
+            # inner join is complete: every node appears as a dst (the
+            # edge relation is symmetric), so nbr covers the node set
+            msgs = edges.join(
+                _maybe_bc(labels), edges["src"] == labels["node"]
+            ).select(F.col("dst").alias("node"), F.col("label"))
+            nbr = msgs.groupBy("node").agg(F.min("label").alias("_nl"))
+            prop = (
+                nbr.join(
+                    _maybe_bc(
+                        labels.select("node", F.col("label").alias("old_label"))
+                    ),
+                    "node",
+                )
+                .select(
+                    "node",
+                    F.least("_nl", "old_label").alias("label"),
+                    "old_label",
+                )
+                # lazy checkpoint: the jump join below references prop
+                # twice; checkpointing first shares one computation
+                .localCheckpoint(eager=False)
             )
-            .coalesce(n_part)
-            # lazy checkpoint: the jump join below references prop twice;
-            # checkpointing first makes both branches share one computation
-            .localCheckpoint(eager=False)
-        )
+        else:
+            msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+                F.col("dst").alias("node"),
+                F.col("label"),
+                F.lit(False).alias("is_old"),
+            )
+            # carry each node's previous label THROUGH the union (is_old
+            # flag) so convergence is read off the aggregated result
+            # itself — a labels⋈new_labels comparison join would double
+            # the shuffle count for a boolean answer
+            prop = (
+                msgs.union(
+                    labels.select("node", "label", F.lit(True).alias("is_old"))
+                )
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("is_old"), F.col("label"))).alias(
+                        "old_label"
+                    ),
+                )
+                .coalesce(n_part)
+                .localCheckpoint(eager=False)
+            )
         # pointer jump: label ← label(label). Labels are always node ids
         # present in the relation, so the left join hits unless the label
         # is already a component minimum (which maps to itself anyway).
