@@ -13,6 +13,48 @@ import os
 import sys
 import time
 
+# --- structural proof/headline split (VERDICT r9 #2) -------------------
+# The headline metric must stay comparable round over round: it sums the
+# REGISTRY query timings only. Scale proofs (synthetic big corpora,
+# engine-compare races, throughput legs) are reported alongside under
+# `proofs_total`, never folded in. Classification is by NAMING CONVENTION,
+# not a hand-kept list — every proof entry is named `convert_*`,
+# `write_bigfile_*`, `scan_bigfile_*`, or carries a `_big*` suffix
+# (`_bigcorpus`, `_bigvocab`, ...), so a new proof entry can never
+# silently join the headline (the r9 slip: write_bigfile_* and
+# jpeg_decode_bigcorpus leaked in, +12% phantom regression). A test
+# asserts no registry query name matches this rule.
+_PROOF_PREFIXES = ("convert_", "write_bigfile", "scan_bigfile")
+
+
+def is_proof_entry(name: str) -> bool:
+    """True if a timing entry is a scale/engine proof, not a registry query."""
+    return name.startswith(_PROOF_PREFIXES) or "_big" in name
+
+
+# --- self-enforcing stderr gates (VERDICT r7 #2, r9 #1) ----------------
+# Each entry: result key -> substring that must NOT appear in the bench
+# JVM stderr. "No Partition Defined" = a ranking window lost its
+# partition pinning (single-task window). "HintErrorLogger" = Spark
+# DROPPED a join hint (e.g. broadcast on the preserved side of an outer
+# join) — the documented plan is silently not the plan that runs. Both
+# fail the bench loudly after persisting numbers.
+GATED_WARNINGS = {
+    "windowexec_warnings": "No Partition Defined",
+    "hint_drop_warnings": "HintErrorLogger",
+}
+
+
+def check_warning_gates(err_log_path: str) -> dict[str, int]:
+    """Count gated warning lines in the tee'd bench stderr log."""
+    counts = dict.fromkeys(GATED_WARNINGS, 0)
+    with open(err_log_path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            for key, needle in GATED_WARNINGS.items():
+                if needle in line:
+                    counts[key] += 1
+    return counts
+
 
 _CDC_BENCH_SCHEMA = {
     "type": "record",
@@ -238,14 +280,12 @@ def main() -> None:
                 active.stop()
         finally:
             _untee_stderr(tee_orig, tee_proc)
-    # the zero-unpartitioned-window claim, self-enforced (VERDICT r7 #2):
-    # every ranking window in the engine is partition-pinned; a "No
-    # Partition Defined for Window operation" warning means a plan
-    # regressed to a single-task window and the bench FAILS, loudly,
-    # after persisting its numbers
-    with open(err_log, encoding="utf-8", errors="replace") as f:
-        n_unpartitioned = sum(1 for line in f if "No Partition Defined" in line)
-    result["windowexec_warnings"] = n_unpartitioned
+    # the zero-warning claims, self-enforced (VERDICT r7 #2 + r9 #1):
+    # any gated warning in the tee'd stderr means a plan silently
+    # regressed (unpartitioned window / dropped join hint) and the bench
+    # FAILS, loudly, after persisting its numbers
+    gate_counts = check_warning_gates(err_log)
+    result.update(gate_counts)
 
     # stdout can get truncated in round logs (both BENCH_r1 and r2 tails
     # were cut, losing per-query timings); persist the full result as a
@@ -254,10 +294,16 @@ def main() -> None:
         json.dump(result, f, indent=1)
         f.write("\n")
     print(json.dumps(result))
-    if n_unpartitioned:
+    failed = {k: n for k, n in gate_counts.items() if n}
+    if failed:
         sys.exit(
-            f"FAIL: {n_unpartitioned} 'No Partition Defined' WindowExec "
-            f"warning(s) in {err_log} — a window lost its partitioning"
+            "FAIL: gated warning(s) in {}: {} — a plan silently regressed "
+            "(unpartitioned window / dropped join hint)".format(
+                err_log,
+                ", ".join(
+                    f"{n}x '{GATED_WARNINGS[k]}' ({k})" for k, n in failed.items()
+                ),
+            )
         )
 
 
@@ -495,8 +541,14 @@ def _bench_body() -> dict:
                 }
             bigfile_stats["write_compare"] = write_compare
             wdf.unpersist()
-        except RuntimeError as e:
-            bigfile_stats["write_compare"] = {"unavailable": str(e)[:120]}
+        except Exception as e:  # noqa: BLE001
+            # not just RuntimeError: a jar-less session raises
+            # AnalysisException from the format('avro') read before
+            # write_avro ever runs — record, don't kill the whole bench
+            # (ADVICE r9)
+            bigfile_stats["write_compare"] = {
+                "unavailable": f"{type(e).__name__}: {str(e)[:120]}"
+            }
     else:
         bigfile_stats = None
 
@@ -1071,32 +1123,19 @@ def _bench_body() -> dict:
     else:
         biglink_stats = None
 
-    # the headline metric sums the QUERY timings; the conversion benchmark
-    # is reported alongside but not folded in (its row count is a separate
-    # knob, and mixing it in would skew query-only comparisons)
-    total = round(
-        sum(
-            v
-            for k, v in timings.items()
-            if not k.startswith("convert_")
-            and k not in (
-                "dedup_bigcorpus", "dedup_incremental_bigbatch",
-                "triangles_bigcorpus", "containment_bigcorpus",
-                "spans_bigcorpus", "span_removal_bigcorpus",
-                "heavyhitters_bigcorpus",
-                "scan_bigfile_jvm", "training_order_bigcorpus",
-                "hamming_bighashes",
-                "lm_bigvocab", "bpe_bigvocab",
-                "bpe_batched_bigvocab", "postings_bigvocab",
-                "pq_bigvectors", "ivfpq_bigvectors", "pq_rerank_exact_bigvectors",
-                "geo_bigpoints", "linkage_bigrecords",
-            )
-        ), 4
-    )
+    # the headline metric sums the REGISTRY query timings only; scale
+    # proofs and engine races are reported alongside under proofs_total.
+    # Classification is the structural is_proof_entry rule (module top) —
+    # no hand-kept exclusion list to go stale (VERDICT r9 #2).
+    total = round(sum(v for k, v in timings.items() if not is_proof_entry(k)), 4)
+    proofs_total = round(sum(v for k, v in timings.items() if is_proof_entry(k)), 4)
     result = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
+        "proofs_total": proofs_total,
+        "n_headline_entries": sum(1 for k in timings if not is_proof_entry(k)),
+        "n_proof_entries": sum(1 for k in timings if is_proof_entry(k)),
         "queries": timings,
         "sf": sf,
     }

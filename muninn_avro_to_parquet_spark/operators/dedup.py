@@ -915,13 +915,16 @@ def connected_components(
     both = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # size the stages BEFORE caching so the one cache is already
-    # hash-partitioned on dst (r9): the loop's propagate aggregate groups
-    # on the renamed dst, so in the broadcast regime every round reuses
-    # the cache's partitioning with zero exchanges. The count is one
-    # uncached pass over the (usually caller-cached) pair relation — the
-    # same single computation the old cache-then-count order paid.
-    n_edges = both.count()
+    # cache the symmetric union FIRST (unpartitioned) so the pair
+    # lineage is computed exactly once, count from that cache to size
+    # the stages, then re-cache hash-partitioned on dst via a narrow
+    # read of the wide cache (ADVICE r9: the count-then-cache order
+    # computed an uncached caller lineage twice). The loop's propagate
+    # aggregate groups on the renamed dst, so in the broadcast regime
+    # every round reuses the sized cache's partitioning with zero
+    # exchanges.
+    wide = both.cache()
+    n_edges = wide.count()
     # two-sided stage sizing: ~2M edge rows (≈32 MB) per task bounds task
     # COUNT on billion-edge graphs, but alone it stranded mid-size graphs
     # on a couple of cores (2.6M edges → 2 tasks on 32 cores, measured 2x
@@ -933,8 +936,40 @@ def connected_components(
         math.ceil(n_edges / 2_000_000),
         min(math.ceil(max(n_edges, 1) / 100_000), cores),
     )
-    edges = _hash_partitioned_cache(both, "dst", n_part, "cc_edges")
+    edges = _hash_partitioned_cache(wide, "dst", n_part, "cc_edges")
+    wide.unpersist()
     return _cc_loop(edges, max_iterations, n_part)
+
+
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """autoBroadcastJoinThreshold in BYTES, parsed with Spark's own
+    byte-string grammar (``<int>[b|k|kb|m|mb|g|gb|t|tb|p|pb]``,
+    case-insensitive; bare int = bytes for this conf; negative disables).
+    Sessions not built by our ``session.py`` legitimately carry unit
+    suffixes ('10MB', '100m', '10485760b') — a bare ``int(...)`` crashed
+    on them (ADVICE r9). Unparseable values fall back to 0, which just
+    disables the CC broadcast regime (the shuffle loop is always
+    correct)."""
+    import re
+
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip()
+    m = re.fullmatch(r"(-?\d+)\s*([a-zA-Z]*)", raw)
+    if not m:
+        return 0
+    mult = _BYTE_SUFFIX.get(m.group(2).lower())
+    return int(m.group(1)) * mult if mult is not None else 0
 
 
 def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
@@ -948,9 +983,7 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
     # budget the loop shuffles exactly as before (a billion-node label
     # relation must never ride a broadcast) — the 100 TB shape is
     # unchanged.
-    threshold = int(
-        edges.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    )
+    threshold = _broadcast_threshold_bytes(edges.sparkSession)
 
     def _maybe_bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_labels else df

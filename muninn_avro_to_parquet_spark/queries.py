@@ -3819,9 +3819,15 @@ def q_date_spine_gapfill(spark):
     """Gap-filled monthly time series: a generated date spine (sequence +
     explode — rows from a literal, no table scan) cross-joined with the
     dimension domain, left-joined against the sparse monthly aggregate,
-    empty cells coalesced to zero. The spine side is ~84 rows × 5
-    priorities — broadcast; the aggregate side shuffles once on its
-    grouping keys regardless of data scale."""
+    empty cells coalesced to zero. Broadcast goes on the AGGREGATE side:
+    after the groupBy, ``actual`` is bounded by the key domain
+    (#months × #priorities — a few hundred rows at any data scale), so
+    it is the build side of a left-outer BroadcastHashJoin with the
+    spine domain preserved. Broadcasting the preserved (spine) side is
+    impossible in Spark — build-right is only legal for left-outer and
+    build-left only for right-outer — which is exactly the dropped-hint
+    trap the r9 version fell into; the aggregate side still shuffles
+    once on its grouping keys (map-side combined) regardless of scale."""
     spine = spark.range(1).select(
         F.explode(
             F.expr(
@@ -3839,8 +3845,8 @@ def q_date_spine_gapfill(spark):
         F.sum(_dec("o_totalprice", MONEY)).cast("double").alias("total"),
     )
     return (
-        F.broadcast(spine.crossJoin(prio))
-        .join(actual, ["month", "o_orderpriority"], "left")
+        spine.crossJoin(F.broadcast(prio))
+        .join(F.broadcast(actual), ["month", "o_orderpriority"], "left")
         .select(
             F.date_format("month", "yyyy-MM-dd").alias("month"),
             "o_orderpriority",

@@ -152,6 +152,31 @@ def _value_converter(dtype: T.DataType) -> Callable[[Any], Any]:
     return lambda v: v
 
 
+def _jvm_avro_is_ours(spark) -> bool:
+    """True when ``format('avro')`` can only resolve to the in-repo
+    ``muninnavro.AvroDataSource``. If our class is NOT loadable from the
+    driver's context classloader the short name either fails or resolves
+    to an upstream spark-avro — which would accept the save but silently
+    drop ``muninn.codec`` and use a different schema mapping than
+    ``avro_schema_of`` (ADVICE r9), so the JVM route must not be taken.
+    If BOTH ours and an upstream are registered, Spark's source lookup
+    throws a multiple-sources error at save time, which the caller's
+    except already converts into the Python fallback. Probe result is
+    cached per-session (one py4j round-trip otherwise)."""
+    cached = spark.__dict__.get("_muninn_jvm_avro_probe")
+    if cached is not None:
+        return cached
+    try:
+        spark._jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(
+            "muninnavro.AvroDataSource"
+        )
+        ours = True
+    except Exception:
+        ours = False
+    spark.__dict__["_muninn_jvm_avro_probe"] = ours
+    return ours
+
+
 def _write_avro_jvm(
     df: DataFrame, out_dir: str, codec: str
 ) -> list[tuple[str, int]] | None:
@@ -176,18 +201,23 @@ def _write_avro_jvm(
     out = out_dir.rstrip("/")
     if _fs.is_uri(out) and not out.startswith("file:"):
         return None
+    if not _jvm_avro_is_ours(df.sparkSession):
+        return None
     local = out[len("file:"):] if out.startswith("file:") else out
     while local.startswith("//"):
         local = local[1:]
     stage = f"{local}.__jvm_stage_{uuid.uuid4().hex}"
+    moved: list[str] = []
     try:
+        # save() AND the staging listing/moves share the fallback: a
+        # session whose default FS is not the local FS commits the stage
+        # somewhere os.listdir can't see, raising FileNotFoundError here
+        # (ADVICE r9) — that must mean "fall back to the Python writer",
+        # not propagate. Files already moved in are rolled back first so
+        # the fallback can never double-write.
         df.write.format("avro").option("muninn.codec", codec).mode(
             "append"
         ).save(stage)
-    except Exception:
-        shutil.rmtree(stage, ignore_errors=True)
-        return None
-    try:
         manifest: list[tuple[str, int]] = []
         os.makedirs(local, exist_ok=True)
         for name in sorted(os.listdir(stage)):
@@ -199,11 +229,29 @@ def _write_avro_jvm(
                 continue  # python-path contract: empty partition, no file
             dst = os.path.join(local, name)
             os.replace(src, dst)
+            moved.append(dst)
             # manifest echoes the caller's path form (file:// kept)
             manifest.append((f"{out}/{name}" if out != local else dst, rows))
         return manifest
+    except Exception:
+        for dst in moved:
+            try:
+                os.remove(dst)
+            except OSError:
+                pass
+        return None
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+        # best-effort: if the stage landed on a non-local default FS the
+        # rmtree above was a no-op — ask Hadoop to delete it there too
+        try:
+            jvm = df.sparkSession._jvm
+            jsc = df.sparkSession._jsc
+            hconf = jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(stage)
+            p.getFileSystem(hconf).delete(p, True)
+        except Exception:
+            pass
 
 
 def write_avro(

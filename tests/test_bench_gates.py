@@ -1,0 +1,66 @@
+"""Self-enforcing bench gates (VERDICT r9 #1/#2): the warning gates must
+catch a PLANTED dropped-hint / unpartitioned-window line, and the
+proof/headline split must be structural — no registry query may ever be
+classified as a proof entry, and the known proof entries must never
+rejoin the headline."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+_BENCH = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+_spec = importlib.util.spec_from_file_location("bench", _BENCH)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_planted_hint_drop_fails_the_gate(tmp_path):
+    log = tmp_path / "err.log"
+    log.write_text(
+        "26/08/15 12:00:00 WARN HintErrorLogger: Hint (strategy=broadcast) "
+        "is not supported in the query: build left for left outer join.\n"
+        "ordinary line\n",
+        encoding="utf-8",
+    )
+    counts = bench.check_warning_gates(str(log))
+    assert counts["hint_drop_warnings"] == 1
+    assert counts["windowexec_warnings"] == 0
+
+
+def test_planted_unpartitioned_window_fails_the_gate(tmp_path):
+    log = tmp_path / "err.log"
+    log.write_text(
+        "WARN WindowExec: No Partition Defined for Window operation!\n",
+        encoding="utf-8",
+    )
+    counts = bench.check_warning_gates(str(log))
+    assert counts["windowexec_warnings"] == 1
+    assert counts["hint_drop_warnings"] == 0
+
+
+def test_clean_log_passes(tmp_path):
+    log = tmp_path / "err.log"
+    log.write_text("INFO all fine\n", encoding="utf-8")
+    assert all(n == 0 for n in bench.check_warning_gates(str(log)).values())
+
+
+def test_no_registry_query_is_a_proof_entry():
+    """The structural classifier must put every registry query in the
+    headline; a collision would silently shrink the comparable total."""
+    import __spark_entry__ as entry
+
+    misclassified = [n for n in entry.queries() if bench.is_proof_entry(n)]
+    assert misclassified == []
+
+
+def test_known_proof_entries_stay_out_of_the_headline():
+    for name in (
+        "convert_bigfile", "convert_bigfile_python", "convert_60000_rows",
+        "write_bigfile_jvm", "write_bigfile_python", "scan_bigfile_jvm",
+        "jpeg_decode_bigcorpus", "dedup_bigcorpus", "lm_bigvocab",
+        "pq_rerank_exact_bigvectors", "hamming_bighashes", "geo_bigpoints",
+        "linkage_bigrecords", "dedup_incremental_bigbatch",
+        "html_bigcorpus",
+    ):
+        assert bench.is_proof_entry(name), name

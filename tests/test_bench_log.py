@@ -11,13 +11,17 @@ import pathlib
 import pytest
 
 
-def test_err_bench_log_no_unpartitioned_windows():
-    log = pathlib.Path(__file__).resolve().parent.parent / "err_bench.log"
+def test_err_bench_log_free_of_gated_warnings():
+    """Sweeps every gated warning class (unpartitioned windows AND
+    dropped join hints, r9 #1) over the committed artifact."""
+    import importlib.util
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    log = root / "err_bench.log"
     if not log.exists():
         pytest.skip("no err_bench.log committed yet")
-    hits = [
-        line
-        for line in log.read_text(encoding="utf-8", errors="replace").splitlines()
-        if "No Partition Defined" in line
-    ]
-    assert hits == [], f"{len(hits)} unpartitioned-window warnings in err_bench.log"
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    counts = bench.check_warning_gates(str(log))
+    assert all(n == 0 for n in counts.values()), counts

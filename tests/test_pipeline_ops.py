@@ -700,3 +700,65 @@ def test_temperature_mixture_alpha_error_names_the_value(spark):
     df = spark.createDataFrame([("a", 1)], "source string, x int")
     with pytest.raises(ValueError, match=r"got 0\.3"):
         pl.temperature_mixture_weights(df, "source", alpha=0.3)
+
+
+def test_broadcast_threshold_parses_unit_suffixes(spark):
+    """ADVICE r9: sessions not built by session.py can carry the
+    threshold WITH a unit suffix ('10MB', '100m', Spark's canonical
+    '10485760b'); the CC broadcast-regime gate must parse them all, and
+    fall back to 0 (regime off, shuffle loop — always correct) on junk
+    rather than raising."""
+    from muninn_avro_to_parquet_spark.operators.dedup import (
+        _broadcast_threshold_bytes,
+    )
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        for raw, want in [
+            ("10485760", 10 * 1024 * 1024),
+            ("10485760b", 10 * 1024 * 1024),
+            ("10MB", 10 * 1024 * 1024),
+            ("100m", 100 * 1024 * 1024),
+            ("1g", 1 << 30),
+            ("64k", 64 * 1024),
+            ("-1", -1),
+        ]:
+            spark.conf.set(key, raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set(key, prev)
+
+    # junk can't pass spark.conf.set's own validation, but a foreign
+    # session wrapper might hand us anything — must degrade to 0, not raise
+    class _FakeConf:
+        @staticmethod
+        def get(k, d=None):
+            return "not-a-size"
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    assert _broadcast_threshold_bytes(_FakeSpark()) == 0
+
+
+def test_connected_components_with_suffixed_threshold(spark):
+    """End-to-end: CC must run (not raise) under a unit-suffixed
+    threshold conf, in both the broadcast and the shuffle regime."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    try:
+        for raw in ("10MB", "0b"):
+            spark.conf.set(key, raw)
+            comp = {
+                (r["node"], r["component_id"])
+                for r in dedup.connected_components(pairs).collect()
+            }
+            assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    finally:
+        spark.conf.set(key, prev)

@@ -423,3 +423,18 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gapfill_broadcasts_the_aggregate(spark):
+    """q_date_spine_gapfill: the broadcast must actually happen — the r9
+    version hinted the LEFT (preserved) side of a left-outer join, which
+    Spark cannot build (build-right is only legal for left-outer,
+    build-left for right-outer), so the hint was silently dropped and a
+    shuffle join ran (15 HintErrorLogger warnings in the r9 bench). The
+    fixed plan broadcasts the domain-bounded AGGREGATE side as
+    BuildRight; no sort-merge/shuffled-hash join may appear."""
+    plan = _plan(QUERIES["q_date_spine_gapfill"].spark(spark, SF_CORRECT))
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("LeftOuter" in l and "BuildRight" in l for l in bhj), plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
