@@ -751,6 +751,56 @@ def _bench_body() -> dict:
             "delta_docs_per_sec": round(delta_docs / inc_wall),
         }
         corpus_bands.unpersist()
+        # HTML boilerplate-removal throughput at the same scale (round
+        # 10): every corpus doc wrapped into a synthetic crawl page
+        # (nav/promo/footer chrome, pure Catalyst concat — built and
+        # cached OUTSIDE the timer, the generator is not the operator
+        # under test), then the Arrow-batched extractor strips it back.
+        # Self-verifying: every page must round-trip to its original
+        # text byte-exactly (md5) with the template's block counts.
+        from muninn_avro_to_parquet_spark.operators import html as html_mod
+
+        pages = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    '<html><head><title>p</title><script>t();</script></head>'
+                    '<body><nav><a href="/">Home</a> <a href="/a">News</a> '
+                    '<a href="/b">More</a></nav><div class="promo">'
+                    '<a href="/d1">Deal one</a> <a href="/d2">Deal two</a></div><p>'
+                ),
+                F.col("text"),
+                F.lit(
+                    '</p><aside><a href="/r1">Related story one</a> '
+                    '<a href="/r2">Related story two</a></aside>'
+                    '<footer><a href="/t">Terms</a> Copyright</footer></body></html>'
+                ),
+            ).alias("html"),
+        ).cache()
+        html_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0]
+        t0 = time.perf_counter()
+        ext = html_mod.html_extract(pages, "doc_id", "html")
+        ok = (
+            ext.join(corpus, "doc_id")
+            .filter(
+                (F.col("n_kept") == 1)
+                & (F.md5(F.col("main_text")) == F.md5(F.col("text")))
+            )
+            .count()
+        )
+        html_wall = time.perf_counter() - t0
+        timings["html_bigcorpus"] = round(html_wall, 4)
+        if ok != bigcorpus_docs:
+            raise AssertionError(
+                f"html_extract scale proof: {ok}/{bigcorpus_docs} pages "
+                f"round-tripped"
+            )
+        bigcorpus_stats["html_extract"] = {
+            "docs_per_sec": round(bigcorpus_docs / html_wall),
+            "mb_per_sec": round(html_bytes / html_wall / 1e6, 2),
+            "html_mb": round(html_bytes / 1e6, 2),
+        }
+        pages.unpersist()
         corpus.unpersist()
     else:
         bigcorpus_stats = None

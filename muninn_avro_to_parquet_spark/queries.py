@@ -7958,3 +7958,154 @@ def multimodal_gif_ingest(spark):
             F.round(F.col("mean_luma"), 6).alias("mean_luma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → main-content extraction (operators/html): the curation stage a raw
+# crawl hits before any text operator can run. Ground truth for the committed
+# fixtures: (file_name, n_bytes, html_md5, n_blocks, n_kept, n_chars,
+# main_md5), pinned after hand-verifying the extractions (hdoc_00 = article
+# page with nav/aside/share-bar/footer chrome; hdoc_01 = malformed legacy
+# page with unclosed <p>, entities, inline script, a link row; hdoc_02 =
+# link farm where only one prose paragraph survives). Regenerate with:
+#   python -c "from muninn_avro_to_parquet_spark.operators.html import
+#     extract_main_text; ..."  (block in git history)
+_HTML_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "html")
+_HTML_GROUND_TRUTH = [
+    ("hdoc_00.html", 2409, "cd54fb3cb464acdd533f3d8482a9bbab", 9, 8, 1226,
+     "4b1c1a31b7b1307a3d4dc79d39cb4063"),
+    ("hdoc_01.html", 1399, "889b14d1f68e740d6dc32348973fb45e", 15, 7, 823,
+     "e0d7db58dc472a8df05d809a06ab024c"),
+    ("hdoc_02.html", 1431, "66a9930a807e2a470fadb07cd528c6b9", 10, 1, 201,
+     "4549ce3838b7c98321d35d955382590a"),
+]
+
+
+def _html_extract_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{s},'{hm}',{nb},{nk},{nc},'{mm}')"
+        for n, s, hm, nb, nk, nc, mm in _HTML_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, n_bytes, html_md5, n_blocks, n_kept, n_chars,
+                  main_md5)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes,
+             md5(decode(content)) AS html_md5
+      FROM read_blob('{_HTML_FIXTURE_DIR}/*.html')
+    )
+    SELECT file_name, n_bytes, html_md5, n_blocks, n_kept, n_chars, main_md5
+    FROM expected JOIN blobs USING (file_name, n_bytes, html_md5)
+    """
+
+
+@q("text_html_extract", _html_extract_oracle())
+def text_html_extract(spark):
+    """binaryFile ingest → REAL boilerplate removal with the engine's own
+    stdlib extractor (operators/html: chrome-subtree stripping +
+    link-density/length block classification, jusText-style): one row per
+    committed .html fixture with the input bytes pinned (size + md5,
+    independently verified by DuckDB's read_blob) and the extraction
+    pinned (block counts, extracted length, md5 of the extracted text).
+    The fixtures cover the three crawl archetypes — clean article page,
+    malformed legacy page, link farm."""
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _HTML_FIXTURE_DIR, glob_filter="*.html")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("html_md5"),
+        F.col("content"),
+    )
+    ext = html_ops.html_extract(meta, id_col="file_name", html_col="content")
+    return (
+        meta.drop("content")
+        .join(ext, "file_name")
+        .select(
+            "file_name",
+            "n_bytes",
+            "html_md5",
+            "n_blocks",
+            "n_kept",
+            "n_chars",
+            F.md5(F.col("main_text")).alias("main_md5"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@q(
+    "text_html_curation",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, 2 AS n_blocks, 1 AS n_kept,
+             length(text) AS n_chars, md5(text) AS main_md5,
+        CAST(len([t for t in toks if t IN ('the','and','of','to','a','in','is','that','for','it')]) AS DOUBLE)
+          / CAST(greatest(len(toks), 1) AS DOUBLE) AS swr,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(text), 1) AS DOUBLE) AS pr,
+        len(toks) AS n_toks
+      FROM feat
+    )
+    SELECT doc_id, n_blocks, n_kept, n_chars, main_md5,
+           (CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN swr > 0.01 AND swr < 0.6 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN pr < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score,
+           (CASE WHEN n_toks BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN swr > 0.01 AND swr < 0.6 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN pr < 0.2 THEN 0.2 ELSE 0.0 END) >= 0.7 AS q_kept
+    FROM scored
+    """,
+)
+def text_html_curation(spark):
+    """The raw-crawl head of the curation pipeline: every document is
+    wrapped into a synthetic page (nav chrome + a link-dense promo block
+    + the document as the content paragraph + footer chrome) with pure
+    Catalyst concat, ``html_extract`` strips it back down, and the
+    standard quality gate scores the EXTRACTED text. The oracle pins the
+    full round trip per document — block counts the template implies
+    (2 blocks seen, 1 kept), byte-exact recovery of the original text
+    (md5), and the quality score computed on what the extractor
+    returned — so a regression in chrome stripping, link-density
+    classification, entity handling, or whitespace normalization flips
+    hashes on 500 rows. Upstream-of-the-quality-gate composition is the
+    point: filter-before-score on a crawl corpus keeps the expensive
+    tokenizer off boilerplate bytes at 100 TB."""
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+
+    docs = spark.table("documents")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>doc</title><script>track();</script>'
+                '</head><body><nav><a href="/">Home</a> <a href="/b">Blog'
+                '</a> <a href="/c">Contact</a></nav><div class="promo">'
+                '<a href="/d1">Deal one</a> <a href="/d2">Deal two</a>'
+                "</div><p>"
+            ),
+            F.col("text"),
+            F.lit(
+                '</p><footer><a href="/t">Terms</a> Copyright 2026'
+                "</footer></body></html>"
+            ),
+        ).alias("html"),
+    )
+    ext = html_ops.html_extract(page, id_col="doc_id", html_col="html")
+    scored = text.quality_features(ext, text_col="main_text")
+    return scored.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        "n_chars",
+        F.md5(F.col("main_text")).alias("main_md5"),
+        "quality_score",
+        (F.col("quality_score") >= 0.7).alias("q_kept"),
+    )
