@@ -613,9 +613,13 @@ def _bench_body() -> dict:
         n_pairs = pairs.count()
         stage_walls["propose_total"] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        comps = dedup_mod.connected_components(pairs)
+        cc_stats: dict = {}
+        comps = dedup_mod.connected_components(pairs, stats=cc_stats)
         n_nodes = comps.count()
         stage_walls["connected_components"] = round(time.perf_counter() - t0, 4)
+        # round attribution (r9 verdict #5): regime + per-round walls —
+        # the loop runs its jobs eagerly, so cc_stats is complete here
+        stage_walls["cc_rounds"] = cc_stats
         big_dedup_wall = stage_walls["propose_total"] + stage_walls["connected_components"]
         timings["dedup_bigcorpus"] = round(big_dedup_wall, 4)
         # triangle cohesion metric over the same (cached) candidate graph:
@@ -975,9 +979,17 @@ def _bench_body() -> dict:
             .cache()
         )
         vcorpus.count()
-        t0 = time.perf_counter()
-        n_scored = text_mod.bigram_lm_score(vcorpus, "doc_id").count()
-        lm_wall = time.perf_counter() - t0
+        # best-of-2 cold/warm split (r9 verdict #6): lm is the first
+        # heavy op of this section and its r9 "+1.25 s regression" was
+        # cold-start JIT/codegen, not a plan change — record the warm
+        # number as the entry and keep the cold one for the noise
+        # annotation, same discipline as the bigfile engine race
+        lm_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_scored = text_mod.bigram_lm_score(vcorpus, "doc_id").count()
+            lm_runs.append(time.perf_counter() - t0)
+        lm_wall = min(lm_runs)
         timings["lm_bigvocab"] = round(lm_wall, 4)
         t0 = time.perf_counter()
         n_merges = bpe_mod.learn_bpe(vcorpus, num_merges=6).count()
@@ -1002,6 +1014,7 @@ def _bench_body() -> dict:
             "docs": bigvocab_docs,
             "tokens": bigvocab_docs * vwords,
             "lm_docs_per_sec": round(n_scored / lm_wall),
+            "lm_runs_cold_warm": [round(w, 4) for w in lm_runs],
             "bpe_merges": n_merges,
             "index_terms": n_terms,
             "postings_tokens_per_sec": round(bigvocab_docs * vwords / post_wall),

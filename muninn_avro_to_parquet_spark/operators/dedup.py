@@ -845,6 +845,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair graph: the
     canonical-document-selection step that follows LSH pair generation in a
@@ -908,8 +909,16 @@ def connected_components(
 
     The per-iteration convergence check is a driver-side ``count`` of a
     LIMIT-1 diff — an O(1)-result job, not a data collect.
+
+    ``stats``: pass a dict to receive the round attribution the bench
+    reports (``regime``, ``n_edges``, ``n_part``, ``setup_wall``,
+    ``seed_wall``, per-round walls incl. barrier rounds) — zero extra
+    jobs, the walls wrap work the loop runs anyway.
     """
     import math
+    import time as _time
+
+    _t0 = _time.perf_counter()
 
     half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     both = half.union(
@@ -938,7 +947,11 @@ def connected_components(
     )
     edges = _hash_partitioned_cache(wide, "dst", n_part, "cc_edges")
     wide.unpersist()
-    return _cc_loop(edges, max_iterations, n_part)
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["n_part"] = n_part
+        stats["setup_wall"] = round(_time.perf_counter() - _t0, 4)
+    return _cc_loop(edges, max_iterations, n_part, stats)
 
 
 _BYTE_SUFFIX = {
@@ -972,7 +985,15 @@ def _broadcast_threshold_bytes(spark) -> int:
     return int(m.group(1)) * mult if mult is not None else 0
 
 
-def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
+def _cc_loop(
+    edges: DataFrame,
+    max_iterations: int,
+    n_part: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    import time as _time
+
+    _t0 = _time.perf_counter()
     # the label relation is node-sized — when the seed's EXACT
     # materialized row count (a free count on the eager checkpoint)
     # proves it fits the session's broadcast budget, hint every
@@ -988,7 +1009,15 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
     def _maybe_bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_labels else df
 
-    # seed = one fused propagation round: min over self ∪ neighbors
+    # seed = one fused propagation round: min over self ∪ neighbors.
+    # Measured negative result (r10, 200k docs / 2.7M edges): adding a
+    # pointer jump to the SEED labels costs 0.54 s and shrinks the
+    # still-changing set only 177k → 170k — early rounds are edge-bound
+    # (labels flow from minima outward), not chain-bound, so the jump
+    # cannot cut a round. Per-round walls are flat (~1.0 s) while the
+    # changed count drops steeply, i.e. the loop is job/broadcast-floor
+    # bound at this scale, not data bound — attribution in the bench's
+    # stage_walls.cc_rounds made this visible.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
@@ -1001,12 +1030,18 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
     # 64 B/row is deliberately fat (two longs + HashedRelation overhead)
     broadcast_labels = 0 < (labels.count() * 64) < max(threshold, 0)
     spark = edges.sparkSession
+    if stats is not None:
+        stats["regime"] = "broadcast" if broadcast_labels else "shuffle"
+        stats["seed_wall"] = round(_time.perf_counter() - _t0, 4)
+        stats["round_walls"] = []
+        stats["barrier_walls"] = []
     rounds = 0
     barrier_path: str | None = None
     barrier_base = "{}/_muninn_cc_barrier_{}".format(
         spark.conf.get("spark.sql.warehouse.dir").rstrip("/"), uuid.uuid4().hex
     )
     for _ in range(max_iterations - 1):
+        _rt0 = _time.perf_counter()
         if broadcast_labels:
             # inner join is complete: every node appears as a dst (the
             # edge relation is symmetric), so nbr covers the node set
@@ -1087,10 +1122,15 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
             ).alias("n")
         ).collect()[0]["n"]
         labels = new_labels.select("node", "label")
+        if stats is not None:
+            stats["round_walls"].append(
+                round(_time.perf_counter() - _rt0, 4)
+            )
         if not changed:
             break
         rounds += 1
         if rounds % _BARRIER_EVERY == 0:
+            _bt0 = _time.perf_counter()
             # stats-chain barrier. Spark 4's Dataset.checkpoint wraps the
             # new LogicalRDD's statistics in a thunk over the ORIGIN
             # plan's stats (LogicalRDD.rewriteStatsAndConstraints), so a
@@ -1112,6 +1152,10 @@ def _cc_loop(edges: DataFrame, max_iterations: int, n_part: int) -> DataFrame:
             labels = spark.read.parquet(barrier_path)
             if prev is not None:
                 _drop_path(spark, prev)
+            if stats is not None:
+                stats["barrier_walls"].append(
+                    round(_time.perf_counter() - _bt0, 4)
+                )
     if barrier_path is not None:
         # detach the result from the scratch files before deleting them:
         # every post-barrier round already re-materialized labels into

@@ -235,9 +235,18 @@ def _lzw_encode(min_code: int, indices: list[int]) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+def encode_gif(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
     """Row-major RGB → single-image GIF89a with a global color table.
-    More than 256 distinct colors raises (no silent quantization)."""
+    More than 256 distinct colors raises (no silent quantization).
+    ``interlace=True`` writes the four-pass row order (rows 0,8,16…,
+    then 4,12…, then 2,6…, then odd rows) and sets the descriptor's
+    interlace flag — the r9 decoder already reassembles it, and
+    ``javax.imageio`` cross-validates both directions."""
     if len(pixels) != width * height:
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
     palette: dict[tuple[int, int, int], int] = {}
@@ -260,9 +269,16 @@ def encode_gif(width: int, height: int, pixels: list[tuple[int, int, int]]) -> b
     for color in palette:
         out += bytes(color)
     out += b"\x00\x00\x00" * (n_entries - len(palette))
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x40 if interlace else 0x00)
     out.append(min_code)
-    data = _lzw_encode(min_code, [palette[p] for p in pixels])
+    stream_pixels = pixels
+    if interlace:
+        stream_pixels = []
+        for start, step in _INTERLACE_PASSES:
+            for y in range(start, height, step):
+                stream_pixels.extend(pixels[y * width : (y + 1) * width])
+    data = _lzw_encode(min_code, [palette[p] for p in stream_pixels])
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
         out.append(len(chunk))

@@ -167,15 +167,23 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise ValueError(f"PNG bit depth {bit_depth} unsupported (8 only)")
+    if bit_depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {bit_depth} unsupported (8/16 only)")
     if interlace:
         raise ValueError("interlaced (Adam7) PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"PNG color type {color_type} unsupported")
+    if color_type == 3 and bit_depth == 16:
+        raise ValueError("PNG palette images cannot be 16-bit (spec)")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    # PNG filters predict BYTES at a bytes-per-pixel offset, so 16-bit
+    # samples (2 bytes each, big-endian) reuse the same loop with
+    # bpp = channels * sample bytes (spec §9: "bpp is ... rounded up to
+    # one" — for 8/16-bit depths it is exactly channels * depth/8)
+    sample_bytes = bit_depth // 8
+    bpp = channels * sample_bytes
+    stride = width * bpp
     if len(raw) < (stride + 1) * height:
         raise ValueError("PNG pixel data truncated")
     pix = bytearray()
@@ -187,20 +195,20 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
         line = bytearray(raw[p : p + stride])
         p += stride
         if flt == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif flt == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif flt == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif flt == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 est = a + b - c
                 pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -210,6 +218,24 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
         pix += line
         prev = line
     npix = width * height
+    if sample_bytes == 2:
+        # 16-bit samples, network byte order; luma normalized by 65535
+        samples = [
+            (pix[i] << 8) | pix[i + 1] for i in range(0, len(pix), 2)
+        ]
+        if color_type == 0:
+            total = float(sum(samples))
+        elif color_type == 4:
+            total = float(sum(samples[0::2]))
+        else:  # 2 (RGB) / 6 (RGBA)
+            total = 0.0
+            for i in range(0, npix * channels, channels):
+                total += (
+                    _LUMA_R * samples[i]
+                    + _LUMA_G * samples[i + 1]
+                    + _LUMA_B * samples[i + 2]
+                )
+        return width, height, total / (npix * 65535.0)
     if color_type == 0:
         total = float(sum(pix))
     elif color_type == 4:

@@ -105,3 +105,31 @@ def test_rejects_non_gif():
 
     with pytest.raises(ValueError, match="signature"):
         gif.decode_gif(b"NOTAGIF0" * 4)
+
+
+def test_interlaced_encode_round_trips_and_imageio_agrees(spark):
+    """r10: the ENCODER's native interlace mode (r9 had decode only, and
+    the decode fixture was a hand-rewritten stream). Our interlaced
+    bytes must de-interlace back exactly in BOTH decoders."""
+    w, h = 23, 17  # non-power dims so pass boundaries land mid-stream
+    pix = _palette_gradient(w, h)
+    data = gif.encode_gif(w, h, pix, interlace=True)
+    assert data[:6] == b"GIF89a"
+    # our own decoder round-trips
+    ow, oh, ours = gif.decode_gif(data)
+    assert (ow, oh) == (w, h) and ours == pix
+    # independent decoder agrees on the same interlaced bytes
+    jw, jh, jdec = _imageio_decode(spark, data)
+    assert (jw, jh) == (w, h) and jdec == pix
+    # the flag is actually set (not a progressive-order plain stream)
+    desc = data.index(0x2C, 13)
+    assert data[desc + 9] & 0x40
+
+
+def test_interlaced_and_plain_encode_same_pixels_differ_only_in_order():
+    w, h = 16, 16
+    pix = _palette_gradient(w, h)
+    plain = gif.encode_gif(w, h, pix)
+    inter = gif.encode_gif(w, h, pix, interlace=True)
+    assert plain != inter
+    assert gif.decode_gif(plain)[2] == gif.decode_gif(inter)[2] == pix

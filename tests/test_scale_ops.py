@@ -570,15 +570,17 @@ def test_multimodal_resize_no_upscale(spark):
     assert (w, h, px) == (2, 2, [G, G, G, G])
 
 
-def _encode_png(width, height, rows, color_type=2, filters=None, palette=b""):
+def _encode_png(width, height, rows, color_type=2, filters=None, palette=b"",
+                bit_depth=8):
     """Minimal stdlib PNG writer for fixtures: ``rows`` is a list of raw
-    scanlines (bytes, already channel-packed); ``filters[y]`` selects the
-    per-row filter to ENCODE with, so the decoder's unfilter paths
-    (Sub/Up/Average/Paeth) are all exercised, not just None."""
+    scanlines (bytes, already channel-packed — 16-bit samples arrive as
+    big-endian byte pairs); ``filters[y]`` selects the per-row filter to
+    ENCODE with, so the decoder's unfilter paths (Sub/Up/Average/Paeth)
+    are all exercised, not just None."""
     import struct
     import zlib
 
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * (bit_depth // 8)
 
     def chunk(ctype, payload):
         return (
@@ -613,7 +615,7 @@ def _encode_png(width, height, rows, color_type=2, filters=None, palette=b""):
             raw.append(enc & 0xFF)
         prev = line
     out = b"\x89PNG\r\n\x1a\n"
-    out += chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0))
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0))
     if palette:
         out += chunk(b"PLTE", palette)
     out += chunk(b"IDAT", zlib.compress(bytes(raw)))
@@ -667,8 +669,67 @@ def test_multimodal_real_decode_png_stdlib(spark):
     assert abs(got[4]["mean_luma"] - pal_luma) < 1e-9
 
 
+def test_multimodal_real_decode_png_16bit(spark):
+    """16-bit PNG read (VERDICT r9 #7): gray and RGB at depth 16 with
+    every filter, luma normalized by 65535 and checked against the value
+    computed directly from the 16-bit samples; plus an INDEPENDENT-
+    encoder cross-check — javax.imageio writes a TYPE_USHORT_GRAY PNG
+    and our decoder must agree with the source raster exactly."""
+    import struct
+
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    w, h = 7, 5
+    # 16-bit samples spanning the full range (not byte-doubled values)
+    gray16 = [[(x * 9173 + y * 12289) % 65536 for x in range(w)] for y in range(h)]
+    gray_rows = [
+        b"".join(struct.pack(">H", v) for v in line) for line in gray16
+    ]
+    png_g16 = _encode_png(
+        w, h, gray_rows, color_type=0, filters=[0, 1, 2, 3, 4], bit_depth=16
+    )
+    rgb16 = [
+        [(x * 4099 + y * 8191 + c * 257) % 65536 for x in range(w) for c in range(3)]
+        for y in range(h)
+    ]
+    rgb_rows = [b"".join(struct.pack(">H", v) for v in line) for line in rgb16]
+    png_rgb16 = _encode_png(
+        w, h, rgb_rows, color_type=2, filters=[4, 3, 2, 1, 0], bit_depth=16
+    )
+    df = spark.createDataFrame(
+        [(1, png_g16), (2, png_rgb16)], "doc_id long, media binary"
+    )
+    got = {r["doc_id"]: r for r in multimodal.decode_images(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (w, h)
+    want_g = sum(sum(line) for line in gray16) / (w * h * 65535.0)
+    assert abs(got[1]["mean_luma"] - want_g) < 1e-9
+    want_rgb = sum(
+        0.299 * line[i] + 0.587 * line[i + 1] + 0.114 * line[i + 2]
+        for line in rgb16
+        for i in range(0, len(line), 3)
+    ) / (w * h * 65535.0)
+    assert abs(got[2]["mean_luma"] - want_rgb) < 1e-9
+
+    # independent encoder: ImageIO 16-bit gray PNG → our decoder
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    bi = jvm.java.awt.image.BufferedImage(w, h, 11)  # TYPE_USHORT_GRAY
+    raster = bi.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, gray16[y][x])
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(bi, "png", baos)
+    jbytes = bytes(baos.toByteArray())
+    jdf = spark.createDataFrame([(9, jbytes)], "doc_id long, media binary")
+    jrow = multimodal.decode_images(jdf).collect()[0]
+    assert (jrow["width"], jrow["height"]) == (w, h)
+    assert abs(jrow["mean_luma"] - want_g) < 1e-9
+
+
 def test_multimodal_png_rejects_unsupported_variants(spark):
-    """16-bit and interlaced PNGs raise instead of silently mis-decoding."""
+    """Sub-byte depths and interlaced PNGs raise instead of silently
+    mis-decoding (16-bit reads natively as of r10)."""
     import struct
     import zlib
 
@@ -692,7 +753,7 @@ def test_multimodal_png_rejects_unsupported_variants(spark):
             + chunk(b"IEND", b"")
         )
 
-    for payload, msg in ((ihdr_png(16, 0), "bit depth"), (ihdr_png(8, 1), "interlaced")):
+    for payload, msg in ((ihdr_png(4, 0), "bit depth"), (ihdr_png(8, 1), "interlaced")):
         df = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
         with pytest.raises(Exception, match=msg):
             multimodal.decode_images(df).collect()
