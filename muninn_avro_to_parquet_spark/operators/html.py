@@ -202,6 +202,94 @@ def extract_main_text(
     return "\n\n".join(b.text for b in kept), len(blocks), len(kept)
 
 
+class _LinkParser(HTMLParser):
+    """Collects (href, anchor-text) pairs in document order — including
+    links inside chrome (nav/footer), since the link GRAPH wants every
+    outedge even where the text extractor drops the block. Links inside
+    script/style/etc. never appear (there are no real <a> tags there;
+    textual lookalikes are data, not tags, and HTMLParser won't fire
+    handle_starttag for them inside <script> CDATA)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._anchor: list[str] = []
+
+    def _finish(self) -> None:
+        if self._href is not None:
+            self.links.append((self._href, " ".join(" ".join(self._anchor).split())))
+        self._href, self._anchor = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            self._finish()  # tag soup: unclosed <a> ends at the next <a>
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href is not None:
+                self._href = href
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._finish()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None and data:
+            self._anchor.append(data)
+
+    def close(self) -> None:
+        super().close()
+        self._finish()
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """All (href, anchor_text) pairs of ``html`` in document order."""
+    p = _LinkParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        p._finish()
+    return p.links
+
+
+def html_links(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """One row per outlink: (id, seq, href, anchor). The exploded edge
+    relation feeds the link graph (``operators/graph.pagerank``) and
+    URL-level dedup; same Arrow-batched narrow-map shape as
+    ``html_extract``."""
+    import pandas as pd
+
+    is_binary = isinstance(df.schema[html_col].dataType, T.BinaryType)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for i, h in zip(pdf[id_col], pdf[html_col]):
+                if h is None:
+                    continue
+                s = (
+                    bytes(h).decode("utf-8", errors="replace")
+                    if is_binary
+                    else str(h)
+                )
+                for seq, (href, anchor) in enumerate(extract_links(s)):
+                    out.append((i, seq, href, anchor))
+            yield pd.DataFrame(out, columns=[id_col, "seq", "href", "anchor"])
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("seq", T.IntegerType(), True),
+            T.StructField("href", T.StringType(), True),
+            T.StructField("anchor", T.StringType(), True),
+        ]
+    )
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)
+
+
 def html_features_type(
     id_col: str = "doc_id", id_type: T.DataType | None = None
 ) -> T.StructType:

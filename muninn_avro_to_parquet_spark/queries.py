@@ -8109,3 +8109,220 @@ def text_html_curation(spark):
         "quality_score",
         (F.col("quality_score") >= 0.7).alias("q_kept"),
     )
+
+
+def _pagerank_oracle(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled integer fixed-point PageRank (the BPE/k-means oracle
+    pattern) over ``edges_sql`` (a SELECT producing src, dst):
+    iteration i = a dangling-mass scalar, a contribution aggregate, and
+    the update — all in HUGEINT-safe floor division, cast back to
+    BIGINT at the end."""
+    scale = 10**12
+    ctes = [
+        """
+    edges AS ({edges_sql}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST({scale} // p.n AS BIGINT) AS rank_fp
+      FROM nodes CROSS JOIN params p
+    )""".format(scale=scale, edges_sql=edges_sql)
+    ]
+    for i in range(iterations):
+        ctes.append(
+            """
+    d{i} AS (
+      SELECT COALESCE(SUM(r.rank_fp), 0) AS dang
+      FROM r{i} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
+    ),
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank_fp // o.deg) AS infl
+      FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i} r ON e.src = r.node
+      GROUP BY 1
+    ),
+    r{j} AS (
+      SELECT n.node,
+             CAST((15 * ({scale} // p.n)
+                   + 85 * (COALESCE(c.infl, 0) + d.dang // p.n)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM nodes n CROSS JOIN params p CROSS JOIN d{i} d
+      LEFT JOIN c{i} c ON n.node = c.node
+    )""".format(i=i, j=i + 1, scale=scale)
+        )
+    return "WITH" + ",".join(ctes) + f"\n    SELECT node, rank_fp FROM r{iterations}"
+
+
+_PURCHASE_EDGES_SQL = """
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """
+
+
+@q("graph_pagerank", _pagerank_oracle(_PURCHASE_EDGES_SQL))
+def graph_pagerank(spark):
+    """Integer fixed-point PageRank (operators/graph) over the
+    customer→supplier purchase graph (orders ⋈ lineitem, distinct
+    edges) — a bipartite graph where EVERY supplier node is dangling,
+    so the dangling-mass redistribution path is exercised on thousands
+    of nodes, not an edge case. 3 iterations, damping 85/100, ranks in
+    parts-per-10^12; truncating integer arithmetic makes the ranks
+    bit-identical across engines, and the oracle unrolls the iterations
+    CTE-by-CTE. Scale shape: edge cache partitioned on src reused by
+    every iteration's contribution join; one map-side-combined shuffle
+    per iteration; dangling mass rides a 1-row broadcast."""
+    from muninn_avro_to_parquet_spark.operators import graph
+
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank(edges, iterations=3)
+
+
+# pinned ground truth for the fixture outlinks: (file_name, seq, href,
+# anchor) — hand-checked against the pages; regenerate by running
+# operators.html.extract_links over the fixtures (block in git history)
+_HTML_LINKS_GROUND_TRUTH = [
+    ("hdoc_00.html", 0, "/", "Home"),
+    ("hdoc_00.html", 1, "/world", "World"),
+    ("hdoc_00.html", 2, "/tech", "Tech"),
+    ("hdoc_00.html", 3, "/sport", "Sport"),
+    ("hdoc_00.html", 4, "/opinion", "Opinion"),
+    ("hdoc_00.html", 5, "/datasets", "seven public datasets"),
+    ("hdoc_00.html", 6, "/a/1", "Markets rally for a third day"),
+    ("hdoc_00.html", 7, "/a/2", "Interview: the mayor on transit"),
+    ("hdoc_00.html", 8, "/a/3", "Recipe: one-pan weeknight noodles"),
+    ("hdoc_00.html", 9, "#tw", "Tweet"),
+    ("hdoc_00.html", 10, "#fb", "Share"),
+    ("hdoc_00.html", 11, "#ln", "Post"),
+    ("hdoc_00.html", 12, "/terms", "Terms"),
+    ("hdoc_00.html", 13, "/privacy", "Privacy"),
+    ("hdoc_01.html", 0, "guestbook.htm", "Sign the guestbook!"),
+    ("hdoc_01.html", 1, "links.htm", "Links"),
+    ("hdoc_01.html", 2, "rings.htm", "Webring"),
+    ("hdoc_02.html", 0, "/cat/electronics", "Electronics"),
+    ("hdoc_02.html", 1, "/cat/garden", "Garden"),
+    ("hdoc_02.html", 2, "/cat/toys", "Toys"),
+    ("hdoc_02.html", 3, "/cat/auto", "Auto"),
+    ("hdoc_02.html", 4, "/cat/books", "Books"),
+    ("hdoc_02.html", 5, "/cat/home", "Home"),
+    ("hdoc_02.html", 6, "/deal/1001", "Wireless earbuds 40% off"),
+    ("hdoc_02.html", 7, "/deal/1002", "Garden hose reel clearance"),
+    ("hdoc_02.html", 8, "/deal/1003", "Robot vacuum flash sale"),
+    ("hdoc_02.html", 9, "/deal/1004", "Cordless drill bundle"),
+    ("hdoc_02.html", 10, "/deal/1005", "Air fryer doorbuster"),
+    ("hdoc_02.html", 11, "/deal/1006", "Standing desk markdown"),
+    ("hdoc_02.html", 12, "/t/cheap", "cheap"),
+    ("hdoc_02.html", 13, "/t/sale", "sale"),
+    ("hdoc_02.html", 14, "/t/clearance", "clearance"),
+    ("hdoc_02.html", 15, "/t/refurb", "refurb"),
+    ("hdoc_02.html", 16, "/t/openbox", "open box"),
+    ("hdoc_02.html", 17, "/t/coupon", "coupon"),
+    ("hdoc_02.html", 18, "/t/bogo", "bogo"),
+    ("hdoc_02.html", 19, "/t/daily", "daily deal"),
+    ("hdoc_02.html", 20, "/about", "About"),
+    ("hdoc_02.html", 21, "/contact", "Contact"),
+    ("hdoc_02.html", 22, "/affiliates", "Affiliate disclosure"),
+]
+
+
+def _html_links_oracle() -> str:
+    vals = ",".join(
+        "('{}',{},'{}','{}')".format(n, s, h, a.replace("'", "''"))
+        for n, s, h, a in _HTML_LINKS_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, seq, href, anchor) AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name
+      FROM read_blob('{_HTML_FIXTURE_DIR}/*.html')
+    )
+    SELECT file_name, seq, href, anchor
+    FROM expected JOIN blobs USING (file_name)
+    """
+
+
+@q("text_html_links", _html_links_oracle())
+def text_html_links(spark):
+    """Outlink extraction over the committed fixtures: one row per
+    (document, seq, href, anchor text), document order pinned — the edge
+    relation a crawl pipeline feeds into ``graph.pagerank`` and
+    URL-level dedup. Includes chrome links (nav/footer) deliberately:
+    the link GRAPH wants every outedge even where the text extractor
+    drops the surrounding block."""
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _HTML_FIXTURE_DIR, glob_filter="*.html")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    return html_ops.html_links(meta, id_col="file_name", html_col="content")
+
+
+_CRAWL_EDGES_SQL = """
+      SELECT DISTINCT d.doc_id AS src, t.dst
+      FROM documents d
+      CROSS JOIN (SELECT COUNT(*) AS n FROM documents) p
+      CROSS JOIN LATERAL (VALUES ((d.doc_id * 7 + 1) % p.n),
+                                 ((d.doc_id * 13 + 5) % p.n),
+                                 ((d.doc_id * 31 + 17) % p.n)) AS t(dst)
+    """
+
+
+@q("crawl_rank_pipeline", _pagerank_oracle(_CRAWL_EDGES_SQL))
+def crawl_rank_pipeline(spark):
+    """The crawl-analytics flow END-TO-END: every document becomes a
+    synthetic page whose body carries three deterministic outlinks
+    (``/doc/<(id*k+c) mod N>`` — pure Catalyst concat) plus chrome
+    links; ``html_links`` re-extracts them from the markup; the edge
+    relation keeps only ``/doc/`` hrefs (chrome filtered out); and
+    ``graph.pagerank`` ranks the documents. The oracle NEVER sees the
+    HTML — it derives the same edges arithmetically and unrolls the
+    same fixed-point iterations, so a regression anywhere in the chain
+    (href mangling in the link parser, a lost edge, a rank-arithmetic
+    drift) flips the final 500-row hash. This is the real pipeline
+    shape at crawl scale: extract (narrow Arrow map) → distinct edges
+    (one shuffle) → iterative rank (edge cache + one shuffle/round)."""
+    from muninn_avro_to_parquet_spark.operators import graph
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+
+    docs = spark.table("documents")
+    n = docs.count()
+
+    def t(mult, add):
+        return ((F.col("doc_id") * mult + add) % n).cast("string")
+
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><nav><a href="/about">About</a></nav><p>'),
+            F.col("text"),
+            F.lit('</p><ul><li><a href="/doc/'),
+            t(7, 1),
+            F.lit('">next</a></li><li><a href="/doc/'),
+            t(13, 5),
+            F.lit('">related</a></li><li><a href="/doc/'),
+            t(31, 17),
+            F.lit('">more</a></li></ul><footer><a href="/terms">Terms'
+                  "</a></footer></body></html>"),
+        ).alias("html"),
+    )
+    links = html_ops.html_links(page, id_col="doc_id", html_col="html")
+    edges = (
+        links.filter(F.col("href").startswith("/doc/"))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.substring("href", 6, 20).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.pagerank(edges, iterations=3)

@@ -1,0 +1,74 @@
+"""operators/graph.pagerank: integer fixed-point PageRank. Differential
+against a transparent pure-Python reference implementing the exact same
+integer recurrence, plus the structural edge cases (dangling nodes,
+self-loops, disconnected components) and partitioning-invariance."""
+
+from __future__ import annotations
+
+import pytest
+
+from muninn_avro_to_parquet_spark.operators.graph import pagerank
+
+
+def _ref_pagerank(edges, iters=3, dn=85, dd=100, scale=10**12):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out: dict = {}
+    for u, _v in edges:
+        out[u] = out.get(u, 0) + 1
+    base = scale // n
+    r = {x: base for x in nodes}
+    tele = (dd - dn) * base
+    for _ in range(iters):
+        dang = sum(r[x] for x in nodes if x not in out)
+        infl = {x: 0 for x in nodes}
+        for u, v in edges:
+            infl[v] += r[u] // out[u]
+        r = {x: (tele + dn * (infl[x] + dang // n)) // dd for x in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank_fp"] for r in pagerank(df, **kw).collect()}
+
+
+def test_matches_reference_with_dangling_and_selfloop(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (2, 4), (3, 6), (2, 2)]
+    assert _run(spark, edges) == _ref_pagerank(edges)
+
+
+def test_bipartite_all_sinks_dangling(spark):
+    # every dst is dangling — the entire mass recycles through the
+    # dangling path each round (the purchase-graph shape)
+    edges = [(1, 10), (2, 10), (2, 11), (3, 11)]
+    got = _run(spark, edges)
+    assert got == _ref_pagerank(edges)
+    assert got[10] > got[11] or got[10] == got[11]  # 10 has more inlinks
+    assert got[10] > got[1]  # sinks outrank pure sources here
+
+
+def test_disconnected_components_and_mass(spark):
+    edges = [(1, 2), (2, 1), (10, 11), (11, 12), (12, 10)]
+    got = _run(spark, edges, iterations=5)
+    assert got == _ref_pagerank(edges, iters=5)
+    # truncating arithmetic: total mass within N*iters parts of scale
+    assert 0 <= 10**12 - sum(got.values()) <= len(got) * 6 * 100
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [(i, (i + 1) % 37) for i in range(37)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank_fp"] for r in pagerank(df).collect()}
+    b = {r["node"]: r["rank_fp"] for r in pagerank(df.repartition(13)).collect()}
+    assert a == b == _ref_pagerank(edges)
+
+
+def test_empty_and_bad_params(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=100, damping_den=100)

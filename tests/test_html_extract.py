@@ -180,3 +180,37 @@ def test_html_extract_plan_is_narrow(spark):
     plan = html_extract(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+# ---- outlink extraction ----------------------------------------------------
+
+def test_extract_links_tag_soup():
+    from muninn_avro_to_parquet_spark.operators.html import extract_links
+
+    links = extract_links(
+        '<nav><a href="/kept">Nav link</a></nav>'
+        '<a href="/a">first<a href="/b">unclosed ends first</a>'
+        "<a>no href ignored</a>"
+        '<a href="/c">spans <b>inline</b> tags</a>'
+        '<script>var s = \'<a href="/fake">not a link</a>\';</script>'
+    )
+    assert links == [
+        ("/kept", "Nav link"),
+        ("/a", "first"),
+        ("/b", "unclosed ends first"),
+        ("/c", "spans inline tags"),
+    ]
+
+
+def test_html_links_dataframe(spark):
+    from muninn_avro_to_parquet_spark.operators.html import html_links
+
+    df = spark.createDataFrame(
+        [(1, '<a href="/x">one</a><a href="/y">two</a>'), (2, None), (3, "<p>none</p>")],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["seq"], r["href"], r["anchor"])
+        for r in html_links(df).collect()
+    )
+    assert rows == [(1, 0, "/x", "one"), (1, 1, "/y", "two")]
