@@ -1186,6 +1186,52 @@ def _bench_body() -> dict:
     else:
         biglink_stats = None
 
+    # PageRank at link-graph scale (round 10): 500k md5-derived edges
+    # over 100k nodes through the integer fixed-point loop (3
+    # iterations). Self-verifying: truncating arithmetic conserves total
+    # mass to within N*iterations*damping_den parts of the 1e12 scale —
+    # a wrong dangling path or a lost contribution breaks the bound.
+    biggraph_edges = int(os.environ.get("SPARK_GRAFT_BIGGRAPH_EDGES", "500000"))
+    if biggraph_edges > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import graph as graph_mod
+
+        n_gnodes = biggraph_edges // 5
+        gedges = (
+            spark.range(biggraph_edges)
+            .select(
+                (F.col("id") % n_gnodes).alias("src"),
+                F.expr(
+                    "cast(conv(substring(md5(cast(id as string)), 1, 12), 16, 10)"
+                    f" % {n_gnodes} as bigint)"
+                ).alias("dst"),
+            )
+            .cache()
+        )
+        gedges.count()  # generator outside the timer
+        t0 = time.perf_counter()
+        pr = graph_mod.pagerank(gedges, iterations=3)
+        mass = pr.agg(F.sum("rank_fp")).collect()[0][0]
+        pr_wall = time.perf_counter() - t0
+        timings["pagerank_biggraph"] = round(pr_wall, 4)
+        scale = 10**12
+        if not (scale - n_gnodes * 3 * 100 <= mass <= scale):
+            raise AssertionError(
+                f"pagerank scale proof: mass {mass} outside the truncation "
+                f"bound of {scale}"
+            )
+        biggraph_stats = {
+            "edges": biggraph_edges,
+            "nodes": n_gnodes,
+            "iterations": 3,
+            "mass_kept_ppm": round(mass / scale * 1e6, 2),
+            "edges_per_sec": round(biggraph_edges * 3 / pr_wall),
+        }
+        gedges.unpersist()
+    else:
+        biggraph_stats = None
+
     # the headline metric sums the REGISTRY query timings only; scale
     # proofs and engine races are reported alongside under proofs_total.
     # Classification is the structural is_proof_entry rule (module top) —
@@ -1220,6 +1266,8 @@ def _bench_body() -> dict:
         result["biggeo"] = biggeo_stats
     if biglink_stats is not None:
         result["biglinkage"] = biglink_stats
+    if biggraph_stats is not None:
+        result["biggraph"] = biggraph_stats
     return result
 
 

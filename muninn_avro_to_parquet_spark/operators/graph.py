@@ -66,35 +66,53 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # N as an exact literal: one O(1)-result job up front (the CC
-    # discipline — counts yes, data collects no)
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return spark.createDataFrame([], "node long, rank_fp long")
     cores = spark.sparkContext.defaultParallelism
-    n_part = max(1, min((n_nodes + 9999) // 10000, cores))
-    ecached = e.repartition(n_part, "src").cache()
-    ecached.count()
-    outdeg = (
-        ecached.groupBy("src").count().select("src", F.col("count").alias("deg"))
-    )
-    base = scale // n_nodes
-    ranks = (
-        nodes.select("node", F.lit(base).cast("long").alias("rank_fp"))
+    ecached = e.cache()
+    n_edges = ecached.count()
+    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
+    # re-cache hash-partitioned on src so every iteration's contribution
+    # join reuses the partitioning (the CC edge-cache discipline); the
+    # count above filled the wide cache, this is a narrow re-read
+    esized = ecached.repartition(n_part, "src").cache()
+    esized.count()
+    ecached.unpersist()
+    # outdegree is STATIC — fold it into the rank relation ONCE (deg is
+    # NULL for dangling nodes) and checkpoint. The first version of this
+    # loop recomputed the outdeg aggregate lazily inside every iteration
+    # (3 references/iteration → 3 extra edge-cache scans + shuffles per
+    # round, visible in the sf0.1 bench) and resolved dangling mass with
+    # a per-round anti-JOIN; with deg carried on the ranks row the
+    # dangling mass is a plain filter-aggregate — no join, no shuffle.
+    seed = (
+        nodes.join(
+            esized.groupBy("src").agg(F.count("*").alias("deg")),
+            nodes["node"] == F.col("src"),
+            "left",
+        )
+        .select("node", "deg")
         .coalesce(n_part)
         .localCheckpoint(eager=True)
     )
+    n_nodes = seed.count()
+    if n_nodes == 0:
+        esized.unpersist()
+        return spark.createDataFrame([], "node long, rank_fp long")
+    base = scale // n_nodes
+    ranks = seed.select(
+        "node", "deg", F.lit(base).cast("long").alias("rank_fp")
+    )
     teleport = (damping_den - damping_num) * base
     for _ in range(iterations):
-        # dangling mass: nodes with no outedges (1-row aggregate,
-        # broadcast into every update row)
-        dang = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dang"))
+        # dangling mass: filter-aggregate over the node-sized rank
+        # relation (1 row, broadcast into every update row)
+        dang = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dang")
         )
         contrib = (
-            ecached.join(outdeg, "src")
-            .join(ranks, ecached["src"] == ranks["node"])
+            esized.join(
+                ranks.filter(F.col("deg").isNotNull()),
+                esized["src"] == ranks["node"],
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_fp div deg").alias("_c"),
@@ -103,10 +121,12 @@ def pagerank(
             .agg(F.sum("_c").alias("_infl"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.select("node", "deg")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "deg",
                 # `div` (integer division) throughout — `/` would be
                 # DOUBLE division and lose exactness past 2^53
                 F.expr(
@@ -118,6 +138,6 @@ def pagerank(
             .coalesce(n_part)
             .localCheckpoint(eager=False)
         )
-    out = ranks.localCheckpoint(eager=True)
-    ecached.unpersist()
+    out = ranks.select("node", "rank_fp").localCheckpoint(eager=True)
+    esized.unpersist()
     return out

@@ -8326,3 +8326,68 @@ def crawl_rank_pipeline(spark):
         .distinct()
     )
     return graph.pagerank(edges, iterations=3)
+
+
+@q(
+    "text_url_canonical",
+    """
+    SELECT doc_id,
+      CASE doc_id % 7
+        WHEN 0 THEN 'http://EXAMPLE.com/doc/' || doc_id
+        WHEN 1 THEN 'HTTP://example.COM:80/doc/' || (doc_id - 1) || '#frag'
+        WHEN 2 THEN 'https://Sub.Example.com:443/doc/' || doc_id || '?q=' || (doc_id % 5)
+        WHEN 3 THEN 'https://example.com:8443/Doc/' || doc_id
+        WHEN 4 THEN 'http://Example.com'
+        WHEN 5 THEN '/relative/path/' || doc_id
+        ELSE 'https://example.com/doc/' || doc_id || '?'
+      END AS url,
+      CASE doc_id % 7
+        WHEN 0 THEN 'http://example.com/doc/' || doc_id
+        WHEN 1 THEN 'http://example.com/doc/' || (doc_id - 1)
+        WHEN 2 THEN 'https://sub.example.com/doc/' || doc_id || '?q=' || (doc_id % 5)
+        WHEN 3 THEN 'https://example.com:8443/Doc/' || doc_id
+        WHEN 4 THEN 'http://example.com/'
+        WHEN 5 THEN '/relative/path/' || doc_id
+        ELSE 'https://example.com/doc/' || doc_id
+      END AS canonical_url,
+      CASE doc_id % 7
+        WHEN 2 THEN 'sub.example.com'
+        WHEN 5 THEN ''
+        ELSE 'example.com'
+      END AS host,
+      (doc_id % 7 = 1) OR (doc_id % 7 = 4 AND doc_id <> 4) AS is_dup
+    FROM documents
+    """,
+)
+def text_url_canonical(spark):
+    """URL canonicalization + URL-level dedup (operators/urls): messy
+    crawl variants are SYNTHESIZED per document (scheme/host case noise,
+    default and non-default ports, fragments, empty queries, userinfo-
+    free empty paths, relative passthrough — one archetype per
+    ``doc_id % 7``, with every case-1 row a disguised duplicate of its
+    predecessor's case-0 URL), then canonicalized by the pure-Catalyst
+    expressions. The oracle does NOT port the canonicalizer — it states
+    the expected canonical form, host, and dup flag from first
+    principles per archetype, so an implementation drift (a port
+    surviving, a path case-folded, a fragment leaking) flips the hash.
+    Whole plan is codegen + one window shuffle on the canonical key."""
+    from muninn_avro_to_parquet_spark.operators import urls
+
+    docs = spark.table("documents")
+    m = F.col("doc_id") % 7
+    sid = F.col("doc_id").cast("string")
+    prev = (F.col("doc_id") - 1).cast("string")
+    q5 = (F.col("doc_id") % 5).cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://EXAMPLE.com/doc/"), sid))
+        .when(m == 1, F.concat(F.lit("HTTP://example.COM:80/doc/"), prev, F.lit("#frag")))
+        .when(m == 2, F.concat(F.lit("https://Sub.Example.com:443/doc/"), sid, F.lit("?q="), q5))
+        .when(m == 3, F.concat(F.lit("https://example.com:8443/Doc/"), sid))
+        .when(m == 4, F.lit("http://Example.com"))
+        .when(m == 5, F.concat(F.lit("/relative/path/"), sid))
+        .otherwise(F.concat(F.lit("https://example.com/doc/"), sid, F.lit("?")))
+    )
+    seed = docs.select("doc_id", url.alias("url"))
+    return urls.dedup_by_canonical_url(seed, "doc_id", "url").select(
+        "doc_id", "url", "canonical_url", "host", "is_dup"
+    )

@@ -1,0 +1,85 @@
+"""operators/urls: canonicalization edge cases the registry archetypes
+don't reach, plus the codegen/narrowness guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import urls
+
+
+def _canon(spark, raw: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    return [
+        r["c"] for r in df.select(urls.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+def test_canonical_url_cases(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://Example.COM:80/a/b?x=1#frag",   # all normalizations at once
+            "https://example.com:443",               # default port + empty path
+            "https://example.com:8080/a",            # non-default port kept
+            "http://example.com/CaseSensitive/Path", # path case untouched
+            "  http://example.com/a  ",              # trimmed
+            "ftp://Example.com:21/file",             # unknown scheme: port kept
+            "relative/path",                         # passthrough
+            "#fragment-only",                        # passthrough
+            "http://user@Example.com/a",             # authority lowercased wholesale
+            "http://example.com/a?",                 # lone ? stripped
+            "http://example.com/a?x=1&y=2",          # real query kept
+        ],
+    )
+    assert got == [
+        "http://example.com/a/b?x=1",
+        "https://example.com/",
+        "https://example.com:8080/a",
+        "http://example.com/CaseSensitive/Path",
+        "http://example.com/a",
+        "ftp://example.com:21/file",
+        "relative/path",
+        "#fragment-only",
+        "http://user@example.com/a",
+        "http://example.com/a",
+        "http://example.com/a?x=1&y=2",
+    ]
+
+
+def test_url_host_and_scheme(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://User:pw@Sub.Example.COM:8443/x?y#z",), ("nope",)], "url string"
+    )
+    rows = df.select(
+        urls.url_scheme(F.col("url")).alias("s"),
+        urls.url_host(F.col("url")).alias("h"),
+    ).collect()
+    assert (rows[0]["s"], rows[0]["h"]) == ("https", "sub.example.com")
+    assert (rows[1]["s"], rows[1]["h"]) == ("", "")
+
+
+def test_dedup_by_canonical_url(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://A.com/x"),
+            (2, "HTTP://a.com:80/x#top"),   # dup of 1
+            (3, "http://a.com/y"),
+            (4, "https://a.com/x"),          # different scheme: NOT a dup
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["is_dup"] for r in urls.dedup_by_canonical_url(df, "doc_id").collect()}
+    assert got == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_urls_stay_jvm_side(spark):
+    """Pure Catalyst: no Python eval node anywhere in the plan."""
+    df = spark.createDataFrame([(1, "http://a.com/x")], "doc_id long, url string")
+    plan = (
+        urls.dedup_by_canonical_url(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
