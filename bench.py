@@ -1216,10 +1216,14 @@ def _bench_body() -> dict:
         pr_wall = time.perf_counter() - t0
         timings["pagerank_biggraph"] = round(pr_wall, 4)
         scale = 10**12
-        if not (scale - n_gnodes * 3 * 100 <= mass <= scale):
+        # provable truncation bound: initial seed loses < N (scale mod
+        # N); each iteration loses < E (per-edge contribution
+        # remainders) + N (dangling split) + 100*N (final div) parts
+        loss_bound = n_gnodes + 3 * (biggraph_edges + n_gnodes + 100 * n_gnodes)
+        if not (scale - loss_bound <= mass <= scale):
             raise AssertionError(
                 f"pagerank scale proof: mass {mass} outside the truncation "
-                f"bound of {scale}"
+                f"bound [{scale - loss_bound}, {scale}]"
             )
         biggraph_stats = {
             "edges": biggraph_edges,

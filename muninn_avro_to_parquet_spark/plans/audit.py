@@ -15,6 +15,31 @@ import re
 # (registry name, why this plan is the one we want at 100 TB)
 HEADLINERS: list[tuple[str, str]] = [
     (
+        "q_date_spine_gapfill",
+        "Gap-fill where the broadcast lands on the LEGAL side: the "
+        "domain-bounded aggregate builds right under a left-outer "
+        "BroadcastHashJoin (a hint on the preserved spine side is "
+        "silently dropped by Spark — the r9 defect the hint gate now "
+        "catches).",
+    ),
+    (
+        "text_html_curation",
+        "Raw-crawl head of the curation pipeline: synth page (codegen "
+        "concat) → Arrow-batched MapInPandas extractor → quality gate — "
+        "one narrow Python crossing, zero exchanges before the gate.",
+    ),
+    (
+        "graph_pagerank",
+        "Iterative fixed-point rank: edge cache partitioned on src is "
+        "reused by every iteration's contribution join; degree rides the "
+        "rank relation (static state folded in at seed), dangling mass "
+        "is a filter-aggregate broadcast back as one row. The skeleton "
+        "below is the RETURNED relation — an eagerly materialized "
+        "checkpoint (the loop's per-iteration jobs already ran during "
+        "construction; their shape is asserted in tests/test_graph.py "
+        "and the bench's pagerank_biggraph proof).",
+    ),
+    (
         "q1_pricing_summary",
         "Scan→partial agg→exchange→final agg: the canonical map-side-combine "
         "shape. One exchange moves only (flag,status) partials, never rows.",
