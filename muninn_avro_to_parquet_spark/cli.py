@@ -196,6 +196,22 @@ def main(argv: list[str] | None = None) -> int:
         "is ~num_merges/batch_size round segments, not 30k driver jobs",
     )
 
+    p_html = sub.add_parser(
+        "html-extract",
+        help="strip boilerplate from an HTML column: main-content text "
+        "(and optionally the outlink relation) as parquet",
+    )
+    p_html.add_argument("--input_dir", required=True, help="parquet directory")
+    p_html.add_argument("--output_dir", required=True)
+    p_html.add_argument("--id_col", required=True)
+    p_html.add_argument("--html_col", default="html")
+    p_html.add_argument("--min_words", type=int, default=3)
+    p_html.add_argument("--max_link_density", type=float, default=0.33)
+    p_html.add_argument(
+        "--links_out", default=None,
+        help="also write the (id, seq, href, anchor) outlink relation here",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "drain":
@@ -365,6 +381,32 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{n} merges written to {args.merges_out}")
             if args.segments_out:
                 print(f"segmentation at {args.segments_out}")
+            return 0
+
+        if args.cmd == "html-extract":
+            from muninn_avro_to_parquet_spark.operators import html as html_ops
+
+            pages = spark.read.parquet(args.input_dir)
+            ext = html_ops.html_extract(
+                pages,
+                id_col=args.id_col,
+                html_col=args.html_col,
+                min_words=args.min_words,
+                max_link_density=args.max_link_density,
+            )
+            ext.write.mode("overwrite").parquet(args.output_dir)
+            if args.links_out:
+                html_ops.html_links(
+                    pages, id_col=args.id_col, html_col=args.html_col
+                ).write.mode("overwrite").parquet(args.links_out)
+            out = spark.read.parquet(args.output_dir)
+            n_docs = out.count()
+            n_kept = out.filter("n_kept > 0").count()
+            print(f"{n_docs} documents extracted to {args.output_dir} "
+                  f"({n_kept} with surviving content)")
+            if args.links_out:
+                n_links = spark.read.parquet(args.links_out).count()
+                print(f"{n_links} outlinks at {args.links_out}")
             return 0
 
         if args.cmd == "convert":

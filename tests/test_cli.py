@@ -298,3 +298,37 @@ def test_cli_vacuum(tmp_path, capsys):
     assert rc == 0
     assert not (tdir / "v7").exists()
     assert (tdir / "v1" / "part-0.parquet").exists()
+
+
+def test_cli_html_extract(spark, tmp_path, monkeypatch, capsys):
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<body><nav><a href="/x">Nav</a></nav>'
+                "<p>Genuine article prose long enough to keep</p></body>"),
+            (2, '<div><a href="/a">only</a> <a href="/b">links</a></div>'),
+        ],
+        "doc_id long, html string",
+    )
+    pages.write.parquet(str(tmp_path / "pages"))
+    rc = cli.main([
+        "html-extract",
+        "--input_dir", str(tmp_path / "pages"),
+        "--output_dir", str(tmp_path / "text"),
+        "--id_col", "doc_id",
+        "--links_out", str(tmp_path / "links"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 documents extracted" in out and "(1 with surviving content)" in out
+    assert "3 outlinks" in out
+    got = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "text")).collect()}
+    assert got[1]["main_text"] == "Genuine article prose long enough to keep"
+    assert got[2]["n_kept"] == 0
+    links = spark.read.parquet(str(tmp_path / "links"))
+    assert sorted(r["href"] for r in links.collect()) == ["/a", "/b", "/x"]
