@@ -126,6 +126,18 @@ class _BlockParser(HTMLParser):
             self._drop[tag] = self._drop.get(tag, 0) + 1
             self._drop_depth += 1
             return
+        if self._drop_depth and tag in ("main", "article"):
+            # tag-soup recovery: <main>/<article> are not valid
+            # descendants of nav/header/footer/aside/form in HTML's
+            # content model, so reaching one means an earlier chrome tag
+            # was never closed (a real crawl hazard — without this an
+            # unclosed <nav> swallows the whole page). End the CHROME
+            # subtrees; STRIP tags (script/style) keep dropping — raw
+            # text inside those is data, not markup.
+            for t in list(self._drop):
+                if t in CHROME_TAGS and self._drop[t]:
+                    self._drop_depth -= self._drop[t]
+                    self._drop[t] = 0
         if self._drop_depth:
             return
         if tag in BLOCK_TAGS:

@@ -61,7 +61,12 @@ def canonical_url(url: Column) -> Column:
     ).otherwise(auth)
     rest = F.regexp_extract(u, _REST_RE, 1)
     rest = F.regexp_replace(rest, "\\?$", "")
-    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    # empty path → '/', and a query with no path gets the '/' too so
+    # 'http://h?x=1' and 'http://h/?x=1' collide (they are the same
+    # resource)
+    rest = F.when(rest == "", F.lit("/")).when(
+        rest.startswith("?"), F.concat(F.lit("/"), rest)
+    ).otherwise(rest)
     return F.when(
         scheme == "", u
     ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))

@@ -214,3 +214,21 @@ def test_html_links_dataframe(spark):
         for r in html_links(df).collect()
     )
     assert rows == [(1, 0, "/x", "one"), (1, 1, "/y", "two")]
+
+
+def test_unclosed_nav_does_not_swallow_the_article():
+    """Tag-soup recovery: <main>/<article> cannot legally sit inside
+    chrome, so reaching one force-closes the dangling chrome subtree —
+    without this an unclosed <nav> dropped the whole page."""
+    text, _, _ = extract_main_text(
+        '<body><nav><a href="/">Home</a> <a href="/b">Blog</a>'  # never closed
+        "<main><p>The article body is still extracted despite the bad nav</p>"
+        "</main></body>"
+    )
+    assert text == "The article body is still extracted despite the bad nav"
+    # STRIP tags are NOT rescued the same way: <article> inside an
+    # unclosed <script> is raw data, not markup
+    text2, _, _ = extract_main_text(
+        "<script>var x = 1; <article><p>not real markup</p>"
+    )
+    assert text2 == ""

@@ -83,3 +83,8 @@ def test_urls_stay_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pathless_query_gets_the_slash(spark):
+    got = _canon(spark, ["http://Host.com?x=1", "http://host.com/?x=1"])
+    assert got == ["http://host.com/?x=1", "http://host.com/?x=1"]
