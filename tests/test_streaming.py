@@ -700,3 +700,73 @@ def test_native_stream_jvm_engine_exactly_once_and_parity(spark, tmp_path):
     assert got.schema.simpleString() == want.schema.simpleString()
     key = lambda r: r["id"]  # noqa: E731
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_html_curation_streams(spark, tmp_path):
+    """The curation head runs under Structured Streaming: html_extract
+    (stateless Arrow map) + the quality gate compose onto a parquet file
+    stream; append mode, exactly-once via checkpoint; a second batch of
+    files is picked up incrementally and the union equals the batch
+    computation."""
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+    from muninn_avro_to_parquet_spark.operators import text as text_mod
+
+    def page(i, body):
+        return (
+            i,
+            '<body><nav><a href="/">Home</a> <a href="/a">More</a></nav>'
+            f"<p>{body}</p>"
+            '<footer><a href="/t">Terms</a></footer></body>',
+        )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "chases it back across the field for a while before both rest "
+    ) * 3
+    batch1 = [page(1, prose), page(2, "too short")]
+    batch2 = [page(3, prose + "with a different ending to the story")]
+    src = str(tmp_path / "pages_src")
+    spark.createDataFrame(batch1, "doc_id long, html string").write.parquet(src)
+
+    def curate(df):
+        ext = html_ops.html_extract(df, id_col="doc_id", html_col="html")
+        scored = text_mod.quality_features(ext, text_col="main_text")
+        return scored.select(
+            "doc_id", "n_kept", F.round("quality_score", 6).alias("q")
+        )
+
+    stream = spark.readStream.schema("doc_id long, html string").parquet(src)
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("html_curation_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_html"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT COUNT(*) n FROM html_curation_stream").collect()[0]["n"]
+        assert n1 == 2
+        # incremental pickup: new files only, no replay
+        spark.createDataFrame(batch2, "doc_id long, html string").write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_kept"], r["q"])
+            for r in spark.sql("SELECT * FROM html_curation_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert len(got) == 3  # exactly-once: 1,2 not re-emitted
+    want = {
+        r["doc_id"]: (r["n_kept"], r["q"])
+        for r in curate(
+            spark.createDataFrame(batch1 + batch2, "doc_id long, html string")
+        ).collect()
+    }
+    assert got == want
+    assert got[1][0] == 1 and got[2][0] == 0  # gate behaves in-stream
