@@ -2,11 +2,13 @@
 family needed a third-party library for.
 
 Scope (and honest limits):
-- **decode**: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-  with per-component sampling factors up to 2×2 (so 4:4:4, 4:2:2 and the
+- **decode**: baseline sequential DCT (SOF0/1) AND progressive (SOF2,
+  r10: spectral selection + successive approximation per T.81 §G, with
+  EOBRUN and AC refinement), 8-bit, grayscale or YCbCr with
+  per-component sampling factors up to 2×2 (so 4:4:4, 4:2:2 and the
   ubiquitous 4:2:0 all decode), multiple DQT/DHT segments, restart
-  markers (DRI/RSTn). Progressive (SOF2), arithmetic coding and 12-bit
-  raise ``ValueError`` rather than mis-decoding.
+  markers (DRI/RSTn). Arithmetic coding, hierarchical, and 12-bit raise
+  ``ValueError`` rather than mis-decoding.
 - **encode**: baseline sequential, YCbCr 4:4:4, Annex-K quantization
   tables scaled by IJG quality, Annex-K Huffman tables, JFIF APP0 —
   bit-deterministic for a given (pixels, quality), which is what lets
@@ -421,6 +423,8 @@ def _decode_planes_raw(data: bytes):
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    coefs = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
@@ -457,7 +461,7 @@ def _decode_planes_raw(data: bytes):
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported (8 only)")
@@ -466,10 +470,11 @@ def _decode_planes_raw(data: bytes):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended) unsupported — "
-                "baseline sequential only"
+                f"JPEG SOF{marker - 0xC0} (hierarchical/arithmetic/12-bit) "
+                "unsupported — baseline and progressive Huffman only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -481,11 +486,279 @@ def _decode_planes_raw(data: bytes):
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos, frame, scan_sel, qtables, htables, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, scan_sel, qtables, htables, restart_interval
+                )
+            # progressive: the 3 trailing SOS bytes select the band and
+            # the successive-approximation bit position for THIS scan
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _progressive_scan(
+                data, pos, frame, scan_sel,
+                ss, se, ahal >> 4, ahal & 0x0F,
+                htables, restart_interval, coefs,
             )
         # APPn / COM / others: skipped
+    if progressive and coefs is not None:
+        return _finish_progressive(frame, coefs, qtables)
     raise ValueError("JPEG has no scan (SOS) segment")
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — multi-scan coefficient accumulation with spectral
+# selection (Ss..Se) and successive approximation (Ah/Al), per T.81 §G.
+# Coefficients accumulate UNQUANTIZED across scans; dequantization and the
+# batched IDCT run once at EOI through the same math as the baseline path.
+# ---------------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coefs(frame):
+    """One flat int list per component, MCU-padded block grid × 64
+    natural-order coefficients."""
+    _hmax, _vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    out = []
+    for _cid, hi, vi, _tq in frame[2]:
+        out.append([0] * (mcus_x * hi * mcus_y * vi * 64))
+    return out
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Position of the marker that terminates the entropy segment
+    starting at ``pos`` (skipping stuffed 0xFF00, restart markers, and
+    0xFF fill runs); returned pos points at the final 0xFF of the run."""
+    n = len(data)
+    i = pos
+    while i + 1 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed data byte
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: still inside the scan
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        else:
+            return i
+    raise ValueError("JPEG entropy data truncated (no terminating marker)")
+
+
+def _refine_nonzero(coef, idx, bit, p1, m1):
+    """Apply one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3): the bit may only set the Al bit once per pass."""
+    c = coef[idx]
+    if bit and (c & p1) == 0:
+        coef[idx] = c + (p1 if c >= 0 else m1)
+
+
+def _progressive_scan(
+    data, pos, frame, scan_sel, ss, se, ah, al, htables, restart_interval, coefs
+):
+    """Decode one progressive scan into the coefficient store; returns
+    the position of the terminating marker."""
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    by_id = {cid: ci for ci, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    reader = _BitReader(data, pos)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC bands")
+    if not is_dc and len(scan_sel) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    preds = {cid: 0 for cid, _td, _ta in scan_sel}
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+
+    def dc_block(cid, td, base):
+        if ah == 0:
+            t = reader.huff(htables[(0, td)])
+            preds[cid] += _extend(reader.bits(t), t)
+            coefs_ci[base] = preds[cid] << al
+        elif reader.bit():
+            # successive approximation refines the Al bit; |= semantics
+            # are exact for negatives because the first pass stored an
+            # arithmetic-shifted value (two's complement)
+            coefs_ci[base] |= p1
+
+    def ac_first(ta, base):
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        tbl = htables[(1, ta)]
+        k = ss
+        while k <= se:
+            rs = reader.huff(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow in progressive scan")
+            coefs_ci[base + ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(ta, base):
+        nonlocal eobrun
+        tbl = htables[(1, ta)]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(tbl)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("invalid JPEG AC refinement symbol")
+                    val = p1 if reader.bit() else m1
+                elif r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # advance over r zero-history positions, spending one
+                # correction bit on every nonzero passed
+                while k <= se:
+                    idx = base + ZIGZAG[k]
+                    if coefs_ci[idx]:
+                        _refine_nonzero(coefs_ci, idx, reader.bit(), p1, m1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    coefs_ci[base + ZIGZAG[k]] = val
+                k += 1
+        if eobrun:
+            while k <= se:
+                idx = base + ZIGZAG[k]
+                if coefs_ci[idx]:
+                    _refine_nonzero(coefs_ci, idx, reader.bit(), p1, m1)
+                k += 1
+            eobrun -= 1
+
+    def maybe_restart(unit_count, rst_n):
+        nonlocal eobrun
+        if restart_interval and unit_count == restart_interval:
+            reader.sync_restart(rst_n & 7)
+            for cid in preds:
+                preds[cid] = 0
+            eobrun = 0
+            return 0, rst_n + 1
+        return unit_count, rst_n
+
+    try:
+        unit = rst = 0
+        if is_dc and len(scan_sel) > 1:
+            # interleaved DC scan: MCU order over the padded grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    unit, rst = maybe_restart(unit, rst)
+                    for cid, td, _ta in scan_sel:
+                        ci = by_id[cid]
+                        _c, hi, vi, _tq = comps[ci]
+                        coefs_ci = coefs[ci]
+                        bw = mcus_x * hi
+                        for by in range(vi):
+                            for bx in range(hi):
+                                base = ((my * vi + by) * bw + mx * hi + bx) * 64
+                                dc_block(cid, td, base)
+                    unit += 1
+        else:
+            # non-interleaved: the component's OWN block grid (T.81
+            # A.2.2 — no MCU padding in single-component scans)
+            cid, td, ta = scan_sel[0]
+            ci = by_id[cid]
+            _c, hi, vi, _tq = comps[ci]
+            coefs_ci = coefs[ci]
+            bw = mcus_x * hi  # padded row stride of the coefficient store
+            cw = -(-w * hi // hmax)
+            ch = -(-h * vi // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    unit, rst = maybe_restart(unit, rst)
+                    base = (by * bw + bx) * 64
+                    if is_dc:
+                        dc_block(cid, td, base)
+                    elif ah == 0:
+                        ac_first(ta, base)
+                    else:
+                        ac_refine(ta, base)
+                    unit += 1
+    except _MarkerHit:
+        raise ValueError(
+            f"JPEG marker {reader.marker:#x} inside progressive scan data"
+        ) from None
+    return _entropy_end(data, reader.pos)
+
+
+def _finish_progressive(frame, coefs, qtables):
+    """Dequantize the accumulated coefficients and run the shared
+    (batched when numpy is present) IDCT; same output contract as the
+    baseline ``_decode_scan``."""
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    out_planes = []
+    samp = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        q = qtables[tq]
+        bw = mcus_x * hi
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        coefs_ci = coefs[ci]
+        batch = []
+        place = []
+        for by in range(nby):
+            for bx in range(nbx):
+                base = (by * bw + bx) * 64
+                batch.append(
+                    [coefs_ci[base + i] * q[i] for i in range(64)]
+                )
+                place.append((bx * 8, by * 8))
+        pw, ph = nbx * 8, nby * 8
+        if _np is not None:
+            M = _idct_matrix()
+            B = _np.asarray(batch, dtype=_np.float64).reshape(-1, 8, 8)
+            pix = (M.T @ ((B @ M) * 0.5)) * 0.5
+            pix = _np.clip(_np.rint(pix) + 128, 0, 255).astype(_np.int64)
+            plane = _np.zeros((ph, pw), dtype=_np.int64)
+            for k, (ox, oy) in enumerate(place):
+                plane[oy : oy + 8, ox : ox + 8] = pix[k]
+            out_planes.append(plane[:ch, :cw])
+        else:
+            flat = [0] * (pw * ph)
+            for k, (ox, oy) in enumerate(place):
+                block = _idct_block(batch[k])
+                for yy in range(8):
+                    dst = (oy + yy) * pw + ox
+                    flat[dst : dst + 8] = block[yy * 8 : yy * 8 + 8]
+            out_planes.append(
+                [flat[yy * pw + xx] for yy in range(ch) for xx in range(cw)]
+            )
+        samp.append((hi, vi))
+    return w, h, out_planes, samp
 
 
 def _idct_block(coef: list[float]) -> list[int]:

@@ -1494,12 +1494,15 @@ def multimodal_binary_ingest(spark):
 # committed JPEG fixtures: jimg_00 = own encoder 4:4:4 q90;
 # jimg_01 = own encoder q80 WITH restart markers, non-multiple-of-8 dims;
 # jimg_02 = encoded by the JVM's javax.imageio (independent encoder,
-# 4:2:0 subsampling — exercises the decoder's chroma upsample path).
-# Regenerate with the block in the fixtures' git history.
+# 4:2:0 subsampling — exercises the decoder's chroma upsample path);
+# jimg_03 = ImageIO PROGRESSIVE encoding (SOF2, multi-scan successive
+# approximation — exercises the r10 progressive path, non-multiple-of-8
+# dims). Regenerate with the block in the fixtures' git history.
 _JPEG_GROUND_TRUTH = [
     ("jimg_00.jpg", 753, "35e19da66fce62fb4456f2144ca683a8", 24, 16, 0.478217),
     ("jimg_01.jpg", 812, "df01634240c7d0321603ffbe1de8c0f4", 33, 17, 0.494747),
     ("jimg_02.jpg", 684, "c6950871494f7cb6c04e85c49de7fd4d", 20, 12, 0.44415),
+    ("jimg_03.jpg", 934, "9fdee0a541ec79119920020d1bd8ac3d", 29, 18, 0.471137),
 ]
 
 
@@ -1525,11 +1528,12 @@ def _jpeg_ingest_oracle() -> str:
 def multimodal_jpeg_ingest(spark):
     """binaryFile ingest → REAL baseline-JPEG decode with the engine's own
     stdlib codec (operators/jpeg — Huffman + dequant + IDCT + chroma
-    upsample, ImageIO-cross-validated): one row per .jpg fixture with
+    upsample, baseline AND progressive, ImageIO-cross-validated): one row per .jpg fixture with
     exact bytes/hash and decoded (width, height, mean_luma). The fixture
     set deliberately mixes our 4:4:4 output, a restart-marker stream with
-    non-multiple-of-8 dimensions, and an independently encoded 4:2:0
-    file, so the oracle pins all three decode paths."""
+    non-multiple-of-8 dimensions, an independently encoded 4:2:0 file,
+    and (r10) an ImageIO PROGRESSIVE stream, so the oracle pins all four
+    decode paths."""
     from muninn_avro_to_parquet_spark.sources import formats
 
     raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.jpg")

@@ -127,10 +127,11 @@ def test_grayscale_single_component(spark):
     assert max(abs(a[0] - b) for a, b in zip(ours, jgray)) <= 1
 
 
-def test_progressive_and_garbage_raise():
+def test_unsupported_sof_and_garbage_raise():
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"nonsense")
-    # minimal SOF2 skeleton: SOI + progressive frame header
+    # progressive now DECODES (r10); a scan-less SOF2 skeleton ends at
+    # EOI with no coefficients — still a loud error, not silent pixels
     import struct
 
     sof2 = (
@@ -140,8 +141,18 @@ def test_progressive_and_garbage_raise():
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="no scan"):
         jpeg.decode_jpeg(sof2 + b"\xff\xd9")
+    # arithmetic-coded (SOF9) stays an honest reject
+    sof9 = (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        jpeg.decode_jpeg(sof9 + b"\xff\xd9")
 
 
 def test_non_interleaved_multi_scan_raises_value_error():
@@ -208,3 +219,84 @@ def test_jpeg_through_resize_and_dhash_seams(spark):
         r["doc_id"]: r["dhash"] for r in multimodal.dhash_images(df).collect()
     }
     assert hashes[1] == hashes[2]
+
+
+def _imageio_encode_progressive(spark, bi) -> bytes:
+    jvm = spark._jvm
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = writer.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.flush()
+    return bytes(baos.toByteArray())
+
+
+def test_progressive_gray_decoder_agreement(spark):
+    """Progressive (SOF2) grayscale: no chroma upsampling in the loop, so
+    decoder agreement on identical bytes isolates the multi-scan
+    coefficient accumulation (DC/AC first + refinement, EOBRUN) — must
+    match ImageIO's own decode to within IDCT rounding (<=1)."""
+    jvm = spark._jvm
+    w, h = 40, 24
+    bi = jvm.java.awt.image.BufferedImage(w, h, 10)  # TYPE_BYTE_GRAY
+    raster = bi.getRaster()
+    vals = [(x * 37 + y * 11) % 256 for y in range(h) for x in range(w)]
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, vals[y * w + x])
+    data = _imageio_encode_progressive(spark, bi)
+    assert b"\xff\xc2" in data  # really progressive
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+    jgray = [img.getRaster().getSample(x, y, 0) for y in range(h) for x in range(w)]
+    ow, oh, ours = jpeg.decode_jpeg(data)
+    assert (ow, oh) == (w, h)
+    assert max(abs(p[0] - g) for p, g in zip(ours, jgray)) <= 1
+
+
+def test_progressive_color_decoder_agreement(spark):
+    """Progressive 4:2:0 color: agreement within the chroma-upsampling
+    style band (ImageIO's fancy upsampling vs our box replication —
+    same class of delta the baseline 4:2:0 tests carry)."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 48, 32
+    pix = _gradient(
+        w, h, lambda x, y: (int(255 * x / 47), int(255 * y / 31), int(255 * (x + y) / 78))
+    )
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)
+    ja = gw.new_array(jvm.int, w * h)
+    for i, (r, g, b) in enumerate(pix):
+        ja[i] = (r << 16) | (g << 8) | b
+    bi.setRGB(0, 0, w, h, ja, 0, w)
+    data = _imageio_encode_progressive(spark, bi)
+    assert b"\xff\xc2" in data
+    jw, jh, jdec = _imageio_decode(spark, data)
+    ow, oh, ours = jpeg.decode_jpeg(data)
+    assert (ow, oh) == (jw, jh) == (w, h)
+    assert _max_err(ours, jdec) <= 8
+    # and the decode is still faithful to the SOURCE image
+    assert _max_err(ours, pix) <= 14
+
+
+def test_progressive_vs_baseline_same_source(spark):
+    """OUR decoder, ImageIO's two encodings of one image: progressive
+    and baseline decodes must land within the lossy-noise band of each
+    other — a scan-accumulation bug would separate them widely."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 32, 32
+    pix = _gradient(w, h, lambda x, y: ((x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256))
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)
+    ja = gw.new_array(jvm.int, w * h)
+    for i, (r, g, b) in enumerate(pix):
+        ja[i] = (r << 16) | (g << 8) | b
+    bi.setRGB(0, 0, w, h, ja, 0, w)
+    prog = _imageio_encode_progressive(spark, bi)
+    base = _imageio_encode(spark, w, h, pix)
+    assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+    _, _, dec_p = jpeg.decode_jpeg(prog)
+    _, _, dec_b = jpeg.decode_jpeg(base)
+    assert _max_err(dec_p, dec_b) <= 8
