@@ -134,12 +134,61 @@ def _decode_ppm(data: bytes) -> tuple[int, int, float]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_unfilter(raw: bytes, p: int, n_px: int, n_rows: int, bpp: int):
+    """Unfilter ``n_rows`` scanlines of ``n_px`` pixels each starting at
+    ``raw[p]`` (PNG filters predict BYTES at a bytes-per-pixel offset —
+    spec §9); returns (pixel bytes, next offset)."""
+    stride = n_px * bpp
+    if len(raw) - p < (stride + 1) * n_rows:
+        raise ValueError("PNG pixel data truncated")
+    pix = bytearray()
+    prev = bytes(stride)
+    for _y in range(n_rows):
+        flt = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if flt == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif flt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif flt == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif flt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                est = a + b - c
+                pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif flt != 0:
+            raise ValueError(f"PNG scanline filter {flt} invalid")
+        pix += line
+        prev = line
+    return pix, p
+
+
+# Adam7: (x0, y0, dx, dy) per pass — each pass is an independently
+# filtered sub-image (its own stride, its own prev row)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(data: bytes) -> tuple[int, int, float]:
     """Pure-stdlib PNG decode → (w, h, mean_luma): chunk walk, zlib
     inflate of the IDAT stream, and per-scanline unfiltering (None/Sub/
-    Up/Average/Paeth — the full filter set). Supports 8-bit samples in
-    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
-    6 (RGBA), non-interlaced; anything else raises rather than
+    Up/Average/Paeth — the full filter set). Supports 8- and 16-bit
+    samples in color types 0 (gray), 2 (RGB), 3 (palette, 8-bit only
+    per spec), 4 (gray+alpha) and 6 (RGBA), both non-interlaced and
+    Adam7-interlaced (r10); sub-byte depths raise rather than
     mis-decoding (VERDICT r6 #7: this removes the Pillow dependency for
     the engine's PNG path — Pillow remains the JPEG codec when present)."""
     import struct
@@ -169,54 +218,36 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
         raise ValueError("PNG missing IHDR")
     if bit_depth not in (8, 16):
         raise ValueError(f"PNG bit depth {bit_depth} unsupported (8/16 only)")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"PNG color type {color_type} unsupported")
     if color_type == 3 and bit_depth == 16:
         raise ValueError("PNG palette images cannot be 16-bit (spec)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     raw = zlib.decompress(bytes(idat))
-    # PNG filters predict BYTES at a bytes-per-pixel offset, so 16-bit
-    # samples (2 bytes each, big-endian) reuse the same loop with
-    # bpp = channels * sample bytes (spec §9: "bpp is ... rounded up to
-    # one" — for 8/16-bit depths it is exactly channels * depth/8)
     sample_bytes = bit_depth // 8
     bpp = channels * sample_bytes
-    stride = width * bpp
-    if len(raw) < (stride + 1) * height:
-        raise ValueError("PNG pixel data truncated")
-    pix = bytearray()
-    prev = bytes(stride)
-    p = 0
-    for _y in range(height):
-        flt = raw[p]
-        p += 1
-        line = bytearray(raw[p : p + stride])
-        p += stride
-        if flt == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif flt == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif flt == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif flt == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                est = a + b - c
-                pa, pb, pc = abs(est - a), abs(est - b), abs(est - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif flt != 0:
-            raise ValueError(f"PNG scanline filter {flt} invalid")
-        pix += line
-        prev = line
+    if not interlace:
+        pix, _p = _png_unfilter(raw, 0, width, height, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered onto
+        # the full pixel grid (empty passes contribute zero bytes)
+        pix = bytearray(width * height * bpp)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, p = _png_unfilter(raw, p, pw, ph, bpp)
+            for j in range(ph):
+                row = sub[j * pw * bpp : (j + 1) * pw * bpp]
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    dst = (y * width + x) * bpp
+                    pix[dst : dst + bpp] = row[i * bpp : (i + 1) * bpp]
     npix = width * height
     if sample_bytes == 2:
         # 16-bit samples, network byte order; luma normalized by 65535

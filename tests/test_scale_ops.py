@@ -727,9 +727,61 @@ def test_multimodal_real_decode_png_16bit(spark):
     assert abs(jrow["mean_luma"] - want_g) < 1e-9
 
 
+def test_multimodal_real_decode_png_adam7(spark):
+    """Adam7-interlaced PNG read (r10): ImageIO-encoded interlaced files
+    (8-bit RGB with odd dimensions hitting partial passes, and 16-bit
+    grayscale) must decode to the exact luma of the source raster."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+
+    def imageio_png(bi, interlace):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        param = writer.getDefaultWriteParam()
+        if interlace:
+            param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    w, h = 13, 9  # odd dims: several passes are partial, pass 2 starts x=4
+    pix = [((x * 19) % 256, (y * 31) % 256, ((x + y) * 13) % 256)
+           for y in range(h) for x in range(w)]
+    bi = jvm.java.awt.image.BufferedImage(w, h, 1)
+    ja = gw.new_array(jvm.int, w * h)
+    for i, (r, g, b) in enumerate(pix):
+        ja[i] = (r << 16) | (g << 8) | b
+    bi.setRGB(0, 0, w, h, ja, 0, w)
+    want = sum(0.299 * r + 0.587 * g + 0.114 * b for r, g, b in pix) / (w * h * 255.0)
+    data = imageio_png(bi, True)
+    assert data[28] == 1  # IHDR interlace byte really set
+    df = spark.createDataFrame([(1, data)], "doc_id long, media binary")
+    row = multimodal.decode_images(df).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    assert abs(row["mean_luma"] - want) < 1e-9
+
+    w2, h2 = 11, 7
+    bi2 = jvm.java.awt.image.BufferedImage(w2, h2, 11)  # TYPE_USHORT_GRAY
+    ras = bi2.getRaster()
+    vals = [(x * 9173 + y * 12289) % 65536 for y in range(h2) for x in range(w2)]
+    for y in range(h2):
+        for x in range(w2):
+            ras.setSample(x, y, 0, vals[y * w2 + x])
+    data2 = imageio_png(bi2, True)
+    assert data2[28] == 1 and data2[24] == 16
+    df2 = spark.createDataFrame([(1, data2)], "doc_id long, media binary")
+    row2 = multimodal.decode_images(df2).collect()[0]
+    assert (row2["width"], row2["height"]) == (w2, h2)
+    assert abs(row2["mean_luma"] - sum(vals) / (w2 * h2 * 65535.0)) < 1e-9
+
+
 def test_multimodal_png_rejects_unsupported_variants(spark):
-    """Sub-byte depths and interlaced PNGs raise instead of silently
-    mis-decoding (16-bit reads natively as of r10)."""
+    """Sub-byte depths and invalid interlace methods raise instead of
+    silently mis-decoding (16-bit and Adam7 read natively as of r10)."""
     import struct
     import zlib
 
@@ -753,7 +805,7 @@ def test_multimodal_png_rejects_unsupported_variants(spark):
             + chunk(b"IEND", b"")
         )
 
-    for payload, msg in ((ihdr_png(4, 0), "bit depth"), (ihdr_png(8, 1), "interlaced")):
+    for payload, msg in ((ihdr_png(4, 0), "bit depth"), (ihdr_png(8, 2), "interlace method")):
         df = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
         with pytest.raises(Exception, match=msg):
             multimodal.decode_images(df).collect()
