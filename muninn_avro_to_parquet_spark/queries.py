@@ -8395,3 +8395,66 @@ def text_url_canonical(spark):
     return urls.dedup_by_canonical_url(seed, "doc_id", "url").select(
         "doc_id", "url", "canonical_url", "host", "is_dup"
     )
+
+
+# committed PNG fixtures: pimg_00 = hand-built writer exercising all five
+# scanline filters (8-bit RGB); pimg_01 = javax.imageio ADAM7-INTERLACED
+# RGB (independent encoder, odd dims → partial passes); pimg_02 =
+# javax.imageio 16-BIT grayscale, also interlaced. Regenerate with the
+# block in the fixtures' git history.
+_PNG_GROUND_TRUTH = [
+    ("pimg_00.png", 324, "f0c96e011f873c6c6392a897cc15d307", 21, 13, 0.501376),
+    ("pimg_01.png", 628, "abe485eaf3d06eead40750a5af9329fe", 19, 11, 0.437471),
+    ("pimg_02.png", 428, "d7ff206e8786258a8f5bfb14816e48eb", 17, 10, 0.498871),
+]
+
+
+def _png_ingest_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{s},'{m}',{w},{h},CAST({l} AS DOUBLE))"
+        for n, s, m, w, h, l in _PNG_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(file_name, n_bytes, content_md5, width, height, mean_luma)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.png')
+    )
+    SELECT file_name, n_bytes, content_md5, width, height, mean_luma
+    FROM expected JOIN blobs USING (file_name, n_bytes)
+    """
+
+
+@q("multimodal_png_ingest", _png_ingest_oracle())
+def multimodal_png_ingest(spark):
+    """binaryFile ingest → REAL PNG decode with the engine's own stdlib
+    codec (full unfilter set, 8- AND 16-bit samples, Adam7 interlace —
+    r10): one row per .png fixture with exact bytes/hash and decoded
+    (width, height, mean_luma). The fixture set pins the three decode
+    paths that have independent encoders behind them: our own
+    all-filters writer, an ImageIO interlaced RGB, and an ImageIO
+    interlaced 16-bit grayscale."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.png")
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("content"),
+    )
+    feats = multimodal.decode_images(meta, id_col="file_name", media_col="content")
+    return (
+        meta.drop("content")
+        .join(feats, "file_name")
+        .select(
+            "file_name",
+            "n_bytes",
+            "content_md5",
+            "width",
+            "height",
+            F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+        )
+    )
