@@ -102,6 +102,22 @@ def pagerank(
         "node", "deg", F.lit(base).cast("long").alias("rank_fp")
     )
     teleport = (damping_den - damping_num) * base
+    # CC's broadcast-regime discipline: when the EXACT node count proves
+    # the rank relation fits the session's broadcast budget, hint the
+    # per-iteration joins to broadcast it — the edge cache then never
+    # re-exchanges and the rank relation never shuffles inside the loop.
+    # Past the budget the shuffle shape is unchanged (a billion-node
+    # rank relation must never ride a broadcast). 64 B/row deliberately
+    # fat, matching dedup._cc_loop.
+    from muninn_avro_to_parquet_spark.operators.dedup import (
+        _broadcast_threshold_bytes,
+    )
+
+    bc = 0 < (n_nodes * 64) < max(_broadcast_threshold_bytes(spark), 0)
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bc else df
+
     for _ in range(iterations):
         # dangling mass: filter-aggregate over the node-sized rank
         # relation (1 row, broadcast into every update row)
@@ -110,7 +126,7 @@ def pagerank(
         )
         contrib = (
             esized.join(
-                ranks.filter(F.col("deg").isNotNull()),
+                _maybe_bc(ranks.filter(F.col("deg").isNotNull())),
                 esized["src"] == ranks["node"],
             )
             .select(
@@ -122,7 +138,7 @@ def pagerank(
         )
         ranks = (
             ranks.select("node", "deg")
-            .join(contrib, "node", "left")
+            .join(_maybe_bc(contrib), "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
