@@ -8458,3 +8458,46 @@ def multimodal_png_ingest(spark):
             F.round(F.col("mean_luma"), 6).alias("mean_luma"),
         )
     )
+
+
+@q(
+    "graph_degree_stats",
+    f"""
+    WITH edges AS ({_PURCHASE_EDGES_SQL}),
+    srcdeg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1),
+    dstdeg AS (SELECT dst AS node, COUNT(*) AS degree FROM edges GROUP BY 1)
+    SELECT 'out' AS side, degree, COUNT(*) AS n_nodes
+    FROM srcdeg GROUP BY degree
+    UNION ALL
+    SELECT 'in' AS side, degree, COUNT(*) AS n_nodes
+    FROM dstdeg GROUP BY degree
+    """,
+)
+def graph_degree_stats(spark):
+    """Degree distribution of the purchase link graph, both sides — the
+    first thing anyone profiles before running an iterative graph
+    algorithm (it is what decides salting, broadcast regimes, and list
+    sizing). Two map-side-combined aggregates per side over the same
+    distinct edge relation; output is histogram-sized (bounded by max
+    degree), never node-sized."""
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+
+    def hist(col, side):
+        return (
+            edges.groupBy(col)
+            .agg(F.count("*").alias("degree"))
+            .groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit(side).alias("side"), "degree", "n_nodes")
+        )
+
+    return hist("src", "out").unionAll(hist("dst", "in"))

@@ -232,3 +232,58 @@ def test_unclosed_nav_does_not_swallow_the_article():
         "<script>var x = 1; <article><p>not real markup</p>"
     )
     assert text2 == ""
+
+
+# ---- property-based hardening ----------------------------------------------
+# A crawl corpus is arbitrary byte soup; the extractor's contract is
+# "never raise, always deterministic". Hypothesis hunts the corners the
+# hand-written soup tests missed.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tagish = st.sampled_from(
+    ["<p>", "</p>", "<a href='x'>", "</a>", "<nav>", "</nav>", "<script>",
+     "</script>", "<br>", "<div>", "</div>", "<main>", "<h2>", "</h2>",
+     "<!--", "-->", "&amp;", "&#200;", "<", ">", "&", "<p", "='"]
+)
+_soup = st.lists(
+    _tagish | st.text(max_size=12), min_size=0, max_size=40
+).map("".join)
+
+
+@given(_soup)
+@settings(max_examples=300, deadline=None)
+def test_extractor_total_on_tag_soup(doc):
+    """Never raises; deterministic; counts consistent; kept text is a
+    subset relation of block text."""
+    from muninn_avro_to_parquet_spark.operators.html import (
+        extract_blocks,
+        extract_main_text,
+        extract_links,
+    )
+
+    text1, n_blocks, n_kept = extract_main_text(doc)
+    text2, n_blocks2, n_kept2 = extract_main_text(doc)
+    assert (text1, n_blocks, n_kept) == (text2, n_blocks2, n_kept2)
+    assert 0 <= n_kept <= n_blocks
+    blocks = extract_blocks(doc)
+    assert len(blocks) == n_blocks
+    for para in text1.split("\n\n") if text1 else []:
+        assert any(b.text == para for b in blocks)
+    links1 = extract_links(doc)
+    assert links1 == extract_links(doc)
+    assert all(isinstance(h, str) and isinstance(a, str) for h, a in links1)
+
+
+@given(st.binary(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_extractor_total_on_raw_bytes(raw):
+    """The binaryFile path decodes with replacement and must survive any
+    byte string (invalid UTF-8, NULs, truncated multibyte runs)."""
+    from muninn_avro_to_parquet_spark.operators.html import extract_main_text
+
+    text, n_blocks, n_kept = extract_main_text(
+        raw.decode("utf-8", errors="replace")
+    )
+    assert isinstance(text, str) and 0 <= n_kept <= n_blocks
