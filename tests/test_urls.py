@@ -88,3 +88,33 @@ def test_urls_stay_jvm_side(spark):
 def test_pathless_query_gets_the_slash(spark):
     got = _canon(spark, ["http://Host.com?x=1", "http://host.com/?x=1"])
     assert got == ["http://host.com/?x=1", "http://host.com/?x=1"]
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over the full cross
+    product of URL shapes — a canonicalizer that keeps moving on its own
+    output would split the dedup key space between passes."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    parts = itertools.product(
+        ["http", "HTTP", "https", "ftp", ""],          # scheme (empty = relative)
+        ["Example.com", "sub.EX.org", "user@Host.net"],
+        ["", ":80", ":443", ":8080"],
+        ["", "/", "/A/b", "/x%20y"],
+        ["", "?", "?q=1", "?A=B&c=d"],
+        ["", "#frag"],
+    )
+    raws = []
+    for scheme, host, port, path, query, frag in parts:
+        base = f"{scheme}://{host}" if scheme else host
+        raws.append(f"{base}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in raws], "url string")
+    out = df.select(
+        "url",
+        urls.canonical_url(F.col("url")).alias("c1"),
+        urls.canonical_url(urls.canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    bad = [(r["url"], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert bad == [], bad[:5]
