@@ -47,12 +47,20 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = DEFAULT_SCALE,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` integer fixed-point PageRank
     rounds over the directed edge relation. ``rank_fp`` is in parts per
     ``scale``; Σ rank_fp ≈ scale (truncation loses at most N·iterations
     parts). Parallel edges are NOT deduplicated — pass a distinct edge
-    relation if multiplicity should not add weight."""
+    relation if multiplicity should not add weight.
+
+    ``weight_col``: optional POSITIVE-INTEGER edge weights (link
+    multiplicity, anchor quality) — node u sends ``rank·w div Σw(u)``
+    along each edge instead of ``rank div outdeg``. The product runs in
+    DECIMAL(38,0) so rank·weight is exact far past the long range, and
+    ``div`` keeps the floor-division contract the DuckDB oracle mirrors
+    with HUGEINT ``//``."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0 < damping_num < damping_den:
@@ -60,7 +68,14 @@ def pagerank(
             f"need 0 < damping_num < damping_den, got {damping_num}/{damping_den}"
         )
     spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    wcol = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), wcol.alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -85,7 +100,7 @@ def pagerank(
     # dangling mass is a plain filter-aggregate — no join, no shuffle.
     seed = (
         nodes.join(
-            esized.groupBy("src").agg(F.count("*").alias("deg")),
+            esized.groupBy("src").agg(F.sum("w").alias("deg")),
             nodes["node"] == F.col("src"),
             "left",
         )
@@ -131,7 +146,11 @@ def pagerank(
             )
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_fp div deg").alias("_c"),
+                F.expr(
+                    "rank_fp div deg"
+                    if weight_col is None
+                    else "(cast(rank_fp as decimal(38,0)) * w) div deg"
+                ).alias("_c"),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_infl"))

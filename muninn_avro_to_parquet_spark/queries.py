@@ -8115,7 +8115,7 @@ def text_html_curation(spark):
     )
 
 
-def _pagerank_oracle(edges_sql: str, iterations: int = 3) -> str:
+def _pagerank_oracle(edges_sql: str, iterations: int = 3, weighted: bool = False) -> str:
     """Unrolled integer fixed-point PageRank (the BPE/k-means oracle
     pattern) over ``edges_sql`` (a SELECT producing src, dst):
     iteration i = a dangling-mass scalar, a contribution aggregate, and
@@ -8126,13 +8126,22 @@ def _pagerank_oracle(edges_sql: str, iterations: int = 3) -> str:
         """
     edges AS ({edges_sql}),
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    outdeg AS (SELECT src, {deg_expr} AS deg FROM edges GROUP BY 1),
     params AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (
       SELECT node, CAST({scale} // p.n AS BIGINT) AS rank_fp
       FROM nodes CROSS JOIN params p
-    )""".format(scale=scale, edges_sql=edges_sql)
+    )""".format(
+            scale=scale,
+            edges_sql=edges_sql,
+            deg_expr="SUM(w)" if weighted else "COUNT(*)",
+        )
     ]
+    contrib = (
+        "SUM((CAST(r.rank_fp AS HUGEINT) * e.w) // o.deg)"
+        if weighted
+        else "SUM(r.rank_fp // o.deg)"
+    )
     for i in range(iterations):
         ctes.append(
             """
@@ -8141,7 +8150,7 @@ def _pagerank_oracle(edges_sql: str, iterations: int = 3) -> str:
       FROM r{i} r LEFT JOIN outdeg o ON r.node = o.src WHERE o.src IS NULL
     ),
     c{i} AS (
-      SELECT e.dst AS node, SUM(r.rank_fp // o.deg) AS infl
+      SELECT e.dst AS node, {contrib} AS infl
       FROM edges e JOIN outdeg o ON e.src = o.src JOIN r{i} r ON e.src = r.node
       GROUP BY 1
     ),
@@ -8152,7 +8161,7 @@ def _pagerank_oracle(edges_sql: str, iterations: int = 3) -> str:
                   AS BIGINT) AS rank_fp
       FROM nodes n CROSS JOIN params p CROSS JOIN d{i} d
       LEFT JOIN c{i} c ON n.node = c.node
-    )""".format(i=i, j=i + 1, scale=scale)
+    )""".format(i=i, j=i + 1, scale=scale, contrib=contrib)
         )
     return "WITH" + ",".join(ctes) + f"\n    SELECT node, rank_fp FROM r{iterations}"
 
@@ -8501,3 +8510,38 @@ def graph_degree_stats(spark):
         )
 
     return hist("src", "out").unionAll(hist("dst", "in"))
+
+
+_WEIGHTED_PURCHASE_EDGES_SQL = """
+      SELECT o_custkey AS src, l_suppkey + 1000000 AS dst, COUNT(*) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+    """
+
+
+@q(
+    "graph_pagerank_weighted",
+    _pagerank_oracle(_WEIGHTED_PURCHASE_EDGES_SQL, weighted=True),
+)
+def graph_pagerank_weighted(spark):
+    """Weighted PageRank over the purchase graph: edge weight = lineitem
+    multiplicity per (customer, supplier), so heavily-traded links carry
+    proportionally more rank — the anchor-quality/link-multiplicity
+    weighting a crawl ranker uses. Contribution is
+    ``rank·w div Σw(u)`` computed in DECIMAL(38,0) (exact past the long
+    range, floor-division contract identical to the oracle's HUGEINT
+    ``//``); everything else inherits the unweighted plan — edge cache
+    on src, degree folded in at seed, one combine shuffle per
+    iteration, broadcast regime when the node count fits."""
+    from muninn_avro_to_parquet_spark.operators import graph
+
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return graph.pagerank(edges, iterations=3, weight_col="w")

@@ -72,3 +72,48 @@ def test_empty_and_bad_params(spark):
         pagerank(df, iterations=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(df, damping_num=100, damping_den=100)
+
+
+def _ref_pagerank_weighted(edges, iters=3, dn=85, dd=100, scale=10**12):
+    """edges = [(u, v, w)] with positive integer weights."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    wsum: dict = {}
+    for u, _v, w in edges:
+        wsum[u] = wsum.get(u, 0) + w
+    base = scale // n
+    r = {x: base for x in nodes}
+    tele = (dd - dn) * base
+    for _ in range(iters):
+        dang = sum(r[x] for x in nodes if x not in wsum)
+        infl = {x: 0 for x in nodes}
+        for u, v, w in edges:
+            infl[v] += (r[u] * w) // wsum[u]
+        r = {x: (tele + dn * (infl[x] + dang // n)) // dd for x in nodes}
+    return r
+
+
+def test_weighted_matches_reference_and_shifts_rank(spark):
+    edges = [(1, 2, 9), (1, 3, 1), (2, 3, 4), (3, 1, 2), (4, 3, 7), (3, 5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, weight_col="w").collect()
+    }
+    assert got == _ref_pagerank_weighted(edges)
+    # weight concentration matters: node 2 receives 9/10 of node 1's
+    # mass, so it must outrank node 5 (one light inlink)
+    assert got[2] > got[5]
+    # and all-equal weights reduce to the unweighted result
+    eq = [(u, v, 3) for u, v, _ in edges]
+    dfe = spark.createDataFrame(eq, "src long, dst long, w long")
+    got_eq = {
+        r["node"]: r["rank_fp"] for r in pagerank(dfe, weight_col="w").collect()
+    }
+    plain = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(
+            spark.createDataFrame([(u, v) for u, v, _ in edges], "src long, dst long")
+        ).collect()
+    }
+    assert got_eq == plain
