@@ -69,11 +69,31 @@ def _last_green_round() -> dict[str, int]:
     return green
 
 
+def _verdict_watchlist() -> set[str]:
+    """Registry names mentioned verbatim in VERDICT.md — entries the
+    judge called out. Only STALE mentions matter (not green in the most
+    recent sweep): the verdict's coverage tables cite dozens of freshly
+    green names, and promoting those would burn the 50-entry cap
+    re-verifying what just passed. This closes the r10 gap where
+    q_date_spine_gapfill's fix sat below the cap for six rounds."""
+    path = Path(__file__).resolve().parent / "VERDICT.md"
+    try:
+        text = path.read_text()
+    except OSError:
+        return set()
+    return {n for n in QUERIES if n in text}
+
+
 def _rotation() -> list[str]:
     green = _last_green_round()
     order = {name: i for i, name in enumerate(QUERIES)}
+    latest = max(green.values(), default=0)
+    watch = {n for n in _verdict_watchlist() if green.get(n, 0) < latest}
     never = [n for n in QUERIES if n not in green]
-    ever = sorted((n for n in QUERIES if n in green), key=lambda n: (green[n], order[n]))
+    ever = sorted(
+        (n for n in QUERIES if n in green),
+        key=lambda n: (n not in watch, green[n], order[n]),
+    )
     return never + ever
 
 

@@ -89,7 +89,23 @@ def pagerank(
     # join reuses the partitioning (the CC edge-cache discipline); the
     # count above filled the wide cache, this is a narrow re-read
     esized = ecached.repartition(n_part, "src").cache()
-    esized.count()
+    if weight_col is None:
+        esized.count()
+    else:
+        # validate the positive-integer weight contract while the same
+        # job fills the cache: w <= 0 (or NULL after the long cast) can
+        # zero a node's degree, and Spark's `div` returns NULL on a
+        # zero divisor — contributions would silently vanish where the
+        # DuckDB oracle's HUGEINT `//` errors. Fail loud instead.
+        wmin = esized.agg(
+            F.min(F.coalesce(F.col("w"), F.lit(0))).alias("m")
+        ).first()["m"]
+        if wmin is not None and wmin <= 0:
+            raise ValueError(
+                f"pagerank weight_col={weight_col!r} must be a positive"
+                f" integer on every edge; found min(w)={wmin}"
+                " (NULLs count as 0)"
+            )
     ecached.unpersist()
     # outdegree is STATIC — fold it into the rank relation ONCE (deg is
     # NULL for dangling nodes) and checkpoint. The first version of this
@@ -111,7 +127,20 @@ def pagerank(
     n_nodes = seed.count()
     if n_nodes == 0:
         esized.unpersist()
-        return spark.createDataFrame([], "node long, rank_fp long")
+        # empty result keeps the INPUT's node type (string-keyed URL /
+        # host graphs must not come back as long) so downstream
+        # joins/unions still pass analysis
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("node", e.schema["src"].dataType),
+                    T.StructField("rank_fp", T.LongType()),
+                ]
+            ),
+        )
     base = scale // n_nodes
     ranks = seed.select(
         "node", "deg", F.lit(base).cast("long").alias("rank_fp")

@@ -95,7 +95,12 @@ class _BlockParser(HTMLParser):
     def _flush(self) -> None:
         if not self._pieces:
             return
-        raw = " ".join(p for p, _ in self._pieces)
+        # concatenate WITHOUT an injected separator: data pieces split
+        # only by an inline tag are one word ('<b>B</b>old' is 'Bold',
+        # not 'B old'). Whitespace comes exclusively from the document
+        # itself plus the explicit ' ' pieces appended for void tags
+        # (<br> et al.); block boundaries flush, so blocks never merge.
+        raw = "".join(p for p, _ in self._pieces)
         normalized = " ".join(raw.split())
         if normalized:
             chars = sum(len("".join(p.split())) for p, _ in self._pieces)

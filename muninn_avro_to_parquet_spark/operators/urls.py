@@ -14,8 +14,9 @@ Normalization applied (the conservative, semantics-preserving subset of
 RFC 3986 §6):
 
 - strip the fragment (``#...`` never reaches the server);
-- lowercase the scheme and the authority (host names are
-  case-insensitive; paths are NOT touched);
+- lowercase the scheme and the host[:port] (RFC 3986 §6.2.2.1 makes
+  only scheme and host case-insensitive — userinfo before ``@`` is
+  kept verbatim, and paths are NOT touched);
 - drop the default port (``:80`` for http, ``:443`` for https);
 - empty path → ``/`` (``http://h`` ≡ ``http://h/``);
 - drop a trailing lone ``?`` (empty query).
@@ -55,10 +56,19 @@ def canonical_url(url: Column) -> Column:
     inputs pass through trimmed."""
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    auth = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
-    auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")).when(
-        scheme == "https", F.regexp_replace(auth, ":443$", "")
-    ).otherwise(auth)
+    # RFC 3986 §6.2.2.1: only scheme and host are case-insensitive —
+    # userinfo (anything before '@', which cannot appear raw inside
+    # userinfo) is kept VERBATIM; lowercasing it would both conflate
+    # distinct credentials and mutate them in the canonical output.
+    rawauth = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    userinfo = F.regexp_extract(rawauth, "^([^@]*@)", 1)
+    hostport = F.lower(F.regexp_replace(rawauth, "^[^@]*@", ""))
+    hostport = F.when(
+        scheme == "http", F.regexp_replace(hostport, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(hostport, ":443$", "")
+    ).otherwise(hostport)
+    auth = F.concat(userinfo, hostport)
     rest = F.regexp_extract(u, _REST_RE, 1)
     rest = F.regexp_replace(rest, "\\?$", "")
     # empty path → '/', and a query with no path gets the '/' too so

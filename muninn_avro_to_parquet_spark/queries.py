@@ -7978,8 +7978,8 @@ _HTML_FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "html")
 _HTML_GROUND_TRUTH = [
     ("hdoc_00.html", 2409, "cd54fb3cb464acdd533f3d8482a9bbab", 9, 8, 1226,
      "4b1c1a31b7b1307a3d4dc79d39cb4063"),
-    ("hdoc_01.html", 1399, "889b14d1f68e740d6dc32348973fb45e", 15, 7, 823,
-     "e0d7db58dc472a8df05d809a06ab024c"),
+    ("hdoc_01.html", 1399, "889b14d1f68e740d6dc32348973fb45e", 15, 7, 822,
+     "065c7799284e9e2d6f2f32f7ed83b5f7"),
     ("hdoc_02.html", 1431, "66a9930a807e2a470fadb07cd528c6b9", 10, 1, 201,
      "4549ce3838b7c98321d35d955382590a"),
 ]
@@ -8345,30 +8345,32 @@ def crawl_rank_pipeline(spark):
     "text_url_canonical",
     """
     SELECT doc_id,
-      CASE doc_id % 7
+      CASE doc_id % 8
         WHEN 0 THEN 'http://EXAMPLE.com/doc/' || doc_id
         WHEN 1 THEN 'HTTP://example.COM:80/doc/' || (doc_id - 1) || '#frag'
         WHEN 2 THEN 'https://Sub.Example.com:443/doc/' || doc_id || '?q=' || (doc_id % 5)
         WHEN 3 THEN 'https://example.com:8443/Doc/' || doc_id
         WHEN 4 THEN 'http://Example.com'
         WHEN 5 THEN '/relative/path/' || doc_id
+        WHEN 7 THEN 'https://Ab:Cd@Example.COM/doc/' || doc_id
         ELSE 'https://example.com/doc/' || doc_id || '?'
       END AS url,
-      CASE doc_id % 7
+      CASE doc_id % 8
         WHEN 0 THEN 'http://example.com/doc/' || doc_id
         WHEN 1 THEN 'http://example.com/doc/' || (doc_id - 1)
         WHEN 2 THEN 'https://sub.example.com/doc/' || doc_id || '?q=' || (doc_id % 5)
         WHEN 3 THEN 'https://example.com:8443/Doc/' || doc_id
         WHEN 4 THEN 'http://example.com/'
         WHEN 5 THEN '/relative/path/' || doc_id
+        WHEN 7 THEN 'https://Ab:Cd@example.com/doc/' || doc_id
         ELSE 'https://example.com/doc/' || doc_id
       END AS canonical_url,
-      CASE doc_id % 7
+      CASE doc_id % 8
         WHEN 2 THEN 'sub.example.com'
         WHEN 5 THEN ''
         ELSE 'example.com'
       END AS host,
-      (doc_id % 7 = 1) OR (doc_id % 7 = 4 AND doc_id <> 4) AS is_dup
+      (doc_id % 8 = 1) OR (doc_id % 8 = 4 AND doc_id <> 4) AS is_dup
     FROM documents
     """,
 )
@@ -8378,16 +8380,18 @@ def text_url_canonical(spark):
     default and non-default ports, fragments, empty queries, userinfo-
     free empty paths, relative passthrough — one archetype per
     ``doc_id % 7``, with every case-1 row a disguised duplicate of its
-    predecessor's case-0 URL), then canonicalized by the pure-Catalyst
-    expressions. The oracle does NOT port the canonicalizer — it states
-    the expected canonical form, host, and dup flag from first
-    principles per archetype, so an implementation drift (a port
-    surviving, a path case-folded, a fragment leaking) flips the hash.
+    predecessor's case-0 URL, and case 7 a MIXED-CASE USERINFO row —
+    RFC 3986 keeps userinfo verbatim while the host lowercases), then
+    canonicalized by the pure-Catalyst expressions. The oracle does NOT
+    port the canonicalizer — it states the expected canonical form,
+    host, and dup flag from first principles per archetype, so an
+    implementation drift (a port surviving, a path case-folded, a
+    fragment leaking, credentials case-mangled) flips the hash.
     Whole plan is codegen + one window shuffle on the canonical key."""
     from muninn_avro_to_parquet_spark.operators import urls
 
     docs = spark.table("documents")
-    m = F.col("doc_id") % 7
+    m = F.col("doc_id") % 8
     sid = F.col("doc_id").cast("string")
     prev = (F.col("doc_id") - 1).cast("string")
     q5 = (F.col("doc_id") % 5).cast("string")
@@ -8398,6 +8402,7 @@ def text_url_canonical(spark):
         .when(m == 3, F.concat(F.lit("https://example.com:8443/Doc/"), sid))
         .when(m == 4, F.lit("http://Example.com"))
         .when(m == 5, F.concat(F.lit("/relative/path/"), sid))
+        .when(m == 7, F.concat(F.lit("https://Ab:Cd@Example.COM/doc/"), sid))
         .otherwise(F.concat(F.lit("https://example.com/doc/"), sid, F.lit("?")))
     )
     seed = docs.select("doc_id", url.alias("url"))

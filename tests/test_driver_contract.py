@@ -47,10 +47,18 @@ def test_rotation_puts_unverified_queries_first():
     assert names[: len(never)] == never, (
         "never-driver-green queries must occupy the head of the rotation"
     )
-    # ever-green tail is ordered stalest-verification-first
+    # r10 verdict #2: entries the judge named in VERDICT.md whose green
+    # is stale jump the queue (q_date_spine_gapfill sat below the
+    # 50-entry cap for six rounds); within each band stalest-first.
+    latest = max(green.values(), default=0)
+    watch = {
+        n for n in entry_mod._verdict_watchlist() if green.get(n, 0) < latest
+    }
     tail = names[len(never) :]
-    rounds = [green[n] for n in tail]
-    assert rounds == sorted(rounds), "ever-green tail must be stalest-first"
+    bands = [(n not in watch, green[n]) for n in tail]
+    assert bands == sorted(bands), (
+        "ever-green tail must be watchlist-first, then stalest-first"
+    )
 
 
 def test_entry_returns_rows(spark):

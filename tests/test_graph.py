@@ -117,3 +117,28 @@ def test_weighted_matches_reference_and_shifts_rank(spark):
         ).collect()
     }
     assert got_eq == plain
+
+
+def test_empty_edges_keep_input_node_type(spark):
+    """A string-keyed (URL/host) graph's empty result must come back
+    with a string node column so downstream joins/unions pass analysis
+    (ADVICE r10)."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"node": "string", "rank_fp": "bigint"}
+    # and it must survive a union with a real string-keyed result
+    real = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert pagerank(real).unionByName(out).count() == 2
+
+
+def test_weight_contract_fails_fast(spark):
+    """w <= 0 or NULL would zero a divisor and silently drop rank mass
+    (Spark `div` returns NULL on zero divisor); the operator must raise
+    during materialization instead (ADVICE r10)."""
+    for bad in [0, -3, None]:
+        df = spark.createDataFrame(
+            [(1, 2, 5), (2, 1, bad)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            pagerank(df, weight_col="w")

@@ -287,3 +287,19 @@ def test_extractor_total_on_raw_bytes(raw):
         raw.decode("utf-8", errors="replace")
     )
     assert isinstance(text, str) and 0 <= n_kept <= n_blocks
+
+
+def test_inline_tags_do_not_split_words():
+    """'<b>B</b>old' is one word 'Bold' — data pieces separated only by
+    an inline tag concatenate with NO injected whitespace (jusText /
+    Boilerpipe behavior on real crawl HTML); block tags still split."""
+    text, _, _ = extract_main_text(
+        "<p><b>B</b>old and <em>ita</em>lic words make real prose here</p>"
+    )
+    assert text.startswith("Bold and italic words")
+    blocks = extract_blocks("<p>an <a href='/x'>inline</a> link mid-sentence</p>")
+    assert blocks[0].text == "an inline link mid-sentence"
+    assert blocks[0].words == 4
+    # word counts feed the keep rule: the merged word counts once
+    blocks = extract_blocks("<p>pre<b>fix</b></p><p>next block</p>")
+    assert [b.text for b in blocks] == ["prefix", "next block"]

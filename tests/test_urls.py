@@ -27,7 +27,8 @@ def test_canonical_url_cases(spark):
             "ftp://Example.com:21/file",             # unknown scheme: port kept
             "relative/path",                         # passthrough
             "#fragment-only",                        # passthrough
-            "http://user@Example.com/a",             # authority lowercased wholesale
+            "http://user@Example.com/a",             # host lowercased, userinfo kept
+            "http://UsEr:Pw@Example.com/a",          # RFC 3986: userinfo VERBATIM
             "http://example.com/a?",                 # lone ? stripped
             "http://example.com/a?x=1&y=2",          # real query kept
         ],
@@ -42,6 +43,7 @@ def test_canonical_url_cases(spark):
         "relative/path",
         "#fragment-only",
         "http://user@example.com/a",
+        "http://UsEr:Pw@example.com/a",
         "http://example.com/a",
         "http://example.com/a?x=1&y=2",
     ]
