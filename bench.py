@@ -622,6 +622,43 @@ def _bench_body() -> dict:
         stage_walls["cc_rounds"] = cc_stats
         big_dedup_wall = stage_walls["propose_total"] + stage_walls["connected_components"]
         timings["dedup_bigcorpus"] = round(big_dedup_wall, 4)
+        # FORCED-SHUFFLE regime proof (r10 verdict #1): every broadcast-
+        # regime number above is the small-cluster fast path; the 100 TB
+        # operating point is the shuffle loop, which until this leg was
+        # unit-tested but never wall-clocked. Disable auto-broadcast for
+        # the SAME cached candidate graph, re-run CC, and hard-gate that
+        # (a) the stats block honestly reports "shuffle" and (b) the
+        # components are IDENTICAL to the broadcast run's (regime is an
+        # execution detail, never a result detail).
+        _thr_key = "spark.sql.autoBroadcastJoinThreshold"
+        _thr_prev = spark.conf.get(_thr_key)
+        cc_shuffle_stats: dict = {}
+        try:
+            spark.conf.set(_thr_key, "-1")
+            t0 = time.perf_counter()
+            comps_sh = dedup_mod.connected_components(
+                pairs, stats=cc_shuffle_stats
+            )
+            _cksum = F.sum(
+                F.hash(F.col("node"), F.col("component_id")).cast("long")
+            ).alias("c")
+            sh_sum = comps_sh.agg(_cksum).collect()[0]["c"]
+            cc_shuffle_wall = time.perf_counter() - t0
+        finally:
+            spark.conf.set(_thr_key, _thr_prev)
+        if cc_shuffle_stats.get("regime") != "shuffle":
+            raise AssertionError(
+                "forced-shuffle CC proof: regime field reported "
+                f"{cc_shuffle_stats.get('regime')!r} under threshold -1"
+            )
+        bc_sum = comps.agg(_cksum).collect()[0]["c"]
+        if sh_sum != bc_sum:
+            raise AssertionError(
+                f"shuffle-regime CC diverged from broadcast regime: "
+                f"checksum {sh_sum} != {bc_sum}"
+            )
+        timings["cc_shuffle_bigcorpus"] = round(cc_shuffle_wall, 4)
+        stage_walls["cc_rounds_shuffle"] = cc_shuffle_stats
         # triangle cohesion metric over the same (cached) candidate graph:
         # the wedge join is the Σ deg² stress test of the r6 operator.
         # Best-of-2 (r8 verdict #6): this entry drifted 3.9 → 5.2 s in r8
@@ -740,19 +777,28 @@ def _bench_body() -> dict:
         ).cache()
         corpus_bands.count()
         delta = corpus.filter(F.col("doc_id") >= cut)
-        t0 = time.perf_counter()
-        flags = dedup_mod.incremental_dedup_flags(
-            delta, corpus_bands, "doc_id", "text",
-            num_hashes=8, bands=4, max_bucket=64,
-        )
-        n_flagged = flags.filter("is_dup").count()
-        inc_wall = time.perf_counter() - t0
+        # best-of-2 cold/warm split (r10 verdict #3): this entry drifted
+        # 6,816 -> 5,780 docs/s in r10 with no code change on that path —
+        # the same unexplained-delta class the lm_bigvocab split resolved
+        # as cold-start JIT. Record the warm number as the entry and keep
+        # both walls for the noise annotation.
+        inc_runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            flags = dedup_mod.incremental_dedup_flags(
+                delta, corpus_bands, "doc_id", "text",
+                num_hashes=8, bands=4, max_bucket=64,
+            )
+            n_flagged = flags.filter("is_dup").count()
+            inc_runs.append(time.perf_counter() - t0)
+        inc_wall = min(inc_runs)
         timings["dedup_incremental_bigbatch"] = round(inc_wall, 4)
         delta_docs = bigcorpus_docs - cut
         bigcorpus_stats["incremental"] = {
             "delta_docs": delta_docs,
             "flagged": n_flagged,
             "delta_docs_per_sec": round(delta_docs / inc_wall),
+            "runs_cold_warm": [round(w, 4) for w in inc_runs],
         }
         corpus_bands.unpersist()
         # HTML boilerplate-removal throughput at the same scale (round
@@ -1231,6 +1277,45 @@ def _bench_body() -> dict:
             "iterations": 3,
             "mass_kept_ppm": round(mass / scale * 1e6, 2),
             "edges_per_sec": round(biggraph_edges * 3 / pr_wall),
+        }
+        # FORCED-SHUFFLE regime proof (r10 verdict #1), pagerank side:
+        # same cached edge relation with auto-broadcast disabled, so
+        # _maybe_bc is off and every iteration runs the real shuffle
+        # shape (edge join + groupBy-dst exchange). Hard gates: the
+        # stats block must say "shuffle", per-iteration walls must be
+        # recorded, and the ranks must be hash-identical to the
+        # broadcast run's.
+        _thr_key = "spark.sql.autoBroadcastJoinThreshold"
+        _thr_prev = spark.conf.get(_thr_key)
+        pr_sh_stats: dict = {}
+        try:
+            spark.conf.set(_thr_key, "-1")
+            t0 = time.perf_counter()
+            pr_sh = graph_mod.pagerank(gedges, iterations=3, stats=pr_sh_stats)
+            _cksum = F.sum(
+                F.hash(F.col("node"), F.col("rank_fp")).cast("long")
+            ).alias("c")
+            sh_sum = pr_sh.agg(_cksum).collect()[0]["c"]
+            pr_sh_wall = time.perf_counter() - t0
+        finally:
+            spark.conf.set(_thr_key, _thr_prev)
+        if pr_sh_stats.get("regime") != "shuffle":
+            raise AssertionError(
+                "forced-shuffle pagerank proof: regime field reported "
+                f"{pr_sh_stats.get('regime')!r} under threshold -1"
+            )
+        bc_sum = pr.agg(_cksum).collect()[0]["c"]
+        if sh_sum != bc_sum:
+            raise AssertionError(
+                f"shuffle-regime pagerank diverged from broadcast regime: "
+                f"checksum {sh_sum} != {bc_sum}"
+            )
+        timings["pagerank_shuffle_biggraph"] = round(pr_sh_wall, 4)
+        biggraph_stats["shuffle"] = {
+            "wall": round(pr_sh_wall, 4),
+            "regime": pr_sh_stats["regime"],
+            "iter_walls": pr_sh_stats["iter_walls"],
+            "edges_per_sec": round(biggraph_edges * 3 / pr_sh_wall),
         }
         gedges.unpersist()
     else:

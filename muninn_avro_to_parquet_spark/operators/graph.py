@@ -48,6 +48,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = DEFAULT_SCALE,
     weight_col: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` integer fixed-point PageRank
     rounds over the directed edge relation. ``rank_fp`` is in parts per
@@ -60,7 +61,14 @@ def pagerank(
     along each edge instead of ``rank div outdeg``. The product runs in
     DECIMAL(38,0) so rank·weight is exact far past the long range, and
     ``div`` keeps the floor-division contract the DuckDB oracle mirrors
-    with HUGEINT ``//``."""
+    with HUGEINT ``//``.
+
+    ``stats``: pass a dict to receive the attribution the bench reports
+    (``regime`` — broadcast/shuffle, ``n_edges``, ``n_part``,
+    ``n_nodes``, ``iter_walls``). Collecting walls forces each
+    iteration's lazy checkpoint with a count — one extra O(1)-result
+    job per iteration, the materialized partitions are reused by the
+    next iteration either way."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0 < damping_num < damping_den:
@@ -162,6 +170,15 @@ def pagerank(
     def _maybe_bc(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bc else df
 
+    if stats is not None:
+        import time as _time
+
+        stats["regime"] = "broadcast" if bc else "shuffle"
+        stats["n_edges"] = n_edges
+        stats["n_part"] = n_part
+        stats["n_nodes"] = n_nodes
+        stats["iter_walls"] = []
+
     for _ in range(iterations):
         # dangling mass: filter-aggregate over the node-sized rank
         # relation (1 row, broadcast into every update row)
@@ -202,6 +219,10 @@ def pagerank(
             .coalesce(n_part)
             .localCheckpoint(eager=False)
         )
+        if stats is not None:
+            _it0 = _time.perf_counter()
+            ranks.count()
+            stats["iter_walls"].append(round(_time.perf_counter() - _it0, 4))
     out = ranks.select("node", "rank_fp").localCheckpoint(eager=True)
     esized.unpersist()
     return out

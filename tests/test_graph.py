@@ -142,3 +142,58 @@ def test_weight_contract_fails_fast(spark):
         )
         with pytest.raises(ValueError, match="positive"):
             pagerank(df, weight_col="w")
+
+
+def test_pagerank_regime_gate_is_honest(spark):
+    """r10 verdict #1's gate test: plant a tiny broadcast threshold and
+    the stats block must say "shuffle" (and a generous one "broadcast"),
+    with identical ranks either way — the regime is an execution detail,
+    never a result detail."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    try:
+        spark.conf.set(key, "-1")
+        s_sh: dict = {}
+        got_sh = {r["node"]: r["rank_fp"] for r in pagerank(df, stats=s_sh).collect()}
+        spark.conf.set(key, "10MB")
+        s_bc: dict = {}
+        got_bc = {r["node"]: r["rank_fp"] for r in pagerank(df, stats=s_bc).collect()}
+    finally:
+        spark.conf.set(key, prev)
+    assert s_sh["regime"] == "shuffle"
+    assert s_bc["regime"] == "broadcast"
+    assert len(s_sh["iter_walls"]) == len(s_bc["iter_walls"]) == 3
+    assert got_sh == got_bc == _ref_pagerank(edges)
+
+
+def test_cc_regime_gate_is_honest(spark):
+    """Same planted-threshold honesty check for connected_components:
+    the cc_rounds.regime field the bench reports must track the conf."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    try:
+        spark.conf.set(key, "-1")
+        s_sh: dict = {}
+        got_sh = {
+            (r["node"], r["component_id"])
+            for r in dedup.connected_components(pairs, stats=s_sh).collect()
+        }
+        spark.conf.set(key, "10MB")
+        s_bc: dict = {}
+        got_bc = {
+            (r["node"], r["component_id"])
+            for r in dedup.connected_components(pairs, stats=s_bc).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert s_sh["regime"] == "shuffle"
+    assert s_bc["regime"] == "broadcast"
+    assert got_sh == got_bc == want
