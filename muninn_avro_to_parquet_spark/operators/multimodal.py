@@ -134,11 +134,18 @@ def _decode_ppm(data: bytes) -> tuple[int, int, float]:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, p: int, n_px: int, n_rows: int, bpp: int):
+def _png_unfilter(
+    raw: bytes, p: int, n_px: int, n_rows: int, bpp: int,
+    stride: int | None = None,
+):
     """Unfilter ``n_rows`` scanlines of ``n_px`` pixels each starting at
     ``raw[p]`` (PNG filters predict BYTES at a bytes-per-pixel offset —
-    spec §9); returns (pixel bytes, next offset)."""
-    stride = n_px * bpp
+    spec §9); returns (pixel bytes, next offset). ``stride`` overrides
+    the bytes-per-scanline for sub-byte depths, where a line is
+    ceil(n_px·depth/8) PACKED bytes and the filter offset is one whole
+    byte (spec §9: "bpp is rounded up to one")."""
+    if stride is None:
+        stride = n_px * bpp
     if len(raw) - p < (stride + 1) * n_rows:
         raise ValueError("PNG pixel data truncated")
     pix = bytearray()
@@ -182,15 +189,28 @@ _ADAM7 = (
 )
 
 
+def _unpack_bits(row: bytes, n_px: int, depth: int) -> list[int]:
+    """``n_px`` sub-byte samples from a packed scanline, MSB-first
+    within each byte (spec §7.2); trailing pad bits in the last byte
+    are ignored."""
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    return [
+        (row[i // per] >> (8 - depth * (i % per + 1))) & mask
+        for i in range(n_px)
+    ]
+
+
 def _decode_png(data: bytes) -> tuple[int, int, float]:
     """Pure-stdlib PNG decode → (w, h, mean_luma): chunk walk, zlib
     inflate of the IDAT stream, and per-scanline unfiltering (None/Sub/
-    Up/Average/Paeth — the full filter set). Supports 8- and 16-bit
-    samples in color types 0 (gray), 2 (RGB), 3 (palette, 8-bit only
-    per spec), 4 (gray+alpha) and 6 (RGBA), both non-interlaced and
-    Adam7-interlaced (r10); sub-byte depths raise rather than
-    mis-decoding (VERDICT r6 #7: this removes the Pillow dependency for
-    the engine's PNG path — Pillow remains the JPEG codec when present)."""
+    Up/Average/Paeth — the full filter set). Supports every spec bit
+    depth: 8/16-bit samples in color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha) and 6 (RGBA), plus sub-byte 1/2/4-bit
+    gray and palette (r11 — bit-unpacking at the defilter stage, rows
+    byte-padded, MSB-first), both non-interlaced and Adam7-interlaced
+    (VERDICT r6 #7: this removes the Pillow dependency for the engine's
+    PNG path — Pillow remains the JPEG codec when present)."""
     import struct
     import zlib
 
@@ -216,8 +236,8 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth not in (8, 16):
-        raise ValueError(f"PNG bit depth {bit_depth} unsupported (8/16 only)")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"PNG bit depth {bit_depth} invalid (spec)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"PNG color type {color_type} unsupported")
@@ -226,6 +246,54 @@ def _decode_png(data: bytes) -> tuple[int, int, float]:
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
     raw = zlib.decompress(bytes(idat))
+    if bit_depth < 8:
+        # sub-byte depths (r10 verdict #4: 1-bit scans and 2/4-bit
+        # palette icons dominate old-web crawls) — valid ONLY for gray
+        # and palette (spec §11.2.2); scanlines are bit-packed with the
+        # filter offset rounded up to one whole byte, rows byte-padded.
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"PNG bit depth {bit_depth} invalid for color type "
+                f"{color_type} (spec: sub-byte is gray/palette only)"
+            )
+        stride = (width * bit_depth + 7) // 8
+        if not interlace:
+            pix, _p = _png_unfilter(raw, 0, width, height, 1, stride=stride)
+            samples: list[int] = []
+            for y in range(height):
+                samples.extend(
+                    _unpack_bits(
+                        pix[y * stride : (y + 1) * stride], width, bit_depth
+                    )
+                )
+        else:
+            samples = [0] * (width * height)
+            p = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * bit_depth + 7) // 8
+                sub, p = _png_unfilter(raw, p, pw, ph, 1, stride=pstride)
+                for j in range(ph):
+                    vals = _unpack_bits(
+                        sub[j * pstride : (j + 1) * pstride], pw, bit_depth
+                    )
+                    y = y0 + j * dy
+                    for i in range(pw):
+                        samples[y * width + x0 + i * dx] = vals[i]
+        npix = width * height
+        if color_type == 0:
+            # gray sample s means s/(2^depth - 1) of full scale (§7.2)
+            maxval = (1 << bit_depth) - 1
+            return width, height, float(sum(samples)) / (npix * maxval)
+        total = 0.0
+        for s in samples:
+            off = s * 3
+            r, g, b = palette[off : off + 3]
+            total += _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+        return width, height, total / (npix * 255.0)
     sample_bytes = bit_depth // 8
     bpp = channels * sample_bytes
     if not interlace:

@@ -8420,6 +8420,14 @@ _PNG_GROUND_TRUTH = [
     ("pimg_00.png", 324, "f0c96e011f873c6c6392a897cc15d307", 21, 13, 0.501376),
     ("pimg_01.png", 628, "abe485eaf3d06eead40750a5af9329fe", 19, 11, 0.437471),
     ("pimg_02.png", 428, "d7ff206e8786258a8f5bfb14816e48eb", 17, 10, 0.498871),
+    # sub-byte depths (r11): pimg_03 = javax.imageio 1-BIT bilevel gray;
+    # pimg_04 = javax.imageio 4-BIT 16-color palette; pimg_05 =
+    # hand-built 2-BIT gray exercising all five scanline filters over
+    # bit-packed rows. Decoded lumas agree with ImageIO's read EXACTLY
+    # (tests/test_scale_ops.py sub-byte conformance).
+    ("pimg_03.png", 89, "c56717305d368bc144ff2b622fb647e1", 21, 13, 0.40293),
+    ("pimg_04.png", 186, "649779b2f7b706e8f62825947397d0fa", 19, 11, 0.473562),
+    ("pimg_05.png", 125, "badf0b7036bdb205ba352e1bf6552772", 18, 10, 0.453704),
 ]
 
 
@@ -8444,12 +8452,13 @@ def _png_ingest_oracle() -> str:
 @q("multimodal_png_ingest", _png_ingest_oracle())
 def multimodal_png_ingest(spark):
     """binaryFile ingest → REAL PNG decode with the engine's own stdlib
-    codec (full unfilter set, 8- AND 16-bit samples, Adam7 interlace —
-    r10): one row per .png fixture with exact bytes/hash and decoded
-    (width, height, mean_luma). The fixture set pins the three decode
+    codec (full unfilter set, every spec bit depth 1/2/4/8/16, Adam7
+    interlace): one row per .png fixture with exact bytes/hash and
+    decoded (width, height, mean_luma). The fixture set pins the decode
     paths that have independent encoders behind them: our own
-    all-filters writer, an ImageIO interlaced RGB, and an ImageIO
-    interlaced 16-bit grayscale."""
+    all-filters writers (8-bit RGB and bit-packed 2-bit gray), ImageIO
+    interlaced RGB, ImageIO interlaced 16-bit grayscale, ImageIO 1-bit
+    bilevel, and ImageIO 4-bit palette (sub-byte reads are r11)."""
     from muninn_avro_to_parquet_spark.sources import formats
 
     raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.png")

@@ -574,13 +574,17 @@ def _encode_png(width, height, rows, color_type=2, filters=None, palette=b"",
                 bit_depth=8):
     """Minimal stdlib PNG writer for fixtures: ``rows`` is a list of raw
     scanlines (bytes, already channel-packed — 16-bit samples arrive as
-    big-endian byte pairs); ``filters[y]`` selects the per-row filter to
-    ENCODE with, so the decoder's unfilter paths (Sub/Up/Average/Paeth)
-    are all exercised, not just None."""
+    big-endian byte pairs, sub-byte samples arrive BIT-packed); ``filters
+    [y]`` selects the per-row filter to ENCODE with, so the decoder's
+    unfilter paths (Sub/Up/Average/Paeth) are all exercised, not just
+    None. For sub-byte depths the filter offset is one whole byte
+    (spec §9)."""
     import struct
     import zlib
 
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * (bit_depth // 8)
+    channels = max(
+        1, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type] * (bit_depth // 8)
+    )
 
     def chunk(ctype, payload):
         return (
@@ -591,7 +595,10 @@ def _encode_png(width, height, rows, color_type=2, filters=None, palette=b"",
         )
 
     raw = bytearray()
-    prev = bytes(width * channels)
+    stride = (
+        (width * bit_depth + 7) // 8 if bit_depth < 8 else width * channels
+    )
+    prev = bytes(stride)
     for y, line in enumerate(rows):
         f = 0 if filters is None else filters[y % len(filters)]
         raw.append(f)
@@ -779,9 +786,134 @@ def test_multimodal_real_decode_png_adam7(spark):
     assert abs(row2["mean_luma"] - sum(vals) / (w2 * h2 * 65535.0)) < 1e-9
 
 
+def _pack_bits(vals, depth):
+    """Bit-pack sub-byte samples MSB-first, row padded to a whole byte."""
+    per = 8 // depth
+    row = bytearray((len(vals) * depth + 7) // 8)
+    for i, v in enumerate(vals):
+        row[i // per] |= (v & ((1 << depth) - 1)) << (8 - depth * (i % per + 1))
+    return bytes(row)
+
+
+def test_multimodal_png_subbyte_gray_own_writer(spark):
+    """1/2/4-bit grayscale through the engine-test writer with every
+    scanline filter (r10 verdict #4): decoded luma must equal the
+    arithmetic mean over the sample grid, normalized by 2^depth - 1."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+
+    for depth in (1, 2, 4):
+        w, h = 19, 7
+        maxv = (1 << depth) - 1
+        vals = [
+            [((x * 5 + y * 7) % 11) % (maxv + 1) for x in range(w)]
+            for y in range(h)
+        ]
+        png = _encode_png(
+            w, h, [_pack_bits(v, depth) for v in vals],
+            color_type=0, filters=[0, 1, 2, 3, 4], bit_depth=depth,
+        )
+        df = spark.createDataFrame([(1, png)], "doc_id long, media binary")
+        row = multimodal.decode_images(df).collect()[0]
+        assert (row["width"], row["height"]) == (w, h), depth
+        want = sum(map(sum, vals)) / (w * h * maxv)
+        assert abs(row["mean_luma"] - want) < 1e-9, depth
+
+
+def test_multimodal_png_subbyte_imageio_conformance(spark):
+    """Independent-encoder conformance for sub-byte reads: javax.imageio
+    writes genuinely 1-bit bilevel and 2/4-bit palette PNGs (plain AND
+    Adam7-interlaced); our decoder's luma must equal the luma computed
+    from ImageIO's own read of the same bytes. Also re-verifies the
+    committed pimg_03..05 fixtures both ways."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+    from muninn_avro_to_parquet_spark.operators.multimodal import (
+        _LUMA_B,
+        _LUMA_G,
+        _LUMA_R,
+        _decode_png,
+    )
+
+    jvm = spark._jvm
+
+    def imageio_png(bi, interlace):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        param = writer.getDefaultWriteParam()
+        if interlace:
+            param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    def imageio_luma(data):
+        bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(data))
+        w, h = bi.getWidth(), bi.getHeight()
+        tot = 0.0
+        for y in range(h):
+            for x in range(w):
+                rgb = bi.getRGB(x, y)
+                tot += (
+                    _LUMA_R * ((rgb >> 16) & 255)
+                    + _LUMA_G * ((rgb >> 8) & 255)
+                    + _LUMA_B * (rgb & 255)
+                )
+        return w, h, tot / (w * h * 255.0)
+
+    BI = jvm.java.awt.image.BufferedImage
+    images = []
+    # 1-bit bilevel (TYPE_BYTE_BINARY default colorspace)
+    bi = BI(21, 13, BI.TYPE_BYTE_BINARY)
+    for y in range(13):
+        for x in range(21):
+            bi.setRGB(x, y, 0xFFFFFF if ((x * 3 + y * 5) % 7 < 3) else 0)
+    images.append((1, bi))
+    # 2-bit and 4-bit palettes via IndexColorModel
+    for depth, n in ((2, 4), (4, 16)):
+        reds = bytes((i * 37) % 256 for i in range(n))
+        greens = bytes((i * 59) % 256 for i in range(n))
+        blues = bytes((i * 83) % 256 for i in range(n))
+        icm = jvm.java.awt.image.IndexColorModel(depth, n, reds, greens, blues)
+        bi = BI(17, 9, BI.TYPE_BYTE_BINARY, icm)
+        for y in range(9):
+            for x in range(17):
+                i = (x * 3 + y) % n
+                bi.setRGB(
+                    x, y,
+                    ((reds[i] << 16) | (greens[i] << 8) | blues[i])
+                    | 0xFF000000 - 0x100000000,
+                )
+        images.append((depth, bi))
+    for depth, bi in images:
+        for interlace in (False, True):
+            data = imageio_png(bi, interlace)
+            # the conformance claim requires ImageIO actually wrote
+            # sub-byte + the requested interlace mode
+            assert data[24] == depth and data[28] == int(interlace)
+            got = _decode_png(data)
+            want = imageio_luma(data)
+            assert got[:2] == want[:2]
+            assert abs(got[2] - want[2]) < 1e-12, (depth, interlace)
+    # committed fixtures re-verified both ways
+    import os
+
+    fdir = os.path.join(
+        os.path.dirname(multimodal.__file__), "..", "fixtures", "binary"
+    )
+    for name in ("pimg_03.png", "pimg_04.png", "pimg_05.png"):
+        data = open(os.path.join(fdir, name), "rb").read()
+        got = _decode_png(data)
+        want = imageio_luma(data)
+        assert got[:2] == want[:2], name
+        assert abs(got[2] - want[2]) < 1e-12, name
+
+
 def test_multimodal_png_rejects_unsupported_variants(spark):
-    """Sub-byte depths and invalid interlace methods raise instead of
-    silently mis-decoding (16-bit and Adam7 read natively as of r10)."""
+    """Spec-invalid depth/colortype combinations and invalid interlace
+    methods raise instead of silently mis-decoding (16-bit and Adam7
+    read natively as of r10; sub-byte gray/palette as of r11 — so the
+    rejects left are the combinations the SPEC itself forbids)."""
     import struct
     import zlib
 
@@ -789,7 +921,7 @@ def test_multimodal_png_rejects_unsupported_variants(spark):
 
     from muninn_avro_to_parquet_spark.operators import multimodal
 
-    def ihdr_png(bit_depth, interlace):
+    def ihdr_png(bit_depth, interlace, color_type=0):
         def chunk(ctype, payload):
             return (
                 struct.pack(">I", len(payload))
@@ -800,12 +932,17 @@ def test_multimodal_png_rejects_unsupported_variants(spark):
 
         return (
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, bit_depth, 0, 0, 0, interlace))
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, bit_depth, color_type, 0, 0, interlace))
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b"")
         )
 
-    for payload, msg in ((ihdr_png(4, 0), "bit depth"), (ihdr_png(8, 2), "interlace method")):
+    for payload, msg in (
+        (ihdr_png(3, 0), "bit depth"),                # non-spec depth
+        (ihdr_png(4, 0, color_type=2), "color type"),  # sub-byte RGB: spec-invalid
+        (ihdr_png(16, 0, color_type=3), "16-bit"),     # 16-bit palette: spec-invalid
+        (ihdr_png(8, 2), "interlace method"),
+    ):
         df = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
         with pytest.raises(Exception, match=msg):
             multimodal.decode_images(df).collect()
