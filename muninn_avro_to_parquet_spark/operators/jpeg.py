@@ -319,6 +319,30 @@ class _BitReader:
         self.pos += 2
 
 
+# slot convention for DHT-less ("abbreviated") streams: 0 = luminance,
+# 1 = chrominance — the AVI-MJPEG / OpenDML convention
+_STD_TABLES = {
+    (0, 0): (_DC_LUMA_BITS, _DC_LUMA_VALS),
+    (0, 1): (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    (1, 0): (_AC_LUMA_BITS, _AC_LUMA_VALS),
+    (1, 1): (_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+}
+
+
+def _fill_missing_std_tables(htables: dict, scan_sel) -> None:
+    """MJPEG-in-AVI frames routinely OMIT the DHT segments (the OpenDML
+    'abbreviated' stream convention assumes the T.81 Annex K typical
+    tables, slot 0 = luminance / slot 1 = chrominance). Install the
+    standard table for any slot the scan references but no DHT defined —
+    never overriding an explicitly transmitted table, so conforming
+    standalone JPEGs are untouched."""
+    for _cs, td, ta in scan_sel:
+        for key in ((0, td), (1, ta)):
+            if key not in htables and key in _STD_TABLES:
+                bits, vals = _STD_TABLES[key]
+                htables[key] = _cached_table(tuple(bits), tuple(vals))
+
+
 class _MarkerHit(Exception):
     pass
 
@@ -486,6 +510,7 @@ def _decode_planes_raw(data: bytes):
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            _fill_missing_std_tables(htables, scan_sel)
             if not progressive:
                 return _decode_scan(
                     data, pos, frame, scan_sel, qtables, htables, restart_interval

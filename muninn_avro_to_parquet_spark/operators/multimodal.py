@@ -903,17 +903,28 @@ def _dib_mean_luma(frame: bytes, width: int, height: int) -> float:
     return total / (width * height * 255.0)
 
 
+# biCompression fourccs the frame decoder accepts for ``00dc`` chunks:
+# MJPG (and its lowercase alias) — every other compressed codec raises
+_MJPG_FOURCCS = (
+    struct.unpack("<I", b"MJPG")[0],
+    struct.unpack("<I", b"mjpg")[0],
+)
+
+
 def _decode_avi_frames(
     data: bytes, every_n: int = 1
 ) -> list[tuple[int, int, int, float]]:
-    """Pure-stdlib decode of an UNCOMPRESSED AVI (RIFF container,
-    ``00db`` device-independent-bitmap frames — the BMP pixel format
-    inside a video wrapper): returns (frame_index, width, height,
-    mean_luma) for every ``every_n``-th frame. Compressed codecs
-    (``00dc`` with biCompression != 0) raise rather than mis-decode —
-    at 100 TB real codecs run behind the same mapInPandas plumbing with
-    a decoder library; this keeps the video path honest end-to-end with
-    what the stdlib can actually verify."""
+    """Pure-stdlib decode of an AVI (RIFF container): ``00db``
+    device-independent-bitmap frames (the BMP pixel format inside a
+    video wrapper) and — r11 — ``00dc`` MJPEG frames, each a standalone
+    JPEG handed to the engine's own vectorized decoder
+    (``operators/jpeg``; DHT-less abbreviated frames get the Annex K
+    standard tables). Returns (frame_index, width, height, mean_luma)
+    for every ``every_n``-th frame; MJPEG dims come from each frame's
+    own SOF, not the container header. Other compressed codecs raise
+    rather than mis-decode — at 100 TB real codecs run behind the same
+    mapInPandas plumbing with a decoder library; this keeps the video
+    path honest end-to-end with what the engine can actually verify."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     width = height = None
@@ -923,7 +934,7 @@ def _decode_avi_frames(
     # only every_n-th frame's bytes are retained (a long clip sampled
     # 1-in-30 must not buffer all 30/30ths); slices of `data` share the
     # payload buffer, so retention is (index, offset) bookkeeping
-    sampled: list[tuple[int, bytes]] = []
+    sampled: list[tuple[int, bytes, bytes]] = []
 
     def walk(pos: int, end: int) -> None:
         nonlocal width, height, compression, n_seen
@@ -939,26 +950,38 @@ def _decode_avi_frames(
             elif cid == b"strf":
                 # BITMAPINFOHEADER: biCompression at offset 16
                 compression = struct.unpack_from("<I", data, body_start + 16)[0]
-            elif cid == b"00db":
+            elif cid in (b"00db", b"00dc"):
                 if n_seen % step == 0:
-                    sampled.append((n_seen, data[body_start : body_start + sz]))
+                    sampled.append(
+                        (n_seen, cid, data[body_start : body_start + sz])
+                    )
                 n_seen += 1
-            elif cid == b"00dc":
-                raise ValueError(
-                    "compressed AVI stream (00dc) unsupported by the "
-                    "stdlib decoder"
-                )
             pos = body_start + sz + (sz & 1)  # chunks pad to even
 
     walk(12, len(data))
     if width is None or not sampled:
         raise ValueError("AVI missing avih header or frames")
-    if compression != 0:
-        raise ValueError(f"AVI biCompression {compression} unsupported")
-    return [
-        (idx, width, height, _dib_mean_luma(frame, width, height))
-        for idx, frame in sampled
-    ]
+    from muninn_avro_to_parquet_spark.operators.jpeg import decode_jpeg_luma
+
+    out: list[tuple[int, int, int, float]] = []
+    for idx, cid, frame in sampled:
+        if cid == b"00dc":
+            if compression not in _MJPG_FOURCCS or frame[:2] != b"\xff\xd8":
+                raise ValueError(
+                    f"compressed AVI stream (biCompression {compression:#010x})"
+                    " unsupported — MJPG only"
+                )
+            w, h, luma = decode_jpeg_luma(bytes(frame))
+            out.append((idx, w, h, luma))
+        else:
+            if compression != 0:
+                raise ValueError(
+                    f"AVI biCompression {compression} unsupported for 00db"
+                )
+            out.append(
+                (idx, width, height, _dib_mean_luma(frame, width, height))
+            )
+    return out
 
 
 def video_frame_features_type(
@@ -1005,11 +1028,19 @@ def decode_video_frames(
     return df.select(id_col, media_col).mapInPandas(run, schema=schema)
 
 
-def encode_avi(frames: list[bytes], width: int, height: int) -> bytes:
-    """Minimal uncompressed-AVI writer (the canonical-re-encode
-    counterpart of the decoder, BMP-in-RIFF): ``frames`` are raw
-    bottom-up BGR24 DIBs with 4-byte row padding. Used by fixtures and
-    round-trip tests; deterministic bytes for identical input."""
+def encode_avi(
+    frames: list[bytes], width: int, height: int, codec: str = "dib"
+) -> bytes:
+    """Minimal AVI writer (the canonical-re-encode counterpart of the
+    decoder): ``codec="dib"`` wraps raw bottom-up BGR24 DIBs with 4-byte
+    row padding into ``00db`` chunks (BMP-in-RIFF); ``codec="mjpg"``
+    (r11) wraps standalone JPEG byte payloads into ``00dc`` chunks with
+    the MJPG fourcc. Used by fixtures and round-trip tests;
+    deterministic bytes for identical input."""
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"codec must be 'dib' or 'mjpg', got {codec!r}")
+    mjpg = codec == "mjpg"
+
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
         return cid + struct.pack("<I", len(body)) + body + pad
@@ -1017,23 +1048,29 @@ def encode_avi(frames: list[bytes], width: int, height: int) -> bytes:
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
-    row_bytes = (width * 3 + 3) & ~3
-    frame_size = row_bytes * height
+    if mjpg:
+        frame_size = max(len(f) for f in frames) if frames else 0
+        fourcc, bi_compression, frame_cid = b"MJPG", _MJPG_FOURCCS[0], b"00dc"
+    else:
+        row_bytes = (width * 3 + 3) & ~3
+        frame_size = row_bytes * height
+        fourcc, bi_compression, frame_cid = b"DIB ", 0, b"00db"
     avih = struct.pack(
         "<14I", 33333, frame_size * 30, 0, 0, len(frames), 0, 1,
         frame_size, width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, 30, 0,
-                                        len(frames), frame_size, 0, 0)
+        b"vids" + fourcc + struct.pack("<10I", 0, 0, 0, 1, 30, 0,
+                                       len(frames), frame_size, 0, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, bi_compression, frame_size, 0, 0, 0, 0,
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    movi = lst(b"movi", b"".join(chunk(frame_cid, f) for f in frames))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 

@@ -2006,6 +2006,12 @@ _VIDEO_GROUND_TRUTH = [
     ("vid_01.avi", 576, 6, 3, 3, 0.511341),
     ("vid_02.avi", 440, 0, 10, 2, 0.148973),
     ("vid_02.avi", 440, 2, 10, 2, 0.494071),
+    # vid_03 = MJPEG-in-AVI (r11): 4 javax.imageio-encoded JPEG frames
+    # in 00dc chunks, frame 2 DHT-STRIPPED (OpenDML abbreviated stream,
+    # Annex K standard-table fallback) — dims come from each frame's
+    # SOF via the engine's own vectorized JPEG decoder
+    ("vid_03.avi", 2604, 0, 12, 10, 0.440621),
+    ("vid_03.avi", 2604, 2, 12, 10, 0.458366),
 ]
 
 
@@ -2034,11 +2040,13 @@ def _video_frames_oracle() -> str:
 @q("multimodal_video_frames", _video_frames_oracle())
 def multimodal_video_frames(spark):
     """REAL video frame sampling (multimodal.decode_video_frames):
-    uncompressed-AVI fixtures decode executor-side (RIFF walk → DIB
-    frames → BT.601 mean luma) at every_n=2 — frame_sample_plan's
-    promise made concrete for the container the stdlib verifies exactly.
-    Oracle = fixture ground truth joined against DuckDB's independent
-    directory listing (the dhash/ahash pattern)."""
+    AVI fixtures decode executor-side at every_n=2 — uncompressed DIB
+    frames (RIFF walk → BGR24 → BT.601 mean luma) and, r11, MJPEG
+    ``00dc`` frames through the engine's own vectorized JPEG decoder
+    (incl. a DHT-stripped abbreviated frame riding the Annex K
+    standard-table fallback). Oracle = fixture ground truth joined
+    against DuckDB's independent directory listing (the dhash/ahash
+    pattern)."""
     from muninn_avro_to_parquet_spark.sources import formats
 
     raw = formats.read_binary_dir(spark, _BINARY_FIXTURE_DIR, glob_filter="*.avi")

@@ -1492,12 +1492,96 @@ def test_multimodal_video_frame_decode(spark):
     )
     assert sampled == [0, 2]
 
-    # compressed stream tag refuses; non-AVI refuses
+    # a 00dc chunk in a stream whose fourcc is NOT MJPG refuses (the
+    # frame bytes are a DIB, not a JPEG); non-AVI refuses
     bad = avi.replace(b"00db", b"00dc", 1)
-    for payload, msg in ((bad, "00dc"), (b"RIFF" + b"\x00" * 16, "AVI"), (b"nope", "RIFF")):
+    for payload, msg in ((bad, "MJPG only"), (b"RIFF" + b"\x00" * 16, "AVI"), (b"nope", "RIFF")):
         d2 = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
         with pytest.raises(Exception, match=msg):
             multimodal.decode_video_frames(d2).collect()
+
+
+def test_multimodal_video_mjpeg_frames(spark):
+    """MJPEG-in-AVI (r10 verdict #5): independently encoded (ImageIO)
+    JPEG frames in ``00dc`` chunks decode through the engine's own
+    vectorized JPEG decoder — per-frame lumas equal the standalone
+    decode of each frame's bytes, a DHT-STRIPPED abbreviated frame
+    decodes IDENTICALLY via the T.81 Annex K standard-table fallback,
+    a non-MJPG compressed fourcc still raises, and the committed
+    vid_03.avi fixture re-verifies."""
+    import os
+    import struct as _struct
+
+    import pytest
+
+    from muninn_avro_to_parquet_spark.operators import multimodal
+    from muninn_avro_to_parquet_spark.operators.jpeg import decode_jpeg_luma
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+
+    def jpeg_bytes(w, h, seed):
+        bi = jvm.java.awt.image.BufferedImage(w, h, 1)
+        ja = gw.new_array(jvm.int, w * h)
+        for i in range(w * h):
+            x, y = i % w, i // w
+            ja[i] = (
+                (((x * 19 + seed * 40) % 256) << 16)
+                | (((y * 31 + seed * 7) % 256) << 8)
+                | (((x + y) * 13 + seed) % 256)
+            )
+        bi.setRGB(0, 0, w, h, ja, 0, w)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    def strip_dht(d):
+        out = bytearray(d[:2])
+        i = 2
+        while i < len(d):
+            if d[i] == 0xFF and d[i + 1] == 0xC4:
+                i += 2 + _struct.unpack(">H", d[i + 2 : i + 4])[0]
+            elif d[i] == 0xFF and d[i + 1] == 0xDA:
+                out += d[i:]
+                break
+            else:
+                seglen = _struct.unpack(">H", d[i + 2 : i + 4])[0]
+                out += d[i : i + 2 + seglen]
+                i += 2 + seglen
+        return bytes(out)
+
+    frames = [jpeg_bytes(16, 8, s) for s in range(3)]
+    frames[1] = strip_dht(frames[1])
+    assert b"\xff\xc4" not in frames[1][: frames[1].find(b"\xff\xda")]
+    avi = multimodal.encode_avi(frames, 16, 8, codec="mjpg")
+    df = spark.createDataFrame([(1, avi)], "doc_id long, media binary")
+    got = {
+        r["frame_index"]: r
+        for r in multimodal.decode_video_frames(df, every_n=1).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for idx, f in enumerate(frames):
+        w, h, luma = decode_jpeg_luma(f)
+        assert (got[idx]["width"], got[idx]["height"]) == (w, h)
+        assert got[idx]["mean_luma"] == luma, idx
+    # the abbreviated frame must equal the decode of its UNstripped
+    # original — the fallback installs exactly the tables ImageIO wrote
+    assert got[1]["mean_luma"] == decode_jpeg_luma(jpeg_bytes(16, 8, 1))[2]
+    # a compressed fourcc that is not MJPG refuses loudly
+    bad = avi.replace(b"MJPG", b"cvid")
+    d2 = spark.createDataFrame([(1, bad)], "doc_id long, media binary")
+    with pytest.raises(Exception, match="MJPG only"):
+        multimodal.decode_video_frames(d2).collect()
+    # committed fixture both ways
+    fdir = os.path.join(
+        os.path.dirname(multimodal.__file__), "..", "fixtures", "binary"
+    )
+    data = open(os.path.join(fdir, "vid_03.avi"), "rb").read()
+    rows = multimodal._decode_avi_frames(data, every_n=2)
+    assert [(i, w, h, round(lu, 6)) for i, w, h, lu in rows] == [
+        (0, 12, 10, 0.440621),
+        (2, 12, 10, 0.458366),
+    ]
 
 
 def test_dhash_near_dup_pairs_banded_hamming(spark):
