@@ -22,6 +22,8 @@ assignments are reproducible across engines and runs.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1148,6 +1150,145 @@ def ann_topk_pq_rerank_exact(
     return _rank_topk(scored, top_k, id_col)
 
 
+@dataclass
+class IvfPqIndex:
+    """A built IVF-PQ index: the index-at-rest relations a production
+    deployment persists once and queries many times (r10 verdict #6 —
+    the nprobe dial must be turnable WITHOUT rebuilding the index).
+    ``lists``/``enc`` are cached (together they ARE the index:
+    one centroid id + m·log2(k) bits per vector); ``dist`` is the
+    cache-scoped ADC distance relation ``pq_model`` already maintains;
+    ``centroids`` is k rows, broadcast by every probe assignment."""
+
+    centroids: DataFrame
+    lists: DataFrame
+    dist: DataFrame
+    enc: DataFrame
+    m: int
+    k: int
+    id_col: str
+    vec_col: str
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Build the IVF-PQ index once: seeded coarse centroids, one
+    integer-cosine assignment pass over the corpus (the IVF lists), and
+    the PQ codebook + code assignment (``pq_model``). At 100 TB this is
+    the write-side job — the lists land partitioned by ``centroid_id``
+    and the codes ride along at m·log2(k) bits/vector; every subsequent
+    search touches nprobe/n_centroids of it."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    cents = cache_scoped(
+        ivf_centroids(corpus, n_centroids, id_col, vec_col), "ivfpq_cents"
+    )
+    lists = cache_scoped(
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+            id_col, "centroid_id"
+        ),
+        "ivfpq_lists",
+    )
+    codes = quantize_int8(corpus, id_col, vec_col)
+    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
+    enc = cache_scoped(enc, "ivfpq_enc")
+    return IvfPqIndex(cents, lists, dist, enc, m, k, id_col, vec_col)
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    query_pred,
+    nprobe: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """Query a built ``IvfPqIndex``: assign each query to its ``nprobe``
+    nearest coarse lists (k-row broadcast), equi-join the probed lists
+    for candidates, score by integer ADC over the stored codes, top-k
+    per query. Only the probe fan-out scales with ``nprobe`` — the
+    recall/cost dial turns with NO index work, which is what the 1M
+    recall sweep in the bench measures."""
+    from pyspark.sql import Window
+
+    id_col = index.id_col
+    q_lists = ivf_assign(
+        corpus.filter(query_pred), index.centroids, id_col, index.vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        q_lists.join(index.lists, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    qtab = index.dist.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), "sub", "code_id", "dist"
+    )
+    adc = (
+        cand.join(index.enc, id_col)
+        .join(qtab, ["query_id", "sub", "code_id"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_sqdist"), F.asc(id_col)
+    )
+    return adc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def ivfflat_search(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    query_pred,
+    nprobe: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """IVF-Flat search over a built index (FAISS ``IndexIVFFlat``): the
+    probed lists restrict candidates exactly as ``ivfpq_search``, but
+    scoring joins back to the STORED full vectors and ranks by the same
+    quantized-exact cosine ``ann_topk_ivf`` uses — recall is bounded
+    ONLY by list containment (exact scoring of a candidate superset can
+    never evict a true hit from the top-k), which makes the nprobe →
+    recall curve provably monotone. The flat row of the 1M bench sweep;
+    the gap to the ivfpq row is the ADC compression price."""
+    id_col, vec_col = index.id_col, index.vec_col
+    qs = corpus.filter(query_pred)
+    q_lists = ivf_assign(
+        qs, index.centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        q_lists.join(index.lists, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+    )
+    corp = _with_qnorm(corpus, id_col, vec_col)
+    qn = _with_qnorm(qs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    scored = (
+        cand.join(corp, id_col)
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.expr(
+                f"{_pair_cosine_sql('_qq', '_qnorm', '_q', '_norm')} as cosine_sim"
+            ),
+        )
+    )
+    return _rank_topk(scored, top_k, id_col)
+
+
 def ann_topk_ivfpq(
     corpus: DataFrame,
     query_pred,
@@ -1171,37 +1312,6 @@ def ann_topk_ivfpq(
     ADC tables from the PQ path; the candidate restriction is one
     equi-join on centroid_id, the scoring one equi-join on
     (query, sub, code). Output: (query_id, vec_id, approx_sqdist, rank).
-    """
-    from pyspark.sql import Window
-
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
-    corpus_lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-        id_col, "centroid_id"
-    )
-    q_lists = ivf_assign(
-        corpus.filter(query_pred), cents, id_col, vec_col, nprobe=nprobe
-    ).select(F.col(id_col).alias("query_id"), "centroid_id")
-    cand = (
-        q_lists.join(corpus_lists, "centroid_id")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", id_col)
-        .distinct()
-    )
-
-    codes = quantize_int8(corpus, id_col, vec_col)
-    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
-    qtab = dist.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), "sub", "code_id", "dist"
-    )
-    adc = (
-        cand.join(enc, id_col)
-        .join(qtab, ["query_id", "sub", "code_id"])
-        .groupBy("query_id", id_col)
-        .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_sqdist"), F.asc(id_col)
-    )
-    return adc.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_k
-    )
+    One-shot convenience over ``ivfpq_index`` + ``ivfpq_search``."""
+    idx = ivfpq_index(corpus, n_centroids, m, k, id_col, vec_col)
+    return ivfpq_search(idx, corpus, query_pred, nprobe=nprobe, top_k=top_k)

@@ -1180,12 +1180,67 @@ def _ann_recall_oracle() -> str:
       FROM iprobes14 p JOIN lists l USING (centroid_id)
       WHERE l.vec_id <> p.query_id
     ),
-    {rerank("icand14", "itop14").lstrip()}
+    {rerank("icand14", "itop14").lstrip()},
+    pqel AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM pqel GROUP BY pos),
+    qv AS (
+      SELECT vec_id,
+             pos,
+             CASE WHEN mx > mn
+                  THEN CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128
+                  ELSE 0 END AS q
+      FROM pqel JOIN st USING (pos)
+    ),
+    dims AS (SELECT CAST(MAX(pos) AS INTEGER) AS d FROM qv),
+    picked AS (
+      SELECT vec_id AS cb_vec,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                vec_id ASC) - 1 AS code_id
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cb AS (
+      SELECT p.code_id, CAST((q.pos - 1) AS INTEGER) // (d // 8) AS sub,
+             q.pos, q.q AS cq
+      FROM picked p JOIN qv q ON q.vec_id = p.cb_vec CROSS JOIN dims
+    ),
+    dist AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             SUM(CAST(v.q - c.cq AS BIGINT) * (v.q - c.cq)) AS dist
+      FROM qv v JOIN cb c ON v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    enc AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist ASC, code_id ASC) AS r
+        FROM dist
+      ) WHERE r = 1
+    ),
+    pqadc AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
+      FROM (SELECT DISTINCT query_id, vec_id FROM icand) c
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub AND d.code_id = e.code_id
+      GROUP BY 1, 2
+    ),
+    pqtop AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+        FROM pqadc
+      ) WHERE rank <= 10
+    )
     {_recall_block_sql("lsh", "ltop")}
     UNION ALL {_recall_block_sql("lsh_multiprobe", "mtop")}
     UNION ALL {_recall_block_sql("ivf", "itop")}
     UNION ALL {_recall_block_sql("ivf_nprobe12", "itop12")}
     UNION ALL {_recall_block_sql("ivf_nprobe14", "itop14")}
+    UNION ALL {_recall_block_sql("ivfpq_nprobe4", "pqtop")}
     """
 
 
@@ -1229,6 +1284,14 @@ def ann_recall_report(spark):
         ),
         "ivf_nprobe14": similarity.ann_topk_ivf(
             emb, qs, num_centroids=16, nprobe=14, k=10
+        ),
+        # the COMPRESSED path's recall row (r11): same coarse lists as
+        # "ivf" at nprobe=4, scored by integer ADC over the PQ codes
+        # instead of exact cosine — the gap between this row and "ivf"
+        # is exactly what 4-byte codes cost in recall on this corpus
+        "ivfpq_nprobe4": similarity.ivfpq_search(
+            similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16),
+            emb, F.col("vec_id") < 5, nprobe=4, top_k=10,
         ),
     }
     n_ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
@@ -2248,7 +2311,7 @@ def q_approx_distinct(spark):
     )
 
 
-def _ann_ivf_oracle() -> str:
+def _ann_ivf_oracle(nprobe: int = 4) -> str:
     # mirrors similarity.ann_topk_ivf exactly: md5-ordered centroid pick,
     # exact-integer cosine for both centroid assignment and re-ranking
     return f"""
@@ -2274,7 +2337,7 @@ def _ann_ivf_oracle() -> str:
       JOIN cnorms nc ON a.centroid_id = nc.centroid_id
     ),
     lists AS (SELECT vec_id, centroid_id FROM csim WHERE r = 1),
-    probes AS (SELECT vec_id AS query_id, centroid_id FROM csim WHERE vec_id < 5 AND r <= 4),
+    probes AS (SELECT vec_id AS query_id, centroid_id FROM csim WHERE vec_id < 5 AND r <= {nprobe}),
     cand AS (
       SELECT p.query_id, l.vec_id
       FROM probes p JOIN lists l USING (centroid_id)
@@ -2306,6 +2369,22 @@ def ann_topk_ivf(spark):
     emb = spark.table("embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_ivf(emb, queries_df, num_centroids=16, nprobe=4, k=10)
+
+
+@q("ann_ivfflat_index_search", _ann_ivf_oracle(nprobe=6))
+def ann_ivfflat_index_search(spark):
+    """IVF-Flat over the build-once index (similarity.ivfpq_index +
+    ivfflat_search, r11 — FAISS IndexIVFFlat): probed lists restrict
+    candidates, the STORED full vectors score them with the same
+    quantized-exact cosine as ann_topk_ivf, so recall is bounded only
+    by list containment and the nprobe dial is provably monotone. Run
+    at nprobe=6 so the oracle distinguishes this path from the one-shot
+    ann_topk_ivf at nprobe=4."""
+    emb = spark.table("embeddings")
+    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    return similarity.ivfflat_search(
+        idx, emb, F.col("vec_id") < 5, nprobe=6, top_k=10
+    )
 
 
 @q(
@@ -7001,6 +7080,76 @@ def ann_topk_ivfpq(spark):
     emb = spark.table("embeddings")
     return similarity.ann_topk_ivfpq(
         emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, m=8, k=16, top_k=10
+    )
+
+
+@q(
+    "ann_ivfpq_index_search",
+    f"""
+    WITH {_PQ_CTES},
+    fel AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    fnorms AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM fel GROUP BY 1),
+    icents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    icel AS (SELECT centroid_id, x, i FROM fel JOIN icents ON fel.vec_id = icents.centroid_id),
+    icnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM icel GROUP BY 1),
+    iadots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM fel e JOIN icel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    icsim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM iadots a
+      JOIN fnorms nv ON a.vec_id = nv.vec_id
+      JOIN icnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    corpus_lists AS (SELECT vec_id, centroid_id FROM icsim WHERE r = 1),
+    q_lists AS (
+      SELECT vec_id AS query_id, centroid_id FROM icsim WHERE vec_id < 5 AND r <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM q_lists q JOIN corpus_lists c USING (centroid_id)
+      WHERE c.vec_id <> q.query_id
+    ),
+    iadc AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub AND d.code_id = e.code_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, approx_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+      FROM iadc
+    ) WHERE rank <= 10
+    """,
+)
+def ann_ivfpq_index_search(spark):
+    """Build-once / query-many IVF-PQ (similarity.ivfpq_index +
+    ivfpq_search, r11): the index relations (coarse lists + PQ codes)
+    are built and cached ONCE, then the search turns the nprobe dial
+    (4 of 16 lists here) with zero index work — the production
+    deployment shape the one-shot ann_topk_ivfpq collapses. The oracle
+    replays the identical integer pipeline at nprobe=4, so the
+    decomposed API is held to the same bit-exact contract as the
+    one-shot path."""
+    emb = spark.table("embeddings")
+    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    return similarity.ivfpq_search(
+        idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
     )
 
 

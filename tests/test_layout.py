@@ -290,3 +290,59 @@ def test_pq_refined_reduces_distortion(spark):
     seeded = distortion(similarity.pq_model(codes, m=8, k=16))
     refined = distortion(similarity.pq_model_refined(codes, m=8, k=16, rounds=1))
     assert refined < seeded * 0.95, (refined, seeded)
+
+
+def test_ivfpq_index_search_equals_one_shot(spark):
+    """Build-once/query-many decomposition (r11): ivfpq_index +
+    ivfpq_search must return exactly what the one-shot ann_topk_ivfpq
+    returns, ivfflat_search must return exactly what ann_topk_ivf
+    returns (same lists, same exact scoring), and turning the nprobe
+    dial on the SAME index must be monotone for the flat path (exact
+    scoring of a candidate superset can never evict a true hit)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    one_shot = {
+        (r["query_id"], r["vec_id"], r["approx_sqdist"], r["rank"])
+        for r in similarity.ann_topk_ivfpq(
+            emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, top_k=10
+        ).collect()
+    }
+    via_index = {
+        (r["query_id"], r["vec_id"], r["approx_sqdist"], r["rank"])
+        for r in similarity.ivfpq_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=2, top_k=10
+        ).collect()
+    }
+    assert via_index == one_shot
+    flat_one_shot = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ann_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 5), num_centroids=16, nprobe=4, k=10
+        ).collect()
+    }
+    flat_via_index = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivfflat_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
+        ).collect()
+    }
+    assert flat_via_index == flat_one_shot
+    # flat monotonicity on the shared index: hits vs exact only grow
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=10
+        ).select("query_id", "vec_id").collect()
+    }
+    prev = -1.0
+    for nprobe in (2, 6, 16):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ivfflat_search(
+                idx, emb, F.col("vec_id") < 5, nprobe=nprobe, top_k=10
+            ).collect()
+        }
+        rec = len(got & exact) / len(exact)
+        assert rec >= prev, (nprobe, rec, prev)
+        prev = rec
+    assert prev == 1.0  # nprobe = all 16 lists scans everything: exact
