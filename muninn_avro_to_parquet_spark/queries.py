@@ -8606,6 +8606,167 @@ def _png_ingest_oracle() -> str:
     """
 
 
+# (src_file, file_n_bytes, record_index, target_uri, http_status,
+# n_payload, payload_md5, main_md5) for every RESPONSE record of the
+# committed WARC fixtures — wdoc_00.warc.gz is the spec's gzip
+# member-per-record layout (warcinfo + 2 pages + 1 request + a 404),
+# wdoc_01.warc is plain. main_md5 pins the html extractor's output on
+# the decoded payload; regenerate with sources/warc.encode_warc (block
+# in git history).
+_WARC_GROUND_TRUTH = [
+    ("wdoc_00.warc.gz", 1629, 1, "http://gazette.example/river-path", 200,
+     484, "22ec23e3e2b9b6700535df52d4541782", "382a0f6745534059b7a6e37d6074b326"),
+    ("wdoc_00.warc.gz", 1629, 3, "http://gazette.example/bridge", 200,
+     467, "598e52b1a41cceb14071f7afd1a7cc8c", "226eeeb02766a615a2ffc0921fe78cf0"),
+    ("wdoc_00.warc.gz", 1629, 4, "http://gazette.example/missing", 404,
+     48, "d5d3fb4d42bf99218fe9ca3d8a647ca1", "7284c2476036354f9f15afc020ca890d"),
+    ("wdoc_01.warc", 861, 1, "http://library.example/hours", 200,
+     387, "300e800bc4ee613b8726e6ba557ca290", "f74e3ea69d1d91ea65853457c4d16f01"),
+]
+
+
+def _warc_ingest_oracle() -> str:
+    vals = ",".join(
+        f"('{f}',{nb},{i},'{u}',{s},{np},'{pm}','{mm}')"
+        for f, nb, i, u, s, np, pm, mm in _WARC_GROUND_TRUTH
+    )
+    return f"""
+    WITH expected(src_file, file_n_bytes, record_index, target_uri,
+                  http_status, n_payload, payload_md5, main_md5)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS src_file,
+             CAST(size AS BIGINT) AS file_n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*.warc*')
+    )
+    SELECT src_file, record_index, target_uri, http_status, n_payload,
+           payload_md5, main_md5
+    FROM expected JOIN blobs USING (src_file, file_n_bytes)
+    """
+
+
+@q(
+    "crawl_host_stats",
+    f"""
+    WITH seed AS (
+      SELECT doc_id,
+             'host' || CAST((doc_id // 2) % 5 AS VARCHAR) || '.example' AS host,
+             (doc_id % 2 = 1) AS is_dup,
+             len({_SQL_TOKENS}) AS n_tokens
+      FROM documents
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS n_unique,
+           CAST(SUM(CASE WHEN is_dup THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS unique_tokens,
+           ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM seed GROUP BY host
+    """,
+)
+def crawl_host_stats(spark):
+    """Host-level crawl report (r11): the source-weighting table a
+    curation pipeline derives before sampling — per host, document
+    count, URL-deduped unique count, the token budget the unique docs
+    contribute, and the duplicate rate. URLs are SYNTHESIZED so every
+    even/odd doc pair collides on one canonical URL within its host
+    (scheme-case noise on the odd member exercises the canonicalizer);
+    the oracle states the expected stats arithmetically per archetype
+    and never sees a URL — a drift in host extraction, canonical
+    collapse, or dup attribution flips the 5-row hash. One narrow map +
+    one window shuffle on the canonical key + one host aggregate."""
+    from muninn_avro_to_parquet_spark.operators import urls
+
+    docs = spark.table("documents")
+    h = F.concat(
+        F.lit("host"),
+        ((F.col("doc_id") / 2).cast("long") % 5).cast("string"),
+        F.lit(".example"),
+    )
+    # odd members carry case noise; canonicalization collapses the pair
+    u = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit("HTTP://"), F.upper(h), F.lit("/doc/"),
+            (F.col("doc_id") / 2).cast("long").cast("string"), F.lit("#ref"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), h, F.lit("/doc/"),
+            (F.col("doc_id") / 2).cast("long").cast("string"),
+        )
+    )
+    seed = docs.select("doc_id", "text", u.alias("url"))
+    d = urls.dedup_by_canonical_url(seed, "doc_id")
+    return (
+        d.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_unique"),
+            F.sum(
+                F.when(F.col("is_dup"), 0).otherwise(
+                    text.token_count(F.col("text"))
+                )
+            )
+            .cast("long")
+            .alias("unique_tokens"),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@q("crawl_warc_ingest", _warc_ingest_oracle())
+def crawl_warc_ingest(spark):
+    """WARC ingest → HTML extraction, the first stage of a real crawl
+    pipeline (sources/warc, r11): the committed fixtures (one
+    member-per-record .warc.gz, one plain .warc) fan out into records
+    executor-side (binaryFile listing + one Arrow-batched mapInPandas),
+    response records keep their HTTP status and payload, and the main
+    text comes out of the engine's own boilerplate extractor. The
+    oracle pins every response's URI/status/payload hash AND extracted-
+    text hash against DuckDB's independent directory listing — a drift
+    anywhere in gzip-member handling, header parsing, HTTP splitting,
+    or extraction flips a hash."""
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+    from muninn_avro_to_parquet_spark.sources import warc as warc_src
+
+    recs = warc_src.read_warc(spark, _BINARY_FIXTURE_DIR, glob_filter="*.warc*")
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.concat_ws(":", "src_file", F.col("record_index").cast("string")).alias(
+            "rec_id"
+        ),
+        "src_file",
+        "record_index",
+        "target_uri",
+        "http_status",
+        F.octet_length("payload").cast("long").alias("n_payload"),
+        F.md5("payload").alias("payload_md5"),
+        "payload",
+    )
+    ext = html_ops.html_extract(resp, id_col="rec_id", html_col="payload")
+    return (
+        resp.drop("payload")
+        .join(ext.select("rec_id", "main_text"), "rec_id")
+        .select(
+            "src_file",
+            "record_index",
+            "target_uri",
+            "http_status",
+            "n_payload",
+            "payload_md5",
+            F.md5(F.col("main_text").cast("binary")).alias("main_md5"),
+        )
+        .orderBy("src_file", "record_index")
+    )
+
+
 @q("multimodal_png_ingest", _png_ingest_oracle())
 def multimodal_png_ingest(spark):
     """binaryFile ingest → REAL PNG decode with the engine's own stdlib

@@ -1,0 +1,253 @@
+"""WARC (Web ARChive, ISO 28500) source: the container format real
+crawls arrive in (Common Crawl, Internet Archive, Heritrix output) and
+therefore the first stage of any crawl-derived training-data pipeline —
+everything downstream (``operators/html.py`` extraction, ``urls``
+canonicalization, ``graph`` link analysis, the dedup family) consumes
+what this module emits.
+
+Pure-stdlib parsing, same discipline as the engine's other codecs
+(``sources/avro_io.py``, ``operators/jpeg.py``): a WARC file is a
+sequence of records, each
+
+    WARC/1.0\\r\\n
+    <header-name>: <value>\\r\\n ...
+    \\r\\n
+    <Content-Length bytes of block>
+    \\r\\n\\r\\n
+
+and a ``.warc.gz`` is a MULTI-MEMBER gzip stream, one member per record
+(the spec's recommended layout, so archives stay seekable) — plain
+``gzip.decompress`` handles member concatenation. ``response`` records
+carry an HTTP message as their block; the HTTP status line + headers
+are split off and the remaining bytes are the payload a decoder or the
+HTML extractor sees.
+
+Spark shape (the 100 TB story): WARC files ingest through the same
+``binaryFile`` listing as every other opaque container (per-file
+parallelism, pathGlobFilter pruning at listing time), and the
+record fan-out (one file row → many record rows) happens executor-side
+inside one Arrow-batched ``mapInPandas`` — the driver never sees
+payload bytes. Gzip members decompress where the bytes already are;
+nothing splits a record across tasks.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+@dataclass
+class WarcRecord:
+    """One parsed WARC record (response records carry HTTP fields)."""
+
+    warc_type: str
+    target_uri: str | None
+    warc_date: str | None
+    record_id: str | None
+    content_type: str | None  # the WARC block's Content-Type header
+    http_status: int | None  # response records only
+    http_content_type: str | None  # response records only
+    payload: bytes  # HTTP body for responses, raw block otherwise
+
+
+def _parse_headers(block: bytes) -> tuple[dict[str, str], bytes]:
+    """Split an RFC-822-style header section off ``block`` → (headers
+    lower-cased by name, remaining bytes). Tolerates bare-LF line ends
+    (they exist in the wild) and continuation lines."""
+    sep = block.find(b"\r\n\r\n")
+    seplen = 4
+    lf_only = block.find(b"\n\n")
+    if sep == -1 or (0 <= lf_only < sep):
+        sep, seplen = lf_only, 2
+    if sep == -1:
+        return {}, b""
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for raw in block[:sep].split(b"\n"):
+        line = raw.rstrip(b"\r")
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        name, _, value = line.partition(b":")
+        if not _:
+            continue
+        last = name.strip().decode("latin-1").lower()
+        headers[last] = value.strip().decode("latin-1")
+    return headers, block[sep + seplen :]
+
+
+def parse_warc(data: bytes) -> list[WarcRecord]:
+    """Parse one WARC file's bytes (plain or multi-member ``.gz``) into
+    records. Raises ``ValueError`` on a payload that is not WARC —
+    honest-reject, never a silent empty result for junk input."""
+    if data[:2] == _GZIP_MAGIC:
+        # multi-member stream: gzip.decompress concatenates members
+        try:
+            data = gzip.decompress(data)
+        except Exception as e:
+            raise ValueError(f"bad gzip in WARC payload: {e}") from e
+    if not data.lstrip(b"\r\n").startswith(b"WARC/"):
+        raise ValueError("not a WARC payload (missing WARC/ version line)")
+    out: list[WarcRecord] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        line_end = data.find(b"\n", pos)
+        if line_end == -1:
+            break
+        version = data[pos:line_end].strip()
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"malformed WARC record header at offset {pos}: {version[:20]!r}"
+            )
+        headers, _ = _parse_headers(data[line_end + 1 :])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC record at offset {pos} missing Content-Length")
+        # locate the block start: end of the header section
+        hdr_block = data[line_end + 1 :]
+        sep = hdr_block.find(b"\r\n\r\n")
+        seplen = 4
+        lf_only = hdr_block.find(b"\n\n")
+        if sep == -1 or (0 <= lf_only < sep):
+            sep, seplen = lf_only, 2
+        block_start = line_end + 1 + sep + seplen
+        block = data[block_start : block_start + length]
+        if len(block) < length:
+            raise ValueError(f"WARC record at offset {pos} truncated")
+        pos = block_start + length
+        wtype = headers.get("warc-type", "")
+        status = http_ct = None
+        payload = block
+        if wtype == "response" and block[:5] in (b"HTTP/", b"http/"):
+            http_headers, payload = _parse_headers(block)
+            status_line = block.split(b"\n", 1)[0].rstrip(b"\r")
+            parts = status_line.split(None, 2)
+            status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else None
+            http_ct = http_headers.get("content-type")
+        out.append(
+            WarcRecord(
+                warc_type=wtype,
+                target_uri=headers.get("warc-target-uri"),
+                warc_date=headers.get("warc-date"),
+                record_id=headers.get("warc-record-id"),
+                content_type=headers.get("content-type"),
+                http_status=status,
+                http_content_type=http_ct,
+                payload=bytes(payload),
+            )
+        )
+    return out
+
+
+def warc_records_type() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("src_file", T.StringType(), True),
+            T.StructField("record_index", T.IntegerType(), True),
+            T.StructField("warc_type", T.StringType(), True),
+            T.StructField("target_uri", T.StringType(), True),
+            T.StructField("warc_date", T.StringType(), True),
+            T.StructField("http_status", T.IntegerType(), True),
+            T.StructField("http_content_type", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+
+def read_warc(
+    spark: SparkSession, path: str, glob_filter: str = "*.warc*"
+) -> DataFrame:
+    """Directory of WARC files → one row per WARC record.
+
+    Listing and file reads ride Spark's ``binaryFile`` source (per-file
+    parallelism, listing-time glob pruning, object-store URIs unchanged);
+    the record fan-out is one Arrow-batched ``mapInPandas`` whose
+    returned iterator expresses the one-to-many expansion — no driver
+    loop, no collected payloads."""
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(spark, path, glob_filter=glob_filter)
+    files = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("src_file"),
+        F.col("content"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in warc_records_type().fields]
+        for pdf in batches:
+            rows = []
+            for name, content in zip(pdf["src_file"], pdf["content"]):
+                for i, r in enumerate(parse_warc(bytes(content))):
+                    rows.append(
+                        (
+                            name,
+                            i,
+                            r.warc_type,
+                            r.target_uri,
+                            r.warc_date,
+                            r.http_status,
+                            r.http_content_type,
+                            r.payload,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=warc_records_type())
+
+
+def encode_warc(records: list[WarcRecord], gz: bool = False) -> bytes:
+    """Canonical re-encode counterpart of ``parse_warc`` (fixtures and
+    round-trip tests; the GIF/AVI writer discipline). ``gz=True`` emits
+    the spec's member-per-record gzip layout."""
+    members: list[bytes] = []
+    for r in records:
+        headers = [("WARC-Type", r.warc_type)]
+        if r.record_id:
+            headers.append(("WARC-Record-ID", r.record_id))
+        if r.warc_date:
+            headers.append(("WARC-Date", r.warc_date))
+        if r.target_uri:
+            headers.append(("WARC-Target-URI", r.target_uri))
+        if r.warc_type == "response":
+            ct = r.http_content_type or "text/html"
+            status = r.http_status if r.http_status is not None else 200
+            http = (
+                f"HTTP/1.1 {status} OK\r\nContent-Type: {ct}\r\n"
+                f"Content-Length: {len(r.payload)}\r\n\r\n"
+            ).encode("latin-1") + r.payload
+            block = http
+            headers.append(
+                ("Content-Type", "application/http; msgtype=response")
+            )
+        else:
+            block = r.payload
+            if r.content_type:
+                headers.append(("Content-Type", r.content_type))
+        headers.append(("Content-Length", str(len(block))))
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
+        )
+        member = head + b"\r\n" + block + b"\r\n\r\n"
+        if gz:
+            members.append(gzip.compress(member, mtime=0))
+        else:
+            members.append(member)
+    return b"".join(members)
