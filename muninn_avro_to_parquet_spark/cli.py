@@ -212,6 +212,19 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the (id, seq, href, anchor) outlink relation here",
     )
 
+    p_warc = sub.add_parser(
+        "warc-ingest",
+        help="fan a directory of WARC crawl archives (plain or "
+        ".warc.gz) out into a parquet record table",
+    )
+    p_warc.add_argument("--input_dir", required=True, help="WARC directory")
+    p_warc.add_argument("--output_dir", required=True)
+    p_warc.add_argument("--glob", default="*.warc*")
+    p_warc.add_argument(
+        "--responses_only", action="store_true",
+        help="keep only response records (the crawl-pipeline payload rows)",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "drain":
@@ -407,6 +420,24 @@ def main(argv: list[str] | None = None) -> int:
             if args.links_out:
                 n_links = spark.read.parquet(args.links_out).count()
                 print(f"{n_links} outlinks at {args.links_out}")
+            return 0
+
+        if args.cmd == "warc-ingest":
+            from pyspark.sql import functions as F
+
+            from muninn_avro_to_parquet_spark.sources import warc as warc_src
+
+            recs = warc_src.read_warc(spark, args.input_dir, glob_filter=args.glob)
+            if args.responses_only:
+                recs = recs.filter(F.col("warc_type") == "response")
+            recs.write.mode("overwrite").parquet(args.output_dir)
+            out = spark.read.parquet(args.output_dir)
+            n = out.count()
+            n_resp = out.filter("warc_type = 'response'").count()
+            print(
+                f"{n} WARC records written to {args.output_dir} "
+                f"({n_resp} responses)"
+            )
             return 0
 
         if args.cmd == "convert":

@@ -303,6 +303,23 @@ HEADLINERS: list[tuple[str, str]] = [
         "and the global step from the range-partitioned rank — a "
         "corpus-wide total order without a single-partition sort.",
     ),
+    (
+        "ann_ivfpq_index_search",
+        "Build-once IVF-PQ search (r11): the probed-list candidate "
+        "restriction is one equi-join on centroid_id against the CACHED "
+        "list relation, ADC scoring one equi-join on (query, sub, code) "
+        "against the cached codes — per-query work scales with "
+        "nprobe/n_centroids of the corpus, and the index relations "
+        "never rebuild between searches.",
+    ),
+    (
+        "crawl_warc_ingest",
+        "WARC crawl ingest (r11): binaryFile listing (per-file "
+        "parallelism, glob pruned) → Arrow-batched MapInPandas record "
+        "fan-out + HTTP split, then the extractor crossing; the only "
+        "exchange is the record-keyed join of extraction back onto "
+        "record metadata — payload bytes never reach the driver.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")

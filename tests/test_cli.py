@@ -332,3 +332,38 @@ def test_cli_html_extract(spark, tmp_path, monkeypatch, capsys):
     assert got[2]["n_kept"] == 0
     links = spark.read.parquet(str(tmp_path / "links"))
     assert sorted(r["href"] for r in links.collect()) == ["/a", "/b", "/x"]
+
+
+def test_cli_warc_ingest(spark, tmp_path, monkeypatch, capsys):
+    import muninn_avro_to_parquet_spark.cli as cli
+    from muninn_avro_to_parquet_spark import session as session_mod
+    from muninn_avro_to_parquet_spark.sources.warc import WarcRecord, encode_warc
+
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    recs = [
+        WarcRecord("warcinfo", None, "2026-01-01T00:00:00Z", "<urn:uuid:1>",
+                   "application/warc-fields", None, None, b"software: x\r\n"),
+        WarcRecord("response", "http://a.example/x", "2026-01-01T00:00:01Z",
+                   "<urn:uuid:2>", None, 200, "text/html",
+                   b"<p>page one body</p>"),
+        WarcRecord("response", "http://a.example/y", "2026-01-01T00:00:02Z",
+                   "<urn:uuid:3>", None, 200, "text/html",
+                   b"<p>page two body</p>"),
+    ]
+    (d / "c.warc.gz").write_bytes(encode_warc(recs, gz=True))
+    rc = cli.main([
+        "warc-ingest",
+        "--input_dir", str(d),
+        "--output_dir", str(tmp_path / "records"),
+        "--responses_only",
+    ])
+    assert rc == 0
+    assert "2 WARC records written" in capsys.readouterr().out
+    out = spark.read.parquet(str(tmp_path / "records"))
+    rows = {r["target_uri"]: r for r in out.collect()}
+    assert set(rows) == {"http://a.example/x", "http://a.example/y"}
+    assert bytes(rows["http://a.example/x"]["payload"]) == b"<p>page one body</p>"
