@@ -1271,27 +1271,33 @@ def ann_recall_report(spark):
     # scoped cache, not bare persist(): a bare persist leaked one cached
     # relation per invocation (ADVICE r6)
     exact = cache_scoped(exact, "ann_recall_exact")
+    # ONE shared index for every list-pruned method (r11): the three
+    # IVF rows used to rebuild centroids + corpus lists each
+    # (ann_topk_ivf is one-shot), and the new ivfpq row would have made
+    # it a 4th build — ivfflat_search/ivfpq_search over a single
+    # ivfpq_index return bit-identical results (proven in
+    # tests/test_layout.py) while the lists/codes materialize once.
+    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
     methods = {
         "lsh": similarity.ann_topk_lsh(emb, qs, dim=64, k=10),
         "lsh_multiprobe": similarity.ann_topk_lsh_multiprobe(
             emb, qs, dim=64, k=10
         ),
-        "ivf": similarity.ann_topk_ivf(
-            emb, qs, num_centroids=16, nprobe=4, k=10
+        "ivf": similarity.ivfflat_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
         ),
-        "ivf_nprobe12": similarity.ann_topk_ivf(
-            emb, qs, num_centroids=16, nprobe=12, k=10
+        "ivf_nprobe12": similarity.ivfflat_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=12, top_k=10
         ),
-        "ivf_nprobe14": similarity.ann_topk_ivf(
-            emb, qs, num_centroids=16, nprobe=14, k=10
+        "ivf_nprobe14": similarity.ivfflat_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=14, top_k=10
         ),
         # the COMPRESSED path's recall row (r11): same coarse lists as
         # "ivf" at nprobe=4, scored by integer ADC over the PQ codes
         # instead of exact cosine — the gap between this row and "ivf"
         # is exactly what 4-byte codes cost in recall on this corpus
         "ivfpq_nprobe4": similarity.ivfpq_search(
-            similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16),
-            emb, F.col("vec_id") < 5, nprobe=4, top_k=10,
+            idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
         ),
     }
     n_ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
