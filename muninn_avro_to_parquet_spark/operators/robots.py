@@ -1,0 +1,134 @@
+"""robots.txt (RFC 9309, the Robots Exclusion Protocol): the crawl-
+politeness filter between URL discovery (``operators/html.py`` outlinks,
+``operators/urls.py`` canonicalization) and fetch scheduling — at corpus
+scale it is also the compliance gate a training-data pipeline applies
+before ingesting a crawl it did not fetch itself.
+
+Parsing is driver-side (a robots.txt is a few KB of text per host; the
+rule table for even a billion-host crawl is host-count-sized, not
+corpus-sized); matching is executor-side: the rule relation broadcasts,
+candidate URLs equi-join on host, the RFC's longest-match-wins /
+tie-goes-to-allow decision is one window over the matched rules riding
+the join's own shuffle-free broadcast. URLs under no rule default to
+allowed, per the RFC.
+
+Wildcards: ``*`` matches any character run, a trailing ``$`` anchors at
+path end — both from RFC 9309 §2.2.3. Rule paths compile to anchored
+Java regexes ONCE at parse time (driver), so the executor-side test is
+a plain ``rlike``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from muninn_avro_to_parquet_spark.operators import urls as _urls
+
+
+def parse_robots(content: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """The rule list (allow, path) the RFC tells ``agent`` to obey:
+    groups are runs of ``User-agent`` lines followed by rules; the group
+    whose product token exactly matches ``agent`` (case-insensitive)
+    wins, else the ``*`` group; multiple groups for the same agent
+    merge. Empty Disallow values and unknown fields are ignored per the
+    RFC; comments strip at ``#``."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    current: list[str] = []
+    in_rules = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_rules:
+                current = []
+                in_rules = False
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, [])
+        elif field in ("allow", "disallow"):
+            in_rules = True
+            if not value:
+                continue  # empty Disallow = allow everything (no rule)
+            for a in current or ["*"]:
+                groups.setdefault(a, []).append((field == "allow", value))
+        # crawl-delay / sitemap / unknown fields: not access rules,
+        # and they neither split nor extend a group — fully ignored
+    key = agent.lower()
+    if key in groups:
+        return groups[key]
+    return groups.get("*", [])
+
+
+def _rule_regex(path: str) -> str:
+    """RFC 9309 §2.2.3 pattern → anchored Java regex: ``*`` is any run,
+    trailing ``$`` anchors, everything else is literal."""
+    anchored = path.endswith("$")
+    if anchored:
+        path = path[:-1]
+    body = ".*".join(re.escape(part) for part in path.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def rules_df(
+    spark: SparkSession,
+    robots_by_host: list[tuple[str, str]],
+    agent: str = "*",
+) -> DataFrame:
+    """(host, allow, path, pattern, spec_len) rule relation for one
+    crawler identity — host-count-sized, meant to broadcast. ``spec_len``
+    is the rule path's octet length, the RFC's specificity measure."""
+    rows = []
+    for host, content in robots_by_host:
+        for allow, path in parse_robots(content, agent):
+            rows.append((host.lower(), allow, path, _rule_regex(path), len(path)))
+    return spark.createDataFrame(
+        rows, "host string, allow boolean, path string, pattern string, spec_len int"
+    )
+
+
+def apply_robots(
+    df: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Adds ``is_allowed``: for each URL, the longest-matching rule of
+    its host decides (ties go to allow, RFC 9309 §2.2.2); no matching
+    rule — or no rules for the host at all — defaults to allowed.
+
+    Shape: one broadcast equi-join on host + one window over the
+    matched rules partitioned by the caller's row id. The URL relation
+    (corpus-sized) never shuffles; only matched-rule rows (≤ rules per
+    host per URL) enter the window."""
+    from pyspark.sql import Window
+
+    u = F.col(url_col)
+    # path?query (fragment never reaches the server), '' → '/'
+    path_q = F.regexp_extract(F.trim(u), _urls._REST_RE, 1)
+    path_q = F.when(path_q == "", F.lit("/")).otherwise(path_q)
+    t = df.select("*", _urls.url_host(u).alias("_host"), path_q.alias("_path_q"))
+    matched = (
+        t.select(id_col, "_host", "_path_q")
+        .join(F.broadcast(rules), F.col("_host") == rules["host"])
+        .filter(F.expr("_path_q rlike pattern"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("spec_len").desc(), F.col("allow").desc()
+    )
+    winner = (
+        matched.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, F.col("allow").alias("_rule_allow"))
+    )
+    return (
+        t.join(winner, id_col, "left")
+        .withColumn("is_allowed", F.coalesce(F.col("_rule_allow"), F.lit(True)))
+        .drop("_rule_allow", "_host", "_path_q")
+    )

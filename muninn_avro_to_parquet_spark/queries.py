@@ -8728,6 +8728,80 @@ def crawl_host_stats(spark):
     )
 
 
+@q(
+    "crawl_robots_filter",
+    """
+    SELECT doc_id,
+      CASE doc_id % 6
+        WHEN 0 THEN 'http://h0.example/open/page'   || doc_id
+        WHEN 1 THEN 'http://h0.example/private/doc' || doc_id
+        WHEN 2 THEN 'http://h0.example/private/public/x' || doc_id
+        WHEN 3 THEN 'http://h0.example/files/a'     || doc_id || '.zip'
+        WHEN 4 THEN 'http://h1.example/docs/guide'  || doc_id
+        ELSE 'http://h1.example/anything/else'      || doc_id
+      END AS url,
+      CASE doc_id % 6
+        WHEN 1 THEN FALSE  -- Disallow: /private/
+        WHEN 3 THEN FALSE  -- Disallow: /*.zip$ (wildcard + anchor)
+        WHEN 5 THEN FALSE  -- muninn group: Disallow: /
+        ELSE TRUE          -- 0 unmatched; 2 longer Allow wins; 4 Allow /docs/
+      END AS is_allowed
+    FROM documents
+    """,
+)
+def crawl_robots_filter(spark):
+    """robots.txt filtering (operators/robots, RFC 9309 — r11): two
+    hosts publish REAL robots.txt text that the engine parses — h0 has
+    a ``*`` group with a Disallow, a longer Allow override, and a
+    ``/*.zip$`` wildcard-anchored rule; h1 has a crawler-specific
+    ``muninn`` group (Disallow / with an Allow carve-out) that must win
+    over its ``*`` group. One synthesized URL archetype per
+    ``doc_id % 6`` exercises each decision path; the oracle states the
+    expected verdicts from FIRST PRINCIPLES per archetype (the urls-
+    family discipline — never port the matcher into SQL), so a drift in
+    group selection, longest-match, tie-to-allow, wildcard compilation,
+    or the default-allow fallback flips the hash. Plan: broadcast rule
+    join + one id-keyed window; the URL relation never shuffles."""
+    from muninn_avro_to_parquet_spark.operators import robots
+
+    docs = spark.table("documents")
+    m = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://h0.example/open/page"), sid))
+        .when(m == 1, F.concat(F.lit("http://h0.example/private/doc"), sid))
+        .when(m == 2, F.concat(F.lit("http://h0.example/private/public/x"), sid))
+        .when(m == 3, F.concat(F.lit("http://h0.example/files/a"), sid, F.lit(".zip")))
+        .when(m == 4, F.concat(F.lit("http://h1.example/docs/guide"), sid))
+        .otherwise(F.concat(F.lit("http://h1.example/anything/else"), sid))
+    )
+    seed = docs.select("doc_id", url.alias("url"))
+    rules = robots.rules_df(
+        spark,
+        [
+            (
+                "h0.example",
+                "# h0 policy\n"
+                "User-agent: *\n"
+                "Disallow: /private/\n"
+                "Allow: /private/public/\n"
+                "Disallow: /*.zip$\n",
+            ),
+            (
+                "h1.example",
+                "User-agent: muninn\n"
+                "Disallow: /\n"
+                "Allow: /docs/\n"
+                "\n"
+                "User-agent: *\n"
+                "Disallow: /tmp/\n",
+            ),
+        ],
+        agent="muninn",
+    )
+    return robots.apply_robots(seed, rules, id_col="doc_id", url_col="url")
+
+
 @q("crawl_warc_ingest", _warc_ingest_oracle())
 def crawl_warc_ingest(spark):
     """WARC ingest → HTML extraction, the first stage of a real crawl

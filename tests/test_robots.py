@@ -1,0 +1,99 @@
+"""operators/robots: RFC 9309 parsing + the broadcast-join/window
+matching semantics (longest match, tie-to-allow, default allow,
+group selection)."""
+
+from __future__ import annotations
+
+from muninn_avro_to_parquet_spark.operators import robots
+
+
+def test_parse_groups_and_agent_selection():
+    txt = (
+        "# policy\n"
+        "User-agent: alpha\n"
+        "User-agent: beta\n"
+        "Disallow: /a/\n"
+        "Allow: /a/b/\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /x/\n"
+        "Crawl-delay: 10\n"
+        "Sitemap: http://h/s.xml\n"
+    )
+    # both agents of the multi-agent group get its rules
+    for agent in ("alpha", "BETA"):
+        assert robots.parse_robots(txt, agent) == [
+            (False, "/a/"), (True, "/a/b/")
+        ]
+    # non-matching agent falls back to the * group; non-rule fields ignored
+    assert robots.parse_robots(txt, "other") == [(False, "/x/")]
+    # empty Disallow = no rule
+    assert robots.parse_robots("User-agent: *\nDisallow:\n") == []
+    # no * group and no match: no rules (everything allowed downstream)
+    assert robots.parse_robots("User-agent: a\nDisallow: /\n", "b") == []
+
+
+def test_rule_regex_wildcards():
+    assert robots._rule_regex("/a/") == "^/a/"
+    assert robots._rule_regex("/*.zip$") == "^/.*\\.zip$"
+    assert robots._rule_regex("/p*q") == "^/p.*q"
+
+
+def test_apply_robots_decisions(spark):
+    rules = robots.rules_df(
+        spark,
+        [
+            ("h.example",
+             "User-agent: *\n"
+             "Disallow: /private/\n"
+             "Allow: /private/public/\n"
+             "Disallow: /*.pdf$\n"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "http://h.example/open"),              # no match -> allow
+            (1, "http://h.example/private/x"),          # disallow
+            (2, "http://h.example/private/public/y"),   # longer allow wins
+            (3, "http://h.example/a/b.pdf"),            # wildcard+anchor
+            (4, "http://h.example/a/b.pdf.html"),       # anchor must NOT match
+            (5, "http://OTHER.example/private/x"),      # no rules for host
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["is_allowed"]
+        for r in robots.apply_robots(df, rules).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_apply_robots_tie_goes_to_allow(spark):
+    rules = robots.rules_df(
+        spark,
+        [("h.example", "User-agent: *\nDisallow: /p/\nAllow: /q/\n")],
+    )
+    # craft a same-length pair on one path: /p/ disallow (3) vs an added
+    # allow of equal length — RFC 9309 §2.2.2: least restrictive wins
+    rules2 = rules.unionByName(
+        robots.rules_df(spark, [("h.example", "User-agent: *\nAllow: /p/\n")])
+    )
+    df = spark.createDataFrame([(1, "http://h.example/p/x")], "doc_id long, url string")
+    got = robots.apply_robots(df, rules2).collect()[0]["is_allowed"]
+    assert got is True
+
+
+def test_apply_robots_plan_is_broadcast(spark):
+    """The corpus-sized URL relation must not shuffle: rule join is
+    broadcast, the window partitions on the row id."""
+    rules = robots.rules_df(
+        spark, [("h.example", "User-agent: *\nDisallow: /p/\n")]
+    )
+    df = spark.createDataFrame([(1, "http://h.example/p/x")], "doc_id long, url string")
+    plan = (
+        robots.apply_robots(df, rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
