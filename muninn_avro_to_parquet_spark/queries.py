@@ -8802,6 +8802,106 @@ def crawl_robots_filter(spark):
     return robots.apply_robots(seed, rules, id_col="doc_id", url_col="url")
 
 
+@q(
+    "crawl_frontier_pipeline",
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT doc_id,
+             'http://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/doc/'
+               || CAST((doc_id * 7 + 1) % n AS VARCHAR) AS url,
+             TRUE AS allowed
+      FROM documents CROSS JOIN n
+      UNION ALL
+      SELECT doc_id,
+             'http://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/private/'
+               || CAST((doc_id * 13 + 5) % n AS VARCHAR),
+             doc_id % 2 = 1          -- h0 disallows /private/, h1 has no rules
+      FROM documents CROSS JOIN n
+      UNION ALL
+      SELECT doc_id,
+             'http://h0.example/doc/' || CAST((doc_id * 31 + 17) % n AS VARCHAR),
+             TRUE                    -- absolute link, canonicalized from noisy form
+      FROM documents CROSS JOIN n
+    ),
+    alive AS (
+      SELECT l.url FROM links l CROSS JOIN n
+      WHERE l.allowed
+        AND NOT (l.url LIKE 'http://h0.example/doc/%'
+                 AND CAST(regexp_extract(l.url, '([0-9]+)$', 1) AS BIGINT) < n // 2)
+    )
+    SELECT url, CAST(COUNT(*) AS BIGINT) AS n_referrers
+    FROM alive GROUP BY url
+    """,
+)
+def crawl_frontier_pipeline(spark):
+    """END-TO-END frontier construction (r11) — the crawl-scheduling
+    composition downstream of everything this family built: synthesize
+    pages with three outlinks each (two relative, one ABSOLUTE with
+    scheme-case + default-port noise), re-extract them from real markup
+    (html_links), absolutize relative hrefs against the page host,
+    canonicalize (urls), filter through REAL robots.txt rules (h0
+    disallows /private/, h1 publishes no rules — the default-allow
+    path), drop already-visited URLs (anti-join against the first half
+    of h0's /doc/ space), and aggregate the surviving frontier with
+    referrer counts. The oracle NEVER sees the HTML, the robots text,
+    or the canonicalizer — it re-derives every link and verdict
+    arithmetically, so a drift in extraction, absolutization,
+    canonicalization, group selection, wildcard matching, or the
+    anti-join flips the hash. Plan shape: narrow Arrow map (extract) →
+    broadcast rule join + id window (robots) → broadcast anti-join
+    (visited is frontier-sized) → one groupBy shuffle on the URL key."""
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+    from muninn_avro_to_parquet_spark.operators import robots, urls
+
+    docs = spark.table("documents")
+    n = docs.count()
+
+    def t(mult, add):
+        return ((F.col("doc_id") * mult + add) % n).cast("string")
+
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit('</p><ul><li><a href="/doc/'), t(7, 1),
+            F.lit('">next</a></li><li><a href="/private/'), t(13, 5),
+            F.lit('">draft</a></li><li><a href="HTTP://H0.example:80/doc/'),
+            t(31, 17),
+            F.lit('">hub</a></li></ul></body></html>'),
+        ).alias("html"),
+    )
+    links = html_ops.html_links(page, id_col="doc_id", html_col="html")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example")
+    )
+    absolute = F.when(
+        F.col("href").startswith("/"),
+        F.concat(F.lit("http://"), host, F.col("href")),
+    ).otherwise(F.col("href"))
+    cand = links.select(
+        "doc_id", urls.canonical_url(absolute).alias("url")
+    ).withColumn("_lid", F.monotonically_increasing_id())
+    rules = robots.rules_df(
+        spark,
+        [("h0.example", "User-agent: *\nDisallow: /private/\n")],
+    )
+    allowed = robots.apply_robots(cand, rules, id_col="_lid", url_col="url")
+    visited = spark.range(n // 2).select(
+        F.concat(F.lit("http://h0.example/doc/"), F.col("id").cast("string")).alias(
+            "url"
+        )
+    )
+    frontier = (
+        allowed.filter(F.col("is_allowed"))
+        .join(F.broadcast(visited), "url", "left_anti")
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_referrers"))
+    )
+    return frontier
+
+
 @q("crawl_warc_ingest", _warc_ingest_oracle())
 def crawl_warc_ingest(spark):
     """WARC ingest → HTML extraction, the first stage of a real crawl
