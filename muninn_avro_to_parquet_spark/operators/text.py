@@ -1042,3 +1042,31 @@ def heavy_hitters(
             ),
         )
     )
+
+
+def normalize_nfc(col: Column) -> Column:
+    """Unicode NFC normalization — the curation-pipeline canonical form:
+    the same visible text arrives from different crawls/encoders as
+    composed OR decomposed codepoint sequences (e.g. ``é`` vs
+    ``e`` + U+0301), and every downstream hash key (exact dedup,
+    fingerprints, URL/text joins) silently splits unless the corpus is
+    normalized first. Spark has no built-in normalizer, so this is the
+    module's one deliberate Python crossing: an Arrow-batched
+    ``pandas_udf`` over ``unicodedata.normalize`` (stdlib, identical
+    tables everywhere) — vectorized transfer, no per-row pickling, and
+    the DuckDB oracle reproduces it exactly with ``nfc_normalize``."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        # pd.Series -> pd.Series. Hints deliberately omitted: this
+        # module's `from __future__ import annotations` stringifies
+        # them and the UDF type-inference cannot resolve a
+        # function-local 'pd' name, so the positional (fn, type) form
+        # selects the scalar eval type explicitly.
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return pandas_udf(_nfc_batch, "string")(col)

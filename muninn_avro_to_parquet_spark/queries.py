@@ -8803,6 +8803,56 @@ def crawl_robots_filter(spark):
 
 
 @q(
+    "text_nfc_normalize",
+    """
+    WITH seed AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' cafe' || chr(769) || ' resume' || chr(769)
+               WHEN 1 THEN ' caf' || chr(233) || ' resum' || chr(233)
+               ELSE ''
+             END AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc,
+           raw <> nfc_normalize(raw) AS changed,
+           right(nfc_normalize(raw), 6) AS nfc_tail
+    FROM seed
+    """,
+)
+def text_nfc_normalize(spark):
+    """Unicode NFC normalization (text.normalize_nfc, r11): one third of
+    the corpus gets a DECOMPOSED suffix (e + combining acute), one third
+    the PRECOMPOSED equivalent, one third stays ASCII — exactly the
+    mixed-encoder reality of a multi-source crawl, where un-normalized
+    text splits every downstream dedup/hash key. The engine normalizes
+    via the Arrow-batched stdlib ``unicodedata`` crossing; the oracle is
+    DuckDB's independent ``nfc_normalize`` implementation, so the two
+    Unicode tables must agree on lengths, the changed flag, AND the
+    exact normalized bytes of the tail."""
+    docs = spark.table("documents")
+    m = F.col("doc_id") % 3
+    raw = F.concat(
+        F.col("text"),
+        # m==0: DECOMPOSED (e + U+0301); m==1: PRECOMPOSED (U+00E9) --
+        # visually identical, different codepoint sequences
+        F.when(m == 0, F.lit(" cafe\u0301 resume\u0301"))
+        .when(m == 1, F.lit(" caf\u00e9 resum\u00e9"))
+        .otherwise(F.lit("")),
+    )
+    nfc = text.normalize_nfc(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(nfc).cast("long").alias("n_chars_nfc"),
+        (raw != nfc).alias("changed"),
+        F.substring(nfc, -6, 6).alias("nfc_tail"),
+    )
+
+
+@q(
     "crawl_frontier_pipeline",
     """
     WITH n AS (SELECT COUNT(*) AS n FROM documents),
