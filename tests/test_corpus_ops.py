@@ -1436,3 +1436,27 @@ def test_heavy_hitters_rejects_undersized_counters(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="could miss"):
         text.heavy_hitters(df, threshold_num=1, threshold_den=100, counters_per_partition=50)
+
+
+def test_normalize_nfc(spark):
+    """text.normalize_nfc: decomposed sequences compose, precomposed and
+    ASCII pass through, NULL stays NULL (r11)."""
+    from muninn_avro_to_parquet_spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            (0, "cafe\u0301"),   # decomposed e+combining acute
+            (1, "caf\u00e9"),    # already NFC
+            (2, "plain"),
+            (3, None),
+        ],
+        "doc_id long, t string",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", text.normalize_nfc(F.col("t")).alias("n")).collect()
+    }
+    assert got == {0: "caf\u00e9", 1: "caf\u00e9", 2: "plain", 3: None}
+    assert len(got[0]) == 4
