@@ -82,6 +82,21 @@ def canonical_url(url: Column) -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
 
 
+def sitemap_locs(xml: Column) -> Column:
+    """``<loc>`` URL list from a sitemap/sitemap-index XML document
+    (sitemaps.org protocol) — the third crawl-discovery channel next to
+    outlinks (``operators/html.py``) and robots rules
+    (``operators/robots.py``; robots.txt's ``Sitemap:`` lines point
+    here). Pure Catalyst: one ``regexp_extract_all`` with a plain
+    character-class pattern (Java regex and RE2 agree), trimmed — a
+    sitemap is flat enough that tag extraction IS the parse; namespace
+    prefixes and attribute noise never reach the captured group."""
+    return F.transform(
+        F.regexp_extract_all(xml, F.lit("<loc>([^<]*)</loc>"), F.lit(1)),
+        lambda u: F.trim(u),
+    )
+
+
 def dedup_by_canonical_url(
     df: DataFrame, id_col: str, url_col: str = "url"
 ) -> DataFrame:

@@ -8853,6 +8853,65 @@ def text_nfc_normalize(spark):
 
 
 @q(
+    "crawl_sitemap_urls",
+    """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, seq, url FROM (
+      SELECT doc_id, 0 AS seq,
+             'http://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/doc/'
+               || CAST((doc_id * 7 + 1) % n AS VARCHAR) AS url
+      FROM documents CROSS JOIN n
+      UNION ALL
+      SELECT doc_id, 1,
+             'http://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/page/'
+               || CAST((doc_id * 13 + 5) % n AS VARCHAR)
+      FROM documents CROSS JOIN n
+    )
+    """,
+)
+def crawl_sitemap_urls(spark):
+    """Sitemap URL discovery (urls.sitemap_locs, r11 — the third crawl
+    channel next to outlinks and robots): each document synthesizes a
+    real sitemaps.org XML document whose first ``<loc>`` carries
+    scheme-case + default-port noise and whose second is padded with
+    whitespace; the engine extracts the locs (one pure-Catalyst
+    regexp_extract_all — tag extraction IS the parse for this flat
+    schema), explodes in document order, and canonicalizes. The oracle
+    re-derives both URLs per document arithmetically and never sees the
+    XML, so a drift in extraction, ordering, trimming, or
+    canonicalization flips the hash."""
+    from muninn_avro_to_parquet_spark.operators import urls
+
+    docs = spark.table("documents")
+    n = docs.count()
+
+    def t(mult, add):
+        return ((F.col("doc_id") * mult + add) % n).cast("string")
+
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 2).cast("string"), F.lit(".example")
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset '
+              'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>HTTP://"),
+        F.upper(host), F.lit(":80/doc/"), t(7, 1),
+        F.lit("</loc><lastmod>2026-01-01</lastmod><priority>0.8</priority>"
+              "</url><url><loc> http://"),
+        host, F.lit("/page/"), t(13, 5),
+        F.lit(" </loc></url></urlset>"),
+    )
+    return docs.select(
+        "doc_id", urls.sitemap_locs(xml).alias("_locs")
+    ).select(
+        "doc_id",
+        F.posexplode("_locs").alias("seq", "_raw"),
+    ).select(
+        "doc_id", "seq", urls.canonical_url(F.col("_raw")).alias("url")
+    )
+
+
+@q(
     "crawl_frontier_pipeline",
     """
     WITH n AS (SELECT COUNT(*) AS n FROM documents),

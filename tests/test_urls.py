@@ -120,3 +120,30 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     bad = [(r["url"], r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert bad == [], bad[:5]
+
+
+def test_sitemap_locs(spark):
+    """sitemaps.org <loc> extraction: document order, trimming, nested
+    index files, and empty input (r11)."""
+    xml = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://a.example/x</loc><lastmod>2026-01-01</lastmod></url>"
+        "<url><loc>  http://a.example/y </loc><priority>0.5</priority></url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://a.example/s1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.example/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, xml), (2, index), (3, "<urlset></urlset>")], "doc_id long, xml string"
+    )
+    got = {
+        r["doc_id"]: r["locs"]
+        for r in df.select(
+            "doc_id", urls.sitemap_locs(F.col("xml")).alias("locs")
+        ).collect()
+    }
+    assert got[1] == ["http://a.example/x", "http://a.example/y"]
+    assert got[2] == ["http://a.example/s1.xml", "http://a.example/s2.xml"]
+    assert got[3] == []
