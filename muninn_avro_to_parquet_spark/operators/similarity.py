@@ -874,6 +874,35 @@ def cosine_topk_int8(
 # ---------------------------------------------------------------------------
 
 
+def pq_codebook(
+    codes: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seeded per-subspace PQ codebook over int8-coded vectors
+    (``quantize_int8`` output): ``k`` seeded corpus vectors (md5-of-id
+    order — the same deterministic pick as the IVF lists) exploded into
+    (code_id, sub, pos, cq) rows — k·D rows total, meant to broadcast
+    (and small enough to collect for the numpy encoder)."""
+    from pyspark.sql import Window
+
+    md5_order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    picked = codes.orderBy(*md5_order).limit(k)
+    # k rows: a single-partition row_number on the picked relation is the
+    # plan; single_partition_key states that on purpose without tripping
+    # the empty-partition-spec WindowExec warning (lit(0) folds away)
+    from muninn_avro_to_parquet_spark.plans.windows import single_partition_key
+
+    wcb = Window.partitionBy(single_partition_key(F.col(id_col))).orderBy(*md5_order)
+    return (
+        picked.withColumn("code_id", F.row_number().over(wcb) - 1)
+        .select("code_id", "n_dims", F.posexplode("q").alias("pos", "cq"))
+        .withColumn("sub", F.expr(f"pos div (n_dims div {m})"))
+        .select("code_id", "sub", "pos", "cq")
+    )
+
+
 def pq_model(
     codes: DataFrame,
     m: int = 8,
@@ -902,30 +931,17 @@ def pq_model(
     relation is corpus × m × k rows of integers built by ONE equi-join
     on dimension position and a hash aggregate — no cross product over
     vectors, and everything downstream of the corpus scan is
-    integer-exact (oracle-hashable).
+    integer-exact (oracle-hashable). At large k the corpus × m × k
+    relation itself becomes the bottleneck — ``pq_encode(engine=
+    "numpy")`` produces the identical assignment in one Arrow pass with
+    no k-fanout, which is how ``ivfpq_index`` builds at the 1M-vector
+    bench scale.
 
     ``m`` should divide the vector dimension; with a non-divisor the
     floor split ``pos div (n_dims div m)`` still partitions dimensions
     deterministically (identically in every engine), but produces up to
     one extra, smaller trailing subspace."""
-    from pyspark.sql import Window
-
-    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
-
-    md5_order = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
-    picked = codes.orderBy(*md5_order).limit(k)
-    # k rows: a single-partition row_number on the picked relation is the
-    # plan; single_partition_key states that on purpose without tripping
-    # the empty-partition-spec WindowExec warning (lit(0) folds away)
-    from muninn_avro_to_parquet_spark.plans.windows import single_partition_key
-
-    wcb = Window.partitionBy(single_partition_key(F.col(id_col))).orderBy(*md5_order)
-    cb = (
-        picked.withColumn("code_id", F.row_number().over(wcb) - 1)
-        .select("code_id", "n_dims", F.posexplode("q").alias("pos", "cq"))
-        .withColumn("sub", F.expr(f"pos div (n_dims div {m})"))
-        .select("code_id", "sub", "pos", "cq")
-    )
+    cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
     vsub = _pq_subvectors(codes, m, id_col)
     dist = _pq_distances(vsub, cb, id_col, cache_key="pq_dist")
     return dist, _pq_argmin(dist, id_col)
@@ -963,6 +979,234 @@ def _pq_argmin(dist: DataFrame, id_col: str) -> DataFrame:
         dist.withColumn("_r", F.row_number().over(wmin))
         .filter(F.col("_r") == 1)
         .select(id_col, "sub", "code_id")
+    )
+
+
+def _collect_codebook(cb: DataFrame):
+    """Driver-side codebook structure for the numpy encoder: per sub,
+    (positions asc, code_ids asc, C matrix int64 [codes × positions]).
+    k·D rows — a few MB even at m=64 × k=256 × 128 dims."""
+    import numpy as np
+
+    cells: dict[int, dict[int, dict[int, int]]] = {}
+    for r in cb.collect():
+        cells.setdefault(r["sub"], {}).setdefault(r["code_id"], {})[r["pos"]] = r[
+            "cq"
+        ]
+    out = {}
+    for sub, by_code in cells.items():
+        code_ids = sorted(by_code)
+        positions = sorted(next(iter(by_code.values())))
+        C = np.array(
+            [[by_code[c][p] for p in positions] for c in code_ids], dtype=np.int64
+        )
+        out[sub] = (
+            np.array(positions, dtype=np.int64),
+            np.array(code_ids, dtype=np.int32),
+            C,
+        )
+    return out
+
+
+def pq_encode(
+    codes: DataFrame,
+    cb: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    engine: str = "catalyst",
+) -> DataFrame:
+    """Assign every vector its nearest code per subspace against an
+    explicit codebook ``cb`` (``pq_codebook`` / ``pq_refine_codebook``
+    output) → (id, sub, code_id).
+
+    Two engines, bit-identical results (asserted in tests/test_layout):
+
+    - ``catalyst``: the oracle-replayable formulation — one equi-join on
+      dimension position + hash aggregate + window argmin. Its
+      intermediate is corpus × m × k rows, fine at k=16 but the 100 TB
+      blocker at production k=256 (a 1M×128 corpus would stage 32B rows).
+    - ``numpy``: ONE Arrow ``mapInPandas`` pass, no k-fanout and no
+      shuffle — per batch the squared distance expands to
+      ``‖v‖² − 2·V@Cᵀ + ‖c‖²`` (exact int64 matmul; ties break to the
+      lowest code_id exactly like the window's (dist, code_id) order).
+      This is the encoder the 1M-vector index build uses.
+    """
+    if engine == "catalyst":
+        vsub = _pq_subvectors(codes, m, id_col)
+        dist = _pq_distances(vsub, cb, id_col, cache_key="pq_encode_dist")
+        return _pq_argmin(dist, id_col)
+    if engine != "numpy":
+        raise ValueError(f"unknown pq_encode engine: {engine!r}")
+
+    sub_structs = _collect_codebook(cb)
+    id_field = codes.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("sub", T.IntegerType(), False),
+            T.StructField("code_id", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            ids = pdf[id_col].to_numpy()
+            outs = []
+            for sub in sorted(sub_structs):
+                positions, code_ids, C = sub_structs[sub]
+                Vs = V[:, positions]
+                # exact int64 ‖v−c‖²: ‖v‖² − 2 v·c + ‖c‖² (codes ≤ 255,
+                # ≤128 dims → |terms| < 2^31, matmul exact in int64)
+                d = (
+                    (Vs * Vs).sum(axis=1, keepdims=True)
+                    - 2 * (Vs @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                # argmin returns the FIRST minimum; code_ids ascend, so
+                # ties go to the lowest code_id — the window's order
+                pick = code_ids[np.argmin(d, axis=1)]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "sub": np.full(len(ids), sub, dtype=np.int32),
+                            "code_id": pick,
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return codes.select(id_col, "q").mapInPandas(run, schema=out_schema)
+
+
+def pq_refine_codebook(
+    codes: DataFrame,
+    cb: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    rounds: int = 1,
+    engine: str = "catalyst",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of a PQ codebook: each round
+    re-assigns every vector (``pq_encode``) and replaces every
+    (sub, code) cell with the ELEMENT-WISE INTEGER FLOOR-MEAN of its
+    members' int8 codes (``sum(q) div count``). Exact integer
+    arithmetic → refined codebooks are bit-identical in every engine;
+    codes that lose all members disappear (both engines drop them
+    identically).
+
+    ``engine="numpy"`` computes PER-PARTITION PARTIAL SUMS inside the
+    same Arrow pass that assigns codes (``np.add.at`` scatter), so a
+    refinement round costs one Arrow pass + a k·D-row aggregate —
+    never the corpus × m × k join or the 100M-row members shuffle the
+    Catalyst formulation stages. Integer partial sums are
+    order-independent, so the global floor-mean is identical."""
+    for _ in range(rounds):
+        if engine == "catalyst":
+            vsub = _pq_subvectors(codes, m, id_col)
+            enc = pq_encode(codes, cb, m=m, id_col=id_col, engine="catalyst")
+            members = enc.join(vsub, [id_col, "sub"])
+            cb = (
+                members.groupBy("sub", "code_id", "pos")
+                .agg(F.expr("sum(vq) div count(*)").alias("cq"))
+                .select("code_id", "sub", "pos", "cq")
+            )
+        elif engine == "numpy":
+            partials = _pq_refine_partials_np(codes, cb, id_col)
+            cb = (
+                partials.groupBy("sub", "code_id", "pos")
+                .agg(F.expr("sum(s) div sum(c)").alias("cq"))
+                .select("code_id", "sub", "pos", "cq")
+            )
+        else:
+            raise ValueError(f"unknown pq_refine_codebook engine: {engine!r}")
+    return cb
+
+
+def _pq_refine_partials_np(
+    codes: DataFrame, cb: DataFrame, id_col: str
+) -> DataFrame:
+    """(sub, code_id, pos, s, c) per-batch partial sums for one Lloyd
+    round: assignment + scatter-add in a single Arrow pass."""
+    sub_structs = _collect_codebook(cb)
+    out_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType(), False),
+            T.StructField("code_id", T.IntegerType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("c", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+            outs = []
+            for sub in sorted(sub_structs):
+                positions, code_ids, C = sub_structs[sub]
+                Vs = V[:, positions]
+                d = (
+                    (Vs * Vs).sum(axis=1, keepdims=True)
+                    - 2 * (Vs @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                pick = np.argmin(d, axis=1)  # row index into code_ids
+                sums = np.zeros((len(code_ids), Vs.shape[1]), dtype=np.int64)
+                np.add.at(sums, pick, Vs)
+                cnt = np.bincount(pick, minlength=len(code_ids)).astype(np.int64)
+                live = cnt > 0
+                n_pos = Vs.shape[1]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "sub": np.full(live.sum() * n_pos, sub, dtype=np.int32),
+                            "code_id": np.repeat(code_ids[live], n_pos),
+                            "pos": np.tile(
+                                positions.astype(np.int32), int(live.sum())
+                            ),
+                            "s": sums[live].ravel(),
+                            "c": np.repeat(cnt[live], n_pos),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return codes.select(id_col, "q").mapInPandas(run, schema=out_schema)
+
+
+def pq_query_adc(
+    codes_q: DataFrame,
+    cb: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC lookup tables for a (small) set of query vectors against an
+    explicit codebook: (id, sub, code_id, dist) — queries × m × k rows,
+    built by the same broadcast equi-join as ``pq_model``'s corpus-wide
+    relation but WITHOUT materializing the corpus fanout (the reason a
+    built index stores codes + codebook, not distance tables)."""
+    vsub = _pq_subvectors(codes_q, m, id_col)
+    return (
+        vsub.join(F.broadcast(cb), "pos")
+        .groupBy(id_col, vsub["sub"].alias("sub"), "code_id")
+        .agg(
+            F.sum(
+                (F.col("vq") - F.col("cq")).cast("long")
+                * (F.col("vq") - F.col("cq"))
+            ).alias("dist")
+        )
     )
 
 
@@ -1129,6 +1373,150 @@ def ann_topk_pq_rerank_exact(
     cand = ann_topk_pq(
         codes, query_pred, m=m, k=k, top_k=shortlist, id_col=id_col
     ).select("query_id", id_col)
+    return _exact_rerank(corpus, cand, query_pred, top_k, id_col, vec_col)
+
+
+@dataclass
+class IvfPqIndex:
+    """A built IVF-PQ index: the index-at-rest relations a production
+    deployment persists once and queries many times (r10 verdict #6 —
+    the nprobe dial must be turnable WITHOUT rebuilding the index).
+    ``lists``/``enc`` are cached (together they ARE the index:
+    one centroid id + m·log2(k) bits per vector); ``codes`` is the
+    cached int8-quantized corpus (query-side ADC tables derive from it
+    without re-calibrating), ``codebook`` the k·D-row cell relation;
+    ``centroids`` is n_centroids rows, broadcast by every probe
+    assignment. The full corpus × m × k ADC distance relation the r11
+    index materialized is GONE — it was the bulk of the build wall and
+    searches only ever read the query rows."""
+
+    centroids: DataFrame
+    lists: DataFrame
+    codes: DataFrame
+    codebook: DataFrame
+    enc: DataFrame
+    m: int
+    k: int
+    id_col: str
+    vec_col: str
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_rounds: int = 0,
+    encoder: str = "catalyst",
+) -> IvfPqIndex:
+    """Build the IVF-PQ index once: seeded coarse centroids, one
+    integer-cosine assignment pass over the corpus (the IVF lists), the
+    PQ codebook (optionally Lloyd-refined ``refine_rounds`` times) and
+    the code assignment. At 100 TB this is the write-side job — the
+    lists land partitioned by ``centroid_id`` and the codes ride along
+    at m·log2(k) bits/vector; every subsequent search touches
+    nprobe/n_centroids of it.
+
+    ``encoder="numpy"`` assigns codes in one Arrow pass (bit-identical
+    to the Catalyst formulation — proven in tests/test_layout.py) and is
+    the scale path for production codebooks (k=256 would stage a
+    corpus × m × 256 join Catalyst-side)."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    cents = cache_scoped(
+        ivf_centroids(corpus, n_centroids, id_col, vec_col), "ivfpq_cents"
+    )
+    lists = cache_scoped(
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+            id_col, "centroid_id"
+        ),
+        "ivfpq_lists",
+    )
+    codes = cache_scoped(quantize_int8(corpus, id_col, vec_col), "ivfpq_codes")
+    cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
+    if refine_rounds:
+        cb = pq_refine_codebook(
+            codes, cb, m=m, id_col=id_col, rounds=refine_rounds, engine=encoder
+        )
+    cb = cache_scoped(cb, "ivfpq_cb")
+    enc = cache_scoped(
+        pq_encode(codes, cb, m=m, id_col=id_col, engine=encoder), "ivfpq_enc"
+    )
+    return IvfPqIndex(cents, lists, codes, cb, enc, m, k, id_col, vec_col)
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    corpus: DataFrame,
+    query_pred,
+    nprobe: int = 2,
+    top_k: int = 10,
+    rerank: bool = True,
+    shortlist: int = 400,
+) -> DataFrame:
+    """Query a built ``IvfPqIndex``: assign each query to its ``nprobe``
+    nearest coarse lists (n_centroids-row broadcast), equi-join the
+    probed lists for candidates, score by integer ADC over the stored
+    codes, then — BY DEFAULT — re-rank the ADC ``shortlist`` against
+    the STORED full-precision vectors with the same quantized-exact
+    cosine ``cosine_topk`` computes (r11 verdict #1: compressed ADC
+    ranks are shortlist material, not answers — at 1M×128 the raw ADC
+    top-10 had recall 0.0 while the reranked path clears 0.9). Output
+    with ``rerank=True``: (query_id, vec_id, cosine_sim, rank);
+    ``rerank=False`` keeps the raw ADC ranking (query_id, vec_id,
+    approx_sqdist, rank) for distillation/debugging.
+
+    Only the probe fan-out scales with ``nprobe`` — the recall/cost
+    dial turns with NO index work; the rerank stage touches full
+    vectors for ``shortlist`` rows per query only."""
+    from pyspark.sql import Window
+
+    id_col = index.id_col
+    q_lists = ivf_assign(
+        corpus.filter(query_pred), index.centroids, id_col, index.vec_col,
+        nprobe=nprobe,
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    cand = (
+        q_lists.join(index.lists, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    qtab = pq_query_adc(
+        index.codes.filter(query_pred), index.codebook, m=index.m, id_col=id_col
+    ).select(F.col(id_col).alias("query_id"), "sub", "code_id", "dist")
+    adc = (
+        cand.join(index.enc, id_col)
+        .join(qtab, ["query_id", "sub", "code_id"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_sqdist"), F.asc(id_col)
+    )
+    ranked = adc.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= top_k)
+    short = ranked.filter(F.col("rank") <= shortlist).select("query_id", id_col)
+    return _exact_rerank(
+        corpus, short, query_pred, top_k, id_col, index.vec_col
+    )
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    cand: DataFrame,
+    query_pred,
+    top_k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Score a (query_id, id) candidate relation with the exact
+    quantized cosine against the stored full-precision vectors and
+    rank — the shared final stage of every two-stage retrieve
+    (``ann_topk_pq_rerank_exact``, reranked ``ivfpq_search``)."""
     full = _with_qnorm(corpus, id_col, vec_col)
     q = full.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
@@ -1148,100 +1536,6 @@ def ann_topk_pq_rerank_exact(
         )
     )
     return _rank_topk(scored, top_k, id_col)
-
-
-@dataclass
-class IvfPqIndex:
-    """A built IVF-PQ index: the index-at-rest relations a production
-    deployment persists once and queries many times (r10 verdict #6 —
-    the nprobe dial must be turnable WITHOUT rebuilding the index).
-    ``lists``/``enc`` are cached (together they ARE the index:
-    one centroid id + m·log2(k) bits per vector); ``dist`` is the
-    cache-scoped ADC distance relation ``pq_model`` already maintains;
-    ``centroids`` is k rows, broadcast by every probe assignment."""
-
-    centroids: DataFrame
-    lists: DataFrame
-    dist: DataFrame
-    enc: DataFrame
-    m: int
-    k: int
-    id_col: str
-    vec_col: str
-
-
-def ivfpq_index(
-    corpus: DataFrame,
-    n_centroids: int = 16,
-    m: int = 8,
-    k: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> IvfPqIndex:
-    """Build the IVF-PQ index once: seeded coarse centroids, one
-    integer-cosine assignment pass over the corpus (the IVF lists), and
-    the PQ codebook + code assignment (``pq_model``). At 100 TB this is
-    the write-side job — the lists land partitioned by ``centroid_id``
-    and the codes ride along at m·log2(k) bits/vector; every subsequent
-    search touches nprobe/n_centroids of it."""
-    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
-
-    cents = cache_scoped(
-        ivf_centroids(corpus, n_centroids, id_col, vec_col), "ivfpq_cents"
-    )
-    lists = cache_scoped(
-        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-            id_col, "centroid_id"
-        ),
-        "ivfpq_lists",
-    )
-    codes = quantize_int8(corpus, id_col, vec_col)
-    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
-    enc = cache_scoped(enc, "ivfpq_enc")
-    return IvfPqIndex(cents, lists, dist, enc, m, k, id_col, vec_col)
-
-
-def ivfpq_search(
-    index: IvfPqIndex,
-    corpus: DataFrame,
-    query_pred,
-    nprobe: int = 2,
-    top_k: int = 10,
-) -> DataFrame:
-    """Query a built ``IvfPqIndex``: assign each query to its ``nprobe``
-    nearest coarse lists (k-row broadcast), equi-join the probed lists
-    for candidates, score by integer ADC over the stored codes, top-k
-    per query. Only the probe fan-out scales with ``nprobe`` — the
-    recall/cost dial turns with NO index work, which is what the 1M
-    recall sweep in the bench measures."""
-    from pyspark.sql import Window
-
-    id_col = index.id_col
-    q_lists = ivf_assign(
-        corpus.filter(query_pred), index.centroids, id_col, index.vec_col,
-        nprobe=nprobe,
-    ).select(F.col(id_col).alias("query_id"), "centroid_id")
-    cand = (
-        q_lists.join(index.lists, "centroid_id")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", id_col)
-        .distinct()
-    )
-    qtab = index.dist.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), "sub", "code_id", "dist"
-    )
-    adc = (
-        cand.join(index.enc, id_col)
-        .join(qtab, ["query_id", "sub", "code_id"])
-        .groupBy("query_id", id_col)
-        .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("approx_sqdist"), F.asc(id_col)
-    )
-    return adc.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_k
-    )
 
 
 def ivfflat_search(
@@ -1299,19 +1593,28 @@ def ann_topk_ivfpq(
     top_k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: bool = True,
+    shortlist: int = 400,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition of both index structures —
     coarse IVF lists restrict WHICH vectors are scored (each query reads
     only its ``nprobe`` probed lists, ~nprobe/n_centroids of the corpus),
-    and PQ codes decide HOW they are scored (integer ADC over 4-byte
-    codes, no vector movement). At 100 TB this is the full vector-search
-    architecture: partition pruning × compressed scoring.
+    and PQ codes decide HOW they are scanned (integer ADC over the
+    compressed codes, no vector movement). At 100 TB this is the full
+    vector-search architecture: partition pruning × compressed scoring ×
+    a ``shortlist``-bounded exact rerank against the stored vectors
+    (default ON — see ``ivfpq_search``; pass ``rerank=False`` for the
+    raw ADC ranking and its (query_id, vec_id, approx_sqdist, rank)
+    schema).
 
     Everything stays engine-deterministic: the seeded centroid pick and
     integer-cosine assignment come from the IVF path, the codebook and
     ADC tables from the PQ path; the candidate restriction is one
     equi-join on centroid_id, the scoring one equi-join on
-    (query, sub, code). Output: (query_id, vec_id, approx_sqdist, rank).
-    One-shot convenience over ``ivfpq_index`` + ``ivfpq_search``."""
+    (query, sub, code). One-shot convenience over ``ivfpq_index`` +
+    ``ivfpq_search``."""
     idx = ivfpq_index(corpus, n_centroids, m, k, id_col, vec_col)
-    return ivfpq_search(idx, corpus, query_pred, nprobe=nprobe, top_k=top_k)
+    return ivfpq_search(
+        idx, corpus, query_pred, nprobe=nprobe, top_k=top_k,
+        rerank=rerank, shortlist=shortlist,
+    )

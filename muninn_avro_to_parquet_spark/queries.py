@@ -1234,13 +1234,22 @@ def _ann_recall_oracle() -> str:
                                      ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
         FROM pqadc
       ) WHERE rank <= 10
-    )
+    ),
+    pqshort AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+        FROM pqadc
+      ) WHERE rank <= 400
+    ),
+    {rerank("pqshort", "pqrtop").lstrip()}
     {_recall_block_sql("lsh", "ltop")}
     UNION ALL {_recall_block_sql("lsh_multiprobe", "mtop")}
     UNION ALL {_recall_block_sql("ivf", "itop")}
     UNION ALL {_recall_block_sql("ivf_nprobe12", "itop12")}
     UNION ALL {_recall_block_sql("ivf_nprobe14", "itop14")}
     UNION ALL {_recall_block_sql("ivfpq_nprobe4", "pqtop")}
+    UNION ALL {_recall_block_sql("ivfpq_rerank_nprobe4", "pqrtop")}
     """
 
 
@@ -1292,11 +1301,15 @@ def ann_recall_report(spark):
         "ivf_nprobe14": similarity.ivfflat_search(
             idx, emb, F.col("vec_id") < 5, nprobe=14, top_k=10
         ),
-        # the COMPRESSED path's recall row (r11): same coarse lists as
-        # "ivf" at nprobe=4, scored by integer ADC over the PQ codes
-        # instead of exact cosine — the gap between this row and "ivf"
-        # is exactly what 4-byte codes cost in recall on this corpus
+        # the COMPRESSED path's recall rows: raw ADC (rerank=False —
+        # the gap between this row and "ivf" is exactly what 4-byte
+        # codes cost in recall on this corpus) and the r12 DEFAULT
+        # path, whose ADC shortlist re-ranks against the stored
+        # vectors and recovers the loss
         "ivfpq_nprobe4": similarity.ivfpq_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10, rerank=False
+        ),
+        "ivfpq_rerank_nprobe4": similarity.ivfpq_search(
             idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
         ),
     }
@@ -7022,10 +7035,68 @@ def ann_topk_pq_rerank_exact(spark):
     )
 
 
-@q(
-    "ann_topk_ivfpq",
-    f"""
-    WITH {_PQ_CTES},
+def _ivfpq_oracle(nprobe: int, rerank: bool = True, refined: bool = False) -> str:
+    """Full IVF-PQ oracle: _PQ_CTES codebook/encoding (optionally one
+    Lloyd refinement round — the floor-mean means/dist1/enc1 CTEs of
+    ann_topk_pq_refined), coarse IVF lists, probed-candidate ADC, and
+    (default) the stored-vector exact rerank of the ADC shortlist."""
+    refine_ctes = """,
+    means AS (
+      SELECT e.sub, e.code_id, v.pos,
+             CAST(SUM(v.q) // COUNT(*) AS BIGINT) AS cq
+      FROM enc e
+      JOIN qv v ON v.vec_id = e.vec_id CROSS JOIN dims
+      WHERE CAST((v.pos - 1) AS INTEGER) // (d // 8) = e.sub
+      GROUP BY 1, 2, 3
+    ),
+    dist1 AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             SUM(CAST(v.q - c.cq AS BIGINT) * (v.q - c.cq)) AS dist
+      FROM qv v JOIN means c ON v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    enc1 AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist ASC, code_id ASC) AS r
+        FROM dist1
+      ) WHERE r = 1
+    )"""
+    dist_cte, enc_cte = ("dist1", "enc1") if refined else ("dist", "enc")
+    adc_head = f"""
+    SELECT query_id, vec_id, approx_sqdist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
+      FROM iadc
+    ) WHERE rank <= 10"""
+    rerank_tail = """,
+    shortl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_sqdist ASC, vec_id ASC) AS r
+        FROM iadc
+      ) WHERE r <= 400
+    ),
+    rdots AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM shortl c
+      JOIN fel a ON a.vec_id = c.query_id
+      JOIN fel b ON b.vec_id = c.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    rscored AS (
+      SELECT d.query_id, d.vec_id, dot / (na.nrm * nb.nrm) AS cosine_sim
+      FROM rdots d
+      JOIN fnorms na ON d.query_id = na.vec_id
+      JOIN fnorms nb ON d.vec_id = nb.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM rscored
+    ) WHERE rank <= 10"""
+    return f"""
+    WITH {_PQ_CTES}{refine_ctes if refined else ""},
     fel AS (
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
@@ -7055,7 +7126,7 @@ def ann_topk_pq_rerank_exact(spark):
     ),
     corpus_lists AS (SELECT vec_id, centroid_id FROM icsim WHERE r = 1),
     q_lists AS (
-      SELECT vec_id AS query_id, centroid_id FROM icsim WHERE vec_id < 5 AND r <= 2
+      SELECT vec_id AS query_id, centroid_id FROM icsim WHERE vec_id < 5 AND r <= {nprobe}
     ),
     cand AS (
       SELECT DISTINCT q.query_id, c.vec_id
@@ -7065,97 +7136,68 @@ def ann_topk_pq_rerank_exact(spark):
     iadc AS (
       SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
       FROM cand c
-      JOIN enc e ON e.vec_id = c.vec_id
-      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub AND d.code_id = e.code_id
+      JOIN {enc_cte} e ON e.vec_id = c.vec_id
+      JOIN {dist_cte} d ON d.vec_id = c.query_id AND d.sub = e.sub AND d.code_id = e.code_id
       GROUP BY 1, 2
-    )
-    SELECT query_id, vec_id, approx_sqdist, rank FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
-      FROM iadc
-    ) WHERE rank <= 10
-    """,
-)
+    ){rerank_tail if rerank else adc_head}
+    """
+
+
+@q("ann_topk_ivfpq", _ivfpq_oracle(nprobe=2, rerank=True))
 def ann_topk_ivfpq(spark):
     """IVF-PQ (similarity.ann_topk_ivfpq): the FAISS-style composition —
     coarse IVF lists prune WHICH vectors each query scores (nprobe=2 of
-    16 lists, ~1/8 of the corpus read) and PQ codes decide HOW (integer
-    ADC over 4-byte codes, no vector movement). The 100 TB vector-search
-    architecture in one plan: partition pruning × compressed scoring,
-    every stage integer-deterministic and reproduced by the oracle."""
+    16 lists, ~1/8 of the corpus read), PQ codes decide HOW the probed
+    lists are scanned (integer ADC over 4-byte codes, no vector
+    movement), and the ADC shortlist re-ranks against the STORED
+    full-precision vectors (r11 verdict #1: compressed ADC ranks are
+    shortlist material, not answers — rerank is now the DEFAULT search
+    path, and the oracle replays shortlist + exact rerank bit-for-bit).
+    The 100 TB vector-search architecture in one plan: partition
+    pruning × compressed scanning × shortlist-bounded exact scoring."""
     emb = spark.table("embeddings")
     return similarity.ann_topk_ivfpq(
         emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, m=8, k=16, top_k=10
     )
 
 
-@q(
-    "ann_ivfpq_index_search",
-    f"""
-    WITH {_PQ_CTES},
-    fel AS (
-      SELECT vec_id,
-             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
-             generate_subscripts(embedding, 1) AS i
-      FROM embeddings
-    ),
-    fnorms AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM fel GROUP BY 1),
-    icents AS (
-      SELECT vec_id AS centroid_id FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
-    ),
-    icel AS (SELECT centroid_id, x, i FROM fel JOIN icents ON fel.vec_id = icents.centroid_id),
-    icnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM icel GROUP BY 1),
-    iadots AS (
-      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
-      FROM fel e JOIN icel c ON e.i = c.i GROUP BY 1, 2
-    ),
-    icsim AS (
-      SELECT a.vec_id, a.centroid_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
-             ) AS r
-      FROM iadots a
-      JOIN fnorms nv ON a.vec_id = nv.vec_id
-      JOIN icnorms nc ON a.centroid_id = nc.centroid_id
-    ),
-    corpus_lists AS (SELECT vec_id, centroid_id FROM icsim WHERE r = 1),
-    q_lists AS (
-      SELECT vec_id AS query_id, centroid_id FROM icsim WHERE vec_id < 5 AND r <= 4
-    ),
-    cand AS (
-      SELECT DISTINCT q.query_id, c.vec_id
-      FROM q_lists q JOIN corpus_lists c USING (centroid_id)
-      WHERE c.vec_id <> q.query_id
-    ),
-    iadc AS (
-      SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
-      FROM cand c
-      JOIN enc e ON e.vec_id = c.vec_id
-      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub AND d.code_id = e.code_id
-      GROUP BY 1, 2
-    )
-    SELECT query_id, vec_id, approx_sqdist, rank FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY approx_sqdist ASC, vec_id ASC) AS rank
-      FROM iadc
-    ) WHERE rank <= 10
-    """,
-)
+@q("ann_ivfpq_index_search", _ivfpq_oracle(nprobe=4, rerank=True))
 def ann_ivfpq_index_search(spark):
     """Build-once / query-many IVF-PQ (similarity.ivfpq_index +
-    ivfpq_search, r11): the index relations (coarse lists + PQ codes)
-    are built and cached ONCE, then the search turns the nprobe dial
-    (4 of 16 lists here) with zero index work — the production
-    deployment shape the one-shot ann_topk_ivfpq collapses. The oracle
-    replays the identical integer pipeline at nprobe=4, so the
-    decomposed API is held to the same bit-exact contract as the
-    one-shot path."""
+    ivfpq_search, r11): the index relations (coarse lists + quantized
+    codes + codebook) are built and cached ONCE, then the search turns
+    the nprobe dial (4 of 16 lists here) with zero index work — the
+    production deployment shape the one-shot ann_topk_ivfpq collapses.
+    Since r12 the default search path re-ranks the ADC shortlist
+    against the stored vectors (verdict #1); the oracle replays the
+    identical integer pipeline — lists, ADC shortlist, exact rerank —
+    at nprobe=4, so the decomposed API is held to the same bit-exact
+    contract as the one-shot path."""
     emb = spark.table("embeddings")
     idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
     return similarity.ivfpq_search(
         idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
+    )
+
+
+@q("ann_ivfpq_refined_search", _ivfpq_oracle(nprobe=4, rerank=False, refined=True))
+def ann_ivfpq_refined_search(spark):
+    """IVF-PQ over a Lloyd-REFINED codebook encoded by the numpy
+    engine (r12): ivfpq_index(refine_rounds=1, encoder="numpy") runs
+    the refinement partial-sums and the code assignment in single
+    Arrow passes — the scale path that avoids the corpus × m × k
+    Catalyst fanout at production k. Searched with rerank=False ON
+    PURPOSE: the raw ADC output exposes the refined distances
+    directly, so the oracle (DuckDB's independent floor-mean
+    refinement + re-encode + ADC) pins the numpy encoder's exact
+    integer arithmetic — with the rerank on, a wrong codebook could
+    hide behind a forgiving shortlist."""
+    emb = spark.table("embeddings")
+    idx = similarity.ivfpq_index(
+        emb, n_centroids=16, m=8, k=16, refine_rounds=1, encoder="numpy"
+    )
+    return similarity.ivfpq_search(
+        idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10, rerank=False
     )
 
 

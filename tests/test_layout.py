@@ -304,16 +304,32 @@ def test_ivfpq_index_search_equals_one_shot(spark):
     one_shot = {
         (r["query_id"], r["vec_id"], r["approx_sqdist"], r["rank"])
         for r in similarity.ann_topk_ivfpq(
-            emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, top_k=10
+            emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, top_k=10,
+            rerank=False,
         ).collect()
     }
     via_index = {
         (r["query_id"], r["vec_id"], r["approx_sqdist"], r["rank"])
         for r in similarity.ivfpq_search(
-            idx, emb, F.col("vec_id") < 5, nprobe=2, top_k=10
+            idx, emb, F.col("vec_id") < 5, nprobe=2, top_k=10, rerank=False
         ).collect()
     }
     assert via_index == one_shot
+    # the r12 DEFAULT path (rerank=True): one-shot and decomposed agree
+    # on the reranked output too, including the exact cosine scores
+    one_shot_rr = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in similarity.ann_topk_ivfpq(
+            emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, top_k=10
+        ).collect()
+    }
+    via_index_rr = {
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in similarity.ivfpq_search(
+            idx, emb, F.col("vec_id") < 5, nprobe=2, top_k=10
+        ).collect()
+    }
+    assert via_index_rr == one_shot_rr
     flat_one_shot = {
         (r["query_id"], r["vec_id"], r["rank"])
         for r in similarity.ann_topk_ivf(
@@ -346,3 +362,67 @@ def test_ivfpq_index_search_equals_one_shot(spark):
         assert rec >= prev, (nprobe, rec, prev)
         prev = rec
     assert prev == 1.0  # nprobe = all 16 lists scans everything: exact
+
+
+def test_pq_encode_numpy_equals_catalyst(spark):
+    """The two pq_encode engines must be BIT-IDENTICAL — the numpy
+    Arrow-pass encoder exists so a production k=256 codebook never
+    stages the corpus × m × k Catalyst fanout, and it may only replace
+    that plan if every assignment (including dist ties, which break to
+    the lowest code_id) matches exactly. Checked on the seeded codebook
+    AND a Lloyd-refined one, and the refined codebooks themselves must
+    agree across engines (the numpy path aggregates scatter-added
+    partial sums; integer floor-means are order-independent)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = similarity.quantize_int8(emb)
+    cb = similarity.pq_codebook(codes, m=8, k=16)
+    for cb_i in (
+        cb,
+        similarity.pq_refine_codebook(codes, cb, m=8, rounds=1),
+    ):
+        cat = {
+            (r["vec_id"], r["sub"], r["code_id"])
+            for r in similarity.pq_encode(codes, cb_i, m=8, engine="catalyst").collect()
+        }
+        npy = {
+            (r["vec_id"], r["sub"], r["code_id"])
+            for r in similarity.pq_encode(codes, cb_i, m=8, engine="numpy").collect()
+        }
+        assert npy == cat
+    cb_cat = {
+        (r["code_id"], r["sub"], r["pos"], r["cq"])
+        for r in similarity.pq_refine_codebook(
+            codes, cb, m=8, rounds=1, engine="catalyst"
+        ).collect()
+    }
+    cb_npy = {
+        (r["code_id"], r["sub"], r["pos"], r["cq"])
+        for r in similarity.pq_refine_codebook(
+            codes, cb, m=8, rounds=1, engine="numpy"
+        ).collect()
+    }
+    assert cb_npy == cb_cat
+
+
+def test_ivfpq_rerank_default_recalls_flat(spark):
+    """r12 verdict #1: the DEFAULT ivfpq_search path must return real
+    answers — with the shortlist covering the probed candidates, the
+    reranked result must EQUAL ivfflat_search over the same index and
+    nprobe (both score the same candidate set with the same exact
+    cosine), which makes its recall the flat path's recall, not ADC's."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    pred = F.col("vec_id") < 5
+    reranked = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivfpq_search(
+            idx, emb, pred, nprobe=4, top_k=10, shortlist=10**6
+        ).collect()
+    }
+    flat = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivfflat_search(
+            idx, emb, pred, nprobe=4, top_k=10
+        ).collect()
+    }
+    assert reranked == flat
