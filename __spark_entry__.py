@@ -84,15 +84,39 @@ def _verdict_watchlist() -> set[str]:
     return {n for n in QUERIES if n in text}
 
 
+# Entries whose QUERY OR ORACLE semantics changed this round while their
+# last green predates the change: the artifact-derived bands can't see a
+# semantic edit (they were green last sweep, so neither the never-green
+# head nor the verdict watchlist promotes them), so they are forced into
+# the head band until the next sweep re-greens them. Reset when bumped.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # r12: rerank-by-default ivfpq_search/ann_topk_ivfpq + new
+    # ivfpq_rerank_nprobe4 recall row — oracles rewritten to match
+    "ann_topk_ivfpq",
+    "ann_ivfpq_index_search",
+    "ann_recall_report",
+    # r12 ADVICE fixes: sitemap entity/CDATA decoding (fixture + oracle
+    # gained the escaped and CDATA locs), frontier deterministic row id,
+    # robots longest-match agent selection
+    "crawl_sitemap_urls",
+    "crawl_frontier_pipeline",
+    "crawl_robots_filter",
+)
+_CHANGED_ROUND = 12
+
+
 def _rotation() -> list[str]:
     green = _last_green_round()
     order = {name: i for i, name in enumerate(QUERIES)}
     latest = max(green.values(), default=0)
     watch = {n for n in _verdict_watchlist() if green.get(n, 0) < latest}
+    changed = {
+        n for n in _CHANGED_THIS_ROUND if green.get(n, 0) < _CHANGED_ROUND
+    }
     never = [n for n in QUERIES if n not in green]
     ever = sorted(
         (n for n in QUERIES if n in green),
-        key=lambda n: (n not in watch, green[n], order[n]),
+        key=lambda n: (n not in changed, n not in watch, green[n], order[n]),
     )
     return never + ever
 

@@ -31,10 +31,16 @@ from muninn_avro_to_parquet_spark.operators import urls as _urls
 def parse_robots(content: str, agent: str = "*") -> list[tuple[bool, str]]:
     """The rule list (allow, path) the RFC tells ``agent`` to obey:
     groups are runs of ``User-agent`` lines followed by rules; the group
-    whose product token exactly matches ``agent`` (case-insensitive)
-    wins, else the ``*`` group; multiple groups for the same agent
-    merge. Empty Disallow values and unknown fields are ignored per the
-    RFC; comments strip at ``#``."""
+    selection follows common-practice LONGEST-MATCH semantics (ADVICE
+    r11 — what the reference parsers and Googlebot do): a group token
+    matches when it is a case-insensitive substring of the crawler's
+    user-agent string (so ``muninn`` matches ``Muninn-Bot/1.0``), the
+    most specific (longest) matching token wins, else the ``*`` group;
+    multiple groups for the winning token merge. Rules appearing BEFORE
+    any ``User-agent`` line are invalid per RFC 9309 and are DROPPED
+    (not defaulted into the ``*`` group — a malformed file must not
+    disallow URLs for every crawler). Empty Disallow values and unknown
+    fields are ignored per the RFC; comments strip at ``#``."""
     groups: dict[str, list[tuple[bool, str]]] = {}
     current: list[str] = []
     in_rules = False
@@ -54,15 +60,21 @@ def parse_robots(content: str, agent: str = "*") -> list[tuple[bool, str]]:
                 groups.setdefault(a, [])
         elif field in ("allow", "disallow"):
             in_rules = True
+            if not current:
+                continue  # rule outside any group: invalid, ignored
             if not value:
                 continue  # empty Disallow = allow everything (no rule)
-            for a in current or ["*"]:
+            for a in current:
                 groups.setdefault(a, []).append((field == "allow", value))
         # crawl-delay / sitemap / unknown fields: not access rules,
         # and they neither split nor extend a group — fully ignored
     key = agent.lower()
+    matches = [t for t in groups if t != "*" and t and t in key]
     if key in groups:
         return groups[key]
+    if matches:
+        best = max(matches, key=lambda t: (len(t), t))
+        return groups[best]
     return groups.get("*", [])
 
 

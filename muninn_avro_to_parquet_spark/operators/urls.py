@@ -90,10 +90,36 @@ def sitemap_locs(xml: Column) -> Column:
     here). Pure Catalyst: one ``regexp_extract_all`` with a plain
     character-class pattern (Java regex and RE2 agree), trimmed — a
     sitemap is flat enough that tag extraction IS the parse; namespace
-    prefixes and attribute noise never reach the captured group."""
+    prefixes and attribute noise never reach the captured group.
+
+    The protocol REQUIRES entity-escaping in loc text (ADVICE r11: a
+    multi-parameter URL is written ``a=1&amp;b=2`` — extracting the
+    literal ``&amp;`` would never join the same URL seen via outlinks),
+    so the five XML entities decode after extraction, ``&amp;`` LAST
+    (single-pass semantics: ``&amp;lt;`` means a literal ``&lt;``).
+    ``<![CDATA[...]]>`` wrappers strip before extraction — the markers
+    are literal tokens, so two literal replaces keep any ``]`` inside
+    the URL intact."""
+    flat = F.regexp_replace(
+        F.regexp_replace(xml, F.lit("<!\\[CDATA\\["), F.lit("")),
+        F.lit("\\]\\]>"),
+        F.lit(""),
+    )
+
+    def unescape(u: Column) -> Column:
+        for ent, ch in (
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&apos;", "'"),
+            ("&amp;", "&"),  # last: &amp;lt; decodes to the literal &lt;
+        ):
+            u = F.regexp_replace(u, F.lit(ent), F.lit(ch))
+        return u
+
     return F.transform(
-        F.regexp_extract_all(xml, F.lit("<loc>([^<]*)</loc>"), F.lit(1)),
-        lambda u: F.trim(u),
+        F.regexp_extract_all(flat, F.lit("<loc>([^<]*)</loc>"), F.lit(1)),
+        lambda u: unescape(F.trim(u)),
     )
 
 

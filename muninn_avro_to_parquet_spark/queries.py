@@ -8906,7 +8906,12 @@ def text_nfc_normalize(spark):
       UNION ALL
       SELECT doc_id, 1,
              'http://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/page/'
-               || CAST((doc_id * 13 + 5) % n AS VARCHAR)
+               || CAST((doc_id * 13 + 5) % n AS VARCHAR) || '?x=1&y=2'
+      FROM documents CROSS JOIN n
+      UNION ALL
+      SELECT doc_id, 2,
+             'http://h' || CAST(doc_id % 2 AS VARCHAR) || '.example/item?id='
+               || CAST((doc_id * 3 + 2) % n AS VARCHAR) || '&ref=sitemap'
       FROM documents CROSS JOIN n
     )
     """,
@@ -8915,13 +8920,16 @@ def crawl_sitemap_urls(spark):
     """Sitemap URL discovery (urls.sitemap_locs, r11 — the third crawl
     channel next to outlinks and robots): each document synthesizes a
     real sitemaps.org XML document whose first ``<loc>`` carries
-    scheme-case + default-port noise and whose second is padded with
-    whitespace; the engine extracts the locs (one pure-Catalyst
-    regexp_extract_all — tag extraction IS the parse for this flat
-    schema), explodes in document order, and canonicalizes. The oracle
-    re-derives both URLs per document arithmetically and never sees the
-    XML, so a drift in extraction, ordering, trimming, or
-    canonicalization flips the hash."""
+    scheme-case + default-port noise, whose second is padded with
+    whitespace and carries a PROTOCOL-REQUIRED ``&amp;``-escaped
+    multi-parameter query (ADVICE r11), and whose third is wrapped in
+    ``<![CDATA[...]]>`` with a raw ``&``; the engine extracts the locs
+    (pure Catalyst — tag extraction IS the parse for this flat schema),
+    decodes the XML entities, explodes in document order, and
+    canonicalizes. The oracle re-derives all three URLs per document
+    arithmetically — with the DECODED ampersands — and never sees the
+    XML, so a drift in extraction, entity decoding, CDATA handling,
+    ordering, trimming, or canonicalization flips the hash."""
     from muninn_avro_to_parquet_spark.operators import urls
 
     docs = spark.table("documents")
@@ -8941,7 +8949,9 @@ def crawl_sitemap_urls(spark):
         F.lit("</loc><lastmod>2026-01-01</lastmod><priority>0.8</priority>"
               "</url><url><loc> http://"),
         host, F.lit("/page/"), t(13, 5),
-        F.lit(" </loc></url></urlset>"),
+        F.lit("?x=1&amp;y=2 </loc></url><url><loc><![CDATA[http://"),
+        host, F.lit("/item?id="), t(3, 2),
+        F.lit("&ref=sitemap]]></loc></url></urlset>"),
     )
     return docs.select(
         "doc_id", urls.sitemap_locs(xml).alias("_locs")
@@ -9031,9 +9041,15 @@ def crawl_frontier_pipeline(spark):
         F.col("href").startswith("/"),
         F.concat(F.lit("http://"), host, F.col("href")),
     ).otherwise(F.col("href"))
+    # deterministic row id from the (doc_id, seq) key html_links already
+    # emits — monotonically_increasing_id() is evaluated independently on
+    # both sides of apply_robots' winner self-join, so a task retry that
+    # changes partition layout could mis-attribute verdicts (ADVICE r11)
     cand = links.select(
-        "doc_id", urls.canonical_url(absolute).alias("url")
-    ).withColumn("_lid", F.monotonically_increasing_id())
+        "doc_id",
+        urls.canonical_url(absolute).alias("url"),
+        F.concat_ws(":", F.col("doc_id"), F.col("seq")).alias("_lid"),
+    )
     rules = robots.rules_df(
         spark,
         [("h0.example", "User-agent: *\nDisallow: /private/\n")],

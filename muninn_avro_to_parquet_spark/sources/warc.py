@@ -59,15 +59,27 @@ class WarcRecord:
     payload: bytes  # HTTP body for responses, raw block otherwise
 
 
+def _header_sep(data: bytes, start: int = 0) -> tuple[int, int]:
+    """Locate the end of an RFC-822-style header section starting at
+    ``start``: absolute offset and length of the blank-line separator
+    (CRLFCRLF, or bare LFLF — they exist in the wild). The bare-LF probe
+    is BOUNDED to the window before a found CRLFCRLF (ADVICE r11): a
+    CRLF-terminated record whose large binary payload happens to contain
+    no 0x0A0A pair must not trigger an O(payload) scan per record."""
+    sep = data.find(b"\r\n\r\n", start)
+    if sep != -1:
+        lf_only = data.find(b"\n\n", start, sep + 4)
+        if 0 <= lf_only < sep:
+            return lf_only, 2
+        return sep, 4
+    return data.find(b"\n\n", start), 2
+
+
 def _parse_headers(block: bytes) -> tuple[dict[str, str], bytes]:
     """Split an RFC-822-style header section off ``block`` → (headers
     lower-cased by name, remaining bytes). Tolerates bare-LF line ends
-    (they exist in the wild) and continuation lines."""
-    sep = block.find(b"\r\n\r\n")
-    seplen = 4
-    lf_only = block.find(b"\n\n")
-    if sep == -1 or (0 <= lf_only < sep):
-        sep, seplen = lf_only, 2
+    and continuation lines."""
+    sep, seplen = _header_sep(block)
     if sep == -1:
         return {}, b""
     headers: dict[str, str] = {}
@@ -116,19 +128,20 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
             raise ValueError(
                 f"malformed WARC record header at offset {pos}: {version[:20]!r}"
             )
-        headers, _ = _parse_headers(data[line_end + 1 :])
+        # locate the header/block boundary ONCE on the shared buffer (no
+        # per-record tail copy, no second separator search — ADVICE r11)
+        hdr_start = line_end + 1
+        sep, seplen = _header_sep(data, hdr_start)
+        if sep == -1:
+            raise ValueError(
+                f"WARC record at offset {pos} has no header terminator"
+            )
+        headers, _ = _parse_headers(data[hdr_start : sep + seplen])
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             raise ValueError(f"WARC record at offset {pos} missing Content-Length")
-        # locate the block start: end of the header section
-        hdr_block = data[line_end + 1 :]
-        sep = hdr_block.find(b"\r\n\r\n")
-        seplen = 4
-        lf_only = hdr_block.find(b"\n\n")
-        if sep == -1 or (0 <= lf_only < sep):
-            sep, seplen = lf_only, 2
-        block_start = line_end + 1 + sep + seplen
+        block_start = sep + seplen
         block = data[block_start : block_start + length]
         if len(block) < length:
             raise ValueError(f"WARC record at offset {pos} truncated")

@@ -54,10 +54,35 @@ def test_rotation_puts_unverified_queries_first():
     watch = {
         n for n in entry_mod._verdict_watchlist() if green.get(n, 0) < latest
     }
+    changed = {
+        n
+        for n in entry_mod._CHANGED_THIS_ROUND
+        if green.get(n, 0) < entry_mod._CHANGED_ROUND
+    }
     tail = names[len(never) :]
-    bands = [(n not in watch, green[n]) for n in tail]
+    bands = [(n not in changed, n not in watch, green[n]) for n in tail]
     assert bands == sorted(bands), (
-        "ever-green tail must be watchlist-first, then stalest-first"
+        "ever-green tail must be changed-first, then watchlist, then stalest"
+    )
+
+
+def test_rotation_bounds_max_staleness():
+    """r11 verdict #7 (the literal assertion the watchlist design
+    implies): with a 50-entry sweep cap and stalest-first rotation, no
+    ever-green entry's last green may trail the latest round by more
+    than ceil(len(registry)/50) + 1 rounds — the rotation period plus
+    one round of slack for cap-displacing new entries."""
+    import math
+
+    green = entry_mod._last_green_round()
+    latest = max(green.values(), default=0)
+    if not latest:
+        pytest.skip("no CORRECTNESS artifacts yet")
+    bound = math.ceil(len(entry_mod.queries()) / 50) + 1
+    stale = {n: latest - r for n, r in green.items() if latest - r > bound}
+    assert not stale, (
+        f"entries staler than {bound} rounds (rotation must re-sweep them): "
+        f"{stale}"
     )
 
 

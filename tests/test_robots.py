@@ -97,3 +97,36 @@ def test_apply_robots_plan_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_agent_longest_substring_match():
+    """ADVICE r11: real robots.txt files write suffixed tokens
+    ('Muninn-Bot', 'muninn/1.0'); exact-equality-only selection dropped
+    those groups to '*', which can mark URLs allowed that the site
+    specifically disallowed for this crawler. Common-practice semantics:
+    a token matches when it is a case-insensitive substring of the
+    crawler's agent string, most specific (longest) token wins; an
+    exact-token group still beats substring matches."""
+    content = (
+        "User-agent: bot\nDisallow: /a/\n\n"
+        "User-agent: muninn-bot\nDisallow: /b/\n\n"
+        "User-agent: *\nDisallow: /c/\n"
+    )
+    # suffixed product token: the most specific matching group wins
+    assert robots.parse_robots(content, agent="Muninn-Bot/1.0") == [
+        (False, "/b/")
+    ]
+    # a shorter token still matches when it's the only substring hit
+    assert robots.parse_robots(content, agent="SomeBot/2") == [(False, "/a/")]
+    # exact token match keeps absolute priority
+    assert robots.parse_robots(content, agent="bot") == [(False, "/a/")]
+    # nothing matches: the * group
+    assert robots.parse_robots(content, agent="crawler") == [(False, "/c/")]
+
+
+def test_rules_before_any_group_are_invalid():
+    """RFC 9309: rules outside a group are invalid and ignored — they
+    must NOT default into the '*' group (a malformed file would disallow
+    URLs for every crawler the RFC says remain allowed)."""
+    content = "Disallow: /\nUser-agent: *\nDisallow: /tmp/\n"
+    assert robots.parse_robots(content, agent="anything") == [(False, "/tmp/")]

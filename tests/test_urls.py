@@ -147,3 +147,26 @@ def test_sitemap_locs(spark):
     assert got[1] == ["http://a.example/x", "http://a.example/y"]
     assert got[2] == ["http://a.example/s1.xml", "http://a.example/s2.xml"]
     assert got[3] == []
+
+
+def test_sitemap_locs_entities_and_cdata(spark):
+    """ADVICE r11: the sitemaps.org protocol REQUIRES entity escaping in
+    loc text — '&' is written '&amp;' — so extraction must decode the
+    five XML entities or a multi-parameter URL never joins the same URL
+    discovered via outlinks; CDATA-wrapped locs carry their content
+    verbatim. '&amp;lt;' must decode to the literal '&lt;' (single-pass
+    semantics), not to '<'."""
+    xml = (
+        "<urlset>"
+        "<url><loc>http://h/q?a=1&amp;b=2</loc></url>"
+        "<url><loc><![CDATA[http://h/raw?x=1&y=2]]></loc></url>"
+        "<url><loc>http://h/odd?s=&amp;lt;&apos;&quot;&gt;</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    locs = df.select(urls.sitemap_locs(F.col("xml")).alias("l")).first()["l"]
+    assert locs == [
+        "http://h/q?a=1&b=2",
+        "http://h/raw?x=1&y=2",
+        "http://h/odd?s=&lt;'\">",
+    ]

@@ -107,3 +107,25 @@ def test_committed_fixtures_parse():
         recs = parse_warc(data)
         assert sum(r.warc_type == "response" for r in recs) == n_resp, name
         assert recs[0].warc_type == "warcinfo"
+
+
+def test_crlf_record_with_lf_free_binary_payload():
+    """ADVICE r11: the bare-LF separator probe is bounded to the window
+    before a found CRLFCRLF — a CRLF-terminated record whose large
+    binary payload contains no 0x0A0A pair must parse correctly (and
+    without an O(payload) scan per record; the bound is structural, the
+    correctness is asserted here)."""
+    payload = bytes((i % 9) + 1 for i in range(200_000))  # no 0x0A at all
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Target-URI: http://h/x\r\n"
+        + f"Content-Length: {len(payload)}".encode()
+        + b"\r\n\r\n"
+        + payload
+        + b"\r\n\r\n"
+    )
+    out = parse_warc(rec * 3)
+    assert len(out) == 3
+    assert all(r.payload == payload for r in out)
+    assert all(r.target_uri == "http://h/x" for r in out)
