@@ -8,9 +8,11 @@ Parsing is driver-side (a robots.txt is a few KB of text per host; the
 rule table for even a billion-host crawl is host-count-sized, not
 corpus-sized); matching is executor-side: the rule relation broadcasts,
 candidate URLs equi-join on host, the RFC's longest-match-wins /
-tie-goes-to-allow decision is one window over the matched rules riding
-the join's own shuffle-free broadcast. URLs under no rule default to
-allowed, per the RFC.
+tie-goes-to-allow decision is one window over the matched rules, and
+the winner rows rejoin the URL relation — broadcast when their exact
+count fits the budget (the gate in ``apply_robots``), a skew-free
+sort-merge on the unique row id otherwise. URLs under no rule default
+to allowed, per the RFC.
 
 Wildcards: ``*`` matches any character run, a trailing ``$`` anchors at
 path end — both from RFC 9309 §2.2.3. Rule paths compile to anchored
@@ -110,15 +112,26 @@ def apply_robots(
     rules: DataFrame,
     id_col: str = "doc_id",
     url_col: str = "url",
+    gate_broadcast: bool = True,
 ) -> DataFrame:
     """Adds ``is_allowed``: for each URL, the longest-matching rule of
     its host decides (ties go to allow, RFC 9309 §2.2.2); no matching
     rule — or no rules for the host at all — defaults to allowed.
 
-    Shape: one broadcast equi-join on host + one window over the
-    matched rules partitioned by the caller's row id. The URL relation
-    (corpus-sized) never shuffles; only matched-rule rows (≤ rules per
-    host per URL) enter the window."""
+    Shape: one broadcast equi-join on host, one window over the matched
+    rules partitioned by the caller's row id (only matched-rule rows —
+    ≤ rules per host per URL — enter the window), then the winner rows
+    join back onto the URL relation. That last join decides whether the
+    corpus-sized URL relation shuffles (r11 verdict #2 — the old
+    docstring claimed it never does, which was only true under the
+    broadcast threshold): with ``gate_broadcast`` the winner relation is
+    eagerly materialized and its EXACT row count checked against the
+    session's broadcast budget — under it, the join is hinted broadcast
+    and the URL relation stays put; past it (a Disallow-heavy crawl can
+    make winner corpus-sized, which must never ride a broadcast) the
+    join is a skew-free sort-merge on the unique row id, exactly as at
+    100 TB. Pass ``gate_broadcast=False`` to skip the materialization
+    (plan stays fully lazy; Spark's stats decide the join strategy)."""
     from pyspark.sql import Window
 
     u = F.col(url_col)
@@ -139,6 +152,17 @@ def apply_robots(
         .filter(F.col("_r") == 1)
         .select(id_col, F.col("allow").alias("_rule_allow"))
     )
+    if gate_broadcast:
+        from muninn_avro_to_parquet_spark.operators.dedup import (
+            _broadcast_threshold_bytes,
+        )
+
+        winner = winner.localCheckpoint(eager=True)
+        # ~48 B/row (id + boolean + HashedRelation overhead), same
+        # deliberately-fat accounting as the CC label gate
+        threshold = _broadcast_threshold_bytes(df.sparkSession)
+        if 0 < (winner.count() * 48) < max(threshold, 0):
+            winner = F.broadcast(winner)
     return (
         t.join(winner, id_col, "left")
         .withColumn("is_allowed", F.coalesce(F.col("_rule_allow"), F.lit(True)))

@@ -84,8 +84,10 @@ def test_apply_robots_tie_goes_to_allow(spark):
 
 
 def test_apply_robots_plan_is_broadcast(spark):
-    """The corpus-sized URL relation must not shuffle: rule join is
-    broadcast, the window partitions on the row id."""
+    """The corpus-sized URL relation must not shuffle when the winner
+    relation fits the broadcast budget: rule join AND winner join are
+    broadcast (the exact-count gate, r11 verdict #2) — no sort-merge
+    join anywhere in the plan."""
     rules = robots.rules_df(
         spark, [("h.example", "User-agent: *\nDisallow: /p/\n")]
     )
@@ -97,6 +99,31 @@ def test_apply_robots_plan_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_apply_robots_gate_off_matches_gated(spark):
+    """gate_broadcast=False (fully lazy plan) must return the same
+    verdicts as the gated default — the gate is a join-strategy hint,
+    never a semantic switch."""
+    rules = robots.rules_df(
+        spark,
+        [("h.example", "User-agent: *\nDisallow: /p/\nAllow: /p/ok/\n")],
+    )
+    df = spark.createDataFrame(
+        [(i, f"http://h.example/{p}") for i, p in
+         enumerate(["p/x", "p/ok/y", "open/z", "p/ok", "q"])],
+        "doc_id long, url string",
+    )
+    gated = {
+        (r["doc_id"], r["is_allowed"])
+        for r in robots.apply_robots(df, rules).collect()
+    }
+    lazy = {
+        (r["doc_id"], r["is_allowed"])
+        for r in robots.apply_robots(df, rules, gate_broadcast=False).collect()
+    }
+    assert gated == lazy
 
 
 def test_agent_longest_substring_match():
