@@ -320,6 +320,39 @@ HEADLINERS: list[tuple[str, str]] = [
         "exchange is the record-keyed join of extraction back onto "
         "record metadata — payload bytes never reach the driver.",
     ),
+    (
+        "crawl_robots_filter",
+        "robots.txt compliance gate (r11, gated r12): host-count-sized "
+        "rule relation broadcasts, longest-match decision is one window "
+        "over MATCHED rows only, and the winner rows rejoin the URL "
+        "relation BROADCAST when their exact materialized count fits "
+        "the budget — the corpus never shuffles in that regime; past "
+        "it the winner join is a skew-free sort-merge on the unique "
+        "row id.",
+    ),
+    (
+        "crawl_frontier_pipeline",
+        "End-to-end frontier (r11): Arrow extract → codegen "
+        "absolutize/canonicalize (no exchange) → robots broadcast-rule "
+        "join + id window with the gated winner join → broadcast "
+        "anti-join against visited → ONE groupBy shuffle on the URL "
+        "key for referrer counts. Link ids are the deterministic "
+        "(doc_id, seq) key, so retries cannot mis-attribute verdicts.",
+    ),
+    (
+        "crawl_host_stats",
+        "Host-level crawl report (r11): synth URL projection is pure "
+        "codegen, canonical-dup attribution one window shuffle on the "
+        "canonical key, then one host aggregate whose partials combine "
+        "map-side — two exchanges total for a corpus-sized input.",
+    ),
+    (
+        "text_nfc_normalize",
+        "Unicode NFC normalization (r11): a single Arrow-batched "
+        "pandas_udf crossing (stdlib unicodedata) inside a narrow "
+        "projection — zero exchanges, zero joins; lengths/flags/tail "
+        "derive in codegen around the one Python column.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")
