@@ -437,14 +437,37 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine.
 
     ``centroids`` is (centroid_id, embedding) — small, broadcast. Output:
     (id, vec, centroid_id) with one row per probed list. nprobe=1 builds
     the index; nprobe>1 is the query-side multi-probe that trades extra
-    candidate reads for recall."""
+    candidate reads for recall.
+
+    Two engines, identical results (asserted in tests/test_layout):
+
+    - ``catalyst``: broadcast crossJoin → corpus × C scored rows → a
+      row_number window over them. Fine for the query side (a handful
+      of rows × C) but the corpus-side build stages C× the corpus AND
+      shuffles it for the window — at 1M vectors × 64 centroids that is
+      a 64M-row exchange, measured as ~60% of the whole r11 index-build
+      wall.
+    - ``numpy``: ONE Arrow ``mapInPandas`` pass — per batch the exact
+      int64 quantized dot against all C centroids (``V @ Cᵀ``), the same
+      IEEE-double divide by the norm product, top-``nprobe`` by
+      (c_sim desc, centroid_id asc). No fanout, no shuffle. The cosine
+      arithmetic is bit-identical to the Catalyst expressions: the dot
+      and squared norms are exact integers, and sqrt/multiply/divide are
+      single deterministic IEEE-754 ops in the same order.
+    """
     from pyspark.sql import Window
+
+    if engine == "numpy":
+        return _ivf_assign_np(df, centroids, id_col, vec_col, nprobe)
+    if engine != "catalyst":
+        raise ValueError(f"unknown ivf_assign engine: {engine!r}")
 
     # pre-quantize + pre-norm both sides: with C centroids inlining
     # cosine() would recompute each row's norm C times
@@ -469,6 +492,90 @@ def ivf_assign(
         .filter(F.col("_r") <= nprobe)
         .drop("_r", "c_sim")
     )
+
+
+def _round_half_up_q(v):
+    """numpy replica of Spark's ``round(x * 1e7)`` (HALF_UP = half away
+    from zero; ``np.round`` is banker's and would disagree on exact .5)."""
+    import numpy as np
+
+    scaled = v * float(_Q)
+    return np.where(
+        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
+    ).astype(np.int64)
+
+
+def _ivf_assign_np(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """One-Arrow-pass centroid assignment (see ``ivf_assign`` engine
+    docs). Centroids are collected driver-side (C rows — the relation is
+    broadcast-sized by definition) as exact quantized int64 rows plus
+    their IEEE-double norms, exactly what ``_with_qnorm`` stamps."""
+    import numpy as np
+
+    cent_rows = sorted(
+        _with_qnorm(
+            centroids.select("centroid_id", vec_col), "centroid_id", vec_col
+        ).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    CQ = np.array([r["_q"] for r in cent_rows], dtype=np.int64)
+    cnorms = np.array([r["_norm"] for r in cent_rows], dtype=np.float64)
+
+    id_field = df.schema[id_col]
+    vec_field = df.schema[vec_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField(vec_col, vec_field.dataType, vec_field.nullable),
+            T.StructField(
+                "centroid_id", centroids.schema["centroid_id"].dataType, False
+            ),
+        ]
+    )
+    take = min(nprobe, len(cids))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Q = _round_half_up_q(V)
+            norms = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            # exact int64 dot, then the same single IEEE divide the SQL
+            # try_divide performs; zero norms → -inf, which sorts last
+            # exactly like the SQL's NULL under c_sim DESC
+            denom = norms[:, None] * cnorms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(
+                    denom > 0,
+                    (Q @ CQ.T).astype(np.float64) / denom,
+                    -np.inf,
+                )
+            # top-nprobe by (c_sim desc, centroid_id asc): centroids are
+            # already cid-ascending and argsort is stable, so sorting on
+            # -sims alone reproduces the window's tie-break
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(take),
+                    vec_col: pdf[vec_col].to_numpy().repeat(take),
+                    "centroid_id": cids[order].ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
 
 
 def ivf_centroids(
@@ -1419,19 +1526,21 @@ def ivfpq_index(
     at m·log2(k) bits/vector; every subsequent search touches
     nprobe/n_centroids of it.
 
-    ``encoder="numpy"`` assigns codes in one Arrow pass (bit-identical
-    to the Catalyst formulation — proven in tests/test_layout.py) and is
-    the scale path for production codebooks (k=256 would stage a
-    corpus × m × 256 join Catalyst-side)."""
+    ``encoder="numpy"`` runs BOTH corpus-sized assignment passes as one
+    Arrow ``mapInPandas`` each (bit-identical to the Catalyst
+    formulations — proven in tests/test_layout.py) and is the scale
+    path: the Catalyst list assignment stages corpus × n_centroids rows
+    through a window shuffle, and Catalyst code assignment stages a
+    corpus × m × k join (32B rows at production k=256 over 1M×128)."""
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
 
     cents = cache_scoped(
         ivf_centroids(corpus, n_centroids, id_col, vec_col), "ivfpq_cents"
     )
     lists = cache_scoped(
-        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-            id_col, "centroid_id"
-        ),
+        ivf_assign(
+            corpus, cents, id_col, vec_col, nprobe=1, engine=encoder
+        ).select(id_col, "centroid_id"),
         "ivfpq_lists",
     )
     codes = cache_scoped(quantize_int8(corpus, id_col, vec_col), "ivfpq_codes")

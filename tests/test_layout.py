@@ -426,3 +426,43 @@ def test_ivfpq_rerank_default_recalls_flat(spark):
         ).collect()
     }
     assert reranked == flat
+
+
+def test_ivf_assign_numpy_equals_catalyst(spark):
+    """The numpy ivf_assign engine may only replace the Catalyst
+    crossJoin+window plan (corpus × C rows through an exchange) if every
+    probed-list assignment matches exactly. The cosine arithmetic is
+    exact-integer dot / deterministic IEEE norm product on both sides,
+    so equality is bit-for-bit, not approximate — checked at nprobe=1
+    (the index build shape) and nprobe=3 (the query multi-probe shape)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, 16)
+    for nprobe in (1, 3):
+        cat = {
+            (r["vec_id"], r["centroid_id"])
+            for r in similarity.ivf_assign(
+                emb, cents, nprobe=nprobe, engine="catalyst"
+            ).collect()
+        }
+        npy = {
+            (r["vec_id"], r["centroid_id"])
+            for r in similarity.ivf_assign(
+                emb, cents, nprobe=nprobe, engine="numpy"
+            ).collect()
+        }
+        assert npy == cat
+
+
+def test_ivfpq_index_numpy_encoder_matches_catalyst_index(spark):
+    """ivfpq_index(encoder="numpy") — the 1M-bench build path — must
+    produce the same lists and the same PQ code assignment as the
+    all-Catalyst build (same corpus, same seeds, same codebook)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.ivfpq_index(emb, n_centroids=8, m=8, k=16)
+    b = similarity.ivfpq_index(emb, n_centroids=8, m=8, k=16, encoder="numpy")
+    assert {
+        (r["vec_id"], r["centroid_id"]) for r in a.lists.collect()
+    } == {(r["vec_id"], r["centroid_id"]) for r in b.lists.collect()}
+    assert {
+        (r["vec_id"], r["sub"], r["code_id"]) for r in a.enc.collect()
+    } == {(r["vec_id"], r["sub"], r["code_id"]) for r in b.enc.collect()}
