@@ -186,18 +186,43 @@ def warc_records_type() -> T.StructType:
 
 
 def read_warc(
-    spark: SparkSession, path: str, glob_filter: str = "*.warc*"
+    spark: SparkSession,
+    path: str,
+    glob_filter: str = "*.warc*",
+    spread_files: bool = True,
 ) -> DataFrame:
     """Directory of WARC files → one row per WARC record.
 
-    Listing and file reads ride Spark's ``binaryFile`` source (per-file
-    parallelism, listing-time glob pruning, object-store URIs unchanged);
-    the record fan-out is one Arrow-batched ``mapInPandas`` whose
-    returned iterator expresses the one-to-many expansion — no driver
-    loop, no collected payloads."""
+    Listing and file reads ride Spark's ``binaryFile`` source
+    (listing-time glob pruning, object-store URIs unchanged); the
+    record fan-out is one Arrow-batched ``mapInPandas`` whose returned
+    iterator expresses the one-to-many expansion — no driver loop, no
+    collected payloads, and (bounded memory) one emitted frame per
+    FILE, so a task's peak is a single archive's records, not its whole
+    input partition's.
+
+    ``spread_files`` (default on): ``binaryFile`` PACKS small files into
+    ``maxPartitionBytes`` partitions — at crawl shape (CPU-heavy
+    decompress+parse per file, ~100 MiB gzipped archives) packing a
+    dozen archives into one task serializes them, so the file relation
+    is hash-repartitioned on path to ``defaultParallelism × 2`` first.
+    The exchange moves each archive's compressed bytes exactly once and
+    buys one-task-per-file parse parallelism (measured in the
+    ``warc_ingest_bigcrawl`` bench leg). Pass ``False`` for
+    archive-per-partition inputs that are already well spread.
+
+    SIZE CEILING: one row per file means one archive must fit a single
+    ``binaryFile`` row — hard cap 2 GiB (Spark's byte-array row limit),
+    and each task holds one archive's compressed AND decompressed bytes
+    while parsing. Keep individual ``.warc.gz`` files at the crawl
+    convention (~1 GiB compressed); shard anything bigger upstream."""
     from muninn_avro_to_parquet_spark.sources import formats
 
     raw = formats.read_binary_dir(spark, path, glob_filter=glob_filter)
+    if spread_files:
+        raw = raw.repartition(
+            spark.sparkContext.defaultParallelism * 2, F.col("path")
+        )
     files = raw.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("src_file"),
         F.col("content"),
@@ -206,22 +231,21 @@ def read_warc(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in warc_records_type().fields]
         for pdf in batches:
-            rows = []
             for name, content in zip(pdf["src_file"], pdf["content"]):
-                for i, r in enumerate(parse_warc(bytes(content))):
-                    rows.append(
-                        (
-                            name,
-                            i,
-                            r.warc_type,
-                            r.target_uri,
-                            r.warc_date,
-                            r.http_status,
-                            r.http_content_type,
-                            r.payload,
-                        )
+                rows = [
+                    (
+                        name,
+                        i,
+                        r.warc_type,
+                        r.target_uri,
+                        r.warc_date,
+                        r.http_status,
+                        r.http_content_type,
+                        r.payload,
                     )
-            yield pd.DataFrame(rows, columns=cols)
+                    for i, r in enumerate(parse_warc(bytes(content)))
+                ]
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=warc_records_type())
 
