@@ -101,6 +101,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "crawl_sitemap_urls",
     "crawl_frontier_pipeline",
     "crawl_robots_filter",
+    # r12 new entries: corpus-level paragraph dedup, anchor-text
+    # aggregation through the real HTML parser
+    "text_paragraph_dedup",
+    "crawl_anchor_text",
 )
 _CHANGED_ROUND = 12
 

@@ -1296,10 +1296,18 @@ def _bench_body() -> dict:
         ridx = sim_mod.ivfpq_index(
             remb, n_centroids=64, m=8, k=256, refine_rounds=1, encoder="numpy"
         )
+        # the ivfpq_index() call is NOT lazy with the numpy encoder: the
+        # refine round and the encoder both collect the (k·D-row)
+        # codebook driver-side, which materializes the int8-quantize +
+        # codebook + one full refine Arrow pass inside the call — wall
+        # it as its own stage or ~half the build cost hides outside the
+        # relation counts below
+        build_stage_walls = {
+            "codebook_collect_refine": round(time.perf_counter() - t0, 4)
+        }
         # materialize each cache-scoped index relation in dependency
         # order inside its own stage wall (downstream counts reuse the
         # upstream caches, so each wall is that stage's own cost)
-        build_stage_walls = {}
         for stage, rel in (
             ("centroids", ridx.centroids),
             ("ivf_assign_lists", ridx.lists),

@@ -1665,3 +1665,61 @@ def remove_repeated_spans(
         F.concat_ws(" ", F.expr("transform(_kept, s -> s.t)")).alias("clean_text"),
         (F.size("_toks") - F.size("_kept")).alias("n_removed"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CORPUS-level exact paragraph dedup — the C4 / RefinedWeb line
+    dedup step: every distinct paragraph keeps only its FIRST occurrence
+    in (id, position) order across the whole corpus; later occurrences
+    are dropped and each document is reassembled from its surviving
+    paragraphs in original order. This is the boilerplate remover
+    (headers, footers, cookie banners) that document-level dedup cannot
+    see; compose with ``normalize`` upstream for case/whitespace
+    robustness — matching here is deliberately exact so the result is
+    oracle-replayable.
+
+    Distributed shape: posexplode on ``sep`` (narrow) → ONE exchange
+    partitioned by the paragraph itself (exact, no hash-collision merge)
+    for a streaming row_number — first-occurrence choice, not a global
+    sort — then one ``id`` aggregate to reassemble (second exchange).
+    Skew note: at 100 TB a boilerplate paragraph repeated in every doc
+    lands its occurrences in one window task; cap or pre-count hot
+    paragraphs (the ``max_bucket`` discipline) if the corpus has
+    pathological boilerplate.
+
+    Returns (id, text_kept, n_paragraphs, n_kept); whitespace-only
+    paragraphs are dropped before dedup (they are separator artifacts,
+    and keeping them would let empty strings win "first occurrence").
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    w = Window.partitionBy("para").orderBy(
+        F.col(id_col).asc(), F.col("pos").asc()
+    )
+    flagged = paras.withColumn("_keep", F.row_number().over(w) == 1)
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paragraphs"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_kept"),
+    )

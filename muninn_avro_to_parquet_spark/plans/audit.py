@@ -353,6 +353,23 @@ HEADLINERS: list[tuple[str, str]] = [
         "projection — zero exchanges, zero joins; lengths/flags/tail "
         "derive in codegen around the one Python column.",
     ),
+    (
+        "text_paragraph_dedup",
+        "Corpus-level paragraph dedup (r12, the C4 line-dedup step): "
+        "codegen paragraph synthesis + posexplode (narrow), ONE "
+        "exchange partitioned by the paragraph itself for the "
+        "first-occurrence row_number, one doc reassembly aggregate — "
+        "two exchanges for a corpus-sized input, no join at all.",
+    ),
+    (
+        "crawl_anchor_text",
+        "Anchor-text aggregation (r12): HTML render + parse is one "
+        "Arrow-batched narrow map over a 1-row broadcast count join; "
+        "the two COUNT(DISTINCT)s rewrite into the standard Expand "
+        "two-phase aggregate, so the link relation exchanges twice on "
+        "href-keyed hashes with map-side partials — no corpus join, "
+        "no row ever wider than one link.",
+    ),
 ]
 
 _DETAIL = re.compile(r"(\[plan_id=\d+\]|#\d+L?|, false\b|, true\b)")

@@ -9224,3 +9224,132 @@ def graph_pagerank_weighted(spark):
         .agg(F.count("*").alias("w"))
     )
     return graph.pagerank(edges, iterations=3, weight_col="w")
+
+
+@q(
+    "text_paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(ts, i * 3 + 1, i * 3 + 3), ' ') AS para
+      FROM toks, LATERAL (SELECT unnest(range(0, (len(ts) + 2) // 3)) AS i)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                               chr(10) || chr(10) ORDER BY pos), '')
+             AS text_kept
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark):
+    """Corpus-level exact paragraph dedup (r12; C4 §2.2 / RefinedWeb
+    line dedup): paragraphs are synthesized as 3-token runs joined by
+    blank lines — the tiny vocabulary makes cross-document repeats
+    plentiful, so the first-occurrence-wins semantics are actually
+    exercised — then ``dedup.paragraph_dedup`` keeps each distinct
+    paragraph's first (doc_id, pos) occurrence corpus-wide and
+    reassembles documents. The oracle re-derives the same chunking and
+    the same window arithmetically; the reassembled text is compared
+    verbatim, so a drift in ordering, winner choice, or separator
+    handling flips the hash. One narrow synthesize + one paragraph
+    exchange + one doc reassembly aggregate."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    docs = (
+        spark.table("documents")
+        .select("doc_id", F.split("text", " ").alias("ts"))
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(0, (size(ts) - 1) div 3), "
+                "i -> array_join(slice(ts, i * 3 + 1, 3), ' ')), '\n\n')"
+            ).alias("text"),
+        )
+    )
+    return dedup.paragraph_dedup(docs, "doc_id", "text")
+
+
+@q(
+    "crawl_anchor_text",
+    """
+    WITH p AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT d.doc_id,
+             '/doc/' || CAST((d.doc_id * 7 + 1) % p.n AS VARCHAR) AS href,
+             string_split(d.text, ' ')[1] AS anchor
+      FROM documents d CROSS JOIN p
+      UNION ALL
+      SELECT d.doc_id,
+             '/doc/' || CAST((d.doc_id * 13 + 5) % p.n AS VARCHAR),
+             string_split(d.text, ' ')[2]
+      FROM documents d CROSS JOIN p
+      UNION ALL
+      SELECT d.doc_id,
+             '/doc/' || CAST((d.doc_id * 31 + 17) % p.n AS VARCHAR),
+             string_split(d.text, ' ')[3]
+      FROM documents d CROSS JOIN p
+    )
+    SELECT href,
+           CAST(COUNT(*) AS BIGINT) AS n_refs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+           MIN(anchor) AS min_anchor,
+           MAX(anchor) AS max_anchor
+    FROM links GROUP BY href
+    """,
+)
+def crawl_anchor_text(spark):
+    """Anchor-text aggregation (r12): the classic web-graph feature —
+    for every link TARGET, collect what the linking pages call it
+    (reference count, distinct sources, distinct anchor phrases,
+    min/max anchor). Each document is rendered into real HTML with
+    three outlinks whose targets follow the crawl_rank_pipeline edge
+    arithmetic and whose anchor text is the source doc's 1st/2nd/3rd
+    token; the Spark side must recover every (href, anchor) pair
+    through the actual HTML parser (``html.html_links`` — the
+    mapInPandas narrow map), while the oracle states the pairs
+    arithmetically and never sees HTML. One narrow render+parse, one
+    aggregate exchange on href."""
+    from muninn_avro_to_parquet_spark.operators import html as html_ops
+
+    docs = spark.table("documents")
+    n = docs.agg(F.count("*").alias("n"))
+    ts = F.split("text", " ")
+
+    def link(mult: int, add: int, tok: int):
+        return F.concat(
+            F.lit('<a href="/doc/'),
+            ((F.col("doc_id") * mult + add) % F.col("n")).cast("string"),
+            F.lit('">'),
+            F.element_at(ts, tok),
+            F.lit("</a>"),
+        )
+
+    page = docs.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>corpus page</p>"),
+            link(7, 1, 1),
+            link(13, 5, 2),
+            link(31, 17, 3),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    links = html_ops.html_links(page, id_col="doc_id", html_col="html")
+    return links.groupBy("href").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+        F.countDistinct("anchor").cast("long").alias("n_anchors"),
+        F.min("anchor").alias("min_anchor"),
+        F.max("anchor").alias("max_anchor"),
+    )

@@ -1460,3 +1460,31 @@ def test_normalize_nfc(spark):
     }
     assert got == {0: "caf\u00e9", 1: "caf\u00e9", 2: "plain", 3: None}
     assert len(got[0]) == 4
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-level paragraph dedup: a paragraph's FIRST (doc_id, pos)
+    occurrence survives, every later occurrence (same doc or later doc)
+    drops, documents reassemble in original order, whitespace-only
+    paragraphs never compete."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared one\n\ngamma"),
+            (2, "shared one\n\ndelta\n\n \n\nshared one"),
+            (3, "delta\n\nalpha beta\n\nepsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["text_kept"] == "alpha beta\n\nshared one\n\ngamma"
+    assert (rows[1]["n_paragraphs"], rows[1]["n_kept"]) == (3, 3)
+    # doc 2: "shared one" lost both occurrences to doc 1; the blank
+    # paragraph was dropped before dedup (n_paragraphs counts 3, not 4)
+    assert rows[2]["text_kept"] == "delta"
+    assert (rows[2]["n_paragraphs"], rows[2]["n_kept"]) == (3, 1)
+    # doc 3: "delta" lost to doc 2, "alpha beta" to doc 1
+    assert rows[3]["text_kept"] == "epsilon"
+    assert (rows[3]["n_paragraphs"], rows[3]["n_kept"]) == (3, 1)
