@@ -1571,8 +1571,11 @@ def ivfpq_search(
     codes, then — BY DEFAULT — re-rank the ADC ``shortlist`` against
     the STORED full-precision vectors with the same quantized-exact
     cosine ``cosine_topk`` computes (r11 verdict #1: compressed ADC
-    ranks are shortlist material, not answers — at 1M×128 the raw ADC
-    top-10 had recall 0.0 while the reranked path clears 0.9). Output
+    ranks are shortlist material, not answers — measured at 1M×128,
+    raw ADC trails exact-scored flat recall at every nprobe and is not
+    even monotone in nprobe, while the reranked path matches flat
+    exactly; on margin-free tie geometry raw ADC recall is 0.0 and no
+    shortlist saves it). Output
     with ``rerank=True``: (query_id, vec_id, cosine_sim, rank);
     ``rerank=False`` keeps the raw ADC ranking (query_id, vec_id,
     approx_sqdist, rank) for distillation/debugging.

@@ -61,6 +61,7 @@ def test_known_proof_entries_stay_out_of_the_headline():
         "jpeg_decode_bigcorpus", "dedup_bigcorpus", "lm_bigvocab",
         "pq_rerank_exact_bigvectors", "hamming_bighashes", "geo_bigpoints",
         "linkage_bigrecords", "dedup_incremental_bigbatch",
-        "html_bigcorpus",
+        "html_bigcorpus", "warc_ingest_bigcrawl", "ann_exact_bigindex",
+        "ann_ivfpq_build_bigindex", "ann_ivfpq_sweep_bigindex",
     ):
         assert bench.is_proof_entry(name), name
