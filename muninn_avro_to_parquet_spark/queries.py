@@ -9084,7 +9084,12 @@ def crawl_warc_ingest(spark):
     from muninn_avro_to_parquet_spark.operators import html as html_ops
     from muninn_avro_to_parquet_spark.sources import warc as warc_src
 
-    recs = warc_src.read_warc(spark, _BINARY_FIXTURE_DIR, glob_filter="*.warc*")
+    # two committed fixture archives: the file-spread repartition exists
+    # for many-archive crawl inputs (warc_ingest_bigcrawl proves it) and
+    # would only schedule 62 empty tasks here
+    recs = warc_src.read_warc(
+        spark, _BINARY_FIXTURE_DIR, glob_filter="*.warc*", spread_files=False
+    )
     resp = recs.filter(F.col("warc_type") == "response").select(
         F.concat_ws(":", "src_file", F.col("record_index").cast("string")).alias(
             "rec_id"
