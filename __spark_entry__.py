@@ -102,9 +102,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "crawl_frontier_pipeline",
     "crawl_robots_filter",
     # r12 new entries: corpus-level paragraph dedup, anchor-text
-    # aggregation through the real HTML parser
+    # aggregation through the real HTML parser, corpus-wide kNN graph
     "text_paragraph_dedup",
     "crawl_anchor_text",
+    "embedding_knn_graph",
 )
 _CHANGED_ROUND = 12
 

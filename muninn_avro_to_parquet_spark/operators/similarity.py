@@ -1730,3 +1730,90 @@ def ann_topk_ivfpq(
         idx, corpus, query_pred, nprobe=nprobe, top_k=top_k,
         rerank=rerank, shortlist=shortlist,
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = False,
+    max_list: int = 10_000,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the WHOLE corpus:
+    every row gets its ``k`` nearest neighbors by exact quantized
+    cosine among rows sharing its IVF list — the relation SemDeDup-style
+    clustering, graph dedup, and kNN label propagation consume. Where
+    ``ann_topk_*`` serve a small query set, this is the all-rows shape:
+    the candidate generation is a per-list SELF-join of the corpus
+    partitioned by ``centroid_id`` (ONE exchange per side, co-located),
+    never an all-pairs cross join.
+
+    Quadratic cost is per-list: ``max_list`` caps each list's candidate
+    TARGETS to its md5-smallest members (sources always keep every row,
+    so every row still receives neighbors; the cap only binds past
+    ``max_list`` members per list — size ``num_centroids`` so average
+    list length stays ~sqrt-scale). Recall caveat: a true neighbor in a
+    different coarse list is missed — the standard IVF trade; raise
+    ``num_centroids`` granularity or re-run on residual singletons when
+    recall matters more than cost.
+
+    ``mutual=True`` keeps only edges present in both directions (the
+    mutual-kNN form clustering prefers) via one semi-join on the
+    reversed key. Output: (src_id, dst_id, cosine_sim, rank)."""
+    from pyspark.sql import Window
+
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    cents = cache_scoped(
+        ivf_centroids(corpus, num_centroids, id_col, vec_col), "knn_cents"
+    )
+    lists = cache_scoped(
+        _with_qnorm(
+            ivf_assign(corpus, cents, id_col, vec_col, nprobe=1),
+            id_col,
+            vec_col,
+            "centroid_id",
+        ),
+        "knn_lists",
+    )
+    wcap = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    targets = (
+        lists.withColumn("_r", F.row_number().over(wcap))
+        .filter(F.col("_r") <= max_list)
+        .select(
+            "centroid_id",
+            F.col(id_col).alias("dst_id"),
+            F.col("_q").alias("_tq"),
+            F.col("_norm").alias("_tnorm"),
+        )
+    )
+    srcs = lists.select(
+        "centroid_id", F.col(id_col).alias("src_id"), "_q", "_norm"
+    )
+    scored = (
+        srcs.join(targets, "centroid_id")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            "src_id",
+            "dst_id",
+            F.expr(
+                f"{_pair_cosine_sql('_q', '_norm', '_tq', '_tnorm')} as cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst_id").asc()
+    )
+    edges = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if not mutual:
+        return edges
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    return edges.join(rev, ["src_id", "dst_id"], "left_semi")

@@ -362,6 +362,17 @@ HEADLINERS: list[tuple[str, str]] = [
         "two exchanges for a corpus-sized input, no join at all.",
     ),
     (
+        "embedding_knn_graph",
+        "Corpus-wide kNN graph (r12): both sides of the per-list "
+        "self-join scan the SCOPE-CACHED list relation (assignment "
+        "window paid once) and co-partition on centroid_id — one "
+        "exchange each, never an all-pairs cross; the top-k is a "
+        "WindowGroupLimit (per-partition heap BEFORE the src_id "
+        "exchange), and scoring stays the exact-integer cosine in "
+        "codegen. The audit's exchange count reads the cached lineage "
+        "textually twice.",
+    ),
+    (
         "crawl_anchor_text",
         "Anchor-text aggregation (r12): HTML render + parse is one "
         "Arrow-batched narrow map over a 1-row broadcast count join; "

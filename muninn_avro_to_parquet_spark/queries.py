@@ -9358,3 +9358,71 @@ def crawl_anchor_text(spark):
         F.min("anchor").alias("min_anchor"),
         F.max("anchor").alias("max_anchor"),
     )
+
+
+@q(
+    "embedding_knn_graph",
+    f"""
+    WITH {_EMB_EL},
+    cents AS (
+      SELECT vec_id AS centroid_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cel AS (SELECT centroid_id, x, i
+            FROM el JOIN cents ON el.vec_id = cents.centroid_id),
+    cnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+               FROM cel GROUP BY 1),
+    adots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM el e JOIN cel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    csim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM adots a
+      JOIN norms nv ON a.vec_id = nv.vec_id
+      JOIN cnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    lists AS (SELECT vec_id, centroid_id FROM csim WHERE r = 1),
+    cand AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS dst_id
+      FROM lists a JOIN lists b USING (centroid_id)
+      WHERE a.vec_id <> b.vec_id
+    ),
+    pdots AS (
+      SELECT cd.src_id, cd.dst_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM cand cd
+      JOIN el a ON a.vec_id = cd.src_id
+      JOIN el b ON b.vec_id = cd.dst_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT src_id, d.dst_id, dot / (ns.nrm * nd.nrm) AS cosine_sim
+      FROM pdots d
+      JOIN norms ns ON d.src_id = ns.vec_id
+      JOIN norms nd ON d.dst_id = nd.vec_id
+    )
+    SELECT * FROM (
+      SELECT src_id, dst_id, cosine_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY src_id ORDER BY cosine_sim DESC, dst_id ASC
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_knn_graph(spark):
+    """Corpus-wide approximate kNN graph (r12): EVERY row's 3 nearest
+    neighbors within its IVF list — the all-rows shape SemDeDup
+    clustering and graph dedup consume, where the ann_topk_* family
+    serves a handful of query rows. Candidates come from a per-list
+    self-join of the corpus partitioned once by centroid_id (no
+    all-pairs cross); scoring is the same exact-integer cosine, so the
+    oracle replays centroid pick, list assignment, candidate join, and
+    ranking bit-for-bit."""
+    return similarity.knn_graph(
+        spark.table("embeddings"), k=3, num_centroids=16
+    )

@@ -466,3 +466,26 @@ def test_ivfpq_index_numpy_encoder_matches_catalyst_index(spark):
     assert {
         (r["vec_id"], r["sub"], r["code_id"]) for r in a.enc.collect()
     } == {(r["vec_id"], r["sub"], r["code_id"]) for r in b.enc.collect()}
+
+
+def test_knn_graph_mutual_and_cap(spark):
+    """mutual=True keeps exactly the edges whose reverse also ranked;
+    max_list caps candidate targets but never drops a SOURCE row."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    edges = similarity.knn_graph(emb, k=3, num_centroids=4)
+    e = {(r["src_id"], r["dst_id"]) for r in edges.collect()}
+    m = {
+        (r["src_id"], r["dst_id"])
+        for r in similarity.knn_graph(
+            emb, k=3, num_centroids=4, mutual=True
+        ).collect()
+    }
+    assert m == {(a, b) for (a, b) in e if (b, a) in e}
+    assert m  # the fixture is dense enough that some edges are mutual
+    # a binding cap: every source still appears, targets shrink
+    capped = similarity.knn_graph(emb, k=3, num_centroids=4, max_list=5)
+    srcs_all = {r["src_id"] for r in edges.collect()}
+    srcs_cap = {r["src_id"] for r in capped.collect()}
+    assert srcs_cap == srcs_all
+    dsts_cap = {r["dst_id"] for r in capped.collect()}
+    assert len(dsts_cap) <= 4 * 5
