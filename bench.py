@@ -1640,7 +1640,9 @@ def _bench_body() -> dict:
             raise AssertionError(
                 f"warc ingest dropped records: {agg['n']} != {n_warc_records}"
             )
-        if agg["tasks"] < min(n_warc_files, 8):
+        # range-on-path spread: one archive per task (measured 32/32;
+        # the 3/4 floor only allows for range-sampler edge merges)
+        if agg["tasks"] < (n_warc_files * 3) // 4:
             raise AssertionError(
                 "warc ingest did not fan out per file: "
                 f"{agg['tasks']} tasks over {n_warc_files} archives"

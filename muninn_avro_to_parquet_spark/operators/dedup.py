@@ -1692,22 +1692,46 @@ def paragraph_dedup(
     paragraphs (the ``max_bucket`` discipline) if the corpus has
     pathological boilerplate.
 
-    Returns (id, text_kept, n_paragraphs, n_kept); whitespace-only
-    paragraphs are dropped before dedup (they are separator artifacts,
-    and keeping them would let empty strings win "first occurrence").
+    Returns (id, text_kept, n_paragraphs, n_kept) — one row per INPUT
+    row, always: a NULL/empty/all-blank document comes back as
+    ('', 0, 0), never silently vanishing from the corpus (r12 review —
+    the reassembly shape must preserve cardinality for downstream
+    joins). Whitespace-only paragraphs never compete in dedup (they are
+    separator artifacts, and letting one win "first occurrence" would
+    delete a real blank line's twin elsewhere).
     """
+    import re
+
     from pyspark.sql import Window
 
+    # F.split takes a REGEX; the reassembly join is literal — quote the
+    # separator so sep="|" or "." splits literally (r12 review)
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
-    ).filter(F.trim(F.col("para")) != "")
+        F.posexplode_outer(
+            F.split(F.col(text_col), F.lit(re.escape(sep)))
+        ).alias("pos", "para"),
+    ).withColumn(
+        "_blank",
+        F.col("para").isNull() | F.col("para").rlike(r"^\s*$"),
+    )
     w = Window.partitionBy("para").orderBy(
         F.col(id_col).asc(), F.col("pos").asc()
     )
-    flagged = paras.withColumn("_keep", F.row_number().over(w) == 1)
+    # only REAL paragraphs ride the dedup window: blanks are identical
+    # corpus-wide, so sending them through a window partitioned by the
+    # paragraph text would pile every blank in the corpus into one task
+    flagged = (
+        paras.filter(~F.col("_blank"))
+        .withColumn("_keep", F.row_number().over(w) == 1)
+        .unionByName(
+            paras.filter(F.col("_blank")).withColumn("_keep", F.lit(False))
+        )
+    )
     return flagged.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_paragraphs"),
+        F.sum(F.when(~F.col("_blank"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_paragraphs"),
         F.sum(F.when(F.col("_keep"), 1).otherwise(0))
         .cast("long")
         .alias("n_kept"),

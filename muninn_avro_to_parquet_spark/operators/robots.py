@@ -159,9 +159,13 @@ def apply_robots(
 
         winner = winner.localCheckpoint(eager=True)
         # ~48 B/row (id + boolean + HashedRelation overhead), same
-        # deliberately-fat accounting as the CC label gate
+        # deliberately-fat accounting as the CC label gate. ZERO matched
+        # rows must also broadcast (r12 review): an empty checkpointed
+        # relation has unknown stats, and without the hint the common
+        # no-rule-matches batch would sort-merge the whole corpus
+        # against 0 rows.
         threshold = _broadcast_threshold_bytes(df.sparkSession)
-        if 0 < (winner.count() * 48) < max(threshold, 0):
+        if (winner.count() * 48) < max(threshold, 0):
             winner = F.broadcast(winner)
     return (
         t.join(winner, id_col, "left")

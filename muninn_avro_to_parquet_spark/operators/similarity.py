@@ -1813,6 +1813,10 @@ def knn_graph(
     )
     if not mutual:
         return edges
+    # both sides of the mutuality semi-join read the SAME edge relation;
+    # without the scope cache the dominant per-list quadratic stage
+    # would execute twice (r12 review)
+    edges = cache_scoped(edges, "knn_edges")
     rev = edges.select(
         F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
     )

@@ -59,20 +59,29 @@ class WarcRecord:
     payload: bytes  # HTTP body for responses, raw block otherwise
 
 
+# real WARC/HTTP header sections are a few hundred bytes; 64 KiB is far
+# past any sane header block and bounds BOTH separator probes below
+_MAX_HEADER_BYTES = 64 * 1024
+
+
 def _header_sep(data: bytes, start: int = 0) -> tuple[int, int]:
     """Locate the end of an RFC-822-style header section starting at
     ``start``: absolute offset and length of the blank-line separator
-    (CRLFCRLF, or bare LFLF — they exist in the wild). The bare-LF probe
-    is BOUNDED to the window before a found CRLFCRLF (ADVICE r11): a
-    CRLF-terminated record whose large binary payload happens to contain
-    no 0x0A0A pair must not trigger an O(payload) scan per record."""
-    sep = data.find(b"\r\n\r\n", start)
+    (CRLFCRLF, or bare LFLF — they exist in the wild). BOTH probes are
+    bounded to a ``_MAX_HEADER_BYTES`` window (ADVICE r11 bounded the
+    bare-LF probe to the CRLF hit; r12 review found the CRLF probe
+    itself was still O(file) per record on bare-LF archives — no
+    CRLFCRLF exists anywhere in them, so every record paid a scan to
+    EOF, quadratic over the archive). A header section with no blank
+    line inside the window is malformed and reports not-found."""
+    limit = start + _MAX_HEADER_BYTES
+    sep = data.find(b"\r\n\r\n", start, limit)
     if sep != -1:
         lf_only = data.find(b"\n\n", start, sep + 4)
         if 0 <= lf_only < sep:
             return lf_only, 2
         return sep, 4
-    return data.find(b"\n\n", start), 2
+    return data.find(b"\n\n", start, limit), 2
 
 
 def _parse_headers(block: bytes) -> tuple[dict[str, str], bytes]:
@@ -205,11 +214,13 @@ def read_warc(
     ``maxPartitionBytes`` partitions — at crawl shape (CPU-heavy
     decompress+parse per file, ~100 MiB gzipped archives) packing a
     dozen archives into one task serializes them, so the file relation
-    is hash-repartitioned on path to ``defaultParallelism × 2`` first.
-    The exchange moves each archive's compressed bytes exactly once and
-    buys one-task-per-file parse parallelism (measured in the
-    ``warc_ingest_bigcrawl`` bench leg). Pass ``False`` for
-    archive-per-partition inputs that are already well spread.
+    is RANGE-repartitioned on path to ``defaultParallelism × 2`` first:
+    distinct paths land in contiguous ranges, one archive per task
+    (measured 32/32 — hash-on-path birthday-collides to ~25/32 and
+    round-robin's per-input-partition sequences overlap to ~23/32). The
+    exchange moves each archive's compressed bytes exactly once. Pass
+    ``False`` for archive-per-partition inputs that are already well
+    spread.
 
     SIZE CEILING: one row per file means one archive must fit a single
     ``binaryFile`` row — hard cap 2 GiB (Spark's byte-array row limit),
@@ -220,7 +231,7 @@ def read_warc(
 
     raw = formats.read_binary_dir(spark, path, glob_filter=glob_filter)
     if spread_files:
-        raw = raw.repartition(
+        raw = raw.repartitionByRange(
             spark.sparkContext.defaultParallelism * 2, F.col("path")
         )
     files = raw.select(

@@ -1488,3 +1488,25 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     # doc 3: "delta" lost to doc 2, "alpha beta" to doc 1
     assert rows[3]["text_kept"] == "epsilon"
     assert (rows[3]["n_paragraphs"], rows[3]["n_kept"]) == (3, 1)
+
+
+def test_paragraph_dedup_preserves_cardinality_and_literal_sep(spark):
+    """r12 review fixes: NULL/empty/blank docs come back as ('', 0, 0)
+    rows instead of vanishing; the separator is literal (sep='|' must
+    not be treated as regex alternation)."""
+    df = spark.createDataFrame(
+        [(1, "alpha|beta"), (2, None), (3, ""), (4, " \t "), (5, "beta|alpha")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(df, "doc_id", "text", sep="|").collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1]["text_kept"] == "alpha|beta"
+    assert (rows[1]["n_paragraphs"], rows[1]["n_kept"]) == (2, 2)
+    for d in (2, 3, 4):
+        assert rows[d]["text_kept"] == ""
+        assert (rows[d]["n_paragraphs"], rows[d]["n_kept"]) == (0, 0)
+    # doc 5 lost both paragraphs to doc 1's occurrences
+    assert (rows[5]["n_paragraphs"], rows[5]["n_kept"]) == (2, 0)

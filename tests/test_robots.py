@@ -102,6 +102,24 @@ def test_apply_robots_plan_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_apply_robots_zero_matches_still_broadcasts(spark):
+    """The common no-rule-matches batch (r12 review): an EMPTY winner
+    relation trivially fits any broadcast budget, and without the hint
+    its unknown checkpoint stats would sort-merge the whole corpus
+    against 0 rows. Every URL must come back allowed, via broadcast."""
+    rules = robots.rules_df(
+        spark, [("other.example", "User-agent: *\nDisallow: /p/\n")]
+    )
+    df = spark.createDataFrame(
+        [(1, "http://h.example/p/x"), (2, "http://h.example/q")],
+        "doc_id long, url string",
+    )
+    out = robots.apply_robots(df, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert all(r["is_allowed"] for r in out.collect())
+
+
 def test_apply_robots_gate_off_matches_gated(spark):
     """gate_broadcast=False (fully lazy plan) must return the same
     verdicts as the gated default — the gate is a join-strategy hint,

@@ -97,11 +97,15 @@ def test_read_warc_dataframe_fanout(spark, tmp_path):
     assert rows[("a.warc.gz", 3)]["http_status"] == 404
     assert rows[("a.warc.gz", 0)]["http_status"] is None
     assert bytes(rows[("b.warc", 1)]["payload"]).startswith(b"<html>")
-    # default: ONE deliberate exchange — the file-spread repartition that
-    # un-packs binaryFile's small-file partition packing (r11 verdict #6);
-    # it moves each archive's compressed bytes exactly once
+    # default: ONE deliberate exchange — the range-on-path file-spread
+    # that un-packs binaryFile's small-file partition packing (r11
+    # verdict #6; range not hash, which birthday-collides archives into
+    # shared tasks); it moves each archive's compressed bytes exactly
+    # once
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning(path") == plan.count("Exchange")
+    assert plan.count("Exchange rangepartitioning(path") == plan.count(
+        "Exchange"
+    )
     # spread_files=False: narrow fan-out, zero shuffle
     plan_ns = (
         read_warc(spark, str(d), spread_files=False)
