@@ -106,6 +106,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "text_paragraph_dedup",
     "crawl_anchor_text",
     "embedding_knn_graph",
+    "graph_label_propagation",
 )
 _CHANGED_ROUND = 12
 

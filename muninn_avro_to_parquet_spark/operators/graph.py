@@ -226,3 +226,108 @@ def pagerank(
     out = ranks.select("node", "rank_fp").localCheckpoint(eager=True)
     esized.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, label) after ``iterations`` SYNCHRONOUS deterministic
+    label-propagation rounds over the UNDIRECTED view of the edge
+    relation — the community-detection primitive (Raghavan et al. 2007)
+    link analytics use where connected components are too coarse: CC
+    merges anything reachable, LPA needs a neighbor MAJORITY, so a
+    single bridge edge does not fuse two dense communities.
+
+    Determinism discipline (the pagerank/BPE contract): labels start as
+    the node id; each round every node adopts the (count DESC, label
+    ASC)-first label among its NEIGHBORS' labels (a node with no
+    neighbors keeps its own). Integer counts + total-order tie-break →
+    bit-identical on any engine, and a fixed iteration count unrolls
+    into plain SQL for the DuckDB oracle. Synchronous barrier updates
+    (not the paper's randomized asynchronous sweep): determinism is
+    worth the known oscillation risk on bipartite structures, and the
+    tie-break makes low labels win ties — bridges can bleed a label
+    across when counts tie, which the majority inside any community
+    ≥3-dense immediately reverts.
+
+    Spark shape: the undirected edge relation caches hash-partitioned
+    on the source side once; each round is one contribution join riding
+    that partitioning (labels broadcast under the exact-count budget
+    gate — the pagerank regime discipline), ONE (node, label) count
+    shuffle, the argmax window riding that same partitioning, and a
+    lazy localCheckpoint so the label relation (referenced by the next
+    join AND the keep-own-label merge) computes once per round."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from pyspark.sql import Window
+
+    from muninn_avro_to_parquet_spark.operators.dedup import (
+        _broadcast_threshold_bytes,
+    )
+
+    spark = edges.sparkSession
+    d = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = d.union(
+        d.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    cores = spark.sparkContext.defaultParallelism
+    ecached = e.cache()
+    n_edges = ecached.count()
+    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
+    esized = ecached.repartition(n_part, "a").cache()
+    esized.count()
+    ecached.unpersist()
+    labels = (
+        esized.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .coalesce(n_part)
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = labels.count()
+    bc = 0 < (n_nodes * 64) < max(_broadcast_threshold_bytes(spark), 0)
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bc else df
+
+    if stats is not None:
+        import time as _time
+
+        stats["regime"] = "broadcast" if bc else "shuffle"
+        stats["n_edges"] = n_edges
+        stats["n_part"] = n_part
+        stats["n_nodes"] = n_nodes
+        stats["iter_walls"] = []
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("nb_label").asc()
+    )
+    for _ in range(iterations):
+        if stats is not None:
+            _t0 = _time.perf_counter()
+        counts = (
+            esized.join(_maybe_bc(labels), esized["a"] == labels["node"])
+            .select(F.col("b").alias("node"), F.col("label").alias("nb_label"))
+            .groupBy("node", "nb_label")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("node", F.col("nb_label").alias("_new"))
+        )
+        labels = (
+            labels.join(_maybe_bc(winner), "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_new"), F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+        if stats is not None:
+            labels.count()
+            stats["iter_walls"].append(round(_time.perf_counter() - _t0, 4))
+    return labels

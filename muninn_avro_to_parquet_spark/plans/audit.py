@@ -373,6 +373,16 @@ HEADLINERS: list[tuple[str, str]] = [
         "textually twice.",
     ),
     (
+        "graph_label_propagation",
+        "Synchronous LPA (r12): undirected edge relation cached "
+        "hash-partitioned on the source side once; per round ONE "
+        "(node,label) count shuffle with map-side partials, the argmax "
+        "window riding that same partitioning, labels broadcast under "
+        "the exact-count budget gate, and a lazy localCheckpoint so "
+        "each round's label relation computes once — the pagerank loop "
+        "shape with a mode instead of a sum.",
+    ),
+    (
         "crawl_anchor_text",
         "Anchor-text aggregation (r12): HTML render + parse is one "
         "Arrow-batched narrow map over a 1-row broadcast count join; "

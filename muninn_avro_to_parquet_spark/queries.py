@@ -9426,3 +9426,55 @@ def embedding_knn_graph(spark):
     return similarity.knn_graph(
         spark.table("embeddings"), k=3, num_centroids=16
     )
+
+
+@q(
+    "graph_label_propagation",
+    f"""
+    WITH p AS (SELECT COUNT(*) AS n FROM documents),
+    de AS ({_CRAWL_EDGES_SQL}),
+    e AS (SELECT src AS a, dst AS b FROM de UNION SELECT dst, src FROM de),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+    c1 AS (SELECT e.b AS node, l.label AS nb, COUNT(*) AS c
+           FROM e JOIN l0 l ON e.a = l.node GROUP BY 1, 2),
+    w1 AS (SELECT node, nb, ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY c DESC, nb ASC) AS r FROM c1),
+    l1 AS (SELECT l0.node, COALESCE(w.nb, l0.label) AS label FROM l0
+           LEFT JOIN (SELECT node, nb FROM w1 WHERE r = 1) w USING (node)),
+    c2 AS (SELECT e.b AS node, l.label AS nb, COUNT(*) AS c
+           FROM e JOIN l1 l ON e.a = l.node GROUP BY 1, 2),
+    w2 AS (SELECT node, nb, ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY c DESC, nb ASC) AS r FROM c2),
+    l2 AS (SELECT l1.node, COALESCE(w.nb, l1.label) AS label FROM l1
+           LEFT JOIN (SELECT node, nb FROM w2 WHERE r = 1) w USING (node)),
+    c3 AS (SELECT e.b AS node, l.label AS nb, COUNT(*) AS c
+           FROM e JOIN l2 l ON e.a = l.node GROUP BY 1, 2),
+    w3 AS (SELECT node, nb, ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY c DESC, nb ASC) AS r FROM c3),
+    l3 AS (SELECT l2.node, COALESCE(w.nb, l2.label) AS label FROM l2
+           LEFT JOIN (SELECT node, nb FROM w3 WHERE r = 1) w USING (node))
+    SELECT node, label FROM l3
+    """,
+)
+def graph_label_propagation(spark):
+    """Synchronous deterministic label propagation (r12, Raghavan et
+    al. 2007) over the same synthesized doc link graph as
+    crawl_rank_pipeline: 3 barrier rounds of adopt-the-(count DESC,
+    label ASC)-neighbor-label — the community-detection signal where
+    connected components are too coarse (a bridge edge does not fuse
+    two dense communities; CC would). The oracle unrolls all three
+    rounds in plain SQL (the pagerank/BPE pattern); integer counts and
+    the total-order tie-break make the result bit-identical."""
+    from muninn_avro_to_parquet_spark.operators import graph
+
+    docs = spark.table("documents")
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((7, 1), (13, 5), (31, 17)):
+        leg = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = leg if edges is None else edges.unionByName(leg)
+    return graph.label_propagation(edges, iterations=3)

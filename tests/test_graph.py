@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from muninn_avro_to_parquet_spark.operators import graph
 from muninn_avro_to_parquet_spark.operators.graph import pagerank
 
 
@@ -197,3 +198,69 @@ def test_cc_regime_gate_is_honest(spark):
     assert s_sh["regime"] == "shuffle"
     assert s_bc["regime"] == "broadcast"
     assert got_sh == got_bc == want
+
+
+def _py_lpa(edge_list, iterations):
+    """Reference synchronous LPA: neighbors' (count desc, label asc)
+    winner, keep own label when no neighbors."""
+    nbrs: dict = {}
+    for a, b in edge_list:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(iterations):
+        new = {}
+        for n in labels:
+            counts: dict = {}
+            for m in nbrs[n]:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = (
+                min(counts, key=lambda l: (-counts[l], l)) if counts else labels[n]
+            )
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    """Two triangles joined by one bridge, plus a pendant: synchronous
+    LPA must be bit-identical to the python reference at every
+    iteration count — and the bridge must NOT fuse the dense triangles
+    the way connected_components would."""
+    edge_list = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (7, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    for it in (1, 2, 3, 4):
+        got = {
+            (r["node"], r["label"])
+            for r in graph.label_propagation(edges, iterations=it).collect()
+        }
+        assert got == set(_py_lpa(edge_list, it).items()), f"iterations={it}"
+    final = dict(_py_lpa(edge_list, 4))
+    assert len({final[n] for n in (1, 2, 3)} | {final[n] for n in (4, 5, 6)}) > 1
+
+
+def test_label_propagation_regime_gate_is_honest(spark):
+    """Same planted-threshold honesty check as pagerank/CC: under a -1
+    broadcast threshold the stats must say shuffle, and both regimes
+    must agree bit-for-bit."""
+    edge_list = [(i, (i * 7 + 1) % 40) for i in range(40)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        s_sh: dict = {}
+        got_sh = {
+            (r["node"], r["label"])
+            for r in graph.label_propagation(edges, stats=s_sh).collect()
+        }
+        spark.conf.set(key, "10MB")
+        s_bc: dict = {}
+        got_bc = {
+            (r["node"], r["label"])
+            for r in graph.label_propagation(edges, stats=s_bc).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert s_sh["regime"] == "shuffle"
+    assert s_bc["regime"] == "broadcast"
+    assert got_sh == got_bc == set(_py_lpa(edge_list, 3).items())
