@@ -107,6 +107,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "crawl_anchor_text",
     "embedding_knn_graph",
     "graph_label_propagation",
+    "sample_priority_weighted",
 )
 _CHANGED_ROUND = 12
 

@@ -729,3 +729,69 @@ def training_order(
         rank_col="step",
     )
     return ordered.select("step", "source", F.col(id_col))
+
+
+def sample_priority(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    salt: str = "pri-v1",
+) -> DataFrame:
+    """Exactly-N weighted sampling WITHOUT replacement — sequential
+    Poisson / priority sampling (Ohlsson 1998; Duffield et al. 2007):
+    every row draws a deterministic 60-bit uniform ``U`` from
+    md5(salt:id) and keeps the ``n`` SMALLEST priorities ``U div w``,
+    which includes rows with probability ≈ proportional to their
+    integer weight. This is the "give me exactly 10k docs, weighted by
+    quality" request that ``sample_weighted`` (independent Bernoulli —
+    random output size) and ``sample_exact_n`` (unweighted) cannot
+    serve.
+
+    Determinism discipline: the priority is one integer floor division
+    (no transcendental key like the textbook ``-ln(u)/w`` — libm ``ln``
+    is not bit-portable across engines), ties break by (U, id), so the
+    draw is reproducible under repartitioning, retries, and engine
+    changes, and the DuckDB oracle replays it exactly. The 60-bit
+    numerator keeps U·1/w resolution ~1e12 even at w=1e6, and integer
+    weights must be POSITIVE (validated eagerly — a zero weight would
+    NULL the division here and error in the oracle).
+
+    Plan shape: global form is orderBy+limit — TakeOrderedAndProject
+    (per-partition heap, n rows to the driver's stage, never a full
+    sort); stratified form is one row_number window per stratum key.
+    """
+    wcol = F.col(weight_col).cast("long")
+    bad = df.agg(
+        F.min(F.coalesce(wcol, F.lit(0))).alias("m"), F.count("*").alias("c")
+    ).first()
+    if bad["c"] and bad["m"] is not None and bad["m"] <= 0:
+        raise ValueError(
+            f"sample_priority weight_col={weight_col!r} must be a positive"
+            f" integer on every row; found min(w)={bad['m']}"
+            " (NULLs count as 0)"
+        )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("_u", u).withColumn(
+        "_priority", F.expr(f"_u div cast({weight_col} as long)")
+    )
+    order = [F.col("_priority").asc(), F.col("_u").asc(), F.col(id_col).asc()]
+    if stratum_col is None:
+        return out.orderBy(*order).limit(n).drop("_u")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        out.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n)
+        .drop("_rank", "_u")
+    )

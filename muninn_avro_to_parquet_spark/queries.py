@@ -9478,3 +9478,34 @@ def graph_label_propagation(spark):
         )
         edges = leg if edges is None else edges.unionByName(leg)
     return graph.label_propagation(edges, iterations=3)
+
+
+@q(
+    "sample_priority_weighted",
+    """
+    WITH k AS (
+      SELECT doc_id, (doc_id % 7) + 1 AS weight,
+             CAST('0x' || substr(md5('pri-v1:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS u
+      FROM documents
+    )
+    SELECT doc_id, weight, u // weight AS priority
+    FROM k ORDER BY priority, u, doc_id LIMIT 100
+    """,
+)
+def sample_priority_weighted(spark):
+    """Exactly-100 weighted sample without replacement (r12): sequential
+    Poisson / priority sampling over the documents table with weight
+    (doc_id % 7) + 1 — inclusion ≈ proportional to weight, output size
+    exact, no replacement. The priority key is one integer floor
+    division of a 60-bit md5 uniform (no transcendental ``-ln(u)/w`` —
+    libm isn't bit-portable), so the oracle replays the draw exactly
+    and the plan is TakeOrderedAndProject, never a full sort."""
+    from muninn_avro_to_parquet_spark.operators import pipeline
+
+    docs = spark.table("documents").select(
+        "doc_id", ((F.col("doc_id") % 7) + 1).alias("weight")
+    )
+    return pipeline.sample_priority(docs, n=100, weight_col="weight").select(
+        "doc_id", "weight", F.col("_priority").alias("priority")
+    )

@@ -762,3 +762,52 @@ def test_connected_components_with_suffixed_threshold(spark):
             assert comp == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     finally:
         spark.conf.set(key, prev)
+
+
+def test_sample_priority_exact_n_weighted_and_deterministic(spark):
+    """Priority sampling: exact output size, reproducible draw, weight
+    monotonicity in expectation (heavier rows selected more often
+    across disjoint salts), TakeOrderedAndProject plan (never a global
+    sort), stratified form exact per stratum, loud failure on
+    non-positive weights."""
+    import pytest as _pytest
+
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, 9).otherwise(1).alias("w"),
+        (F.col("id") % 2).alias("s"),
+    )
+    out = pl.sample_priority(df, n=50, weight_col="w")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert rows == pl.sample_priority(df, n=50, weight_col="w").collect()
+    # heavy rows (w=9, half the corpus) should dominate the sample in
+    # aggregate across several independent draws
+    heavy = 0
+    for salt in ("a", "b", "c"):
+        heavy += (
+            pl.sample_priority(df, n=50, weight_col="w", salt=salt)
+            .filter(F.col("doc_id") < 200)
+            .count()
+        )
+    assert heavy > 110, heavy  # E[heavy] ≈ 3 * 50 * 0.9
+    plan = (
+        pl.sample_priority(df, n=50, weight_col="w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    per = (
+        pl.sample_priority(df, n=10, weight_col="w", stratum_col="s")
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert {r["count"] for r in per} == {10}
+    with _pytest.raises(ValueError, match="positive"):
+        pl.sample_priority(
+            df.withColumn("w", F.col("w") - 9), n=5, weight_col="w"
+        )
