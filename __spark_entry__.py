@@ -108,6 +108,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "embedding_knn_graph",
     "graph_label_propagation",
     "sample_priority_weighted",
+    "graph_hits",
 )
 _CHANGED_ROUND = 12
 

@@ -331,3 +331,117 @@ def label_propagation(
             labels.count()
             stats["iter_walls"].append(round(_time.perf_counter() - _t0, 4))
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = 10**9,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, hub_fp, auth_fp) after ``iterations`` integer fixed-point
+    HITS rounds (Kleinberg 1999) over the directed edge relation — the
+    hubs-and-authorities signal that complements PageRank for link
+    analysis: a good HUB points at good authorities (directories, link
+    lists), a good AUTHORITY is pointed at by good hubs (the documents
+    a crawl wants). PageRank conflates the two.
+
+    Determinism discipline (the pagerank contract): mutual
+    reinforcement with L1 normalization instead of the textbook L2 —
+    ``sqrt`` is not bit-portable, a sum is — so every round is
+
+        auth(v) = Σ hub(u) over in-edges,  then auth·scale div Σauth
+        hub(u)  = Σ auth(v) over out-edges, then hub·scale div Σhub
+
+    all in integers (products through DECIMAL(38,0), floor division —
+    the weighted-pagerank pattern), so results are bit-identical on any
+    engine and a fixed iteration count unrolls into plain SQL for the
+    oracle. Scores are parts-per-``scale``; nodes with no in-edges have
+    auth 0, no out-edges hub 0.
+
+    Spark shape: the edge relation caches hash-partitioned on ``src``
+    once; each half-round is one join riding that partitioning (the
+    node-sized score relation broadcasts under the exact-count budget
+    gate) + one groupBy shuffle + a 1-row L1 aggregate broadcast into
+    the normalize (never a driver collect); each round ends in a lazy
+    localCheckpoint (the score relation feeds two consumers)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    from muninn_avro_to_parquet_spark.operators.dedup import (
+        _broadcast_threshold_bytes,
+    )
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    cores = spark.sparkContext.defaultParallelism
+    ecached = e.cache()
+    n_edges = ecached.count()
+    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
+    esized = ecached.repartition(n_part, "src").cache()
+    esized.count()
+    ecached.unpersist()
+    nodes = (
+        esized.select(F.col("src").alias("node"))
+        .union(esized.select(F.col("dst").alias("node")))
+        .distinct()
+        .coalesce(n_part)
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    bc = 0 < (n_nodes * 64) < max(_broadcast_threshold_bytes(spark), 0)
+
+    def _maybe_bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bc else df
+
+    if stats is not None:
+        import time as _time
+
+        stats["regime"] = "broadcast" if bc else "shuffle"
+        stats["n_edges"] = n_edges
+        stats["n_part"] = n_part
+        stats["n_nodes"] = n_nodes
+        stats["iter_walls"] = []
+
+    def _l1_normalize(scored: DataFrame, col: str) -> DataFrame:
+        total = scored.agg(
+            F.coalesce(F.sum(col), F.lit(0)).cast("decimal(38,0)").alias("_s")
+        )
+        return scored.crossJoin(_maybe_bc(total)).select(
+            "node",
+            F.expr(
+                f"cast((cast({col} as decimal(38,0)) * {scale}) div _s as long)"
+            ).alias(col),
+        )
+
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("hub_fp"))
+    auths = None
+    for _ in range(iterations):
+        if stats is not None:
+            _t0 = _time.perf_counter()
+        araw = (
+            esized.join(_maybe_bc(hubs), esized["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_fp").alias("auth_fp"))
+        )
+        auths = _l1_normalize(araw, "auth_fp").localCheckpoint(eager=False)
+        hraw = (
+            esized.join(_maybe_bc(auths), esized["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_fp").alias("hub_fp"))
+        )
+        hubs = _l1_normalize(hraw, "hub_fp").localCheckpoint(eager=False)
+        if stats is not None:
+            hubs.count()
+            stats["iter_walls"].append(round(_time.perf_counter() - _t0, 4))
+    out = (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_fp", F.lit(0)).alias("hub_fp"),
+            F.coalesce("auth_fp", F.lit(0)).alias("auth_fp"),
+        )
+    )
+    return out

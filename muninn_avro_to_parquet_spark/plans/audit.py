@@ -373,6 +373,14 @@ HEADLINERS: list[tuple[str, str]] = [
         "textually twice.",
     ),
     (
+        "graph_hits",
+        "Integer HITS (r12): edge cache partitioned once on src; each "
+        "half-round is one join (score relation broadcast under the "
+        "exact-count budget gate) + one map-side-combined groupBy + a "
+        "1-row L1 total broadcast into the normalize — never a driver "
+        "collect; lazy checkpoints cut the two-consumer lineage.",
+    ),
+    (
         "graph_label_propagation",
         "Synchronous LPA (r12): undirected edge relation cached "
         "hash-partitioned on the source side once; per round ONE "

@@ -9509,3 +9509,60 @@ def sample_priority_weighted(spark):
     return pipeline.sample_priority(docs, n=100, weight_col="weight").select(
         "doc_id", "weight", F.col("_priority").alias("priority")
     )
+
+
+@q(
+    "graph_hits",
+    f"""
+    WITH p AS (SELECT COUNT(*) AS n FROM documents),
+    e AS ({_CRAWL_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    a1r AS (SELECT e.dst AS node, CAST(COUNT(*) AS HUGEINT) * 1000000000 AS a
+            FROM e GROUP BY 1),
+    a1s AS (SELECT SUM(a) AS s FROM a1r),
+    a1 AS (SELECT node, CAST((CAST(a AS HUGEINT) * 1000000000) // s AS BIGINT)
+             AS a FROM a1r, a1s),
+    h1r AS (SELECT e.src AS node, SUM(a1.a) AS h
+            FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+    h1s AS (SELECT SUM(h) AS s FROM h1r),
+    h1 AS (SELECT node, CAST((CAST(h AS HUGEINT) * 1000000000) // s AS BIGINT)
+             AS h FROM h1r, h1s),
+    a2r AS (SELECT e.dst AS node, SUM(h1.h) AS a
+            FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+    a2s AS (SELECT SUM(a) AS s FROM a2r),
+    a2 AS (SELECT node, CAST((CAST(a AS HUGEINT) * 1000000000) // s AS BIGINT)
+             AS a FROM a2r, a2s),
+    h2r AS (SELECT e.src AS node, SUM(a2.a) AS h
+            FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+    h2s AS (SELECT SUM(h) AS s FROM h2r),
+    h2 AS (SELECT node, CAST((CAST(h AS HUGEINT) * 1000000000) // s AS BIGINT)
+             AS h FROM h2r, h2s)
+    SELECT n.node,
+           COALESCE(h2.h, 0) AS hub_fp,
+           COALESCE(a2.a, 0) AS auth_fp
+    FROM nodes n LEFT JOIN h2 ON n.node = h2.node
+                 LEFT JOIN a2 ON n.node = a2.node
+    """,
+)
+def graph_hits(spark):
+    """Integer fixed-point HITS (r12, Kleinberg 1999) over the same
+    synthesized doc link graph as crawl_rank_pipeline: two mutual-
+    reinforcement rounds with L1 normalization (sqrt is not
+    bit-portable; a sum is), every product through DECIMAL(38,0) /
+    HUGEINT with floor division — the oracle unrolls both rounds and
+    every score matches bit-for-bit. Hubs (pages that point at good
+    authorities) and authorities (pages good hubs point at) are the
+    link signals PageRank conflates."""
+    from muninn_avro_to_parquet_spark.operators import graph
+
+    docs = spark.table("documents")
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((7, 1), (13, 5), (31, 17)):
+        leg = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = leg if edges is None else edges.unionByName(leg)
+    return graph.hits(edges, iterations=2)

@@ -264,3 +264,78 @@ def test_label_propagation_regime_gate_is_honest(spark):
     assert s_sh["regime"] == "shuffle"
     assert s_bc["regime"] == "broadcast"
     assert got_sh == got_bc == set(_py_lpa(edge_list, 3).items())
+
+
+def _py_hits(edge_list, iterations, scale=10**9):
+    """Reference integer fixed-point HITS with L1 normalization."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(iterations):
+        raw_a = {}
+        for u, v in edges:
+            raw_a[v] = raw_a.get(v, 0) + hub[u]
+        s = sum(raw_a.values())
+        auth = {v: (a * scale) // s for v, a in raw_a.items()}
+        raw_h = {}
+        for u, v in edges:
+            if v in auth:
+                raw_h[u] = raw_h.get(u, 0) + auth[v]
+        s = sum(raw_h.values())
+        hub = {u: (h * scale) // s for u, h in raw_h.items()}
+    return {
+        n: (hub.get(n, 0), auth.get(n, 0)) for n in nodes
+    }
+
+
+def test_hits_matches_reference(spark):
+    """Hub/authority separation on a directory-shaped graph: two hub
+    pages pointing at three shared authorities plus a chain — integer
+    HITS must match the python reference exactly at several depths,
+    and the pure hub must carry zero authority (nothing points at it)."""
+    edge_list = [
+        (100, 1), (100, 2), (100, 3),
+        (200, 1), (200, 2), (200, 3),
+        (1, 2), (3, 300),
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    for it in (1, 2, 3):
+        got = {
+            (r["node"], r["hub_fp"], r["auth_fp"])
+            for r in graph.hits(edges, iterations=it).collect()
+        }
+        want = {
+            (n, h, a) for n, (h, a) in _py_hits(edge_list, it).items()
+        }
+        assert got == want, f"iterations={it}"
+    final = _py_hits(edge_list, 2)
+    assert final[100][1] == 0  # pure hub: no in-edges, zero authority
+    assert final[100][0] > final[1][0]  # directory out-hubs the chain
+    assert final[1][1] > final[300][1]  # shared authority beats the tail
+
+
+def test_hits_regime_gate_is_honest(spark):
+    edge_list = [(i, (i * 3 + 1) % 30) for i in range(30)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        s_sh: dict = {}
+        got_sh = {
+            tuple(r) for r in graph.hits(edges, stats=s_sh).collect()
+        }
+        spark.conf.set(key, "10MB")
+        s_bc: dict = {}
+        got_bc = {
+            tuple(r) for r in graph.hits(edges, stats=s_bc).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert s_sh["regime"] == "shuffle"
+    assert s_bc["regime"] == "broadcast"
+    want = {
+        (n, h, a) for n, (h, a) in _py_hits(edge_list, 2).items()
+    }
+    assert got_sh == got_bc == want
