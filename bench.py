@@ -1192,6 +1192,17 @@ def _bench_body() -> dict:
         ).count()
         pqx_wall = time.perf_counter() - t0
         timings["pq_rerank_exact_bigvectors"] = round(pqx_wall, 4)
+        # r12 corpus-wide kNN graph at the same scale: EVERY row gets
+        # its 3 nearest within its IVF list — the all-rows shape, whose
+        # cost is the per-list self-join Σ|list|² (~20M scored pairs at
+        # 100k vectors / 512 lists), not the 5-query probe the legs
+        # above measure. Edges/s is the consumable metric (3 per row).
+        t0 = time.perf_counter()
+        n_knn_edges = sim_mod.knn_graph(
+            vemb, k=3, num_centroids=512, max_list=2000
+        ).count()
+        knn_wall = time.perf_counter() - t0
+        timings["knn_bigvectors"] = round(knn_wall, 4)
         bigvec_stats = {
             "vectors": bigvec_n,
             "dim": dim,
@@ -1201,6 +1212,9 @@ def _bench_body() -> dict:
             "ivfpq_vectors_per_sec": round(bigvec_n / ivfpq_wall),
             "pq_rerank_exact_results": n_pqx,
             "pq_rerank_exact_vectors_per_sec": round(bigvec_n / pqx_wall),
+            "knn_edges": n_knn_edges,
+            "knn_lists": 512,
+            "knn_edges_per_sec": round(n_knn_edges / knn_wall),
         }
         vemb.unpersist()
     else:
@@ -1600,6 +1614,50 @@ def _bench_body() -> dict:
             "regime": pr_sh_stats["regime"],
             "iter_walls": pr_sh_stats["iter_walls"],
             "edges_per_sec": round(biggraph_edges * 3 / pr_sh_wall),
+        }
+        # r12 link-analysis siblings at the same scale, same cached edge
+        # relation: LPA (3 rounds, one count shuffle per round) and HITS
+        # (2 mutual-reinforcement rounds, two joins + two aggregates per
+        # round) — wall-clock evidence the new loops hold the pagerank
+        # shape at 500k edges, with per-iteration walls attributed.
+        lpa_stats: dict = {}
+        t0 = time.perf_counter()
+        n_lpa = graph_mod.label_propagation(
+            gedges, iterations=3, stats=lpa_stats
+        ).count()
+        lpa_wall = time.perf_counter() - t0
+        timings["lpa_biggraph"] = round(lpa_wall, 4)
+        biggraph_stats["lpa"] = {
+            "wall": round(lpa_wall, 4),
+            "nodes": n_lpa,
+            "regime": lpa_stats["regime"],
+            "iter_walls": lpa_stats["iter_walls"],
+            "edges_per_sec": round(biggraph_edges * 3 / lpa_wall),
+        }
+        hits_stats: dict = {}
+        t0 = time.perf_counter()
+        hres = graph_mod.hits(gedges, iterations=2, stats=hits_stats)
+        h_agg = hres.agg(
+            F.sum("hub_fp").alias("h"), F.sum("auth_fp").alias("a")
+        ).collect()[0]
+        hits_wall = time.perf_counter() - t0
+        timings["hits_biggraph"] = round(hits_wall, 4)
+        # L1 self-check: each normalized vector sums to scale minus
+        # truncation (< N parts lost to floor division)
+        hscale = 10**9
+        if not (hscale - n_lpa <= h_agg["h"] <= hscale):
+            raise AssertionError(
+                f"HITS hub mass {h_agg['h']} outside [{hscale - n_lpa}, {hscale}]"
+            )
+        if not (hscale - n_lpa <= h_agg["a"] <= hscale):
+            raise AssertionError(
+                f"HITS auth mass {h_agg['a']} outside [{hscale - n_lpa}, {hscale}]"
+            )
+        biggraph_stats["hits"] = {
+            "wall": round(hits_wall, 4),
+            "regime": hits_stats["regime"],
+            "iter_walls": hits_stats["iter_walls"],
+            "edges_per_sec": round(biggraph_edges * 2 / hits_wall),
         }
         gedges.unpersist()
     else:

@@ -63,5 +63,6 @@ def test_known_proof_entries_stay_out_of_the_headline():
         "linkage_bigrecords", "dedup_incremental_bigbatch",
         "html_bigcorpus", "warc_ingest_bigcrawl", "ann_exact_bigindex",
         "ann_ivfpq_build_bigindex", "ann_ivfpq_sweep_bigindex",
+        "lpa_biggraph", "hits_biggraph", "knn_bigvectors",
     ):
         assert bench.is_proof_entry(name), name
