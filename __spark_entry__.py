@@ -109,6 +109,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_label_propagation",
     "sample_priority_weighted",
     "graph_hits",
+    "ann_ivfpq_append_search",
 )
 _CHANGED_ROUND = 12
 

@@ -866,10 +866,34 @@ def random_projection(
     return df.select(F.col(id_col), F.expr(f"{dots_sql} as proj"))
 
 
+def int8_calibration(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 1-row per-dimension (min, max) calibration relation
+    ``quantize_int8`` scales by — split out so an incremental index can
+    STORE it at build time and encode appended vectors against the
+    frozen scale (``ivfpq_append``)."""
+    el = corpus.select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    ).select(id_col, "pos", F.col("v").cast("double").alias("v"))
+    stats = el.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    return stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("_s")
+    ).select(
+        F.expr("transform(_s, s -> s.mn)").alias("_mns"),
+        F.expr("transform(_s, s -> s.mx)").alias("_mxs"),
+    )
+
+
 def quantize_int8(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    calibration: DataFrame | None = None,
 ) -> DataFrame:
     """Per-dimension min/max int8 scalar quantization — the standard
     4× shrink for embedding shuffles and vector-index storage (each
@@ -894,18 +918,16 @@ def quantize_int8(
 
     Returns (id, q int8-coded array<int>, n_dims) — callers feeding the
     LSH/IVF paths can carry ``q`` instead of the float vector.
+
+    ``calibration``: pass a stored ``int8_calibration`` relation to
+    encode NEW rows against a FROZEN scale (the incremental-index
+    contract: recalibrating on append would silently re-mean every
+    stored code). Default derives the calibration from ``corpus``.
     """
-    el = corpus.select(
-        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
-    ).select(id_col, "pos", F.col("v").cast("double").alias("v"))
-    stats = el.groupBy("pos").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
-    )
-    calib = stats.agg(
-        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("_s")
-    ).select(
-        F.expr("transform(_s, s -> s.mn)").alias("_mns"),
-        F.expr("transform(_s, s -> s.mx)").alias("_mxs"),
+    calib = (
+        calibration
+        if calibration is not None
+        else int8_calibration(corpus, id_col, vec_col)
     )
     quant = (
         f"transform({vec_col}, (v, i) -> CASE WHEN _mxs[i] > _mns[i] THEN "
@@ -1506,6 +1528,10 @@ class IvfPqIndex:
     k: int
     id_col: str
     vec_col: str
+    # the stored int8 calibration (1 row of per-dim min/max): appended
+    # vectors MUST encode against this frozen scale — recalibrating
+    # would silently re-mean every stored code (see ivfpq_append)
+    calib: DataFrame | None = None
 
 
 def ivfpq_index(
@@ -1543,7 +1569,13 @@ def ivfpq_index(
         ).select(id_col, "centroid_id"),
         "ivfpq_lists",
     )
-    codes = cache_scoped(quantize_int8(corpus, id_col, vec_col), "ivfpq_codes")
+    calib = cache_scoped(
+        int8_calibration(corpus, id_col, vec_col), "ivfpq_calib"
+    )
+    codes = cache_scoped(
+        quantize_int8(corpus, id_col, vec_col, calibration=calib),
+        "ivfpq_codes",
+    )
     cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
     if refine_rounds:
         cb = pq_refine_codebook(
@@ -1553,7 +1585,58 @@ def ivfpq_index(
     enc = cache_scoped(
         pq_encode(codes, cb, m=m, id_col=id_col, engine=encoder), "ivfpq_enc"
     )
-    return IvfPqIndex(cents, lists, codes, cb, enc, m, k, id_col, vec_col)
+    return IvfPqIndex(
+        cents, lists, codes, cb, enc, m, k, id_col, vec_col, calib
+    )
+
+
+def ivfpq_append(
+    index: IvfPqIndex, new_rows: DataFrame, encoder: str = "catalyst"
+) -> IvfPqIndex:
+    """Append vectors to a built IVF-PQ index WITHOUT rebuilding — the
+    streaming-embedding-ingest shape (the incremental-dedup ledger
+    discipline applied to the vector index): the model stays FROZEN
+    (coarse centroids, PQ codebook, int8 calibration are the stored
+    ones) and only the appended rows pay work — one centroid
+    assignment, one quantize against the stored calibration, one PQ
+    encode. Existing lists/codes/enc rows are untouched (a frozen-model
+    append cannot re-mean stored codes), so the result is EXACTLY the
+    index ``ivfpq_index`` would build over the union if its model had
+    been derived from the base corpus — the property the
+    ``ann_ivfpq_append_search`` oracle replays end-to-end.
+
+    Recall caveat: appended vectors quantize-clamp to the base
+    calibration range and join the nearest EXISTING list — a drifted
+    embedding distribution degrades gracefully (clamped codes, fuller
+    lists) and is the signal to schedule a rebuild, exactly as in FAISS
+    ``add`` vs retrain."""
+    if index.calib is None:
+        raise ValueError(
+            "ivfpq_append needs an index built by ivfpq_index (stored "
+            "int8 calibration missing)"
+        )
+    id_col, vec_col = index.id_col, index.vec_col
+    new_lists = ivf_assign(
+        new_rows, index.centroids, id_col, vec_col, nprobe=1, engine=encoder
+    ).select(id_col, "centroid_id")
+    new_codes = quantize_int8(
+        new_rows, id_col, vec_col, calibration=index.calib
+    )
+    new_enc = pq_encode(
+        new_codes, index.codebook, m=index.m, id_col=id_col, engine=encoder
+    )
+    return IvfPqIndex(
+        index.centroids,
+        index.lists.unionByName(new_lists),
+        index.codes.unionByName(new_codes),
+        index.codebook,
+        index.enc.unionByName(new_enc),
+        index.m,
+        index.k,
+        id_col,
+        vec_col,
+        index.calib,
+    )
 
 
 def ivfpq_search(

@@ -373,6 +373,14 @@ HEADLINERS: list[tuple[str, str]] = [
         "textually twice.",
     ),
     (
+        "ann_ivfpq_append_search",
+        "Frozen-model index append (r12): only the delta pays work — "
+        "one broadcast centroid assignment, one quantize against the "
+        "STORED 1-row calibration, one Arrow/codegen PQ encode — then "
+        "unions into the cached index relations; stored rows are never "
+        "recomputed and the search plan is ivfpq_search's unchanged.",
+    ),
+    (
         "graph_hits",
         "Integer HITS (r12): edge cache partitioned once on src; each "
         "half-round is one join (score relation broadcast under the "

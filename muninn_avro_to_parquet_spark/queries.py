@@ -9566,3 +9566,143 @@ def graph_hits(spark):
         )
         edges = leg if edges is None else edges.unionByName(leg)
     return graph.hits(edges, iterations=2)
+
+
+# frozen-model IVF-PQ replay for the APPEND query: calibration, PQ
+# codebook seeds, and coarse centroids derive from the BASE corpus only
+# (vec_id % 5 <> 4); codes, lists, and the search run over ALL rows —
+# exactly what ivfpq_append produces without rebuilding.
+_IVFPQ_APPEND_ORACLE = """
+    WITH el AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM el
+           WHERE vec_id % 5 <> 4 GROUP BY pos),
+    qv AS (
+      SELECT vec_id, pos,
+             CASE WHEN mx > mn
+                  THEN CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128
+                  ELSE 0 END AS q
+      FROM el JOIN st USING (pos)
+    ),
+    dims AS (SELECT CAST(MAX(pos) AS INTEGER) AS d FROM qv),
+    picked AS (
+      SELECT vec_id AS cb_vec,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                                vec_id ASC) - 1 AS code_id
+      FROM embeddings WHERE vec_id % 5 <> 4
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    cb AS (
+      SELECT p.code_id, CAST((q.pos - 1) AS INTEGER) // (d // 8) AS sub,
+             q.pos, q.q AS cq
+      FROM picked p JOIN qv q ON q.vec_id = p.cb_vec CROSS JOIN dims
+    ),
+    dist AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             SUM(CAST(v.q - c.cq AS BIGINT) * (v.q - c.cq)) AS dist
+      FROM qv v JOIN cb c ON v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    enc AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist ASC, code_id ASC) AS r
+        FROM dist
+      ) WHERE r = 1
+    ),
+    fel AS (
+      SELECT vec_id,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    fnorms AS (SELECT vec_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+               FROM fel GROUP BY 1),
+    icents AS (
+      SELECT vec_id AS centroid_id FROM embeddings WHERE vec_id % 5 <> 4
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+    ),
+    icel AS (SELECT centroid_id, x, i
+             FROM fel JOIN icents ON fel.vec_id = icents.centroid_id),
+    icnorms AS (SELECT centroid_id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm
+                FROM icel GROUP BY 1),
+    iadots AS (
+      SELECT e.vec_id, c.centroid_id, CAST(SUM(e.x * c.x) AS DOUBLE) AS dot
+      FROM fel e JOIN icel c ON e.i = c.i GROUP BY 1, 2
+    ),
+    icsim AS (
+      SELECT a.vec_id, a.centroid_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY a.dot / (nv.nrm * nc.nrm) DESC, a.centroid_id ASC
+             ) AS r
+      FROM iadots a
+      JOIN fnorms nv ON a.vec_id = nv.vec_id
+      JOIN icnorms nc ON a.centroid_id = nc.centroid_id
+    ),
+    corpus_lists AS (SELECT vec_id, centroid_id FROM icsim WHERE r = 1),
+    q_lists AS (
+      SELECT vec_id AS query_id, centroid_id FROM icsim
+      WHERE vec_id < 5 AND r <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id
+      FROM q_lists q JOIN corpus_lists c USING (centroid_id)
+      WHERE c.vec_id <> q.query_id
+    ),
+    iadc AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.vec_id
+      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub
+                 AND d.code_id = e.code_id
+      GROUP BY 1, 2
+    ),
+    shortl AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY approx_sqdist ASC, vec_id ASC) AS r
+        FROM iadc
+      ) WHERE r <= 400
+    ),
+    rdots AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(a.x * b.x) AS DOUBLE) AS dot
+      FROM shortl c
+      JOIN fel a ON a.vec_id = c.query_id
+      JOIN fel b ON b.vec_id = c.vec_id AND b.i = a.i
+      GROUP BY 1, 2
+    ),
+    rscored AS (
+      SELECT d.query_id, d.vec_id, dot / (na.nrm * nb.nrm) AS cosine_sim
+      FROM rdots d
+      JOIN fnorms na ON d.query_id = na.vec_id
+      JOIN fnorms nb ON d.vec_id = nb.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM rscored
+    ) WHERE rank <= 10
+"""
+
+
+@q("ann_ivfpq_append_search", _IVFPQ_APPEND_ORACLE)
+def ann_ivfpq_append_search(spark):
+    """Incremental IVF-PQ index maintenance (r12): build on the base
+    80% of the embeddings table, ivfpq_append the remaining 20% with
+    the model FROZEN (stored centroids, codebook, int8 calibration —
+    the FAISS add-vs-retrain contract and the incremental-dedup ledger
+    discipline applied to the vector index), then run the default
+    reranked search over the union. The oracle replays the whole
+    frozen-model pipeline — calibration/seeds/centroids from base only,
+    codes and lists over all rows — so a drift anywhere in the append
+    path (a recalibration, a re-pick, a dropped row) flips the hash."""
+    emb = spark.table("embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    idx = similarity.ivfpq_index(base, n_centroids=16, m=8, k=16)
+    idx2 = similarity.ivfpq_append(idx, delta)
+    return similarity.ivfpq_search(idx2, emb, F.col("vec_id") < 5, nprobe=4, top_k=10)

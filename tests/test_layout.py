@@ -489,3 +489,42 @@ def test_knn_graph_mutual_and_cap(spark):
     assert srcs_cap == srcs_all
     dsts_cap = {r["dst_id"] for r in capped.collect()}
     assert len(dsts_cap) <= 4 * 5
+
+
+def test_ivfpq_append_frozen_model(spark):
+    """ivfpq_append must leave every stored row untouched (frozen
+    calibration/codebook/centroids — a recalibrating append would
+    silently re-mean stored codes), add exactly the delta's rows, and
+    the appended index must retrieve delta vectors as neighbors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    idx = similarity.ivfpq_index(base, n_centroids=8, m=8, k=16)
+    before_enc = {(r["vec_id"], r["sub"], r["code_id"]) for r in idx.enc.collect()}
+    before_lists = {(r["vec_id"], r["centroid_id"]) for r in idx.lists.collect()}
+    idx2 = similarity.ivfpq_append(idx, delta)
+    after_enc = {(r["vec_id"], r["sub"], r["code_id"]) for r in idx2.enc.collect()}
+    after_lists = {(r["vec_id"], r["centroid_id"]) for r in idx2.lists.collect()}
+    assert before_enc <= after_enc and before_lists <= after_lists
+    n_delta = delta.count()
+    assert len(after_lists) == len(before_lists) + n_delta
+    delta_ids = {r["vec_id"] for r in delta.select("vec_id").collect()}
+    assert {v for v, _ in after_lists - before_lists} == delta_ids
+    # the search must actually see appended vectors: with nprobe at max
+    # every list is probed, so the reranked result equals exact cosine
+    # over the union — which includes delta neighbors
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivfpq_search(
+            idx2, emb, F.col("vec_id") < 3, nprobe=8, top_k=10,
+            shortlist=10**6,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=10
+        ).collect()
+    }
+    assert got == exact
+    assert any(v in delta_ids for _, v in got)
