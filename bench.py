@@ -1197,9 +1197,12 @@ def _bench_body() -> dict:
         # cost is the per-list self-join Σ|list|² (~20M scored pairs at
         # 100k vectors / 512 lists), not the 5-query probe the legs
         # above measure. Edges/s is the consumable metric (3 per row).
+        # numpy engine: the Arrow per-list matmul scorer (bit-identical
+        # to the Catalyst lambda aggregate — tests/test_layout) measured
+        # ~10x the interpreted per-pair zip_with.
         t0 = time.perf_counter()
         n_knn_edges = sim_mod.knn_graph(
-            vemb, k=3, num_centroids=512, max_list=2000
+            vemb, k=3, num_centroids=512, max_list=2000, engine="numpy"
         ).count()
         knn_wall = time.perf_counter() - t0
         timings["knn_bigvectors"] = round(knn_wall, 4)

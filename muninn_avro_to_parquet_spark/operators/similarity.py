@@ -1815,6 +1815,92 @@ def ann_topk_ivfpq(
     )
 
 
+def _knn_lists_np(
+    lists: DataFrame, k: int, id_col: str, max_list: int
+) -> DataFrame:
+    """numpy engine for ``knn_graph``: one ``applyInPandas`` over the
+    centroid_id exchange. Per list: exact int64 ``Q @ Qᵀ`` (the same
+    quantized dot the SQL zip_with computes), the same IEEE norm
+    product divide, md5-smallest ``max_list`` target cap, top-k by
+    (cosine desc, dst asc). Sources are row-blocked so peak memory is
+    ``block × |targets|`` doubles, not ``|list|²``."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src_id", lists.schema[id_col].dataType, True),
+            T.StructField("dst_id", lists.schema[id_col].dataType, True),
+            T.StructField("cosine_sim", T.DoubleType(), True),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype=pdf[id_col].dtype),
+                    "dst_id": pd.Series(dtype=pdf[id_col].dtype),
+                    "cosine_sim": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int32"),
+                }
+            )
+        ids = pdf[id_col].to_numpy()
+        Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["_q"]])
+        norms = pdf["_norm"].to_numpy(dtype=np.float64)
+        # md5-smallest max_list rows are the candidate TARGETS — the
+        # same (md5(id), id) order the Catalyst window cap uses
+        if n > max_list:
+            md5s = np.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+            )
+            keep = np.lexsort((ids, md5s))[:max_list]
+        else:
+            keep = np.arange(n)
+        QT, idT, nT = Q[keep], ids[keep], norms[keep]
+        frames = []
+        take = min(k, len(idT))
+        for lo in range(0, n, 2048):
+            hi = min(lo + 2048, n)
+            dots = (Q[lo:hi] @ QT.T).astype(np.float64)
+            denom = norms[lo:hi, None] * nT[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, dots / denom, -np.inf)
+            # a source never pairs with itself (targets may include it)
+            self_mask = ids[lo:hi, None] == idT[None, :]
+            sims = np.where(self_mask, -np.inf, sims)
+            # top-k by (cosine desc, dst asc): idT ascends after argsort
+            # on ids? No — sort targets per row via lexsort keys
+            ordT = np.argsort(idT, kind="stable")
+            sims_o, id_o = sims[:, ordT], idT[ordT]
+            order = np.argsort(-sims_o, axis=1, kind="stable")[:, :take]
+            rows = len(sims_o)
+            src = np.repeat(ids[lo:hi], take)
+            dst = id_o[order].ravel()
+            cs = np.take_along_axis(sims_o, order, axis=1).ravel()
+            rk = np.tile(np.arange(1, take + 1, dtype=np.int32), rows)
+            ok = cs > -np.inf
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "src_id": src[ok],
+                        "dst_id": dst[ok],
+                        "cosine_sim": cs[ok],
+                        "rank": rk[ok],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return lists.select(id_col, "_q", "_norm", "centroid_id").groupBy(
+        "centroid_id"
+    ).applyInPandas(run, schema=out_schema)
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 3,
@@ -1823,6 +1909,7 @@ def knn_graph(
     vec_col: str = "embedding",
     mutual: bool = False,
     max_list: int = 10_000,
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the WHOLE corpus:
     every row gets its ``k`` nearest neighbors by exact quantized
@@ -1844,7 +1931,20 @@ def knn_graph(
 
     ``mutual=True`` keeps only edges present in both directions (the
     mutual-kNN form clustering prefers) via one semi-join on the
-    reversed key. Output: (src_id, dst_id, cosine_sim, rank)."""
+    reversed key. Output: (src_id, dst_id, cosine_sim, rank).
+
+    Two scoring engines, identical results (asserted in
+    tests/test_layout):
+
+    - ``catalyst``: the oracle-replayable formulation — per-list
+      equi-join, one zip_with dot aggregate per pair. The lambda
+      aggregate is interpreted per element, measured ~8.6k edges/s at
+      100k × 64-dim.
+    - ``numpy``: one ``applyInPandas`` over the SAME centroid_id
+      exchange — per list the exact int64 ``Q @ Qᵀ`` and the same
+      single IEEE norm-product divide, top-k by (cosine desc, id asc).
+      Bit-identical, an order of magnitude faster; the bench leg's
+      engine."""
     from pyspark.sql import Window
 
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
@@ -1854,13 +1954,25 @@ def knn_graph(
     )
     lists = cache_scoped(
         _with_qnorm(
-            ivf_assign(corpus, cents, id_col, vec_col, nprobe=1),
+            ivf_assign(corpus, cents, id_col, vec_col, nprobe=1, engine=engine),
             id_col,
             vec_col,
             "centroid_id",
         ),
         "knn_lists",
     )
+    if engine == "numpy":
+        edges = _knn_lists_np(lists, k, id_col, max_list)
+    elif engine != "catalyst":
+        raise ValueError(f"unknown knn_graph engine: {engine!r}")
+    if engine == "numpy":
+        if not mutual:
+            return edges
+        edges = cache_scoped(edges, "knn_edges")
+        rev = edges.select(
+            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+        )
+        return edges.join(rev, ["src_id", "dst_id"], "left_semi")
     wcap = Window.partitionBy("centroid_id").orderBy(
         F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
     )

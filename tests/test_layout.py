@@ -528,3 +528,28 @@ def test_ivfpq_append_frozen_model(spark):
     }
     assert got == exact
     assert any(v in delta_ids for _, v in got)
+
+
+def test_knn_graph_numpy_equals_catalyst(spark):
+    """The numpy per-list scorer may only replace the Catalyst
+    per-pair lambda aggregate if every edge, score, and rank matches
+    exactly — same exact-integer dot, same IEEE divide, same
+    (cosine desc, id asc) tie-break, same md5 target cap."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for kwargs in (
+        dict(k=3, num_centroids=4),
+        dict(k=5, num_centroids=8, max_list=10),  # binding cap
+    ):
+        cat = {
+            (r["src_id"], r["dst_id"], r["cosine_sim"], r["rank"])
+            for r in similarity.knn_graph(
+                emb, engine="catalyst", **kwargs
+            ).collect()
+        }
+        npy = {
+            (r["src_id"], r["dst_id"], r["cosine_sim"], r["rank"])
+            for r in similarity.knn_graph(
+                emb, engine="numpy", **kwargs
+            ).collect()
+        }
+        assert npy == cat, kwargs
