@@ -110,6 +110,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "sample_priority_weighted",
     "graph_hits",
     "ann_ivfpq_append_search",
+    "graph_pagerank_personalized",
 )
 _CHANGED_ROUND = 12
 

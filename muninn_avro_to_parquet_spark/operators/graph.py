@@ -49,6 +49,8 @@ def pagerank(
     scale: int = DEFAULT_SCALE,
     weight_col: str | None = None,
     stats: dict | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` integer fixed-point PageRank
     rounds over the directed edge relation. ``rank_fp`` is in parts per
@@ -68,7 +70,15 @@ def pagerank(
     ``n_nodes``, ``iter_walls``). Collecting walls forces each
     iteration's lazy checkpoint with a count — one extra O(1)-result
     job per iteration, the materialized partitions are reused by the
-    next iteration either way."""
+    next iteration either way.
+
+    ``seeds``: pass a (``seed_col``) relation for PERSONALIZED pagerank
+    (random walk with restart): the walk starts at the seeds, teleport
+    mass returns only to seeds (split ``scale div S`` each), and
+    dangling mass redistributes to seeds instead of everywhere — the
+    crawl-frontier prioritization signal ("rank relative to my trusted
+    hosts"). Seeds outside the node universe are ignored; same integer
+    arithmetic, so the oracle unrolls identically."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0 < damping_num < damping_den:
@@ -122,16 +132,21 @@ def pagerank(
     # round, visible in the sf0.1 bench) and resolved dangling mass with
     # a per-round anti-JOIN; with deg carried on the ranks row the
     # dangling mass is a plain filter-aggregate — no join, no shuffle.
-    seed = (
-        nodes.join(
-            esized.groupBy("src").agg(F.sum("w").alias("deg")),
-            nodes["node"] == F.col("src"),
-            "left",
+    seed = nodes.join(
+        esized.groupBy("src").agg(F.sum("w").alias("deg")),
+        nodes["node"] == F.col("src"),
+        "left",
+    ).select("node", "deg")
+    if seeds is not None:
+        sflag = seeds.select(
+            F.col(seed_col).alias("node"), F.lit(True).alias("_seed")
+        ).distinct()
+        seed = seed.join(sflag, "node", "left").select(
+            "node", "deg", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
         )
-        .select("node", "deg")
-        .coalesce(n_part)
-        .localCheckpoint(eager=True)
-    )
+    else:
+        seed = seed.select("node", "deg", F.lit(True).alias("_seed"))
+    seed = seed.coalesce(n_part).localCheckpoint(eager=True)
     n_nodes = seed.count()
     if n_nodes == 0:
         esized.unpersist()
@@ -149,9 +164,23 @@ def pagerank(
                 ]
             ),
         )
-    base = scale // n_nodes
+    # S = the restart set size: every node for uniform pagerank (the
+    # _seed flag is all-true, so the formulas below reduce exactly to
+    # the classic ones), the seed intersection for personalized
+    n_seeds = seed.filter(F.col("_seed")).count()
+    if n_seeds == 0:
+        esized.unpersist()
+        raise ValueError(
+            "personalized pagerank: no seed intersects the node universe"
+        )
+    base = scale // n_seeds
     ranks = seed.select(
-        "node", "deg", F.lit(base).cast("long").alias("rank_fp")
+        "node",
+        "deg",
+        "_seed",
+        F.when(F.col("_seed"), F.lit(base).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank_fp"),
     )
     teleport = (damping_den - damping_num) * base
     # CC's broadcast-regime discipline: when the EXACT node count proves
@@ -202,17 +231,22 @@ def pagerank(
             .agg(F.sum("_c").alias("_infl"))
         )
         ranks = (
-            ranks.select("node", "deg")
+            ranks.select("node", "deg", "_seed")
             .join(_maybe_bc(contrib), "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 "deg",
+                "_seed",
                 # `div` (integer division) throughout — `/` would be
-                # DOUBLE division and lose exactness past 2^53
+                # DOUBLE division and lose exactness past 2^53; teleport
+                # and dangling mass return to the restart set only
+                # (all nodes for uniform, seeds for personalized)
                 F.expr(
-                    f"cast(({teleport} + {damping_num} * "
-                    f"(coalesce(_infl, cast(0 as bigint)) + _dang div {n_nodes}))"
+                    f"cast(((CASE WHEN _seed THEN {teleport} ELSE 0 END)"
+                    f" + {damping_num} * "
+                    f"(coalesce(_infl, cast(0 as bigint)) + "
+                    f"(CASE WHEN _seed THEN _dang div {n_seeds} ELSE 0 END)))"
                     f" div {damping_den} as bigint)"
                 ).alias("rank_fp"),
             )

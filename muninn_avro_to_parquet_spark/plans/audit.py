@@ -373,6 +373,14 @@ HEADLINERS: list[tuple[str, str]] = [
         "textually twice.",
     ),
     (
+        "graph_pagerank_personalized",
+        "Random walk with restart (r12): the uniform pagerank loop "
+        "with a _seed flag carried on the node-sized rank relation — "
+        "same one contribution shuffle per iteration, same broadcast "
+        "regime gate, teleport/dangling CASE folded into the existing "
+        "update expression; zero extra exchanges over plain pagerank.",
+    ),
+    (
         "ann_ivfpq_append_search",
         "Frozen-model index append (r12): only the delta pays work — "
         "one broadcast centroid assignment, one quantize against the "

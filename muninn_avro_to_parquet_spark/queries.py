@@ -9706,3 +9706,65 @@ def ann_ivfpq_append_search(spark):
     idx = similarity.ivfpq_index(base, n_centroids=16, m=8, k=16)
     idx2 = similarity.ivfpq_append(idx, delta)
     return similarity.ivfpq_search(idx2, emb, F.col("vec_id") < 5, nprobe=4, top_k=10)
+
+
+def _ppr_round(k: int) -> str:
+    return f"""i{k} AS (
+      SELECT e.dst AS node, SUM(r{k - 1}.r // d.dg) AS infl
+      FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+             JOIN deg d ON e.src = d.src
+      GROUP BY 1
+    ),
+    r{k} AS (
+      SELECT n.node,
+             CAST(((CASE WHEN n.node % 10 = 0
+                         THEN 15 * (1000000000000 // s.c) ELSE 0 END)
+                   + 85 * COALESCE(i{k}.infl, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n CROSS JOIN s LEFT JOIN i{k} ON n.node = i{k}.node
+    )"""
+
+
+@q(
+    "graph_pagerank_personalized",
+    f"""
+    WITH p AS (SELECT COUNT(*) AS n FROM documents),
+    e AS ({_CRAWL_EDGES_SQL}),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes WHERE node % 10 = 0),
+    r0 AS (SELECT node, CASE WHEN node % 10 = 0
+                             THEN 1000000000000 // s.c
+                             ELSE CAST(0 AS BIGINT) END AS r
+           FROM nodes, s),
+    {_ppr_round(1)},
+    {_ppr_round(2)},
+    {_ppr_round(3)}
+    SELECT node, r AS rank_fp FROM r3
+    """,
+)
+def graph_pagerank_personalized(spark):
+    """Personalized PageRank / random walk with restart (r12) over the
+    synthesized doc link graph: the walk restarts only at the seed set
+    (every 10th doc), so scores mean "importance relative to my trusted
+    pages" — the crawl-frontier prioritization signal plain PageRank
+    can't give. Same integer fixed-point loop (teleport and dangling
+    mass return to seeds, scale div S each); the oracle unrolls all
+    three rounds with the seed CASE inline. Every doc in this graph has
+    out-edges, so the dangling term is identically zero on both sides."""
+    from muninn_avro_to_parquet_spark.operators import graph
+
+    docs = spark.table("documents")
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((7, 1), (13, 5), (31, 17)):
+        leg = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = leg if edges is None else edges.unionByName(leg)
+    edges = edges.distinct()
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return graph.pagerank(edges, iterations=3, seeds=seeds)

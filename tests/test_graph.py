@@ -339,3 +339,61 @@ def test_hits_regime_gate_is_honest(spark):
         (n, h, a) for n, (h, a) in _py_hits(edge_list, 2).items()
     }
     assert got_sh == got_bc == want
+
+
+def _py_ppr(edge_list, seeds, iterations, scale=10**12, num=85, den=100):
+    """Reference integer personalized pagerank: teleport and dangling
+    mass return to seeds only; contribution per EDGE ROW (parallel
+    edges add weight, as the operator documents)."""
+    nodes = sorted({n for e in edge_list for n in e})
+    deg: dict = {}
+    for u, _ in edge_list:
+        deg[u] = deg.get(u, 0) + 1
+    S = [n for n in nodes if n in seeds]
+    base = scale // len(S)
+    tel = (den - num) * base
+    r = {n: base if n in seeds else 0 for n in nodes}
+    for _ in range(iterations):
+        infl = {n: 0 for n in nodes}
+        for u, v in edge_list:
+            infl[v] += r[u] // deg[u]
+        dang = sum(r[u] for u in nodes if u not in deg)
+        r = {
+            v: (
+                (tel if v in seeds else 0)
+                + num * (infl[v] + (dang // len(S) if v in seeds else 0))
+            )
+            // den
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    """PPR with a dangling node: teleport and dangling mass must return
+    to the seed only, bit-identical to the python reference at several
+    depths; seeds=all must equal the classic uniform pagerank."""
+    edge_list = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    for it in (1, 2, 3):
+        got = {
+            (r["node"], r["rank_fp"])
+            for r in pagerank(edges, iterations=it, seeds=seeds).collect()
+        }
+        assert got == set(_py_ppr(edge_list, {1}, it).items()), f"it={it}"
+    all_nodes = spark.createDataFrame([(n,) for n in range(1, 6)], "node long")
+    uniform = {
+        (r["node"], r["rank_fp"])
+        for r in pagerank(edges, iterations=3).collect()
+    }
+    seeded_all = {
+        (r["node"], r["rank_fp"])
+        for r in pagerank(edges, iterations=3, seeds=all_nodes).collect()
+    }
+    assert uniform == seeded_all
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(
+            edges,
+            seeds=spark.createDataFrame([(99,)], "node long"),
+        )
