@@ -111,6 +111,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_hits",
     "ann_ivfpq_append_search",
     "graph_pagerank_personalized",
+    "ml_naive_bayes",
 )
 _CHANGED_ROUND = 12
 

@@ -358,3 +358,118 @@ def kmeans_training_report(
     ]
     rows += [("inertia", model.inertia), ("n_rows", int(model.n_rows))]
     return spark.createDataFrame(rows, "name string, value long")
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    train_pred: Column,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and applied in
+    one dataflow — the deterministic stand-in for the fastText-style
+    lang/quality classifiers a curation pipeline trains on labeled
+    docs (DCLM, CCNet). Rows matching ``train_pred`` train the model;
+    the REST are classified. Output: (id, <label_col> actual,
+    predicted, score_micro) — one row per held-out doc.
+
+    Engine-exact scoring (the lm_perplexity micro-nat discipline):
+    every log term — class prior ln(docs_c/docs), Laplace token weight
+    ln((n_ct+1)/(n_c+V)), unseen-token default ln(1/(n_c+V)) — is
+    quantized to integer micro-nats BEFORE summation, so per-class
+    scores are exact integer sums and the argmax (score DESC, label
+    ASC) is bit-identical in any engine; libm's last-ulp wobble would
+    have to move a term across a 0.5-micro-nat boundary to flip it.
+
+    Scale shape: training is two token aggregates + a doc-count
+    aggregate over the train split (map-side combined); the model —
+    classes × vocab weight rows — stays a RELATION (never collected)
+    and joins the held-out doc-token counts on the token key; the
+    per-class fan-out is a broadcast of the C-row class relation. One
+    argmax window on the doc key ends it."""
+    from pyspark.sql import Window
+
+    from muninn_avro_to_parquet_spark.operators.text import tokens
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+        train_pred.alias("_train"),
+    )
+    tr = base.filter(F.col("_train"))
+    # class token counts, class token totals, train vocab size (1 row)
+    n_ct = tr.groupBy(label_col, "token").agg(F.count("*").alias("n_ct"))
+    n_c = tr.groupBy(label_col).agg(F.count("*").alias("n_c"))
+    vocab = tr.agg(F.countDistinct("token").alias("v"))
+    tr_docs = (
+        docs.filter(train_pred)
+        .groupBy(label_col)
+        .agg(F.count("*").alias("d_c"))
+    )
+    tr_total = docs.filter(train_pred).agg(F.count("*").alias("d_all"))
+    classes = (
+        n_c.join(F.broadcast(vocab))
+        .join(tr_docs, label_col)
+        .join(F.broadcast(tr_total))
+        .select(
+            F.col(label_col).alias("_cls"),
+            F.round(
+                F.log(F.col("d_c") / F.col("d_all")) * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("prior_micro"),
+            F.round(
+                F.log(F.lit(1.0) / (F.col("n_c") + F.col("v"))) * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("default_micro"),
+            (F.col("n_c") + F.col("v")).alias("_den"),
+        )
+    )
+    weights = n_ct.join(
+        F.broadcast(classes), n_ct[label_col] == classes["_cls"]
+    ).select(
+        "_cls",
+        "token",
+        F.round(
+            F.log((F.col("n_ct") + F.lit(1.0)) / F.col("_den")) * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    # held-out doc-token counts × classes, unseen tokens at the class
+    # default; argmax per doc by (score desc, class asc)
+    dt = (
+        base.filter(~F.col("_train"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(classes.select("_cls", "prior_micro", "default_micro")))
+        .join(weights, ["_cls", "token"], "left")
+        .groupBy(id_col, "_cls")
+        .agg(
+            (
+                F.first("prior_micro")
+                + F.sum(
+                    F.col("cnt")
+                    * F.coalesce(F.col("w_micro"), F.col("default_micro"))
+                )
+            )
+            .cast("long")
+            .alias("score_micro")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("_cls").asc()
+    )
+    pred = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, F.col("_cls").alias("predicted"), "score_micro")
+    )
+    return pred.join(
+        docs.filter(~train_pred).select(id_col, label_col), id_col
+    ).select(id_col, label_col, "predicted", "score_micro")

@@ -373,6 +373,15 @@ HEADLINERS: list[tuple[str, str]] = [
         "textually twice.",
     ),
     (
+        "ml_naive_bayes",
+        "Multinomial NB (r12): training is two map-side-combined token "
+        "aggregates over the train split; the classes×vocab weight "
+        "model stays a RELATION (never collected) and equi-joins the "
+        "held-out doc-token counts on the token key; the C-row class "
+        "relation broadcasts for the per-class fan-out and one argmax "
+        "window on the doc key ends it.",
+    ),
+    (
         "graph_pagerank_personalized",
         "Random walk with restart (r12): the uniform pagerank loop "
         "with a _seed flag carried on the node-sized rank relation — "

@@ -9768,3 +9768,70 @@ def graph_pagerank_personalized(spark):
         F.col("doc_id").alias("node")
     )
     return graph.pagerank(edges, iterations=3, seeds=seeds)
+
+
+@q(
+    "ml_naive_bayes",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tr AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+    n_ct AS (SELECT lang, token, COUNT(*) AS n_ct FROM tr GROUP BY 1, 2),
+    n_c AS (SELECT lang, COUNT(*) AS n_c FROM tr GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT token) AS v FROM tr),
+    d_c AS (SELECT lang, COUNT(*) AS d_c FROM documents
+            WHERE doc_id % 5 <> 0 GROUP BY 1),
+    d_all AS (SELECT COUNT(*) AS d_all FROM documents WHERE doc_id % 5 <> 0),
+    classes AS (
+      SELECT n_c.lang AS cls,
+             CAST(round(ln(CAST(d_c.d_c AS DOUBLE) / d_all.d_all) * 1e6)
+                  AS BIGINT) AS prior_micro,
+             CAST(round(ln(1.0 / (n_c.n_c + v.v)) * 1e6) AS BIGINT)
+               AS default_micro,
+             (n_c.n_c + v.v) AS den
+      FROM n_c JOIN d_c USING (lang) CROSS JOIN v CROSS JOIN d_all
+    ),
+    weights AS (
+      SELECT c.cls, t.token,
+             CAST(round(ln((t.n_ct + 1.0) / c.den) * 1e6) AS BIGINT) AS w
+      FROM n_ct t JOIN classes c ON t.lang = c.cls
+    ),
+    dt AS (
+      SELECT doc_id, token, COUNT(*) AS cnt FROM tk
+      WHERE doc_id % 5 = 0 GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dt.doc_id, c.cls,
+             CAST(MAX(c.prior_micro)
+                  + SUM(dt.cnt * COALESCE(w.w, c.default_micro)) AS BIGINT)
+               AS score_micro
+      FROM dt CROSS JOIN classes c
+      LEFT JOIN weights w ON w.cls = c.cls AND w.token = dt.token
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, cls, score_micro FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score_micro DESC, cls ASC) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT p.doc_id, d.lang, p.cls AS predicted, p.score_micro
+    FROM pred p JOIN documents d USING (doc_id)
+    """,
+)
+def ml_naive_bayes(spark):
+    """Multinomial Naive Bayes lang classifier (r12): train on the 80%
+    doc_id %% 5 != 0 split, classify the held-out 20% — the
+    deterministic stand-in for the fastText-style curation classifiers
+    (DCLM/CCNet). Every log term is quantized to integer micro-nats
+    before summation (the lm_perplexity discipline), so per-class
+    scores are exact integer sums and the oracle replays training AND
+    inference bit-for-bit — priors, Laplace weights, unseen-token
+    defaults, and the (score DESC, class ASC) argmax."""
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    return ml.naive_bayes_classify(
+        spark.table("documents"), F.col("doc_id") % 5 != 0
+    )

@@ -286,3 +286,31 @@ def test_kmeans_too_few_distinct_raises(spark):
     df = spark.createDataFrame([(1, 1)] * 5 + [(2, 2)] * 5, "x1 long, x2 long")
     with pytest.raises(ValueError, match="distinct"):
         ml.kmeans_fit(df, ["x1", "x2"], k=3)
+
+
+def test_naive_bayes_separable_corpus(spark):
+    """On a class-separable corpus the held-out docs must classify to
+    their true class; scores are integer micro-nats and reruns are
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    rows = []
+    for i in range(40):
+        lab = "cat" if i % 2 == 0 else "dog"
+        word = "meow purr whiskers" if lab == "cat" else "woof bark fetch"
+        rows.append((i, lab, f"{word} the the a {word}"))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ml.naive_bayes_classify(docs, F.col("doc_id") >= 8)
+    got = {(r["doc_id"], r["lang"], r["predicted"]) for r in out.collect()}
+    assert len(got) == 8  # doc_id 0..7 held out
+    assert all(actual == pred for _, actual, pred in got)
+    again = {
+        (r["doc_id"], r["lang"], r["predicted"], r["score_micro"])
+        for r in ml.naive_bayes_classify(docs, F.col("doc_id") >= 8).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["lang"], r["predicted"], r["score_micro"])
+        for r in out.collect()
+    }
