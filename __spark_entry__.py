@@ -112,6 +112,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_ivfpq_append_search",
     "graph_pagerank_personalized",
     "ml_naive_bayes",
+    "q_exact_quantiles",
 )
 _CHANGED_ROUND = 12
 

@@ -9835,3 +9835,38 @@ def ml_naive_bayes(spark):
     return ml.naive_bayes_classify(
         spark.table("documents"), F.col("doc_id") % 5 != 0
     )
+
+
+@q(
+    "q_exact_quantiles",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90
+    FROM documents GROUP BY lang
+    """,
+)
+def q_exact_quantiles(spark):
+    """EXACT interpolated quantiles per group (r12): the doc-length
+    distribution report a curation run reads before setting Gopher-style
+    cutoffs — p25/p50/p75/p90 of n_chars per language via Spark's exact
+    ``percentile`` (NOT approx_percentile: the sketch is
+    implementation-defined and would never hash-match an independent
+    engine). Both engines use the standard (n-1)·p linear interpolation
+    over sorted doubles, so the values agree bit-for-bit. Plan: one
+    group-aggregate; exact percentile buffers each group's values — fine
+    for group-sized data, the documented trade vs the sketch."""
+    return (
+        spark.table("documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("percentile(cast(n_chars as double), 0.25D)").alias("p25"),
+            F.expr("percentile(cast(n_chars as double), 0.5D)").alias("p50"),
+            F.expr("percentile(cast(n_chars as double), 0.75D)").alias("p75"),
+            F.expr("percentile(cast(n_chars as double), 0.9D)").alias("p90"),
+        )
+    )
