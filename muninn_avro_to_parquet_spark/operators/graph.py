@@ -39,6 +39,30 @@ from pyspark.sql import functions as F
 DEFAULT_SCALE = 10**12
 
 
+def _edge_cache(
+    e: DataFrame, part_col: str, fill_with_count: bool = True
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Shared edge-cache preamble of every iterative graph loop
+    (pagerank / label_propagation / hits): one wide cache to learn the
+    edge count, then a narrow re-read re-cached hash-partitioned on the
+    loop's join key so every iteration reuses the partitioning, with
+    partitions sized at ~100k edges capped at core count. Returns
+    (ecached, esized, n_edges, n_part); with ``fill_with_count`` the
+    sized cache is filled and the wide one released here — pass False
+    to fill it with a caller-side aggregate instead (the weighted
+    pagerank validation job) and unpersist ``ecached`` yourself."""
+    spark = e.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    ecached = e.cache()
+    n_edges = ecached.count()
+    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
+    esized = ecached.repartition(n_part, part_col).cache()
+    if fill_with_count:
+        esized.count()
+        ecached.unpersist()
+    return ecached, esized, n_edges, n_part
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -99,17 +123,10 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    cores = spark.sparkContext.defaultParallelism
-    ecached = e.cache()
-    n_edges = ecached.count()
-    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
-    # re-cache hash-partitioned on src so every iteration's contribution
-    # join reuses the partitioning (the CC edge-cache discipline); the
-    # count above filled the wide cache, this is a narrow re-read
-    esized = ecached.repartition(n_part, "src").cache()
-    if weight_col is None:
-        esized.count()
-    else:
+    ecached, esized, n_edges, n_part = _edge_cache(
+        e, "src", fill_with_count=weight_col is None
+    )
+    if weight_col is not None:
         # validate the positive-integer weight contract while the same
         # job fills the cache: w <= 0 (or NULL after the long cast) can
         # zero a node's degree, and Spark's `div` returns NULL on a
@@ -124,7 +141,7 @@ def pagerank(
                 f" integer on every edge; found min(w)={wmin}"
                 " (NULLs count as 0)"
             )
-    ecached.unpersist()
+        ecached.unpersist()
     # outdegree is STATIC — fold it into the rank relation ONCE (deg is
     # NULL for dangling nodes) and checkpoint. The first version of this
     # loop recomputed the outdeg aggregate lazily inside every iteration
@@ -166,8 +183,11 @@ def pagerank(
         )
     # S = the restart set size: every node for uniform pagerank (the
     # _seed flag is all-true, so the formulas below reduce exactly to
-    # the classic ones), the seed intersection for personalized
-    n_seeds = seed.filter(F.col("_seed")).count()
+    # the classic ones and S is n_nodes with no extra count job), the
+    # seed intersection for personalized
+    n_seeds = (
+        n_nodes if seeds is None else seed.filter(F.col("_seed")).count()
+    )
     if n_seeds == 0:
         esized.unpersist()
         raise ValueError(
@@ -308,13 +328,7 @@ def label_propagation(
     e = d.union(
         d.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    cores = spark.sparkContext.defaultParallelism
-    ecached = e.cache()
-    n_edges = ecached.count()
-    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
-    esized = ecached.repartition(n_part, "a").cache()
-    esized.count()
-    ecached.unpersist()
+    _, esized, n_edges, n_part = _edge_cache(e, "a")
     labels = (
         esized.select(F.col("a").alias("node"))
         .distinct()
@@ -364,7 +378,12 @@ def label_propagation(
         if stats is not None:
             labels.count()
             stats["iter_walls"].append(round(_time.perf_counter() - _t0, 4))
-    return labels
+    # materialize the result BEFORE releasing the edge cache (the lazy
+    # per-round checkpoints pull on it), then free executor storage —
+    # the r12 review found the two new loops leaking their caches
+    out = labels.localCheckpoint(eager=True)
+    esized.unpersist()
+    return out
 
 
 def hits(
@@ -409,13 +428,7 @@ def hits(
 
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    cores = spark.sparkContext.defaultParallelism
-    ecached = e.cache()
-    n_edges = ecached.count()
-    n_part = max(1, min((n_edges + 99_999) // 100_000, cores))
-    esized = ecached.repartition(n_part, "src").cache()
-    esized.count()
-    ecached.unpersist()
+    _, esized, n_edges, n_part = _edge_cache(e, "src")
     nodes = (
         esized.select(F.col("src").alias("node"))
         .union(esized.select(F.col("dst").alias("node")))
@@ -442,7 +455,10 @@ def hits(
         total = scored.agg(
             F.coalesce(F.sum(col), F.lit(0)).cast("decimal(38,0)").alias("_s")
         )
-        return scored.crossJoin(_maybe_bc(total)).select(
+        # the 1-row total broadcasts UNCONDITIONALLY (pagerank's dang
+        # pattern) — gating it on the node-count regime would lose the
+        # hint exactly on the big graphs where a cartesian re-plan hurts
+        return scored.crossJoin(F.broadcast(total)).select(
             "node",
             F.expr(
                 f"cast((cast({col} as decimal(38,0)) * {scale}) div _s as long)"
@@ -477,5 +493,9 @@ def hits(
             F.coalesce("hub_fp", F.lit(0)).alias("hub_fp"),
             F.coalesce("auth_fp", F.lit(0)).alias("auth_fp"),
         )
+        # materialize before releasing the edge cache (the lazy
+        # half-round checkpoints pull on it), then free executor storage
+        .localCheckpoint(eager=True)
     )
+    esized.unpersist()
     return out

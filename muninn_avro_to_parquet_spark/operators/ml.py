@@ -470,6 +470,29 @@ def naive_bayes_classify(
         .filter(F.col("_r") == 1)
         .select(id_col, F.col("_cls").alias("predicted"), "score_micro")
     )
-    return pred.join(
-        docs.filter(~train_pred).select(id_col, label_col), id_col
-    ).select(id_col, label_col, "predicted", "score_micro")
+    # a token-less held-out doc (empty/NULL text) has no rows in dt and
+    # would vanish — the contract is one row per held-out doc, so it
+    # falls back to the prior-only argmax (r12 review). The 1-row
+    # best-prior relation broadcasts into the coalesce join.
+    best_prior = (
+        classes.orderBy(F.col("prior_micro").desc(), F.col("_cls").asc())
+        .limit(1)
+        .select(
+            F.col("_cls").alias("_p_cls"),
+            F.col("prior_micro").alias("_p_micro"),
+        )
+    )
+    return (
+        docs.filter(~train_pred)
+        .select(id_col, label_col)
+        .join(pred, id_col, "left")
+        .crossJoin(F.broadcast(best_prior))
+        .select(
+            id_col,
+            label_col,
+            F.coalesce(F.col("predicted"), F.col("_p_cls")).alias("predicted"),
+            F.coalesce(F.col("score_micro"), F.col("_p_micro"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )

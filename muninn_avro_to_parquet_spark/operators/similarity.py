@@ -929,9 +929,16 @@ def quantize_int8(
         if calibration is not None
         else int8_calibration(corpus, id_col, vec_col)
     )
+    # least/greatest clamp: a NO-OP when the calibration derives from
+    # this corpus (every v sits in [mn, mx], so the scaled value lands
+    # in [0, 255] — the DuckDB oracles replay the unclamped formula and
+    # still hash-match), but REQUIRED for a frozen external calibration
+    # (ivfpq_append): a drifted value outside the stored range must
+    # saturate to a valid int8 code, not overflow the int cast
     quant = (
         f"transform({vec_col}, (v, i) -> CASE WHEN _mxs[i] > _mns[i] THEN "
-        "cast(floor((cast(v as double) - _mns[i]) * 255.0D / (_mxs[i] - _mns[i]) + 0.5D) as int) - 128 "
+        "cast(least(greatest(floor((cast(v as double) - _mns[i]) * 255.0D "
+        "/ (_mxs[i] - _mns[i]) + 0.5D), 0.0D), 255.0D) as int) - 128 "
         "ELSE 0 END)"
     )
     return (
@@ -1868,13 +1875,18 @@ def _knn_lists_np(
             hi = min(lo + 2048, n)
             dots = (Q[lo:hi] @ QT.T).astype(np.float64)
             denom = norms[lo:hi, None] * nT[None, :]
+            # -inf marks a zero-norm pair: Catalyst's try_divide yields
+            # NULL cosine there and NULLS-LAST still RANKS the row, so
+            # the numpy engine must keep it (as a NULL) too — dropping
+            # it would emit fewer edges than the oracle (r12 review)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(denom > 0, dots / denom, -np.inf)
-            # a source never pairs with itself (targets may include it)
+            # NaN marks a self-pair: never emitted (the catalyst filter)
             self_mask = ids[lo:hi, None] == idT[None, :]
-            sims = np.where(self_mask, -np.inf, sims)
-            # top-k by (cosine desc, dst asc): idT ascends after argsort
-            # on ids? No — sort targets per row via lexsort keys
+            sims = np.where(self_mask, np.nan, sims)
+            # top-k by (cosine desc, dst asc): targets pre-sorted by id,
+            # stable argsort on the negated key; ascending order puts
+            # finite first, +inf (= negated null) next, NaN (self) last
             ordT = np.argsort(idT, kind="stable")
             sims_o, id_o = sims[:, ordT], idT[ordT]
             order = np.argsort(-sims_o, axis=1, kind="stable")[:, :take]
@@ -1883,13 +1895,15 @@ def _knn_lists_np(
             dst = id_o[order].ravel()
             cs = np.take_along_axis(sims_o, order, axis=1).ravel()
             rk = np.tile(np.arange(1, take + 1, dtype=np.int32), rows)
-            ok = cs > -np.inf
+            ok = ~np.isnan(cs)
+            cos_out = pd.array(cs[ok], dtype="Float64")
+            cos_out[np.isneginf(cs[ok])] = pd.NA
             frames.append(
                 pd.DataFrame(
                     {
                         "src_id": src[ok],
                         "dst_id": dst[ok],
-                        "cosine_sim": cs[ok],
+                        "cosine_sim": cos_out,
                         "rank": rk[ok],
                     }
                 )
@@ -1963,49 +1977,43 @@ def knn_graph(
     )
     if engine == "numpy":
         edges = _knn_lists_np(lists, k, id_col, max_list)
-    elif engine != "catalyst":
+    elif engine == "catalyst":
+        wcap = Window.partitionBy("centroid_id").orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        )
+        targets = (
+            lists.withColumn("_r", F.row_number().over(wcap))
+            .filter(F.col("_r") <= max_list)
+            .select(
+                "centroid_id",
+                F.col(id_col).alias("dst_id"),
+                F.col("_q").alias("_tq"),
+                F.col("_norm").alias("_tnorm"),
+            )
+        )
+        srcs = lists.select(
+            "centroid_id", F.col(id_col).alias("src_id"), "_q", "_norm"
+        )
+        scored = (
+            srcs.join(targets, "centroid_id")
+            .filter(F.col("src_id") != F.col("dst_id"))
+            .select(
+                "src_id",
+                "dst_id",
+                F.expr(
+                    f"{_pair_cosine_sql('_q', '_norm', '_tq', '_tnorm')}"
+                    " as cosine_sim"
+                ),
+            )
+        )
+        w = Window.partitionBy("src_id").orderBy(
+            F.col("cosine_sim").desc(), F.col("dst_id").asc()
+        )
+        edges = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    else:
         raise ValueError(f"unknown knn_graph engine: {engine!r}")
-    if engine == "numpy":
-        if not mutual:
-            return edges
-        edges = cache_scoped(edges, "knn_edges")
-        rev = edges.select(
-            F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
-        )
-        return edges.join(rev, ["src_id", "dst_id"], "left_semi")
-    wcap = Window.partitionBy("centroid_id").orderBy(
-        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
-    )
-    targets = (
-        lists.withColumn("_r", F.row_number().over(wcap))
-        .filter(F.col("_r") <= max_list)
-        .select(
-            "centroid_id",
-            F.col(id_col).alias("dst_id"),
-            F.col("_q").alias("_tq"),
-            F.col("_norm").alias("_tnorm"),
-        )
-    )
-    srcs = lists.select(
-        "centroid_id", F.col(id_col).alias("src_id"), "_q", "_norm"
-    )
-    scored = (
-        srcs.join(targets, "centroid_id")
-        .filter(F.col("src_id") != F.col("dst_id"))
-        .select(
-            "src_id",
-            "dst_id",
-            F.expr(
-                f"{_pair_cosine_sql('_q', '_norm', '_tq', '_tnorm')} as cosine_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("src_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("dst_id").asc()
-    )
-    edges = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
     if not mutual:
         return edges
     # both sides of the mutuality semi-join read the SAME edge relation;

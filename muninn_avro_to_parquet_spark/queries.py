@@ -8496,6 +8496,24 @@ _CRAWL_EDGES_SQL = """
     """
 
 
+def _crawl_edges_df(spark, distinct: bool = False):
+    """Spark-side twin of ``_CRAWL_EDGES_SQL``: the synthesized doc link
+    graph (three arithmetic outlinks per doc) shared by the link-analysis
+    queries — ONE place to keep the multipliers in lockstep with the
+    oracle macro (r12 review: three verbatim copies had grown)."""
+    docs = spark.table("documents")
+    n = docs.agg(F.count("*").alias("n"))
+    base = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((7, 1), (13, 5), (31, 17)):
+        leg = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = leg if edges is None else edges.unionByName(leg)
+    return edges.distinct() if distinct else edges
+
+
 @q("crawl_rank_pipeline", _pagerank_oracle(_CRAWL_EDGES_SQL))
 def crawl_rank_pipeline(spark):
     """The crawl-analytics flow END-TO-END: every document becomes a
@@ -9431,8 +9449,7 @@ def embedding_knn_graph(spark):
 @q(
     "graph_label_propagation",
     f"""
-    WITH p AS (SELECT COUNT(*) AS n FROM documents),
-    de AS ({_CRAWL_EDGES_SQL}),
+    WITH de AS ({_CRAWL_EDGES_SQL}),
     e AS (SELECT src AS a, dst AS b FROM de UNION SELECT dst, src FROM de),
     l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
     c1 AS (SELECT e.b AS node, l.label AS nb, COUNT(*) AS c
@@ -9467,17 +9484,7 @@ def graph_label_propagation(spark):
     the total-order tie-break make the result bit-identical."""
     from muninn_avro_to_parquet_spark.operators import graph
 
-    docs = spark.table("documents")
-    n = docs.agg(F.count("*").alias("n"))
-    base = docs.crossJoin(F.broadcast(n))
-    edges = None
-    for mult, add in ((7, 1), (13, 5), (31, 17)):
-        leg = base.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
-        )
-        edges = leg if edges is None else edges.unionByName(leg)
-    return graph.label_propagation(edges, iterations=3)
+    return graph.label_propagation(_crawl_edges_df(spark), iterations=3)
 
 
 @q(
@@ -9514,8 +9521,7 @@ def sample_priority_weighted(spark):
 @q(
     "graph_hits",
     f"""
-    WITH p AS (SELECT COUNT(*) AS n FROM documents),
-    e AS ({_CRAWL_EDGES_SQL}),
+    WITH e AS ({_CRAWL_EDGES_SQL}),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     a1r AS (SELECT e.dst AS node, CAST(COUNT(*) AS HUGEINT) * 1000000000 AS a
             FROM e GROUP BY 1),
@@ -9555,17 +9561,7 @@ def graph_hits(spark):
     link signals PageRank conflates."""
     from muninn_avro_to_parquet_spark.operators import graph
 
-    docs = spark.table("documents")
-    n = docs.agg(F.count("*").alias("n"))
-    base = docs.crossJoin(F.broadcast(n))
-    edges = None
-    for mult, add in ((7, 1), (13, 5), (31, 17)):
-        leg = base.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
-        )
-        edges = leg if edges is None else edges.unionByName(leg)
-    return graph.hits(edges, iterations=2)
+    return graph.hits(_crawl_edges_df(spark), iterations=2)
 
 
 # frozen-model IVF-PQ replay for the APPEND query: calibration, PQ
@@ -9583,7 +9579,9 @@ _IVFPQ_APPEND_ORACLE = """
     qv AS (
       SELECT vec_id, pos,
              CASE WHEN mx > mn
-                  THEN CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INT) - 128
+                  THEN CAST(least(greatest(
+                         floor((v - mn) * 255.0 / (mx - mn) + 0.5),
+                         0.0), 255.0) AS INT) - 128
                   ELSE 0 END AS q
       FROM el JOIN st USING (pos)
     ),
@@ -9727,8 +9725,7 @@ def _ppr_round(k: int) -> str:
 @q(
     "graph_pagerank_personalized",
     f"""
-    WITH p AS (SELECT COUNT(*) AS n FROM documents),
-    e AS ({_CRAWL_EDGES_SQL}),
+    WITH e AS ({_CRAWL_EDGES_SQL}),
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dg FROM e GROUP BY 1),
     nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
     s AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM nodes WHERE node % 10 = 0),
@@ -9754,20 +9751,12 @@ def graph_pagerank_personalized(spark):
     from muninn_avro_to_parquet_spark.operators import graph
 
     docs = spark.table("documents")
-    n = docs.agg(F.count("*").alias("n"))
-    base = docs.crossJoin(F.broadcast(n))
-    edges = None
-    for mult, add in ((7, 1), (13, 5), (31, 17)):
-        leg = base.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
-        )
-        edges = leg if edges is None else edges.unionByName(leg)
-    edges = edges.distinct()
     seeds = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("node")
     )
-    return graph.pagerank(edges, iterations=3, seeds=seeds)
+    return graph.pagerank(
+        _crawl_edges_df(spark, distinct=True), iterations=3, seeds=seeds
+    )
 
 
 @q(

@@ -553,3 +553,26 @@ def test_knn_graph_numpy_equals_catalyst(spark):
             ).collect()
         }
         assert npy == cat, kwargs
+
+
+def test_knn_graph_zero_norm_engines_agree(spark):
+    """A zero vector's pairs score NULL cosine but still rank (NULLS
+    LAST) — both engines must emit the identical edge set including the
+    NULL-cosine rows (r12 review: the numpy engine dropped them)."""
+    rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)]) for i in range(1, 12)]
+    rows.append((0, [0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cat = {
+        (r["src_id"], r["dst_id"], r["cosine_sim"], r["rank"])
+        for r in similarity.knn_graph(
+            emb, k=11, num_centroids=2, engine="catalyst"
+        ).collect()
+    }
+    npy = {
+        (r["src_id"], r["dst_id"], r["cosine_sim"], r["rank"])
+        for r in similarity.knn_graph(
+            emb, k=11, num_centroids=2, engine="numpy"
+        ).collect()
+    }
+    assert npy == cat
+    assert any(c is None for _, _, c, _ in cat)  # the zero vector's pairs

@@ -314,3 +314,21 @@ def test_naive_bayes_separable_corpus(spark):
         (r["doc_id"], r["lang"], r["predicted"], r["score_micro"])
         for r in out.collect()
     }
+
+
+def test_naive_bayes_tokenless_doc_gets_prior_argmax(spark):
+    """A held-out doc with empty/NULL text must still get a row — the
+    prior-only argmax — not silently vanish (r12 review)."""
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    rows = [(i, "big" if i % 3 else "small", "word" + str(i % 4)) for i in range(9, 30)]
+    rows += [(0, "small", ""), (1, "big", None), (2, "big", "word1")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in ml.naive_bayes_classify(
+        docs, F.col("doc_id") >= 3
+    ).collect()}
+    assert set(out) == {0, 1, 2}
+    # 'big' has the larger training prior (14 of 21 docs)
+    assert out[0]["predicted"] == "big" and out[1]["predicted"] == "big"
