@@ -113,6 +113,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_pagerank_personalized",
     "ml_naive_bayes",
     "q_exact_quantiles",
+    "multimodal_image_phash",
 )
 _CHANGED_ROUND = 12
 

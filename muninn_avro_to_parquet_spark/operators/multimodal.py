@@ -1083,3 +1083,96 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30, id_col: str = "doc_id") 
         id_col,
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_index"),
     )
+
+
+# fixed-point DCT-II basis for the 32x32 pHash: B[u][x] =
+# round(cos((2x+1)·u·π/64) · 2^15) — quantizing the basis makes every
+# downstream coefficient an EXACT integer (the jpeg.py _COS discipline
+# carried one step further: not just deterministic, but engine- and
+# libm-independent once the rounded basis is fixed)
+_PHASH_N = 32
+_PHASH_SCALE = 1 << 15
+
+
+def _phash_basis() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(math.cos((2 * x + 1) * u * math.pi / (2 * _PHASH_N)) * _PHASH_SCALE)
+            for x in range(_PHASH_N)
+        ]
+        for u in range(_PHASH_N)
+    ]
+
+
+def phash64(payload: bytes) -> int:
+    """64-bit perceptual hash of a BMP/PPM payload (the classic pHash):
+    stretch-resize to 32×32, integer luma (299r+587g+114b), exact
+    integer 2-D DCT-II against the fixed-point basis, take the top-left
+    8×8 low-frequency block, and set bit (8·u+v) when the coefficient
+    exceeds the MEDIAN of the 63 non-DC block coefficients. Every step
+    is integer-exact, so the hash is reproducible across engines,
+    platforms, and time — and stable under rescaling/re-encoding, which
+    is what makes it the image NEAR-DUP key (hamming distance ≤ ~10 of
+    64 ⇒ same picture; see ``multimodal_image_phash``). Returned as the
+    SIGNED 64-bit reinterpretation so it stores in a BIGINT column."""
+    w, h, pixels = _decode_pixels(payload)
+    small = _resize_nn(w, h, pixels, _PHASH_N, _PHASH_N)
+    luma = [299 * r + 587 * g + 114 * b for r, g, b in small]
+    B = _phash_basis()
+    n = _PHASH_N
+    # C = B · L · Bᵀ restricted to the first 8 rows/cols of C — compute
+    # T[u][x] = Σ_y B[u][y]·L[y][x] then C[u][v] = Σ_x T[u][x]·B[v][x]
+    T = [
+        [
+            sum(B[u][y] * luma[y * n + x] for y in range(n))
+            for x in range(n)
+        ]
+        for u in range(8)
+    ]
+    C = [
+        [sum(T[u][x] * B[v][x] for x in range(n)) for v in range(8)]
+        for u in range(8)
+    ]
+    flat = [C[u][v] for u in range(8) for v in range(8)]
+    med = sorted(flat[1:])[31]  # median of the 63 non-DC coefficients
+    bits = 0
+    for i, c in enumerate(flat):
+        if c > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(id, width, height, phash) over BMP/PPM media — the image
+    near-dup signature relation: pair it with ``bit_count(a ^ b)``
+    hamming joins exactly like the text SimHash family. Same Arrow
+    plumbing contract as ``decode_images``: per-image work inside one
+    ``mapInPandas``, no shuffle, payload bytes never reach the driver."""
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("phash", T.LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                payload = bytes(m)
+                w, h, _ = _decode_pixels(payload)
+                rows.append((i, w, h, phash64(payload)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "phash"]
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, schema=schema)

@@ -9859,3 +9859,107 @@ def q_exact_quantiles(spark):
             F.expr("percentile(cast(n_chars as double), 0.9D)").alias("p90"),
         )
     )
+
+
+# pinned pHash ground truth for the committed image fixtures
+# (file_name, n_bytes, width, height, phash): the tiny img_* BMPs
+# exercise decode robustness (flat images hash to the DC-only pattern —
+# img_02/img_03 legitimately collide), the phimg_* PPMs are the
+# scale-invariance scene: phimg_01 IS phimg_00 nearest-neighbor
+# downsampled 2x (hamming 6 of 64), phimg_02 a different scene
+# (hamming 30+). Regenerate with operators.multimodal.phash64 (scene
+# generators in git history).
+_PHASH_GROUND_TRUTH = [
+    ("img_00.bmp", 90, 4, 3, 72339069031416265),
+    ("img_01.bmp", 174, 7, 5, 6149055795228747945),
+    ("img_02.bmp", 58, 1, 1, 1),
+    ("img_03.bmp", 150, 16, 2, 1),
+    ("img_04.bmp", 182, 5, 8, -792364149957921291),
+    ("phimg_00.ppm", 9229, 64, 48, -922284525216816089),
+    ("phimg_01.ppm", 2317, 32, 24, -2074167815969135577),
+    ("phimg_02.ppm", 9229, 64, 48, 6256534440486134933),
+]
+
+
+def _phash_oracle() -> str:
+    vals = ",".join(
+        f"('{n}',{nb},{w},{h},CAST({p} AS BIGINT))"
+        for n, nb, w, h, p in _PHASH_GROUND_TRUTH
+    )
+    # hashes are PINNED; the nearest-neighbor ranking is REPLAYED in SQL
+    # (xor + bit_count), so a drift in the pairing logic is caught
+    # independently of the hash values
+    return f"""
+    WITH expected(file_name, n_bytes, width, height, phash)
+      AS (VALUES {vals}),
+    blobs AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM read_blob('{_BINARY_FIXTURE_DIR}/*img_0*')
+      WHERE filename LIKE '%.bmp' OR filename LIKE '%.ppm'
+    ),
+    hashes AS (
+      SELECT file_name, width, height, phash
+      FROM expected JOIN blobs USING (file_name, n_bytes)
+    ),
+    ranked AS (
+      SELECT a.file_name, a.width, a.height, a.phash,
+             b.file_name AS best_match,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS best_distance,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.file_name
+               ORDER BY bit_count(xor(a.phash, b.phash)) ASC, b.file_name ASC
+             ) AS r
+      FROM hashes a JOIN hashes b ON a.file_name <> b.file_name
+    )
+    SELECT file_name, width, height, phash, best_match, best_distance
+    FROM ranked WHERE r = 1
+    """
+
+
+@q("multimodal_image_phash", _phash_oracle())
+def multimodal_image_phash(spark):
+    """Perceptual image hashing (r12): exact integer 64-bit pHash
+    (fixed-point DCT basis) over every committed BMP/PPM fixture, each
+    image paired with its nearest neighbor by hamming distance — the
+    image near-dup primitive. The committed scene pair proves the
+    property the hash exists for: phimg_01 (the same scene downsampled
+    2x) sits 6 bits from phimg_00 while distinct scenes sit 30+, so a
+    ~10-bit threshold separates re-encodes from different pictures.
+    Hash values are pinned ground truth; the nearest-neighbor ranking
+    is replayed in SQL (xor + bit_count), mirroring the PNG/WARC
+    fixture-oracle discipline."""
+    from muninn_avro_to_parquet_spark.operators import multimodal
+    from muninn_avro_to_parquet_spark.sources import formats
+
+    raw = formats.read_binary_dir(
+        spark, _BINARY_FIXTURE_DIR, glob_filter="{img_0*.bmp,phimg_0*.ppm}"
+    )
+    meta = raw.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("content"),
+    )
+    h = multimodal.image_phash(meta, id_col="file_name", media_col="content")
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b, F.col("a.file_name") != F.col("b.file_name")
+    ).select(
+        F.col("a.file_name").alias("file_name"),
+        F.col("a.width").alias("width"),
+        F.col("a.height").alias("height"),
+        F.col("a.phash").alias("phash"),
+        F.col("b.file_name").alias("best_match"),
+        F.expr("cast(bit_count(a.phash ^ b.phash) as int)").alias(
+            "best_distance"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("file_name").orderBy(
+        F.col("best_distance").asc(), F.col("best_match").asc()
+    )
+    return (
+        pairs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )

@@ -1653,3 +1653,47 @@ def test_pq_rerank_exact_equals_bruteforce(spark):
         ).collect()
     )
     assert two_stage == exact
+
+
+def test_phash_scale_invariance_and_separation():
+    """The pHash contract: a rescaled re-encode of the same picture
+    lands within a few bits; a different picture lands far away; the
+    hash is a pure function of pixels (re-encoding at the same size is
+    bit-identical)."""
+    from muninn_avro_to_parquet_spark.operators import multimodal as mm
+
+    # LOW-frequency content (gradients + a disc) — the regime pHash is
+    # built for; mod-wrapping stripe textures alias under a 2x
+    # nearest-neighbor resample and legitimately move more bits
+    w, h = 48, 36
+    px = [
+        (
+            min(255, x * 4),
+            min(255, y * 6),
+            240 if (x - 14) ** 2 + (y - 12) ** 2 < 49 else 30,
+        )
+        for y in range(h)
+        for x in range(w)
+    ]
+    orig = mm._encode_ppm(w, h, px)
+    halved = mm._encode_ppm(24, 18, mm._resize_nn(w, h, px, 24, 18))
+    other = mm._encode_ppm(
+        w, h,
+        [
+            (
+                255 - min(255, y * 5),
+                200 if x > 30 else 15,
+                min(255, x * 3 + y),
+            )
+            for y in range(h)
+            for x in range(w)
+        ],
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    h0, h1, h2 = mm.phash64(orig), mm.phash64(halved), mm.phash64(other)
+    assert h0 == mm.phash64(orig)
+    assert ham(h0, h1) <= 10
+    assert ham(h0, h2) > 16
