@@ -1116,7 +1116,12 @@ def phash64(payload: bytes) -> int:
     platforms, and time — and stable under rescaling/re-encoding, which
     is what makes it the image NEAR-DUP key (hamming distance ≤ ~10 of
     64 ⇒ same picture; see ``multimodal_image_phash``). Returned as the
-    SIGNED 64-bit reinterpretation so it stores in a BIGINT column."""
+    SIGNED 64-bit reinterpretation so it stores in a BIGINT column.
+
+    Complements ``dhash_bits`` (the gradient family: cheaper, catches
+    crops/shifts less well): pHash's DCT low-pass makes it the more
+    robust re-encode/rescale detector — run both and OR the verdicts
+    when recall matters."""
     w, h, pixels = _decode_pixels(payload)
     small = _resize_nn(w, h, pixels, _PHASH_N, _PHASH_N)
     luma = [299 * r + 587 * g + 114 * b for r, g, b in small]
