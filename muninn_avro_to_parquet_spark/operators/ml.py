@@ -371,8 +371,11 @@ def naive_bayes_classify(
     one dataflow — the deterministic stand-in for the fastText-style
     lang/quality classifiers a curation pipeline trains on labeled
     docs (DCLM, CCNet). Rows matching ``train_pred`` train the model;
-    the REST are classified. Output: (id, <label_col> actual,
-    predicted, score_micro) — one row per held-out doc.
+    the REST are classified — a NULL predicate counts as "not train",
+    so such rows are classified, never silently dropped (ADVICE r12:
+    ``filter(pred)`` and ``filter(~pred)`` would BOTH drop NULL rows).
+    Output: (id, <label_col> actual, predicted, score_micro) — one row
+    per held-out doc.
 
     Engine-exact scoring (the lm_perplexity micro-nat discipline):
     every log term — class prior ln(docs_c/docs), Laplace token weight
@@ -392,6 +395,8 @@ def naive_bayes_classify(
 
     from muninn_avro_to_parquet_spark.operators.text import tokens
 
+    # NULL predicate = held-out: every row lands in exactly one split
+    train_pred = F.coalesce(train_pred.cast("boolean"), F.lit(False))
     base = docs.select(
         F.col(id_col),
         F.col(label_col),

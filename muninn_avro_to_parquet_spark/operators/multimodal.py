@@ -1123,6 +1123,15 @@ def phash64(payload: bytes) -> int:
     robust re-encode/rescale detector — run both and OR the verdicts
     when recall matters."""
     w, h, pixels = _decode_pixels(payload)
+    return phash64_from_pixels(w, h, pixels)
+
+
+def phash64_from_pixels(w: int, h: int, pixels) -> int:
+    """``phash64`` over an ALREADY-DECODED (width, height, [(r,g,b)])
+    image — the corpus-path entry point: ``image_phash`` decodes each
+    payload exactly once and feeds the pixels here (ADVICE r12: going
+    through ``phash64(payload)`` after a separate dimension probe
+    decoded every image twice)."""
     small = _resize_nn(w, h, pixels, _PHASH_N, _PHASH_N)
     luma = [299 * r + 587 * g + 114 * b for r, g, b in small]
     B = _phash_basis()
@@ -1173,9 +1182,8 @@ def image_phash(
         for pdf in batches:
             rows = []
             for i, m in zip(pdf[id_col], pdf[media_col]):
-                payload = bytes(m)
-                w, h, _ = _decode_pixels(payload)
-                rows.append((i, w, h, phash64(payload)))
+                w, h, px = _decode_pixels(bytes(m))
+                rows.append((i, w, h, phash64_from_pixels(w, h, px)))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "phash"]
             )

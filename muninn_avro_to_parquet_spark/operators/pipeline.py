@@ -761,6 +761,12 @@ def sample_priority(
     Plan shape: global form is orderBy+limit — TakeOrderedAndProject
     (per-partition heap, n rows to the driver's stage, never a full
     sort); stratified form is one row_number window per stratum key.
+
+    Output schema: the input columns plus ``priority`` (the integer
+    ``U div w`` sort key each row was selected by — kept so callers can
+    audit the draw or re-rank a union of strata; ADVICE r12 renamed it
+    from the leaked internal ``_priority``). The ``_u`` tiebreaker is
+    internal and dropped.
     """
     wcol = F.col(weight_col).cast("long")
     bad = df.agg(
@@ -782,9 +788,9 @@ def sample_priority(
         10,
     ).cast("long")
     out = df.withColumn("_u", u).withColumn(
-        "_priority", F.expr(f"_u div cast({weight_col} as long)")
+        "priority", F.expr(f"_u div cast({weight_col} as long)")
     )
-    order = [F.col("_priority").asc(), F.col("_u").asc(), F.col(id_col).asc()]
+    order = [F.col("priority").asc(), F.col("_u").asc(), F.col(id_col).asc()]
     if stratum_col is None:
         return out.orderBy(*order).limit(n).drop("_u")
     from pyspark.sql.window import Window

@@ -496,13 +496,38 @@ def ivf_assign(
 
 def _round_half_up_q(v):
     """numpy replica of Spark's ``round(x * 1e7)`` (HALF_UP = half away
-    from zero; ``np.round`` is banker's and would disagree on exact .5)."""
+    from zero; ``np.round`` is banker's and would disagree on exact .5).
+
+    Exactness note (ADVICE r12): ``floor(scaled + 0.5)`` decides the
+    HALF_UP question on the BINARY double, but Spark decides it on the
+    double's SHORTEST-DECIMAL value (``BigDecimal.valueOf``, i.e.
+    ``Double.toString``): a scaled value one ulp below a .5 boundary —
+    e.g. ``0.49999999999999994 + 0.5 == 1.0`` — would round up here and
+    down in Spark. Elements within a few ulps of a .5 boundary are
+    therefore re-decided exactly via ``decimal`` on ``repr(x)``, which
+    is the same shortest-round-trip decimal Java produces — keeping the
+    vectorized fast path AND the bit-identical-to-Catalyst contract."""
     import numpy as np
 
-    scaled = v * float(_Q)
-    return np.where(
-        scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)
-    ).astype(np.int64)
+    scaled = np.ascontiguousarray(v * float(_Q), dtype=np.float64)
+    shape = scaled.shape
+    flat = scaled.reshape(-1)
+    fast = np.where(flat >= 0, np.floor(flat + 0.5), np.ceil(flat - 0.5))
+    # distance from the nearest k+0.5 boundary, vs a generous ulp window
+    risky = np.abs(flat - np.floor(flat) - 0.5) <= (
+        np.spacing(np.abs(flat) + 1.0) * 4.0
+    )
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        for j in np.flatnonzero(risky):
+            fast[j] = float(
+                Decimal(repr(float(flat[j]))).quantize(
+                    one, rounding=ROUND_HALF_UP
+                )
+            )
+    return fast.astype(np.int64).reshape(shape)
 
 
 def _ivf_assign_np(
@@ -1541,15 +1566,30 @@ class IvfPqIndex:
     calib: DataFrame | None = None
 
 
+def _resolve_encoder(encoder: str) -> str:
+    """``"auto"`` → the numpy Arrow engine when numpy is importable
+    (always, in this image), else the pure-Catalyst formulation. The
+    two are bit-identical (tests/test_layout.py); auto just picks the
+    one that avoids the corpus × m × k Catalyst fanout at scale."""
+    if encoder != "auto":
+        return encoder
+    try:
+        import numpy  # noqa: F401
+
+        return "numpy"
+    except ImportError:  # pragma: no cover - numpy is baked into the image
+        return "catalyst"
+
+
 def ivfpq_index(
     corpus: DataFrame,
     n_centroids: int = 16,
     m: int = 8,
-    k: int = 16,
+    k: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    refine_rounds: int = 0,
-    encoder: str = "catalyst",
+    refine_rounds: int = 1,
+    encoder: str = "auto",
 ) -> IvfPqIndex:
     """Build the IVF-PQ index once: seeded coarse centroids, one
     integer-cosine assignment pass over the corpus (the IVF lists), the
@@ -1564,8 +1604,19 @@ def ivfpq_index(
     formulations — proven in tests/test_layout.py) and is the scale
     path: the Catalyst list assignment stages corpus × n_centroids rows
     through a window shuffle, and Catalyst code assignment stages a
-    corpus × m × k join (32B rows at production k=256 over 1M×128)."""
+    corpus × m × k join (32B rows at production k=256 over 1M×128).
+
+    Defaults (r12 verdict #3) ARE the measured production
+    configuration — ``k=256, refine_rounds=1, encoder="auto"`` (numpy)
+    — the exact build every bench recall/wall claim is based on
+    (BENCH ``ann_recall_bigindex``: flat/rerank recall 1.0 at
+    nprobe=16/64 over 1M×128). The old ``k=16, refine_rounds=0``
+    4-bit-code config that raw-ADC benches proved shortlist-grade at
+    best remains available explicitly for the small oracle-replayable
+    tests."""
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    encoder = _resolve_encoder(encoder)
 
     cents = cache_scoped(
         ivf_centroids(corpus, n_centroids, id_col, vec_col), "ivfpq_cents"
@@ -1598,7 +1649,7 @@ def ivfpq_index(
 
 
 def ivfpq_append(
-    index: IvfPqIndex, new_rows: DataFrame, encoder: str = "catalyst"
+    index: IvfPqIndex, new_rows: DataFrame, encoder: str = "auto"
 ) -> IvfPqIndex:
     """Append vectors to a built IVF-PQ index WITHOUT rebuilding — the
     streaming-embedding-ingest shape (the incremental-dedup ledger
@@ -1622,6 +1673,7 @@ def ivfpq_append(
             "ivfpq_append needs an index built by ivfpq_index (stored "
             "int8 calibration missing)"
         )
+    encoder = _resolve_encoder(encoder)
     id_col, vec_col = index.id_col, index.vec_col
     new_lists = ivf_assign(
         new_rows, index.centroids, id_col, vec_col, nprobe=1, engine=encoder
@@ -1791,12 +1843,14 @@ def ann_topk_ivfpq(
     n_centroids: int = 16,
     nprobe: int = 2,
     m: int = 8,
-    k: int = 16,
+    k: int = 256,
     top_k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: bool = True,
     shortlist: int = 400,
+    refine_rounds: int = 1,
+    encoder: str = "auto",
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composition of both index structures —
     coarse IVF lists restrict WHICH vectors are scored (each query reads
@@ -1814,8 +1868,12 @@ def ann_topk_ivfpq(
     ADC tables from the PQ path; the candidate restriction is one
     equi-join on centroid_id, the scoring one equi-join on
     (query, sub, code). One-shot convenience over ``ivfpq_index`` +
-    ``ivfpq_search``."""
-    idx = ivfpq_index(corpus, n_centroids, m, k, id_col, vec_col)
+    ``ivfpq_search`` — same measured-config defaults (k=256, one Lloyd
+    refinement round, auto-numpy encoder; r12 verdict #3)."""
+    idx = ivfpq_index(
+        corpus, n_centroids, m, k, id_col, vec_col,
+        refine_rounds=refine_rounds, encoder=encoder,
+    )
     return ivfpq_search(
         idx, corpus, query_pred, nprobe=nprobe, top_k=top_k,
         rerank=rerank, shortlist=shortlist,

@@ -1286,7 +1286,13 @@ def ann_recall_report(spark):
     # it a 4th build — ivfflat_search/ivfpq_search over a single
     # ivfpq_index return bit-identical results (proven in
     # tests/test_layout.py) while the lists/codes materialize once.
-    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    # Pinned to the pre-r13 small config (k=16, unrefined, lazy
+    # Catalyst build): this entry's oracle encodes THESE recall rows;
+    # the k=256 refined production default is oracle-checked by
+    # ann_topk_ivfpq / ann_ivfpq_index_search.
+    idx = similarity.ivfpq_index(
+        emb, n_centroids=16, m=8, k=16, refine_rounds=0, encoder="catalyst"
+    )
     methods = {
         "lsh": similarity.ann_topk_lsh(emb, qs, dim=64, k=10),
         "lsh_multiprobe": similarity.ann_topk_lsh_multiprobe(
@@ -2400,7 +2406,11 @@ def ann_ivfflat_index_search(spark):
     at nprobe=6 so the oracle distinguishes this path from the one-shot
     ann_topk_ivf at nprobe=4."""
     emb = spark.table("embeddings")
-    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    # flat search never reads the PQ codebook — pin the lazy Catalyst
+    # unrefined build so no codebook work is materialized for it
+    idx = similarity.ivfpq_index(
+        emb, n_centroids=16, m=8, k=16, refine_rounds=0, encoder="catalyst"
+    )
     return similarity.ivfflat_search(
         idx, emb, F.col("vec_id") < 5, nprobe=6, top_k=10
     )
@@ -6818,15 +6828,19 @@ def ann_topk_int8(spark):
 
 
 # shared PQ oracle pipeline: int8 codes → seeded codebook → subspace
-# distances → argmin encoding → ADC totals for queries (vec_id < 5)
-_PQ_CTES = f"""{_INT8_QV},
+# distances → argmin encoding → ADC totals for queries (vec_id < 5).
+# Parameterized on the codebook size so the same replay covers both the
+# oracle-friendly k=16 config and the measured production default k=256
+# (r12 verdict #3).
+def _pq_ctes(k: int = 16) -> str:
+    return f"""{_INT8_QV},
     dims AS (SELECT CAST(MAX(pos) AS INTEGER) AS d FROM qv),
     picked AS (
       SELECT vec_id AS cb_vec,
              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
                                 vec_id ASC) - 1 AS code_id
       FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {k}
     ),
     cb AS (
       SELECT p.code_id, CAST((q.pos - 1) AS INTEGER) // (d // 8) AS sub,
@@ -6853,6 +6867,9 @@ _PQ_CTES = f"""{_INT8_QV},
       WHERE d.vec_id < 5 AND e.vec_id <> d.vec_id
       GROUP BY 1, 2
     )"""
+
+
+_PQ_CTES = _pq_ctes(16)
 
 
 @q(
@@ -7035,11 +7052,15 @@ def ann_topk_pq_rerank_exact(spark):
     )
 
 
-def _ivfpq_oracle(nprobe: int, rerank: bool = True, refined: bool = False) -> str:
-    """Full IVF-PQ oracle: _PQ_CTES codebook/encoding (optionally one
+def _ivfpq_oracle(
+    nprobe: int, rerank: bool = True, refined: bool = False, k: int = 16
+) -> str:
+    """Full IVF-PQ oracle: _pq_ctes(k) codebook/encoding (optionally one
     Lloyd refinement round — the floor-mean means/dist1/enc1 CTEs of
     ann_topk_pq_refined), coarse IVF lists, probed-candidate ADC, and
-    (default) the stored-vector exact rerank of the ADC shortlist."""
+    (default) the stored-vector exact rerank of the ADC shortlist.
+    ``k=256, refined=True`` replays the measured production default
+    build of ``ivfpq_index`` (r12 verdict #3)."""
     refine_ctes = """,
     means AS (
       SELECT e.sub, e.code_id, v.pos,
@@ -7096,7 +7117,7 @@ def _ivfpq_oracle(nprobe: int, rerank: bool = True, refined: bool = False) -> st
       FROM rscored
     ) WHERE rank <= 10"""
     return f"""
-    WITH {_PQ_CTES}{refine_ctes if refined else ""},
+    WITH {_pq_ctes(k)}{refine_ctes if refined else ""},
     fel AS (
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
@@ -7143,25 +7164,32 @@ def _ivfpq_oracle(nprobe: int, rerank: bool = True, refined: bool = False) -> st
     """
 
 
-@q("ann_topk_ivfpq", _ivfpq_oracle(nprobe=2, rerank=True))
+@q("ann_topk_ivfpq", _ivfpq_oracle(nprobe=2, rerank=True, refined=True, k=256))
 def ann_topk_ivfpq(spark):
     """IVF-PQ (similarity.ann_topk_ivfpq): the FAISS-style composition —
     coarse IVF lists prune WHICH vectors each query scores (nprobe=2 of
     16 lists, ~1/8 of the corpus read), PQ codes decide HOW the probed
-    lists are scanned (integer ADC over 4-byte codes, no vector
+    lists are scanned (integer ADC over compressed codes, no vector
     movement), and the ADC shortlist re-ranks against the STORED
     full-precision vectors (r11 verdict #1: compressed ADC ranks are
     shortlist material, not answers — rerank is now the DEFAULT search
     path, and the oracle replays shortlist + exact rerank bit-for-bit).
-    The 100 TB vector-search architecture in one plan: partition
-    pruning × compressed scanning × shortlist-bounded exact scoring."""
+    Since r13 the build runs at the API DEFAULTS — k=256 codebook, one
+    Lloyd refinement round, auto-numpy encoder, the measured production
+    configuration (r12 verdict #3) — so the config a user gets by not
+    choosing one is exactly what the driver oracle-checks here. The
+    100 TB vector-search architecture in one plan: partition pruning ×
+    compressed scanning × shortlist-bounded exact scoring."""
     emb = spark.table("embeddings")
     return similarity.ann_topk_ivfpq(
-        emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, m=8, k=16, top_k=10
+        emb, F.col("vec_id") < 5, n_centroids=16, nprobe=2, top_k=10
     )
 
 
-@q("ann_ivfpq_index_search", _ivfpq_oracle(nprobe=4, rerank=True))
+@q(
+    "ann_ivfpq_index_search",
+    _ivfpq_oracle(nprobe=4, rerank=True, refined=True, k=256),
+)
 def ann_ivfpq_index_search(spark):
     """Build-once / query-many IVF-PQ (similarity.ivfpq_index +
     ivfpq_search, r11): the index relations (coarse lists + quantized
@@ -7172,9 +7200,11 @@ def ann_ivfpq_index_search(spark):
     against the stored vectors (verdict #1); the oracle replays the
     identical integer pipeline — lists, ADC shortlist, exact rerank —
     at nprobe=4, so the decomposed API is held to the same bit-exact
-    contract as the one-shot path."""
+    contract as the one-shot path. Since r13 the build takes the API
+    defaults (k=256, refine_rounds=1, auto-numpy — the measured
+    production config, r12 verdict #3) and the oracle replays them."""
     emb = spark.table("embeddings")
-    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    idx = similarity.ivfpq_index(emb, n_centroids=16)
     return similarity.ivfpq_search(
         idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
     )
@@ -9514,7 +9544,7 @@ def sample_priority_weighted(spark):
         "doc_id", ((F.col("doc_id") % 7) + 1).alias("weight")
     )
     return pipeline.sample_priority(docs, n=100, weight_col="weight").select(
-        "doc_id", "weight", F.col("_priority").alias("priority")
+        "doc_id", "weight", "priority"
     )
 
 
@@ -9567,8 +9597,37 @@ def graph_hits(spark):
 # frozen-model IVF-PQ replay for the APPEND query: calibration, PQ
 # codebook seeds, and coarse centroids derive from the BASE corpus only
 # (vec_id % 5 <> 4); codes, lists, and the search run over ALL rows —
-# exactly what ivfpq_append produces without rebuilding.
-_IVFPQ_APPEND_ORACLE = """
+# exactly what ivfpq_append produces without rebuilding. Parameterized
+# on codebook size + refinement (r13: the entry builds at the API
+# defaults k=256/refine_rounds=1; the Lloyd floor-mean round runs on
+# BASE assignments only — the frozen model — then ALL rows re-encode
+# against the refined codebook, matching ivfpq_index(base) + append).
+def _ivfpq_append_oracle(k: int = 256, refined: bool = True) -> str:
+    refine_ctes = """
+    means AS (
+      SELECT e.sub, e.code_id, v.pos,
+             CAST(SUM(v.q) // COUNT(*) AS BIGINT) AS cq
+      FROM enc e
+      JOIN qv v ON v.vec_id = e.vec_id CROSS JOIN dims
+      WHERE CAST((v.pos - 1) AS INTEGER) // (d // 8) = e.sub
+        AND e.vec_id % 5 <> 4
+      GROUP BY 1, 2, 3
+    ),
+    dist1 AS (
+      SELECT v.vec_id, c.sub, c.code_id,
+             SUM(CAST(v.q - c.cq AS BIGINT) * (v.q - c.cq)) AS dist
+      FROM qv v JOIN means c ON v.pos = c.pos
+      GROUP BY 1, 2, 3
+    ),
+    enc1 AS (
+      SELECT vec_id, sub, code_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist ASC, code_id ASC) AS r
+        FROM dist1
+      ) WHERE r = 1
+    ),"""
+    dist_cte, enc_cte = ("dist1", "enc1") if refined else ("dist", "enc")
+    return f"""
     WITH el AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v
@@ -9591,7 +9650,7 @@ _IVFPQ_APPEND_ORACLE = """
              ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
                                 vec_id ASC) - 1 AS code_id
       FROM embeddings WHERE vec_id % 5 <> 4
-      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 16
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {k}
     ),
     cb AS (
       SELECT p.code_id, CAST((q.pos - 1) AS INTEGER) // (d // 8) AS sub,
@@ -9610,7 +9669,7 @@ _IVFPQ_APPEND_ORACLE = """
                                      ORDER BY dist ASC, code_id ASC) AS r
         FROM dist
       ) WHERE r = 1
-    ),
+    ),{refine_ctes if refined else ""}
     fel AS (
       SELECT vec_id,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS x,
@@ -9654,8 +9713,8 @@ _IVFPQ_APPEND_ORACLE = """
     iadc AS (
       SELECT c.query_id, c.vec_id, CAST(SUM(d.dist) AS BIGINT) AS approx_sqdist
       FROM cand c
-      JOIN enc e ON e.vec_id = c.vec_id
-      JOIN dist d ON d.vec_id = c.query_id AND d.sub = e.sub
+      JOIN {enc_cte} e ON e.vec_id = c.vec_id
+      JOIN {dist_cte} d ON d.vec_id = c.query_id AND d.sub = e.sub
                  AND d.code_id = e.code_id
       GROUP BY 1, 2
     ),
@@ -9684,10 +9743,10 @@ _IVFPQ_APPEND_ORACLE = """
                                    ORDER BY cosine_sim DESC, vec_id ASC) AS rank
       FROM rscored
     ) WHERE rank <= 10
-"""
+    """
 
 
-@q("ann_ivfpq_append_search", _IVFPQ_APPEND_ORACLE)
+@q("ann_ivfpq_append_search", _ivfpq_append_oracle())
 def ann_ivfpq_append_search(spark):
     """Incremental IVF-PQ index maintenance (r12): build on the base
     80% of the embeddings table, ivfpq_append the remaining 20% with
@@ -9697,11 +9756,15 @@ def ann_ivfpq_append_search(spark):
     reranked search over the union. The oracle replays the whole
     frozen-model pipeline — calibration/seeds/centroids from base only,
     codes and lists over all rows — so a drift anywhere in the append
-    path (a recalibration, a re-pick, a dropped row) flips the hash."""
+    path (a recalibration, a re-pick, a dropped row) flips the hash.
+    Since r13 the base build takes the API defaults (k=256 codebook,
+    one Lloyd round over BASE assignments, auto-numpy — the measured
+    production config, r12 verdict #3); the oracle replays the
+    base-only refinement and the all-rows re-encode exactly."""
     emb = spark.table("embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 4)
     delta = emb.filter(F.col("vec_id") % 5 == 4)
-    idx = similarity.ivfpq_index(base, n_centroids=16, m=8, k=16)
+    idx = similarity.ivfpq_index(base, n_centroids=16)
     idx2 = similarity.ivfpq_append(idx, delta)
     return similarity.ivfpq_search(idx2, emb, F.col("vec_id") < 5, nprobe=4, top_k=10)
 
@@ -9805,9 +9868,23 @@ def graph_pagerank_personalized(spark):
                                      ORDER BY score_micro DESC, cls ASC) AS r
         FROM scored
       ) WHERE r = 1
+    ),
+    best_prior AS (
+      SELECT cls, prior_micro FROM classes
+      ORDER BY prior_micro DESC, cls ASC LIMIT 1
     )
-    SELECT p.doc_id, d.lang, p.cls AS predicted, p.score_micro
-    FROM pred p JOIN documents d USING (doc_id)
+    -- LEFT JOIN from the held-out DOCUMENT set (not from pred): a
+    -- token-less held-out doc has no dt/pred rows but the operator
+    -- still emits its prior-only fallback row (ADVICE r12) — the
+    -- oracle replays the same cardinality contract
+    SELECT d.doc_id, d.lang,
+           COALESCE(p.cls, bp.cls) AS predicted,
+           CAST(COALESCE(p.score_micro, bp.prior_micro) AS BIGINT)
+             AS score_micro
+    FROM documents d
+    LEFT JOIN pred p USING (doc_id)
+    CROSS JOIN best_prior bp
+    WHERE d.doc_id % 5 = 0
     """,
 )
 def ml_naive_bayes(spark):

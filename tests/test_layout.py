@@ -300,7 +300,9 @@ def test_ivfpq_index_search_equals_one_shot(spark):
     dial on the SAME index must be monotone for the flat path (exact
     scoring of a candidate superset can never evict a true hit)."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    idx = similarity.ivfpq_index(emb, n_centroids=16, m=8, k=16)
+    # both sides at the API defaults (r13: k=256, refined, auto-numpy)
+    # so the one-shot's default build matches the decomposed index
+    idx = similarity.ivfpq_index(emb, n_centroids=16)
     one_shot = {
         (r["query_id"], r["vec_id"], r["approx_sqdist"], r["rank"])
         for r in similarity.ann_topk_ivfpq(
@@ -428,6 +430,55 @@ def test_ivfpq_rerank_default_recalls_flat(spark):
     assert reranked == flat
 
 
+def test_round_half_up_q_matches_spark_round(spark):
+    """_round_half_up_q (the numpy ivf_assign quantizer) must agree
+    with Spark's round(x * 1e7) on EVERY double, including values one
+    ulp below a .5 boundary where floor(x+0.5) on the binary double
+    disagrees with BigDecimal HALF_UP on the shortest-decimal value
+    (ADVICE r12: 0.49999999999999994 + 0.5 == 1.0 but rounds to 0).
+    Adversarial inputs: neighbors of k+0.5 boundaries (both signs,
+    small and large k), the classic one-ulp-below-half doubles, and a
+    deterministic pseudo-random sample."""
+    import numpy as np
+
+    vals = [0.49999999999999994e-7, -0.49999999999999994e-7]
+    for k in (0, 1, 2, 7, 123, 2**20 + 3):
+        b = (k + 0.5) / 1e7
+        for d in (-2, -1, 0, 1, 2):
+            x = b
+            for _ in range(abs(d)):
+                x = float(np.nextafter(x, np.inf if d > 0 else -np.inf))
+            vals.extend([x, -x])
+    rng = np.random.default_rng(20260816)
+    vals.extend((rng.random(200) * 2.0 - 1.0).tolist())
+    arr = np.array(vals, dtype=np.float64)
+    ours = similarity._round_half_up_q(arr)
+    sdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, x double"
+    ).select("i", F.expr("cast(round(x * 10000000) as bigint) as q"))
+    theirs = {r["i"]: r["q"] for r in sdf.collect()}
+    for i, v in enumerate(vals):
+        assert int(ours[i]) == theirs[i], (v, int(ours[i]), theirs[i])
+
+
+def test_ivfpq_defaults_are_the_measured_config():
+    """r12 verdict #3: ivfpq_index's DEFAULTS must be the configuration
+    the bench measures (k=256 codebook, one Lloyd refinement round,
+    auto encoder resolving to numpy) — not the lossier k=16/unrefined
+    config that raw-ADC benches proved shortlist-grade at best."""
+    import inspect
+
+    sig = inspect.signature(similarity.ivfpq_index)
+    assert sig.parameters["k"].default == 256
+    assert sig.parameters["refine_rounds"].default == 1
+    assert sig.parameters["encoder"].default == "auto"
+    assert similarity._resolve_encoder("auto") == "numpy"
+    assert similarity._resolve_encoder("catalyst") == "catalyst"
+    one_shot = inspect.signature(similarity.ann_topk_ivfpq)
+    assert one_shot.parameters["k"].default == 256
+    assert one_shot.parameters["refine_rounds"].default == 1
+
+
 def test_ivf_assign_numpy_equals_catalyst(spark):
     """The numpy ivf_assign engine may only replace the Catalyst
     crossJoin+window plan (corpus × C rows through an exchange) if every
@@ -456,9 +507,14 @@ def test_ivf_assign_numpy_equals_catalyst(spark):
 def test_ivfpq_index_numpy_encoder_matches_catalyst_index(spark):
     """ivfpq_index(encoder="numpy") — the 1M-bench build path — must
     produce the same lists and the same PQ code assignment as the
-    all-Catalyst build (same corpus, same seeds, same codebook)."""
+    all-Catalyst build (same corpus, same seeds, same codebook).
+    Catalyst is pinned explicitly on one side — since r13 the default
+    encoder resolves to numpy, so an unpinned pair would compare the
+    numpy engine against itself."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    a = similarity.ivfpq_index(emb, n_centroids=8, m=8, k=16)
+    a = similarity.ivfpq_index(
+        emb, n_centroids=8, m=8, k=16, encoder="catalyst"
+    )
     b = similarity.ivfpq_index(emb, n_centroids=8, m=8, k=16, encoder="numpy")
     assert {
         (r["vec_id"], r["centroid_id"]) for r in a.lists.collect()

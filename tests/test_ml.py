@@ -316,6 +316,31 @@ def test_naive_bayes_separable_corpus(spark):
     }
 
 
+def test_naive_bayes_null_train_pred_is_held_out(spark):
+    """A row where train_pred evaluates to NULL must be CLASSIFIED
+    (treated as held-out), not silently dropped from both splits
+    (ADVICE r12: filter(pred) and filter(~pred) both drop NULLs)."""
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark.operators import ml
+
+    rows = [
+        (i, "cat" if i % 2 == 0 else "dog",
+         "meow purr" if i % 2 == 0 else "woof bark", i % 2 == 0)
+        for i in range(4, 30)
+    ]
+    # flag=NULL rows: must land in the held-out split
+    rows += [(0, "cat", "meow purr", None), (1, "dog", "woof bark", None)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, flag boolean"
+    )
+    out = {r["doc_id"]: r["predicted"] for r in ml.naive_bayes_classify(
+        docs, F.when(F.col("doc_id") >= 4, True).otherwise(F.col("flag"))
+    ).collect()}
+    assert set(out) == {0, 1}
+    assert out[0] == "cat" and out[1] == "dog"
+
+
 def test_naive_bayes_tokenless_doc_gets_prior_argmax(spark):
     """A held-out doc with empty/NULL text must still get a row — the
     prior-only argmax — not silently vanish (r12 review)."""
