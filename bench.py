@@ -163,6 +163,97 @@ def _make_convert_fixture(n_rows: int, n_files: int = 32) -> str:
     return base
 
 
+def _drift_schema(version: int) -> dict:
+    """Three writer-schema versions of the bench CDC envelope — the
+    add/drop column drift a long-lived CDC topic accumulates: v2 adds
+    ``region`` and drops ``qty``; v3 adds ``score`` and drops ``name``.
+    The merged output schema must carry ALL of them."""
+    schema = dict(_CDC_BENCH_SCHEMA)
+    payload = dict(schema["fields"][2]["type"])
+    fields = list(payload["fields"])
+    if version == 2:
+        fields = [f for f in fields if f["name"] != "qty"]
+        fields.append({"name": "region", "type": ["null", "string"]})
+    elif version == 3:
+        fields = [f for f in fields if f["name"] != "name"]
+        fields.append({"name": "score", "type": ["null", "double"]})
+    payload = {**payload, "name": f"p_v{version}", "fields": fields}
+    return {
+        **schema,
+        "fields": schema["fields"][:2] + [{"name": "payload", "type": payload}],
+    }
+
+
+def _make_drift_fixture(target_bytes: int) -> tuple[str, dict[int, int]]:
+    """~target_bytes of CDC Avro for ONE table across THREE writer-schema
+    versions (one big multi-block file per version, template-encode +
+    block-repeat like the bigfile fixture). Returns (base_dir,
+    {version: rows})."""
+    import tempfile
+
+    from muninn_avro_to_parquet_spark.sources import avro_io
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"muninn_bench_drift_{target_bytes}"
+    )
+    avro_dir = os.path.join(base, "avro", "bench_drift")
+    marker = os.path.join(base, ".complete")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            return base, {
+                int(v): int(n)
+                for v, n in (ln.split("=") for ln in f.read().split())
+            }
+    os.makedirs(avro_dir, exist_ok=True)
+    rows_by_version: dict[int, int] = {}
+    per_version = target_bytes // 3
+    for version in (1, 2, 3):
+        schema = _drift_schema(version)
+        template = []
+        for i in range(20_000):
+            payload = {
+                "id": i,
+                "price": (i % 10000) / 100.0,
+                "active": i % 2 == 0,
+                "created": 1_700_000_000_000_000 + i,
+                "balance": ((i % 100000) * 10**28).to_bytes(16, "big", signed=True),
+                "tags": [f"t{i % 5}", "x"],
+            }
+            if version != 2:
+                payload["qty"] = i % 100
+            if version != 3:
+                payload["name"] = f"name_{i % 1000}"
+            if version == 2:
+                payload["region"] = f"r{i % 9}"
+            if version == 3:
+                payload["score"] = (i % 997) / 10.0
+            template.append(
+                {
+                    "uuid": f"u{i}",
+                    "source_metadata": {
+                        "schema": "public", "table": "bench_drift",
+                        "is_deleted": i % 7 == 0,
+                        "change_type": "INSERT" if i % 3 else "UPDATE",
+                        "tx_id": 1000 + i, "lsn": f"0/{i:x}",
+                        "primary_keys": ["id"],
+                    },
+                    "payload": payload,
+                }
+            )
+        path = os.path.join(avro_dir, f"v{version}.avro")
+        # size one copy of the template, then block-repeat to target
+        avro_io.write_file_repeated(path, schema, template, repeats=1)
+        once = os.path.getsize(path)
+        repeats = max(1, per_version // max(once, 1))
+        rows_by_version[version] = avro_io.write_file_repeated(
+            path, schema, template, repeats=repeats
+        )
+    with open(marker, "w", encoding="utf-8") as f:
+        f.write(" ".join(f"{v}={n}" for v, n in rows_by_version.items()))
+        f.write("\n")
+    return base, rows_by_version
+
+
 def _make_bigfile_fixture(target_bytes: int, strip_decimal: bool = False) -> tuple[str, int]:
     """One >=target_bytes multi-block Avro file under /tmp, reused across
     runs. Returns (base_dir, total_rows). Generation encodes a 20k-row
@@ -679,6 +770,68 @@ def _bench_body() -> dict:
             }
     else:
         bigfile_stats = None
+
+    # schema-drift convert at size (r12 verdict #6): drift handling
+    # (merged plans, per-version groups, all-string fallback) was
+    # unit-tested but never exercised at scale — ~1 GiB of ONE table
+    # across THREE writer schemas (v2 adds region/drops qty, v3 adds
+    # score/drops name) through the full convert() path. Asserts the
+    # merged output schema, exact per-version row/null accounting, and
+    # that the typed merge (NOT the all-string fallback) handled it.
+    drift_bytes = int(
+        os.environ.get("SPARK_GRAFT_DRIFT_BYTES", str(1 << 30))
+    )
+    if drift_bytes > 0:
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark import convert as convert_mod
+
+        drift_dir, drift_rows = _make_drift_fixture(drift_bytes)
+        drift_total = sum(drift_rows.values())
+        out_dir = os.path.join(drift_dir, "out")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        jc.start("bench_drift")
+        t0 = time.perf_counter()
+        res = convert_mod.convert(
+            spark,
+            os.path.join(drift_dir, "avro", "**", "*.avro"),
+            out_dir,
+            ingestion_date="2026-01-01",
+        )
+        drift_wall = time.perf_counter() - t0
+        drift_jobs = jc.stop()
+        assert res.tables.get("bench_drift") == drift_total, res.tables
+        assert res.schema_versions.get("bench_drift") == 3, res.schema_versions
+        assert not res.fallback_files, res.fallback_files  # typed merge held
+        out = spark.read.parquet(os.path.join(out_dir, "bench_drift"))
+        missing = {"qty", "name", "region", "score", "balance"} - set(out.columns)
+        assert not missing, f"merged schema dropped columns: {missing}"
+        acc = out.agg(
+            F.count("*").alias("n"),
+            F.count("qty").alias("n_qty"),
+            F.count("name").alias("n_name"),
+            F.count("region").alias("n_region"),
+            F.count("score").alias("n_score"),
+        ).first()
+        v1, v2, v3 = (drift_rows[v] for v in (1, 2, 3))
+        assert acc["n"] == drift_total
+        assert acc["n_qty"] == v1 + v3, (acc, drift_rows)  # v2 dropped qty
+        assert acc["n_name"] == v1 + v2, (acc, drift_rows)  # v3 dropped name
+        assert acc["n_region"] == v2 and acc["n_score"] == v3, (acc, drift_rows)
+        timings["convert_drift_bigfile"] = round(drift_wall, 4)
+        drift_stats = {
+            "bytes_target": drift_bytes,
+            "rows": drift_total,
+            "rows_by_version": {str(v): n for v, n in drift_rows.items()},
+            "schema_versions": 3,
+            "fallback_files": 0,
+            "rows_per_sec": round(drift_total / drift_wall),
+            "jobs": drift_jobs,
+        }
+    else:
+        drift_stats = None
 
     # scale proof for the dedup family beyond sf0.1: a Spark-GENERATED
     # synthetic corpus (deterministic md5-derived token picks — no Python
@@ -1853,6 +2006,8 @@ def _bench_body() -> dict:
     }
     if bigfile_stats is not None:
         result["bigfile"] = bigfile_stats
+    if drift_stats is not None:
+        result["bigdrift"] = drift_stats
     if bigcorpus_stats is not None:
         result["bigcorpus"] = bigcorpus_stats
     if bigorder_stats is not None:

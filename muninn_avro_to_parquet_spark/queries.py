@@ -1319,38 +1319,47 @@ def ann_recall_report(spark):
             idx, emb, F.col("vec_id") < 5, nprobe=4, top_k=10
         ),
     }
-    n_ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
-    reports = []
+    # ONE join + ONE aggregate over the union of all method hit-sets
+    # (r13, verdict #2): the per-method join+agg subtrees made this the
+    # most job-heavy entry in the registry (85 AQE jobs measured — at
+    # the 132 ms/job floor that is ~11 s of pure scheduling for a
+    # 24-row result). Tag each method's (query, hit) pairs, union once,
+    # join exact once, aggregate per (method, query) then per method —
+    # values identical, subtree count collapsed.
+    spark = emb.sparkSession
+    tagged = None
     for name, top in methods.items():
-        n_hit = (
-            exact.join(top.select("query_id", "vec_id"), ["query_id", "vec_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").alias("n_hits"))
+        t = top.select(
+            F.lit(name).alias("method"), "query_id", "vec_id"
         )
-        rec = n_ex.join(n_hit, "query_id", "left").select(
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
-                / F.col("n_exact").cast("double")
-            ).alias("r")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    n_ex = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        tagged.join(exact, ["query_id", "vec_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    grid = n_ex.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(m,) for m in methods], "method string")
         )
-        reports.append(
-            rec.agg(
-                F.lit(name).alias("method"),
-                F.count("*").cast("long").alias("n_queries"),
-                F.round(
-                    F.sum(F.round(F.col("r") * 1000000).cast("long")).cast(
-                        "double"
-                    )
-                    / (F.count("*") * 1000000.0),
-                    6,
-                ).alias("avg_recall"),
-                F.round(F.min("r"), 6).alias("min_recall"),
-            )
-        )
-    out = reports[0]
-    for rep in reports[1:]:
-        out = out.unionByName(rep)
-    return out
+    )
+    rec = grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("r"),
+    )
+    return rec.groupBy("method").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(
+            F.sum(F.round(F.col("r") * 1000000).cast("long")).cast("double")
+            / (F.count("*") * 1000000.0),
+            6,
+        ).alias("avg_recall"),
+        F.round(F.min("r"), 6).alias("min_recall"),
+    )
 
 
 def _ann_lsh_multiprobe_oracle() -> str:
