@@ -460,24 +460,29 @@ def main() -> None:
 
 
 def _measure_sched_floor(spark, n: int = 20) -> float:
-    """Per-job scheduling floor of THIS sweep, in seconds: the median
-    wall of ``n`` empty 32-task noop writes (the commit-4e5be0a
-    adjudication methodology made standing — r12 verdict #1). Under
-    co-tenant load the floor measured 182 ms vs ~130 ms idle, and a
-    multi-job entry pays it once per Spark job: the r12 headline's
-    +24% drift on byte-identical code was this floor moving, not
-    plans regressing. Measured at sweep start AND end (load shifts
-    over a 4-minute sweep); the mean feeds the floor-normalized
-    headline."""
-    walls = []
-    for _ in range(n):
+    """Per-JOB scheduling floor of THIS sweep, in seconds: the median
+    of wall/jobs over ``n`` empty 32-task noop writes (the commit-
+    4e5be0a adjudication methodology made standing — r12 verdict #1 —
+    refined: the probe action is itself 2 AQE jobs, so its WALL is a
+    per-action number ≈ 2× the per-job floor this function returns;
+    the r12 note's '182 ms' is ~91 ms in this unit). Under co-tenant
+    load the floor roughly doubles, and a multi-job entry pays it once
+    per Spark job: the r12 headline's +24% drift on byte-identical
+    code was this floor moving, not plans regressing. Measured at
+    sweep start AND end (load shifts over a 4-minute sweep); the mean
+    feeds the floor-normalized headline."""
+    jc = _JobCounter(spark)
+    rates = []
+    for i in range(n):
+        jc.start(f"sched_floor_{time.monotonic_ns()}")
         t0 = time.perf_counter()
         spark.range(32).repartition(32).write.format("noop").mode(
             "overwrite"
         ).save()
-        walls.append(time.perf_counter() - t0)
-    walls.sort()
-    return walls[len(walls) // 2]
+        wall = time.perf_counter() - t0
+        rates.append(wall / max(jc.stop(), 1))
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 class _JobCounter:
@@ -494,11 +499,23 @@ class _JobCounter:
 
     def start(self, group: str) -> None:
         self._group = group
+        # jobs submitted from worker THREADS (convert()'s per-table
+        # ThreadPoolExecutor) don't inherit this thread's job-group
+        # local property — snapshot the ungrouped job-id set so stop()
+        # can count them by diff (job ids are monotone, so new ids are
+        # exactly the leg's own)
+        st = self._sc.statusTracker()
+        self._before_ungrouped = set(st.getJobIdsForGroup(None) or [])
         self._sc.setLocalProperty("spark.jobGroup.id", group)
 
     def stop(self) -> int:
         self._sc.setLocalProperty("spark.jobGroup.id", None)
-        return len(self._sc.statusTracker().getJobIdsForGroup(self._group))
+        st = self._sc.statusTracker()
+        grouped = len(st.getJobIdsForGroup(self._group))
+        ungrouped = (
+            set(st.getJobIdsForGroup(None) or []) - self._before_ungrouped
+        )
+        return grouped + len(ungrouped)
 
 
 def _bench_body() -> dict:
@@ -1519,9 +1536,11 @@ def _bench_body() -> dict:
         # build cost; the Arrow assign erases it — bit-identical,
         # proven in tests/test_layout.py).
         t0 = time.perf_counter()
-        ridx = sim_mod.ivfpq_index(
-            remb, n_centroids=64, m=8, k=256, refine_rounds=1, encoder="numpy"
-        )
+        # the API DEFAULTS (r12 verdict #3: k=256, refine_rounds=1,
+        # auto-numpy) ARE the measured production configuration — build
+        # with them so every recall/wall row below is a default-build
+        # row; only n_centroids scales with corpus size
+        ridx = sim_mod.ivfpq_index(remb, n_centroids=64)
         # the ivfpq_index() call is NOT lazy with the numpy encoder: the
         # refine round and the encoder both collect the (k·D-row)
         # codebook driver-side, which materializes the int8-quantize +

@@ -61,6 +61,15 @@ HEADLINERS: list[tuple[str, str]] = [
         "the rank<=k filter prunes inside the window stage.",
     ),
     (
+        "q_kafka_cdc_envelope",
+        "Topic-shaped CDC decode (r13): producer mapInPandas (Avro encode "
+        "+ Confluent framing) → decode mapInArrow (unframe + interpreted "
+        "datum decode) → the SAME narrow cast select as the file "
+        "converter — two Python crossings back-to-back, ZERO exchanges: "
+        "at 100 TB of topic backlog the decode is embarrassingly "
+        "parallel over partitions exactly like the file path's splits.",
+    ),
+    (
         "q_asof_join",
         "Union-and-carry as-of join (operators/asof.py): |L|+|R| rows through "
         "ONE shuffle + window — never a per-key cartesian.",
@@ -457,6 +466,83 @@ def _counts(plan: str) -> str:
 
 
 EPILOGUE = """\
+## Measurement notes (round 13)
+
+**The headline is now load-normalized (r12 verdict #1).** bench.py
+measures its own per-JOB scheduling floor inside each sweep (median
+wall/jobs of 20 empty 32-task noop writes — the probe action is 2 AQE
+jobs, so the r12 note's per-action "182 ms" is ~91 ms in this unit),
+at sweep start AND end, and counts every entry's Spark jobs (job-group
+StatusTracker on the measuring thread + an ungrouped-job-id diff for
+convert()'s pool-thread submissions). `bench_results.json` now carries
+`sched_floor_ms`, per-entry `jobs`, `queries_floor_normalized`
+(max(0, wall − jobs × floor)) and the `value_floor_normalized`
+headline next to the raw one. Closing r13: raw 209.1 s / 203 entries,
+**floor-normalized 135.9 s** at a 46.7 ms/job floor (39.5 start →
+54.0 end; the box's 1-min loadavg swung 0 → 25 during the sweep —
+exactly the drift source the normalization removes).
+
+**The 46-entry r12 drift class, adjudicated.** At best-of-3, 71 shared
+entries drifted >30% r11→r12. With r13's floor accounting: **45 return
+to ≤1.1× their r11 RAW wall once floor-normalized** — floor-attributed
+and closed (r11's own floor share is still inside its raw number, so
+this bar is conservative). The 26 residuals fall in three classes, none
+a plan regression: (a) low-job registry entries whose residual is
+bounded by exactly the r11 floor share we cannot subtract (≤6 jobs ×
+~50-90 ms — e.g. q_cohort_retention r11 0.75 → r13 norm 1.02 at 5
+jobs); (b) legs whose CONTENT changed in r12 (ann_ivfpq_sweep_bigindex
+gained the margin geometry + the rerank mode rows — the r12 verdict
+already adjudicated it as the right experiment); (c) CPU-race proof
+legs where co-tenant load subtracts cores directly rather than adding
+a floor: write_bigfile_python (32-core Python deflate race) read 19.3 s
+in-sweep under loadavg>20 and 14.1 s isolated best-of-3 afterwards,
+with avro_sink.py byte-identical since round 9 — same class,
+convert_bigfile_python recovered 15.8 → 12.9 raw. From r13 on both raw
+and normalized ship per entry, so this one-sided-floor ambiguity ends.
+Same mechanism, same verdict for the r12 index-build number:
+ann_ivfpq_build_bigindex 22.3 → 47.6 s with the Arrow assign stage at
+25.2 s — all-numpy passes racing co-tenants for cores; code unchanged.
+
+**ann_recall_report attributed and collapsed (r12 verdict #2).** The
+entry measured 85 AQE jobs for a 24-row union of 8 method reports —
+at the floor that is ~5-11 s of pure scheduling; it was floor-bound,
+not plan-bound. The 8 per-method join+agg subtrees are now ONE tagged
+union + one join + one aggregate (hash-identical values, 72 jobs —
+the remainder is the 8 search plans themselves). Closing r13: raw
+9.2 s, **floor-normalized 5.85 s** — at the ≤6 s target.
+
+**biggeo record corrected (r12 verdict #5).** The r12 note's "geo now
+reads above its r10 mark" overstated: the r12 artifacts showed 186k
+pts/s against an r10 band of 205-262k, stable cold AND warm — that
+level was the in-sweep floor under sustained load, not the plan.
+Closing r13 under floor accounting: **273k pts/s raw warm** (above the
+r10 band), 318k floor-normalized, 11 jobs recorded on the leg. Level
+recovered; the earlier note is superseded by this one.
+
+**IVF-PQ defaults are the measured config (r12 verdict #3).**
+`ivfpq_index`/`ann_topk_ivfpq` now default to k=256 / one Lloyd round /
+auto-numpy — what the 1M bench builds (`ann_recall_bigindex` carries
+n_centroids=64 only). The default-path registry entries rebuilt at the
+defaults with parameterized oracles (`_pq_ctes(k)`; base-only-means
+refinement replay for the frozen-model append) and all sweep rows are
+now default-build rows: ann_topk_ivfpq 3.75 → 3.22 raw / 2.01
+normalized despite the 16× codebook — the numpy encoder absorbs k.
+
+**Schema-drift convert at size (r12 verdict #6).** New proof leg
+`convert_drift_bigfile`: ~1 GiB / 9.92M rows of ONE table across three
+writer schemas (v2 +region/−qty, v3 +score/−name) through the full
+convert() path — merged union schema asserted column-by-column, exact
+per-version null accounting, `schema_versions == 3`, zero all-string
+fallbacks, **1.28M rows/s** end-to-end (7.7 s wall, one Spark job via
+the pool-thread counter).
+
+**Kafka envelope path (r12 verdict #4).** `q_kafka_cdc_envelope`
+(plan audited above): producer mapInPandas → decode mapInArrow → the
+file converter's cast select — two back-to-back Python crossings, zero
+exchanges, 0.85 s raw / 1 job at sf0.1. The live `read_kafka` is
+jar-gated with the exact remediation; topic ≡ file-drop byte-identity
+is pinned in tests/test_kafka.py.
+
 ## Measurement notes (round 12)
 
 **Regression adjudication — the multi-job floor, measured.** The r11

@@ -64,5 +64,32 @@ def test_known_proof_entries_stay_out_of_the_headline():
         "html_bigcorpus", "warc_ingest_bigcrawl", "ann_exact_bigindex",
         "ann_ivfpq_build_bigindex", "ann_ivfpq_sweep_bigindex",
         "lpa_biggraph", "hits_biggraph", "knn_bigvectors",
+        "convert_drift_bigfile",
     ):
         assert bench.is_proof_entry(name), name
+
+
+def test_job_counter_counts_grouped_and_pool_thread_jobs(spark):
+    """The floor-normalized headline (r12 verdict #1) stands on the job
+    counter: jobs submitted on the measuring thread land in the job
+    group; jobs submitted from worker threads (convert()'s per-table
+    ThreadPoolExecutor) don't inherit the group and must be caught by
+    the ungrouped-id diff. A missed class would silently zero an
+    entry's floor share."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jc = bench._JobCounter(spark)
+    jc.start("jc_test_main")
+    spark.range(10).count()  # same-thread job → grouped
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        ex.submit(lambda: spark.range(10).count()).result()  # pool job
+    n = jc.stop()
+    assert n >= 2, n
+
+
+def test_sched_floor_is_per_job_and_positive(spark):
+    """_measure_sched_floor returns a PER-JOB rate (wall divided by the
+    probe action's own job count, which is >1 under AQE) — the unit the
+    wall − jobs × floor normalization needs."""
+    floor = bench._measure_sched_floor(spark, n=3)
+    assert 0 < floor < 5.0, floor
