@@ -10193,3 +10193,77 @@ def q_kafka_cdc_envelope(spark):
         F.col("partition").alias("kafka_partition"),
         F.col("offset").alias("kafka_offset"),
     )
+
+
+_CMS_WIDTH, _CMS_DEPTH = 1024, 3
+
+
+def _cms_pos_sql(key: str, r: str) -> str:
+    """DuckDB twin of sketches._cms_col: 56-bit md5 prefix mod width."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || {key}),"
+        f" 1, 14)) AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+@q(
+    "q_countmin_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    cms AS (
+      SELECT r.r, {_cms_pos_sql("token", "r.r")} AS col, COUNT(*) AS cnt
+      FROM toks CROSS JOIN range(0, {_CMS_DEPTH}) r(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+    qk AS (
+      SELECT token, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, token ASC LIMIT 30
+    ),
+    probe AS (
+      SELECT qk.token, qk.exact_cnt, r.r,
+             {_cms_pos_sql("qk.token", "r.r")} AS col
+      FROM qk CROSS JOIN range(0, {_CMS_DEPTH}) r(r)
+    )
+    SELECT p.token,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS est_cnt,
+           MIN(COALESCE(cms.cnt, 0)) >= p.exact_cnt AS overestimate
+    FROM probe p LEFT JOIN cms ON p.r = cms.r AND p.col = cms.col
+    GROUP BY p.token, p.exact_cnt
+    """,
+)
+def q_countmin_tokens(spark):
+    """Count-Min sketch frequency estimation (operators/sketches.py,
+    r13): the corpus token multiset compresses to a depth×width counter
+    RELATION (3×1024 here — deliberately narrow so the sf corpus
+    actually collides) built by one map-side-combined aggregate; the 30
+    most frequent tokens are then estimated from the sketch alone and
+    compared against their exact counts. The oracle replays the md5
+    counter table, the probe, AND the CMS law itself — ``overestimate``
+    must read true on every row because collisions only add. At 100 TB
+    the sketch is the only thing that moves (≤ depth×width rows,
+    mergeable across shards by re-summing); the exact side here exists
+    only to grade the estimate."""
+    from muninn_avro_to_parquet_spark.operators import sketches
+    from muninn_avro_to_parquet_spark.operators.text import tokens
+
+    tok = spark.table("documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    cms = sketches.count_min_build(
+        tok, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    qk = exact.orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(30)
+    est = sketches.count_min_query(
+        cms, qk, "token", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return qk.join(est, "token").select(
+        "token",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("overestimate"),
+    )

@@ -176,3 +176,35 @@ def test_decode_cdc_missing_column_fails_eagerly(spark):
         kafka.decode_cdc_values(df, CDC_SCHEMA)  # default meta_cols absent
     out = kafka.decode_cdc_values(df, CDC_SCHEMA, meta_cols=())
     assert "partition" not in out.columns
+
+
+def test_decode_cdc_values_under_structured_streaming(spark, tmp_path):
+    """The CDC value decode must compose with readStream — the actual
+    deployment shape once the connector jar exists (read_kafka
+    streaming=True → decode_cdc_values → writeStream). Stateless
+    mapInArrow + the cast select are both streaming-safe; proven here
+    over a file-backed stream carrying the same (value, partition,
+    offset) relation a Kafka scan produces."""
+    src = str(tmp_path / "stream_src")
+    _kafka_df(spark, n=6).write.parquet(src)
+    stream = spark.readStream.schema(
+        "value binary, partition int, offset long"
+    ).parquet(src)
+    out = kafka.decode_cdc_values(stream, CDC_SCHEMA)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cdc_stream_decode")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select offset, name, age from cdc_stream_decode order by offset"
+        ).collect()
+    finally:
+        q.stop()
+    assert [(r["offset"], r["name"], r["age"]) for r in rows] == [
+        (i, f"name{i}", 20 + i) for i in range(6)
+    ]

@@ -438,3 +438,40 @@ def test_gapfill_broadcasts_the_aggregate(spark):
     assert any("LeftOuter" in l and "BuildRight" in l for l in bhj), plan[:2000]
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_kafka_cdc_decode_has_no_exchange(spark):
+    """The topic-shaped CDC decode (r13) must stay embarrassingly
+    parallel: producer mapInPandas → decode mapInArrow → cast select
+    with ZERO exchanges — at 100 TB of topic backlog the decode
+    parallelism is the partition count, exactly like the file path's
+    splits, and any Exchange here would serialize the envelope bytes
+    through a shuffle for nothing."""
+    plan = _plan(QUERIES["q_kafka_cdc_envelope"].spark(spark, SF_CORRECT))
+    # the one RoundRobin exchange is the table-fixture repartition the
+    # registry views carry (tables.register_views), below the producer;
+    # the decode path itself must add NO exchange of any kind
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange" in l and "Reused" not in l
+    ]
+    assert len(exchanges) <= 1, plan
+    assert all("RoundRobinPartitioning" in l for l in exchanges), plan
+    assert "hashpartitioning" not in plan, plan
+    assert "MapInPandas" in plan and ("MapInArrow" in plan or "PythonMapInArrow" in plan)
+
+
+def test_countmin_build_is_map_side_combined(spark):
+    """count_min_build must plan scan → explode → partial aggregate →
+    one hash exchange of COUNTER partials (≤ depth×width rows) → final
+    aggregate: the corpus rows themselves never shuffle."""
+    from muninn_avro_to_parquet_spark.operators import sketches
+    from muninn_avro_to_parquet_spark.operators.text import tokens
+
+    tok = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    plan = _plan(sketches.count_min_build(tok, "token", depth=3, width=256))
+    # partial_ aggregate before the exchange = map-side combine
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
+    assert plan.count("Exchange") == 1, plan
