@@ -1070,3 +1070,69 @@ def normalize_nfc(col: Column) -> Column:
         )
 
     return pandas_udf(_nfc_batch, "string")(col)
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon CHARACTER entropy in integer micro-nats —
+    the distribution-flatness quality signal the Gopher/C4 rule suites
+    lack: boilerplate, key-mashing, and template spam all collapse the
+    character distribution (low entropy) or flatten it unnaturally
+    (encrypted/binary junk, high entropy), while natural prose sits in
+    a stable mid band per language. Cheap enough to run corpus-wide and
+    orthogonal to the token-level signals (`quality_score`,
+    `repetition_ratio`, the LM perplexity family — pair with those for
+    the actual gate).
+
+    Engine-exact by the lm_perplexity discipline: each distinct
+    character contributes ``round(1e6 · ln(N/n_c) · n_c / N)`` — the
+    term is quantized to integer micro-nats BEFORE the per-document
+    sum, so the result is an exact integer in any engine and the DuckDB
+    oracle replays it bit-for-bit (a libm last-ulp wobble would have to
+    move a term across a 0.5 micro-nat boundary to flip anything).
+
+    Output: one row per input document — (id, n_chars_seen,
+    n_distinct_chars, entropy_micronats); text-less documents (NULL or
+    empty) report zeros rather than vanishing. ln(2)·1e6 ≈ 693147
+    micro-nats per bit of entropy.
+
+    Scale shape: explode → two hash aggregates keyed on the doc id —
+    partial aggregation combines map-side, the shuffle moves
+    (doc, char) counts (≤ alphabet-size rows per doc), and no join
+    bigger than the doc-count relation appears."""
+    ch = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per = ch.groupBy(id_col, "ch").agg(F.count("*").alias("n_c"))
+    tot = per.groupBy(id_col).agg(
+        F.sum("n_c").alias("_n"), F.count("*").alias("_d")
+    )
+    terms = per.join(tot, id_col).select(
+        F.col(id_col),
+        "_n",
+        "_d",
+        F.round(
+            F.log(F.col("_n").cast("double") / F.col("n_c"))
+            * F.col("n_c")
+            / F.col("_n")
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("_m"),
+    )
+    ent = terms.groupBy(id_col, "_n", "_d").agg(
+        F.sum("_m").alias("entropy_micronats")
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_chars_seen"),
+            F.coalesce(F.col("_d"), F.lit(0)).cast("long").alias("n_distinct_chars"),
+            F.coalesce(F.col("entropy_micronats"), F.lit(0))
+            .cast("long")
+            .alias("entropy_micronats"),
+        )
+    )

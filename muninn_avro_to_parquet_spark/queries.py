@@ -10267,3 +10267,52 @@ def q_countmin_tokens(spark):
         F.col("est_cnt").cast("long").alias("est_cnt"),
         (F.col("est_cnt") >= F.col("exact_cnt")).alias("overestimate"),
     )
+
+
+@q(
+    "text_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      FROM documents WHERE doc_id < 300
+    ),
+    per AS (
+      SELECT doc_id, ch, COUNT(*) AS n_c FROM ch WHERE ch <> ''
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, SUM(n_c) AS n, COUNT(*) AS d FROM per GROUP BY 1
+    ),
+    terms AS (
+      SELECT p.doc_id, t.n, t.d,
+             CAST(round(ln(CAST(t.n AS DOUBLE) / p.n_c) * p.n_c / t.n
+                        * 1000000.0) AS BIGINT) AS m
+      FROM per p JOIN tot t USING (doc_id)
+    ),
+    ent AS (
+      SELECT doc_id, n, d, SUM(m) AS e FROM terms GROUP BY 1, 2, 3
+    )
+    SELECT dd.doc_id,
+           CAST(COALESCE(ent.n, 0) AS BIGINT) AS n_chars_seen,
+           CAST(COALESCE(ent.d, 0) AS BIGINT) AS n_distinct_chars,
+           CAST(COALESCE(ent.e, 0) AS BIGINT) AS entropy_micronats
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) dd
+    LEFT JOIN ent USING (doc_id)
+    """,
+)
+def text_char_entropy(spark):
+    """Per-document character-entropy quality signal
+    (operators/text.char_entropy, r13): Shannon entropy of each doc's
+    character distribution in integer micro-nats — the
+    distribution-flatness gate that catches key-mashing/template spam
+    (collapsed distribution) and binary junk (unnaturally flat) where
+    the token-level rules don't. Every per-character term is quantized
+    to micro-nats BEFORE summation (the lm_perplexity discipline), so
+    the oracle replays the whole computation bit-for-bit — including
+    the zero rows for text-less documents, which must not vanish from
+    a quality report."""
+    from muninn_avro_to_parquet_spark.operators import text
+
+    return text.char_entropy(
+        spark.table("documents").filter(F.col("doc_id") < 300)
+    )

@@ -1510,3 +1510,28 @@ def test_paragraph_dedup_preserves_cardinality_and_literal_sep(spark):
         assert (rows[d]["n_paragraphs"], rows[d]["n_kept"]) == (0, 0)
     # doc 5 lost both paragraphs to doc 1's occurrences
     assert (rows[5]["n_paragraphs"], rows[5]["n_kept"]) == (2, 0)
+
+
+def test_char_entropy_known_values_and_zero_rows(spark):
+    """Hand-checked entropies: uniform single char = 0; 'ab' = 2 ×
+    round(ln(2)/2 · 1e6) micro-nats; empty/NULL text keeps its row at
+    zeros (a quality report must not silently drop documents)."""
+    from muninn_avro_to_parquet_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, ""), (3, None), (4, "aabb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.char_entropy(df).collect()}
+    assert len(out) == 5
+    assert out[0]["entropy_micronats"] == 0 and out[0]["n_distinct_chars"] == 1
+    assert out[1]["entropy_micronats"] == 2 * 346574  # 2·round(ln2/2·1e6)
+    assert out[2]["n_chars_seen"] == 0 and out[2]["entropy_micronats"] == 0
+    assert out[3]["n_chars_seen"] == 0
+    assert out[4]["entropy_micronats"] == 2 * 346574  # same distribution as 'ab'
+    # determinism under repartitioning
+    again = {
+        r["doc_id"]: r["entropy_micronats"]
+        for r in text_ops.char_entropy(df.repartition(7)).collect()
+    }
+    assert again == {k: v["entropy_micronats"] for k, v in out.items()}
