@@ -52,7 +52,13 @@ def _agree(rule: FieldRule, a: Column, b: Column) -> Column:
     if rule.kind == "exact":
         return a.eqNullSafe(b)
     if rule.kind == "fuzzy":
-        return F.levenshtein(a, b) <= rule.max_distance
+        # thresholded DP (r13): 3-arg levenshtein abandons the dynamic
+        # program once the running distance exceeds the bound (returns
+        # -1) — same verdict on every pair, O(k·min(n,m)) on the common
+        # far-apart case instead of O(n·m); NULL still reads disagree
+        k = int(rule.max_distance)
+        d = F.levenshtein(a, b, k)
+        return (d >= 0) & (d <= k)
     raise ValueError(f"unknown FieldRule kind: {rule.kind!r}")
 
 
