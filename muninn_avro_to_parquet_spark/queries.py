@@ -10316,3 +10316,55 @@ def text_char_entropy(spark):
     return text.char_entropy(
         spark.table("documents").filter(F.col("doc_id") < 300)
     )
+
+
+@q(
+    "q_funnel_steps",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 ELSE 0 END AS pos
+      FROM events WHERE ts IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(0, list(pos ORDER BY ts, event_id)),
+               (acc, x) -> CASE WHEN x = acc + 1 THEN acc + 1 ELSE acc END
+             ) AS depth
+      FROM ev GROUP BY user_id
+    ),
+    steps(step_idx, step_name) AS (
+      VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+    ),
+    entered AS (
+      SELECT COUNT(*) AS n1 FROM per_user WHERE depth >= 1
+    )
+    SELECT s.step_idx, s.step_name,
+           CAST(COUNT(*) FILTER (WHERE p.depth >= s.step_idx) AS BIGINT)
+             AS n_users,
+           CAST(CASE WHEN e.n1 > 0
+                THEN (1000000 * COUNT(*) FILTER (WHERE p.depth >= s.step_idx))
+                     // e.n1
+                ELSE 0 END AS BIGINT) AS of_entered_ppm
+    FROM per_user p CROSS JOIN steps s CROSS JOIN entered e
+    GROUP BY s.step_idx, s.step_name, e.n1
+    """,
+)
+def q_funnel_steps(spark):
+    """Ordered funnel analysis (operators/events.py, r13): how many
+    users complete view → click → purchase IN ORDER (a click only
+    counts after a view, a purchase only after such a click). One
+    groupBy(user) exchange carrying (ts, id, step) triples and a single
+    integer FOLD per user — never the textbook n−1 self-join chain —
+    so the plan scales with the event stream, not the funnel length.
+    Both engines run the identical fold (Spark ``aggregate``, DuckDB
+    ``list_reduce``) over the identical (ts, event_id) total order, and
+    the conversion ratio is integer floor-division parts-per-million,
+    so the whole report is hash-exact."""
+    from muninn_avro_to_parquet_spark.operators import events
+
+    return events.funnel_report(
+        spark.table("events"), ["view", "click", "purchase"]
+    )
