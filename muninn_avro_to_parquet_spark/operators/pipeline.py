@@ -801,3 +801,86 @@ def sample_priority(
         .filter(F.col("_rank") <= n)
         .drop("_rank", "_u")
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus selection under a TOKEN budget — "give me the best
+    documents that fit in B training tokens": order by (quality DESC,
+    id ASC), keep the maximal prefix whose cumulative token count stays
+    ≤ ``budget``. The data-selection shape every budgeted pretraining
+    mix ends in once per-doc quality exists (quality_score, LM
+    perplexity, a trained classifier's score — any of this engine's
+    signals).
+
+    Distributed cumulative sum WITHOUT the single-task global window
+    (the ``global_row_number`` technique applied to SUM): range-
+    partition on the order, per-partition running-sum windows in
+    parallel, then add each partition's cumulative token offset —
+    computed from one tiny per-partition aggregate (num_partitions rows
+    to the driver, not data). EAGER like ``global_row_number`` (the
+    offset collect runs at call time); call it on the final, filtered
+    relation.
+
+    Deterministic: ties in quality break by id, token counts are
+    integers, so the selected set is reproducible in any engine — the
+    registry oracle replays it with a plain window cumsum. Output:
+    (id, quality, n_tokens, cum_tokens), cum_tokens ≤ budget. Rows
+    whose OWN token count exceeds the remaining budget are excluded
+    along with everything after them (prefix semantics — the greedy
+    order is the contract, not best-fit packing; see ``pack_greedy``
+    for bin-packing)."""
+    from pyspark.sql import Window
+
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    rel = df.select(
+        F.col(id_col),
+        F.col(quality_col),
+        F.col(tokens_col).cast("long").alias("_tok"),
+    )
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    part = rel.repartitionByRange(n_part, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = cache_scoped(part, "token_budget_part")
+    sizes = sorted(
+        (r["_pid"], r["s"])
+        for r in part.groupBy("_pid")
+        .agg(F.sum("_tok").alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, s in sizes:
+        offsets[pid] = acc
+        acc += int(s or 0)
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("_pid"),
+        ),
+        F.lit(0),
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn("cum_tokens", (F.sum("_tok").over(w) + off).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            id_col,
+            quality_col,
+            F.col("_tok").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )

@@ -10368,3 +10368,45 @@ def q_funnel_steps(spark):
     return events.funnel_report(
         spark.table("events"), ["view", "click", "purchase"]
     )
+
+
+@q(
+    "pipeline_token_budget",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars AS quality,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 20000
+    """,
+)
+def pipeline_token_budget(spark):
+    """Greedy corpus selection under a token budget
+    (operators/pipeline.select_token_budget, r13): "the best documents
+    that fit in 20k training tokens", ordered by (quality DESC, id) —
+    the data-selection step every budgeted pretraining mix ends in. The
+    cumulative token sum is DISTRIBUTED (range partition + per-partition
+    running-sum windows + one tiny offset collect — the
+    global_row_number technique applied to SUM, never the single-task
+    global window), while the oracle replays it with the plain windowed
+    cumsum; integer token counts and id tie-breaks make the selected
+    set bit-identical."""
+    from muninn_avro_to_parquet_spark.operators import pipeline
+    from muninn_avro_to_parquet_spark.operators.text import tokens
+
+    d = spark.table("documents").select(
+        "doc_id",
+        F.col("n_chars").alias("quality"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return pipeline.select_token_budget(
+        d, budget=20000, quality_col="quality", tokens_col="n_tokens"
+    )

@@ -811,3 +811,37 @@ def test_sample_priority_exact_n_weighted_and_deterministic(spark):
         pl.sample_priority(
             df.withColumn("w", F.col("w") - 9), n=5, weight_col="w"
         )
+
+
+def test_select_token_budget_prefix_semantics_and_distribution(spark):
+    """Budget selection keeps exactly the maximal (quality desc, id)
+    prefix whose cumulative tokens fit; a huge row mid-order blocks
+    everything after it (prefix, not best-fit); result is identical
+    under any input partitioning; plan has no single-task window."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    rows = [
+        (1, 90, 10), (2, 80, 10), (3, 70, 1000), (4, 60, 5), (5, 50, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality long, n_tokens long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in pl.select_token_budget(
+            df, budget=25, quality_col="quality", tokens_col="n_tokens"
+        ).collect()
+    }
+    # 10 + 10 fit; doc 3 (1000 tokens) blows the budget and, being a
+    # prefix rule, nothing after it enters either
+    assert got == {1: 10, 2: 20}
+    again = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in pl.select_token_budget(
+            df.repartition(7), budget=25, quality_col="quality",
+            tokens_col="n_tokens",
+        ).collect()
+    }
+    assert again == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pl.select_token_budget(df, -1, "quality", "n_tokens")
