@@ -61,6 +61,28 @@ HEADLINERS: list[tuple[str, str]] = [
         "the rank<=k filter prunes inside the window stage.",
     ),
     (
+        "q_funnel_steps",
+        "Ordered funnel (r13): ONE groupBy(user) exchange carrying "
+        "(ts, id, step) triples + an integer fold per user — never the "
+        "textbook n-1 self-join chain, so the plan scales with the "
+        "stream, not the funnel length; the report tail is "
+        "broadcast-of-tiny only.",
+    ),
+    (
+        "q_countmin_tokens",
+        "Count-Min sketch (r13): scan → explode(depth) → partial "
+        "aggregate → ONE exchange of counter partials (≤ depth×width "
+        "rows) — corpus rows never shuffle; the probe side joins a "
+        "30-key relation against the counter table.",
+    ),
+    (
+        "pipeline_token_budget",
+        "Budgeted selection (r13): range-partition on (quality desc, id) "
+        "+ per-partition running-sum windows + a tiny offset collect — "
+        "the distributed cumulative sum; the single-task global window "
+        "this replaces caps at one executor.",
+    ),
+    (
         "q_kafka_cdc_envelope",
         "Topic-shaped CDC decode (r13): producer mapInPandas (Avro encode "
         "+ Confluent framing) → decode mapInArrow (unframe + interpreted "
