@@ -499,16 +499,27 @@ StatusTracker on the measuring thread + an ungrouped-job-id diff for
 convert()'s pool-thread submissions). `bench_results.json` now carries
 `sched_floor_ms`, per-entry `jobs`, `queries_floor_normalized`
 (max(0, wall − jobs × floor)) and the `value_floor_normalized`
-headline next to the raw one. Closing r13: raw 209.1 s / 203 entries,
-**floor-normalized 135.9 s** at a 46.7 ms/job floor (39.5 start →
-54.0 end; the box's 1-min loadavg swung 0 → 25 during the sweep —
-exactly the drift source the normalization removes).
+headline next to the raw one. Three full same-code closing runs under
+the box's bursty co-tenants (1-min loadavg swinging 0 → 25 inside
+every sweep): raw 209.1 → 248.5 → 262.7 s while normalized read 135.9
+→ 155.8 → 152.5 at floors of 46.7 / 58.5 / 69.3 ms-per-job — the
+normalization removes the SCHEDULING share of load, and the residual
+normalized spread (~14%) is CPU-steal inside actual compute (cores
+taken mid-task, which no per-job constant can subtract; the floor
+telemetry start/end pairs, e.g. 90.8 → 47.8 in the committed run,
+document exactly when the burst hit). Committed artifact: the latest
+full run — raw 262.7 s / **floor-normalized 152.5 s** over 207
+entries, gates 0/0.
 
 **The 46-entry r12 drift class, adjudicated.** At best-of-3, 71 shared
-entries drifted >30% r11→r12. With r13's floor accounting: **45 return
-to ≤1.1× their r11 RAW wall once floor-normalized** — floor-attributed
-and closed (r11's own floor share is still inside its raw number, so
-this bar is conservative). The 26 residuals fall in three classes, none
+entries drifted >30% r11→r12. With r13's floor accounting on the
+lowest-load closing run: **45 return to ≤1.1× their r11 RAW wall once
+floor-normalized** — floor-attributed and closed (r11's own floor
+share is still inside its raw number, so this bar is conservative; on
+the higher-load committed run the same rule clears 31 — the gap
+between 45 and 31 is the CPU-steal class below, which moves with load
+exactly as a non-plan cause should). The 26 residuals fall in three
+classes, none
 a plan regression: (a) low-job registry entries whose residual is
 bounded by exactly the r11 floor share we cannot subtract (≤6 jobs ×
 ~50-90 ms — e.g. q_cohort_retention r11 0.75 → r13 norm 1.02 at 5
@@ -530,15 +541,17 @@ entry measured 85 AQE jobs for a 24-row union of 8 method reports —
 at the floor that is ~5-11 s of pure scheduling; it was floor-bound,
 not plan-bound. The 8 per-method join+agg subtrees are now ONE tagged
 union + one join + one aggregate (hash-identical values, 72 jobs —
-the remainder is the 8 search plans themselves). Closing r13: raw
-9.2 s, **floor-normalized 5.85 s** — at the ≤6 s target.
+the remainder is the 8 search plans themselves). Closing r13 runs:
+floor-normalized 5.85 / 5.06 / 5.75 s — at the ≤6 s target in all
+three.
 
 **biggeo record corrected (r12 verdict #5).** The r12 note's "geo now
 reads above its r10 mark" overstated: the r12 artifacts showed 186k
 pts/s against an r10 band of 205-262k, stable cold AND warm — that
 level was the in-sweep floor under sustained load, not the plan.
-Closing r13 under floor accounting: **273k pts/s raw warm** (above the
-r10 band), 318k floor-normalized, 11 jobs recorded on the leg. Level
+Closing r13 under floor accounting: **273k / 281k / 259k pts/s raw
+warm** across the three runs (at or above the r10 band even raw),
+318–343k floor-normalized, 11 jobs recorded on the leg. Level
 recovered; the earlier note is superseded by this one.
 
 **IVF-PQ defaults are the measured config (r12 verdict #3).**
@@ -555,8 +568,9 @@ normalized despite the 16× codebook — the numpy encoder absorbs k.
 writer schemas (v2 +region/−qty, v3 +score/−name) through the full
 convert() path — merged union schema asserted column-by-column, exact
 per-version null accounting, `schema_versions == 3`, zero all-string
-fallbacks, **1.28M rows/s** end-to-end (7.7 s wall, one Spark job via
-the pool-thread counter).
+fallbacks, **1.28M / 1.25M rows/s** end-to-end on the two lower-load
+runs (7.7–8.0 s wall; 619k under the loadavg-20 burst — the CPU-race
+class), one Spark job via the pool-thread counter.
 
 **Kafka envelope path (r12 verdict #4).** `q_kafka_cdc_envelope`
 (plan audited above): producer mapInPandas → decode mapInArrow → the
