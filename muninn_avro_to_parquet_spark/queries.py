@@ -10410,3 +10410,92 @@ def pipeline_token_budget(spark):
     return pipeline.select_token_budget(
         d, budget=20000, quality_col="quality", tokens_col="n_tokens"
     )
+
+
+def _profile_block_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders WHERE {col} IS NULL) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_value,
+           CAST(MAX({col}) AS VARCHAR) AS max_value,
+           (SELECT CAST(v AS VARCHAR) FROM (
+              SELECT {col} AS v, COUNT(*) AS n FROM orders
+              WHERE {col} IS NOT NULL GROUP BY 1
+            ) ORDER BY n DESC, CAST(v AS VARCHAR) ASC LIMIT 1) AS top_value,
+           (SELECT CAST(MAX(n) AS BIGINT) FROM (
+              SELECT COUNT(*) AS n FROM orders
+              WHERE {col} IS NOT NULL GROUP BY {col}
+            )) AS top_count
+    FROM orders WHERE {col} IS NOT NULL"""
+
+
+@q(
+    "q_profile_orders",
+    " UNION ALL ".join(
+        _profile_block_sql(c)
+        for c in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+    ),
+)
+def q_profile_orders(spark):
+    """Per-column data-profile audit (operators/profile.py, r13): null
+    rate, EXACT cardinality, range, and deterministic mode
+    ((count DESC, value ASC) tie-break) for four orders columns — the
+    value-level counterpart of the reference's schema logging, the
+    relation an ingest diffs across loads to catch upstream breakage
+    (null-rate jumps, cardinality collapses). Per column the plan is
+    ONE value-keyed aggregate feeding both the stats and a
+    TakeOrderedAndProject mode — value/count partials move, rows never
+    do — and integer/string columns render identically in both engines,
+    so the whole report hash-matches."""
+    from muninn_avro_to_parquet_spark.operators import profile
+
+    return profile.profile(
+        spark.table("orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"],
+    )
+
+
+@q(
+    "q_robust_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY 1
+    ),
+    mad AS (
+      SELECT o.o_orderpriority,
+             quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS d
+      FROM orders o JOIN med USING (o_orderpriority)
+      GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ANY_VALUE(med.m) AS median,
+           ANY_VALUE(mad.d) AS mad,
+           CAST(SUM(CASE WHEN abs(o.o_totalprice - med.m) > 5.0 * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN med USING (o_orderpriority)
+    JOIN mad USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_robust_outliers(spark):
+    """Median/MAD robust outlier report (operators/profile.py
+    robust_outliers, r13): per order priority, how many totalprice
+    values sit beyond 5 median-absolute-deviations — the numeric
+    data-quality gate a stddev z-score can't be (the outlier inflates
+    the stddev meant to catch it; MAD's breakdown point is 50%). Exact
+    interpolated medians on both sides (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the q_exact_quantiles-proven equivalence), so
+    median, MAD, and every flag replay bit-for-bit; group medians
+    broadcast back — two tiny joins, never a row-level shuffle beyond
+    the group aggregates."""
+    from muninn_avro_to_parquet_spark.operators import profile
+
+    return profile.robust_outliers(
+        spark.table("orders"), "o_totalprice", ["o_orderpriority"], k=5.0
+    )
