@@ -501,15 +501,16 @@ convert()'s pool-thread submissions). `bench_results.json` now carries
 (max(0, wall − jobs × floor)) and the `value_floor_normalized`
 headline next to the raw one. Three full same-code closing runs under
 the box's bursty co-tenants (1-min loadavg swinging 0 → 25 inside
-every sweep): raw 209.1 → 248.5 → 262.7 s while normalized read 135.9
-→ 155.8 → 152.5 at floors of 46.7 / 58.5 / 69.3 ms-per-job — the
-normalization removes the SCHEDULING share of load, and the residual
-normalized spread (~14%) is CPU-steal inside actual compute (cores
-taken mid-task, which no per-job constant can subtract; the floor
-telemetry start/end pairs, e.g. 90.8 → 47.8 in the committed run,
-document exactly when the burst hit). Committed artifact: the latest
-full run — raw 262.7 s / **floor-normalized 152.5 s** over 207
-entries, gates 0/0.
+every sweep, ~20-minute bursts): across four full same-code closing
+runs raw read 209.1 / 248.5 / 262.7 / 239.1 s while normalized read
+135.9 / 155.8 / 152.5 / 150.9 at floors of 46.7 / 58.5 / 69.3 / 54.3
+ms-per-job — the normalization removes the SCHEDULING share of load,
+and the residual normalized spread (~14%) is CPU-steal inside actual
+compute (cores taken mid-task, which no per-job constant can subtract;
+the floor telemetry start/end pairs, e.g. 90.8 → 47.8 in run 3,
+document exactly when a burst hit). Committed artifact: the final
+209-entry run — raw 239.1 s / **floor-normalized 150.9 s**, gates
+0/0.
 
 **The 46-entry r12 drift class, adjudicated.** At best-of-3, 71 shared
 entries drifted >30% r11→r12. With r13's floor accounting on the
@@ -542,16 +543,17 @@ at the floor that is ~5-11 s of pure scheduling; it was floor-bound,
 not plan-bound. The 8 per-method join+agg subtrees are now ONE tagged
 union + one join + one aggregate (hash-identical values, 72 jobs —
 the remainder is the 8 search plans themselves). Closing r13 runs:
-floor-normalized 5.85 / 5.06 / 5.75 s — at the ≤6 s target in all
-three.
+floor-normalized 5.85 / 5.06 / 5.75 / 6.66 s — at the ≤6 s target on
+the three calmer runs; the 6.66 landed inside a loadavg-25 burst (its
+raw wall moved in lockstep), the CPU-steal class, not a plan change.
 
 **biggeo record corrected (r12 verdict #5).** The r12 note's "geo now
 reads above its r10 mark" overstated: the r12 artifacts showed 186k
 pts/s against an r10 band of 205-262k, stable cold AND warm — that
 level was the in-sweep floor under sustained load, not the plan.
-Closing r13 under floor accounting: **273k / 281k / 259k pts/s raw
-warm** across the three runs (at or above the r10 band even raw),
-318–343k floor-normalized, 11 jobs recorded on the leg. Level
+Closing r13 under floor accounting: **273k / 281k / 259k / 288k
+pts/s raw warm** across the four runs (at or above the r10 band even
+raw), 318–347k floor-normalized, 11 jobs recorded on the leg. Level
 recovered; the earlier note is superseded by this one.
 
 **IVF-PQ defaults are the measured config (r12 verdict #3).**
