@@ -809,6 +809,7 @@ def select_token_budget(
     quality_col: str,
     tokens_col: str,
     id_col: str = "doc_id",
+    stratum_col: str | None = None,
 ) -> DataFrame:
     """Greedy corpus selection under a TOKEN budget — "give me the best
     documents that fit in B training tokens": order by (quality DESC,
@@ -834,7 +835,12 @@ def select_token_budget(
     whose OWN token count exceeds the remaining budget are excluded
     along with everything after them (prefix semantics — the greedy
     order is the contract, not best-fit packing; see ``pack_greedy``
-    for bin-packing)."""
+    for bin-packing).
+
+    ``stratum_col`` applies the SAME budget per stratum — the mixture
+    form ("B tokens of web, B of code, B of papers"): one plain
+    window partitioned by the stratum (parallel by construction, no
+    offset pass needed), output gains the stratum column."""
     from pyspark.sql import Window
 
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
@@ -842,6 +848,24 @@ def select_token_budget(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     order = [F.col(quality_col).desc(), F.col(id_col).asc()]
+    if stratum_col is not None:
+        w = (
+            Window.partitionBy(stratum_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.select(
+                stratum_col,
+                id_col,
+                quality_col,
+                F.col(tokens_col).cast("long").alias("n_tokens"),
+            )
+            .withColumn(
+                "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+            )
+            .filter(F.col("cum_tokens") <= budget)
+        )
     rel = df.select(
         F.col(id_col),
         F.col(quality_col),

@@ -562,8 +562,10 @@ auto-numpy — what the 1M bench builds (`ann_recall_bigindex` carries
 n_centroids=64 only). The default-path registry entries rebuilt at the
 defaults with parameterized oracles (`_pq_ctes(k)`; base-only-means
 refinement replay for the frozen-model append) and all sweep rows are
-now default-build rows: ann_topk_ivfpq 3.75 → 3.22 raw / 2.01
-normalized despite the 16× codebook — the numpy encoder absorbs k.
+now default-build rows: ann_topk_ivfpq reads 3.2-3.5 raw / 1.7-2.0
+normalized across the closing runs vs 3.75 in r12 — cheaper than the
+old k=16 build despite the 16× codebook, because the numpy encoder
+absorbs k.
 
 **Schema-drift convert at size (r12 verdict #6).** New proof leg
 `convert_drift_bigfile`: ~1 GiB / 9.92M rows of ONE table across three

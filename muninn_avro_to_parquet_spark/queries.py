@@ -10499,3 +10499,46 @@ def q_robust_outliers(spark):
     return profile.robust_outliers(
         spark.table("orders"), "o_totalprice", ["o_orderpriority"], k=5.0
     )
+
+
+@q(
+    "pipeline_token_budget_mix",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars AS quality,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, quality, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d
+    )
+    SELECT source, doc_id, quality, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 8000
+    """,
+)
+def pipeline_token_budget_mix(spark):
+    """Per-source token budgets (select_token_budget(stratum_col=...),
+    r13): "8k tokens of each source, best quality first" — the mixture
+    form of budgeted selection a pretraining recipe actually specifies.
+    One window partitioned by the stratum (parallel by construction —
+    no single-task funnel to avoid here), bit-identical to the oracle's
+    per-stratum cumsum."""
+    from muninn_avro_to_parquet_spark.operators import pipeline
+    from muninn_avro_to_parquet_spark.operators.text import tokens
+
+    d = spark.table("documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("quality"),
+        F.size(tokens(F.col("text"))).alias("n_toks"),
+    )
+    # the operator aliases the token column to n_tokens in its output
+    return pipeline.select_token_budget(
+        d, budget=8000, quality_col="quality", tokens_col="n_toks",
+        stratum_col="source",
+    )

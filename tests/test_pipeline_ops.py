@@ -845,3 +845,25 @@ def test_select_token_budget_prefix_semantics_and_distribution(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         pl.select_token_budget(df, -1, "quality", "n_tokens")
+
+
+def test_select_token_budget_per_stratum(spark):
+    """stratum_col applies the budget PER stratum (the mixture form) —
+    each source independently keeps its best-quality prefix."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    rows = [
+        ("web", 1, 9, 10), ("web", 2, 8, 10), ("web", 3, 7, 10),
+        ("code", 4, 9, 15), ("code", 5, 8, 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "src string, doc_id long, quality long, n_tokens long"
+    )
+    got = {
+        (r["src"], r["doc_id"]): r["cum_tokens"]
+        for r in pl.select_token_budget(
+            df, budget=20, quality_col="quality", tokens_col="n_tokens",
+            stratum_col="src",
+        ).collect()
+    }
+    assert got == {("web", 1): 10, ("web", 2): 20, ("code", 4): 15}
