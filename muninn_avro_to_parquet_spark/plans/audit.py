@@ -510,7 +510,8 @@ compute (cores taken mid-task, which no per-job constant can subtract;
 the floor telemetry start/end pairs, e.g. 90.8 → 47.8 in run 3,
 document exactly when a burst hit). Committed artifact: the final
 209-entry run — raw 239.1 s / **floor-normalized 150.9 s**, gates
-0/0.
+0/0 (`pipeline_token_budget_mix`, registry 210, landed after that run
+and is parity-green; the driver's own r13 sweep covers it).
 
 **The 46-entry r12 drift class, adjudicated.** At best-of-3, 71 shared
 entries drifted >30% r11→r12. With r13's floor accounting on the
