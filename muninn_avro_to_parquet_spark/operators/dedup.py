@@ -1516,9 +1516,12 @@ def _fuzzy_candidates(
     max_block: int | None,
 ) -> DataFrame:
     """One blocking pass's candidate pairs (id_a, id_b, text_a, text_b)
-    — the equi-join WITHOUT the edit-distance verification, so
-    multi-pass callers can union + dedup candidates BEFORE paying the
-    DP (a pair caught by two passes used to be scored twice)."""
+    — the candidate-generation half of ``fuzzy_pairs_blocked``, factored
+    out of the edit-distance verification so the join/filter shape is
+    testable and reusable on its own. (Multi-pass callers deliberately
+    score INSIDE each pass and dedup scored pairs afterwards: a measured
+    candidate-first union+dedup variant was 2.8× slower — see
+    ``fuzzy_pairs_multipass``.)"""
     blk = block if block is not None else F.lower(F.split(F.col(text_col), " ")[0])
     rel = df.select(F.col(id_col), F.col(text_col), blk.alias("_blk"))
     if max_block is not None:

@@ -32,12 +32,14 @@ def funnel_depth(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    event_id_col: str = "event_id",
 ) -> DataFrame:
     """Per-user funnel depth: (user, depth) where depth = number of
     ``steps`` completed IN ORDER (an event only advances the funnel if
-    every earlier step already happened at a strictly earlier (ts, id)
-    position). Users with events but no step-1 event report depth 0.
-    NULL-ts events can't be ordered and are ignored."""
+    every earlier step already happened at a strictly earlier
+    (ts, event_id) position — ``event_id_col`` is the tiebreaker that
+    makes the order total). Users with events but no step-1 event
+    report depth 0. NULL-ts events can't be ordered and are ignored."""
     if not steps:
         raise ValueError("funnel_depth needs at least one step")
     if len(set(steps)) != len(steps):
@@ -49,7 +51,7 @@ def funnel_depth(
         F.col(user_col),
         F.struct(
             F.col(ts_col).alias("ts"),
-            F.col("event_id").alias("eid"),
+            F.col(event_id_col).alias("eid"),
             pos.cast("int").alias("pos"),
         ).alias("_e"),
     )
@@ -72,6 +74,7 @@ def funnel_report(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    event_id_col: str = "event_id",
 ) -> DataFrame:
     """The funnel table: one row per step — (step_idx, step_name,
     n_users reaching it in order, of_entered_ppm = parts-per-million of
@@ -79,7 +82,7 @@ def funnel_report(
     any engine). The report relation is ``len(steps)`` rows however
     large the stream is; all heavy lifting is ``funnel_depth``'s one
     exchange."""
-    depths = funnel_depth(df, steps, user_col, ts_col, type_col)
+    depths = funnel_depth(df, steps, user_col, ts_col, type_col, event_id_col)
     spark = df.sparkSession
     step_rel = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)],

@@ -768,6 +768,12 @@ def sample_priority(
     from the leaked internal ``_priority``). The ``_u`` tiebreaker is
     internal and dropped.
     """
+    if "priority" in df.columns:
+        raise ValueError(
+            "sample_priority writes a 'priority' output column but the"
+            " input relation already has one; rename or drop it first"
+            " (the overwrite would silently destroy the caller's data)"
+        )
     wcol = F.col(weight_col).cast("long")
     bad = df.agg(
         F.min(F.coalesce(wcol, F.lit(0))).alias("m"), F.count("*").alias("c")
@@ -847,6 +853,18 @@ def select_token_budget(
 
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    tcol = F.col(tokens_col).cast("long")
+    bad = df.agg(
+        F.min(F.coalesce(tcol, F.lit(-1))).alias("m"), F.count("*").alias("c")
+    ).first()
+    if bad["c"] and bad["m"] is not None and bad["m"] < 0:
+        raise ValueError(
+            f"select_token_budget tokens_col={tokens_col!r} must be a"
+            f" non-negative integer on every row; found min={bad['m']}"
+            " (NULLs count as -1) — a NULL would silently inherit the"
+            " previous cumulative sum and a negative count breaks the"
+            " monotone-prefix contract"
+        )
     order = [F.col(quality_col).desc(), F.col(id_col).asc()]
     if stratum_col is not None:
         w = (

@@ -10425,10 +10425,10 @@ def _profile_block_sql(col: str) -> str:
               SELECT {col} AS v, COUNT(*) AS n FROM orders
               WHERE {col} IS NOT NULL GROUP BY 1
             ) ORDER BY n DESC, CAST(v AS VARCHAR) ASC LIMIT 1) AS top_value,
-           (SELECT CAST(MAX(n) AS BIGINT) FROM (
+           COALESCE((SELECT CAST(MAX(n) AS BIGINT) FROM (
               SELECT COUNT(*) AS n FROM orders
               WHERE {col} IS NOT NULL GROUP BY {col}
-            )) AS top_count
+            )), 0) AS top_count
     FROM orders WHERE {col} IS NOT NULL"""
 
 

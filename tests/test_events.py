@@ -66,3 +66,21 @@ def test_funnel_validation(spark):
         events.funnel_depth(df, [])
     with pytest.raises(ValueError, match="distinct"):
         events.funnel_depth(df, ["view", "view"])
+
+
+def test_funnel_event_id_col_parameter(spark):
+    """ADVICE r13: the (ts, id) tiebreaker column is parameterized —
+    a stream whose id column isn't named 'event_id' works, and the
+    renamed run replays the default run bit-for-bit."""
+    rows = [
+        (1, 0, 1, "view"), (2, 1, 1, "click"), (3, 2, 1, "purchase"),
+        (4, 0, 2, "view"),
+    ]
+    base = _ev(spark, rows)
+    renamed = base.withColumnRenamed("event_id", "evt_key")
+    want = {r["user_id"]: r["depth"] for r in events.funnel_depth(
+        base, ["view", "click", "purchase"]).collect()}
+    got = {r["user_id"]: r["depth"] for r in events.funnel_depth(
+        renamed, ["view", "click", "purchase"], event_id_col="evt_key"
+    ).collect()}
+    assert got == want == {1: 3, 2: 1}

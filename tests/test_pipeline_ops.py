@@ -867,3 +867,38 @@ def test_select_token_budget_per_stratum(spark):
         ).collect()
     }
     assert got == {("web", 1): 10, ("web", 2): 20, ("code", 4): 15}
+
+
+def test_sample_priority_rejects_existing_priority_column(spark):
+    """ADVICE r13: the public 'priority' output must not silently
+    overwrite a caller's pre-existing column of the same name."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(
+        [(1, 2, 99)], "doc_id long, w long, priority long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="'priority'"):
+        pl.sample_priority(df, n=1, weight_col="w", id_col="doc_id")
+
+
+def test_select_token_budget_rejects_null_and_negative_tokens(spark):
+    """ADVICE r13: a NULL token count would silently inherit the
+    previous cumulative sum (window SUM skips NULLs) and a negative
+    count breaks the monotone-prefix contract — both fail eagerly,
+    mirroring sample_priority's weight validation."""
+    from muninn_avro_to_parquet_spark.operators import pipeline as pl
+
+    import pytest as _pytest
+
+    with_null = spark.createDataFrame(
+        [(1, 9, 10), (2, 8, None)], "doc_id long, quality long, n_tokens long"
+    )
+    with _pytest.raises(ValueError, match="non-negative"):
+        pl.select_token_budget(with_null, 100, "quality", "n_tokens")
+    negative = spark.createDataFrame(
+        [(1, 9, 10), (2, 8, -3)], "doc_id long, quality long, n_tokens long"
+    )
+    with _pytest.raises(ValueError, match="non-negative"):
+        pl.select_token_budget(negative, 100, "quality", "n_tokens")
