@@ -119,6 +119,23 @@ _CHANGED_ROUND = 12
 
 
 def _rotation() -> list[str]:
+    """Sweep order. r13 verdict #4 tightened the band arithmetic: at
+    210 entries / 50-cap the full re-verification cycle is >4 rounds,
+    so a watchlist or changed promotion that displaces a STALER entry
+    pushes the staleness tail out further every round. Bands now:
+
+    1. never-green (new entries MUST green the round they land);
+    2. changed-this-round (a semantic edit invalidates the old green —
+       correctness, so it still jumps globally);
+    3. everything else stalest-first, with watchlist membership only a
+       TIEBREAK inside the same green-round band — a judge-called-out
+       entry re-verifies before its same-staleness peers but can no
+       longer leapfrog the genuinely older tail (the entry it used to
+       displace is exactly the one the staleness bound is about).
+
+    ``tests/test_driver_contract.py`` enforces the additions-pay-tax
+    side: every entry ≥4 rounds stale must fit in the 50-cap head, so
+    a round can't add more new entries than the tail has room for."""
     green = _last_green_round()
     order = {name: i for i, name in enumerate(QUERIES)}
     latest = max(green.values(), default=0)
@@ -129,7 +146,7 @@ def _rotation() -> list[str]:
     never = [n for n in QUERIES if n not in green]
     ever = sorted(
         (n for n in QUERIES if n in green),
-        key=lambda n: (n not in changed, n not in watch, green[n], order[n]),
+        key=lambda n: (n not in changed, green[n], n not in watch, order[n]),
     )
     return never + ever
 

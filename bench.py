@@ -496,6 +496,8 @@ class _JobCounter:
 
     def __init__(self, spark):
         self._sc = spark.sparkContext
+        self._seen_stages: set = set()
+        self._last_job_ids: list = []
 
     def start(self, group: str) -> None:
         self._group = group
@@ -511,11 +513,50 @@ class _JobCounter:
     def stop(self) -> int:
         self._sc.setLocalProperty("spark.jobGroup.id", None)
         st = self._sc.statusTracker()
-        grouped = len(st.getJobIdsForGroup(self._group))
+        grouped = st.getJobIdsForGroup(self._group) or []
         ungrouped = (
             set(st.getJobIdsForGroup(None) or []) - self._before_ungrouped
         )
-        return grouped + len(ungrouped)
+        self._last_job_ids = sorted(set(grouped) | ungrouped)
+        return len(self._last_job_ids)
+
+    def cpu_task_seconds(self) -> tuple[float, float]:
+        """(executor CPU s, executor task-run s) of the jobs the last
+        start/stop region submitted — TaskMetrics ``executorCpuTime`` /
+        ``executorRunTime`` summed over each job's stages via the JVM
+        AppStatusStore (the same listener data the UI/REST API serves;
+        ``spark.ui.enabled=false`` only gates the web server, not the
+        store). This is the r13-verdict telemetry that makes co-tenant
+        CPU steal OBSERVABLE instead of inferred: run-time is task wall
+        summed across task threads, cpu-time is on-CPU nanoseconds, so
+        steal shows up as run ≫ cpu with an unchanged plan. Caveats:
+        (a) time a task spends blocked on a Python worker (Arrow
+        batches crossing) is run-time but not JVM cpu-time, so Pandas-
+        UDF entries have structurally low cpu/run ratios — compare an
+        entry against ITS OWN history, not against other entries;
+        (b) a stage is attributed once sweep-wide (``_seen_stages``): a
+        later job reusing an exchange lists the stage it did not pay
+        for; (c) a skipped stage has no attempt — counted as 0."""
+        store = self._sc._jsc.sc().statusStore()
+        cpu_ns = 0
+        run_ms = 0
+        for jid in self._last_job_ids:
+            try:
+                sids = store.job(jid).stageIds()
+            except Exception:
+                continue  # evicted from the retained-jobs window
+            for k in range(sids.size()):
+                sid = sids.apply(k)
+                if sid in self._seen_stages:
+                    continue
+                self._seen_stages.add(sid)
+                try:
+                    st = store.lastStageAttempt(sid)
+                except Exception:
+                    continue  # skipped stage: never ran, no attempt
+                cpu_ns += st.executorCpuTime()
+                run_ms += st.executorRunTime()
+        return cpu_ns / 1e9, run_ms / 1e3
 
 
 def _bench_body() -> dict:
@@ -607,11 +648,14 @@ def _bench_body() -> dict:
     # with a tight spread is a plan change.
     entry_runs: dict[str, list[float]] = {}
     entry_jobs: dict[str, int] = {}
+    entry_cpu: dict[str, float] = {}
+    entry_task: dict[str, float] = {}
     jc = _JobCounter(spark)
     floor_start = _measure_sched_floor(spark)
     for qi, (name, entry) in enumerate(QUERIES.items()):
         walls: list[float] = []
         best_jobs = 0
+        best_cpu = best_task = 0.0
         for ri in range(repeat):
             jc.start(f"bench_{qi}_{ri}")
             t0 = time.perf_counter()
@@ -619,14 +663,18 @@ def _bench_body() -> dict:
             df.write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             n_jobs = jc.stop()
+            cpu_s, task_s = jc.cpu_task_seconds()
             # keep the job count of the BEST run (AQE can merge a
             # stage between runs; the best run is the reported plan)
             if not walls or wall < min(walls):
                 best_jobs = n_jobs
+                best_cpu, best_task = cpu_s, task_s
             walls.append(wall)
             _reset_session_state(qi)
         entry_runs[name] = sorted(walls)
         entry_jobs[name] = best_jobs
+        entry_cpu[name] = round(best_cpu, 4)
+        entry_task[name] = round(best_task, 4)
         timings[name] = round(walls and min(walls) or 0.0, 4)
     floor_end = _measure_sched_floor(spark)
     sched_floor = (floor_start + floor_end) / 2.0
@@ -2008,6 +2056,12 @@ def _bench_body() -> dict:
         "unit": "sec",
         "value_median": total_median,
         "value_floor_normalized": total_norm,
+        "value_cpu_seconds": round(
+            sum(v for n, v in entry_cpu.items() if not is_proof_entry(n)), 4
+        ),
+        "value_task_seconds": round(
+            sum(v for n, v in entry_task.items() if not is_proof_entry(n)), 4
+        ),
         "sched_floor_ms": {
             "start": round(floor_start * 1000, 1),
             "end": round(floor_end * 1000, 1),
@@ -2019,6 +2073,8 @@ def _bench_body() -> dict:
         "n_proof_entries": sum(1 for k in timings if is_proof_entry(k)),
         "queries": timings,
         "queries_floor_normalized": timings_norm,
+        "queries_cpu_seconds": entry_cpu,
+        "queries_task_seconds": entry_task,
         "jobs": entry_jobs,
         "noisy_entries": noisy,
         "sf": sf,

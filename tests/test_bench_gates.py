@@ -93,3 +93,28 @@ def test_sched_floor_is_per_job_and_positive(spark):
     wall − jobs × floor normalization needs."""
     floor = bench._measure_sched_floor(spark, n=3)
     assert 0 < floor < 5.0, floor
+
+
+def test_job_counter_cpu_task_telemetry(spark):
+    """r13 verdict #2: per-entry executor CPU / task-run seconds via the
+    JVM AppStatusStore, so co-tenant steal is observable (wall vs cpu)
+    instead of inferred. Contract: a real compute region reports
+    positive cpu AND task seconds with cpu <= task (on-CPU time can't
+    exceed task wall summed over threads); stages are attributed once —
+    a second region never re-counts the first region's stages."""
+    jc = bench._JobCounter(spark)
+    jc.start("cpu_probe_1")
+    spark.range(5_000_000).selectExpr("sum(id * 3 % 7)").collect()
+    jc.stop()
+    cpu, task = jc.cpu_task_seconds()
+    assert cpu > 0.0, (cpu, task)
+    assert task > 0.0, (cpu, task)
+    assert cpu <= task * 1.05, (cpu, task)  # 5% slack: ms-vs-ns rounding
+    seen_before = set(jc._seen_stages)
+    jc.start("cpu_probe_2")
+    spark.range(10).count()
+    jc.stop()
+    cpu2, task2 = jc.cpu_task_seconds()
+    # second region attributes only ITS OWN stages (all new ids)
+    assert jc._seen_stages > seen_before
+    assert cpu2 >= 0.0 and cpu2 < cpu + 1.0, (cpu, cpu2)

@@ -60,9 +60,33 @@ def test_rotation_puts_unverified_queries_first():
         if green.get(n, 0) < entry_mod._CHANGED_ROUND
     }
     tail = names[len(never) :]
-    bands = [(n not in changed, n not in watch, green[n]) for n in tail]
+    # r13 verdict #4: watchlist is a tiebreak WITHIN a green-round band,
+    # not a global jump — a promotion may no longer displace an entry
+    # staler than itself
+    bands = [(n not in changed, green[n], n not in watch) for n in tail]
     assert bands == sorted(bands), (
-        "ever-green tail must be changed-first, then watchlist, then stalest"
+        "ever-green tail must be changed-first, then stalest-first with"
+        " watchlist breaking ties inside a band"
+    )
+
+
+def test_rotation_sweep_covers_the_stale_tail():
+    """r13 verdict #4 (additions pay a re-green tax): the 50-cap sweep
+    must contain EVERY entry ≥4 rounds stale — so a round may only add
+    as many new (never-green) entries as the head has room for after
+    the changed band and the oldest tail. At 210 entries this is what
+    keeps the full re-verification cycle from stretching past the
+    rotation period."""
+    green = entry_mod._last_green_round()
+    latest = max(green.values(), default=0)
+    if not latest:
+        pytest.skip("no CORRECTNESS artifacts yet")
+    head = set(list(entry_mod.queries())[:50])
+    oldest = {n: latest - r for n, r in green.items() if latest - r >= 4}
+    missed = {n: s for n, s in oldest.items() if n not in head}
+    assert not missed, (
+        "entries >=4 rounds stale crowded out of the 50-entry sweep"
+        f" (too many new entries this round?): {missed}"
     )
 
 
