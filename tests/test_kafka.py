@@ -208,3 +208,69 @@ def test_decode_cdc_values_under_structured_streaming(spark, tmp_path):
     assert [(r["offset"], r["name"], r["age"]) for r in rows] == [
         (i, f"name{i}", 20 + i) for i in range(6)
     ]
+
+
+def test_read_kafka_builder_contract(spark, monkeypatch):
+    """r13 verdict #6: the ~40 lines of reader plumbing past the jar
+    gate were the last untested path. Mock at the BUILDER boundary (not
+    the broker): with the connector probe forced true and fake
+    read/readStream builders recording calls, assert the exact
+    format/options/load sequence for both batch and streaming shapes,
+    including extra **options threading."""
+    from unittest import mock
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(kafka, "kafka_available", lambda s: True)
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+            self.loaded = False
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            self.loaded = True
+            return mock.sentinel.df
+
+    batch, stream = FakeReader(), FakeReader()
+    with mock.patch.object(
+        SparkSession, "read", new_callable=mock.PropertyMock,
+        return_value=batch,
+    ), mock.patch.object(
+        SparkSession, "readStream", new_callable=mock.PropertyMock,
+        return_value=stream,
+    ):
+        out = kafka.read_kafka(
+            spark, "broker:9092", "cdc.customers",
+            failOnDataLoss="false",
+        )
+        assert out is mock.sentinel.df
+        assert batch.loaded and not stream.loaded
+        assert batch.fmt == "kafka"
+        assert batch.opts == {
+            "kafka.bootstrap.servers": "broker:9092",
+            "subscribe": "cdc.customers",
+            "startingOffsets": "earliest",
+            "failOnDataLoss": "false",
+        }
+        out2 = kafka.read_kafka(
+            spark, "b2:9092", "t2", streaming=True,
+            starting_offsets="latest",
+        )
+        assert out2 is mock.sentinel.df
+        assert stream.loaded
+        assert stream.fmt == "kafka"
+        assert stream.opts == {
+            "kafka.bootstrap.servers": "b2:9092",
+            "subscribe": "t2",
+            "startingOffsets": "latest",
+        }
