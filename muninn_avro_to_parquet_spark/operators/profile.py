@@ -148,3 +148,42 @@ def robust_outliers(
             .alias("n_outliers"),
         ],
     )
+
+
+def key_skew(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-frequency skew histogram — the relation that answers "can I
+    shuffle on this key?" before a 100 TB join or aggregation commits
+    to it. Per-key counts are bucketed by integer log2 (bucket b holds
+    keys occurring in [2^b, 2^(b+1))); output one row per occupied
+    bucket: (freq_bucket int, n_keys long, n_rows long, max_count
+    long). A hot key shows up as a lonely high bucket; a clean uniform
+    key collapses into one or two buckets.
+
+    The log2 is INTEGER-exact in both engines — length(bin(count)) − 1,
+    never floating log2 (which rounds 2^53-adjacent values
+    differently) — so the histogram hash-matches. NULL keys carry no
+    identity and are excluded (profile() reports null rates).
+
+    Scale shape: one map-side-combined exchange on the key (the same
+    aggregate the candidate join would need anyway), then a tiny
+    aggregate over the per-key counts — the histogram relation is
+    ≤64 rows regardless of input size."""
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").alias("_cnt"))
+    )
+    return (
+        counts.select(
+            (F.length(F.bin(F.col("_cnt"))) - 1)
+            .cast("int")
+            .alias("freq_bucket"),
+            F.col("_cnt"),
+        )
+        .groupBy("freq_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("_cnt").cast("long").alias("n_rows"),
+            F.max("_cnt").cast("long").alias("max_count"),
+        )
+    )

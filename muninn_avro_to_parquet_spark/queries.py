@@ -10542,3 +10542,124 @@ def pipeline_token_budget_mix(spark):
         d, budget=8000, quality_col="quality", tokens_col="n_toks",
         stratum_col="source",
     )
+
+
+@q(
+    "q_cohort_retention",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    first AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    rel AS (
+      SELECT f.cohort_day, CAST(d.day - f.cohort_day AS INT) AS day_offset
+      FROM days d JOIN first f USING (user_id)
+    ),
+    counts AS (
+      SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM rel GROUP BY cohort_day, day_offset
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           c.day_offset, c.n_users,
+           CAST((1000000 * c.n_users) // b.n_users AS BIGINT)
+             AS retention_ppm
+    FROM counts c
+    JOIN counts b ON b.cohort_day = c.cohort_day AND b.day_offset = 0
+    """,
+)
+def q_cohort_retention(spark):
+    """Cohort retention matrix (operators/events.cohort_retention, r14):
+    users cohorted by first active day, per (cohort_day, day_offset)
+    active-user counts with exact floor-division ppm retention. The
+    event-grain rows die at the first (user, day) distinct; everything
+    after moves the activity relation (users x active-days), the
+    cohort-size join is broadcast, and integer ppm keeps both engines
+    hash-identical. The date column ships as its ISO string — both
+    engines render DATE -> VARCHAR as yyyy-MM-dd, while raw DATE values
+    round-trip differently through the compare harness's pandas
+    frames."""
+    from muninn_avro_to_parquet_spark.operators import events
+
+    return events.cohort_retention(spark.table("events")).withColumn(
+        "cohort_day", F.col("cohort_day").cast("string")
+    )
+
+
+@q(
+    "q_funnel_latency",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 ELSE 0 END AS pos
+      FROM events WHERE ts IS NOT NULL
+    ),
+    t1 AS (
+      SELECT user_id, MIN(struct_pack(us := us, eid := event_id)) AS k
+      FROM ev WHERE pos = 1 GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(struct_pack(us := e.us, eid := e.event_id)) AS k
+      FROM ev e JOIN t1 USING (user_id)
+      WHERE e.pos = 2
+        AND struct_pack(us := e.us, eid := e.event_id) > t1.k
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(struct_pack(us := e.us, eid := e.event_id)) AS k
+      FROM ev e JOIN t2 USING (user_id)
+      WHERE e.pos = 3
+        AND struct_pack(us := e.us, eid := e.event_id) > t2.k
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id, CAST(t3.k.us - t1.k.us AS BIGINT) AS latency_us
+    FROM t1 JOIN t3 USING (user_id)
+    """,
+)
+def q_funnel_latency(spark):
+    """Per-user funnel time-to-convert (operators/events.
+    funnel_conversion, r14): for every user completing view -> click ->
+    purchase IN ORDER, microseconds from the step-1 event that started
+    the completed path to the event that finished it. Spark runs the
+    same single groupBy(user) fold as q_funnel_steps with two extra
+    epoch-micros integers in the accumulator; the oracle replays the
+    EQUIVALENT greedy chain as nested first-event-after mins (first
+    view, first click after it, first purchase after that — identical
+    semantics to the fold by induction, and integer micros make it
+    hash-exact). A DuckDB 1.0 lambda quirk (struct_pack fields packed
+    before a later field see a stale accumulator in list_reduce) rules
+    out the literal struct-fold oracle."""
+    from muninn_avro_to_parquet_spark.operators import events
+
+    return events.funnel_conversion(
+        spark.table("events"), ["view", "click", "purchase"]
+    )
+
+
+@q(
+    "q_key_skew",
+    """
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS cnt
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    )
+    SELECT CAST(length(bin(cnt)) - 1 AS INT) AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_count
+    FROM counts GROUP BY 1
+    """,
+)
+def q_key_skew(spark):
+    """Key-frequency skew histogram (operators/profile.key_skew, r14):
+    per-key counts bucketed by INTEGER log2 (length(bin(cnt)) - 1 in
+    both engines — never floating log2), one row per occupied bucket
+    with key/row/max counts. The pre-shuffle audit for any 100 TB join
+    key: one map-side-combined exchange on the key, then a <=64-row
+    aggregate."""
+    from muninn_avro_to_parquet_spark.operators import profile
+
+    return profile.key_skew(spark.table("orders"), "o_custkey")

@@ -84,3 +84,52 @@ def test_funnel_event_id_col_parameter(spark):
         renamed, ["view", "click", "purchase"], event_id_col="evt_key"
     ).collect()}
     assert got == want == {1: 3, 2: 1}
+
+
+def test_cohort_retention_exact(spark):
+    """Users cohorted by first active day; (cohort, offset) counts and
+    floor-division ppm are exact. Multiple same-day events collapse
+    (the activity relation is distinct (user, day))."""
+    rows = [
+        # cohort 2026-01-01: users 1,2 - user 1 returns day+1, both day+2
+        (1, 0, 1, "view"), (2, 10, 1, "view"),       # same day twice
+        (3, 24 * 60, 1, "click"),                    # day +1
+        (4, 48 * 60, 1, "view"), (5, 0, 2, "view"), (6, 48 * 60, 2, "view"),
+        # cohort 2026-01-02: user 3 only
+        (7, 24 * 60, 3, "view"),
+        (8, None, 4, "view"),                        # NULL ts: ignored
+    ]
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): (
+            r["n_users"], r["retention_ppm"]
+        )
+        for r in events.cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("2026-01-01", 0): (2, 1000000),
+        ("2026-01-01", 1): (1, 500000),
+        ("2026-01-01", 2): (2, 1000000),
+        ("2026-01-02", 0): (1, 1000000),
+    }
+
+
+def test_funnel_conversion_latency_exact(spark):
+    """latency = micros from the FIRST step-1 event to the event that
+    completes the funnel along the greedy path; non-completers drop;
+    pre-click purchases don't complete (in-order semantics)."""
+    rows = [
+        # user 1: view@0, click@2, purchase@5 -> latency 5 min
+        (1, 0, 1, "view"), (2, 2, 1, "click"), (3, 5, 1, "purchase"),
+        # user 2: purchase before click -> never completes
+        (4, 0, 2, "view"), (5, 1, 2, "purchase"), (6, 2, 2, "click"),
+        # user 3: two views; latency measured from the FIRST view
+        (7, 0, 3, "view"), (8, 1, 3, "view"), (9, 2, 3, "click"),
+        (10, 10, 3, "purchase"),
+    ]
+    got = {
+        r["user_id"]: r["latency_us"]
+        for r in events.funnel_conversion(
+            _ev(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: 5 * 60 * 1_000_000, 3: 10 * 60 * 1_000_000}

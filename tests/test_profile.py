@@ -57,3 +57,25 @@ def test_robust_outliers_flags_and_mad_zero_degenerate(spark):
     assert g2["mad"] == 0.0 and g2["n_outliers"] == 1  # the lone 7.0
     with pytest.raises(ValueError, match="positive"):
         profile.robust_outliers(df, "x", ["g"], k=0)
+
+
+def test_key_skew_integer_log2_buckets(spark):
+    """Bucket b holds keys with count in [2^b, 2^(b+1)); counts are
+    integer-exact via length(bin(cnt)) - 1; NULL keys excluded."""
+    from muninn_avro_to_parquet_spark.operators import profile as prof
+
+    rows = (
+        [("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 4
+        + [("hot",)] * 9 + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        r["freq_bucket"]: (r["n_keys"], r["n_rows"], r["max_count"])
+        for r in prof.key_skew(df, "k").collect()
+    }
+    assert got == {
+        0: (1, 1, 1),       # a: count 1
+        1: (2, 5, 3),       # b (2), c (3)
+        2: (1, 4, 4),       # d (4)
+        3: (1, 9, 9),       # hot (9)
+    }
