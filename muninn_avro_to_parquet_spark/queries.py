@@ -10545,7 +10545,7 @@ def pipeline_token_budget_mix(spark):
 
 
 @q(
-    "q_cohort_retention",
+    "q_user_retention_days",
     """
     WITH days AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
@@ -10570,9 +10570,12 @@ def pipeline_token_budget_mix(spark):
     JOIN counts b ON b.cohort_day = c.cohort_day AND b.day_offset = 0
     """,
 )
-def q_cohort_retention(spark):
-    """Cohort retention matrix (operators/events.cohort_retention, r14):
-    users cohorted by first active day, per (cohort_day, day_offset)
+def q_user_retention_days(spark):
+    """DAY-granularity cohort retention over the event stream
+    (operators/events.cohort_retention, r14) — the per-user activity
+    counterpart of ``q_cohort_retention``'s month-granularity customer
+    cohorts over orders: users cohorted by first active day, per
+    (cohort_day, day_offset)
     active-user counts with exact floor-division ppm retention. The
     event-grain rows die at the first (user, day) distinct; everything
     after moves the activity relation (users x active-days), the
