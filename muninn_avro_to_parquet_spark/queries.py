@@ -54,6 +54,12 @@ def q(name: str, oracle: Optional[str]):
             tables.register_views(spark, sf_dir)
             return fn(spark)
 
+        if name in QUERIES:
+            # a duplicate would SILENTLY displace the older query from
+            # the registry (and its rotation/correctness history) — an
+            # r14 near-miss: a new day-granularity retention entry briefly
+            # shadowed the monthly q_cohort_retention
+            raise ValueError(f"duplicate registry query name: {name!r}")
         QUERIES[name] = Q(wrapped, oracle)
         return wrapped
 
