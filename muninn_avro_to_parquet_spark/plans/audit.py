@@ -112,6 +112,24 @@ HEADLINERS: list[tuple[str, str]] = [
         "count-distinct expands map-side (two-phase HashAggregate).",
     ),
     (
+        "q_user_retention_days",
+        "Day-granularity retention (r14): event rows die at the first "
+        "(user, day) distinct; the cohort matrix is built from the "
+        "activity relation, and the cohort-size join is broadcast.",
+    ),
+    (
+        "q_funnel_latency",
+        "Funnel time-to-convert (r14): the same ONE groupBy(user) fold "
+        "as the funnel report, accumulator widened by two epoch-micros "
+        "integers — still no per-step join chain, no window.",
+    ),
+    (
+        "q_key_skew",
+        "Key-skew histogram (r14): one map-side-combined exchange on the "
+        "audited key, then a <=64-row integer-log2 aggregate — the "
+        "pre-shuffle audit costs the same exchange the join would.",
+    ),
+    (
         "q_pandas_grouped_stats",
         "Arrow grouped-map (FlatMapGroupsInPandas): one hash exchange on the "
         "key — the same shuffle a built-in agg plans — then one Python "
