@@ -157,7 +157,10 @@ def key_skew(df: DataFrame, key_col: str) -> DataFrame:
     keys occurring in [2^b, 2^(b+1))); output one row per occupied
     bucket: (freq_bucket int, n_keys long, n_rows long, max_count
     long). A hot key shows up as a lonely high bucket; a clean uniform
-    key collapses into one or two buckets.
+    key collapses into one or two buckets. Complementary to
+    ``operators/skew.key_skew_report`` (the top-k hottest keys by
+    name): the report names the head, this histogram shapes the whole
+    distribution.
 
     The log2 is INTEGER-exact in both engines — length(bin(count)) − 1,
     never floating log2 (which rounds 2^53-adjacent values
