@@ -1557,18 +1557,36 @@ def _fuzzy_score_pairs(cand: DataFrame, max_distance: int) -> DataFrame:
       the dynamic program as soon as the running distance exceeds k
       (returns −1), turning the common far-apart case from O(n·m) into
       O(k·min(n,m)); for kept pairs (distance ≤ k) it returns the
-      EXACT distance, so the output column is unchanged."""
-    return (
-        cand.filter(
-            F.abs(F.length("text_a") - F.length("text_b")) <= max_distance
-        )
-        .withColumn(
-            "distance",
-            F.expr(f"levenshtein(text_a, text_b, {int(max_distance)})"),
-        )
-        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
-        .select("id_a", "id_b", "text_a", "text_b", "distance")
+      EXACT distance, so the output column is unchanged;
+    - single evaluation (r14): the old ``withColumn`` + two-sided
+      filter let Catalyst substitute the DP into the join condition —
+      the executed plan ran levenshtein THREE times per surviving pair
+      (twice in the BroadcastHashJoin condition, once in the output
+      projection; the r14 bench's CPU telemetry flagged
+      q_fuzzy_join_multipass at 106.8 executor-CPU-seconds, the
+      registry's heaviest). The Generate barrier (the filter_once
+      pattern, text.py:272) pins ONE evaluation per length-surviving
+      pair, and ``distance >= 0`` alone is the whole verdict — the
+      3-arg form never returns a value above k."""
+    pre = cand.filter(
+        F.abs(F.length("text_a") - F.length("text_b")) <= max_distance
     )
+    gen = pre.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.col("text_a"),
+                    F.col("text_b"),
+                    F.expr(
+                        f"levenshtein(text_a, text_b, {int(max_distance)})"
+                    ).alias("distance"),
+                )
+            )
+        ).alias("_row")
+    )
+    return gen.select("_row.*").filter(F.col("distance") >= 0)
 
 
 def repeated_spans(

@@ -57,8 +57,10 @@ def _agree(rule: FieldRule, a: Column, b: Column) -> Column:
         # -1) — same verdict on every pair, O(k·min(n,m)) on the common
         # far-apart case instead of O(n·m); NULL still reads disagree
         k = int(rule.max_distance)
-        d = F.levenshtein(a, b, k)
-        return (d >= 0) & (d <= k)
+        # >= 0 is the whole verdict: the 3-arg form returns -1 past the
+        # bound and never a value above k — one DP mention, so no
+        # duplicated evaluation if Catalyst inlines the predicate
+        return F.levenshtein(a, b, k) >= 0
     raise ValueError(f"unknown FieldRule kind: {rule.kind!r}")
 
 
