@@ -212,15 +212,30 @@ def decontaminate(
     unbounded (a heavily contaminated crawl could carry millions), so
     the final left join shuffles on id and AQE picks broadcast at
     runtime only when hits actually measures small. Output:
-    (id, n_overlap, contaminated) for every corpus document."""
+    (id, n_overlap, contaminated) for every corpus document.
+
+    r14: the corpus side no longer routes through ``ngram_shingles``'s
+    ``.distinct()`` — that exchanged EVERY corpus (id, shingle) row
+    before the broadcast probe ever filtered anything (the curation
+    report's stage walls put decontaminate at 2.07 s of its 4.5 s total,
+    and this shuffle was it). The probe now runs on the raw exploded
+    shingles and the per-document overlap is ``countDistinct`` — the
+    only rows that reach an exchange are benchmark HITS, and the
+    distinct moved into the two-phase aggregate where partials combine
+    map-side. Same output by construction (the broadcast join is a
+    filter on the shingle value, so distinct-then-filter ≡
+    filter-then-count-distinct)."""
     bench = (
         ngram_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
     )
+    toksed = corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    grams = toksed.select(
+        F.col(id_col), F.explode(word_ngrams(F.col("toks"), n)).alias("shingle")
+    )
     hits = (
-        ngram_shingles(corpus, id_col, text_col, n)
-        .join(F.broadcast(bench), "shingle")
+        grams.join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
-        .agg(F.count("*").alias("_n"))
+        .agg(F.count_distinct(F.col("shingle")).alias("_n"))
     )
     return (
         corpus.select(id_col)
@@ -287,6 +302,13 @@ def decontaminate_bloom(
         .select(F.explode(positions(F.col("shingle"))).alias("pos"))
         .distinct()
     )
+    # deliberately distinct-FIRST here, unlike decontaminate() (r14): the
+    # corpus side pays 4 md5 hashes per shingle row, so deduping
+    # (id, shingle) before the position expansion minimizes the md5
+    # work; a no-distinct variant with countDistinct verification was
+    # measured 70% MORE cpu at sf0.1 (71.0 vs 41.7 executor-cpu-s on
+    # the two-phase entry) — the hash expansion dominates the exchange
+    # this shape keeps
     corp = ngram_shingles(corpus, id_col, text_col, n).select(
         F.col(id_col), "shingle", positions(F.col("shingle")).alias("_ps")
     )
