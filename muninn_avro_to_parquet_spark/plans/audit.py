@@ -506,6 +506,76 @@ def _counts(plan: str) -> str:
 
 
 EPILOGUE = """\
+## Measurement notes (round 14)
+
+**The three r13 residual regressions, adjudicated (r13 verdict #1).**
+Isolated best-of-3 on an idle window (fresh session, sf0.1, table
+caches warmed, operator caches evicted between runs, measured floor
+63.6 ms/job) with the NEW per-entry CPU telemetry:
+
+| entry | r12 raw | r13 norm (flagged) | isolated best norm | ratio vs r12 raw | best wall / jobs / cpu / task |
+|---|---|---|---|---|---|
+| corpus_curation_report | 2.44 | 4.86 | **1.84** | 0.75× | 2.86 s / 16 / 31.4 / 44.7 |
+| embedding_knn_graph | 1.49 | 2.55 | **1.51** | 1.01× | 2.02 s / 8 / 21.4 / 27.4 |
+| q21_waiting_suppliers | 1.17 | 2.21 | **1.34** | 1.15× | 1.92 s / 9 / 22.9 / 29.0 |
+
+All three return to ≤1.2× their r12 raw wall isolated (the verdict's
+"done" bar), with unchanged plans — the r13 levels were co-tenant CPU
+steal inside compute, exactly the class the floor normalization cannot
+subtract. Stage walls for the most expensive one,
+`corpus_curation_report` (cached-qpass decomposition): quality+filter
+0.77 s, normalized_dedup 0.88 s, **decontaminate 2.07 s**,
+joins+agg 0.78 s — which pointed straight at this round's second plan
+fix (below).
+
+**CPU-time telemetry (r13 verdict #2) is live.** `_JobCounter` reads
+each job's stages from the JVM AppStatusStore (`executorCpuTime` /
+`executorRunTime`, attributed once sweep-wide; works with
+spark.ui.enabled=false — the flag only gates the web server);
+`bench_results.json` carries per-entry `queries_cpu_seconds` +
+`queries_task_seconds` and headline `value_cpu_seconds` /
+`value_task_seconds`. Steal is now observable as task ≫ cpu on an
+unchanged plan. Caveats: Python-worker crossings are task-time but not
+JVM cpu-time, and memory-bandwidth contention inflates cpu-seconds
+~20-40% at fixed work during co-tenant bursts — compare an entry
+against its own history on calm runs.
+
+**The telemetry paid for itself the same round.** Ranking entries by
+executor-CPU exposed two plan defects the wall numbers never isolated:
+
+1. `q_fuzzy_join_multipass` at 106.8 cpu-s — the heaviest registry
+   entry — was running the thresholded Levenshtein DP **twice per
+   candidate inside the BroadcastHashJoin condition** (Catalyst
+   substituted the `withColumn` + two-sided filter into the join
+   predicate; a third evaluation sat in the output projection).
+   `_fuzzy_score_pairs` now pins ONE evaluation per length-surviving
+   pair behind a Generate barrier (the filter_once pattern), and
+   `distance >= 0` alone is the verdict (the 3-arg form never returns
+   a value above k). Closing sweep: 106.8 → **72.2 cpu-s** (−32%),
+   norm 3.99 → 2.77.
+2. The exact `decontaminate` exchanged EVERY corpus (id, shingle) row
+   through `ngram_shingles`'s `.distinct()` BEFORE the broadcast
+   benchmark probe filtered anything. The probe now runs on raw
+   exploded shingles and the per-doc overlap is `countDistinct` — only
+   benchmark HITS reach an exchange. Closing sweep:
+   `text_decontaminate_twophase` 41.7 → **21.5 cpu-s** (−48%),
+   `corpus_curation_report` 36.3 → **25.6 cpu-s** (−29%),
+   `text_decontaminate_bloom` 19.7 → 8.5. The bloom variant KEEPS
+   distinct-first — a no-distinct countDistinct form was measured at
+   70% MORE cpu (its 4-md5 position expansion per shingle occurrence
+   dominates the exchange it would save; noted inline in dedup.py).
+
+**Round-14 closing run** (idle start, co-tenant burst mid-sweep,
+floors 65.2 → 52.8 ms/job): 213 registry entries + 42 proofs, raw
+228.5 s, **floor-normalized 131.8 s** (r13 committed artifact: 150.9
+over 209 entries), cpu 2016.6 s, task 3479.4 s, gates 0/0. The
+r13-family scale legs at full size (r13 verdict #5): funnel 10M events
+(3.5M events/s at the calmer mid-round run), token-budget prefix over
+1M docs (530k docs/s, budget crossing asserted exactly), Count-Min
+over 10M tokens (2.0M tokens/s, planted heavies within +0.3% of true),
+profile over the drifted 9.9M-row convert output (16.3M cells/s,
+nulls asserted against the drift accounting).
+
 ## Measurement notes (round 13)
 
 **The headline is now load-normalized (r12 verdict #1).** bench.py
