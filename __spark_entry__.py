@@ -90,32 +90,29 @@ def _verdict_watchlist() -> set[str]:
 # head nor the verdict watchlist promotes them), so they are forced into
 # the head band until the next sweep re-greens them. Reset when bumped.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r12: rerank-by-default ivfpq_search/ann_topk_ivfpq + new
-    # ivfpq_rerank_nprobe4 recall row — oracles rewritten to match
-    "ann_topk_ivfpq",
-    "ann_ivfpq_index_search",
-    "ann_recall_report",
-    # r12 ADVICE fixes: sitemap entity/CDATA decoding (fixture + oracle
-    # gained the escaped and CDATA locs), frontier deterministic row id,
-    # robots longest-match agent selection
-    "crawl_sitemap_urls",
-    "crawl_frontier_pipeline",
-    "crawl_robots_filter",
-    # r12 new entries: corpus-level paragraph dedup, anchor-text
-    # aggregation through the real HTML parser, corpus-wide kNN graph
-    "text_paragraph_dedup",
-    "crawl_anchor_text",
-    "embedding_knn_graph",
-    "graph_label_propagation",
+    # r14 plan rewrites (outputs proven sf0.01-parity-identical locally,
+    # but the driver's green is the gate): single-evaluation levenshtein
+    # behind a Generate barrier (_fuzzy_score_pairs), linkage fuzzy
+    # agreement via the implied >= 0 verdict, decontaminate's broadcast
+    # probe before any exchange (exact path)
+    "q_fuzzy_join_parts",
+    "q_fuzzy_join_multipass",
+    "q_record_linkage",
+    "q_linkage_entities",
+    "text_decontaminate",
+    "text_decontaminate_twophase",
+    "text_decontaminate_bloom",
+    "corpus_curation_pipeline",
+    "corpus_curation_report",
+    # r14 oracle text edit (COALESCE top_count) + operator signature /
+    # validation changes on green entries
+    "q_profile_orders",
+    "q_funnel_steps",
+    "pipeline_token_budget",
+    "pipeline_token_budget_mix",
     "sample_priority_weighted",
-    "graph_hits",
-    "ann_ivfpq_append_search",
-    "graph_pagerank_personalized",
-    "ml_naive_bayes",
-    "q_exact_quantiles",
-    "multimodal_image_phash",
 )
-_CHANGED_ROUND = 12
+_CHANGED_ROUND = 14
 
 
 def _rotation() -> list[str]:
