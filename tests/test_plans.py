@@ -477,3 +477,29 @@ def test_countmin_build_is_map_side_combined(spark):
     # partial_ aggregate before the exchange = map-side combine
     assert "partial_sum" in plan or "partial" in plan.lower(), plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_fuzzy_dp_evaluated_once(spark):
+    """r14: the thresholded Levenshtein DP must appear EXACTLY once in
+    the executed plan — the old withColumn + two-sided filter let
+    Catalyst substitute it into the BroadcastHashJoin condition, running
+    the DP twice per candidate (plus once more in the projection; the
+    CPU telemetry measured it at 106.8 executor-cpu-s). The Generate
+    barrier pins single evaluation."""
+    plan = _plan(QUERIES["q_fuzzy_join_parts"].spark(spark, SF_CORRECT))
+    assert plan.count("levenshtein") == 1, plan.count("levenshtein")
+    assert "Generate explode" in plan
+
+
+def test_decontaminate_probe_before_exchange(spark):
+    """r14: the exact decontaminate's corpus shingles reach the
+    broadcast benchmark probe WITHOUT a prior exchange (the old
+    ngram_shingles .distinct() shuffled every corpus (id, shingle) row
+    first). Exactly three hash exchanges remain: the tiny benchmark
+    shingle distinct, the hits-only (id, shingle) distinct phase, and
+    the hits-only per-id count — a fourth means the corpus-wide
+    distinct came back."""
+    plan = _plan(QUERIES["text_decontaminate"].spark(spark, SF_CORRECT))
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 3, f"expected 3 hash exchanges, got {n_hash}"
+    assert "BroadcastHashJoin [shingle" in plan
