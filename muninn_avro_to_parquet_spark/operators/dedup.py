@@ -1589,7 +1589,14 @@ def _fuzzy_score_pairs(cand: DataFrame, max_distance: int) -> DataFrame:
       registry's heaviest). The Generate barrier (the filter_once
       pattern, text.py:272) pins ONE evaluation per length-surviving
       pair, and ``distance >= 0`` alone is the whole verdict — the
-      3-arg form never returns a value above k."""
+      3-arg form never returns a value above k.
+
+    The barrier relies on Catalyst NOT collapsing a single-element
+    ``explode(array(struct(...)))`` Generate (validated on Spark 4.1.2;
+    ``tests/test_plans.py::test_fuzzy_dp_evaluated_once`` pins exactly
+    one ``levenshtein`` in the executed plan and must be re-checked on
+    every Spark upgrade — a future optimizer rule collapsing trivial
+    Generates would silently reintroduce the 3× evaluation)."""
     pre = cand.filter(
         F.abs(F.length("text_a") - F.length("text_b")) <= max_distance
     )

@@ -846,25 +846,37 @@ def select_token_budget(
     ``stratum_col`` applies the SAME budget per stratum — the mixture
     form ("B tokens of web, B of code, B of papers"): one plain
     window partitioned by the stratum (parallel by construction, no
-    offset pass needed), output gains the stratum column."""
+    offset pass needed), output gains the stratum column.
+
+    Eagerness: the non-stratum path runs ONE aggregate at call time
+    (the per-partition offset collect, which also carries the
+    NULL/negative-token validation — no separate validation scan); the
+    stratum path runs one validation-only aggregate at call time and
+    is otherwise lazy. Either way, call this on the final, filtered
+    relation so the eager pass scans only what the selection scans."""
     from pyspark.sql import Window
 
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
 
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    tcol = F.col(tokens_col).cast("long")
-    bad = df.agg(
-        F.min(F.coalesce(tcol, F.lit(-1))).alias("m"), F.count("*").alias("c")
-    ).first()
-    if bad["c"] and bad["m"] is not None and bad["m"] < 0:
+
+    def _raise_bad_tokens(min_seen):
         raise ValueError(
             f"select_token_budget tokens_col={tokens_col!r} must be a"
-            f" non-negative integer on every row; found min={bad['m']}"
+            f" non-negative integer on every row; found min={min_seen}"
             " (NULLs count as -1) — a NULL would silently inherit the"
             " previous cumulative sum and a negative count breaks the"
             " monotone-prefix contract"
         )
+
+    tcol = F.col(tokens_col).cast("long")
+    if stratum_col is not None:
+        bad = df.agg(
+            F.min(F.coalesce(tcol, F.lit(-1))).alias("m"), F.count("*").alias("c")
+        ).first()
+        if bad["c"] and bad["m"] is not None and bad["m"] < 0:
+            _raise_bad_tokens(bad["m"])
     order = [F.col(quality_col).desc(), F.col(id_col).asc()]
     if stratum_col is not None:
         w = (
@@ -894,12 +906,17 @@ def select_token_budget(
         "_pid", F.spark_partition_id()
     )
     part = cache_scoped(part, "token_budget_part")
-    sizes = sorted(
-        (r["_pid"], r["s"])
-        for r in part.groupBy("_pid")
-        .agg(F.sum("_tok").alias("s"))
-        .collect()
-    )
+    # The offset collect doubles as the token validation pass: min over
+    # coalesce(_tok, -1) rides the same per-partition aggregate, so the
+    # non-stratum path never pays a second full scan just to validate.
+    stats = part.groupBy("_pid").agg(
+        F.sum("_tok").alias("s"),
+        F.min(F.coalesce(F.col("_tok"), F.lit(-1))).alias("m"),
+    ).collect()
+    min_tok = min((r["m"] for r in stats), default=None)
+    if min_tok is not None and min_tok < 0:
+        _raise_bad_tokens(min_tok)
+    sizes = sorted((r["_pid"], r["s"]) for r in stats)
     offsets, acc = {}, 0
     for pid, s in sizes:
         offsets[pid] = acc

@@ -495,11 +495,24 @@ def test_decontaminate_probe_before_exchange(spark):
     """r14: the exact decontaminate's corpus shingles reach the
     broadcast benchmark probe WITHOUT a prior exchange (the old
     ngram_shingles .distinct() shuffled every corpus (id, shingle) row
-    first). Exactly three hash exchanges remain: the tiny benchmark
+    first). At most three hash exchanges remain: the tiny benchmark
     shingle distinct, the hits-only (id, shingle) distinct phase, and
-    the hits-only per-id count — a fourth means the corpus-wide
-    distinct came back."""
+    the hits-only per-id count — more means the corpus-wide distinct
+    came back (an upper bound, not an exact count, so cosmetic
+    Spark/AQE plan changes don't fail it — r14 ADVICE). The specific
+    regression is also pinned structurally: the corpus shingle Generate
+    must feed the broadcast probe join with no exchange in between."""
     plan = _plan(QUERIES["text_decontaminate"].spark(spark, SF_CORRECT))
     n_hash = plan.count("Exchange hashpartitioning")
-    assert n_hash == 3, f"expected 3 hash exchanges, got {n_hash}"
+    assert n_hash <= 3, f"expected <=3 hash exchanges, got {n_hash}"
     assert "BroadcastHashJoin [shingle" in plan
+    # No exchange between the probe join and the corpus-side Generate:
+    # the join's stream side prints first in the tree string, so the
+    # FIRST Generate after the probe join is the corpus shingle explode
+    # and nothing between them may be a hashpartitioning exchange.
+    probe_at = plan.find("BroadcastHashJoin [shingle")
+    assert probe_at != -1, plan
+    gen_at = plan.find("Generate explode", probe_at)
+    assert gen_at != -1, plan[probe_at:]
+    between = plan[probe_at:gen_at]
+    assert "Exchange hashpartitioning" not in between, between
