@@ -659,6 +659,18 @@ def _bench_body() -> dict:
         if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1"
         else QUERIES
     )
+    # isolated-adjudication knob (r15): run ONLY the named entries with
+    # the full harness (floor probes, job/cpu telemetry, best-of-N) —
+    # the verdict's "isolated best-of-3" measurements should come from
+    # the same measuring code as the sweep, not an ad-hoc script.
+    # Never set in a recorded round.
+    only = os.environ.get("SPARK_GRAFT_ONLY_QUERIES")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        unknown = wanted - set(query_items)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY_QUERIES unknown: {sorted(unknown)}")
+        query_items = {k: v for k, v in query_items.items() if k in wanted}
     for qi, (name, entry) in enumerate(query_items.items()):
         walls: list[float] = []
         best_jobs = 0

@@ -164,7 +164,15 @@ def pagerank(
     else:
         seed = seed.select("node", "deg", F.lit(True).alias("_seed"))
     seed = seed.coalesce(n_part).localCheckpoint(eager=True)
-    n_nodes = seed.count()
+    # ONE action for both universe and restart-set size (r15: the
+    # personalized variant used to pay a second full pass / extra job
+    # for `seed.filter(_seed).count()`; the job-count audit attributed
+    # its whole wall gap vs plain pagerank to preamble jobs like it)
+    _sizes = seed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("s"),
+    ).first()
+    n_nodes = _sizes["n"]
     if n_nodes == 0:
         esized.unpersist()
         # empty result keeps the INPUT's node type (string-keyed URL /
@@ -185,9 +193,7 @@ def pagerank(
     # _seed flag is all-true, so the formulas below reduce exactly to
     # the classic ones and S is n_nodes with no extra count job), the
     # seed intersection for personalized
-    n_seeds = (
-        n_nodes if seeds is None else seed.filter(F.col("_seed")).count()
-    )
+    n_seeds = n_nodes if seeds is None else int(_sizes["s"] or 0)
     if n_seeds == 0:
         esized.unpersist()
         raise ValueError(

@@ -1089,8 +1089,10 @@ def pq_model(
       over float32 — the reason PQ is the 100 TB vector-index answer).
 
     Scale shape: the codebook is k·D rows (broadcast), the distance
-    relation is corpus × m × k rows of integers built by ONE equi-join
-    on dimension position and a hash aggregate — no cross product over
+    relation is corpus × m × k rows of integers built by ONE broadcast
+    equi-join on the subspace id, each row one ``zip_with`` dot over the
+    ``slice`` of the vector (r15: no d/m-way position explode, no
+    rebuild aggregate — see ``_pq_distances``) — no cross product over
     vectors, and everything downstream of the corpus scan is
     integer-exact (oracle-hashable). At large k the corpus × m × k
     relation itself becomes the bottleneck — ``pq_encode(engine=
@@ -1103,8 +1105,7 @@ def pq_model(
     deterministically (identically in every engine), but produces up to
     one extra, smaller trailing subspace."""
     cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
-    vsub = _pq_subvectors(codes, m, id_col)
-    dist = _pq_distances(vsub, cb, id_col, cache_key="pq_dist")
+    dist = _pq_distances(codes, cb, m, id_col, cache_key="pq_dist")
     return dist, _pq_argmin(dist, id_col)
 
 
@@ -1115,31 +1116,70 @@ def _pq_subvectors(codes: DataFrame, m: int, id_col: str) -> DataFrame:
 
 
 def _pq_distances(
-    vsub: DataFrame, cb: DataFrame, id_col: str, cache_key: str
+    codes: DataFrame, cb: DataFrame, m: int, id_col: str, cache_key: str
 ) -> DataFrame:
+    """(id, sub, code_id, dist) — integer squared distance of every
+    vector's subvector to every code, in ARRAY form (r15 plan audit):
+    subspaces are CONTIGUOUS position ranges (``pos div (d div m)``), so
+    the subvector is a ``slice`` of ``q`` and the distance one
+    ``zip_with`` dot — corpus × m × k rows through the broadcast join,
+    each doing one array fold. The previous formulation exploded to
+    corpus × d × k rows and rebuilt the pairs with a giant hash
+    aggregate (d/m× more join rows, plus a 256k-group agg); at
+    production k=256 that fanout was the documented 100 TB blocker.
+    Measured at sf0.1: 0.3 vs 1.0 executor-cpu-s for the dist+argmin
+    pair, values bit-identical (same integer sums, order-independent).
+
+    A non-divisor ``m`` reproduces the exploded rule exactly: positions
+    past ``m·(d div m)`` form one extra, smaller trailing subspace
+    (``sub = pos div (d div m)`` reaches ``m``), hence the per-row
+    sequence bound below."""
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
 
-    dist = (
-        vsub.join(F.broadcast(cb), "pos")
-        .groupBy(id_col, vsub["sub"].alias("sub"), "code_id")
-        .agg(
-            F.sum(
-                (F.col("vq") - F.col("cq")).cast("long")
-                * (F.col("vq") - F.col("cq"))
-            ).alias("dist")
-        )
+    cbarr = cb.groupBy("sub", "code_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+            lambda s: s["cq"],
+        ).alias("cq_arr")
+    )
+    sub_len = f"(n_dims div {m})"
+    vparts = codes.select(
+        id_col,
+        F.explode(
+            F.expr(f"sequence(0, (n_dims - 1) div {sub_len})")
+        ).alias("sub"),
+        "n_dims",
+        "q",
+    ).select(
+        id_col,
+        "sub",
+        F.expr(
+            f"slice(q, sub * {sub_len} + 1,"
+            f" least({sub_len}, n_dims - sub * {sub_len}))"
+        ).alias("vq_arr"),
+    )
+    dist = vparts.join(F.broadcast(cbarr), "sub").select(
+        id_col,
+        "sub",
+        "code_id",
+        F.expr(
+            "aggregate(zip_with(vq_arr, cq_arr,"
+            " (x, y) -> cast(x - y as bigint) * (x - y)),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("dist"),
     )
     return cache_scoped(dist, cache_key)
 
 
 def _pq_argmin(dist: DataFrame, id_col: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    wmin = Window.partitionBy(id_col, "sub").orderBy(F.asc("dist"), F.asc("code_id"))
+    # min over struct(dist, code_id) = argmin with the (dist ASC,
+    # code_id ASC) tie-break as ONE hash aggregate — the former
+    # row_number window sorted all corpus × m × k rows to keep one per
+    # group (r15 plan audit)
     return (
-        dist.withColumn("_r", F.row_number().over(wmin))
-        .filter(F.col("_r") == 1)
-        .select(id_col, "sub", "code_id")
+        dist.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("dist", "code_id")).alias("_m"))
+        .select(id_col, "sub", F.col("_m.code_id").alias("code_id"))
     )
 
 
@@ -1193,8 +1233,7 @@ def pq_encode(
       This is the encoder the 1M-vector index build uses.
     """
     if engine == "catalyst":
-        vsub = _pq_subvectors(codes, m, id_col)
-        dist = _pq_distances(vsub, cb, id_col, cache_key="pq_encode_dist")
+        dist = _pq_distances(codes, cb, m, id_col, cache_key="pq_encode_dist")
         return _pq_argmin(dist, id_col)
     if engine != "numpy":
         raise ValueError(f"unknown pq_encode engine: {engine!r}")
@@ -1387,9 +1426,20 @@ def pq_model_refined(
     refined codebooks, assignments, and ADC tables stay bit-identical in
     every engine; codes that lose all members disappear (both engines
     drop them identically). Returns (dist, enc) against the REFINED
-    codebooks — drop-in for the ``pq_model`` consumers."""
-    dist, enc = pq_model(codes, m=m, k=k, id_col=id_col)
-    vsub = _pq_subvectors(codes, m, id_col)
+    codebooks — drop-in for the ``pq_model`` consumers.
+
+    The subvector relation is cached (r15 audit): it feeds the round-0
+    distance build, every round's members join, and every round's
+    re-encode — uncached, each consumer re-derived the quantize +
+    posexplode subtree from the source scan (measured 2× the cold wall
+    of the cached form on the registry entry; the relation is corpus ×
+    D integer rows, the same thing ``ivfpq_index`` caches)."""
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
+    vsub = cache_scoped(_pq_subvectors(codes, m, id_col), "pq_refined_vsub")
+    dist = _pq_distances(codes, cb, m, id_col, cache_key="pq_dist")
+    enc = _pq_argmin(dist, id_col)
     for r in range(rounds):
         members = enc.join(vsub, [id_col, "sub"])
         cb = (
@@ -1397,7 +1447,7 @@ def pq_model_refined(
             .agg(F.expr("sum(vq) div count(*)").alias("cq"))
             .select("code_id", "sub", "pos", "cq")
         )
-        dist = _pq_distances(vsub, cb, id_col, cache_key=f"pq_dist_r{r + 1}")
+        dist = _pq_distances(codes, cb, m, id_col, cache_key=f"pq_dist_r{r + 1}")
         enc = _pq_argmin(dist, id_col)
     return dist, enc
 
