@@ -949,6 +949,53 @@ def _bench_body() -> dict:
                 max(0.0, prof_wall - prof_jobs * sched_floor), 4
             ),
         }
+
+        # key-skew scale leg (r14 verdict #5): the log2 frequency
+        # histogram over the drifted table's `name` key — present only
+        # in writer versions 1 and 2 (nulls excluded by the operator),
+        # 1000 distinct values laid down by the 20k-row template's
+        # i % 1000, block-repeated. Per-key counts are closed-form from
+        # the per-version row counts, so the whole histogram is checked
+        # exactly, not just timed.
+        from muninn_avro_to_parquet_spark.operators import profile as prof_mod2
+
+        jc.start("bench_key_skew_drift")
+        t0 = time.perf_counter()
+        skew_rows = {
+            r["freq_bucket"]: (r["n_keys"], r["n_rows"], r["max_count"])
+            for r in prof_mod2.key_skew(out, "name").collect()
+        }
+        skew_wall = time.perf_counter() - t0
+        skew_jobs = jc.stop()
+        skew_cpu, skew_task = jc.cpu_task_seconds()
+
+        def _name_count(n_rows_v: int, j: int) -> int:
+            # occurrences of name_<j> in a version with n_rows_v rows of
+            # the 20k template repeated (template hit: i % 1000 == j)
+            full, rem = divmod(n_rows_v, 20_000)
+            sub_full, sub_rem = divmod(rem, 1000)
+            return full * 20 + sub_full + (1 if j < sub_rem else 0)
+
+        want_hist: dict = {}
+        for j in range(1000):
+            cnt = _name_count(v1, j) + _name_count(v2, j)
+            b = cnt.bit_length() - 1
+            ks, rs, mx = want_hist.get(b, (0, 0, 0))
+            want_hist[b] = (ks + 1, rs + cnt, max(mx, cnt))
+        assert skew_rows == want_hist, (skew_rows, want_hist)
+        timings["key_skew_bigdrift"] = round(skew_wall, 4)
+        drift_stats["key_skew"] = {
+            "rows": drift_total,
+            "keys": 1000,
+            "buckets": len(skew_rows),
+            "rows_per_sec": round(drift_total / skew_wall),
+            "jobs": skew_jobs,
+            "cpu_seconds": round(skew_cpu, 4),
+            "task_seconds": round(skew_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, skew_wall - skew_jobs * sched_floor), 4
+            ),
+        }
     else:
         drift_stats = None
 
@@ -1398,6 +1445,7 @@ def _bench_body() -> dict:
     # check answers, not just walls) with per-leg jobs + floor-normalized
     # seconds + the new CPU telemetry.
     r13_stats: dict = {}
+    r14_stats: dict = {}
 
     # ordered funnel over >=10M events: 10 events/user, users planted
     # into four exact depth classes by u % 4 (0: noise only; 1: view;
@@ -1452,6 +1500,95 @@ def _bench_body() -> dict:
             "task_seconds": round(funnel_task, 4),
             "sec_floor_normalized": round(
                 max(0.0, funnel_wall - funnel_jobs * sched_floor), 4
+            ),
+        }
+
+        # funnel LATENCY over the same 10M-event corpus (r14 verdict #5):
+        # every class-3 user completes view(ts=0s) -> click(5s) ->
+        # purchase(9s), so time-to-convert is EXACTLY 9,000,000 us for
+        # every completer — count and min=max both closed-form. Same
+        # single groupBy(user) exchange; the fold just carries the two
+        # timestamp longs.
+        jc.start("bench_funnel_latency_big")
+        t0 = time.perf_counter()
+        lat = ev_mod.funnel_conversion(ev, ["view", "click", "purchase"]).agg(
+            F.count("*").alias("n"),
+            F.min("latency_us").alias("lo"),
+            F.max("latency_us").alias("hi"),
+        ).first()
+        flat_wall = time.perf_counter() - t0
+        flat_jobs = jc.stop()
+        flat_cpu, flat_task = jc.cpu_task_seconds()
+        assert lat["n"] == _class_users(3), (lat, _class_users(3))
+        assert lat["lo"] == lat["hi"] == 9_000_000, lat
+        timings["funnel_latency_bigevents"] = round(flat_wall, 4)
+        r14_stats["funnel_latency"] = {
+            "events": n_users * 10,
+            "completers": int(lat["n"]),
+            "latency_us": 9_000_000,
+            "events_per_sec": round(n_users * 10 / flat_wall),
+            "jobs": flat_jobs,
+            "cpu_seconds": round(flat_cpu, 4),
+            "task_seconds": round(flat_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, flat_wall - flat_jobs * sched_floor), 4
+            ),
+        }
+
+        # day-cohort RETENTION over a fresh 10M-event multi-day corpus
+        # (r14 verdict #5): user u joins on day (u % 3) and stays active
+        # for (u % 4) more days; its 10 events cycle over those days, so
+        # every (cohort, offset) cell is closed-form from the residue
+        # classes mod 12. The operator kills event grain at the first
+        # (user, day) distinct — 10M events collapse to <= 4 rows/user.
+        ret = spark.range(n_users * 10).select(
+            F.expr("id div 10").alias("user_id"),
+            F.timestamp_seconds(
+                (F.expr("(id div 10) % 3") + F.col("id") % 10 % (F.expr("(id div 10) % 4") + 1))
+                * 86400
+                + F.col("id") % 10
+            ).alias("ts"),
+        )
+        jc.start("bench_retention_big")
+        t0 = time.perf_counter()
+        got = {
+            (r["cohort_day"].isoformat(), r["day_offset"]): (
+                r["n_users"],
+                r["retention_ppm"],
+            )
+            for r in ev_mod.cohort_retention(ret).collect()
+        }
+        ret_wall = time.perf_counter() - t0
+        ret_jobs = jc.stop()
+        ret_cpu, ret_task = jc.cpu_task_seconds()
+        # exact expectation from the 12 residue classes of u mod 12
+        import datetime as _dt
+
+        by_class = [n_users // 12] * 12
+        for extra in range(n_users % 12):
+            by_class[extra] += 1
+        want_ret: dict = {}
+        for c in range(3):
+            size = sum(by_class[u] for u in range(12) if u % 3 == c)
+            day = (_dt.date(1970, 1, 1) + _dt.timedelta(days=c)).isoformat()
+            for k in range(4):
+                n = sum(
+                    by_class[u] for u in range(12) if u % 3 == c and u % 4 >= k
+                )
+                want_ret[(day, k)] = (n, 1_000_000 * n // size)
+        assert got == want_ret, (got, want_ret)
+        timings["retention_bigevents"] = round(ret_wall, 4)
+        r14_stats["retention"] = {
+            "events": n_users * 10,
+            "users": n_users,
+            "cohorts": 3,
+            "cells": len(got),
+            "events_per_sec": round(n_users * 10 / ret_wall),
+            "jobs": ret_jobs,
+            "cpu_seconds": round(ret_cpu, 4),
+            "task_seconds": round(ret_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, ret_wall - ret_jobs * sched_floor), 4
             ),
         }
 
@@ -2364,6 +2501,8 @@ def _bench_body() -> dict:
         result["bigwarc"] = bigwarc_stats
     if r13_stats:
         result["r13_family"] = r13_stats
+    if r14_stats:
+        result["r14_family"] = r14_stats
     return result
 
 
