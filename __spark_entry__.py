@@ -90,29 +90,24 @@ def _verdict_watchlist() -> set[str]:
 # head nor the verdict watchlist promotes them), so they are forced into
 # the head band until the next sweep re-greens them. Reset when bumped.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r14 plan rewrites (outputs proven sf0.01-parity-identical locally,
-    # but the driver's green is the gate): single-evaluation levenshtein
-    # behind a Generate barrier (_fuzzy_score_pairs), linkage fuzzy
-    # agreement via the implied >= 0 verdict, decontaminate's broadcast
-    # probe before any exchange (exact path)
-    "q_fuzzy_join_parts",
-    "q_fuzzy_join_multipass",
-    "q_record_linkage",
-    "q_linkage_entities",
-    "text_decontaminate",
-    "text_decontaminate_twophase",
-    "text_decontaminate_bloom",
-    "corpus_curation_pipeline",
-    "corpus_curation_report",
-    # r14 oracle text edit (COALESCE top_count) + operator signature /
-    # validation changes on green entries
-    "q_profile_orders",
-    "q_funnel_steps",
+    # r15 plan rewrites (outputs proven sf0.01-parity-identical locally,
+    # but the driver's green is the gate): array-form PQ distances +
+    # min-struct argmin + cached model relations (the whole catalyst PQ
+    # family transits _pq_distances/_pq_argmin)
+    "ann_topk_pq",
+    "ann_topk_pq_refined",
+    "ann_topk_pq_rerank",
+    "ann_topk_pq_rerank_exact",
+    # pagerank preamble: n_seeds folded into the n_nodes aggregate
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    "graph_pagerank_personalized",
+    "crawl_rank_pipeline",
+    # select_token_budget validation folded into the offset collect
     "pipeline_token_budget",
     "pipeline_token_budget_mix",
-    "sample_priority_weighted",
 )
-_CHANGED_ROUND = 14
+_CHANGED_ROUND = 15
 
 
 def _rotation() -> list[str]:

@@ -122,3 +122,117 @@ def count_min_query(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def _qs_rank(id_expr: Column) -> Column:
+    """The md5 sampling rank of a row: 56-bit prefix of ``md5('q:'||id)``
+    as BIGINT — the same BIGINT-safe idiom as the CMS counters, prefixed
+    so a value reused as a CMS key lands elsewhere."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("q:"), id_expr.cast("string"))), 1, 14),
+        16,
+        10,
+    ).cast("long")
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Mergeable quantile sketch: the ``k`` rows whose md5 sampling rank
+    is smallest — a bottom-k uniform sample keyed by deterministic
+    md5-of-id "randomness", the repo's standing sketch discipline.
+    Returns the sample RELATION (h long, id, v) ordered nowhere (it is
+    a set); ``quantile_sketch_query`` turns it into rank estimates.
+
+    Why not a literal KLL / t-digest: their compactions are
+    SEQUENCE-dependent (which pairs collapse depends on arrival and
+    merge order), so ``sketch(A) ⊎ sketch(B)`` can never be proven
+    bit-identical to ``sketch(A ∪ B)`` — only error-equivalent. The
+    bottom-k sample is the homomorphic summary: membership is a pure
+    row predicate (rank among the k smallest), so shard ⊎ shard ≡ whole
+    EXACTLY (pinned in tests/test_sketches.py), every engine replays it
+    bit-for-bit, and the classic sample bound still holds — rank error
+    ≤ ε·N with k = O(1/ε²) (P(|err| > εN) ≤ 2·exp(−2kε²), fixed here
+    because the md5 draw is fixed). The price is O(1/ε²) space vs KLL's
+    O(1/ε·log²log(1/δ)) — at k=1024 the sketch is 24 KB, noise next to
+    a 100 TB scan.
+
+    Scale shape: ONE TakeOrderedAndProject (map-side per-partition
+    top-k, driver-side merge of partition heads) — the corpus never
+    shuffles, no full sort. ``id_col`` must be row-unique (it IS the
+    random draw); NULL values are excluded like every profile relation.
+    Merge = union the shard sketches and take bottom-k again
+    (``quantile_sketch_merge``)."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    rel = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            _qs_rank(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("v"),
+        )
+    )
+    return rel.orderBy(F.asc("h"), F.asc("id")).limit(k)
+
+
+def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
+    """⊎ of shard sketches: union, bottom-k again. Exactly equal to the
+    whole-corpus build because bottom-k is a pure function of the
+    multiset of (h, id) draws (shards are disjoint in id)."""
+    if not sketches:
+        raise ValueError("quantile_sketch_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy(F.asc("h"), F.asc("id")).limit(k)
+
+
+def quantile_sketch_query(
+    sketch: DataFrame, quantiles_pct: list[int]
+) -> DataFrame:
+    """Quantile estimates from the sample alone: for each q (percent),
+    the value at 1-based index ``greatest(1, (q·n + 99) div 100)``
+    (integer ceil — no float division anywhere) of the sample ordered
+    by (v, id) — the index convention the DuckDB oracle mirrors
+    verbatim. Output: (q_pct int, est v-type, n_sample long).
+    Everything here is ≤ k rows; the window rides a constant partition
+    key (the ``single_partition_key`` discipline) and the probe list
+    broadcasts."""
+    if not quantiles_pct:
+        raise ValueError("quantile_sketch_query needs at least one quantile")
+    if not all(1 <= q <= 100 for q in quantiles_pct):
+        raise ValueError(f"quantiles must be integer percent in [1, 100]: {quantiles_pct}")
+    from pyspark.sql import Window
+
+    from muninn_avro_to_parquet_spark.plans.windows import single_partition_key
+
+    w = Window.partitionBy(single_partition_key(F.col("v"))).orderBy(
+        F.asc("v"), F.asc("id")
+    )
+    ranked = sketch.select(
+        "v", F.row_number().over(w).alias("_rn"), F.count("*").over(
+            Window.partitionBy(single_partition_key(F.col("v")))
+        ).alias("_n")
+    )
+    spark = sketch.sparkSession
+    qrel = spark.createDataFrame(
+        [(int(q),) for q in quantiles_pct], "q_pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(qrel))
+        .filter(
+            F.col("_rn")
+            == F.greatest(
+                F.lit(1), F.expr("cast((q_pct * _n + 99) div 100 as int)")
+            )
+        )
+        .select(
+            "q_pct",
+            F.col("v").alias("est"),
+            F.col("_n").cast("long").alias("n_sample"),
+        )
+    )

