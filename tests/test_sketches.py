@@ -153,3 +153,63 @@ def test_quantile_sketch_small_corpus_and_nulls(spark):
         sketches.quantile_sketch_query(sk, [0])
     with pytest.raises(ValueError):
         sketches.quantile_sketch_merge([], k=4)
+
+
+def test_quantile_sketch_grouped_merge_and_small_groups(spark):
+    """Per-group merge law (2-way and 3-way) and the small-group
+    degenerate case: a group with fewer than k rows keeps them ALL, so
+    its estimates are exact order statistics."""
+    rel = _prices(spark).withColumn("g", (F.col("rid") % 7).cast("int"))
+    whole = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build_grouped(
+                rel, "price", "rid", "g", k=64
+            ).collect(),
+        )
+    )
+    for n_shards in (2, 3):
+        shards = [
+            sketches.quantile_sketch_build_grouped(
+                rel.filter(F.col("rid") % n_shards == i), "price", "rid", "g", k=64
+            )
+            for i in range(n_shards)
+        ]
+        merged = sorted(
+            map(
+                tuple,
+                sketches.quantile_sketch_merge_grouped(shards, k=64).collect(),
+            )
+        )
+        assert merged == whole, n_shards
+    # small groups: 3 rows per group, k=10 -> exact order statistics
+    tiny = spark.createDataFrame(
+        [(g * 10 + i, float((i + 1) * 100), g) for g in range(2) for i in range(3)],
+        "rid long, price double, g int",
+    )
+    sk = sketches.quantile_sketch_build_grouped(tiny, "price", "rid", "g", k=10)
+    est = {
+        (r["g"], r["q_pct"]): r["est"]
+        for r in sketches.quantile_sketch_query_grouped(sk, [1, 34, 67, 100]).collect()
+    }
+    # n=3: idx = max(1, ceil(q*3/100)) -> q=1:1st, 34:2nd, 67:3rd, 100:3rd
+    for g in range(2):
+        assert est[(g, 1)] == 100.0 and est[(g, 34)] == 200.0
+        assert est[(g, 67)] == 300.0 and est[(g, 100)] == 300.0
+
+
+def test_quantile_sketch_grouped_error_bound_law(spark):
+    """Per-group rank error stays ≤ 80,000 ppm at k=256 on the orders
+    priority groups — deterministic md5 draw, a pinned law."""
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    rel = o.select(
+        F.col("o_orderkey").alias("rid"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("g"),
+    )
+    sizes = {r["g"]: r["n"] for r in rel.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    sk = sketches.quantile_sketch_build_grouped(rel, "price", "rid", "g", k=256)
+    for r in sketches.quantile_sketch_query_grouped(sk, [25, 50, 75, 95]).collect():
+        lt = rel.filter((F.col("g") == r["g"]) & (F.col("price") < r["est"])).count()
+        err = abs(1_000_000 * lt // sizes[r["g"]] - r["q_pct"] * 10_000)
+        assert err <= 80_000, (r["g"], r["q_pct"], err)
