@@ -150,6 +150,61 @@ def robust_outliers(
     )
 
 
+def profile_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str,
+    k: int = 256,
+    quantiles_pct: tuple[int, ...] = (25, 50, 75, 95),
+    n_salts: int = 32,
+) -> DataFrame:
+    """Approximate per-COLUMN percentiles from ONE pass — the sketch
+    answer to ``profile()``'s exact interpolated percentiles, which
+    need a full value exchange per column (the r14 verdict's stated
+    motivation for a mergeable quantile relation). The columns unpivot
+    into (column, value) rows and each column keeps its bottom-``k``
+    md5-rank sample (``sketches.quantile_sketch_build_grouped`` with
+    the few-groups salt dial, since "groups" here are a handful of
+    column names); estimates come off the ≤ k·|cols| sample. Output:
+    (column, q_pct int, est double, n_sample long).
+
+    Values cast to DOUBLE so heterogeneous numeric columns share one
+    relation (exact for ints below 2^53 and for float/double sources;
+    rank estimates tolerate the cast by construction). NULLs drop per
+    column — a sparser column simply samples its non-null rows.
+    ``id_col`` must be row-unique; every column samples the SAME md5
+    row draw, so cross-column estimates come from one coherent sample."""
+    from muninn_avro_to_parquet_spark.operators import sketches
+
+    if not cols:
+        raise ValueError("profile_quantiles needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_quantiles: no such columns {missing}")
+    stacked = df.select(
+        F.col(id_col).alias("_rid"),
+        F.expr(
+            "stack({n}, {pairs}) as (column, v)".format(
+                n=len(cols),
+                pairs=", ".join(
+                    f"'{c}', cast({c} as double)" for c in cols
+                ),
+            )
+        ),
+    )
+    sk = sketches.quantile_sketch_build_grouped(
+        stacked, "v", "_rid", "column", k=k, n_salts=n_salts
+    )
+    return sketches.quantile_sketch_query_grouped(
+        sk, list(quantiles_pct)
+    ).select(
+        F.col("g").alias("column"),
+        "q_pct",
+        "est",
+        "n_sample",
+    )
+
+
 def key_skew(df: DataFrame, key_col: str) -> DataFrame:
     """Key-frequency skew histogram — the relation that answers "can I
     shuffle on this key?" before a 100 TB join or aggregation commits

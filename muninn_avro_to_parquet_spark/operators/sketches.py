@@ -197,6 +197,7 @@ def quantile_sketch_build_grouped(
     id_col: str,
     group_col: str,
     k: int = 256,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Per-GROUP mergeable quantile sketch — the production profiling
     ask at 100 TB is per-key tails ("p50/p95/p99 per service"), and an
@@ -211,9 +212,21 @@ def quantile_sketch_build_grouped(
     dropped before anything else touches them. Merge = union shards and
     re-take per-group bottom-k (``quantile_sketch_merge_grouped``).
     NULL groups carry no identity and are excluded, like NULL keys
-    everywhere in the profile family."""
+    everywhere in the profile family.
+
+    ``n_salts`` > 1 is the FEW-GROUPS dial (per-COLUMN profiling has a
+    handful of groups; a single window per group would funnel each
+    column's whole corpus through one task): a first rank window over
+    (g, h % n_salts) keeps k rows per salt — n_salts-way parallel —
+    and the final per-group window ranks only ≤ k·n_salts survivors.
+    Transparent to the result: a group's true bottom-k survives every
+    salt's bottom-k, so the output is IDENTICAL for any n_salts
+    (pinned in tests/test_sketches.py), and the oracle never needs to
+    know the salt."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
+    if n_salts < 1:
+        raise ValueError(f"need n_salts >= 1, got {n_salts}")
     from pyspark.sql import Window
 
     rel = (
@@ -225,6 +238,15 @@ def quantile_sketch_build_grouped(
             F.col(value_col).alias("v"),
         )
     )
+    if n_salts > 1:
+        ws = Window.partitionBy("g", F.col("h") % n_salts).orderBy(
+            F.asc("h"), F.asc("id")
+        )
+        rel = (
+            rel.withColumn("_srn", F.row_number().over(ws))
+            .filter(F.col("_srn") <= k)
+            .drop("_srn")
+        )
     w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"))
     return (
         rel.withColumn("_rn", F.row_number().over(w))

@@ -10482,6 +10482,139 @@ def q_quantile_sketch_grouped(spark):
     )
 
 
+_PQNT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@q(
+    "q_profile_quantiles",
+    f"""
+    WITH rel AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rid,
+             col AS "column", v
+      FROM lineitem,
+           LATERAL (VALUES {", ".join(f"('{c}', CAST({c} AS DOUBLE))" for c in _PQNT_COLS)})
+             AS t(col, v)
+      WHERE v IS NOT NULL
+    ),
+    hashed AS (
+      SELECT "column",
+             CAST(('0x' || substr(md5('q:' || CAST(rid AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h, rid, v
+      FROM rel
+    ),
+    sk AS (
+      SELECT "column", rid, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY "column"
+                                     ORDER BY h ASC, rid ASC) AS rn
+        FROM hashed
+      ) WHERE rn <= 256
+    ),
+    ranked AS (
+      SELECT "column", v,
+             ROW_NUMBER() OVER (PARTITION BY "column"
+                                ORDER BY v ASC, rid ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY "column") AS n
+      FROM sk
+    ),
+    qs AS (SELECT unnest([25, 50, 75, 95]) AS q_pct),
+    est AS (
+      SELECT "column", q_pct, v AS est, CAST(n AS BIGINT) AS n_sample
+      FROM ranked JOIN qs ON rn = greatest(1, (q_pct * n + 99) // 100)
+    ),
+    tot AS (SELECT "column", COUNT(*) AS n_c FROM rel GROUP BY 1),
+    scored AS (
+      SELECT e."column", e.q_pct, e.est, e.n_sample,
+             (1000000 * SUM(CASE WHEN r.v < e.est THEN 1 ELSE 0 END))
+               // t.n_c AS lt_ppm,
+             (1000000 * SUM(CASE WHEN r.v <= e.est THEN 1 ELSE 0 END))
+               // t.n_c AS le_ppm
+      FROM rel r JOIN est e ON r."column" = e."column"
+           JOIN tot t ON t."column" = e."column"
+      GROUP BY e."column", e.q_pct, e.est, e.n_sample, t.n_c
+    )
+    SELECT "column", q_pct, est, n_sample,
+           CAST(lt_ppm AS BIGINT) AS lt_ppm,
+           CAST(le_ppm AS BIGINT) AS le_ppm,
+           CAST(greatest(0, lt_ppm - q_pct * 10000, q_pct * 10000 - le_ppm)
+                AS BIGINT) AS err_ppm,
+           greatest(0, lt_ppm - q_pct * 10000, q_pct * 10000 - le_ppm)
+             <= 80000 AS within_bound
+    FROM scored
+    """,
+)
+def q_profile_quantiles(spark):
+    """Per-column approximate percentiles from one pass
+    (operators/profile.profile_quantiles, r15): four lineitem numeric
+    columns unpivot into (column, value) rows, each column keeps its
+    bottom-256 md5-rank sample via the grouped sketch's FEW-GROUPS salt
+    dial (a first rank window over (column, h % 32) keeps the per-task
+    row count bounded; the salt is provably transparent, so the oracle
+    replays the per-column bottom-k directly with no salt in sight),
+    and p25/p50/p75/p95 come off the ≤ k·|cols| sample. Graded per
+    column against true ranks from one aggregate pass with the
+    TIE-AWARE law: heavily tied columns (l_discount has 11 distinct
+    values) make the strict rank a step function, so a correct
+    percentile VALUE can sit far from q by ``count(v < est)`` alone —
+    the error is the distance from q to the [count(v<est),
+    count(v<=est)] rank INTERVAL, and ``within_bound`` must read true
+    at ≤80,000 ppm on every row. This is the sketch answer to
+    profile()'s exact percentiles (a full value exchange PER COLUMN at
+    100 TB); every column shares ONE md5 row draw, so the estimates are
+    cross-column coherent."""
+    from muninn_avro_to_parquet_spark.operators import profile
+
+    li = spark.table("lineitem").withColumn(
+        "_rid", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    est = profile.profile_quantiles(
+        li, list(_PQNT_COLS), "_rid", k=256, quantiles_pct=(25, 50, 75, 95)
+    )
+    rel = li.select(
+        "_rid",
+        F.expr(
+            "stack({n}, {pairs}) as (column, v)".format(
+                n=len(_PQNT_COLS),
+                pairs=", ".join(
+                    f"'{c}', cast({c} as double)" for c in _PQNT_COLS
+                ),
+            )
+        ),
+    ).filter(F.col("v").isNotNull())
+    tot = rel.groupBy("column").agg(F.count("*").alias("n_c"))
+    scored = (
+        rel.join(F.broadcast(est), "column")
+        .join(F.broadcast(tot), "column")
+        .groupBy("column", "q_pct", "est", "n_sample", "n_c")
+        .agg(
+            F.sum((F.col("v") < F.col("est")).cast("long")).alias("_lt"),
+            F.sum((F.col("v") <= F.col("est")).cast("long")).alias("_le"),
+        )
+        .select(
+            "column",
+            "q_pct",
+            "est",
+            "n_sample",
+            F.expr("(1000000 * _lt) div n_c").alias("lt_ppm"),
+            F.expr("(1000000 * _le) div n_c").alias("le_ppm"),
+        )
+    )
+    err = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("lt_ppm") - F.col("q_pct") * 10000).cast("long"),
+        (F.col("q_pct") * 10000 - F.col("le_ppm")).cast("long"),
+    )
+    return scored.select(
+        "column",
+        "q_pct",
+        "est",
+        "n_sample",
+        F.col("lt_ppm").cast("long").alias("lt_ppm"),
+        F.col("le_ppm").cast("long").alias("le_ppm"),
+        err.alias("err_ppm"),
+        (err <= 80000).alias("within_bound"),
+    )
+
+
 @q(
     "text_char_entropy",
     """

@@ -79,3 +79,33 @@ def test_key_skew_integer_log2_buckets(spark):
         2: (1, 4, 4),       # d (4)
         3: (1, 9, 9),       # hot (9)
     }
+
+
+def test_profile_quantiles_one_sample_all_columns(spark):
+    """profile_quantiles: per-column estimates from ONE md5 row draw —
+    sample sizes reflect per-column nulls, estimates obey the rank law,
+    and validation is loud."""
+    from muninn_avro_to_parquet_spark.operators import profile as prof
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, float(i), float(i * 10) if i % 5 else None) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "rid long, a double, b double")
+    est = prof.profile_quantiles(df, ["a", "b"], "rid", k=64, quantiles_pct=(50, 95))
+    got = {(r["column"], r["q_pct"]): r for r in est.collect()}
+    assert got[("a", 50)]["n_sample"] == 64
+    assert got[("b", 50)]["n_sample"] == 64  # 400 non-null rows > k
+    # rank law at k=64: generous 20% bound, deterministic
+    for (c, q), r in got.items():
+        col = F.col(c)
+        n = df.filter(col.isNotNull()).count()
+        lt = df.filter(col.isNotNull() & (col < r["est"])).count()
+        assert abs(1_000_000 * lt // n - q * 10_000) <= 200_000, (c, q)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prof.profile_quantiles(df, [], "rid")
+    with _pytest.raises(ValueError):
+        prof.profile_quantiles(df, ["nope"], "rid")

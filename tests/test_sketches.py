@@ -213,3 +213,30 @@ def test_quantile_sketch_grouped_error_bound_law(spark):
         lt = rel.filter((F.col("g") == r["g"]) & (F.col("price") < r["est"])).count()
         err = abs(1_000_000 * lt // sizes[r["g"]] - r["q_pct"] * 10_000)
         assert err <= 80_000, (r["g"], r["q_pct"], err)
+
+
+def test_quantile_sketch_grouped_salt_transparent(spark):
+    """The few-groups salt dial never changes the result: a group's
+    true bottom-k survives every salt's bottom-k, so n_salts 1, 8, 32
+    produce the identical sketch relation."""
+    rel = _prices(spark).withColumn("g", (F.col("rid") % 3).cast("int"))
+    base = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build_grouped(
+                rel, "price", "rid", "g", k=128, n_salts=1
+            ).collect(),
+        )
+    )
+    for n_salts in (8, 32):
+        salted = sorted(
+            map(
+                tuple,
+                sketches.quantile_sketch_build_grouped(
+                    rel, "price", "rid", "g", k=128, n_salts=n_salts
+                ).collect(),
+            )
+        )
+        assert salted == base, n_salts
+    with pytest.raises(ValueError):
+        sketches.quantile_sketch_build_grouped(rel, "price", "rid", "g", k=4, n_salts=0)
