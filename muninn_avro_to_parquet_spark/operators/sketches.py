@@ -124,6 +124,77 @@ def count_min_query(
     )
 
 
+def distinct_sketch_build(df: DataFrame, key_col: str, k: int = 1024) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch: the ``k`` smallest
+    DISTINCT 56-bit md5 hashes of the key — the mergeable distinct-count
+    summary that completes the sketch family (CMS = frequency, bottom-k
+    sample = rank, KMV = cardinality). Returns the hash RELATION
+    (h long, ≤ k rows); ``distinct_sketch_estimate`` turns it into a
+    count, ``distinct_sketch_merge`` unions shards.
+
+    Same determinism discipline as every sketch here: the hash is the
+    md5 prefix (``'d:' || key``), so the sketch, the estimate, and the
+    error replay bit-for-bit in DuckDB — and the merge law is exact
+    (bottom-k distinct of a union is a pure function of the key SET, so
+    shard ⊎ shard ≡ whole; duplicate keys collapse to one hash by
+    construction).
+
+    Scale shape: one map-side-combined distinct on the hash (the same
+    exchange COUNT(DISTINCT) pays, moving hash partials, never rows)
+    then TakeOrderedAndProject for the k head. Estimate error is the
+    classic KMV bound ~1/√k (≈3% at k=1024), fixed here because the
+    draw is fixed."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    key = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("d:"), key)), 1, 14), 16, 10
+    ).cast("long")
+    return (
+        df.filter(key.isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy(F.asc("h"))
+        .limit(k)
+    )
+
+
+def distinct_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
+    """⊎ of shard KMV sketches: union, dedupe, bottom-k again — exactly
+    the whole-corpus sketch (hashes of shared keys collapse)."""
+    if not sketches:
+        raise ValueError("distinct_sketch_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy(F.asc("h")).limit(k)
+
+
+def distinct_sketch_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
+    """1-row estimate relation (n_hashes long, est_distinct long): with
+    fewer than k hashes the sketch IS the distinct set (exact count);
+    at capacity the KMV estimator ``(k−1) · 2^56 div h_(k)`` applies,
+    in DECIMAL(38,0) so the product is exact far past the long range
+    (the DuckDB oracle mirrors it in HUGEINT)."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    return sketch.agg(
+        F.count("*").cast("long").alias("n_hashes"),
+        F.max("h").alias("_hk"),
+    ).select(
+        "n_hashes",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes"))
+        .otherwise(
+            F.expr(
+                f"cast((cast({k - 1} as decimal(38,0)) * 72057594037927936)"
+                " div _hk as bigint)"
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
 def _qs_rank(id_expr: Column) -> Column:
     """The md5 sampling rank of a row: 56-bit prefix of ``md5('q:'||id)``
     as BIGINT — the same BIGINT-safe idiom as the CMS counters, prefixed

@@ -240,3 +240,54 @@ def test_quantile_sketch_grouped_salt_transparent(spark):
         assert salted == base, n_salts
     with pytest.raises(ValueError):
         sketches.quantile_sketch_build_grouped(rel, "price", "rid", "g", k=4, n_salts=0)
+
+
+def test_distinct_sketch_merge_exact_and_estimates(spark):
+    """KMV: shard ⊎ shard ≡ whole (hash sets collapse shared keys),
+    below-capacity sketches count EXACTLY, at-capacity estimates obey
+    the ~1/√k law (deterministic md5 draw, pinned bound), and
+    validation is loud."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    whole = sorted(
+        r["h"] for r in sketches.distinct_sketch_build(li, "l_orderkey", k=512).collect()
+    )
+    for n_shards in (2, 3):
+        shards = [
+            sketches.distinct_sketch_build(
+                li.filter(F.col("l_orderkey") % n_shards == i), "l_orderkey", k=512
+            )
+            for i in range(n_shards)
+        ]
+        merged = sorted(
+            r["h"]
+            for r in sketches.distinct_sketch_merge(shards, k=512).collect()
+        )
+        assert merged == whole, n_shards
+    # overlapping shards: shared keys collapse to one hash
+    s_even = sketches.distinct_sketch_build(
+        li.filter(F.col("l_linenumber") <= 4), "l_orderkey", k=512
+    )
+    s_odd = sketches.distinct_sketch_build(
+        li.filter(F.col("l_linenumber") >= 2), "l_orderkey", k=512
+    )
+    overlap = sorted(
+        r["h"]
+        for r in sketches.distinct_sketch_merge([s_even, s_odd], k=512).collect()
+    )
+    assert overlap == whole
+    # exact below capacity
+    small = spark.createDataFrame([(f"k{i % 9}",) for i in range(50)], "x string")
+    est = sketches.distinct_sketch_estimate(
+        sketches.distinct_sketch_build(small, "x", k=64), k=64
+    ).first()
+    assert (est["n_hashes"], est["est_distinct"]) == (9, 9)
+    # at capacity: relative error within 10% on l_orderkey (true 14743)
+    true = li.agg(F.countDistinct("l_orderkey")).first()[0]
+    est = sketches.distinct_sketch_estimate(
+        sketches.distinct_sketch_build(li, "l_orderkey", k=1024), k=1024
+    ).first()
+    assert abs(est["est_distinct"] - true) * 1_000_000 // true <= 100_000
+    with pytest.raises(ValueError):
+        sketches.distinct_sketch_build(small, "x", k=1)
+    with pytest.raises(ValueError):
+        sketches.distinct_sketch_merge([], k=8)
