@@ -1520,6 +1520,130 @@ def _bench_body() -> dict:
             ),
         }
 
+        # per-GROUP sketch over the same corpus: 8 groups (rid % 8),
+        # p50/p95 per group from <= 256 rows each (n_salts=32 keeps the
+        # rank window parallel), graded per (g, q) against true group
+        # ranks in ONE aggregate pass — the <=80,000 ppm per-group law
+        # at 10M scale, plus the exact per-group merge law.
+        gq_rel = qsk_rel.select(
+            "rid", "v", (F.col("rid") % 8).cast("string").alias("g")
+        )
+        jc.start("bench_qsketch_grouped_big")
+        t0 = time.perf_counter()
+        gsk = sk_mod.quantile_sketch_build_grouped(
+            gq_rel, "v", "rid", "g", k=256, n_salts=32
+        )
+        gest = [
+            (r["g"], r["q_pct"], int(r["est"]))
+            for r in sk_mod.quantile_sketch_query_grouped(
+                gsk, [50, 95]
+            ).collect()
+        ]
+        gq_wall = time.perf_counter() - t0
+        gq_jobs = jc.stop()
+        gq_cpu, gq_task = jc.cpu_task_seconds()
+        assert len(gest) == 16, gest
+        g_n = qsk_n // 8
+        g_graded = (
+            gq_rel.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        gest, "g string, q_pct int, est long"
+                    )
+                ),
+                "g",
+            )
+            .groupBy("g", "q_pct")
+            .agg(F.sum((F.col("v") < F.col("est")).cast("long")).alias("lt"))
+            .collect()
+        )
+        gq_errs = {
+            (r["g"], r["q_pct"]): abs(
+                1_000_000 * r["lt"] // g_n - r["q_pct"] * 10_000
+            )
+            for r in g_graded
+        }
+        assert all(e <= 80_000 for e in gq_errs.values()), gq_errs
+        g_halves = [
+            sk_mod.quantile_sketch_build_grouped(
+                gq_rel.filter(F.col("rid") % 2 == i), "v", "rid", "g", k=256
+            )
+            for i in (0, 1)
+        ]
+        g_merged = sorted(
+            map(
+                tuple,
+                sk_mod.quantile_sketch_merge_grouped(
+                    g_halves, k=256
+                ).collect(),
+            )
+        )
+        assert g_merged == sorted(map(tuple, gsk.collect()))
+        timings["qsketch_grouped_bigvalues"] = round(gq_wall, 4)
+        r15_stats["quantile_sketch_grouped"] = {
+            "rows": qsk_n,
+            "groups": 8,
+            "k": 256,
+            "rows_per_sec": round(qsk_n / gq_wall),
+            "err_ppm_max": int(max(gq_errs.values())),
+            "merge_exact": True,
+            "jobs": gq_jobs,
+            "cpu_seconds": round(gq_cpu, 4),
+            "task_seconds": round(gq_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, gq_wall - gq_jobs * sched_floor), 4
+            ),
+        }
+
+        # KMV cardinality over the same corpus: the LCG values collapse
+        # 10M rows to an unknown-but-fixed key set, so the truth comes
+        # from one COUNT(DISTINCT) grading pass (same cost shape as the
+        # sketch's own exchange) — relative error <=100,000 ppm asserted
+        # (1 sigma ~ 31,000 at k=1024), plus the exact merge law.
+        jc.start("bench_kmv_big")
+        t0 = time.perf_counter()
+        kmv = sk_mod.distinct_sketch_build(qsk_rel, "v", k=1024)
+        kmv_est = int(
+            sk_mod.distinct_sketch_estimate(kmv, k=1024).collect()[0][
+                "est_distinct"
+            ]
+        )
+        kmv_wall = time.perf_counter() - t0
+        kmv_jobs = jc.stop()
+        kmv_cpu, kmv_task = jc.cpu_task_seconds()
+        kmv_true = qsk_rel.agg(
+            F.countDistinct("v").alias("n")
+        ).collect()[0]["n"]
+        kmv_err = abs(kmv_est - kmv_true) * 1_000_000 // kmv_true
+        assert kmv_err <= 100_000, (kmv_est, kmv_true, kmv_err)
+        k_halves = [
+            sk_mod.distinct_sketch_build(
+                qsk_rel.filter(F.col("rid") % 2 == i), "v", k=1024
+            )
+            for i in (0, 1)
+        ]
+        k_merged = sorted(
+            r["h"]
+            for r in sk_mod.distinct_sketch_merge(k_halves, k=1024).collect()
+        )
+        assert k_merged == sorted(r["h"] for r in kmv.collect())
+        timings["kmv_bigvalues"] = round(kmv_wall, 4)
+        r15_stats["distinct_sketch"] = {
+            "rows": qsk_n,
+            "k": 1024,
+            "rows_per_sec": round(qsk_n / kmv_wall),
+            "est_distinct": kmv_est,
+            "true_distinct": int(kmv_true),
+            "err_ppm": int(kmv_err),
+            "merge_exact": True,
+            "jobs": kmv_jobs,
+            "cpu_seconds": round(kmv_cpu, 4),
+            "task_seconds": round(kmv_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, kmv_wall - kmv_jobs * sched_floor), 4
+            ),
+        }
+
     # ordered funnel over >=10M events: 10 events/user, users planted
     # into four exact depth classes by u % 4 (0: noise only; 1: view;
     # 2: view->click; 3: view->click->purchase), so per-step user counts
