@@ -996,6 +996,90 @@ def _bench_body() -> dict:
                 max(0.0, skew_wall - skew_jobs * sched_floor), 4
             ),
         }
+
+        # sketch-vs-exact profiling on the SAME drifted table (r15): the
+        # quantile-sketch answer to the exact profile() leg above —
+        # profile_quantiles over three columns with three different
+        # version-shaped null patterns (qty: v2 dropped it, score: v3
+        # only, price: everywhere), ONE pass, bottom-k samples. Graded
+        # TIE-AWARE against true ranks in one aggregate pass (qty has
+        # 100 distinct values over ~10M rows — the estimate is correct
+        # when q lands inside the value's [lt, le] rank interval), and
+        # the per-column non-null counts are asserted against the exact
+        # profile's accounting. The row id for the md5 draw is
+        # monotonically_increasing_id — unique within the ONE action
+        # that builds and queries the sketch, which is all the draw
+        # needs (the grading pass never touches it).
+        jc.start("bench_profile_sketch_drift")
+        t0 = time.perf_counter()
+        pq_cols = ["qty", "price", "score"]
+        pq_est = prof_mod2.profile_quantiles(
+            out.withColumn("_mid", F.monotonically_increasing_id()),
+            pq_cols,
+            "_mid",
+            k=256,
+        ).collect()
+        pq_wall = time.perf_counter() - t0
+        pq_jobs = jc.stop()
+        pq_cpu, pq_task = jc.cpu_task_seconds()
+        assert len(pq_est) == len(pq_cols) * 4, pq_est
+        pq_stacked = out.select(
+            F.expr(
+                "stack(3, 'qty', cast(qty as double), 'price', price,"
+                " 'score', score) as (column, v)"
+            )
+        ).filter(F.col("v").isNotNull())
+        pq_graded = (
+            pq_stacked.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [
+                            (r["column"], r["q_pct"], float(r["est"]))
+                            for r in pq_est
+                        ],
+                        "column string, q_pct int, est double",
+                    )
+                ),
+                "column",
+            )
+            .groupBy("column", "q_pct")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("v") < F.col("est")).cast("long")).alias("lt"),
+                F.sum((F.col("v") <= F.col("est")).cast("long")).alias("le"),
+            )
+            .collect()
+        )
+        pq_nonnull = {
+            "qty": drift_total - prof["qty"]["n_nulls"],
+            "price": drift_total,
+            "score": drift_total - prof["score"]["n_nulls"],
+        }
+        pq_errs: dict = {}
+        for r in pq_graded:
+            assert r["n"] == pq_nonnull[r["column"]], r
+            target = r["q_pct"] * 10_000
+            lt_ppm = 1_000_000 * r["lt"] // r["n"]
+            le_ppm = 1_000_000 * r["le"] // r["n"]
+            pq_errs[(r["column"], r["q_pct"])] = max(
+                0, lt_ppm - target, target - le_ppm
+            )
+        assert len(pq_errs) == len(pq_cols) * 4
+        assert all(e <= 80_000 for e in pq_errs.values()), pq_errs
+        timings["profile_sketch_bigdrift"] = round(pq_wall, 4)
+        drift_stats["profile_quantiles"] = {
+            "rows": drift_total,
+            "columns": len(pq_cols),
+            "k": 256,
+            "cells_per_sec": round(len(pq_cols) * drift_total / pq_wall),
+            "err_ppm_max": int(max(pq_errs.values())),
+            "jobs": pq_jobs,
+            "cpu_seconds": round(pq_cpu, 4),
+            "task_seconds": round(pq_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, pq_wall - pq_jobs * sched_floor), 4
+            ),
+        }
     else:
         drift_stats = None
 

@@ -140,6 +140,15 @@ HEADLINERS: list[tuple[str, str]] = [
         "compactions cannot satisfy.",
     ),
     (
+        "q_quantile_sketch_grouped",
+        "Per-group quantile sketch (r15): ONE hash exchange on the "
+        "group key — the same shuffle any per-group aggregate pays — "
+        "then a rank window that drops everything past each group's "
+        "bottom-k before anything else touches it; p50/p95 per key "
+        "come from <= k rows per group, never a full per-group value "
+        "exchange.",
+    ),
+    (
         "q_profile_quantiles",
         "Per-column percentiles in one pass (r15): columns unpivot via "
         "stack() and the grouped sketch's SALT dial splits the rank "
@@ -634,10 +643,30 @@ classes), key-skew histogram over the drifted 9.9M-row convert output
 (per-key counts closed-form from the per-version row counts). The
 q_funnel_latency fold ≡ greedy-chain equivalence is now a property
 test over 200 seeded random event streams, not a docstring argument.
-The sketch has its own 10M-value leg (`r15_family.quantile_sketch` in
-BENCH_r15): build + three graded quantiles with the ≤40,000 ppm law
-asserted against true ranks, and the exact merge law re-proven at
-10M scale.
+The sketch family has its own 10M-value legs (`r15_family` in
+BENCH_r15, all three relations over one LCG corpus): global build +
+three graded quantiles (≤40,000 ppm law asserted against true ranks),
+per-group p50/p95 from ≤256 rows per group (≤80,000 ppm per cell,
+graded in one aggregate pass), KMV cardinality against a
+COUNT(DISTINCT) truth (≤100,000 ppm relative) — each with its exact
+shard-⊎-shard merge law re-proven at full size.
+
+**CPU-ranked audit, post-tmpfs (the r14 standing discipline).** The
+full-registry sweep after the `spark.local.dir` fix reads total
+executor CPU **2372 → 596 s** — the shuffle-file syscall tax was
+three quarters of what the registry ever "computed". The fresh
+ranking finds NO new plan defect: the head entry
+`q_fuzzy_join_multipass` (67 cpu-s) is genuinely compute-bound
+thresholded-Levenshtein DP — its cpu did NOT move with tmpfs
+(syscall-free), and the scorer already carries the length prefilter,
+the 3-arg early-abandon DP, and the single-evaluation Generate
+barrier, so the remaining cost is the candidate pairs themselves.
+Second-ranked `ann_recall_report` is flat vs r14 in wall (~7.2 s
+best-of-3) with cpu halved 55 → 35 s; its floor-normalized shift
+(2.83 → 5.13) is pure normalization arithmetic — tmpfs halved the
+measured per-job floor (55 → 29 ms), so less of the same wall is
+attributed to scheduling. Every other top-15 entry's cpu fell 1.5-4×
+with plans unchanged.
 
 ## Measurement notes (round 14)
 
