@@ -195,6 +195,99 @@ def distinct_sketch_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
     )
 
 
+def distinct_sketch_overlap(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 1024
+) -> DataFrame:
+    """KMV set algebra: union, intersection, and Jaccard cardinality
+    estimates for two key sets from their bottom-k sketches ALONE — the
+    100 TB corpus-overlap question ("how much of crawl B is already in
+    crawl A?") answered without ever joining the corpora. Input: two
+    ``distinct_sketch_build`` relations over the SAME key domain (the
+    md5 draw must match for hashes to be comparable).
+
+    Correctness shape (Beyer et al., "On synopses for distinct-value
+    estimation under multiset operations", SIGMOD 2007 — public
+    literature): the bottom-k of ``sk_a ⊎ sk_b`` IS the union's KMV
+    sketch (the exact merge law), and for every hash h in that merged
+    bottom-k, membership in each INPUT sketch is an EXACT test of set
+    membership — h among the union's k smallest and h ∈ A implies
+    fewer than k A-hashes below h, so h is among A's k smallest. The
+    fraction c/|M| of merged hashes present in both inputs is
+    therefore a uniform k-sample estimate of the Jaccard similarity,
+    and ``inter_est = c · union_est div |M|``. Below capacity
+    (|A ∪ B| < k) the merged sketch is the whole union hash set, c is
+    the true intersection count, and every output is EXACT — the same
+    degeneracy the other family members honor.
+
+    All arithmetic is integer (the union estimator in DECIMAL(38,0),
+    ratios in ppm via integer div), so the DuckDB oracle replays every
+    output bit-for-bit. Output (one row): n_merged, c_both,
+    union_est, inter_est, jaccard_est_ppm — all long.
+
+    Scale shape: the inputs are ≤ k-row relations; everything here is
+    two broadcast joins and one aggregate over ≤ k rows. The corpus
+    passes already happened when the sketches were built — shard
+    sketches union in, per the merge law, so fleet-wide overlap is a
+    metadata-sized computation."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    m = distinct_sketch_merge([sk_a, sk_b], k=k)
+    flagged = (
+        m.join(
+            F.broadcast(sk_a.select(F.col("h"), F.lit(True).alias("_in_a"))),
+            "h",
+            "left",
+        )
+        .join(
+            F.broadcast(sk_b.select(F.col("h"), F.lit(True).alias("_in_b"))),
+            "h",
+            "left",
+        )
+        .select(
+            "h",
+            (F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull()).alias(
+                "_both"
+            ),
+        )
+    )
+    agg = flagged.agg(
+        F.count("*").cast("long").alias("n_merged"),
+        F.sum(F.col("_both").cast("long")).cast("long").alias("c_both"),
+        F.max("h").alias("_hk"),
+    )
+    union_est = (
+        F.when(F.col("n_merged") < k, F.col("n_merged"))
+        .otherwise(
+            F.expr(
+                f"cast((cast({k - 1} as decimal(38,0)) * 72057594037927936)"
+                " div _hk as bigint)"
+            )
+        )
+        .cast("long")
+    )
+    return agg.select(
+        "n_merged",
+        "c_both",
+        union_est.alias("union_est"),
+    ).select(
+        "n_merged",
+        "c_both",
+        "union_est",
+        F.expr(
+            "case when n_merged = 0 then 0"
+            " else c_both * union_est div n_merged end"
+        )
+        .cast("long")
+        .alias("inter_est"),
+        F.expr(
+            "case when n_merged = 0 then 0"
+            " else 1000000 * c_both div n_merged end"
+        )
+        .cast("long")
+        .alias("jaccard_est_ppm"),
+    )
+
+
 def _qs_rank(id_expr: Column) -> Column:
     """The md5 sampling rank of a row: 56-bit prefix of ``md5('q:'||id)``
     as BIGINT — the same BIGINT-safe idiom as the CMS counters, prefixed

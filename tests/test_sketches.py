@@ -291,3 +291,102 @@ def test_distinct_sketch_merge_exact_and_estimates(spark):
         sketches.distinct_sketch_build(small, "x", k=1)
     with pytest.raises(ValueError):
         sketches.distinct_sketch_merge([], k=8)
+
+
+def test_distinct_sketch_overlap_exact_below_capacity(spark):
+    """Below capacity the merged sketch is the whole union hash set, so
+    union, intersection, and Jaccard are all EXACT — the degeneracy the
+    rest of the family honors."""
+    a = spark.createDataFrame([(f"k{i}",) for i in range(30)], "x string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(20, 60)], "x string")
+    ov = sketches.distinct_sketch_overlap(
+        sketches.distinct_sketch_build(a, "x", k=128),
+        sketches.distinct_sketch_build(b, "x", k=128),
+        k=128,
+    ).first()
+    # |A|=30, |B|=40, inter=10, union=60
+    assert ov["n_merged"] == 60
+    assert ov["c_both"] == 10
+    assert ov["union_est"] == 60
+    assert ov["inter_est"] == 10
+    assert ov["jaccard_est_ppm"] == 1_000_000 * 10 // 60
+    # disjoint sets: zero intersection, exact union
+    c = spark.createDataFrame([(f"z{i}",) for i in range(25)], "x string")
+    ov2 = sketches.distinct_sketch_overlap(
+        sketches.distinct_sketch_build(a, "x", k=128),
+        sketches.distinct_sketch_build(c, "x", k=128),
+        k=128,
+    ).first()
+    assert (ov2["c_both"], ov2["inter_est"], ov2["union_est"]) == (0, 0, 55)
+
+
+def test_distinct_sketch_overlap_membership_is_exact_at_capacity(spark):
+    """The load-bearing lemma: for every hash in the merged bottom-k,
+    presence in an INPUT sketch is an exact test of presence in that
+    input SET — so c_both equals the true intersection count restricted
+    to the merged sample, computed here directly from the full hash
+    sets."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = li.filter(F.col("l_linenumber") <= 3)
+    b = li.filter(F.col("l_linenumber") >= 2)
+    k = 64
+    sk_a = sketches.distinct_sketch_build(a, "l_orderkey", k=k)
+    sk_b = sketches.distinct_sketch_build(b, "l_orderkey", k=k)
+    ov = sketches.distinct_sketch_overlap(sk_a, sk_b, k=k).first()
+    assert ov["n_merged"] == k  # at capacity
+    # ground truth from the FULL hash sets (no k cut)
+    full_a = {
+        r["h"]
+        for r in sketches.distinct_sketch_build(a, "l_orderkey", k=1 << 20)
+        .collect()
+    }
+    full_b = {
+        r["h"]
+        for r in sketches.distinct_sketch_build(b, "l_orderkey", k=1 << 20)
+        .collect()
+    }
+    merged = sorted(full_a | full_b)[:k]
+    want_c = sum(1 for h in merged if h in full_a and h in full_b)
+    assert ov["c_both"] == want_c
+
+
+def test_distinct_sketch_overlap_composes_with_shard_merge(spark):
+    """Sketches built per shard and merged give the IDENTICAL overlap
+    row as sketches built from the whole inputs — the merge law carries
+    through the set algebra."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = li.filter(F.col("l_linenumber") <= 3)
+    b = li.filter(F.col("l_linenumber") >= 2)
+    k = 64
+    whole = sketches.distinct_sketch_overlap(
+        sketches.distinct_sketch_build(a, "l_orderkey", k=k),
+        sketches.distinct_sketch_build(b, "l_orderkey", k=k),
+        k=k,
+    ).first()
+    sharded_a = sketches.distinct_sketch_merge(
+        [
+            sketches.distinct_sketch_build(
+                a.filter(F.col("l_orderkey") % 2 == i), "l_orderkey", k=k
+            )
+            for i in (0, 1)
+        ],
+        k=k,
+    )
+    sharded_b = sketches.distinct_sketch_merge(
+        [
+            sketches.distinct_sketch_build(
+                b.filter(F.col("l_orderkey") % 3 == i), "l_orderkey", k=k
+            )
+            for i in (0, 1, 2)
+        ],
+        k=k,
+    )
+    sharded = sketches.distinct_sketch_overlap(sharded_a, sharded_b, k=k).first()
+    assert tuple(whole) == tuple(sharded)
+
+
+def test_distinct_sketch_overlap_validation(spark):
+    a = spark.createDataFrame([("x",)], "x string")
+    sk = sketches.distinct_sketch_build(a, "x", k=8)
+    with pytest.raises(ValueError):
+        sketches.distinct_sketch_overlap(sk, sk, k=1)
