@@ -228,9 +228,16 @@ def distinct_sketch_overlap(
     two broadcast joins and one aggregate over ≤ k rows. The corpus
     passes already happened when the sketches were built — shard
     sketches union in, per the merge law, so fleet-wide overlap is a
-    metadata-sized computation."""
+    metadata-sized computation. Each input sketch is referenced twice
+    (the merge and its membership join), so both are session-cached
+    here — without that, lazy evaluation would re-run each input's
+    corpus scan+top-k a second time for the membership side."""
     if k < 2:
         raise ValueError(f"need k >= 2, got {k}")
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
+    sk_a = cache_scoped(sk_a, "kmv_overlap_a")
+    sk_b = cache_scoped(sk_b, "kmv_overlap_b")
     m = distinct_sketch_merge([sk_a, sk_b], k=k)
     flagged = (
         m.join(
