@@ -617,8 +617,8 @@ Isolated best-of-3 through the bench harness: norm **1.60 → 1.14 s**
 (bar was ≤1.21), 44 → 42 jobs, at parity with plain pagerank's 1.24
 measured in the same run.
 
-**r15 additions — the mergeable-sketch family (registry 217/217).**
-Four new oracle-checked entries, every one with a deterministic md5
+**r15 additions — the mergeable-sketch family (registry 218/218).**
+Five new oracle-checked entries, every one with a deterministic md5
 draw, an EXACT shard ⊎ shard ≡ whole merge law pinned in
 tests/test_sketches.py, and an error law the oracle replays as a
 must-be-true column:
@@ -641,8 +641,24 @@ must-be-true column:
 - `q_distinct_sketch`: KMV cardinality — k smallest distinct hashes,
   estimator (k−1)·2^56 div h_(k) in DECIMAL(38,0)/HUGEINT; ≤100,000
   ppm relative error asserted (measured 39,883 against 14,743 true;
-  1σ ≈ 31,000). CMS = frequency, bottom-k = rank, KMV = cardinality —
-  the family is closed.
+  1σ ≈ 31,000).
+- `q_distinct_overlap_sketch`: KMV SET ALGEBRA — union, intersection,
+  and Jaccard cardinality of two key sets (customers ordering in 1995
+  vs 1996) from their bottom-k sketches alone, never joining the
+  corpora. The merged bottom-k IS the union's KMV (merge law) and
+  input-sketch membership is an EXACT set test for merged hashes, so
+  c/|M| is a uniform k-sample Jaccard estimate (Beyer et al., SIGMOD
+  2007); below capacity every output is exact. Three laws graded at
+  once: ≤100,000 ppm union / ≤150,000 ppm intersection / ≤60,000 ppm
+  absolute Jaccard (measured 36,389 / 35,049 / 237 at sf0.01). The
+  input sketches are session-cached inside the operator — each is
+  referenced by both the merge and its membership join, and without
+  the cache lazy evaluation re-ran each input's corpus pass.
+
+CMS = frequency, bottom-k = rank, KMV = cardinality + set algebra —
+the family is closed, and corpus-overlap questions ("how much of
+crawl B is already in A?") are metadata-sized at 100 TB: the corpus
+passes happen at sketch build time, shard sketches union in exactly.
 
 Scale legs (r14 verdict #5, exact-value asserted):
 funnel latency over the 10M-event corpus (every completer exactly
@@ -705,9 +721,17 @@ insurance, not a small-scale speedup. Verification this round: full
 suite 832/832; the full PARITY_FULL oracle sweep re-run green (219
 passed — every one of the 217 registry oracles). Rotation headroom
 was computed BEFORE any addition: 4 never-green + 10 changed + all 37
-r10-stale entries fit the 50-cap head with exactly one slot spare,
-deliberately left unspent; post-sweep max staleness ≤4 re-verified by
-simulation.
+r10-stale entries fit the 50-cap head with exactly one slot spare —
+then spent, deliberately, on `q_distinct_overlap_sketch` (the head is
+now exactly full; post-sweep max staleness ≤4 re-verified by
+simulation both before and after). That entry landed after the two
+closing sweeps above; isolated best-of-3 reads ~1.0-1.2 norm /
+2-5 cpu-s / 10-11 jobs, and the committed `bench_results.json` is a
+THIRD full sweep over all 218 entries with it included: raw 202.6 s,
+executor-cpu **581.0 s** (the round's best — each of the three sweeps
+ran through a different co-tenant regime and the cpu metric held
+581-613 while walls swung ±17%), gates 0/0, the new entry at 0.49
+norm / 1.44 cpu-s in-sweep.
 
 ## Measurement notes (round 14)
 
