@@ -1711,6 +1711,62 @@ def _bench_body() -> dict:
             for r in sk_mod.distinct_sketch_merge(k_halves, k=1024).collect()
         )
         assert k_merged == sorted(r["h"] for r in kmv.collect())
+        # KMV set algebra at scale: two 6M-key sets with a closed-form
+        # 2M-key overlap (A = rid < 6M, B = rid >= 4M over the same 10M
+        # distinct rids), union/intersection/Jaccard estimated from the
+        # two bottom-k sketches alone and all three laws asserted
+        # against the exact closed-form truth (union 10M, inter 2M,
+        # jaccard 200,000 ppm).
+        ov_a_n = qsk_n * 6 // 10
+        ov_b_lo = qsk_n * 4 // 10
+        jc.start("bench_kmv_overlap_big")
+        t0 = time.perf_counter()
+        ov = sk_mod.distinct_sketch_overlap(
+            sk_mod.distinct_sketch_build(
+                qsk_rel.filter(F.col("rid") < ov_a_n), "rid", k=1024
+            ),
+            sk_mod.distinct_sketch_build(
+                qsk_rel.filter(F.col("rid") >= ov_b_lo), "rid", k=1024
+            ),
+            k=1024,
+        ).collect()[0]
+        ov_wall = time.perf_counter() - t0
+        ov_jobs = jc.stop()
+        ov_cpu, ov_task = jc.cpu_task_seconds()
+        ov_true_union = qsk_n
+        ov_true_inter = ov_a_n - ov_b_lo
+        ov_true_jacc = 1_000_000 * ov_true_inter // ov_true_union
+        ov_union_err = (
+            abs(ov["union_est"] - ov_true_union) * 1_000_000 // ov_true_union
+        )
+        ov_inter_err = (
+            abs(ov["inter_est"] - ov_true_inter) * 1_000_000 // ov_true_inter
+        )
+        ov_jacc_err = abs(ov["jaccard_est_ppm"] - ov_true_jacc)
+        assert ov_union_err <= 100_000, (dict(ov.asDict()), ov_union_err)
+        assert ov_inter_err <= 150_000, (dict(ov.asDict()), ov_inter_err)
+        assert ov_jacc_err <= 60_000, (dict(ov.asDict()), ov_jacc_err)
+        timings["kmv_overlap_bigvalues"] = round(ov_wall, 4)
+        r15_stats["distinct_overlap"] = {
+            "rows": qsk_n,
+            "k": 1024,
+            "rows_per_sec": round(qsk_n / ov_wall),
+            "union_est": int(ov["union_est"]),
+            "inter_est": int(ov["inter_est"]),
+            "jaccard_est_ppm": int(ov["jaccard_est_ppm"]),
+            "err_ppm": {
+                "union": int(ov_union_err),
+                "inter": int(ov_inter_err),
+                "jaccard": int(ov_jacc_err),
+            },
+            "jobs": ov_jobs,
+            "cpu_seconds": round(ov_cpu, 4),
+            "task_seconds": round(ov_task, 4),
+            "sec_floor_normalized": round(
+                max(0.0, ov_wall - ov_jobs * sched_floor), 4
+            ),
+        }
+
         timings["kmv_bigvalues"] = round(kmv_wall, 4)
         r15_stats["distinct_sketch"] = {
             "rows": qsk_n,
