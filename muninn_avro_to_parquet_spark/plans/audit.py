@@ -726,12 +726,15 @@ then spent, deliberately, on `q_distinct_overlap_sketch` (the head is
 now exactly full; post-sweep max staleness ≤4 re-verified by
 simulation both before and after). That entry landed after the two
 closing sweeps above; isolated best-of-3 reads ~1.0-1.2 norm /
-2-5 cpu-s / 10-11 jobs, and the committed `bench_results.json` is a
-THIRD full sweep over all 218 entries with it included: raw 202.6 s,
-executor-cpu **581.0 s** (the round's best — each of the three sweeps
-ran through a different co-tenant regime and the cpu metric held
-581-613 while walls swung ±17%), gates 0/0, the new entry at 0.49
-norm / 1.44 cpu-s in-sweep.
+2-5 cpu-s / 10-11 jobs (0.49 norm / 1.44 cpu-s in-sweep), and its
+10M-key scale leg (`r15_family.distinct_overlap`) asserts all three
+laws against closed-form truth — measured 15,868 / 9,119 / 5,078 ppm
+at 2.7M rows/s. The committed `bench_results.json` is the FOURTH full
+sweep, over all 218 entries with the overlap entry and its scale leg
+included: raw **188.8 s** (the round's best), executor-cpu 640.3 s,
+gates 0/0. Across the four sweeps — each under a different co-tenant
+regime — raw walls read 196.4 / 173.0 / 202.6 / 188.8 and cpu
+581-640: the spread is the box, not the plans.
 
 ## Measurement notes (round 14)
 
