@@ -476,6 +476,7 @@ def fuzzy_pairs_multipass(
     max_distance: int = 2,
     blocks: list[F.Column] | None = None,
     max_block: int | None = None,
+    regime: str = "auto",
 ) -> DataFrame:
     """Multi-pass blocked fuzzy join: union the candidates of SEVERAL
     blocking keys, so a pair is only lost if the edit breaks EVERY key —
@@ -488,7 +489,8 @@ def fuzzy_pairs_multipass(
     dedups on the pair id — distance is a pure function of the two
     texts, so duplicate pair rows across passes agree and
     ``dropDuplicates`` on the ids alone is safe. Pass count is a small
-    constant: cost is additive per pass, not multiplicative."""
+    constant: cost is additive per pass, not multiplicative. ``regime``
+    is forwarded to every pass (see ``fuzzy_pairs_blocked``)."""
     if blocks is None:
         toks = F.split(F.col(text_col), " ")
         blocks = [F.lower(toks[0]), F.lower(F.element_at(toks, -1))]
@@ -503,7 +505,7 @@ def fuzzy_pairs_multipass(
     for blk in blocks:
         p = fuzzy_pairs_blocked(
             df, id_col, text_col, max_distance=max_distance,
-            block=blk, max_block=max_block,
+            block=blk, max_block=max_block, regime=regime,
         )
         out = p if out is None else out.unionByName(p)
     return out.dropDuplicates(["id_a", "id_b"])
@@ -1496,6 +1498,7 @@ def fuzzy_pairs_blocked(
     max_distance: int = 2,
     block: F.Column | None = None,
     max_block: int | None = None,
+    regime: str = "auto",
 ) -> DataFrame:
     """Blocked fuzzy self-join: record-linkage-style near-match pairs by
     Levenshtein edit distance, with a BLOCKING key so the quadratic
@@ -1522,28 +1525,27 @@ def fuzzy_pairs_blocked(
     different keys and unions the candidates — composition of this
     operator.
 
+    ``regime`` (r15 optimization round): real linkage corpora repeat
+    text VALUES heavily (names, product titles, boilerplate), and the
+    edit distance is a pure function of the two texts — so scoring the
+    DP per (block, text_a, text_b) VALUE pair and expanding the verdict
+    back onto id pairs does strictly less work whenever values repeat:
+    DP evaluations scale with (distinct values)² per block instead of
+    rows² per block. ``"values"`` forces that shape, ``"rows"`` forces
+    the classic row-pair scorer, and ``"auto"`` (default) picks by one
+    cheap aggregate over the already-cached (id, text, block) relation:
+    values-regime iff ``4 · countDistinct(block, text) <= count(*)``
+    (net DP cut ≥ 8× — value pairs are scored ordered, a 2× overhead,
+    and the expansion adds two narrow equi-joins that must be paid
+    for). The probe makes ``"auto"`` EAGER (one extra job at plan-build
+    time); pass an explicit regime to stay fully lazy. Both regimes are
+    row-identical — the values path is pinned against the rows path in
+    ``tests/test_pipeline_ops.py`` and the unchanged DuckDB oracles.
+
     Output: (id_a, id_b, text_a, text_b, distance), distance ≤
     ``max_distance``."""
-    return _fuzzy_score_pairs(
-        _fuzzy_candidates(df, id_col, text_col, block, max_block),
-        max_distance,
-    )
-
-
-def _fuzzy_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    block: F.Column | None,
-    max_block: int | None,
-) -> DataFrame:
-    """One blocking pass's candidate pairs (id_a, id_b, text_a, text_b)
-    — the candidate-generation half of ``fuzzy_pairs_blocked``, factored
-    out of the edit-distance verification so the join/filter shape is
-    testable and reusable on its own. (Multi-pass callers deliberately
-    score INSIDE each pass and dedup scored pairs afterwards: a measured
-    candidate-first union+dedup variant was 2.8× slower — see
-    ``fuzzy_pairs_multipass``.)"""
+    if regime not in ("auto", "rows", "values"):
+        raise ValueError(f"regime must be auto|rows|values, got {regime!r}")
     blk = block if block is not None else F.lower(F.split(F.col(text_col), " ")[0])
     rel = df.select(F.col(id_col), F.col(text_col), blk.alias("_blk"))
     if max_block is not None:
@@ -1554,7 +1556,87 @@ def _fuzzy_candidates(
             .filter(F.col("_blk_n") <= max_block)
             .drop("_blk_n")
         )
-    rel = _cache_scoped(rel, "fuzzy_blocks")
+    # scope the cache per block expression: multipass composes several
+    # passes lazily, and a shared key would unpersist pass 1's relation
+    # while pass 2 is being composed (recomputed-from-lineage correct,
+    # but the cache would never be hit at execution time)
+    rel = _cache_scoped(rel, f"fuzzy_blocks:{blk}")
+    if regime == "auto":
+        probe = rel.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("_blk", text_col).alias("n_vals"),
+        ).first()
+        regime = "values" if probe["n_vals"] * 4 <= probe["n_rows"] else "rows"
+    if regime == "values":
+        return _fuzzy_pairs_by_value(rel, id_col, text_col, max_distance)
+    return _fuzzy_score_pairs(
+        _fuzzy_candidates(rel, id_col, text_col),
+        max_distance,
+    )
+
+
+def _fuzzy_pairs_by_value(
+    rel: DataFrame, id_col: str, text_col: str, max_distance: int
+) -> DataFrame:
+    """Value-level scorer: run the (prefilter + thresholded DP) once per
+    distinct ordered (block, text_a, text_b) combination, then expand the
+    surviving value pairs back onto id pairs with two narrow equi-joins.
+    Exactly the row-level output: a pair (i, j), i < j, is emitted iff
+    block(i) = block(j) and levenshtein(text_i, text_j) ≤ k — both pure
+    functions of the row values — and the distance column is the same DP
+    result. ``scored`` is broadcast-hinted: the values regime only fires
+    when every value repeats ≥4×, so the value-pair relation is ≥16×
+    smaller than the row-pair relation it replaces (and the near-match
+    filter shrinks it far below that); the corpus relation is then never
+    shuffled by the expansion at all.
+
+    The expansion FANS OUT (each corpus row multiplies by its text's
+    match count), so its join shape matters more than its byte counts:
+    a first cut that left build-side choice entirely to the planner
+    measured WORSE than the rows regime it replaced (isolated wall
+    12.3 s vs 7.3 at sf0.1); pinning the value-pair relation as the
+    broadcast build side — so the corpus streams through both joins and
+    the fan-out parallelizes over the corpus partitions — plus the
+    coarse-input guard below measured 3.0 s / 32 cpu-s (vs 65 cpu-s for
+    the rows regime). When the input relation carries fewer partitions
+    than the session's parallelism, a deterministic hash repartition on
+    the id (narrow rows; a no-op at scale where scans already carry
+    ≥ cores partitions) spreads the expansion."""
+    n_part = rel.sparkSession.sparkContext.defaultParallelism
+    expand_src = rel
+    if rel.rdd.getNumPartitions() < n_part:
+        expand_src = rel.repartition(n_part, F.col(id_col))
+    vals = rel.select("_blk", text_col).distinct()
+    va = vals.select("_blk", F.col(text_col).alias("text_a"))
+    vb = vals.select("_blk", F.col(text_col).alias("text_b"))
+    scored = _fuzzy_score_pairs(va.join(vb, "_blk"), max_distance, carry=("_blk",))
+    left = expand_src.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "_blk"
+    )
+    right = rel.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"), "_blk"
+    )
+    return (
+        left.join(F.broadcast(scored), ["_blk", "text_a"])
+        .join(right, ["_blk", "text_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )
+
+
+def _fuzzy_candidates(
+    rel: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """One blocking pass's candidate pairs (id_a, id_b, text_a, text_b)
+    over the prepared (id, text, _blk) relation — the candidate-
+    generation half of ``fuzzy_pairs_blocked``'s rows regime, factored
+    out of the edit-distance verification so the join/filter shape is
+    testable and reusable on its own. (Multi-pass callers deliberately
+    score INSIDE each pass and dedup scored pairs afterwards: a measured
+    candidate-first union+dedup variant was 2.8× slower — see
+    ``fuzzy_pairs_multipass``.)"""
     left = rel.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"), "_blk"
     )
@@ -1568,7 +1650,11 @@ def _fuzzy_candidates(
     )
 
 
-def _fuzzy_score_pairs(cand: DataFrame, max_distance: int) -> DataFrame:
+def _fuzzy_score_pairs(
+    cand: DataFrame,
+    max_distance: int,
+    carry: tuple[str, ...] = ("id_a", "id_b"),
+) -> DataFrame:
     """Verify candidate pairs by edit distance — the r13 fast form of
     the old bare ``levenshtein(a, b) <= k`` filter, same output rows:
 
@@ -1604,8 +1690,7 @@ def _fuzzy_score_pairs(cand: DataFrame, max_distance: int) -> DataFrame:
         F.explode(
             F.array(
                 F.struct(
-                    F.col("id_a"),
-                    F.col("id_b"),
+                    *[F.col(c) for c in carry],
                     F.col("text_a"),
                     F.col("text_b"),
                     F.expr(

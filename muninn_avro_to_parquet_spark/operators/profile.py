@@ -181,8 +181,23 @@ def profile_quantiles(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile_quantiles: no such columns {missing}")
-    stacked = df.select(
+    # one md5 draw per SOURCE row, computed BELOW the unpivot: every
+    # column shares the row's draw anyway (the cross-column coherence
+    # property below), so hashing after the stack re-ran md5+conv once
+    # per (row, column) — 4 columns = 4× the sketch's dominant CPU line
+    # (r15 optimization round; equality pinned in tests/test_sketches.py
+    # via the rank_col path). The hash MUST live in its own select: a
+    # generator expression in the same select plants the sibling
+    # expressions in the Project ABOVE the Generate (verified in the
+    # executed plan), silently restoring the per-(row, column) cost.
+    hashed = df.select(
         F.col(id_col).alias("_rid"),
+        sketches._qs_rank(F.col(id_col)).alias("_h"),
+        *[F.col(c) for c in cols],
+    )
+    stacked = hashed.select(
+        "_rid",
+        "_h",
         F.expr(
             "stack({n}, {pairs}) as (column, v)".format(
                 n=len(cols),
@@ -193,7 +208,7 @@ def profile_quantiles(
         ),
     )
     sk = sketches.quantile_sketch_build_grouped(
-        stacked, "v", "_rid", "column", k=k, n_salts=n_salts
+        stacked, "v", "_rid", "column", k=k, n_salts=n_salts, rank_col="_h"
     )
     return sketches.quantile_sketch_query_grouped(
         sk, list(quantiles_pct)

@@ -333,10 +333,19 @@ def quantile_sketch_build(
 
     Scale shape: ONE TakeOrderedAndProject (map-side per-partition
     top-k, driver-side merge of partition heads) — the corpus never
-    shuffles, no full sort. ``id_col`` must be row-unique (it IS the
+    shuffles, no full sort. ``id_col`` SHOULD be row-unique (it IS the
     random draw); NULL values are excluded like every profile relation.
     Merge = union the shard sketches and take bottom-k again
-    (``quantile_sketch_merge``)."""
+    (``quantile_sketch_merge``).
+
+    Duplicate-id hardening (r15 optimization round): the bottom-k order
+    is (h, id, v) — with a row-unique id the v never matters, but when
+    ids collide (two rows, same draw, different values) a bare (h, id)
+    order leaves the k-boundary pick to the engine's arbitrary tie
+    resolution, and the sf0.001 lineitem corpus exposed exactly that
+    (Spark and DuckDB disagreeing on one sample row ⇒ one estimate).
+    With v in the order the sample is a pure function of the row
+    multiset again: rows equal in (id, v) are interchangeable."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     rel = (
@@ -347,19 +356,19 @@ def quantile_sketch_build(
             F.col(value_col).alias("v"),
         )
     )
-    return rel.orderBy(F.asc("h"), F.asc("id")).limit(k)
+    return rel.orderBy(F.asc("h"), F.asc("id"), F.asc("v")).limit(k)
 
 
 def quantile_sketch_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
     """⊎ of shard sketches: union, bottom-k again. Exactly equal to the
     whole-corpus build because bottom-k is a pure function of the
-    multiset of (h, id) draws (shards are disjoint in id)."""
+    multiset of (h, id, v) rows (shards are disjoint in id)."""
     if not sketches:
         raise ValueError("quantile_sketch_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.orderBy(F.asc("h"), F.asc("id")).limit(k)
+    return out.orderBy(F.asc("h"), F.asc("id"), F.asc("v")).limit(k)
 
 
 def quantile_sketch_build_grouped(
@@ -369,6 +378,7 @@ def quantile_sketch_build_grouped(
     group_col: str,
     k: int = 256,
     n_salts: int = 1,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Per-GROUP mergeable quantile sketch — the production profiling
     ask at 100 TB is per-key tails ("p50/p95/p99 per service"), and an
@@ -393,7 +403,15 @@ def quantile_sketch_build_grouped(
     Transparent to the result: a group's true bottom-k survives every
     salt's bottom-k, so the output is IDENTICAL for any n_salts
     (pinned in tests/test_sketches.py), and the oracle never needs to
-    know the salt."""
+    know the salt.
+
+    ``rank_col`` (r15 optimization round): name of a column already
+    holding this row's md5 sampling rank (``_qs_rank(id)``), for callers
+    that unpivot one source row into SEVERAL sketch rows sharing one
+    draw — computing the md5 once per SOURCE row instead of once per
+    unpivoted row is the profiling family's single biggest CPU line.
+    Must equal ``_qs_rank(id_col)`` row-for-row (pinned in
+    tests/test_sketches.py); default None computes it here."""
     if k < 1:
         raise ValueError(f"need k >= 1, got {k}")
     if n_salts < 1:
@@ -404,21 +422,27 @@ def quantile_sketch_build_grouped(
         df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("g"),
-            _qs_rank(F.col(id_col)).alias("h"),
+            (
+                F.col(rank_col) if rank_col is not None
+                else _qs_rank(F.col(id_col))
+            ).alias("h"),
             F.col(id_col).alias("id"),
             F.col(value_col).alias("v"),
         )
     )
+    # (h, id, v) order everywhere a bottom-k is taken: duplicate-id
+    # hardening, see quantile_sketch_build — rows equal in (id, v) are
+    # interchangeable, anything else is deterministically resolved
     if n_salts > 1:
         ws = Window.partitionBy("g", F.col("h") % n_salts).orderBy(
-            F.asc("h"), F.asc("id")
+            F.asc("h"), F.asc("id"), F.asc("v")
         )
         rel = (
             rel.withColumn("_srn", F.row_number().over(ws))
             .filter(F.col("_srn") <= k)
             .drop("_srn")
         )
-    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"))
+    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"), F.asc("v"))
     return (
         rel.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
@@ -438,7 +462,7 @@ def quantile_sketch_merge_grouped(
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"))
+    w = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("id"), F.asc("v"))
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)

@@ -10292,7 +10292,7 @@ _QSK_BOUND_PPM = 40000
                   AS BIGINT) AS h, rid, price
       FROM rel WHERE price IS NOT NULL
     ),
-    sk AS (SELECT * FROM hashed ORDER BY h ASC, rid ASC LIMIT {_QSK_K}),
+    sk AS (SELECT * FROM hashed ORDER BY h ASC, rid ASC, price ASC LIMIT {_QSK_K}),
     ranked AS (
       SELECT price, ROW_NUMBER() OVER (ORDER BY price ASC, rid ASC) AS rn,
              COUNT(*) OVER () AS n
@@ -10394,7 +10394,8 @@ _GQSK_BOUND_PPM = 80000
     ),
     sk AS (
       SELECT g, rid, price FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h ASC, rid ASC)
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+                                     ORDER BY h ASC, rid ASC, price ASC)
                     AS rn
         FROM hashed
       ) WHERE rn <= {_GQSK_K}
@@ -10748,7 +10749,7 @@ _PQNT_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     sk AS (
       SELECT "column", rid, v FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY "column"
-                                     ORDER BY h ASC, rid ASC) AS rn
+                                     ORDER BY h ASC, rid ASC, v ASC) AS rn
         FROM hashed
       ) WHERE rn <= 256
     ),
@@ -10823,12 +10824,17 @@ def q_profile_quantiles(spark):
             )
         ),
     ).filter(F.col("v").isNotNull())
-    tot = rel.groupBy("column").agg(F.count("*").alias("n_c"))
+    # n_c folds into the grading aggregate: est carries EXACTLY one row
+    # per (column, q_pct) — the rank-index equi-filter matches one rank
+    # per quantile — so each rel row lands once in every (column, q_pct)
+    # group and count(*) there IS the column's row count. The separate
+    # `tot` aggregate (a third full scan + stack of lineitem) was pure
+    # waste (r15 optimization round; oracle unchanged, values identical).
     scored = (
         rel.join(F.broadcast(est), "column")
-        .join(F.broadcast(tot), "column")
-        .groupBy("column", "q_pct", "est", "n_sample", "n_c")
+        .groupBy("column", "q_pct", "est", "n_sample")
         .agg(
+            F.count("*").alias("n_c"),
             F.sum((F.col("v") < F.col("est")).cast("long")).alias("_lt"),
             F.sum((F.col("v") <= F.col("est")).cast("long")).alias("_le"),
         )

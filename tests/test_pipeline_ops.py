@@ -489,6 +489,38 @@ def test_fuzzy_pairs_blocked_matches_and_guard(spark):
     )
 
 
+def test_fuzzy_regimes_row_identical(spark):
+    """rows / values / auto regimes are the same relation (r15
+    optimization round): the values regime scores the DP once per
+    distinct (block, text_a, text_b) and expands back onto id pairs, so
+    on a value-repeating corpus (the shape that regime exists for) the
+    output multiset must match the row-pair scorer exactly — including
+    duplicate texts within a block (distance-0 pairs) and the
+    ``id_a < id_b`` orientation."""
+    from muninn_avro_to_parquet_spark.operators import dedup
+
+    rows = []
+    names = ["red gear", "red bear", "red gearz", "blue bolt", "blue boltz"]
+    for i in range(60):  # every name repeated 12x: auto must pick values
+        rows.append((i, names[i % len(names)]))
+    df = spark.createDataFrame(rows, "id long, name string")
+    by_rows = dedup.fuzzy_pairs_blocked(df, "id", "name", 2, regime="rows")
+    by_vals = dedup.fuzzy_pairs_blocked(df, "id", "name", 2, regime="values")
+    auto = dedup.fuzzy_pairs_blocked(df, "id", "name", 2, regime="auto")
+    base = sorted(map(tuple, by_rows.collect()))
+    assert sorted(map(tuple, by_vals.collect())) == base
+    assert sorted(map(tuple, auto.collect())) == base
+    assert len(base) > 0
+    # multipass too, both regimes pinned against each other
+    m_rows = dedup.fuzzy_pairs_multipass(df, "id", "name", 2, regime="rows")
+    m_vals = dedup.fuzzy_pairs_multipass(df, "id", "name", 2, regime="values")
+    assert sorted(map(tuple, m_vals.collect())) == sorted(
+        map(tuple, m_rows.collect())
+    )
+    with pytest.raises(ValueError):
+        dedup.fuzzy_pairs_blocked(df, "id", "name", 2, regime="bogus")
+
+
 def test_filter_top_fraction_ceil_and_ties(spark):
     """Kept count per stratum is ceil(n*ppm/1e6) with at least one row;
     ranking is (score DESC, id ASC) so ties resolve to smaller ids."""

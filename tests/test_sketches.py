@@ -242,6 +242,81 @@ def test_quantile_sketch_grouped_salt_transparent(spark):
         sketches.quantile_sketch_build_grouped(rel, "price", "rid", "g", k=4, n_salts=0)
 
 
+def test_quantile_sketch_duplicate_ids_deterministic(spark):
+    """Colliding ids with DIVERGING values (the sf0.001 lineitem rid
+    collision that made q_profile_quantiles nondeterministic, r15
+    optimization round) must produce a sample that is a pure function
+    of the row multiset: the (h, id, v) bottom-k order resolves the
+    tie by value, identically in every engine and under any
+    partitioning."""
+    rows = [(i % 7, float(i)) for i in range(50)]  # id 0..6, 7-8 rows each
+    df = spark.createDataFrame(rows, "rid long, price double")
+    a = sorted(
+        map(tuple, sketches.quantile_sketch_build(df, "price", "rid", k=5).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build(
+                df.repartition(13), "price", "rid", k=5
+            ).collect(),
+        )
+    )
+    assert a == b
+    # expected: bottom-5 of (h(rid), rid, price) computed independently
+    import hashlib
+
+    def h(rid):
+        return int(hashlib.md5(f"q:{rid}".encode()).hexdigest()[:14], 16)
+
+    exp = sorted((h(r), r, v) for r, v in rows)[:5]
+    assert a == sorted(exp)
+    g = df.withColumn("g", (F.col("rid") % 2).cast("int"))
+    ga = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build_grouped(
+                g, "price", "rid", "g", k=3, n_salts=4
+            ).collect(),
+        )
+    )
+    gb = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build_grouped(
+                g.repartition(11), "price", "rid", "g", k=3, n_salts=1
+            ).collect(),
+        )
+    )
+    assert ga == gb
+
+
+def test_quantile_sketch_grouped_rank_col_identical(spark):
+    """The precomputed-rank path (rank_col) must reproduce the default
+    build exactly — it exists so unpivoting callers can compute the md5
+    draw once per SOURCE row (r15 optimization round), never to change
+    the draw."""
+    rel = _prices(spark).withColumn("g", (F.col("rid") % 3).cast("int"))
+    pre = rel.withColumn("hh", sketches._qs_rank(F.col("rid")))
+    base = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build_grouped(
+                rel, "price", "rid", "g", k=64, n_salts=8
+            ).collect(),
+        )
+    )
+    via_rank = sorted(
+        map(
+            tuple,
+            sketches.quantile_sketch_build_grouped(
+                pre, "price", "rid", "g", k=64, n_salts=8, rank_col="hh"
+            ).collect(),
+        )
+    )
+    assert via_rank == base
+
+
 def test_distinct_sketch_merge_exact_and_estimates(spark):
     """KMV: shard ⊎ shard ≡ whole (hash sets collapse shared keys),
     below-capacity sketches count EXACTLY, at-capacity estimates obey
