@@ -84,13 +84,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df.unpersist()
         del cache[other_dir]
     if sf_dir in cache:
+        # Skip the per-view catalog writes when this session's views
+        # already point at sf_dir: ``createOrReplaceTempView`` costs
+        # ~5 ms of plan re-analysis per view, and every registry entry
+        # invocation routes through here — at 10 views that was ~50 ms
+        # of pure catalog churn inside every timed bench region (~48 ms
+        # measured warm; ~30 s across a 218-entry × 3-repeat sweep).
+        # The ``_muninn_views_point_at`` marker is the invalidation
+        # contract: any code that re-points one of TABLE_NAMES to a
+        # different relation (tests perturbing a table, ad-hoc
+        # overrides) must clear it so the next call repairs the
+        # catalog; switching sf_dir clears it below automatically.
+        if spark.__dict__.get("_muninn_views_point_at") == sf_dir:
+            return cache[sf_dir]
         for name, df in cache[sf_dir].items():
             df.createOrReplaceTempView(name)
+        spark.__dict__["_muninn_views_point_at"] = sf_dir
         return cache[sf_dir]
+    spark.__dict__["_muninn_views_point_at"] = None
     out = {}
     for name in TABLE_NAMES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     cache[sf_dir] = out
+    spark.__dict__["_muninn_views_point_at"] = sf_dir
     return out

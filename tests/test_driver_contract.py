@@ -162,3 +162,34 @@ def test_bare_driver_session_non_utc_tz():
     )
     assert proc.returncode == 0, f"stdout={proc.stdout[-3000:]}\nstderr={proc.stderr[-3000:]}"
     assert "PARITY_OK" in proc.stdout
+
+
+def test_register_views_skip_marker_repairs_overridden_view(spark):
+    """register_views skips the per-view catalog writes when the session's
+    views already point at sf_dir (r15 optimization: ~50 ms of catalog
+    churn per timed entry invocation). The skip must be governed by the
+    _muninn_views_point_at marker: clearing it (the documented contract
+    for any code that re-points a registered table name) forces the next
+    call to repair the catalog."""
+    from pyspark.sql import functions as F
+
+    from muninn_avro_to_parquet_spark import tables
+
+    tables.register_views(spark, SF_SMOKE)
+    n_true = spark.table("region").count()
+    # warm path: marker set, second call skips but views still serve
+    assert spark.__dict__.get("_muninn_views_point_at") == SF_SMOKE
+    tables.register_views(spark, SF_SMOKE)
+    assert spark.table("region").count() == n_true
+
+    # poison one registered view WITHOUT clearing the marker: the skip
+    # serves the stale view (the documented trade), then clearing the
+    # marker repairs it on the next call
+    spark.range(1).select(F.lit("x").alias("r_name")).createOrReplaceTempView(
+        "region"
+    )
+    tables.register_views(spark, SF_SMOKE)
+    assert spark.table("region").count() == 1  # stale: skip honored marker
+    spark.__dict__.pop("_muninn_views_point_at", None)
+    tables.register_views(spark, SF_SMOKE)
+    assert spark.table("region").count() == n_true  # repaired
