@@ -2112,6 +2112,30 @@ def knn_graph(
         srcs = lists.select(
             "centroid_id", F.col(id_col).alias("src_id"), "_q", "_norm"
         )
+        # Few-key skew gate (the CC/pagerank broadcast-budget
+        # discipline): the candidate join's key space is num_centroids
+        # values, so on a SMALL corpus the shuffled join lands all
+        # scoring work on ≤ num_centroids tasks (16 here vs 32 cores at
+        # the bench scale — one straggler stage owned the entry's wall).
+        # When the capped target relation's EXACT count proves it fits
+        # the session's broadcast budget, broadcast it: the corpus side
+        # is then never exchanged and scoring parallelizes over the
+        # source partitions. Past the budget (the 100 TB corpus, where
+        # num_centroids ~ sqrt(n) keys spread fine) the co-partitioned
+        # join is unchanged. One tiny preamble action on the cached
+        # lists relation returns count and dimension together.
+        from muninn_avro_to_parquet_spark.operators.dedup import (
+            _broadcast_threshold_bytes,
+        )
+
+        _sz = lists.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.max(F.size("_q")), F.lit(0)).alias("d"),
+        ).first()
+        # 28 B row overhead + ~9 B per quantized element, deliberately fat
+        est_bytes = _sz["n"] * (28 + 9 * _sz["d"])
+        if 0 < est_bytes < max(_broadcast_threshold_bytes(corpus.sparkSession), 0):
+            targets = F.broadcast(targets)
         scored = (
             srcs.join(targets, "centroid_id")
             .filter(F.col("src_id") != F.col("dst_id"))
