@@ -1054,7 +1054,9 @@ def _cc_loop(
             F.col("src").alias("node"), F.least("src", "_mn").alias("label")
         )
         .coalesce(n_part)
-        .localCheckpoint(eager=True)
+        # lazy: the count right below is a full scan, so it materializes
+        # the checkpoint in the same job (the pagerank seed fold)
+        .localCheckpoint(eager=False)
     )
     # 64 B/row is deliberately fat (two longs + HashedRelation overhead)
     broadcast_labels = 0 < (labels.count() * 64) < max(threshold, 0)

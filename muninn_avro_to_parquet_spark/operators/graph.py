@@ -163,7 +163,12 @@ def pagerank(
         )
     else:
         seed = seed.select("node", "deg", F.lit(True).alias("_seed"))
-    seed = seed.coalesce(n_part).localCheckpoint(eager=True)
+    # LAZY checkpoint forced by the sizes aggregate right below: the
+    # full-scan agg drains every partition (the same guarantee the CC
+    # loop's convergence count relies on), so the checkpoint is fully
+    # materialized in the SAME job that returns the sizes — one job
+    # where eager-checkpoint-then-agg paid two.
+    seed = seed.coalesce(n_part).localCheckpoint(eager=False)
     # ONE action for both universe and restart-set size (r15: the
     # personalized variant used to pay a second full pass / extra job
     # for `seed.filter(_seed).count()`; the job-count audit attributed
