@@ -345,7 +345,9 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
         .coalesce(n_part)
-        .localCheckpoint(eager=True)
+        # lazy: the count below is a full scan and materializes the
+        # checkpoint in the same job (the pagerank seed fold)
+        .localCheckpoint(eager=False)
     )
     n_nodes = labels.count()
     bc = 0 < (n_nodes * 64) < max(_broadcast_threshold_bytes(spark), 0)
@@ -445,7 +447,9 @@ def hits(
         .union(esized.select(F.col("dst").alias("node")))
         .distinct()
         .coalesce(n_part)
-        .localCheckpoint(eager=True)
+        # lazy: the count below is a full scan and materializes the
+        # checkpoint in the same job (the pagerank seed fold)
+        .localCheckpoint(eager=False)
     )
     n_nodes = nodes.count()
     bc = 0 < (n_nodes * 64) < max(_broadcast_threshold_bytes(spark), 0)
