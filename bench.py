@@ -723,7 +723,11 @@ def _bench_body() -> dict:
                 target_tasks=spark.sparkContext.defaultParallelism * 2,
             )
         )
-        assert n_splits >= 16 or big_bytes < (1 << 30), n_splits
+        # target_tasks scales with the core count, so the split floor
+        # must too: 16 at >=8 cores (the 100 TB fan-out proof), 2x cores
+        # below that — a fixed 16 would abort low-core scaling sweeps.
+        min_splits = min(16, spark.sparkContext.defaultParallelism * 2)
+        assert n_splits >= min_splits or big_bytes < (1 << 30), n_splits
         # best-of-2 like the engine-compare legs below: the first heavy
         # job of a session pays one-time JIT/codegen/worker spin-up
         # (~4 s measured), which is session overhead, not convert cost —
@@ -2719,9 +2723,18 @@ def _bench_body() -> dict:
             raise AssertionError(
                 f"warc ingest dropped records: {agg['n']} != {n_warc_records}"
             )
-        # range-on-path spread: one archive per task (measured 32/32;
-        # the 3/4 floor only allows for range-sampler edge merges)
-        if agg["tasks"] < (n_warc_files * 3) // 4:
+        # range-on-path spread: one archive per task (measured 32/32 at
+        # 32 cores; the 3/4 floor only allows for range-sampler edge
+        # merges). Spark sizes maxSplitBytes from total_bytes /
+        # defaultParallelism, so at low core counts several archives
+        # legitimately bin-pack into one task (16 tasks over 32 archives
+        # measured at SPARK_GRAFT_CPUS=8) — the floor is relative to
+        # min(files, cores), keeping the 24-task bar at 32 cores while
+        # letting the driver's low-core scaling sweep complete.
+        fanout_floor = (
+            min(n_warc_files, spark.sparkContext.defaultParallelism) * 3
+        ) // 4
+        if agg["tasks"] < fanout_floor:
             raise AssertionError(
                 "warc ingest did not fan out per file: "
                 f"{agg['tasks']} tasks over {n_warc_files} archives"

@@ -19,3 +19,14 @@ def cache_scoped(df: DataFrame, scope_key: str) -> DataFrame:
     cached = df.cache()
     session_caches[scope_key] = cached
     return cached
+
+
+# A checkpoint_scoped analogue for localCheckpoint relations (unpersist
+# the previous build's blocks per (session, scope_key) — ADVICE r15) was
+# built and REJECTED here: a localCheckpoint's lineage is truncated, so
+# unpersisting the previous generation is a HARD invalidation, not a
+# cache eviction — any still-live index (or plan derived from one) fails
+# with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing
+# (reproduced on test_layout's two-index sessions). Only the JVM's
+# ContextCleaner sees true RDD reachability; block release stays
+# GC-driven by design.

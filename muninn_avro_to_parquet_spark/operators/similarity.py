@@ -1664,6 +1664,8 @@ def ivfpq_index(
     4-bit-code config that raw-ADC benches proved shortlist-grade at
     best remains available explicitly for the small oracle-replayable
     tests."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
 
     encoder = _resolve_encoder(encoder)
@@ -1679,27 +1681,44 @@ def ivfpq_index(
     # 12.7 → 8.6 s, 71 → 64 jobs, values identical. The checkpoint
     # truncates lineage at a tiny LogicalRDD leaf; every consumer join
     # already carries an explicit ``F.broadcast`` hint, so losing the
-    # leaf's size statistics cannot flip a join strategy.
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    # leaf's size statistics cannot flip a join strategy. Block release
+    # stays GC-driven (ContextCleaner) — see cacheutil.py for why the
+    # scoped explicit-unpersist variant was rejected.
+    #
+    # The eager materializations used to run as three SEQUENTIAL driver
+    # round-trips (the r15 watch-item: +0.3-0.5 s wall per build from
+    # jobs the lazy form overlapped under AQE). The centroid pick is
+    # independent of the calibration → quantize → codebook chain, so it
+    # runs on one driver worker thread while the chain proceeds here
+    # (guide §2.6 — concurrent jobs back-fill idle executors; results
+    # are unchanged, only the schedule moves).
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f_cents = pool.submit(
+            lambda: ivf_centroids(
+                corpus, n_centroids, id_col, vec_col
+            ).localCheckpoint(eager=True)
+        )
+        calib = int8_calibration(corpus, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        codes = cache_scoped(
+            quantize_int8(corpus, id_col, vec_col, calibration=calib),
+            "ivfpq_codes",
+        )
+        cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
+        if refine_rounds:
+            cb = pq_refine_codebook(
+                codes, cb, m=m, id_col=id_col, rounds=refine_rounds,
+                engine=encoder,
+            )
+        cb = cb.localCheckpoint(eager=True)
+        cents = f_cents.result()
     lists = cache_scoped(
         ivf_assign(
             corpus, cents, id_col, vec_col, nprobe=1, engine=encoder
         ).select(id_col, "centroid_id"),
         "ivfpq_lists",
     )
-    calib = int8_calibration(corpus, id_col, vec_col).localCheckpoint(eager=True)
-    codes = cache_scoped(
-        quantize_int8(corpus, id_col, vec_col, calibration=calib),
-        "ivfpq_codes",
-    )
-    cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
-    if refine_rounds:
-        cb = pq_refine_codebook(
-            codes, cb, m=m, id_col=id_col, rounds=refine_rounds, engine=encoder
-        )
-    cb = cb.localCheckpoint(eager=True)
     enc = cache_scoped(
         pq_encode(codes, cb, m=m, id_col=id_col, engine=encoder), "ivfpq_enc"
     )
@@ -2132,8 +2151,13 @@ def knn_graph(
             F.count("*").alias("n"),
             F.coalesce(F.max(F.size("_q")), F.lit(0)).alias("d"),
         ).first()
-        # 28 B row overhead + ~9 B per quantized element, deliberately fat
-        est_bytes = _sz["n"] * (28 + 9 * _sz["d"])
+        # 28 B row overhead + ~9 B per quantized element, deliberately fat.
+        # Size the CAPPED side that is actually broadcast: targets keeps at
+        # most max_list rows per list, so when the cap binds the uncapped
+        # corpus count would over-estimate and skip a broadcast that fits
+        # (ADVICE r15), reinstating the few-key skew this gate removes.
+        n_eff = min(_sz["n"], num_centroids * max_list)
+        est_bytes = n_eff * (28 + 9 * _sz["d"])
         if 0 < est_bytes < max(_broadcast_threshold_bytes(corpus.sparkSession), 0):
             targets = F.broadcast(targets)
         scored = (

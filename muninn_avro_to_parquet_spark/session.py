@@ -116,7 +116,11 @@ def get_spark(app_name: str = "muninn_spark", cpus: int | None = None) -> SparkS
         # time (1.99 -> 1.65 s for 6 search constructions with it
         # off). Static conf, driver-side only; errors still raise
         # identically, just without the "line N in <file>" context
-        # line. Any session built elsewhere keeps the default.
+        # line. Effectively PROCESS-wide once any get_spark session
+        # evaluates it: pyspark.errors.utils caches
+        # is_debugging_enabled() in a process-global on first check,
+        # so co-resident sessions built later in the same interpreter
+        # inherit capture-off too.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     local_dir = _local_shuffle_dir()

@@ -61,6 +61,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df.cache()
 
 
+def invalidate_views(spark: SparkSession) -> None:
+    """Force the next ``register_views`` call to re-point every temp view.
+
+    The public invalidation hook for code that re-points one of
+    ``TABLE_NAMES`` to a different relation behind this module's back
+    (tests perturbing a table, ad-hoc ``createOrReplaceTempView``
+    overrides): call this afterwards so the skip-marker fast path below
+    cannot serve the overridden catalog as if it still matched sf_dir."""
+    spark.__dict__.pop("_muninn_views_point_at", None)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every test table as a temp view; DataFrames cached per
     (session, dir).
@@ -68,11 +79,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     The cache hangs off the session object itself (an ``id(spark)``-keyed
     module dict would collide when CPython reuses a stopped session's
     address, handing out DataFrames bound to a dead JVM). Temp views are
-    RE-pointed on every call — a different sf_dir may have claimed the
-    view names since the cached registration, and serving stale views
-    would silently run queries against the wrong dataset. Switching dirs
-    unpersists the previous dir's tables so alternating smoke/correctness
-    /bench dirs in one session doesn't pin every dataset in memory."""
+    re-pointed whenever this session's views may not already point at
+    ``sf_dir`` — a different sf_dir may have claimed the view names since
+    the cached registration, and serving stale views would silently run
+    queries against the wrong dataset. When the ``_muninn_views_point_at``
+    marker proves the views already match, the per-view catalog writes are
+    skipped; any caller that re-points a registered view name itself must
+    call ``invalidate_views`` (the marker contract) or it will be served
+    the stale catalog. Switching dirs unpersists the previous dir's tables
+    so alternating smoke/correctness/bench dirs in one session doesn't pin
+    every dataset in memory."""
     # re-pin confs even on the cached path: the caller may have reset the
     # session timezone (or any other runtime conf) since the first load
     session.ensure_runtime_confs(spark)

@@ -190,6 +190,6 @@ def test_register_views_skip_marker_repairs_overridden_view(spark):
     )
     tables.register_views(spark, SF_SMOKE)
     assert spark.table("region").count() == 1  # stale: skip honored marker
-    spark.__dict__.pop("_muninn_views_point_at", None)
+    tables.invalidate_views(spark)  # the public invalidation hook
     tables.register_views(spark, SF_SMOKE)
     assert spark.table("region").count() == n_true  # repaired

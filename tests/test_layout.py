@@ -125,9 +125,11 @@ def test_int8_topk_recall_vs_exact(spark):
     int8 top-k vs the float top-k on the real embeddings table."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     emb.createOrReplaceTempView("embeddings")
-    # the override re-points a registered table name: clear the
+    # the override re-points a registered table name: invalidate the
     # register_views skip marker so the next caller repairs the catalog
-    spark.__dict__.pop("_muninn_views_point_at", None)
+    from muninn_avro_to_parquet_spark import tables
+
+    tables.invalidate_views(spark)
     exact = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     codes = similarity.quantize_int8(emb)
     q8 = similarity.cosine_topk_int8(codes, codes.filter(F.col("vec_id") < 5), k=10)
