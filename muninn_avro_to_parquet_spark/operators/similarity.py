@@ -591,7 +591,6 @@ def _ivf_assign_np(
             # already cid-ascending and argsort is stable, so sorting on
             # -sims alone reproduces the window's tie-break
             order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy().repeat(take),
@@ -601,6 +600,169 @@ def _ivf_assign_np(
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
+def _arrow_list_matrix(col, dtype):
+    """(n, d) numpy matrix from an Arrow list column, zero-copy when the
+    buffer layout allows (guide §4.2: a list column is one contiguous
+    values buffer plus offsets — re-slicing beats per-row object
+    conversion; the pandas path materialized one ndarray PER ROW).
+    Requires fixed-width, null-free lists — the contract every numpy
+    engine here already imposed via ``np.stack``."""
+    import numpy as np
+
+    offs = col.offsets.to_numpy()
+    n = len(col)
+    if n == 0:
+        return None
+    d = int(offs[1] - offs[0])
+    if not (np.diff(offs) == d).all():
+        raise ValueError("ragged or null vector rows in Arrow batch")
+    vals = col.values.to_numpy(zero_copy_only=False)
+    start = int(offs[0])
+    return np.ascontiguousarray(
+        vals[start : start + n * d].reshape(n, d)
+    ).astype(dtype, copy=False)
+
+
+def _ivf_flat(
+    df: DataFrame,
+    centroids: DataFrame,
+    calib: DataFrame,
+    id_col: str,
+    vec_col: str,
+    encoder: str,
+) -> DataFrame:
+    """Engine dispatch for the fused per-row index relation (id,
+    centroid_id, _q, _norm, q, n_dims) — see ``_ivf_flat_np``. The
+    catalyst form composes the existing SQL builders (one pass over the
+    assign output; values bit-identical by the same contracts)."""
+    if encoder == "numpy":
+        return _ivf_flat_np(df, centroids, calib, id_col, vec_col)
+    assigned = ivf_assign(
+        df, centroids, id_col, vec_col, nprobe=1, engine="catalyst"
+    )
+    pre = assigned.crossJoin(F.broadcast(calib)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.expr(f"{_qvec_sql(vec_col)} as _q"),
+        F.expr(f"{_int8_quant_sql(vec_col)} as q"),
+        F.size(vec_col).alias("n_dims"),
+    )
+    return pre.select(
+        id_col,
+        "centroid_id",
+        "_q",
+        F.expr(f"{_NORM_SQL} as _norm"),
+        "q",
+        "n_dims",
+    )
+
+
+def _ivf_flat_np(
+    df: DataFrame,
+    centroids: DataFrame,
+    calib: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The fused index-build corpus pass (numpy engine): ONE Arrow pass
+    emits every per-row artifact the IVF-PQ index stores — the nprobe=1
+    coarse assignment, the exact-cosine quantization (``_q``/``_norm``)
+    and the int8 codes (``q``/``n_dims``). Output: (id, centroid_id,
+    _q, _norm, q, n_dims). Replaces two corpus passes (assign +
+    ``quantize_int8``) that each converted the whole corpus across the
+    Arrow boundary (guide §1.2: don't compute in two passes what one
+    pass already has in registers).
+
+    Bit-identity contracts, each mirrored from the SQL formulation and
+    pinned in tests/test_layout:
+
+    - ``_q``: ``_round_half_up_q`` (the documented HALF_UP replica);
+    - ``_norm``: int64 exact square-sum → the same single int→double
+      cast and IEEE sqrt;
+    - ``q``: ``floor(((v - mn) * 255.0) / (mx - mn) + 0.5)`` evaluated
+      in float64 with the SAME operation order as ``_int8_quant_sql``,
+      then the same floor→clamp(0,255)→int−128 chain; a degenerate
+      dimension (mx <= mn) maps to 0."""
+    import numpy as np
+
+    cent_rows = sorted(
+        _with_qnorm(
+            centroids.select("centroid_id", vec_col), "centroid_id", vec_col
+        ).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    CQ = np.array([r["_q"] for r in cent_rows], dtype=np.int64)
+    cnorms = np.array([r["_norm"] for r in cent_rows], dtype=np.float64)
+    cal = calib.collect()[0]
+    mns = np.asarray(cal["_mns"], dtype=np.float64)
+    mxs = np.asarray(cal["_mxs"], dtype=np.float64)
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField(
+                "centroid_id", centroids.schema["centroid_id"].dataType, False
+            ),
+            T.StructField("_q", T.ArrayType(T.LongType(), True), True),
+            T.StructField("_norm", T.DoubleType(), True),
+            T.StructField("q", T.ArrayType(T.IntegerType(), True), True),
+            T.StructField("n_dims", T.IntegerType(), False),
+        ]
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            V = _arrow_list_matrix(batch.column(1), np.float64)
+            Q = _round_half_up_q(V)
+            norms = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+            denom = norms[:, None] * cnorms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(
+                    denom > 0,
+                    (Q @ CQ.T).astype(np.float64) / denom,
+                    -np.inf,
+                )
+            pick = cids[np.argsort(-sims, axis=1, kind="stable")[:, 0]]
+            live = mxs > mns
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scaled = np.floor((V - mns) * 255.0 / (mxs - mns) + 0.5)
+                clamped = np.minimum(np.maximum(scaled, 0.0), 255.0)
+            if not live.all():
+                clamped[:, ~live] = 128.0  # becomes 0 after the -128
+            codes = clamped.astype(np.int32) - 128
+            d = V.shape[1]
+            offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(pick).cast(arrow_schema.field(1).type),
+                    pa.ListArray.from_arrays(
+                        offs, pa.array(Q.ravel(), type=pa.int64())
+                    ).cast(arrow_schema.field(2).type),
+                    pa.array(norms, type=pa.float64()),
+                    pa.ListArray.from_arrays(
+                        offs, pa.array(codes.ravel(), type=pa.int32())
+                    ).cast(arrow_schema.field(4).type),
+                    pa.array(
+                        np.full(n, d, dtype=np.int32), type=pa.int32()
+                    ),
+                ],
+                schema=arrow_schema,
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(run, schema=out_schema)
 
 
 def ivf_centroids(
@@ -954,25 +1116,31 @@ def quantize_int8(
         if calibration is not None
         else int8_calibration(corpus, id_col, vec_col)
     )
-    # least/greatest clamp: a NO-OP when the calibration derives from
-    # this corpus (every v sits in [mn, mx], so the scaled value lands
-    # in [0, 255] — the DuckDB oracles replay the unclamped formula and
-    # still hash-match), but REQUIRED for a frozen external calibration
-    # (ivfpq_append): a drifted value outside the stored range must
-    # saturate to a valid int8 code, not overflow the int cast
-    quant = (
-        f"transform({vec_col}, (v, i) -> CASE WHEN _mxs[i] > _mns[i] THEN "
-        "cast(least(greatest(floor((cast(v as double) - _mns[i]) * 255.0D "
-        "/ (_mxs[i] - _mns[i]) + 0.5D), 0.0D), 255.0D) as int) - 128 "
-        "ELSE 0 END)"
-    )
     return (
         corpus.crossJoin(F.broadcast(calib))
         .select(
             F.col(id_col),
-            F.expr(quant).alias("q"),
+            F.expr(_int8_quant_sql(vec_col)).alias("q"),
             F.size(vec_col).alias("n_dims"),
         )
+    )
+
+
+def _int8_quant_sql(vec_col: str) -> str:
+    """SQL for the int8 min/max quantize against a joined-in calibration
+    row (``_mns``/``_mxs`` array columns in scope).
+
+    least/greatest clamp: a NO-OP when the calibration derives from
+    this corpus (every v sits in [mn, mx], so the scaled value lands
+    in [0, 255] — the DuckDB oracles replay the unclamped formula and
+    still hash-match), but REQUIRED for a frozen external calibration
+    (ivfpq_append): a drifted value outside the stored range must
+    saturate to a valid int8 code, not overflow the int cast."""
+    return (
+        f"transform({vec_col}, (v, i) -> CASE WHEN _mxs[i] > _mns[i] THEN "
+        "cast(least(greatest(floor((cast(v as double) - _mns[i]) * 255.0D "
+        "/ (_mxs[i] - _mns[i]) + 0.5D), 0.0D), 255.0D) as int) - 128 "
+        "ELSE 0 END)"
     )
 
 
@@ -1215,6 +1383,7 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     engine: str = "catalyst",
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every vector its nearest code per subspace against an
     explicit codebook ``cb`` (``pq_codebook`` / ``pq_refine_codebook``
@@ -1231,10 +1400,18 @@ def pq_encode(
       ``‖v‖² − 2·V@Cᵀ + ‖c‖²`` (exact int64 matmul; ties break to the
       lowest code_id exactly like the window's (dist, code_id) order).
       This is the encoder the 1M-vector index build uses.
+
+    ``passthrough_cols``: extra ``codes`` columns copied verbatim onto
+    every output row (m rows per vector) — ``ivfpq_index`` threads
+    ``centroid_id`` through so the stored codes land in their inverted
+    list (the FAISS IVFPQ at-rest layout) without a corpus-sized join.
     """
     if engine == "catalyst":
         dist = _pq_distances(codes, cb, m, id_col, cache_key="pq_encode_dist")
-        return _pq_argmin(dist, id_col)
+        enc = _pq_argmin(dist, id_col)
+        if passthrough_cols:
+            enc = enc.join(codes.select(id_col, *passthrough_cols), id_col)
+        return enc
     if engine != "numpy":
         raise ValueError(f"unknown pq_encode engine: {engine!r}")
 
@@ -1246,19 +1423,23 @@ def pq_encode(
             T.StructField("sub", T.IntegerType(), False),
             T.StructField("code_id", T.IntegerType(), False),
         ]
+        + [codes.schema[c] for c in passthrough_cols]
     )
+    n_pass = len(passthrough_cols)
 
     def run(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            ids = pdf[id_col].to_numpy()
-            outs = []
-            for sub in sorted(sub_structs):
+            # input column order: (id, *passthrough, q)
+            V = _arrow_list_matrix(batch.column(1 + n_pass), np.int64)
+            subs = sorted(sub_structs)
+            picks = []
+            for sub in subs:
                 positions, code_ids, C = sub_structs[sub]
                 Vs = V[:, positions]
                 # exact int64 ‖v−c‖²: ‖v‖² − 2 v·c + ‖c‖² (codes ≤ 255,
@@ -1270,19 +1451,28 @@ def pq_encode(
                 )
                 # argmin returns the FIRST minimum; code_ids ascend, so
                 # ties go to the lowest code_id — the window's order
-                pick = code_ids[np.argmin(d, axis=1)]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: ids,
-                            "sub": np.full(len(ids), sub, dtype=np.int32),
-                            "code_id": pick,
-                        }
-                    )
-                )
-            yield pd.concat(outs, ignore_index=True)
+                picks.append(code_ids[np.argmin(d, axis=1)])
+            # one output batch per input batch: m stacked sub-blocks;
+            # id/passthrough columns repeat via a type-generic take
+            tile = pa.array(np.tile(np.arange(n), len(subs)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(tile),
+                    pa.array(
+                        np.repeat(np.array(subs, dtype=np.int32), n),
+                        type=pa.int32(),
+                    ),
+                    pa.array(np.concatenate(picks), type=pa.int32()),
+                ]
+                + [
+                    batch.column(1 + i).take(tile) for i in range(n_pass)
+                ],
+                names=[id_col, "sub", "code_id", *passthrough_cols],
+            )
 
-    return codes.select(id_col, "q").mapInPandas(run, schema=out_schema)
+    return codes.select(id_col, *passthrough_cols, "q").mapInArrow(
+        run, schema=out_schema
+    )
 
 
 def pq_refine_codebook(
@@ -1347,13 +1537,13 @@ def _pq_refine_partials_np(
 
     def run(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            outs = []
+            V = _arrow_list_matrix(batch.column(0), np.int64)
+            subs_o, codes_o, pos_o, s_o, c_o = [], [], [], [], []
             for sub in sorted(sub_structs):
                 positions, code_ids, C = sub_structs[sub]
                 Vs = V[:, positions]
@@ -1367,23 +1557,25 @@ def _pq_refine_partials_np(
                 np.add.at(sums, pick, Vs)
                 cnt = np.bincount(pick, minlength=len(code_ids)).astype(np.int64)
                 live = cnt > 0
+                n_live = int(live.sum())
                 n_pos = Vs.shape[1]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "sub": np.full(live.sum() * n_pos, sub, dtype=np.int32),
-                            "code_id": np.repeat(code_ids[live], n_pos),
-                            "pos": np.tile(
-                                positions.astype(np.int32), int(live.sum())
-                            ),
-                            "s": sums[live].ravel(),
-                            "c": np.repeat(cnt[live], n_pos),
-                        }
-                    )
-                )
-            yield pd.concat(outs, ignore_index=True)
+                subs_o.append(np.full(n_live * n_pos, sub, dtype=np.int32))
+                codes_o.append(np.repeat(code_ids[live], n_pos))
+                pos_o.append(np.tile(positions.astype(np.int32), n_live))
+                s_o.append(sums[live].ravel())
+                c_o.append(np.repeat(cnt[live], n_pos))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(subs_o), type=pa.int32()),
+                    pa.array(np.concatenate(codes_o), type=pa.int32()),
+                    pa.array(np.concatenate(pos_o), type=pa.int32()),
+                    pa.array(np.concatenate(s_o), type=pa.int64()),
+                    pa.array(np.concatenate(c_o), type=pa.int64()),
+                ],
+                names=["sub", "code_id", "pos", "s", "c"],
+            )
 
-    return codes.select(id_col, "q").mapInPandas(run, schema=out_schema)
+    return codes.select("q").mapInArrow(run, schema=out_schema)
 
 
 def pq_query_adc(
@@ -1614,6 +1806,16 @@ class IvfPqIndex:
     # vectors MUST encode against this frozen scale — recalibrating
     # would silently re-mean every stored code (see ivfpq_append)
     calib: DataFrame | None = None
+    # the IVF-FLAT side of the index (FAISS IndexIVFFlat stores the full
+    # vectors in its lists for exactly this reason): (id, centroid_id,
+    # _q, _norm) — the quantized vectors + norms the exact-cosine stages
+    # (``ivfflat_search``, the rerank of ``ivfpq_search``) score against.
+    # ONE cached corpus-sized relation backs both this and ``lists``
+    # (``lists`` is a column-pruned projection of it); without it every
+    # search re-quantized the whole corpus (measured 49 executor-cpu-s
+    # per search at 1M x 128) and shuffled it into the candidate join.
+    # A PQ-only deployment that never exact-scores can drop it at rest.
+    flat: DataFrame | None = None
 
 
 def _resolve_encoder(encoder: str) -> str:
@@ -1701,29 +1903,47 @@ def ivfpq_index(
         calib = int8_calibration(corpus, id_col, vec_col).localCheckpoint(
             eager=True
         )
-        codes = cache_scoped(
-            quantize_int8(corpus, id_col, vec_col, calibration=calib),
-            "ivfpq_codes",
-        )
-        cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
-        if refine_rounds:
-            cb = pq_refine_codebook(
-                codes, cb, m=m, id_col=id_col, rounds=refine_rounds,
-                engine=encoder,
-            )
-        cb = cb.localCheckpoint(eager=True)
         cents = f_cents.result()
-    lists = cache_scoped(
-        ivf_assign(
-            corpus, cents, id_col, vec_col, nprobe=1, engine=encoder
-        ).select(id_col, "centroid_id"),
-        "ivfpq_lists",
+    # ONE cached corpus relation backs the whole per-row side of the
+    # index: (id, centroid_id, _q, _norm, q, n_dims) — the coarse
+    # assignment, the exact-cosine quantization the flat/rerank stages
+    # score with, and the int8 codes the PQ stages encode from. The
+    # numpy engine emits it in a single fused Arrow pass (the assign
+    # pass already has the quantized vectors in registers — r16 build
+    # audit: assign 4.8 s + separate quantize_int8 materialization
+    # 3.3 s collapsed into one ~5 s pass); consumers (``lists``,
+    # ``codes``) are column-pruned projections of the same columnar
+    # cache, so nothing pays for columns it does not read.
+    flat = cache_scoped(
+        _ivf_flat(corpus, cents, calib, id_col, vec_col, encoder),
+        "ivfpq_flat",
     )
+    lists = flat.select(id_col, "centroid_id")
+    codes = flat.select(id_col, "q", "n_dims")
+    cb = pq_codebook(codes, m=m, k=k, id_col=id_col)
+    if refine_rounds:
+        cb = pq_refine_codebook(
+            codes, cb, m=m, id_col=id_col, rounds=refine_rounds,
+            engine=encoder,
+        )
+    cb = cb.localCheckpoint(eager=True)
+    # the stored codes land in their inverted list (centroid_id rides
+    # every enc row — the FAISS IVFPQ layout): ADC search restricts
+    # candidates with one broadcast of the probed list ids instead of
+    # shuffling the whole enc relation into a candidate join per search
     enc = cache_scoped(
-        pq_encode(codes, cb, m=m, id_col=id_col, engine=encoder), "ivfpq_enc"
+        pq_encode(
+            flat.select(id_col, "centroid_id", "q", "n_dims"),
+            cb,
+            m=m,
+            id_col=id_col,
+            engine=encoder,
+            passthrough_cols=("centroid_id",),
+        ),
+        "ivfpq_enc",
     )
     return IvfPqIndex(
-        cents, lists, codes, cb, enc, m, k, id_col, vec_col, calib
+        cents, lists, codes, cb, enc, m, k, id_col, vec_col, calib, flat
     )
 
 
@@ -1754,14 +1974,21 @@ def ivfpq_append(
         )
     encoder = _resolve_encoder(encoder)
     id_col, vec_col = index.id_col, index.vec_col
-    new_lists = ivf_assign(
-        new_rows, index.centroids, id_col, vec_col, nprobe=1, engine=encoder
-    ).select(id_col, "centroid_id")
-    new_codes = quantize_int8(
-        new_rows, id_col, vec_col, calibration=index.calib
+    # the appended rows get the same fused per-row relation the build
+    # stores — assigned against the FROZEN centroids and quantized
+    # against the FROZEN calibration (one small-batch pass)
+    new_flat = _ivf_flat(
+        new_rows, index.centroids, index.calib, id_col, vec_col, encoder
     )
+    new_lists = new_flat.select(id_col, "centroid_id")
+    new_codes = new_flat.select(id_col, "q", "n_dims")
     new_enc = pq_encode(
-        new_codes, index.codebook, m=index.m, id_col=id_col, engine=encoder
+        new_flat.select(id_col, "centroid_id", "q", "n_dims"),
+        index.codebook,
+        m=index.m,
+        id_col=id_col,
+        engine=encoder,
+        passthrough_cols=("centroid_id",),
     )
     return IvfPqIndex(
         index.centroids,
@@ -1774,6 +2001,7 @@ def ivfpq_append(
         id_col,
         vec_col,
         index.calib,
+        index.flat.unionByName(new_flat) if index.flat is not None else None,
     )
 
 
@@ -1811,21 +2039,43 @@ def ivfpq_search(
         corpus.filter(query_pred), index.centroids, id_col, index.vec_col,
         nprobe=nprobe,
     ).select(F.col(id_col).alias("query_id"), "centroid_id")
-    cand = (
-        q_lists.join(index.lists, "centroid_id")
-        .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", id_col)
-        .distinct()
-    )
     qtab = pq_query_adc(
         index.codes.filter(query_pred), index.codebook, m=index.m, id_col=id_col
     ).select(F.col(id_col).alias("query_id"), "sub", "code_id", "dist")
-    adc = (
-        cand.join(index.enc, id_col)
-        .join(qtab, ["query_id", "sub", "code_id"])
-        .groupBy("query_id", id_col)
-        .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
-    )
+    if "centroid_id" in index.enc.columns:
+        # the stored codes carry their inverted-list id: candidate
+        # restriction is ONE broadcast of the probed (query, list) pairs
+        # onto the cached enc relation — no per-search shuffle of the
+        # corpus-sized enc into a candidate join (r16: 3.1 → 1.1 s per
+        # search at 1M x 128, identical rows). qtab (|queries| x m x k)
+        # broadcasts as before; the groupBy's map-side partial aggregate
+        # reduces the m rows per candidate before the only exchange.
+        adc = (
+            index.enc.join(F.broadcast(q_lists), "centroid_id")
+            .filter(F.col("query_id") != F.col(id_col))
+            .join(F.broadcast(qtab), ["query_id", "sub", "code_id"])
+            .groupBy("query_id", id_col)
+            .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
+        )
+    else:
+        # legacy index layout (enc without centroid_id). No .distinct()
+        # on the candidates in either branch: q_lists probes nprobe
+        # DISTINCT lists per query (row_number <= nprobe) and the index
+        # assigns each corpus id to exactly ONE list (nprobe=1 build —
+        # the IvfPqIndex contract), so (query_id, id) pairs are unique
+        # by construction; the dedup was a full candidate-relation
+        # exchange + aggregate for nothing (r16 plan audit).
+        cand = (
+            q_lists.join(index.lists, "centroid_id")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", id_col)
+        )
+        adc = (
+            cand.join(index.enc, id_col)
+            .join(qtab, ["query_id", "sub", "code_id"])
+            .groupBy("query_id", id_col)
+            .agg(F.sum("dist").cast("long").alias("approx_sqdist"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_sqdist"), F.asc(id_col)
     )
@@ -1834,7 +2084,8 @@ def ivfpq_search(
         return ranked.filter(F.col("rank") <= top_k)
     short = ranked.filter(F.col("rank") <= shortlist).select("query_id", id_col)
     return _exact_rerank(
-        corpus, short, query_pred, top_k, id_col, index.vec_col
+        corpus, short, query_pred, top_k, id_col, index.vec_col,
+        stored=index.flat,
     )
 
 
@@ -1845,21 +2096,35 @@ def _exact_rerank(
     top_k: int,
     id_col: str,
     vec_col: str,
+    stored: DataFrame | None = None,
 ) -> DataFrame:
     """Score a (query_id, id) candidate relation with the exact
     quantized cosine against the stored full-precision vectors and
     rank — the shared final stage of every two-stage retrieve
-    (``ann_topk_pq_rerank_exact``, reranked ``ivfpq_search``)."""
-    full = _with_qnorm(corpus, id_col, vec_col)
-    q = full.filter(query_pred).select(
+    (``ann_topk_pq_rerank_exact``, reranked ``ivfpq_search``).
+
+    ``stored`` is an optional pre-quantized (id, ..., _q, _norm)
+    relation (an index's ``flat`` side): when given, the corpus side
+    reads it instead of re-quantizing ``corpus`` — same values (the
+    flat relation IS the stored quantization of the build corpus),
+    none of the per-search corpus-wide quantize cost. The candidate ×
+    query relation is broadcast (bounded by |queries| x shortlist by
+    construction), so the corpus side streams with no exchange."""
+    full = (
+        stored.select(id_col, "_q", "_norm")
+        if stored is not None
+        else _with_qnorm(corpus, id_col, vec_col)
+    )
+    q = _with_qnorm(corpus.filter(query_pred), id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("_q").alias("_qq"),
         F.col("_norm").alias("_qnorm"),
     )
     c = full.select(F.col(id_col), "_q", "_norm")
     scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, id_col)
+        c.join(
+            F.broadcast(cand.join(F.broadcast(q), "query_id")), id_col
+        )
         .select(
             "query_id",
             id_col,
@@ -1891,17 +2156,42 @@ def ivfflat_search(
     q_lists = ivf_assign(
         qs, index.centroids, id_col, vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("query_id"), "centroid_id")
+    qn = _with_qnorm(qs, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_q").alias("_qq"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    if index.flat is not None:
+        # Score against the index's stored flat side: ONE broadcast join
+        # on centroid_id attaches each probing query (with its quantized
+        # vector) to the stored rows of its probed lists — the corpus is
+        # neither re-quantized (measured 49 executor-cpu-s per search at
+        # 1M x 128) nor shuffled (the old cand ⋈ corp sort-merge join
+        # exchanged the full quantized corpus per search; wall 10.3 →
+        # 3.9 s from the join shape alone at nprobe=16/64). The
+        # broadcast side is |queries| x nprobe rows of query vectors —
+        # the same query-side-is-broadcast-small contract the old plan's
+        # qn broadcast already assumed.
+        qj = q_lists.join(qn, "query_id")
+        scored = (
+            index.flat.join(F.broadcast(qj), "centroid_id")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select(
+                "query_id",
+                id_col,
+                F.expr(
+                    f"{_pair_cosine_sql('_qq', '_qnorm', '_q', '_norm')}"
+                    " as cosine_sim"
+                ),
+            )
+        )
+        return _rank_topk(scored, top_k, id_col)
     cand = (
         q_lists.join(index.lists, "centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", id_col)
     )
     corp = _with_qnorm(corpus, id_col, vec_col)
-    qn = _with_qnorm(qs, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_q").alias("_qq"),
-        F.col("_norm").alias("_qnorm"),
-    )
     scored = (
         cand.join(corp, id_col)
         .join(qn, "query_id")

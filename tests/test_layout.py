@@ -552,6 +552,54 @@ def test_knn_graph_mutual_and_cap(spark):
     assert len(dsts_cap) <= 4 * 5
 
 
+def test_ivfpq_flat_relation_matches_sql_operators(spark):
+    """The fused flat relation (r16: one Arrow pass emits assignment +
+    exact-cosine quantization + int8 codes) must reproduce the standalone
+    SQL operators bit-for-bit — ``_q``/``_norm`` equal ``_with_qnorm``'s
+    and ``q``/``n_dims`` equal ``quantize_int8``'s, per row — including
+    the frozen-calibration CLAMP path for appended out-of-range vectors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.ivfpq_index(emb, n_centroids=8, m=8, k=16, encoder="numpy")
+    sql_codes = {
+        r["vec_id"]: (list(r["q"]), r["n_dims"])
+        for r in similarity.quantize_int8(emb).collect()
+    }
+    sql_qn = {
+        r["vec_id"]: (list(r["_q"]), r["_norm"])
+        for r in similarity._with_qnorm(emb, "vec_id", "embedding").collect()
+    }
+    flat_rows = idx.flat.collect()
+    assert {r["vec_id"] for r in flat_rows} == set(sql_codes)
+    for r in flat_rows:
+        assert (list(r["q"]), r["n_dims"]) == sql_codes[r["vec_id"]]
+        # float equality on purpose: same exact ints, same IEEE sqrt
+        assert (list(r["_q"]), r["_norm"]) == sql_qn[r["vec_id"]]
+
+    # frozen-calibration clamp: vectors scaled far outside the stored
+    # [mn, mx] range must saturate identically in both engines
+    drift = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 3.0D + 1.5D)").alias(
+            "embedding"
+        ),
+    )
+    idx2 = similarity.ivfpq_append(idx, drift)
+    drifted = {
+        r["vec_id"]: list(r["q"])
+        for r in idx2.flat.filter(F.col("vec_id") >= 10_000).collect()
+    }
+    sql_drift = {
+        r["vec_id"]: list(r["q"])
+        for r in similarity.quantize_int8(
+            drift, calibration=idx.calib
+        ).collect()
+    }
+    assert drifted == sql_drift
+    assert any(
+        c in (-128, 127) for codes in drifted.values() for c in codes
+    ), "drifted vectors should hit the clamp"
+
+
 def test_ivfpq_append_frozen_model(spark):
     """ivfpq_append must leave every stored row untouched (frozen
     calibration/codebook/centroids — a recalibrating append would

@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for named registry entries to plans/r15/.
+"""Dump .explain("formatted") for named registry entries to plans/<round>/.
 
 Usage: python tools/explain_queries.py <suffix> <name> [<name> ...]
-Writes plans/r15/<name>_<suffix>.txt. SF dir from SPARK_GRAFT_SF_DIR
-(default sf0.1) — the bench's scale, so plan shapes match the timed runs.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt (round defaults
+to r16). SF dir from SPARK_GRAFT_SF_DIR (default sf0.1) — the bench's
+scale, so plan shapes match the timed runs.
 """
 import os
 import sys
@@ -15,8 +16,12 @@ from muninn_avro_to_parquet_spark.queries import QUERIES
 suffix = sys.argv[1]
 names = sys.argv[2:]
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-spark = get_spark("explain-r15")
-out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+spark = get_spark("explain")
+out_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
+)
 os.makedirs(out_dir, exist_ok=True)
 for name in names:
     df = QUERIES[name].spark(spark, sf)
