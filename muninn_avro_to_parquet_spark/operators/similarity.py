@@ -1972,13 +1972,23 @@ def ivfpq_append(
             "ivfpq_append needs an index built by ivfpq_index (stored "
             "int8 calibration missing)"
         )
+    from muninn_avro_to_parquet_spark.operators.cacheutil import cache_scoped
+
     encoder = _resolve_encoder(encoder)
     id_col, vec_col = index.id_col, index.vec_col
     # the appended rows get the same fused per-row relation the build
     # stores — assigned against the FROZEN centroids and quantized
-    # against the FROZEN calibration (one small-batch pass)
-    new_flat = _ivf_flat(
-        new_rows, index.centroids, index.calib, id_col, vec_col, encoder
+    # against the FROZEN calibration. Scope-cached (its own key — the
+    # base index's "ivfpq_flat" cache must stay live under the union):
+    # the appended index's searches read this union through flat, codes
+    # AND enc, and an uncached delta re-ran the fused Arrow pass once
+    # per consumer (r16 A/B: append_search 3.07 -> 3.81 s before this
+    # cache; one pass + reuse restores it).
+    new_flat = cache_scoped(
+        _ivf_flat(
+            new_rows, index.centroids, index.calib, id_col, vec_col, encoder
+        ),
+        "ivfpq_append_flat",
     )
     new_lists = new_flat.select(id_col, "centroid_id")
     new_codes = new_flat.select(id_col, "q", "n_dims")

@@ -122,6 +122,19 @@ def get_spark(app_name: str = "muninn_spark", cpus: int | None = None) -> SparkS
         # so co-resident sessions built later in the same interpreter
         # inherit capture-off too.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Codegen-heavy session: hundreds of distinct queries generate
+        # hundreds of whole-stage-codegen classes, and once the JVM's
+        # code cache saturates, CodeCache flushing silently evicts
+        # compiled methods — the evicted query then runs interpreted at
+        # ~20x the cpu with an identical plan (r16: q_quantile_sketch
+        # measured 1.4 executor-cpu-s compiled vs 18-32 interpreted on
+        # its first/evicted runs; the r15 in-sweep anomaly signature).
+        # Reserve 2x the default (240m) — virtual reservation, committed
+        # only as used.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     local_dir = _local_shuffle_dir()
     if local_dir:

@@ -62,6 +62,7 @@ def test_known_proof_entries_stay_out_of_the_headline():
         "pq_rerank_exact_bigvectors", "hamming_bighashes", "geo_bigpoints",
         "linkage_bigrecords", "dedup_incremental_bigbatch",
         "html_bigcorpus", "warc_ingest_bigcrawl", "ann_exact_bigindex",
+        "scan_pushdown_bigfile",
         "ann_ivfpq_build_bigindex", "ann_ivfpq_sweep_bigindex",
         "lpa_biggraph", "hits_biggraph", "knn_bigvectors",
         "convert_drift_bigfile",
